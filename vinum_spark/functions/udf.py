@@ -1,0 +1,192 @@
+"""UDF registration — the reference's signature feature re-expressed on
+Spark (``vinum/core/udf.py:67-218``).
+
+- :func:`register_numpy` — fn over whole columns (np.ndarray in, array
+  out) → Arrow-batched **pandas_udf** (the direct analogue: both move
+  columnar batches across a language boundary; 10-100× faster than
+  row-at-a-time).
+- :func:`register_python` — scalar fn, reference wraps with np.vectorize
+  (``vinum/core/udf.py:134``) → row-at-a-time Spark UDF.
+- ``np.<fn>(...)`` directly in SQL (``vinum/core/udf.py:46-54``) — the SQL
+  pre-pass reports ``(name, arity)`` pairs and
+  :func:`ensure_udfs_registered` lazily wraps the numpy function in a
+  pandas_udf registered under the flat name ``np_<fn>``.
+
+Names are case-insensitive and re-registration replaces
+(``vinum/core/udf.py:11-25``). Return types are inferred by probing the
+function on a tiny sample when not given explicitly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, Optional, Set, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# name(lower) -> (kind, fn, spark_type_or_None, version)
+_REGISTRY: Dict[str, Tuple[str, Callable, Optional[T.DataType], int]] = {}
+_version_counter = 0
+
+# session-id -> {name: registered_version}
+_SESSION_STATE: Dict[str, Dict[str, int]] = {}
+
+
+def register_python(name: str, fn: Callable, return_type: Optional[str] = None) -> None:
+    """Register a scalar Python UDF callable from SQL (row-at-a-time)."""
+    _register(name, "python", fn, return_type)
+
+
+def register_numpy(name: str, fn: Callable, return_type: Optional[str] = None) -> None:
+    """Register a vectorized UDF: ``fn`` receives whole columns as
+    np.ndarray and returns an array (or scalar, broadcast to column)."""
+    _register(name, "numpy", fn, return_type)
+
+
+def _register(name: str, kind: str, fn: Callable, return_type: Optional[str]) -> None:
+    global _version_counter
+    _version_counter += 1
+    dt = T._parse_datatype_string(return_type) if return_type else None
+    _REGISTRY[name.lower()] = (kind, fn, dt, _version_counter)
+
+
+def registered_udf_names() -> Set[str]:
+    return set(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Type inference by probing
+# ---------------------------------------------------------------------------
+
+_NUMPY_TO_SPARK = {
+    "b": T.BooleanType(),
+    "i": T.LongType(),
+    "u": T.LongType(),
+    "f": T.DoubleType(),
+    "M": T.TimestampType(),
+    "U": T.StringType(),
+    "S": T.StringType(),
+    "O": T.StringType(),
+}
+
+
+def _spark_type_of(result) -> T.DataType:
+    arr = np.asarray(result)
+    if arr.dtype.kind == "f" and arr.dtype.itemsize <= 4:
+        return T.FloatType()
+    if arr.dtype.kind in ("i", "u") and arr.dtype.itemsize <= 4:
+        return T.IntegerType()
+    return _NUMPY_TO_SPARK.get(arr.dtype.kind, T.DoubleType())
+
+
+def _infer_vector_type(fn: Callable, arity: int) -> T.DataType:
+    probes = [
+        [np.array([1.0, 2.0])] * max(arity, 1),
+        [np.array([1, 2])] * max(arity, 1),
+        [np.array(["a", "b"])] * max(arity, 1),
+    ]
+    for args in probes:
+        try:
+            return _spark_type_of(fn(*args))
+        except Exception:
+            continue
+    return T.DoubleType()
+
+
+def _infer_scalar_type(fn: Callable, arity: int) -> T.DataType:
+    for probe in (1.0, 1, "a"):
+        try:
+            return _spark_type_of(fn(*([probe] * max(arity, 1))))
+        except Exception:
+            continue
+    return T.DoubleType()
+
+
+# ---------------------------------------------------------------------------
+# Session registration
+# ---------------------------------------------------------------------------
+
+
+def _make_vectorized(fn: Callable, arity: int, dt: T.DataType):
+    """Build a fixed-arity pandas_udf wrapping a numpy column function.
+
+    Fixed arity matters: pandas_udf inspects the signature, so ``*args``
+    is not portable. The hop is Arrow-batched either way — the exact
+    analogue of the reference's pybind11 batch hop
+    (``vinum/core/vinum_lib.cpp:60-66``).
+    """
+    arity = max(arity, 1)
+    params = ", ".join(f"s{i}" for i in range(arity))
+    to_np = ", ".join(f"s{i}.to_numpy()" for i in range(arity))
+    ns = {"pd": pd, "np": np, "_fn": fn}
+    exec(
+        f"def _wrapped({params}):\n"
+        f"    out = _fn({to_np})\n"
+        f"    out = np.broadcast_to(np.asarray(out), (len(s0),)) "
+        f"if np.ndim(out) == 0 else out\n"
+        f"    return pd.Series(out)\n",
+        ns,
+    )
+    return pandas_udf(ns["_wrapped"], returnType=dt)
+
+
+def ensure_udfs_registered(
+    spark: SparkSession,
+    np_funcs: Iterable[Tuple[str, int]] = (),
+    used_names: Optional[Iterable[str]] = None,
+) -> None:
+    """Idempotently register (a) every user UDF from the registry and
+    (b) each ``np.*`` function the current query references."""
+    sid = str(id(spark))
+    state = _SESSION_STATE.setdefault(sid, {})
+
+    for name, (kind, fn, dt, version) in list(_REGISTRY.items()):
+        if state.get(name) == version:
+            continue
+        if kind == "numpy":
+            dtype = dt or _infer_vector_type(fn, 1)
+            spark.udf.register(name, _make_vectorized(fn, _arity_of(fn), dtype))
+        else:
+            dtype = dt or _infer_scalar_type(fn, _arity_of(fn))
+            spark.udf.register(name, fn, dtype)
+        state[name] = version
+
+    for dotted, arity in np_funcs:
+        flat = "np_" + dotted[3:].replace(".", "_")
+        key = f"{flat}/{arity}"
+        if key in state:
+            continue
+        np_fn = _resolve_np(dotted)
+        dtype = _infer_vector_type(np_fn, arity)
+        spark.udf.register(flat, _make_vectorized(np_fn, arity, dtype))
+        state[key] = 1
+
+
+def _arity_of(fn: Callable) -> int:
+    try:
+        import inspect
+
+        params = [
+            p
+            for p in inspect.signature(fn).parameters.values()
+            if p.kind
+            in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+        return max(len(params), 1)
+    except (TypeError, ValueError):
+        return 1
+
+
+def _resolve_np(dotted: str) -> Callable:
+    """Resolve ``np.foo`` / ``np.char.upper`` against the numpy namespace
+    only — never arbitrary eval (the reference evals in a restricted
+    namespace too, ``vinum/core/udf.py:48-54``)."""
+    obj = np
+    for part in dotted.split(".")[1:]:
+        obj = getattr(obj, part)
+    if not callable(obj):
+        raise ValueError(f"{dotted} is not callable")
+    return obj

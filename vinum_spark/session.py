@@ -1,0 +1,64 @@
+"""SparkSession bootstrap.
+
+One shared session per process (the reference is an in-process engine,
+``/root/reference/vinum/api/table.py:15``; our analogue is one local
+SparkSession). Config targets both local testing (local[N]) and a real
+cluster: everything here is standard public Spark configuration — AQE,
+Arrow exchange, sensible shuffle parallelism — and nothing is
+local-mode-specific except the master URL default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the test harness (local[32], 128 GiB). On a real cluster the
+# master/memory come from spark-submit; these configs remain valid.
+_DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+
+
+def get_spark(app_name: str = "vinum_spark") -> SparkSession:
+    """Return the shared SparkSession, creating it on first use.
+
+    Scale notes (100 TB design):
+    - AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+      and dynamic broadcast conversion replace hand-tuned partition counts.
+    - Arrow exchange on: every JVM<->Python hop (pandas_udf, toPandas) is
+      Arrow-batched — the analogue of the reference's zero-copy
+      Python<->C++ boundary (``vinum/core/vinum_lib.cpp:60-66``).
+    - UTC session timezone: deterministic timestamp semantics across
+      engines (matters for the DuckDB correctness oracle too).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    master = os.environ.get(
+        "SPARK_GRAFT_MASTER", f"local[{cpus}]" if cpus else "local[*]"
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", _DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Broadcast threshold: TPC-H dims (region/nation/supplier/part at
+        # test SFs) should always broadcast; AQE upgrades joins at runtime
+        # when the build side turns out small.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
