@@ -1,0 +1,1000 @@
+"""Query inventory — the engine's declared capability surface.
+
+One entry per operator class from SURVEY.md §2 (the reference's SELECT
+surface: scan/project/filter/aggregate/distinct/having/sort/limit/
+scalar-functions) plus the Spark-first extensions the reference lacks
+(joins, windows, set ops, grouping sets, subqueries — reference
+explicitly unsupported per ``/root/reference/vinum/api/table.py:213-218``)
+plus the LLM-data-pipeline operators (dedup, similarity, text analysis,
+event-stream analytics).
+
+Each entry carries:
+- ``fn(spark, sf_dir) -> DataFrame`` — idiomatic DataFrame-API
+  implementation (Catalyst plans it; no hand-scheduling);
+- ``oracle`` — equivalent DuckDB SQL over the same parquet (None for
+  ops whose hash functions aren't portable across engines — those get
+  the driver's rows-only check).
+
+Parity conventions (see BASELINE.md): float aggregates rounded in BOTH
+engines; no raw timestamp outputs (strings/dates/ints instead); every
+LIMIT paired with a unique-key ORDER BY; session timezone forced to UTC.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vinum_spark.operators import dedup as D
+from vinum_spark.operators import similarity as S
+from vinum_spark.operators import text as X
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    desc: str
+
+
+QUERIES: Dict[str, QuerySpec] = {}
+
+
+def _q(name: str, oracle: Optional[str], desc: str):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle, desc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects
+        # (PARQUET_TYPE_ILLEGAL); read nanos as long, convert to a
+        # microsecond timestamp (truncation matches DuckDB's ms/us views).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# Reference surface (vinum parity): scan/filter/project/agg/sort/limit
+# ===========================================================================
+
+
+@_q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "Flagship TPC-H Q1-style pricing summary: multi-key hash aggregate "
+    "with partial (map-side) aggregation; AQE coalesces the tiny shuffle.",
+)
+def q01(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "q02_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+           round(l_quantity * l_tax, 4)                 AS qty_tax
+    FROM lineitem
+    WHERE l_returnflag = 'A'
+      AND l_quantity BETWEEN 10 AND 40
+      AND l_linestatus IN ('F', 'O')
+      AND l_discount > 0.02
+    ORDER BY revenue DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    "Filter + projection with arithmetic: predicates push into the "
+    "parquet scan (PushedFilters); top-k fuses to TakeOrderedAndProject.",
+)
+def q02(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_returnflag") == "A")
+            & F.col("l_quantity").between(10, 40)
+            & F.col("l_linestatus").isin("F", "O")
+            & (F.col("l_discount") > 0.02)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.round(F.col("l_quantity") * F.col("l_tax"), 4).alias("qty_tax"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@_q(
+    "q03_global_agg",
+    """
+    SELECT count(*)                        AS count_star,
+           count(l_quantity)               AS count_qty,
+           round(min(l_extendedprice), 2)  AS min_price,
+           round(max(l_extendedprice), 2)  AS max_price,
+           round(sum(l_quantity), 2)       AS sum_qty,
+           round(avg(l_discount), 6)       AS avg_disc,
+           min(l_returnflag)               AS min_flag,
+           max(l_linestatus)               AS max_status
+    FROM lineitem
+    """,
+    "Global (no GROUP BY) aggregate — the reference's OneGroupAggregate; "
+    "Spark computes it as partial+final agg with no wide shuffle.",
+)
+def q03(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("count_star"),
+        F.count("l_quantity").alias("count_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.min("l_returnflag").alias("min_flag"),
+        F.max("l_linestatus").alias("max_status"),
+    )
+
+
+@_q(
+    "q04_group_single_key",
+    """
+    SELECT l_suppkey,
+           count(*)                  AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_extendedprice), 4) AS avg_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    "Single numeric group key — the reference's "
+    "SingleNumericalHashAggregate; hash partial agg in Spark.",
+)
+def q04(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@_q(
+    "q05_distinct",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber
+    FROM lineitem
+    """,
+    "SELECT DISTINCT — reference rewrites to GROUP BY "
+    "(vinum/parser/parser.py:228-231); Catalyst does the same rewrite.",
+)
+def q05(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_linenumber"
+    ).distinct()
+
+
+@_q(
+    "q06_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 8 AND sum(o_totalprice) > 100000
+    """,
+    "GROUP BY + HAVING (post-aggregation filter).",
+)
+def q06(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.sum("o_totalprice").alias("__raw"),
+        )
+        .filter((F.col("n_orders") >= 8) & (F.col("__raw") > 100000))
+        .drop("__raw")
+    )
+
+
+@_q(
+    "q07_orderby_limit_offset",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+    "Multi-key sort + LIMIT/OFFSET — reference SortOperator+SliceOperator; "
+    "Spark fuses to a global TakeOrdered of offset+limit rows.",
+)
+def q07(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(10)
+        .limit(20)
+    )
+
+
+@_q(
+    "q08_math_functions",
+    """
+    SELECT o_orderkey,
+           round(abs(-o_totalprice), 2)      AS abs_total,
+           round(sqrt(o_totalprice), 6)      AS sqrt_total,
+           round(ln(o_totalprice), 6)        AS ln_total,
+           round(log10(o_totalprice), 6)     AS log10_total,
+           round(power(o_totalprice, 0.25), 6) AS pow_total,
+           CAST(o_orderkey % 7 AS BIGINT)    AS mod7
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 500
+    """,
+    "Scalar math functions (reference registry "
+    "vinum/core/functions.py:361-369) — all JVM built-ins.",
+)
+def q08(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(F.abs(-F.col("o_totalprice")), 2).alias("abs_total"),
+            F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_total"),
+            F.round(F.log("o_totalprice"), 6).alias("ln_total"),
+            F.round(F.log10("o_totalprice"), 6).alias("log10_total"),
+            F.round(F.pow("o_totalprice", F.lit(0.25)), 6).alias("pow_total"),
+            (F.col("o_orderkey") % 7).cast("bigint").alias("mod7"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+@_q(
+    "q09_string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_mktsegment)                    AS seg_upper,
+           lower(c_name)                          AS name_lower,
+           substring(c_name, 1, 8)                AS name_prefix,
+           length(c_name)                         AS name_len,
+           concat(c_mktsegment, '-', CAST(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer
+    WHERE c_name LIKE 'Customer%1%'
+    ORDER BY c_custkey
+    LIMIT 200
+    """,
+    "String functions + LIKE (reference: upper/lower/concat "
+    "vinum/core/functions.py:250-298; LIKE :301-344).",
+)
+def q09(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_name").like("Customer%1%"))
+        .select(
+            "c_custkey",
+            F.upper("c_mktsegment").alias("seg_upper"),
+            F.lower("c_name").alias("name_lower"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.length("c_name").cast("bigint").alias("name_len"),
+            F.concat(
+                F.col("c_mktsegment"), F.lit("-"), F.col("c_nationkey").cast("string")
+            ).alias("seg_nation"),
+        )
+        .orderBy("c_custkey")
+        .limit(200)
+    )
+
+
+@_q(
+    "q10_datetime",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER)  AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           count(*)                            AS n,
+           round(sum(o_totalprice), 2)         AS total
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "Datetime extraction + group (reference datetime surface "
+    "vinum/core/functions.py:25-145).",
+)
+def q10(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+@_q(
+    "q11_case_when",
+    """
+    SELECT CASE WHEN value < 5 THEN 'low' WHEN value < 20 THEN 'mid'
+                ELSE 'high' END         AS bucket,
+           event_type,
+           count(*)                     AS n,
+           round(avg(value), 4)         AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "CASE WHEN bucketing + group-by over the events table.",
+)
+def q11(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 5, "low")
+        .when(F.col("value") < 20, "mid")
+        .otherwise("high")
+        .alias("bucket")
+    )
+    return (
+        e.groupBy(bucket, F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("bucket", "event_type")
+    )
+
+
+@_q(
+    "q12_conditional_agg",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2)
+               AS discounted_revenue,
+           count(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_bulk,
+           round(sum(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2) AS taxed_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "Conditional aggregation (CASE inside agg + FILTER clause).",
+)
+def q12(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(
+                        0.0
+                    )
+                ),
+                2,
+            ).alias("discounted_revenue"),
+            F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("n_bulk"),
+            F.round(
+                F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 2
+            ).alias("taxed_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ===========================================================================
+# Extensions the reference lacks: joins, subqueries, windows, set ops
+# ===========================================================================
+
+
+@_q(
+    "q13_join_broadcast",
+    """
+    SELECT p.p_brand, count(*) AS n, round(sum(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    "Fact-to-dim join: dim side explicitly broadcast — no shuffle of "
+    "lineitem at any scale while part fits executor memory.",
+)
+def q13(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("p_brand")
+    )
+
+
+@_q(
+    "q14_join_multiway",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON o.o_orderkey = l.l_orderkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    "TPC-H Q5-style multiway join: Catalyst broadcast-joins every dim; "
+    "only orders↔lineitem shuffles (co-partitioned on orderkey).",
+)
+def q14(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@_q(
+    "q15_anti_join",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_inactive
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    "Anti join (customers with no orders) — NOT EXISTS lowers to "
+    "left_anti; broadcast when the build side is small.",
+)
+def q15(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
+    "q16_semi_join",
+    """
+    SELECT o.o_orderpriority, count(*) AS n
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    "Semi join (EXISTS) — left_semi, no duplication of the probe side.",
+)
+def q16(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q17_scalar_subquery",
+    """
+    SELECT o_orderpriority, count(*) AS n_big
+    FROM orders
+    WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "Scalar subquery in WHERE — one extra global agg, broadcast as a "
+    "literal into the scan filter.",
+)
+def q17(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    threshold = 1.5 * o.agg(F.avg("o_totalprice")).collect()[0][0]
+    return (
+        o.filter(F.col("o_totalprice") > threshold)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q18_window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, rnk, round(o_totalprice, 2) AS total
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+      FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+    "Top-k per group via window row_number — one shuffle on the "
+    "partition key; deterministic tiebreak.",
+)
+def q18(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@_q(
+    "q19_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev
+    FROM orders
+    """,
+    "Running aggregate + lag over event-ordered per-customer history.",
+)
+def q19(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+        ).alias("delta_prev"),
+    )
+
+
+@_q(
+    "q20_set_ops",
+    """
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 45
+    UNION
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45
+    EXCEPT
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O' AND l_quantity > 48
+    """,
+    "Set operations (UNION/EXCEPT with distinct semantics) — reference "
+    "has none (vinum/parser/parser.py:94-102).",
+)
+def q20(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter((F.col("l_returnflag") == "A") & (F.col("l_quantity") > 45)).select(
+        "l_orderkey"
+    )
+    r = li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45)).select(
+        "l_orderkey"
+    )
+    o = li.filter((F.col("l_linestatus") == "O") & (F.col("l_quantity") > 48)).select(
+        "l_orderkey"
+    )
+    return a.union(r).distinct().exceptAll(o.distinct()).distinct()
+
+
+@_q(
+    "q21_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           count(*)                      AS n,
+           round(sum(l_quantity), 2)     AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY flag, status
+    """,
+    "ROLLUP grouping sets (reference has none; Spark expands to a "
+    "single-pass Expand + hash aggregate).",
+)
+def q21(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("flag", "status")
+    )
+
+
+@_q(
+    "q22_count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "Multiple exact COUNT(DISTINCT) — Spark plans Expand + two-phase "
+    "aggregation (approx_count_distinct is the 100 TB alternative).",
+)
+def q22(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ===========================================================================
+# Event-stream analytics (batch semantics; streaming variants in
+# vinum_spark.streaming run the same logic over readStream)
+# ===========================================================================
+
+
+@_q(
+    "q23_events_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           count(*)              AS n,
+           round(sum(value), 2)  AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "Tumbling 1-hour event-time window aggregation (batch form of the "
+    "Structured Streaming window — see vinum_spark.streaming).",
+)
+def q23(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+@_q(
+    "q24_events_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT)                   AS n_events
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "Sessionization (30-min inactivity gap) via window lag + running sum "
+    "— the batch analogue of a session window with state.",
+)
+def q24(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ms = F.unix_millis("ts")
+    gaps = e.withColumn(
+        "new_session",
+        F.when(ms - F.lag(ms).over(w) > 1800000, 1).otherwise(0),
+    )
+    sessions = gaps.withColumn("session_id", F.sum("new_session").over(wrun))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ===========================================================================
+# LLM-data-pipeline operators: text analysis, dedup, similarity
+# ===========================================================================
+
+
+@_q(
+    "q25_text_stats",
+    r"""
+    WITH s AS (
+      SELECT lang,
+             length(text) AS len,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+(?:''[A-Za-z]+)?')) AS n_words,
+             (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                 / greatest(length(text), 1) AS punct_ratio
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)   AS total_tokens,
+           CAST(sum(n_words) AS BIGINT)    AS total_words,
+           round(avg(len), 4)              AS avg_len,
+           round(avg(punct_ratio), 6)      AS avg_punct_ratio
+    FROM s
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    "Text quality stats per language: token/word counts + punctuation "
+    "ratio, all codegen'd expressions (operators/text.py).",
+)
+def q25(spark, sf_dir):
+    d = X.with_text_stats(_t(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_words").alias("total_words"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+            F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "q26_lang_id",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is)\b'))    AS s_en,
+             len(regexp_extract_all(text, '(?i)\b(el|la|los|que|de)\b'))    AS s_es,
+             len(regexp_extract_all(text, '(?i)\b(der|die|und|das|nicht)\b')) AS s_de,
+             len(regexp_extract_all(text, '(?i)\b(le|les|des|et|est)\b'))   AS s_fr,
+             length(regexp_replace(text, '[^一-鿿]', '', 'g'))               AS cjk,
+             length(text)                                                    AS len
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE
+               WHEN cjk * 2 >= greatest(len, 1) THEN 'zh'
+               WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+               WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+               WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+               WHEN s_de >= s_fr THEN 'de'
+               ELSE 'fr'
+             END AS lang_pred
+      FROM scored
+    )
+    SELECT lang, lang_pred, count(*) AS n
+    FROM pred
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+    "Language-ID heuristic (stopword n-gram scores + CJK share) — "
+    "confusion counts vs the labeled lang column.",
+)
+def q26(spark, sf_dir):
+    d = X.with_lang_id(_t(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@_q(
+    "q27_dedup_exact",
+    r"""
+    WITH fp AS (
+      SELECT source,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+             doc_id
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                   AS n_docs,
+           CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_unique
+    FROM fp
+    GROUP BY source
+    ORDER BY source
+    """,
+    "Exact dedup accounting: normalized-text md5 fingerprints per source "
+    "(operators/text.py with_fingerprint + dedup_exact).",
+)
+def q27(spark, sf_dir):
+    d = X.with_fingerprint(_t(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
+    "q28_ngram_jaccard",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(inter / (sz_a + sz_b - inter), 6) AS jaccard
+    FROM pairs
+    WHERE inter / (sz_a + sz_b - inter) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    "Exact 3-gram Jaccard near-dup pairs (threshold 0.8) — the "
+    "verification path for MinHash candidates (operators/dedup.py).",
+)
+def q28(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+@_q(
+    "q29_minhash_lsh_dedup",
+    None,  # xxhash64 signatures are not portable to DuckDB → rows-only check
+    "MinHash(64 hashes)+LSH(16 bands) near-dup removal — survivors per "
+    "source (operators/dedup.py minhash_lsh_dedup).",
+)
+def q29(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    kept = D.minhash_lsh_dedup(d, n_hashes=64, bands=16)
+    return kept.select("doc_id", "source").orderBy("doc_id")
+
+
+@_q(
+    "q30_simhash",
+    None,  # xxhash64 token hashes not portable → rows-only check
+    "64-bit SimHash per document + Hamming-band dedup survivors "
+    "(operators/dedup.py simhash / simhash_dedup).",
+)
+def q30(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash(d).select("doc_id", "simhash").orderBy("doc_id")
+
+
+@_q(
+    "q31_cosine_topk",
+    """
+    SELECT a.vec_id, round(list_cosine_similarity(a.embedding, q.embedding), 4) AS cosine
+    FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY list_cosine_similarity(a.embedding, q.embedding) DESC, a.vec_id
+    LIMIT 20
+    """,
+    "Brute-force cosine top-20 to a query vector — codegen'd "
+    "zip_with/aggregate dot product, TakeOrderedAndProject "
+    "(operators/similarity.py cosine_topk).",
+)
+def q31(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = S.cosine_topk(emb, q, k=20)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+@_q(
+    "q32_ann_lsh",
+    None,  # hyperplane signatures depend on local RNG → rows-only check
+    "Approximate NN via random-hyperplane LSH bucket filter + exact "
+    "re-rank (operators/similarity.py lsh_bucket_topk).",
+)
+def q32(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.lsh_bucket_topk(emb, q, k=10, n_planes=16, hamming_radius=6)
+
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }

@@ -1,0 +1,48 @@
+"""Large-scale data-pipeline operators — the north-star extensions beyond
+the reference surface (reference has no joins/windows/dedup:
+``/root/reference/vinum/api/table.py:213-218``).
+
+Every operator is a DataFrame → DataFrame transformer built from JVM-side
+built-ins wherever Spark can express the semantics; Python (Arrow-batched
+pandas UDF) appears only where it genuinely cannot (SimHash bit packing,
+multimodal decode). That makes each operator partition-parallel by
+construction — the 100 TB design requirement.
+"""
+
+from vinum_spark.operators.text import (
+    with_token_count,
+    with_text_stats,
+    with_lang_id,
+    with_fingerprint,
+)
+from vinum_spark.operators.dedup import (
+    dedup_exact,
+    minhash_signatures,
+    minhash_lsh_dedup,
+    simhash,
+    simhash_dedup,
+    ngram_jaccard_pairs,
+)
+from vinum_spark.operators.similarity import (
+    with_cosine_similarity,
+    cosine_topk,
+    lsh_signature,
+    lsh_bucket_topk,
+)
+
+__all__ = [
+    "with_token_count",
+    "with_text_stats",
+    "with_lang_id",
+    "with_fingerprint",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_dedup",
+    "simhash",
+    "simhash_dedup",
+    "ngram_jaccard_pairs",
+    "with_cosine_similarity",
+    "cosine_topk",
+    "lsh_signature",
+    "lsh_bucket_topk",
+]

@@ -1,0 +1,275 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+
+- Everything is expressed with built-in expressions (higher-order array
+  functions + xxhash64/md5) — no Python in the hot path, whole-stage
+  codegen end-to-end.
+- Exact dedup shuffles once on the fingerprint.
+- MinHash-LSH shuffles on (band, band_hash) buckets — the standard
+  shingle→minhash→band→bucket-join pipeline; candidate pairs never
+  materialize a full cross product.
+- SimHash is one wide aggregation (64 partial-aggregated columns), no row
+  blowup.
+- n-gram Jaccard is the exact-verification path, intended to run on LSH
+  candidates (or small corpora); the shingle self-join is the scale
+  bottleneck by construction and documented as such.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vinum_spark.operators.text import with_fingerprint
+
+# ---------------------------------------------------------------------------
+# Shared shingling helpers (word n-grams over whitespace tokens)
+# ---------------------------------------------------------------------------
+
+
+def _shingles(col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of ``col`` (array<string>).
+
+    Built entirely from higher-order functions: split → sliding join.
+    Documents shorter than ``n`` tokens contribute the whole text as one
+    shingle so they still participate.
+    """
+    tokens = F.split(F.trim(col), r"\s+")
+    k = F.size(tokens) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep one row per duplicate group (the smallest ``id_col``).
+
+    Group key = ``cols`` if given, else the normalized-text md5
+    fingerprint. One hash-shuffle on the key; deterministic survivor
+    choice makes results reproducible across cluster sizes.
+    """
+    if cols:
+        keyed, key_cols = df, list(cols)
+    else:
+        keyed, key_cols = with_fingerprint(df, text_col), ["fingerprint"]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_size: int = 3,
+    out: str = "minhash",
+) -> DataFrame:
+    """Add an ``array<bigint>`` MinHash signature column.
+
+    signature[i] = min over shingles of xxhash64(shingle, i). Nested
+    higher-order functions keep the whole computation inside codegen; no
+    shuffle, no Python.
+    """
+    sh = _shingles(F.col(text_col), shingle_size)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+    return df.withColumn(out, sig)
+
+
+def _band_buckets(
+    df: DataFrame, id_col: str, bands: int, rows_per_band: int, sig_col: str = "minhash"
+) -> DataFrame:
+    """Explode a signature into (id, band, band_hash) bucket rows."""
+    band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    with_band = df.select(F.col(id_col), F.col(sig_col), band)
+    band_slice = F.slice(
+        F.col(sig_col), F.col("band") * rows_per_band + 1, rows_per_band
+    )
+    return with_band.select(
+        id_col, "band", F.xxhash64(band_slice).alias("band_hash")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Near-dup removal: keep a row unless some LSH bucket contains a
+    lower-id row (greedy, deterministic).
+
+    shingle → minhash (map-side) → band buckets (one shuffle on bucket
+    key) → min-id per bucket (partial agg) → anti-join. Bucket skew is
+    handled by AQE; no pairwise materialization ever happens.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, n_hashes, shingle_size)
+    buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
+    w = Window.partitionBy("band", "band_hash")
+    dups = (
+        buckets.withColumn("bucket_min", F.min(id_col).over(w))
+        .filter(F.col(id_col) > F.col("bucket_min"))
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(dups, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "simhash",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document, as one wide aggregation.
+
+    Token hashes come from xxhash64; bit ``j`` of the result is the sign
+    of sum over tokens of (bit j of token hash ? +1 : -1). Implemented as
+    ``bits`` partial-aggregatable SUM columns over exploded tokens —
+    map-side combine keeps the shuffle tiny (rows = docs, not tokens).
+    """
+    toks = df.select(
+        id_col,
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias(
+            "__tok"
+        ),
+    ).withColumn("__h", F.xxhash64("__tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("__h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{j}")
+        for j in range(bits)
+    ]
+    votes = toks.groupBy(id_col).agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        acc = acc + F.when(
+            F.col(f"__b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    sim = votes.select(id_col, acc.alias(out))
+    return df.join(sim, on=id_col, how="left")
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_threshold: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup removal on SimHash: candidates share one of four 16-bit
+    bands (any pair within Hamming distance 3 of a 64-bit hash must agree
+    on ≥1 of 4 bands — pigeonhole); verify with bit_count(xor)."""
+    h = simhash(df, text_col, id_col)
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bucket = h.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    left = bucket.alias("a")
+    right = bucket.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+        )
+        .filter(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            <= hamming_threshold
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return df.join(pairs, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification path)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥
+    threshold. The shingle self-join is quadratic in bucket size — run on
+    LSH candidates at scale; it exists as the exact oracle-checkable
+    verifier.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    exploded = sh.select("id", "sz", F.explode("sh").alias("g"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
