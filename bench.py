@@ -1,0 +1,74 @@
+"""Benchmark harness — runs the headline inventory queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md): one shared session, Arrow on, AQE on; per query
+one untimed warm-up then median of 3 timed runs; ``value`` = sum of
+per-query medians.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q04_group_single_key",
+    "q13_join_broadcast",
+    "q14_join_multiway",
+    "q18_window_topk_per_group",
+    "q22_count_distinct",
+    "q23_events_tumbling_window",
+    "q25_text_stats",
+    "q27_dedup_exact",
+    "q29_minhash_lsh_dedup",
+    "q31_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from vinum_spark.session import get_spark
+    from vinum_spark.inventory import QUERIES
+
+    spark = get_spark("vinum_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        # warm-up (codegen, file listing, broadcast build)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_inventory_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
