@@ -1,0 +1,787 @@
+"""Golden query suite — ported from the reference's end-to-end corpus
+(``/root/reference/vinum/tests/test_query_results.py``), adapted only
+where semantics legitimately diverge (each divergence commented).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from tests.conftest import (
+    TRIPS_COLUMNS,
+    TRIPS_GROUPBY_COLUMNS,
+    TRIPS_ROWS,
+    rows_to_columns_dict,
+    run_query_case,
+)
+
+
+def d(*args):
+    return dt.datetime(*args)
+
+
+BASIC = (
+    ("trips", "select * from t", rows_to_columns_dict(TRIPS_ROWS, TRIPS_COLUMNS)),
+    ("trips", "select 2+2 as sum from t", {"sum": (4,)}),
+    ("trips", "select 2+2+2+1 as sum from t", {"sum": (7,)}),
+    ("trips", "select 1*2*3*4*5*6*7 as sum from t", {"sum": (5040,)}),
+    ("trips", "select 2 as literal from t", {"literal": (2,)}),
+    ("trips", "select tax+tip as res from t", {"res": (1.43, 7.34, 12.59, 6.69)}),
+    ("trips", "select total-tax as res from t", {"res": (2.0, 141.15, 31.81, 51.41)}),
+    ("trips", "select tax*tip as res from t", {"res": (0.43, 10.68, 17.49, 8.45)}),
+    ("trips", "select id % 2 as res from t", {"res": (1, 0, 1, 0)}),
+    ("trips", "select -id as res from t", {"res": (-1, -2, -3, -4)}),
+    ("trips", "select ~id as res from t", {"res": (-2, -3, -4, -5)}),
+    ("trips", "select id & timestamp as res from t", {"res": (1, 2, 3, 0)}),
+    (
+        "trips",
+        "select id | timestamp as res from t",
+        {"res": (1596899421, 1596999422, 1597899423, 1598899428)},
+    ),
+    (
+        "trips",
+        "select id # timestamp as res from t",
+        {"res": (1596899420, 1596999420, 1597899420, 1598899428)},
+    ),
+    (
+        "trips",
+        "select city_from || city_to as res from t",
+        {"res": ("BerlinMunich", "MunichRiva", "RivaNaples", "San FranciscoNaples")},
+    ),
+    (
+        "trips",
+        "select '<_' || city_from || '_-_' || city_to || '_>' as res from t",
+        {
+            "res": (
+                "<_Berlin_-_Munich_>",
+                "<_Munich_-_Riva_>",
+                "<_Riva_-_Naples_>",
+                "<_San Francisco_-_Naples_>",
+            )
+        },
+    ),
+    ("trips", "select count(*) as count from t", {"count": (4,)}),
+    ("trips", "select count(*) as count from t where vendor_id >= 2", {"count": (2,)}),
+    ("trips", "select count(*) as count from t where vendor_id >= 2000", {"count": (0,)}),
+    ("trips", "select count(lng * 10 > 130) as count from t", {"count": (4,)}),
+    ("trips", "select distinct vendor_id from t", {"vendor_id": (1, 2, 3)}),
+    (
+        "trips",
+        "select np.sum(total) as sum from t where vendor_id >= 2",
+        {"sum": (196.25,)},
+    ),
+    (
+        "trips",
+        "select * from t where vendor_id = 1",
+        rows_to_columns_dict([TRIPS_ROWS[0], TRIPS_ROWS[2]], TRIPS_COLUMNS),
+    ),
+    (
+        "trips",
+        "select * from t where vendor_id != 1",
+        rows_to_columns_dict([TRIPS_ROWS[1], TRIPS_ROWS[3]], TRIPS_COLUMNS),
+    ),
+    ("trips", "select id from t where vendor_id == 1", {"id": (1, 3)}),
+    ("trips", "select id from t where vendor_id <> 1", {"id": (2, 4)}),
+    (
+        "trips",
+        "select * from t where name like 'Jos%'",
+        rows_to_columns_dict([TRIPS_ROWS[2], TRIPS_ROWS[3]], TRIPS_COLUMNS),
+    ),
+    (
+        "trips",
+        "select * from t where name not like 'Jos%'",
+        rows_to_columns_dict([TRIPS_ROWS[0], TRIPS_ROWS[1]], TRIPS_COLUMNS),
+    ),
+    ("trips", "select id from t where total between 10 and 100", {"id": (3, 4)}),
+    ("trips", "select id from t where total not between 10 and 100", {"id": (1, 2)}),
+    (
+        "trips",
+        "select timestamp from t where id in (2, 3)",
+        {"timestamp": (1596999422, 1597899423)},
+    ),
+    (
+        "trips",
+        "select timestamp from t where id not in (2, 3)",
+        {"timestamp": (1596899421, 1598899424)},
+    ),
+    ("trips", "select id from t where lat * 10 > 440", {"id": (1, 2, 3)}),
+    (
+        "trips",
+        "select id from t where id = 4 or total / 10 > 10.1 or city_from like '%iv%'",
+        {"id": (2, 3, 4)},
+    ),
+    (
+        "trips",
+        "select id from t where id = 3 and timestamp - 1 = 1597899422 and name = 'Joseph'",
+        {"id": (3,)},
+    ),
+    (
+        "trips",
+        "select id from t "
+        "where not (id = 3 and timestamp - 1 = 1597899422 and name = 'Joseph')",
+        {"id": (1, 2, 4)},
+    ),
+    ("trips", "select id from t where id > 3", {"id": [4]}),
+    ("trips", "select id from t where id >= 3", {"id": (3, 4)}),
+    ("trips", "select id from t where id < 2", {"id": [1]}),
+    ("trips", "select id from t where id <= 3", {"id": (1, 2, 3)}),
+    (
+        "trips",
+        'select "id", "timestamp" from t where id < 2',
+        {"id": [1], "timestamp": [1596899421]},
+    ),
+    (
+        "trips",
+        "select count(*), sum(total), vendor_id from t group by vendor_id "
+        "order by vendor_id",
+        {"count_star": (2, 1, 1), "sum": (35.83, 143.15, 53.1), "vendor_id": (1, 2, 3)},
+    ),
+    ("trips_groupby", "select id from t order by id limit 5", {"id": (1, 2, 3, 4, 5)}),
+    ("trips_groupby", "select id from t limit 5 offset 2", {"id": (3, 4, 5, 6, 7)}),
+    ("trips_groupby", "select id from t limit 10 offset 4", {"id": (5, 6, 7, 8)}),
+    ("trips_groupby", "select id from t limit 1 offset 2", {"id": (3,)}),
+    (
+        "trips_groupby",
+        "select vendor_id, count(*) from t group by vendor_id "
+        "having count(*) > 1 order by count(*)",
+        {"vendor_id": (2, 1), "count_star": (2, 5)},
+    ),
+    (
+        "trips_groupby",
+        "select city_from, to_int(np.sin(lat) * 100000) % 11 as grp_exp, "
+        " count(*), min(tax) from t group by city_from, grp_exp "
+        "having min(tax) > 1 order by grp_exp, city_from desc limit 2",
+        {
+            "city_from": ("San Francisco", "Riva"),
+            "grp_exp": (2, 5),
+            "count_star": (1, 1),
+            "min": (1.69, 1.59),
+        },
+    ),
+)
+
+GROUPBY = (
+    (
+        "trips_groupby",
+        "select vendor_id from t group by vendor_id order by vendor_id",
+        {"vendor_id": (1, 2, 3)},
+    ),
+    (
+        "trips_groupby",
+        "select vendor_id, count(*), min(tax), max(tip), sum(total), avg(total) "
+        "from t group by vendor_id order by vendor_id",
+        {
+            "vendor_id": (1, 2, 3),
+            "count_star": (5, 2, 1),
+            "min": (0.43, 2.0, 1.69),
+            "max": (11, 5.34, 5.3),
+            "sum": (105.06, 156.3, 53.1),
+            "avg": (21.012, 78.15, 53.1),
+        },
+    ),
+    (
+        "trips_groupby",
+        "select city_from, to_int(total) % 7 as mod, count(*) "
+        "from t group by city_from, to_int(total) % 7 order by city_from, mod",
+        {
+            "city_from": ("Berlin", "Berlin", "Munich", "Munich", "Riva", "San Francisco"),
+            "mod": (2, 5, 3, 6, 5, 4),
+            "count_star": (2, 2, 1, 1, 1, 1),
+        },
+    ),
+    (
+        "trips_groupby",
+        "select city_from, city_to, count(*) from t group by city_from, city_to "
+        "order by city_from, count(*)",
+        {
+            "city_from": ("Berlin", "Berlin", "Munich", "Riva", "San Francisco"),
+            "city_to": ("Riva", "Munich", "Riva", "Naples", "Naples"),
+            "count_star": (1, 3, 2, 1, 1),
+        },
+    ),
+    (
+        "trips_groupby",
+        "select city_from, to_int(np.sin(lat) * 100000) % 11 as grp_exp, "
+        " count(*), min(tax) from t group by city_from, grp_exp "
+        "order by city_from, min(tax)",
+        {
+            "city_from": ("Berlin", "Berlin", "Munich", "Riva", "San Francisco"),
+            "grp_exp": (6, 5, 8, 5, 2),
+            "count_star": (2, 2, 2, 1, 1),
+            "min": (0.43, 1.59, 2.0, 1.59, 1.69),
+        },
+    ),
+    (
+        "trips_groupby",
+        "select city_from, count(*), count(timestamp % 2 < 1) from t "
+        "group by city_from order by city_from",
+        {
+            "city_from": ("Berlin", "Munich", "Riva", "San Francisco"),
+            "count_star": (4, 2, 1, 1),
+            "count": (4, 2, 1, 1),
+        },
+    ),
+    (
+        "trips_groupby",
+        "select city_from, sum(tax), sum((1-total)*(2+tax)*(1-tip)) "
+        "from t group by city_from order by city_from",
+        {
+            "city_from": ("Berlin", "Munich", "Riva", "San Francisco"),
+            "sum": (4.04, 4.0, 1.59, 1.69),
+            "sum_1": (2324.23506, 2110.048, 1163.16, 826.6706),
+        },
+    ),
+    (
+        "trips_groupby",
+        "select city_from, count(*) from t "
+        "where tax > 1 group by city_from, city_to order by city_from, city_to",
+        {
+            "city_from": ("Berlin", "Berlin", "Munich", "Riva", "San Francisco"),
+            "count_star": (1, 1, 2, 1, 1),
+        },
+    ),
+    (
+        "trips_groupby",
+        "select city_from, sum(tax), sum((1-total)*(2+tax)*(1-tip)) from t "
+        "group by city_from having sum((1-total)*(2+tax)*(1-tip)) > 1200 "
+        "order by city_from",
+        {
+            "city_from": ("Berlin", "Munich"),
+            "sum": (4.04, 4.0),
+            "sum_1": (2324.23506, 2110.048),
+        },
+    ),
+    (
+        "trips_groupby",
+        "select city_from, sum(tax), sum((1-total)*(2+tax)*(1-tip)) as agg_col "
+        "from t group by city_from having agg_col > 827 order by city_from",
+        {
+            "city_from": ("Berlin", "Munich", "Riva"),
+            "sum": (4.04, 4.0, 1.59),
+            "agg_col": (2324.23506, 2110.048, 1163.16),
+        },
+    ),
+    (
+        "trips_groupby",
+        "select city_from, sum(tax), sum((1-total)*(2+tax)*(1-tip)) as agg_col "
+        "from t group by city_from having agg_col > 827 and sum(tax) > 1.6 "
+        "order by city_from",
+        {"city_from": ("Berlin", "Munich"), "sum": (4.04, 4.0), "agg_col": (2324.23506, 2110.048)},
+    ),
+    (
+        "trips_groupby",
+        "select city_from, sum(tax), sum((1-total)*(2+tax)*(1-tip)) from t "
+        "group by city_from having sum((1-total)*(2+tax)*(1-tip)) > 827 "
+        " and sum(tax) > 1.6 and city_from='Munich'",
+        {"city_from": ("Munich",), "sum": (4.0,), "sum_1": (2110.048,)},
+    ),
+    (
+        "trips_groupby",
+        "select city_from, count(*) from t group by city_from having city_from='Berlin'",
+        {"city_from": ("Berlin",), "count_star": (4,)},
+    ),
+    (
+        "trips_groupby",
+        "select city_from, to_int(np.sin(lat) * 100000) % 11 as grp_exp, "
+        " count(*), min(tax) from t group by city_from, grp_exp "
+        "having grp_exp between 4 and 7 order by city_from, min(tax)",
+        {
+            "city_from": ("Berlin", "Berlin", "Riva"),
+            "grp_exp": (6, 5, 5),
+            "count_star": (2, 2, 1),
+            "min": (0.43, 1.59, 1.59),
+        },
+    ),
+    (
+        "trips_groupby",
+        "select id, city_from, total, timestamp from t "
+        "having city_from='Berlin' and total < 3.0 and timestamp > 1602649608",
+        {"id": (8,), "city_from": ("Berlin",), "total": (2.43,), "timestamp": (1602736007,)},
+    ),
+    (
+        "trips_groupby",
+        "select city_from from t group by city_from, city_to "
+        "having city_to='Naples' order by city_from",
+        {"city_from": ("Riva", "San Francisco")},
+    ),
+    (
+        "trips_groupby",
+        "select vendor_id, count(*) from t group by vendor_id having vendor_id=1",
+        {"vendor_id": (1,), "count_star": (5,)},
+    ),
+    (
+        "trips_groupby",
+        "select vendor_id, count(*) from t group by vendor_id having vendor_id < 3 "
+        "order by vendor_id",
+        {"vendor_id": (1, 2), "count_star": (5, 2)},
+    ),
+    (
+        "trips_groupby",
+        "select vendor_id, count(*) from t group by vendor_id having count(*) = 5",
+        {"vendor_id": (1,), "count_star": (5,)},
+    ),
+    (
+        "trips_groupby",
+        "select vendor_id, sum(tax+tip) from t "
+        "group by vendor_id having sum(tax+tip) * 2 > 5+9 order by vendor_id",
+        {"vendor_id": (1, 2), "sum": (40.03, 13.68)},
+    ),
+    (
+        "trips_groupby",
+        "SELECT sum(total) from t HAVING sum(total) > 1",
+        {"sum": (314.46,)},
+    ),
+    (
+        "trips_groupby",
+        """SELECT city_from, count(*) as cnt_all, count(total) as cnt_total,
+            count(name) as cnt_name, count(date) as cnt_date_str,
+            count(vendor_id) as cnt_bool, count(datetime(date)) as cnt_datetime,
+            count(from_timestamp(timestamp)) as cnt_timestamp,
+            min(total) as min_total, max(total) as max_total,
+            avg(total) as avg_total, sum(total) as sum_total
+        from t group by city_from order by city_from""",
+        {
+            "city_from": ("Berlin", "Munich", "Riva", "San Francisco"),
+            "cnt_all": (4, 2, 1, 1),
+            "cnt_total": (4, 2, 1, 1),
+            "cnt_name": (4, 2, 1, 1),
+            "cnt_date_str": (4, 2, 1, 1),
+            "cnt_bool": (4, 2, 1, 1),
+            "cnt_datetime": (4, 2, 1, 1),
+            "cnt_timestamp": (4, 2, 1, 1),
+            "min_total": (2.43, 13.15, 33.4, 53.1),
+            "max_total": (33.40, 143.15, 33.4, 53.1),
+            "avg_total": (17.915, 78.15, 33.4, 53.1),
+            "sum_total": (71.66, 156.2999, 33.4, 53.1),
+        },
+    ),
+)
+
+ORDERBY = (
+    (
+        "trips_groupby",
+        "select total from t order by total",
+        {"total": (2.43, 2.43, 13.15, 33.40, 33.40, 33.40, 53.1, 143.15)},
+    ),
+    (
+        "trips_groupby",
+        "select total from t order by total desc",
+        {"total": (143.15, 53.1, 33.40, 33.40, 33.40, 13.15, 2.43, 2.43)},
+    ),
+    (
+        "trips_groupby",
+        "select city_from, total from t order by city_from desc, total asc",
+        {
+            "city_from": ("San Francisco", "Riva", "Munich", "Munich",
+                          "Berlin", "Berlin", "Berlin", "Berlin"),
+            "total": (53.1, 33.40, 13.15, 143.15, 2.43, 2.43, 33.40, 33.40),
+        },
+    ),
+    (
+        "trips_groupby",
+        "select city_from, total from t order by city_from desc, total desc",
+        {
+            "city_from": ("San Francisco", "Riva", "Munich", "Munich",
+                          "Berlin", "Berlin", "Berlin", "Berlin"),
+            "total": (53.1, 33.40, 143.15, 13.15, 33.40, 33.40, 2.43, 2.43),
+        },
+    ),
+    (
+        "trips_groupby",
+        "select total + tax + tip from t order by total + tax + tip",
+        {"col_0": (3.26, 3.86, 20.49, 45.99, 45.99, 45.99, 60.09, 149.49)},
+    ),
+    (
+        "trips_groupby",
+        "select total + tax + tip as total_sum from t order by total_sum",
+        {"total_sum": (3.26, 3.86, 20.49, 45.99, 45.99, 45.99, 60.09, 149.49)},
+    ),
+    (
+        "trips_groupby",
+        "select id from t order by np.log(total) * np.exp(tip)",
+        {"id": (8, 1, 2, 6, 4, 3, 5, 7)},
+    ),
+    (
+        "trips_groupby",
+        "select id from t order by vendor_id * 5 desc, np.exp(tip) asc",
+        {"id": (4, 2, 6, 8, 1, 3, 5, 7)},
+    ),
+    (
+        "trips_groupby",
+        """SELECT city_from, sum(total), np.square(sum(total)),
+            np.log(sum(total)*100), avg(tax*3)-10 FROM t
+            GROUP BY city_from ORDER BY city_from""",
+        {
+            "city_from": ("Berlin", "Munich", "Riva", "San Francisco"),
+            "sum": (71.66, 156.3, 33.4, 53.1),
+            "np.square": (5135.1556, 24429.69, 1115.56, 2819.61),
+            "np.log": (8.877103, 9.656947, 8.113726, 8.577347),
+            "col_0": (-6.97, -4.0, -5.23, -4.93),
+        },
+    ),
+)
+
+BUILTINS = (
+    ("trips_groupby", "select to_bool(5) from t", {"to_bool": (True,)}),
+    ("trips_groupby", "select to_bool(0) from t", {"to_bool": (False,)}),
+    ("trips_groupby", "select to_float('3.7') from t", {"to_float": (3.7,)}),
+    (
+        "trips_groupby",
+        "select to_float(1099511627776.757) from t",
+        {"to_float": (1099511627776.757,)},
+    ),
+    ("trips_groupby", "select to_float(3) from t", {"to_float": (3.0,)}),
+    ("trips_groupby", "select to_int(3.5) from t", {"to_int": (3,)}),
+    ("trips_groupby", "select to_int('7') from t", {"to_int": (7,)}),
+    ("trips_groupby", "select to_int('1', '2', '3') from t", {"to_int": (1, 2, 3)}),
+    (
+        "trips_groupby",
+        "select to_int(1099511627776.375) from t",
+        {"to_int": (1099511627776,)},
+    ),
+    ("trips_groupby", "select to_str(17) from t", {"to_str": ("17",)}),
+    ("trips_groupby", "select to_str('st') from t", {"to_str": ("st",)}),
+    (
+        "trips_groupby",
+        "select to_bool(total) from t",
+        {"to_bool": (True,) * 8},
+    ),
+    (
+        "trips_groupby",
+        "select to_bool(to_int(tax)) from t",
+        {"to_bool": (False, True, True, True, True, True, True, False)},
+    ),
+    (
+        "trips_groupby",
+        "select to_float(id) from t",
+        {"to_float": (1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)},
+    ),
+    (
+        "trips_groupby",
+        "select to_int(total) from t",
+        {"to_int": (2, 143, 33, 53, 33, 13, 33, 2)},
+    ),
+    (
+        "trips_groupby",
+        "select to_str(total) from t",
+        {"to_str": ("2.43", "143.15", "33.4", "53.1", "33.4", "13.15", "33.4", "2.43")},
+    ),
+    (
+        "trips_groupby",
+        "select concat('random string', '>', 7) res",
+        {"res": ("random string>7",)},
+    ),
+    ("trips_groupby", "select upper('random string') res", {"res": ("RANDOM STRING",)}),
+    ("trips_groupby", "select lower('RANDOM STRING') res", {"res": ("random string",)}),
+    (
+        "trips_groupby",
+        "select concat(upper('random s'), 13, lower(upper('LUCKY'))) res",
+        {"res": ("RANDOM S13lucky",)},
+    ),
+)
+
+MATH = (
+    ("trips_groupby", "select abs(-5)", {"abs": (5,)}),
+    ("trips_groupby", "select sqrt(4)", {"sqrt": (2,)}),
+    ("trips_groupby", "select cos(0)", {"cos": (1,)}),
+    ("trips_groupby", "select sin(pi() / 2)", {"sin": (1,)}),
+    ("trips_groupby", "select tan(pi() / 4)", {"tan": (1,)}),
+    ("trips_groupby", "select power(2, 3)", {"power": (8,)}),
+    ("trips_groupby", "select log(power(e(), 3))", {"log": (3,)}),
+    ("trips_groupby", "select log2(32)", {"log2": (5,)}),
+    ("trips_groupby", "select log10(100)", {"log10": (2,)}),
+    ("trips_groupby", "select abs(-id) from t", {"abs": (1, 2, 3, 4, 5, 6, 7, 8)}),
+    (
+        "trips_groupby",
+        "select sqrt(id) from t",
+        {
+            "sqrt": (1.0, 1.41421356, 1.73205081, 2.0,
+                     2.23606798, 2.44948974, 2.64575131, 2.82842712)
+        },
+    ),
+    (
+        "trips_groupby",
+        "select cos(total) from t",
+        {
+            "cos": (-0.75732277, 0.2060477, -0.40161271, -0.95322176,
+                    -0.40161271, 0.83446815, -0.40161271, -0.75732277)
+        },
+    ),
+    (
+        "trips_groupby",
+        "select power(id, 2) from t",
+        {"power": (1, 4, 9, 16, 25, 36, 49, 64)},
+    ),
+    (
+        "trips_groupby",
+        "select log(timestamp) from t",
+        {
+            "log": (21.19459834, 21.19465451, 21.19470844, 21.19476236,
+                    21.19481628, 21.19487019, 21.1949241, 21.19497801)
+        },
+    ),
+)
+
+DATETIME = (
+    ("trips_groupby", "select datetime('2020-10-06')", {"datetime": (d(2020, 10, 6),)}),
+    ("trips_groupby", "select datetime('2020-10')", {"datetime": (d(2020, 10, 1),)}),
+    ("trips_groupby", "select datetime('2020')", {"datetime": (d(2020, 1, 1),)}),
+    (
+        "trips_groupby",
+        "select datetime('2020-10-07 19:30:27') from t",
+        {"datetime": (d(2020, 10, 7, 19, 30, 27),)},
+    ),
+    (
+        "trips_groupby",
+        "select datetime('2020-10-07T19:30:27')",
+        {"datetime": (d(2020, 10, 7, 19, 30, 27),)},
+    ),
+    (
+        "trips_groupby",
+        "select datetime('2020-10-07 19:30')",
+        {"datetime": (d(2020, 10, 7, 19, 30),)},
+    ),
+    (
+        "trips_groupby",
+        "select from_timestamp(1602841523)",
+        {"from_timestamp": (d(2020, 10, 16, 9, 45, 23),)},
+    ),
+    (
+        "trips_groupby",
+        "select from_timestamp(1602841523, 's')",
+        {"from_timestamp": (d(2020, 10, 16, 9, 45, 23),)},
+    ),
+    (
+        "trips_groupby",
+        "select datetime('2020-10-07T19:30:27', 'D')",
+        {"datetime": (d(2020, 10, 7),)},
+    ),
+    (
+        "trips_groupby",
+        "select datetime('2020-10-07T19:30:27', 's')",
+        {"datetime": (d(2020, 10, 7, 19, 30, 27),)},
+    ),
+    (
+        "trips_groupby",
+        "select datetime('2020-10-07T19:30:27') - timedelta(5, 'D') "
+        " + timedelta(3, 's') as dtime",
+        {"dtime": (d(2020, 10, 2, 19, 30, 30),)},
+    ),
+    ("trips_groupby", "select date('2020-10-06')", {"date": (dt.date(2020, 10, 6),)}),
+    ("trips_groupby", "select date('2020-10')", {"date": (dt.date(2020, 10, 1),)}),
+    ("trips_groupby", "select date('2020')", {"date": (dt.date(2020, 1, 1),)}),
+    (
+        "trips_groupby",
+        "select date('2020-10-07 19:30:27')",
+        {"date": (dt.date(2020, 10, 7),)},
+    ),
+    (
+        "trips_groupby",
+        "select datetime(date, 'D') from t",
+        {"datetime": tuple(d(2020, 10, 8 + i) for i in range(8))},
+    ),
+    (
+        "trips_groupby",
+        "select datetime(date) from t",
+        {
+            "datetime": (
+                d(2020, 10, 8, 3, 26, 54), d(2020, 10, 9, 4, 26, 53),
+                d(2020, 10, 10, 4, 26, 52), d(2020, 10, 11, 4, 26, 51),
+                d(2020, 10, 12, 4, 26, 50), d(2020, 10, 13, 4, 26, 49),
+                d(2020, 10, 14, 4, 26, 48), d(2020, 10, 15, 4, 26, 47),
+            )
+        },
+    ),
+    (
+        "trips_groupby",
+        "select from_timestamp(timestamp) from t",
+        {
+            "from_timestamp": (
+                d(2020, 10, 8, 3, 26, 54), d(2020, 10, 9, 4, 26, 53),
+                d(2020, 10, 10, 4, 26, 52), d(2020, 10, 11, 4, 26, 51),
+                d(2020, 10, 12, 4, 26, 50), d(2020, 10, 13, 4, 26, 49),
+                d(2020, 10, 14, 4, 26, 48), d(2020, 10, 15, 4, 26, 47),
+            )
+        },
+    ),
+    (
+        "trips_groupby",
+        "select (datetime(date) - timedelta(35, 'D') - timedelta(7, 'h') "
+        " - timedelta(13, 'm') - timedelta(3, 's')) as tdelta from t",
+        {
+            "tdelta": (
+                d(2020, 9, 2, 20, 13, 51), d(2020, 9, 3, 21, 13, 50),
+                d(2020, 9, 4, 21, 13, 49), d(2020, 9, 5, 21, 13, 48),
+                d(2020, 9, 6, 21, 13, 47), d(2020, 9, 7, 21, 13, 46),
+                d(2020, 9, 8, 21, 13, 45), d(2020, 9, 9, 21, 13, 44),
+            )
+        },
+    ),
+    (
+        "trips_groupby",
+        "select id, is_busday(date(date)) from t order by id",
+        {
+            "id": (1, 2, 3, 4, 5, 6, 7, 8),
+            "is_busday": (True, True, False, False, True, True, True, True),
+        },
+    ),
+)
+
+NULLS = (
+    ("trips_nulls", "select id from t where name is null order by id", {"id": (2, 5)}),
+    (
+        "trips_nulls",
+        "select id from t where name is not null order by id",
+        {"id": (1, 3, 4, 6, 7, 8)},
+    ),
+    ("trips_nulls", "select id from t where total is null order by id", {"id": (1, 6)}),
+    (
+        "trips_nulls",
+        "select id from t where total is not null order by id",
+        {"id": (2, 3, 4, 5, 7, 8)},
+    ),
+    (
+        "trips_nulls",
+        "select id from t where is_vendor is null order by id",
+        {"id": (4, 6, 7, 8)},
+    ),
+    (
+        "trips_nulls",
+        "select id from t where is_vendor is not null order by id",
+        {"id": (1, 2, 3, 5)},
+    ),
+    (
+        "trips_nulls",
+        "select id from t where datetime(date) is null order by id",
+        {"id": (1, 7)},
+    ),
+    (
+        "trips_nulls",
+        "select id from t where datetime(date) is not null order by id",
+        {"id": (2, 3, 4, 5, 6, 8)},
+    ),
+    (
+        "trips_nulls",
+        "select id from t where from_timestamp(timestamp) is null order by id",
+        {"id": (5, 7)},
+    ),
+    (
+        "trips_nulls",
+        "select id from t where from_timestamp(timestamp) is not null order by id",
+        {"id": (1, 2, 3, 4, 6, 8)},
+    ),
+    (
+        "trips_nulls",
+        "select id from t where is_vendor is null and city_from = 'Berlin' order by id",
+        {"id": (7, 8)},
+    ),
+    ("trips_nulls", "select id from t order by total, id", {"id": (3, 7, 4, 2, 5, 8, 1, 6)}),
+    ("trips_nulls", "select id from t order by datetime(date)", {"id": (2, 3, 4, 5, 6, 8, 1, 7)}),
+    (
+        "trips_nulls",
+        "select id from t order by from_timestamp(timestamp)",
+        {"id": (1, 2, 3, 4, 6, 8, 5, 7)},
+    ),
+    (
+        "trips_nulls",
+        # Reference expects min_total Berlin = NaN (vinum's C++ min keeps
+        # NaN, agg_funcs.h:164-261). Spark's min treats NaN as the largest
+        # double, so min(NaN, 33.4) = 33.4 — documented divergence; all
+        # other cells identical.
+        """SELECT city_from, count(*) as cnt_all, count(total) as cnt_total,
+            count(name) as cnt_name, count(date) as cnt_date_str,
+            count(is_vendor) as cnt_bool, count(datetime(date)) as cnt_datetime,
+            count(from_timestamp(timestamp)) as cnt_timestamp,
+            min(total) as min_total, max(total) as max_total,
+            avg(total) as avg_total, sum(total) as sum_total
+        from t group by city_from order by city_from""",
+        {
+            "city_from": ("Berlin", "Munich", "San Francisco", None),
+            "cnt_all": (3, 2, 1, 2),
+            "cnt_total": (3, 1, 1, 1),
+            "cnt_name": (2, 1, 1, 2),
+            "cnt_date_str": (2, 2, 1, 1),
+            "cnt_bool": (1, 1, 0, 2),
+            "cnt_datetime": (2, 2, 1, 1),
+            "cnt_timestamp": (1, 2, 1, 2),
+            "min_total": (33.40, 143.15, 53.1, 33.4),
+            "max_total": (np.nan, 143.15, 53.1, 33.4),
+            "avg_total": (np.nan, 143.15, 53.1, 33.4),
+            "sum_total": (np.nan, 143.15, 53.1, 33.4),
+        },
+    ),
+    (
+        "trips_nulls",
+        "select city_from || '-' || city_to || name as res from t order by id",
+        {
+            "res": (
+                "None-MunichJoe", "Munich-RivaNone", "None-NaplesJoseph",
+                "San Francisco-NaplesJoseph", "Berlin-RivaNone",
+                "Munich-RivaJonas", "Berlin-MunichJoseph", "Berlin-MunichJoe",
+            )
+        },
+    ),
+    (
+        "trips_nulls",
+        "select concat(city_from, 7, city_to, name) as res from t order by id",
+        {
+            "res": (
+                "None7MunichJoe", "Munich7RivaNone", "None7NaplesJoseph",
+                "San Francisco7NaplesJoseph", "Berlin7RivaNone",
+                "Munich7RivaJonas", "Berlin7MunichJoseph", "Berlin7MunichJoe",
+            )
+        },
+    ),
+    (
+        "trips_nulls",
+        "select upper(city_from) res from t order by id",
+        {"res": (None, "MUNICH", None, "SAN FRANCISCO", "BERLIN", "MUNICH", "BERLIN", "BERLIN")},
+    ),
+    (
+        "trips_nulls",
+        "select lower(city_from) res from t order by id",
+        {"res": (None, "munich", None, "san francisco", "berlin", "munich", "berlin", "berlin")},
+    ),
+    ("trips_nulls", "select id from t order by city_from, city_to", {"id": (7, 8, 5, 2, 6, 4, 1, 3)}),
+    (
+        "trips_nulls",
+        "select id from t order by city_to, city_from, name",
+        {"id": (8, 7, 1, 4, 3, 5, 6, 2)},
+    ),
+    (
+        "trips_nulls",
+        "select id from t order by to_float(is_vendor)",
+        {"id": (3, 1, 2, 5, 4, 6, 7, 8)},
+    ),
+    (
+        "trips_nulls",
+        "select id from t order by to_float(is_vendor) desc, lng desc",
+        {"id": (5, 1, 2, 3, 4, 7, 8, 6)},
+    ),
+    (
+        "trips_nulls",
+        "select id from t order by name, to_float(is_vendor), lng",
+        {"id": (1, 8, 6, 3, 7, 4, 2, 5)},
+    ),
+    (
+        "trips_nulls",
+        "select id from t order by name desc, to_float(is_vendor) desc, lng desc",
+        {"id": (3, 4, 7, 6, 1, 8, 5, 2)},
+    ),
+    (
+        "trips_nulls",
+        "select id from t order by name desc, to_float(is_vendor) desc, np.log(lng) desc",
+        {"id": (3, 4, 7, 6, 1, 8, 5, 2)},
+    ),
+)
+
+ALL_CASES = BASIC + GROUPBY + ORDERBY + BUILTINS + MATH + DATETIME + NULLS
+
+
+@pytest.mark.parametrize("fixture_name, query, expected", ALL_CASES)
+def test_golden_queries(request, fixture_name, query, expected):
+    tbl = request.getfixturevalue(fixture_name)
+    run_query_case(tbl, query, expected)

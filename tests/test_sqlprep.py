@@ -1,0 +1,114 @@
+"""Pure-Python unit tests for the SQL pre-pass (no Spark)."""
+
+from __future__ import annotations
+
+import pytest
+
+from vinum_spark.sqlprep.naming import output_column_names
+from vinum_spark.sqlprep.rewrite import rewrite_sql
+
+
+class TestNaming:
+    def test_aliases(self):
+        assert output_column_names("select a as x, b y from t") == ["x", "y"]
+
+    def test_bare_columns(self):
+        assert output_column_names("select a, tbl.b from t") == ["a", "b"]
+
+    def test_function_names(self):
+        assert output_column_names(
+            "select count(*), sum(x), np.log(x) from t"
+        ) == ["count_star", "sum", "np.log"]
+
+    def test_unnamed_expressions(self):
+        assert output_column_names("select a+1, 2*b, c from t") == [
+            "col_0",
+            "col_1",
+            "c",
+        ]
+
+    def test_duplicate_suffixes(self):
+        assert output_column_names("select sum(a), sum(b), sum(c) from t") == [
+            "sum",
+            "sum_1",
+            "sum_2",
+        ]
+
+    def test_star_returns_none(self):
+        assert output_column_names("select * from t") is None
+
+    def test_nested_call_spans(self):
+        assert output_column_names("select to_int(np.sin(x)) from t") == ["to_int"]
+        # call + trailing arithmetic is NOT a pure call
+        assert output_column_names("select sum(x) + 1 from t") == ["col_0"]
+
+
+class TestRewrites:
+    def test_null_comparisons(self):
+        out, _ = rewrite_sql("select * from t where a = NULL and b != null")
+        assert "IS NULL" in out and "IS NOT NULL" in out
+
+    def test_xor(self):
+        out, _ = rewrite_sql("select a # b from t")
+        assert "^" in out and "#" not in out
+
+    def test_pmod(self):
+        out, _ = rewrite_sql("select a % 3 from t")
+        assert "PMOD(a, 3)" in out
+
+    def test_concat_operator_null_semantics(self):
+        out, _ = rewrite_sql("select a || b from t")
+        assert "COALESCE(CAST(a AS STRING), 'None')" in out
+
+    def test_casts(self):
+        out, _ = rewrite_sql("select to_int(a), to_float(b), to_str(c), to_bool(d) from t")
+        for ty in ("BIGINT", "DOUBLE", "STRING", "BOOLEAN"):
+            assert f"AS {ty})" in out
+
+    def test_variadic_cast_explodes(self):
+        out, _ = rewrite_sql("select to_int('1','2') from t")
+        assert out.startswith("select EXPLODE(ARRAY(")
+
+    def test_np_flattening_reports_arity(self):
+        out, np_funcs = rewrite_sql("select np.log(x), np.power(x, 2) from t")
+        assert ("np.log", 1) in np_funcs and ("np.power", 2) in np_funcs
+        assert "np_log(x)" in out and "np_power(x, 2)" in out
+
+    def test_np_agg_remap(self):
+        out, np_funcs = rewrite_sql("select np.sum(x), np.min(x) from t")
+        assert "SUM(x)" in out and "MIN(x)" in out
+        assert not np_funcs
+
+    def test_nulls_last_appended(self):
+        out, _ = rewrite_sql("select a from t order by a desc, b limit 2")
+        assert out.count("NULLS LAST") == 2
+
+    def test_window_order_by_untouched(self):
+        out, _ = rewrite_sql(
+            "select rank() over (partition by a order by b) from t"
+        )
+        assert "NULLS" not in out
+
+    def test_having_without_groupby_becomes_where(self):
+        out, _ = rewrite_sql("select a from t having a > 1")
+        assert "WHERE" in out and "HAVING" not in out.upper().replace("WHERE", "")
+
+    def test_having_with_agg_kept(self):
+        out, _ = rewrite_sql("select sum(a) from t having sum(a) > 1")
+        assert "having" in out.lower()
+
+    def test_double_quoted_identifiers(self):
+        out, _ = rewrite_sql('select "id" from t')
+        assert "`id`" in out
+
+    def test_user_udf_shadows_builtin(self):
+        out, _ = rewrite_sql("select concat(a, b) from t", udf_names={"concat"})
+        assert out == "select concat(a, b) from t"
+
+    def test_is_busday(self):
+        out, _ = rewrite_sql("select is_busday(d) from t")
+        assert "WEEKDAY" in out
+
+    def test_like_patterns_untouched(self):
+        out, _ = rewrite_sql("select a from t where a like '%x_%'")
+        assert "'%x_%'" in out

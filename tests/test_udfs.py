@@ -1,0 +1,88 @@
+"""UDF + error-path tests (reference: test_query_results.py:1405-1566)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import run_query_case
+
+
+def test_python_udf(trips_groupby):
+    from vinum_spark import register_python
+
+    register_python("cube_py", lambda x: x ** 3)
+    run_query_case(
+        trips_groupby,
+        "SELECT cube_py(id) from t ORDER BY cube_py(id) DESC",
+        {"cube_py": (512, 343, 216, 125, 64, 27, 8, 1)},
+    )
+
+
+def test_numpy_udf(trips_groupby):
+    from vinum_spark import register_numpy
+
+    register_numpy("cube_np", lambda x: np.power(x, 3))
+    run_query_case(
+        trips_groupby,
+        "SELECT cube_np(id) from t ORDER BY cube_np(id) DESC",
+        {"cube_np": (512, 343, 216, 125, 64, 27, 8, 1)},
+    )
+
+
+def test_udf_update_replaces(trips_groupby):
+    from vinum_spark import register_python
+
+    register_python("udf_upd", lambda x: x ** 2)
+    register_python("udf_upd", lambda x: x ** 3)
+    run_query_case(
+        trips_groupby,
+        "select udf_upd(id) as pow from t order by pow",
+        {"pow": (1, 8, 27, 64, 125, 216, 343, 512)},
+    )
+
+
+def test_udf_case_insensitive(trips_groupby):
+    from vinum_spark import register_numpy
+
+    register_numpy("MyFn", lambda x: x * 2)
+    pdf = trips_groupby.sql_pd("select MYFN(id) as d from t order by d limit 2")
+    assert pdf["d"].tolist() == [2.0, 4.0]
+
+
+def test_reducing_udf_in_group_context_raises(trips_groupby):
+    from vinum_spark import register_numpy
+
+    register_numpy("corr2", lambda x, y: np.corrcoef(x, y)[0, 1])
+    with pytest.raises(Exception):
+        trips_groupby.sql(
+            "SELECT city_to, corr2(tip, tax) from t GROUP BY city_to "
+            "ORDER BY corr2(tip, tax) DESC"
+        ).to_pandas()
+
+
+def test_missing_column_raises(trips):
+    with pytest.raises(Exception):
+        trips.sql("select bla from t").to_pandas()
+
+
+def test_missing_udf_raises(trips):
+    with pytest.raises(Exception):
+        trips.sql("select udf_missing_xyz(vendor_id) from t").to_pandas()
+
+
+def test_mixed_agg_nonagg_raises(trips):
+    with pytest.raises(Exception):
+        trips.sql("select city_from, count(total>100) from t").to_pandas()
+
+
+def test_non_groupby_column_in_select_raises(trips_groupby):
+    with pytest.raises(Exception):
+        trips_groupby.sql(
+            "select city_to, city_from, count(*) from t group by city_from"
+        ).to_pandas()
+
+
+def test_np_namespace_autoregisters(trips):
+    pdf = trips.sql_pd("select np.floor(total) as f from t order by f")
+    assert pdf["f"].tolist() == [2.0, 33.0, 53.0, 143.0]

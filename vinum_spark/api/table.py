@@ -22,8 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from vinum_spark.session import get_spark
 from vinum_spark.sqlprep.naming import output_column_names
-from vinum_spark.sqlprep.rewrite import rewrite_sql
-from vinum_spark.sqlprep.tokens import KIND_IDENT, tokenize
+from vinum_spark.sqlprep.rewrite import has_aggregate_call, rewrite_sql
+from vinum_spark.sqlprep.tokens import KIND_IDENT, Token, render, tokenize
 from vinum_spark.functions.udf import ensure_udfs_registered, registered_udf_names
 
 if TYPE_CHECKING:
@@ -48,17 +48,20 @@ class Table:
     @classmethod
     def from_pandas(cls, pdf: "pd.DataFrame", spark: Optional[SparkSession] = None) -> "Table":
         spark = spark or get_spark()
-        return cls(spark.createDataFrame(pdf))
+        return cls(spark.createDataFrame(pdf).coalesce(1))
 
     @classmethod
     def from_arrow(cls, tbl: "pa.Table", spark: Optional[SparkSession] = None) -> "Table":
+        # Driver-resident ingestion keeps one partition: preserves the
+        # reference's row-order semantics (stable sorts, LIMIT/OFFSET on
+        # input order). Large data belongs in read_parquet/read_csv.
         spark = spark or get_spark()
         try:
             # Spark 4: native Arrow ingestion (zero pandas hop).
             df = spark.createDataFrame(tbl)
         except Exception:
             df = spark.createDataFrame(tbl.to_pandas())
-        return cls(df)
+        return cls(df.coalesce(1))
 
     # -- query -------------------------------------------------------------
 
@@ -71,16 +74,41 @@ class Table:
         """
         spark = self._df.sparkSession
         rewritten, np_funcs = rewrite_sql(query, udf_names=registered_udf_names())
+        if _references_no_columns(query, self._df.columns):
+            rewritten = _drop_top_level_from(rewritten)
         ensure_udfs_registered(spark, np_funcs)
-        self._df.createOrReplaceTempView("t")
+        view_df, rewritten = self._stabilized(query, rewritten)
+        view_df.createOrReplaceTempView("t")
         from_name = _from_table_name(query)
         if from_name and from_name.lower() != "t":
-            self._df.createOrReplaceTempView(from_name)
+            view_df.createOrReplaceTempView(from_name)
         out = spark.sql(rewritten)
+        if _ROW_ID in out.columns:
+            out = out.drop(_ROW_ID)
         names = output_column_names(query)
         if names and len(names) == len(out.columns):
             out = out.toDF(*names)
         return Table(out)
+
+    def _stabilized(self, query: str, rewritten: str):
+        """The reference's sort is stable on input order (Arrow
+        SortIndices, ``vinum_cpp/src/operators/sort/sort.cpp:11-63``);
+        Spark's is not. For row-level ORDER BY queries (no aggregation /
+        DISTINCT), expose a hidden sequential row id and append it as the
+        final sort key."""
+        tokens = tokenize(rewritten)
+        has_order = any(
+            t.is_kw("ORDER") and i + 1 < len(tokens) and tokens[i + 1].is_kw("BY")
+            for i, t in enumerate(tokens)
+        )
+        if not has_order or has_aggregate_call(tokens) or any(
+            t.is_kw("GROUP", "DISTINCT") for t in tokens
+        ):
+            return self._df, rewritten
+        from pyspark.sql import functions as F
+
+        df = self._df.withColumn(_ROW_ID, F.monotonically_increasing_id())
+        return df, _append_order_key(rewritten, _ROW_ID)
 
     def sql_pd(self, query: str) -> "pd.DataFrame":
         return self.sql(query).to_pandas()
@@ -121,6 +149,91 @@ class Table:
 
     def __repr__(self) -> str:
         return f"Table({self._df.schema.simpleString()})"
+
+
+_ROW_ID = "__vinum_row_id"
+
+
+def _references_no_columns(sql: str, schema_cols: List[str]) -> bool:
+    """True when the query references no table column (outside
+    function-name position), no ``*``, and no aggregate. The reference
+    prunes the table scan entirely in that case
+    (``vinum/planner/planner.py:346-371``): ``SELECT 2+2 FROM t`` yields
+    ONE row. Decided on the ORIGINAL sql so rewrite-introduced keywords
+    (TIMESTAMP, DAY, …) can't collide with column names."""
+    tokens = tokenize(sql)
+    cols = {c.lower() for c in schema_cols}
+    if has_aggregate_call(tokens):
+        return False
+    for i, t in enumerate(tokens):
+        if t.text == "*":
+            # select-star only when not a multiplication: preceded by
+            # SELECT / comma / '(' / '.'; otherwise it's an operator.
+            prev = tokens[i - 1] if i > 0 else None
+            if prev is None or prev.text in ("(", ",", ".") or prev.is_kw(
+                "SELECT", "DISTINCT"
+            ):
+                return False
+            continue
+        if t.kind == KIND_IDENT and not (
+            i + 1 < len(tokens) and tokens[i + 1].text == "("
+        ):
+            base = t.text.lower().split(".")[-1]
+            if base in cols:
+                return False
+    return True
+
+
+def _drop_top_level_from(sql: str) -> str:
+    tokens = tokenize(sql)
+    out: List[Token] = []
+    depth = 0
+    skip_next = False
+    for i, t in enumerate(tokens):
+        if skip_next:
+            skip_next = False
+            continue
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and t.is_kw("FROM")
+            and i + 1 < len(tokens)
+            and tokens[i + 1].kind == KIND_IDENT
+        ):
+            skip_next = True
+            continue
+        out.append(t)
+    return render(out)
+
+
+def _append_order_key(sql: str, key: str) -> str:
+    """Insert ``, key`` at the end of the top-level ORDER BY key list
+    (before LIMIT/OFFSET if present)."""
+    tokens = tokenize(sql)
+    depth = 0
+    insert_at = None
+    in_order = False
+    for i, t in enumerate(tokens):
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.is_kw("ORDER") and i + 1 < len(tokens) and tokens[
+            i + 1
+        ].is_kw("BY"):
+            in_order = True
+        elif depth == 0 and in_order and t.is_kw("LIMIT", "OFFSET"):
+            insert_at = i
+            break
+    if not in_order:
+        return sql
+    if insert_at is None:
+        insert_at = len(tokens)
+    extra = [Token(KIND_IDENT, f", {key}")]
+    return render(tokens[:insert_at] + extra + tokens[insert_at:])
 
 
 def _from_table_name(sql: str) -> Optional[str]:

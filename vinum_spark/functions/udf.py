@@ -110,23 +110,37 @@ def _infer_scalar_type(fn: Callable, arity: int) -> T.DataType:
 # ---------------------------------------------------------------------------
 
 
+_SPARK_TO_NUMPY = {
+    "double": "float64",
+    "float": "float32",
+    "bigint": "int64",
+    "int": "int32",
+    "boolean": "bool",
+}
+
+
 def _make_vectorized(fn: Callable, arity: int, dt: T.DataType):
     """Build a fixed-arity pandas_udf wrapping a numpy column function.
 
     Fixed arity matters: pandas_udf inspects the signature, so ``*args``
     is not portable. The hop is Arrow-batched either way — the exact
     analogue of the reference's pybind11 batch hop
-    (``vinum/core/vinum_lib.cpp:60-66``).
+    (``vinum/core/vinum_lib.cpp:60-66``). The result is coerced to the
+    declared Spark type (a Python fn returning int under a double
+    declaration would otherwise yield nulls).
     """
     arity = max(arity, 1)
+    np_dtype = _SPARK_TO_NUMPY.get(dt.simpleString())
     params = ", ".join(f"s{i}" for i in range(arity))
     to_np = ", ".join(f"s{i}.to_numpy()" for i in range(arity))
-    ns = {"pd": pd, "np": np, "_fn": fn}
+    ns = {"pd": pd, "np": np, "_fn": fn, "_dtype": np_dtype}
     exec(
         f"def _wrapped({params}):\n"
         f"    out = _fn({to_np})\n"
         f"    out = np.broadcast_to(np.asarray(out), (len(s0),)) "
-        f"if np.ndim(out) == 0 else out\n"
+        f"if np.ndim(out) == 0 else np.asarray(out)\n"
+        f"    if _dtype is not None and out.dtype.kind != 'O':\n"
+        f"        out = out.astype(_dtype)\n"
         f"    return pd.Series(out)\n",
         ns,
     )
@@ -146,12 +160,17 @@ def ensure_udfs_registered(
     for name, (kind, fn, dt, version) in list(_REGISTRY.items()):
         if state.get(name) == version:
             continue
+        arity = _arity_of(fn)
         if kind == "numpy":
-            dtype = dt or _infer_vector_type(fn, 1)
-            spark.udf.register(name, _make_vectorized(fn, _arity_of(fn), dtype))
+            dtype = dt or _infer_vector_type(fn, arity)
+            vec_fn = fn
         else:
-            dtype = dt or _infer_scalar_type(fn, _arity_of(fn))
-            spark.udf.register(name, fn, dtype)
+            # Scalar Python fn → vectorized with np.vectorize, exactly the
+            # reference's approach (vinum/core/udf.py:134); still crosses
+            # the boundary as Arrow batches.
+            dtype = dt or _infer_scalar_type(fn, arity)
+            vec_fn = np.vectorize(fn)
+        spark.udf.register(name, _make_vectorized(vec_fn, arity, dtype))
         state[name] = version
 
     for dotted, arity in np_funcs:

@@ -38,6 +38,10 @@ def get_spark(app_name: str = "vinum_spark") -> SparkSession:
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
+        # The reference's expression semantics are numpy's (permissive
+        # casts, null on malformed input, wrapping arithmetic) — ANSI off
+        # matches them (vinum/core/expressions.py:13-25).
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.shuffle.partitions", _DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

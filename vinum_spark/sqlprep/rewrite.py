@@ -41,10 +41,10 @@ def _cast_tpl(sql_type: str) -> Callable[[List[str]], str]:
     def tpl(args: List[str]) -> str:
         if len(args) == 1:
             return f"CAST({args[0]} AS {sql_type})"
-        # Variadic form builds an array of casted values
-        # (vinum/core/functions.py:148-165: args become a column).
+        # Variadic form: args become the column's rows
+        # (vinum/core/functions.py:148-165, test_query_results.py:792-796).
         inner = ", ".join(f"CAST({a} AS {sql_type})" for a in args)
-        return f"ARRAY({inner})"
+        return f"EXPLODE(ARRAY({inner}))"
 
     return tpl
 
@@ -56,12 +56,15 @@ def _date_tpl(args: List[str]) -> str:
 
 
 def _datetime_tpl(args: List[str]) -> str:
-    # Optional unit arg controls sub-second resolution in the reference
-    # (vinum/core/functions.py:56-89); Spark timestamps are always micros.
+    # Optional unit arg controls resolution in the reference
+    # (vinum/core/functions.py:56-89): 'D' truncates to day; sub-second
+    # units are all microseconds on Spark.
     a = args[0].strip()
-    if a.upper() == "'NOW'":
-        return "CURRENT_TIMESTAMP()"
-    return f"CAST({a} AS TIMESTAMP)"
+    ts = "CURRENT_TIMESTAMP()" if a.upper() == "'NOW'" else f"CAST({a} AS TIMESTAMP)"
+    unit = args[1].strip().strip("'\"") if len(args) > 1 else "s"
+    if unit == "D":
+        return f"DATE_TRUNC('DAY', {ts})"
+    return ts
 
 
 def _from_timestamp_tpl(args: List[str]) -> str:
@@ -124,6 +127,13 @@ _FUNCTION_TEMPLATES: Dict[str, Callable[[List[str]], str]] = {
     "is_busday": _is_busday_tpl,
     "concat": _concat_tpl,
     "now": _now_tpl,
+    # numpy aggregate names remap to SQL aggregates
+    # (vinum/core/functions.py:402-406 NUMPY_AGG_MAPPING).
+    "np.sum": lambda a: f"SUM({', '.join(a)})",
+    "np.min": lambda a: f"MIN({', '.join(a)})",
+    "np.max": lambda a: f"MAX({', '.join(a)})",
+    "np.datetime64": _datetime_tpl,
+    "np.timedelta64": _timedelta_tpl,
     # power/log/log2/log10/abs/sqrt/cos/sin/tan/pi/e/upper/lower are
     # native Spark SQL functions with matching semantics — no rewrite.
 }
@@ -145,11 +155,104 @@ def rewrite_sql(
     """
     tokens = tokenize(sql)
     np_funcs: Set[Tuple[str, int]] = set()
+    tokens = _rewrite_quoted_idents(tokens)
     tokens = _rewrite_null_comparisons(tokens)
     tokens = _rewrite_xor(tokens)
+    tokens = _rewrite_modulo(tokens)
     tokens = _rewrite_concat_operator(tokens)
+    tokens = _rewrite_having_without_groupby(tokens)
+    tokens = _rewrite_orderby_nulls_last(tokens)
     out_sql = _rewrite_functions(tokens, np_funcs, udf_names or set())
     return out_sql, np_funcs
+
+
+def _rewrite_quoted_idents(tokens: List[Token]) -> List[Token]:
+    """PostgreSQL double-quoted identifiers → Spark backticks
+    (``"id"`` is an identifier in the pg dialect, a string in Spark)."""
+    out = []
+    for t in tokens:
+        if t.kind == KIND_QIDENT and t.text.startswith('"'):
+            inner = t.text[1:-1].replace('""', '"')
+            out.append(Token(KIND_QIDENT, f"`{inner}`"))
+        else:
+            out.append(t)
+    return out
+
+
+AGG_FUNCTION_NAMES = {"count", "sum", "min", "max", "avg",
+                      "np.sum", "np.min", "np.max"}
+
+
+def has_aggregate_call(tokens: List[Token]) -> bool:
+    for i, t in enumerate(tokens):
+        if (
+            t.kind == KIND_IDENT
+            and t.text.lower() in AGG_FUNCTION_NAMES
+            and i + 1 < len(tokens)
+            and tokens[i + 1].text == "("
+        ):
+            return True
+    return False
+
+
+def _rewrite_having_without_groupby(tokens: List[Token]) -> List[Token]:
+    """The reference allows HAVING without GROUP BY as a plain row filter
+    (test_query_results.py:515-523); Spark requires aggregation. When no
+    GROUP BY and no aggregate call exist, HAVING becomes WHERE."""
+    has_group = any(
+        t.is_kw("GROUP") and i + 1 < len(tokens) and tokens[i + 1].is_kw("BY")
+        for i, t in enumerate(tokens)
+    )
+    if has_group or has_aggregate_call(tokens):
+        return tokens
+    return [Token(KIND_IDENT, "WHERE") if t.is_kw("HAVING") else t for t in tokens]
+
+
+_ORDER_END_KWS = {"LIMIT", "OFFSET"}
+
+
+def _rewrite_orderby_nulls_last(tokens: List[Token]) -> List[Token]:
+    """Append NULLS LAST to every top-level ORDER BY key: the reference
+    sorts nulls last in both directions (Arrow SortIndices default,
+    test_query_results.py:1253-1263), Spark ASC defaults to NULLS FIRST."""
+    depth = 0
+    start = None
+    for i, t in enumerate(tokens):
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and t.is_kw("ORDER")
+            and i + 1 < len(tokens)
+            and tokens[i + 1].is_kw("BY")
+        ):
+            start = i + 2
+            break
+    if start is None:
+        return tokens
+    end = len(tokens)
+    depth = 0
+    for i in range(start, len(tokens)):
+        t = tokens[i]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == KIND_IDENT and t.upper() in _ORDER_END_KWS:
+            end = i
+            break
+    keys = split_top_level(tokens[start:end])
+    new_keys: List[Token] = []
+    for k, key in enumerate(keys):
+        if k:
+            new_keys.append(Token(KIND_OP, ","))
+        new_keys.extend(key)
+        if not any(t.is_kw("NULLS") for t in key):
+            new_keys.append(Token(KIND_IDENT, "NULLS"))
+            new_keys.append(Token(KIND_IDENT, "LAST"))
+    return tokens[:start] + new_keys + tokens[end:]
 
 
 def _rewrite_xor(tokens: List[Token]) -> List[Token]:
@@ -204,13 +307,50 @@ def _is_primary_end(tokens: List[Token], i: int) -> int:
             elif tokens[j].text == "(":
                 depth -= 1
                 if depth == 0:
-                    # include preceding function name if present
-                    if j > 0 and tokens[j - 1].kind == KIND_IDENT:
+                    # include preceding function name if present (keywords
+                    # like SELECT/WHERE are clause markers, not functions)
+                    if (
+                        j > 0
+                        and tokens[j - 1].kind == KIND_IDENT
+                        and tokens[j - 1].upper() not in _SQL_KEYWORDS_NOT_FUNCTIONS
+                    ):
                         return j - 1
                     return j
             j -= 1
         return 0
     return i
+
+
+def _grab_right_primary(tokens: List[Token], j: int) -> int:
+    """End index (inclusive) of the primary expression starting at j."""
+    if (
+        j < len(tokens)
+        and tokens[j].kind == KIND_IDENT
+        and j + 1 < len(tokens)
+        and tokens[j + 1].text == "("
+    ):
+        return match_paren(tokens, j + 1)
+    if j < len(tokens) and tokens[j].text == "(":
+        return match_paren(tokens, j)
+    return j
+
+
+def _rewrite_modulo(tokens: List[Token]) -> List[Token]:
+    """``a % b`` → ``PMOD(a, b)``: the reference evaluates ``%`` with
+    ``np.mod`` (Python sign semantics, result sign follows divisor —
+    ``vinum/core/expressions.py:13-25``); Spark's ``%`` follows the
+    dividend. Identical for positive operands, differs for negatives."""
+    while True:
+        idx = next((i for i, t in enumerate(tokens) if t.text == "%"), None)
+        if idx is None:
+            return tokens
+        lstart = _is_primary_end(tokens, idx - 1)
+        rend = _grab_right_primary(tokens, idx + 1)
+        left = render(tokens[lstart:idx])
+        right = render(tokens[idx + 1 : rend + 1])
+        # re-tokenize so later passes still see inner function calls
+        repl = tokenize(f"PMOD({left}, {right})")
+        tokens = tokens[:lstart] + repl + tokens[rend + 1 :]
 
 
 def _rewrite_concat_operator(tokens: List[Token]) -> List[Token]:
@@ -279,21 +419,23 @@ def _rewrite_functions(
                 ]  # recursively rewritten arg strings
                 name = t.text
                 lname = name.lower()
-                if lname.startswith("np."):
-                    flat = "np_" + lname[3:].replace(".", "_")
-                    np_funcs.add((lname, len(args)))
-                    rendered = f"{flat}({', '.join(args)})"
-                elif lname in udf_names:
+                if lname in udf_names:
                     rendered = f"{lname}({', '.join(args)})"
                 elif lname in _FUNCTION_TEMPLATES:
                     rendered = _FUNCTION_TEMPLATES[lname](args)
+                elif lname.startswith("np."):
+                    flat = "np_" + lname[3:].replace(".", "_")
+                    np_funcs.add((lname, len(args)))
+                    rendered = f"{flat}({', '.join(args)})"
                 else:
-                    inner_sql = render(inner) if not args else ", ".join(args)
-                    # DISTINCT/star etc. inside aggregate calls: render raw.
-                    if any(tok.is_kw("DISTINCT") for tok in inner) or any(
-                        tok.text == "*" for tok in inner
+                    # count(*) / count(DISTINCT x): render the arg list raw;
+                    # otherwise use the recursively rewritten args.
+                    if (len(inner) == 1 and inner[0].text == "*") or any(
+                        tok.is_kw("DISTINCT") for tok in inner
                     ):
                         inner_sql = render(inner)
+                    else:
+                        inner_sql = ", ".join(args) if args else render(inner)
                     rendered = f"{name}({inner_sql})"
                 parts.append(Token(KIND_IDENT, rendered))
                 i = close + 1
