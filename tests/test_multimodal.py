@@ -1,0 +1,77 @@
+"""Multimodal column plumbing tests (synthetic binary assets)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+JPG = b"\xff\xd8\xff\xe0" + b"\x01" * 100
+MP4 = b"\x00\x00\x00\x18ftypmp42" + b"\x02" * 200
+RAW = b"justsomebytes" * 10
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [(0, PNG), (1, JPG), (2, MP4), (3, RAW)]
+    return spark.createDataFrame(rows, "asset_id long, content binary")
+
+
+def test_attach_metadata_sniffs_mime(assets):
+    from vinum_spark.operators.multimodal import attach_metadata
+
+    out = {
+        int(r["asset_id"]): r["meta"]
+        for r in attach_metadata(assets).collect()
+    }
+    assert out[0]["mime"] == "image/png"
+    assert out[1]["mime"] == "image/jpeg"
+    assert out[2]["mime"] == "video/mp4"
+    assert out[3]["mime"] == "application/octet-stream"
+    assert out[0]["size_bytes"] == len(PNG)
+    assert len(out[0]["sha1"]) == 40
+
+
+def test_decode_images_shapes(assets):
+    from vinum_spark.operators.multimodal import decode_images
+
+    out = decode_images(assets).toPandas().set_index("asset_id")
+    assert len(out) == 4
+    assert (out["height"] >= 16).all() and (out["width"] >= 16).all()
+    # deterministic: same bytes → same fake shape across runs
+    again = decode_images(assets).toPandas().set_index("asset_id")
+    assert out[["height", "width"]].equals(again[["height", "width"]])
+
+
+def test_extract_features_unit_vectors(assets):
+    from vinum_spark.operators.multimodal import extract_features
+
+    import numpy as np
+
+    out = extract_features(assets).toPandas()
+    assert len(out) == 4
+    for v in out["feature"]:
+        assert len(v) == 32
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_feature_feeds_similarity(assets, spark):
+    from vinum_spark.operators.multimodal import extract_features
+    from vinum_spark.operators import cosine_topk
+
+    feats = extract_features(assets).withColumnRenamed("asset_id", "vec_id").withColumnRenamed(
+        "feature", "embedding"
+    )
+    q = feats.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = cosine_topk(feats, q, k=2)
+    assert top.collect()[0]["vec_id"] == 0
+
+
+def test_sample_frames_explodes_rows(assets):
+    from vinum_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(assets, every_n=50).toPandas()
+    assert len(frames) > 4  # more rows out than in
+    assert set(frames.columns) == {"asset_id", "frame_idx", "frame"}
+    mp4_frames = frames[frames.asset_id == 2]
+    assert mp4_frames.frame_idx.tolist() == list(range(len(mp4_frames)))

@@ -1,0 +1,119 @@
+"""Structured Streaming operators over the events stream.
+
+The reference's ``stream_csv`` is out-of-core batch reading, not
+event-time streaming (``vinum/api/stream_reader.py:12-27``) — these are
+pure extensions: watermarked tumbling/sliding/session windows whose batch
+equivalents live in the inventory (q23/q24), so results are
+cross-checkable against the DuckDB oracle on the same data.
+
+Each transformation takes DataFrame → DataFrame and works identically on
+a batch frame or a ``readStream`` frame — the Structured Streaming
+contract. State size is bounded by the watermark; at 100 TB/day the
+shuffle is keyed on (window, group) so partial aggregation happens
+map-side before state updates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """``readStream`` over an events directory with the canonical schema."""
+    reader = spark.readStream.format(fmt).schema(EVENTS_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time window: count + sum(value) per (window,
+    event_type). Late rows beyond the watermark are dropped and their
+    state reclaimed."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_aggregate(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding window average value per event_type."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide), "event_type")
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "avg_value",
+            "n",
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows per user (inactivity gap): the streaming-native
+    analogue of the batch sessionization in inventory q24."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, table_name: str, mode: str = "complete"
+) -> None:
+    """Drain all available input into an in-memory sink (testing helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
