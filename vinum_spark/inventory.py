@@ -962,9 +962,10 @@ def q30(spark, sf_dir):
 @_q(
     "q31_cosine_topk",
     """
-    SELECT a.vec_id, round(list_cosine_similarity(a.embedding, q.embedding), 4) AS cosine
+    SELECT a.vec_id,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
     FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-    ORDER BY list_cosine_similarity(a.embedding, q.embedding) DESC, a.vec_id
+    ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, a.vec_id
     LIMIT 20
     """,
     "Brute-force cosine top-20 to a query vector — codegen'd "
@@ -988,6 +989,197 @@ def q32(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return S.lsh_bucket_topk(emb, q, k=10, n_planes=16, hamming_radius=6)
+
+
+@_q(
+    "q33_asof_join",
+    """
+    SELECT a.event_id, b.event_id AS err_event_id,
+           round(a.value - b.value, 4) AS value_delta
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') b
+      ON a.user_id = b.user_id AND b.ts <= a.ts
+    ORDER BY a.event_id
+    """,
+    "As-of join: each click matched to the user's most recent preceding "
+    "error — union+window-carry operator (operators/asof.py), one shuffle, "
+    "no range explosion.",
+)
+def q33(spark, sf_dir):
+    from vinum_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(clicks, errors, on="ts", by="user_id", how="inner")
+    return joined.select(
+        "event_id",
+        F.col("event_id_right").alias("err_event_id"),
+        F.round(F.col("value") - F.col("value_right"), 4).alias("value_delta"),
+    ).orderBy("event_id")
+
+
+@_q(
+    "q34_json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,
+           CAST(max(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "JSON field extraction from the props column (get_json_object — "
+    "reference has no JSON functions).",
+)
+def q34(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "q35_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "Exact percentiles (linear interpolation; approx_percentile is the "
+    "100 TB substitute — single-pass sketch).",
+)
+def q35(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "q36_cube",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY flag, status
+    """,
+    "CUBE grouping sets (single-pass Expand + hash aggregate).",
+)
+def q36(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+        )
+        .orderBy("flag", "status")
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_q(
+    "q37_pivot",
+    """
+    SELECT CAST(hour(ts) AS INTEGER) AS hr,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "Pivot (event_type → columns) per hour-of-day; fixed pivot values "
+    "keep the plan a single aggregate.",
+)
+def q37(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.hour("ts").cast("int").alias("hr"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+        .orderBy("hr")
+    )
+    return out
+
+
+@_q(
+    "q38_approx_distinct",
+    None,  # HLL implementations differ across engines → rows-only check
+    "approx_count_distinct (HLL) per returnflag — the 100 TB substitute "
+    "for exact COUNT(DISTINCT); exact twin is q22.",
+)
+def q38(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "q39_embedding_neardup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.22
+    ORDER BY id_a, id_b
+    """,
+    "Embedding cosine near-dup pairs (exact verification path; the scale "
+    "path prefilters with sign-LSH buckets, operators/similarity.py).",
+)
+def q39(spark, sf_dir):
+    from vinum_spark.operators.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    av, bv = F.col("a.embedding"), F.col("b.embedding")
+    cos = _dot(av, bv) / (_norm(av) * _norm(bv))
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.22)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
