@@ -1,0 +1,80 @@
+"""Physical-plan assertions — the scale contract, checked in CI.
+
+Correct results with a wrong plan don't survive a 100× scale-up; these
+tests pin the plan properties that matter: predicate pushdown into the
+parquet scan, column pruning, broadcast joins for dims, partial (map-side)
+aggregation, top-k fusion, and whole-stage codegen coverage.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vinum_spark.inventory import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q02_filter_project")
+    assert "PushedFilters" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:300]
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "q04_group_single_key")
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_suppkey" in read_schema
+    assert "l_returnflag" not in read_schema  # unused column pruned
+
+
+def test_dim_join_broadcasts(spark):
+    plan = plan_of(spark, "q13_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_join_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "q14_join_multiway")
+    # customer/nation/region are all broadcast; only orders↔lineitem may
+    # shuffle.
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_partial_aggregation(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "HashAggregate" in plan
+    # partial + final pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_fuses(spark):
+    plan = plan_of(spark, "q31_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_codegen_present(spark):
+    # AQE's formatted mode hides codegen spans pre-execution; the codegen
+    # explain mode lists the compiled subtrees.
+    df = QUERIES["q01_pricing_summary"].fn(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in plan
+
+
+def test_semi_join_planned(spark):
+    plan = plan_of(spark, "q16_semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_planned(spark):
+    plan = plan_of(spark, "q15_anti_join")
+    assert "LeftAnti" in plan
