@@ -1182,6 +1182,134 @@ def q39(spark, sf_dir):
     )
 
 
+@_q(
+    "q40_vectorized_udf",
+    """
+    SELECT l_returnflag,
+           round(avg(1.0 / (1.0 + exp(-(l_discount * 10 - 0.5)))), 6) AS avg_sigmoid
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "Arrow-batched pandas UDF (the reference's register_numpy surface, "
+    "vinum/core/udf.py:138) inside an aggregation — oracle inlines the "
+    "equivalent arithmetic.",
+)
+def q40(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's signature inspection rejects
+    def _sigmoid10(s):
+        import numpy as np
+
+        return pd.Series(1.0 / (1.0 + np.exp(-(s.to_numpy() * 10 - 0.5))))
+
+    sigmoid10 = pandas_udf(_sigmoid10, "double")
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.avg(sigmoid10("l_discount")), 6).alias("avg_sigmoid"))
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "q41_null_semantics",
+    """
+    SELECT l_linestatus,
+           count(*)                                   AS n_rows,
+           count(NULLIF(l_tax, 0.0))                  AS n_taxed,
+           round(sum(coalesce(NULLIF(l_tax, 0.0), -1)), 4) AS s,
+           count(CASE WHEN l_discount > 0.05 THEN 1 END)   AS n_disc
+    FROM lineitem
+    GROUP BY NULLIF(l_linestatus, 'O'), l_linestatus
+    ORDER BY l_linestatus
+    """,
+    "NULL semantics: NULLIF-generated nulls through count/coalesce/CASE "
+    "and a nullable group key (SQL-standard null group).",
+)
+def q41(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    taxed = F.nullif(F.col("l_tax"), F.lit(0.0))
+    return (
+        li.groupBy(
+            F.nullif(F.col("l_linestatus"), F.lit("O")).alias("__k"), F.col("l_linestatus")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(taxed).alias("n_taxed"),
+            F.round(F.sum(F.coalesce(taxed, F.lit(-1.0))), 4).alias("s"),
+            F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_disc"),
+        )
+        .drop("__k")
+        .orderBy("l_linestatus")
+    )
+
+
+@_q(
+    "q42_regex_strings",
+    r"""
+    SELECT o_orderpriority,
+           regexp_extract(o_orderpriority, '^([0-9]+)-', 1)          AS prio_num,
+           upper(regexp_replace(o_orderpriority, '[^A-Za-z]', '', 'g')) AS letters,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "Regex functions (extract group, global replace) — beyond the "
+    "reference's LIKE-only matching.",
+)
+def q42(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "o_orderpriority",
+            F.regexp_extract("o_orderpriority", r"^([0-9]+)-", 1).alias("prio_num"),
+            F.upper(F.regexp_replace("o_orderpriority", r"[^A-Za-z]", "")).alias(
+                "letters"
+            ),
+            "n",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q43_token_explode",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS n
+    FROM toks
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 15
+    """,
+    "Token frequency: explode(split) + aggregate + top-k — the canonical "
+    "text-pipeline shape (map-side combine keeps the shuffle at "
+    "vocabulary size, not token count).",
+)
+def q43(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(15)
+    )
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -25,6 +25,21 @@ from pyspark.sql import functions as F
 
 from vinum_spark.operators.text import with_fingerprint
 
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Ensure enough partitions for the CPU-heavy map stage that follows.
+
+    A single parquet file scans as one partition, serializing shingling/
+    hashing on one core. When the input has fewer partitions than the
+    cluster's parallelism, hash-repartition the (small) doc rows by key —
+    cheap relative to the 10-100× parallelism it unlocks. Inputs already
+    well-partitioned (the 100 TB case) pass through untouched.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target, key)
+    return df
+
 # ---------------------------------------------------------------------------
 # Shared shingling helpers (word n-grams over whitespace tokens)
 # ---------------------------------------------------------------------------
@@ -99,12 +114,23 @@ def minhash_signatures(
     The per-doc MIN is partial-aggregated map-side, so the only shuffle
     carries n_docs × n_hashes longs regardless of corpus size.
     """
+    import numpy as np
+
+    # Universal-hash family: hash each shingle ONCE (xxhash64), then derive
+    # the n_hashes values as a_i*h + b_i over wrapping int64 arithmetic —
+    # 64 multiplies instead of 64 string hashes per shingle.
+    rng = np.random.RandomState(42)
+    a_consts = (rng.randint(0, 2**63, n_hashes, dtype=np.int64) | 1).tolist()
+    b_consts = rng.randint(0, 2**63, n_hashes, dtype=np.int64).tolist()
+
     sh = _shingles(F.col(text_col), shingle_size)
-    exploded = df.select(F.col(id_col), F.explode(sh).alias("__g"))
+    exploded = _spread(df, id_col).select(
+        F.col(id_col), F.explode(sh).alias("__g")
+    ).withColumn("__h", F.xxhash64("__g"))
     mins = exploded.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.col("__g"), F.lit(i))).alias(f"__h{i}")
-            for i in range(n_hashes)
+            F.min(F.lit(int(a)) * F.col("__h") + F.lit(int(b))).alias(f"__h{i}")
+            for i, (a, b) in enumerate(zip(a_consts, b_consts))
         ]
     )
     sigs = mins.select(
@@ -174,7 +200,7 @@ def simhash(
     ``bits`` partial-aggregatable SUM columns over exploded tokens —
     map-side combine keeps the shuffle tiny (rows = docs, not tokens).
     """
-    toks = df.select(
+    toks = _spread(df, id_col).select(
         id_col,
         F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias(
             "__tok"
