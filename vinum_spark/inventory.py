@@ -57,7 +57,10 @@ def _q(name: str, oracle: Optional[str], desc: str):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin the semantics these queries were validated under, whatever the
+    # caller's session defaults are (driver sessions may differ).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects
         # (PARQUET_TYPE_ILLEGAL); read nanos as long, convert to a
