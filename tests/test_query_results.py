@@ -360,7 +360,27 @@ GROUPBY = (
     ),
 )
 
+def _gb_rows(*ids):
+    return rows_to_columns_dict(
+        [TRIPS_GROUPBY_ROWS[i - 1] for i in ids], TRIPS_GROUPBY_COLUMNS
+    )
+
+
+from tests.conftest import TRIPS_GROUPBY_ROWS  # noqa: E402
+
+
 ORDERBY = (
+    (
+        # full rows with ties — exercises the stable-sort row-id shim
+        "trips_groupby",
+        "select * from t order by total",
+        _gb_rows(1, 8, 6, 3, 5, 7, 4, 2),
+    ),
+    (
+        "trips_groupby",
+        "select * from t order by total, tip",
+        _gb_rows(8, 1, 6, 3, 5, 7, 4, 2),
+    ),
     (
         "trips_groupby",
         "select total from t order by total",

@@ -113,8 +113,22 @@ class Table:
     def sql_pd(self, query: str) -> "pd.DataFrame":
         return self.sql(query).to_pandas()
 
-    def explain(self, query: Optional[str] = None, mode: str = "formatted") -> None:
-        (self.sql(query)._df if query else self._df).explain(mode)
+    def explain(
+        self,
+        query: Optional[str] = None,
+        print_query_tree: bool = False,
+        mode: str = "formatted",
+    ) -> None:
+        """Print the physical plan (reference: ``vinum/api/table.py:358``).
+
+        ``print_query_tree=True`` additionally prints the analyzed logical
+        plan — the Catalyst analogue of the reference's Query-AST dump.
+        """
+        df = self.sql(query)._df if query else self._df
+        if print_query_tree:
+            df.explain("extended")
+        else:
+            df.explain(mode)
 
     # -- materialization / inspection ---------------------------------------
 
@@ -149,6 +163,9 @@ class Table:
 
     def __repr__(self) -> str:
         return f"Table({self._df.schema.simpleString()})"
+
+    def __str__(self) -> str:
+        return self.to_string()
 
 
 _ROW_ID = "__vinum_row_id"
