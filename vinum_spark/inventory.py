@@ -1313,6 +1313,58 @@ def q43(spark, sf_dir):
     )
 
 
+@_q(
+    "q44_dedup_exact_survivors",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, fingerprint
+    FROM fp
+    GROUP BY fingerprint
+    ORDER BY doc_id
+    """,
+    "Exact-dedup survivor rows (min doc_id per normalized fingerprint) — "
+    "the dedup_exact operator itself under the value-hash gate.",
+)
+def q44(spark, sf_dir):
+    kept = D.dedup_exact(_t(spark, sf_dir, "documents"))
+    return kept.select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+@_q(
+    "q45_table_sql_pipeline",
+    """
+    SELECT l_returnflag,
+           count(*)                          AS n,
+           round(ln(sum(l_quantity)), 6)     AS log_qty,
+           round(sum(l_extendedprice), 2)    AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.02 AND 0.08 AND l_linestatus != 'X'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "The full Table.sql() pipeline under the correctness gate: SQL "
+    "pre-pass (np.* resolution, naming contract), lazy UDF registration, "
+    "Catalyst execution — the reference's primary entry point "
+    "(vinum/api/table.py:191).",
+)
+def q45(spark, sf_dir):
+    from vinum_spark.api.table import Table
+
+    tbl = Table(_t(spark, sf_dir, "lineitem"))
+    out = tbl.sql(
+        "SELECT l_returnflag, count(*) AS n, "
+        "round(np.log(sum(l_quantity)), 6) AS log_qty, "
+        "round(sum(l_extendedprice), 2) AS revenue "
+        "FROM t WHERE l_discount BETWEEN 0.02 AND 0.08 AND l_linestatus != 'X' "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    return out.df
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
