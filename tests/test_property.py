@@ -1,0 +1,93 @@
+"""Property tests for the SQL pre-pass (hypothesis): the tokenizer and
+rewrites must never crash or corrupt valid-SQL-shaped input."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vinum_spark.sqlprep.naming import output_column_names
+from vinum_spark.sqlprep.rewrite import rewrite_sql
+from vinum_spark.sqlprep.tokens import render, tokenize
+
+idents = st.text(string.ascii_lowercase + "_", min_size=1, max_size=8)
+numbers = st.integers(0, 10**6).map(str)
+strings = st.text(
+    string.ascii_letters + string.digits + " %_", max_size=10
+).map(lambda s: "'" + s.replace("'", "''") + "'")
+atoms = st.one_of(idents, numbers, strings)
+
+
+@st.composite
+def exprs(draw, depth=2):
+    if depth == 0:
+        return draw(atoms)
+    kind = draw(st.integers(0, 3))
+    if kind == 0:
+        return draw(atoms)
+    if kind == 1:
+        op = draw(st.sampled_from(["+", "-", "*", "/", "%", "||", "=", "<>"]))
+        return f"{draw(exprs(depth=depth - 1))} {op} {draw(exprs(depth=depth - 1))}"
+    if kind == 2:
+        fn = draw(st.sampled_from(["sum", "to_int", "np.log", "upper", "myfn"]))
+        return f"{fn}({draw(exprs(depth=depth - 1))})"
+    return f"({draw(exprs(depth=depth - 1))})"
+
+
+@st.composite
+def select_stmts(draw):
+    n = draw(st.integers(1, 4))
+    items = []
+    for _ in range(n):
+        e = draw(exprs())
+        if draw(st.booleans()):
+            e += f" AS {draw(idents)}"
+        items.append(e)
+    sql = "SELECT " + ", ".join(items) + " FROM t"
+    if draw(st.booleans()):
+        sql += f" WHERE {draw(exprs())}"
+    if draw(st.booleans()):
+        sql += f" ORDER BY {draw(exprs())} DESC"
+    if draw(st.booleans()):
+        sql += f" LIMIT {draw(st.integers(1, 100))}"
+    return sql
+
+
+@given(select_stmts())
+@settings(max_examples=200, deadline=None)
+def test_rewrite_never_crashes_and_keeps_strings(sql):
+    out, np_funcs = rewrite_sql(sql)
+    assert isinstance(out, str) and out
+    # string literals survive verbatim
+    for tok in tokenize(sql):
+        if tok.kind == "string" and "%" not in tok.text and "None" not in tok.text:
+            assert tok.text in out
+    # reported np functions correspond to np.* calls in the input
+    for name, arity in np_funcs:
+        assert name.startswith("np.") and arity >= 0
+
+
+@given(select_stmts())
+@settings(max_examples=200, deadline=None)
+def test_naming_never_crashes_and_counts_items(sql):
+    names = output_column_names(sql)
+    assert names is None or len(names) >= 1
+    if names:
+        assert len(set(names)) == len(names)  # dedup suffixes guarantee unique
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_tokenizer_total_on_arbitrary_text(s):
+    toks = tokenize(s)
+    render(toks)  # must not raise
+
+
+@given(select_stmts())
+@settings(max_examples=200, deadline=None)
+def test_render_tokenize_roundtrip_stable(sql):
+    once = render(tokenize(sql))
+    twice = render(tokenize(once))
+    assert once == twice
