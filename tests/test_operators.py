@@ -110,6 +110,19 @@ def test_cosine_topk(vectors):
     assert top.cosine.iloc[0] == pytest.approx(1.0)
 
 
+def test_ivf_recovers_close_neighbor(vectors):
+    from vinum_spark.operators import ivf_index, ivf_topk
+
+    q = vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = ivf_topk(vectors, q, k=2, n_cells=4, nprobe=1).toPandas()
+    assert 0 in top.vec_id.tolist()  # query's own cell is probed first
+    cells = ivf_index(vectors, dim=8, n_cells=4).toPandas()
+    assert cells.ivf_cell.between(0, 3).all()
+    # identical vectors land in the same cell: 0 and its 0.01-perturbed twin
+    by_id = cells.set_index("vec_id").ivf_cell
+    assert by_id[0] == by_id[1]
+
+
 def test_lsh_recovers_close_neighbor(vectors):
     from vinum_spark.operators import lsh_bucket_topk
 

@@ -86,3 +86,20 @@ def test_non_groupby_column_in_select_raises(trips_groupby):
 def test_np_namespace_autoregisters(trips):
     pdf = trips.sql_pd("select np.floor(total) as f from t order by f")
     assert pdf["f"].tolist() == [2.0, 33.0, 53.0, 143.0]
+
+
+@pytest.mark.parametrize("function", ["date", "datetime", "now"])
+def test_datetime_now(trips, function):
+    # reference test_query_results.py:1573-1583: 'now' literal resolves to
+    # the current clock within tolerance
+    sql = f"select {function}('now')" if function != "now" else "select now()"
+    pdf = trips.sql_pd(sql)
+    assert len(pdf) == 1
+    import pandas as pd
+
+    actual = pd.Timestamp(pdf.iloc[0, 0])
+    expected = pd.Timestamp.utcnow().tz_localize(None)
+    if function == "date":  # day resolution (reference uses unit 'D')
+        assert actual.date() == expected.date()
+    else:
+        assert abs((expected - actual).total_seconds()) < 300

@@ -1365,6 +1365,19 @@ def q45(spark, sf_dir):
     return out.df
 
 
+@_q(
+    "q46_ann_ivf",
+    None,  # centroid assignment depends on local RNG → rows-only check
+    "Approximate NN via IVF coarse quantization (nprobe=4 of 16 cells) + "
+    "exact re-rank (operators/similarity.py ivf_topk); partition-pruned "
+    "scan at scale when files are laid out by cell.",
+)
+def q46(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.ivf_topk(emb, q, k=10, n_cells=16, nprobe=4)
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -28,7 +28,10 @@ from vinum_spark.operators.similarity import (
     cosine_topk,
     lsh_signature,
     lsh_bucket_topk,
+    ivf_index,
+    ivf_topk,
 )
+from vinum_spark.operators.asof import asof_join
 
 __all__ = [
     "with_token_count",
@@ -45,4 +48,7 @@ __all__ = [
     "cosine_topk",
     "lsh_signature",
     "lsh_bucket_topk",
+    "ivf_index",
+    "ivf_topk",
+    "asof_join",
 ]

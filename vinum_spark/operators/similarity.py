@@ -98,6 +98,57 @@ def lsh_signature(
     return df.withColumn(out, sig)
 
 
+def ivf_index(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    out: str = "ivf_cell",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest of
+    ``n_cells`` fixed random centroids (deterministic seed).
+
+    The argmin is computed as ``array_position(min(dists))`` over a
+    codegen'd array of n_cells dot-product distances — no UDF. At scale,
+    write once partitioned/bucketed by ``ivf_cell`` so a query scans only
+    ``nprobe`` cells' files (partition pruning), the classic IVF layout.
+    Real pipelines train centroids with k-means; fixed random centroids
+    keep this deterministic and dependency-free, and the query path is
+    identical.
+    """
+    centroids = _hyperplanes(dim, n_cells, seed)
+    centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    v = F.col(vec_col)
+    dists = F.array(
+        *[(-_dot(v, _lit_array(centroids[c]))) for c in range(n_cells)]
+    )
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.withColumn(out, cell)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate NN via IVF: score only vectors in the ``nprobe`` cells
+    whose centroids are nearest the query, then exact cosine top-k."""
+    q = np.asarray(query_vec, dtype="float64")
+    centroids = _hyperplanes(len(q), n_cells, seed)
+    centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    order = np.argsort(-(centroids @ q))
+    probe_cells = [int(c) for c in order[:nprobe]]
+    indexed = ivf_index(df, len(q), n_cells, vec_col, seed=seed)
+    candidates = indexed.filter(F.col("ivf_cell").isin(probe_cells))
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     query_vec: Sequence[float],
