@@ -23,11 +23,13 @@ event-time windowed aggregation over Structured Streaming.
 from vinum_spark.session import get_spark, stop_spark
 from vinum_spark.api.table import Table
 from vinum_spark.api.stream_reader import StreamReader
+from vinum_spark.api.multi import sql
 from vinum_spark.io.readers import read_csv, read_json, read_parquet, stream_csv
 from vinum_spark.functions.udf import register_python, register_numpy
 
 __all__ = [
     "Table",
+    "sql",
     "StreamReader",
     "read_csv",
     "read_json",
