@@ -25,7 +25,11 @@ from vinum_spark.api.table import Table
 from vinum_spark.api.stream_reader import StreamReader
 from vinum_spark.api.multi import sql
 from vinum_spark.io.readers import read_csv, read_json, read_parquet, stream_csv
-from vinum_spark.functions.udf import register_python, register_numpy
+from vinum_spark.functions.udf import (
+    register_python,
+    register_numpy,
+    register_numpy_agg,
+)
 
 __all__ = [
     "Table",
@@ -37,6 +41,7 @@ __all__ = [
     "stream_csv",
     "register_python",
     "register_numpy",
+    "register_numpy_agg",
     "get_spark",
     "stop_spark",
 ]

@@ -161,6 +161,29 @@ class Table:
     def to_string(self) -> str:
         return self._df._jdf.showString(20, 20, False)
 
+    # -- writers (extension: the reference has no sinks beyond memory,
+    # vinum/api/table.py; a pipeline engine needs durable outputs) -------
+
+    def write_parquet(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        partition_by: Optional[List[str]] = None,
+        compression: str = "snappy",
+    ) -> None:
+        """Write as parquet; ``partition_by`` creates hive-style layout
+        (→ partition pruning for every future reader)."""
+        w = self._df.write.mode(mode).option("compression", compression)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def write_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
+        self._df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+    def write_json(self, path: str, mode: str = "overwrite") -> None:
+        self._df.write.mode(mode).json(path)
+
     def __repr__(self) -> str:
         return f"Table({self._df.schema.simpleString()})"
 

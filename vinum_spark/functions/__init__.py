@@ -1,6 +1,7 @@
 from vinum_spark.functions.udf import (
     register_python,
     register_numpy,
+    register_numpy_agg,
     registered_udf_names,
     ensure_udfs_registered,
 )
@@ -8,6 +9,7 @@ from vinum_spark.functions.udf import (
 __all__ = [
     "register_python",
     "register_numpy",
+    "register_numpy_agg",
     "registered_udf_names",
     "ensure_udfs_registered",
 ]

