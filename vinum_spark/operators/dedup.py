@@ -95,25 +95,17 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(
+def _signatures_only(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_hashes: int = 64,
-    shingle_size: int = 3,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    shingle_size: int,
     out: str = "minhash",
 ) -> DataFrame:
-    """Add an ``array<bigint>`` MinHash signature column.
-
-    signature[i] = min over shingles of xxhash64(shingle, i).
-
-    Shape chosen for codegen + scale: explode shingles, compute the
-    ``n_hashes`` seeded hashes as flat columns (whole-stage codegen'd —
-    measured ~50× faster than nested higher-order ``transform`` lambdas,
-    which execute interpreted per element), then MIN-aggregate per doc.
-    The per-doc MIN is partial-aggregated map-side, so the only shuffle
-    carries n_docs × n_hashes longs regardless of corpus size.
-    """
+    """(id, signature) frame — see :func:`minhash_signatures` for the
+    algorithm; kept separate so consumers that don't need the original
+    columns (LSH dedup) skip the join-back entirely."""
     import numpy as np
 
     # Universal-hash family: hash each shingle ONCE (xxhash64), then derive
@@ -133,9 +125,32 @@ def minhash_signatures(
             for i, (a, b) in enumerate(zip(a_consts, b_consts))
         ]
     )
-    sigs = mins.select(
+    return mins.select(
         id_col, F.array(*[F.col(f"__h{i}") for i in range(n_hashes)]).alias(out)
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_size: int = 3,
+    out: str = "minhash",
+) -> DataFrame:
+    """Add an ``array<bigint>`` MinHash signature column.
+
+    signature[i] = min over shingles of a universal-hash mix of
+    xxhash64(shingle).
+
+    Shape chosen for codegen + scale: explode shingles, compute the
+    ``n_hashes`` values as flat columns (whole-stage codegen'd — measured
+    ~50× faster than nested higher-order ``transform`` lambdas, which
+    execute interpreted per element), then MIN-aggregate per doc. The
+    per-doc MIN is partial-aggregated map-side, so the only shuffle
+    carries n_docs × n_hashes longs regardless of corpus size.
+    """
+    sigs = _signatures_only(df, text_col, id_col, n_hashes, shingle_size, out)
     return df.join(sigs, on=id_col, how="left")
 
 
@@ -169,7 +184,7 @@ def minhash_lsh_dedup(
     handled by AQE; no pairwise materialization ever happens.
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_size)
+    sigs = _signatures_only(df, text_col, id_col, n_hashes, shingle_size)
     buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
     w = Window.partitionBy("band", "band_hash")
     dups = (
