@@ -70,6 +70,27 @@ def test_codegen_present(spark):
     assert "WholeStageCodegen" in plan
 
 
+def test_no_cartesian_products_anywhere(spark):
+    # q39 intentionally uses a broadcast non-equi join (vec_id < vec_id);
+    # nothing in the inventory may fall back to CartesianProduct.
+    for name in QUERIES:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_no_row_at_a_time_python(spark):
+    # Python may appear only as Arrow-batched evaluation (pandas_udf /
+    # mapInPandas / GROUPED_AGG) — never BatchEvalPython (row-at-a-time).
+    for name in QUERIES:
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_minhash_partial_aggregates(spark):
+    plan = plan_of(spark, "q29_minhash_lsh_dedup")
+    assert "partial_min" in plan  # map-side combine before the shuffle
+
+
 def test_semi_join_planned(spark):
     plan = plan_of(spark, "q16_semi_join")
     assert "LeftSemi" in plan
