@@ -109,6 +109,12 @@ class TestRewrites:
         out, _ = rewrite_sql("select is_busday(d) from t")
         assert "WEEKDAY" in out
 
+    def test_limit_comma_form(self):
+        out, _ = rewrite_sql("select a from t order by a limit 5, 2")
+        assert "LIMIT" in out.upper() and "OFFSET 2" in out
+        out2, _ = rewrite_sql("select a from t limit 5")
+        assert "OFFSET" not in out2
+
     def test_like_patterns_untouched(self):
         out, _ = rewrite_sql("select a from t where a like '%x_%'")
         assert "'%x_%'" in out

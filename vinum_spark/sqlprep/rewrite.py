@@ -162,6 +162,7 @@ def rewrite_sql(
     tokens = _rewrite_concat_operator(tokens)
     tokens = _rewrite_having_without_groupby(tokens)
     tokens = _rewrite_orderby_nulls_last(tokens)
+    tokens = _rewrite_limit_comma(tokens)
     out_sql = _rewrite_functions(tokens, np_funcs, udf_names or set())
     return out_sql, np_funcs
 
@@ -384,6 +385,36 @@ def _rewrite_concat_operator(tokens: List[Token]) -> List[Token]:
             new.extend(op)
         new.append(Token(KIND_OP, ")"))
         tokens = tokens[:lstart] + new + tokens[i:]
+
+
+def _rewrite_limit_comma(tokens: List[Token]) -> List[Token]:
+    """``LIMIT n, m`` → ``LIMIT n OFFSET m`` (the comma form the reference
+    documents, ``doc/source/select.rst``)."""
+    out: List[Token] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.is_kw("LIMIT")
+            and i + 3 < n
+            and tokens[i + 1].kind == KIND_NUMBER
+            and tokens[i + 2].text == ","
+            and tokens[i + 3].kind == KIND_NUMBER
+        ):
+            out.extend(
+                [
+                    t,
+                    tokens[i + 1],
+                    Token(KIND_IDENT, "OFFSET"),
+                    tokens[i + 3],
+                ]
+            )
+            i += 4
+            continue
+        out.append(t)
+        i += 1
+    return out
 
 
 _SQL_KEYWORDS_NOT_FUNCTIONS = {
