@@ -1480,6 +1480,53 @@ def q49(spark, sf_dir):
     ).orderBy("hour", "event_type")
 
 
+@_q(
+    "q50_streaming_session",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    "Session windows under the oracle gate: a real readStream "
+    "session_window aggregation drained to memory must hash-match the "
+    "batch lag/cumsum sessionization (30-min gap).",
+)
+def q50(spark, sf_dir):
+    import tempfile
+
+    from vinum_spark.streaming import session_aggregate, stream_events
+    from vinum_spark.streaming.windows import run_stream_to_memory
+
+    src = tempfile.mkdtemp(prefix="vs_stream_sess_")
+    _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+    run_stream_to_memory(
+        session_aggregate(stream_events(spark, src), gap="30 minutes"),
+        "q50_out",
+    )
+    out = spark.table("q50_out")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    ).orderBy("user_id", "session_start")
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
