@@ -68,6 +68,23 @@ def test_asof_forward(quote_trade):
     assert got[3] == 13  # trade(B, ts=2) → quote ts=3
 
 
+def test_asof_null_value_columns_carry_atomically(spark):
+    """A matched right row whose VALUE column is NULL must come through as
+    NULL — not stitched with an older row's non-null value."""
+    from vinum_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame([(3, "A", 1)], "ts long, sym string, trade_id long")
+    quotes = spark.createDataFrame(
+        [(1, "A", 10.0, 100), (2, "A", None, 101)],
+        "ts long, sym string, bid double, quote_id long",
+    )
+    out = asof_join(trades, quotes, on="ts", by="sym", how="inner").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["quote_id_right"] == 101  # the ts=2 row matched...
+    assert row["bid_right"] is None  # ...and its NULL bid stayed NULL
+
+
 def test_asof_matches_pandas_merge_asof(spark):
     from vinum_spark.operators.asof import asof_join
 

@@ -72,7 +72,7 @@ class TestRewrites:
     def test_np_flattening_reports_arity(self):
         out, np_funcs = rewrite_sql("select np.log(x), np.power(x, 2) from t")
         assert ("np.log", 1) in np_funcs and ("np.power", 2) in np_funcs
-        assert "np_log(x)" in out and "np_power(x, 2)" in out
+        assert "np_log_a1(x)" in out and "np_power_a2(x, 2)" in out
 
     def test_np_agg_remap(self):
         out, np_funcs = rewrite_sql("select np.sum(x), np.min(x) from t")
@@ -114,6 +114,38 @@ class TestRewrites:
         assert "LIMIT" in out.upper() and "OFFSET 2" in out
         out2, _ = rewrite_sql("select a from t limit 5")
         assert "OFFSET" not in out2
+
+    def test_distinct_args_still_templated(self):
+        out, np_funcs = rewrite_sql("select count(DISTINCT to_int(x)) from t")
+        assert "CAST(x AS BIGINT)" in out and "DISTINCT" in out
+        out2, np_funcs2 = rewrite_sql("select count(DISTINCT np.floor(x)) from t")
+        assert "np_floor_a1" in out2 and ("np.floor", 1) in np_funcs2
+
+    def test_reversed_null_comparison(self):
+        out, _ = rewrite_sql("select * from t where NULL = x")
+        assert "x IS NULL" in out
+        out2, _ = rewrite_sql("select * from t where null != f(x)")
+        assert "IS NOT NULL" in out2 and "f(x)" in out2
+
+    def test_case_end_concat(self):
+        out, _ = rewrite_sql(
+            "SELECT CASE WHEN a THEN b ELSE c END || 'x' FROM t"
+        )
+        assert "CONCAT(COALESCE(CAST(CASE" in out and "END AS STRING)" in out
+
+    def test_unary_minus_modulo(self):
+        out, _ = rewrite_sql("SELECT -5 % 2 FROM t")
+        assert "PMOD(- 5, 2)" in out.replace("PMOD(-5", "PMOD(- 5")
+
+    def test_extension_aggregates_recognized(self):
+        # stddev counts as aggregation: HAVING stays HAVING
+        out, _ = rewrite_sql("select stddev(x) as s from t having stddev(x) > 0")
+        assert "having" in out.lower()
+
+    def test_np_arity_qualified_names(self):
+        out, np_funcs = rewrite_sql("select np.round(x), np.round(x, 2) from t")
+        assert "np_round_a1(x)" in out and "np_round_a2(x, 2)" in out
+        assert np_funcs == {("np.round", 1), ("np.round", 2)}
 
     def test_like_patterns_untouched(self):
         out, _ = rewrite_sql("select a from t where a like '%x_%'")

@@ -97,10 +97,15 @@ def _spark_type_of(result) -> T.DataType:
 
 
 def _infer_vector_type(fn: Callable, arity: int) -> T.DataType:
+    arity = max(arity, 1)
+    farr, iarr, sarr = np.array([1.0, 2.0]), np.array([1, 2]), np.array(["a", "b"])
     probes = [
-        [np.array([1.0, 2.0])] * max(arity, 1),
-        [np.array([1, 2])] * max(arity, 1),
-        [np.array(["a", "b"])] * max(arity, 1),
+        [farr] * arity,
+        [iarr] * arity,
+        # numpy fns whose tail args are scalars (np.round(x, 2), …)
+        [farr] + [1] * (arity - 1),
+        [iarr] + [1] * (arity - 1),
+        [sarr] * arity,
     ]
     for args in probes:
         try:
@@ -147,10 +152,19 @@ def _make_vectorized(fn: Callable, arity: int, dt: T.DataType):
     np_dtype = _SPARK_TO_NUMPY.get(dt.simpleString())
     params = ", ".join(f"s{i}" for i in range(arity))
     to_np = ", ".join(f"s{i}.to_numpy()" for i in range(arity))
+    # fallback: tail args as scalars — numpy fns like np.round(x, 2)
+    # require the literal argument scalar, and the reference passes SQL
+    # literals as scalars too (vinum/core/base.py resolves Literal args)
+    scalar_tail = ", ".join(
+        [f"s0.to_numpy()"] + [f"s{i}.iloc[0]" for i in range(1, arity)]
+    )
     ns = {"pd": pd, "np": np, "_fn": fn, "_dtype": np_dtype}
     exec(
         f"def _wrapped({params}):\n"
-        f"    out = _fn({to_np})\n"
+        f"    try:\n"
+        f"        out = _fn({to_np})\n"
+        f"    except (TypeError, ValueError):\n"
+        f"        out = _fn({scalar_tail})\n"
         f"    out = np.broadcast_to(np.asarray(out), (len(s0),)) "
         f"if np.ndim(out) == 0 else np.asarray(out)\n"
         f"    if _dtype is not None and out.dtype.kind != 'O':\n"
@@ -194,14 +208,15 @@ def ensure_udfs_registered(
         state[name] = version
 
     for dotted, arity in np_funcs:
-        flat = "np_" + dotted[3:].replace(".", "_")
-        key = f"{flat}/{arity}"
-        if key in state:
+        # arity-qualified name, matching the SQL rewrite (np.round with 1
+        # and 2 args coexist as np_round_a1 / np_round_a2)
+        flat = f"np_{dotted[3:].replace('.', '_')}_a{arity}"
+        if flat in state:
             continue
         np_fn = _resolve_np(dotted)
         dtype = _infer_vector_type(np_fn, arity)
         spark.udf.register(flat, _make_vectorized(np_fn, arity, dtype))
-        state[key] = 1
+        state[flat] = 1
 
 
 def _make_grouped_agg(fn: Callable, arity: int, dt: T.DataType):

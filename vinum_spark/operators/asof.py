@@ -53,19 +53,25 @@ def asof_join(
 
     carried = [c for c in right.columns if c not in by_cols]
     rmap = {c: f"{c}{suffix}" for c in carried}
+    payload = "__asof_payload"
 
-    l_tagged = left.withColumn(_SIDE, F.lit(1))
-    for c in rmap.values():
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c[: -len(suffix)]]))
-
-    r_tagged = right
-    for old, new in rmap.items():
-        r_tagged = r_tagged.withColumnRenamed(old, new)
-    # keep the timestamp under the left name too — it drives the ordering
-    r_tagged = r_tagged.withColumn(on, F.col(rmap[on])).withColumn(_SIDE, F.lit(0))
+    # All right columns travel as ONE struct so the carry is atomic: a
+    # right row whose value columns are legitimately NULL still carries as
+    # a (non-null) struct — per-column last(ignorenulls) would stitch
+    # fields from DIFFERENT right rows.
+    r_tagged = right.select(
+        *by_cols,
+        F.col(on),
+        F.struct(*[F.col(c) for c in carried]).alias(payload),
+    ).withColumn(_SIDE, F.lit(0))
     for c in left.columns:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+
+    payload_type = dict(r_tagged.dtypes)[payload]
+    l_tagged = left.withColumn(_SIDE, F.lit(1)).withColumn(
+        payload, F.lit(None).cast(payload_type)
+    )
 
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
 
@@ -75,13 +81,13 @@ def asof_join(
         .orderBy(ts_order, F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = unioned
-    for new in rmap.values():
-        out = out.withColumn(new, F.last(new, ignorenulls=True).over(w))
-    out = out.filter(F.col(_SIDE) == 1).drop(_SIDE)
+    out = (
+        unioned.withColumn(payload, F.last(payload, ignorenulls=True).over(w))
+        .filter(F.col(_SIDE) == 1)
+        .drop(_SIDE)
+    )
     if how == "inner":
-        match_ts = rmap.get(on)
-        probe = match_ts if match_ts else next(iter(rmap.values()), None)
-        if probe:
-            out = out.filter(F.col(probe).isNotNull())
-    return out
+        out = out.filter(F.col(payload).isNotNull())
+    for old, new in rmap.items():
+        out = out.withColumn(new, F.col(f"{payload}.{old}"))
+    return out.drop(payload)

@@ -106,23 +106,19 @@ def _signatures_only(
     """(id, signature) frame — see :func:`minhash_signatures` for the
     algorithm; kept separate so consumers that don't need the original
     columns (LSH dedup) skip the join-back entirely."""
-    import numpy as np
-
-    # Universal-hash family: hash each shingle ONCE (xxhash64), then derive
-    # the n_hashes values as a_i*h + b_i over wrapping int64 arithmetic —
-    # 64 multiplies instead of 64 string hashes per shingle.
-    rng = np.random.RandomState(42)
-    a_consts = (rng.randint(0, 2**63, n_hashes, dtype=np.int64) | 1).tolist()
-    b_consts = rng.randint(0, 2**63, n_hashes, dtype=np.int64).tolist()
-
+    # Hash each shingle string ONCE, then derive the n_hashes values with
+    # xxhash64 over the fixed-width (long, seed) pair — near the cost of a
+    # multiply, a proper independent hash family, and no int64 overflow
+    # (multiplicative mixing would throw under a caller session with ANSI
+    # mode on).
     sh = _shingles(F.col(text_col), shingle_size)
     exploded = _spread(df, id_col).select(
         F.col(id_col), F.explode(sh).alias("__g")
     ).withColumn("__h", F.xxhash64("__g"))
     mins = exploded.groupBy(id_col).agg(
         *[
-            F.min(F.lit(int(a)) * F.col("__h") + F.lit(int(b))).alias(f"__h{i}")
-            for i, (a, b) in enumerate(zip(a_consts, b_consts))
+            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__h{i}")
+            for i in range(n_hashes)
         ]
     )
     return mins.select(

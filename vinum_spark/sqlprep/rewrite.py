@@ -180,8 +180,19 @@ def _rewrite_quoted_idents(tokens: List[Token]) -> List[Token]:
     return out
 
 
-AGG_FUNCTION_NAMES = {"count", "sum", "min", "max", "avg",
-                      "np.sum", "np.min", "np.max"}
+AGG_FUNCTION_NAMES = {
+    "count", "sum", "min", "max", "avg",
+    "np.sum", "np.min", "np.max",
+    # extension aggregates: misclassifying one as row-level breaks the
+    # HAVING-as-WHERE and stable-sort shims
+    "stddev", "stddev_samp", "stddev_pop", "std",
+    "variance", "var_samp", "var_pop",
+    "median", "percentile", "percentile_approx", "approx_percentile",
+    "approx_count_distinct", "count_if", "any_value", "first", "last",
+    "first_value", "last_value", "collect_list", "collect_set",
+    "corr", "covar_samp", "covar_pop", "mode", "bool_and", "bool_or",
+    "bit_and", "bit_or", "bit_xor", "sum_distinct", "grouping",
+}
 
 
 def has_aggregate_call(tokens: List[Token]) -> bool:
@@ -265,19 +276,15 @@ _CMP_NE = {"!=", "<>"}
 
 
 def _rewrite_null_comparisons(tokens: List[Token]) -> List[Token]:
-    """``x = NULL`` → ``x IS NULL``; ``x != NULL`` → ``x IS NOT NULL``.
-
-    Handles the reversed form ``NULL = x`` as well.
-    """
+    """``x = NULL`` → ``x IS NULL``; ``x != NULL`` → ``x IS NOT NULL``;
+    reversed ``NULL = x`` / ``NULL != x`` likewise
+    (``vinum/parser/parser.py:143-146``)."""
     out: List[Token] = []
     i = 0
     n = len(tokens)
     while i < n:
         t = tokens[i]
         nxt = tokens[i + 1] if i + 1 < n else None
-        nxt2 = tokens[i + 2] if i + 2 < n else None
-        # NULL = expr  /  NULL != expr → rewrite after the operand: hard to
-        # find operand end; handle the common prefix form by swapping.
         if (
             t.kind == KIND_OP
             and (t.text in _CMP_EQ or t.text in _CMP_NE)
@@ -290,6 +297,22 @@ def _rewrite_null_comparisons(tokens: List[Token]) -> List[Token]:
             out.append(Token(KIND_IDENT, "NULL"))
             i += 2
             continue
+        # reversed: NULL <op> <primary>  →  <primary> IS [NOT] NULL
+        if (
+            t.is_kw("NULL")
+            and nxt is not None
+            and nxt.kind == KIND_OP
+            and (nxt.text in _CMP_EQ or nxt.text in _CMP_NE)
+            and i + 2 < n
+        ):
+            rend = _grab_right_primary(tokens, i + 2)
+            out.extend(tokens[i + 2 : rend + 1])
+            out.append(Token(KIND_IDENT, "IS"))
+            if nxt.text in _CMP_NE:
+                out.append(Token(KIND_IDENT, "NOT"))
+            out.append(Token(KIND_IDENT, "NULL"))
+            i = rend + 1
+            continue
         out.append(t)
         i += 1
     return out
@@ -297,8 +320,21 @@ def _rewrite_null_comparisons(tokens: List[Token]) -> List[Token]:
 
 def _is_primary_end(tokens: List[Token], i: int) -> int:
     """Given index of a token that ends a primary expression (ident, literal,
-    or ``)``), return the start index of that primary (inclusive)."""
+    ``)``, or CASE...END), return the start index of that primary
+    (inclusive)."""
     t = tokens[i]
+    if t.is_kw("END"):
+        depth = 0
+        j = i
+        while j >= 0:
+            if tokens[j].is_kw("END"):
+                depth += 1
+            elif tokens[j].is_kw("CASE"):
+                depth -= 1
+                if depth == 0:
+                    return j
+            j -= 1
+        return 0
     if t.text == ")":
         depth = 0
         j = i
@@ -346,7 +382,24 @@ def _rewrite_modulo(tokens: List[Token]) -> List[Token]:
         if idx is None:
             return tokens
         lstart = _is_primary_end(tokens, idx - 1)
+        # absorb a unary minus so the sign participates in the modulo
+        # (np.mod(-5, 2) == 1, not -(5 % 2))
+        if (
+            lstart > 0
+            and tokens[lstart - 1].text == "-"
+            and (
+                lstart == 1
+                or tokens[lstart - 2].kind == KIND_OP
+                or tokens[lstart - 2].text in ("(", ",")
+                or tokens[lstart - 2].is_kw(
+                    "SELECT", "WHERE", "AND", "OR", "NOT", "BY", "THEN", "ELSE", "WHEN"
+                )
+            )
+        ):
+            lstart -= 1
         rend = _grab_right_primary(tokens, idx + 1)
+        if tokens[idx + 1].text == "-" and idx + 2 < len(tokens):
+            rend = _grab_right_primary(tokens, idx + 2)
         left = render(tokens[lstart:idx])
         right = render(tokens[idx + 1 : rend + 1])
         # re-tokenize so later passes still see inner function calls
@@ -455,15 +508,16 @@ def _rewrite_functions(
                 elif lname in _FUNCTION_TEMPLATES:
                     rendered = _FUNCTION_TEMPLATES[lname](args)
                 elif lname.startswith("np."):
-                    flat = "np_" + lname[3:].replace(".", "_")
+                    # arity-qualified flat name: np.round(x) and
+                    # np.round(x, 2) need two distinct registrations
+                    flat = f"np_{lname[3:].replace('.', '_')}_a{len(args)}"
                     np_funcs.add((lname, len(args)))
                     rendered = f"{flat}({', '.join(args)})"
                 else:
-                    # count(*) / count(DISTINCT x): render the arg list raw;
-                    # otherwise use the recursively rewritten args.
-                    if (len(inner) == 1 and inner[0].text == "*") or any(
-                        tok.is_kw("DISTINCT") for tok in inner
-                    ):
+                    # count(*): render raw; otherwise use the recursively
+                    # rewritten args (walk preserves a leading DISTINCT
+                    # keyword inside the first arg).
+                    if len(inner) == 1 and inner[0].text == "*":
                         inner_sql = render(inner)
                     else:
                         inner_sql = ", ".join(args) if args else render(inner)

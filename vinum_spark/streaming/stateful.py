@@ -47,6 +47,11 @@ def stream_distinct(
     def dedup_group(
         key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # eviction: drop the group's seen-set; a later duplicate of a
+            # pre-eviction row would be re-admitted (documented trade-off)
+            state.remove()
+            return
         seen = set(state.get[0]) if state.exists else set()
         for pdf in pdfs:
             digests = [
