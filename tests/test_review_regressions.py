@@ -42,6 +42,68 @@ def test_stddev_orderby_global_agg(trips_groupby):
     assert len(pdf) == 1
 
 
+# --------------------------------------------------------------------------
+# Round-2 advisor findings
+# --------------------------------------------------------------------------
+
+
+def test_varying_udf_tail_arg_raises(trips_groupby):
+    """np.round(x, d) with a COLUMN d must raise (as numpy/the reference
+    do), not silently apply the batch's first d to every row."""
+    with pytest.raises(Exception):
+        trips_groupby.sql_pd("select np.round(tax, vendor_id) as r from t")
+
+
+def test_constant_udf_tail_arg_still_works(trips_groupby):
+    pdf = trips_groupby.sql_pd(
+        "select np.round(tax, 1) as r from t order by id limit 2"
+    )
+    assert pdf["r"].tolist() == [0.4, 2.0]
+
+
+@pytest.mark.parametrize(
+    "expr,want",
+    [
+        ("5 % 2", 1),
+        ("5 % -2", -1),   # np.mod: sign follows divisor
+        ("-5 % 2", 1),
+        ("-5 % -2", -1),
+        ("4 % 2", 0),
+        ("0 % -3", 0),
+    ],
+)
+def test_modulo_divisor_sign_semantics(trips, expr, want):
+    pdf = trips.sql_pd(f"select {expr} as m from t limit 1")
+    assert pdf["m"].tolist() == [want]
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """Multiple right rows at the same (by, ts): carried payload must not
+    depend on input partitioning/order."""
+    from vinum_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 20)], "k int, ts int")
+    dup_rows = [(1, 10, "a"), (1, 10, "b"), (1, 10, "c"), (1, 5, "z")]
+    outs = []
+    for order in (dup_rows, dup_rows[::-1]):
+        right = spark.createDataFrame(order, "k int, ts int, v string").repartition(
+            len(outs) + 1
+        )
+        out = asof_join(left, right, on="ts", by="k").orderBy("ts")
+        outs.append([r["v_right"] for r in out.collect()])
+    assert outs[0] == outs[1]
+    # both left rows see the same winning duplicate
+    assert outs[0][0] == outs[0][1]
+
+
+def test_udf_session_state_weakkeyed():
+    import weakref
+
+    from vinum_spark.functions import udf as udf_mod
+
+    assert isinstance(udf_mod._SESSION_STATE, weakref.WeakKeyDictionary)
+
+
 def test_minhash_no_overflow_under_ansi(spark):
     from vinum_spark.operators import minhash_lsh_dedup
 

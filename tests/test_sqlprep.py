@@ -52,9 +52,9 @@ class TestRewrites:
         out, _ = rewrite_sql("select a # b from t")
         assert "^" in out and "#" not in out
 
-    def test_pmod(self):
+    def test_modulo_np_mod_form(self):
         out, _ = rewrite_sql("select a % 3 from t")
-        assert "PMOD(a, 3)" in out
+        assert "MOD(MOD(a, 3) +(3), 3)" in out
 
     def test_concat_operator_null_semantics(self):
         out, _ = rewrite_sql("select a || b from t")
@@ -135,7 +135,7 @@ class TestRewrites:
 
     def test_unary_minus_modulo(self):
         out, _ = rewrite_sql("SELECT -5 % 2 FROM t")
-        assert "PMOD(- 5, 2)" in out.replace("PMOD(-5", "PMOD(- 5")
+        assert "MOD(MOD(- 5, 2)" in out.replace("MOD(-5", "MOD(- 5")
 
     def test_extension_aggregates_recognized(self):
         # stddev counts as aggregation: HAVING stays HAVING

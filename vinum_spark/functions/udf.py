@@ -19,6 +19,7 @@ function on a tiny sample when not given explicitly.
 
 from __future__ import annotations
 
+import weakref
 from typing import Callable, Dict, Iterable, Optional, Set, Tuple
 
 import numpy as np
@@ -31,8 +32,12 @@ from pyspark.sql.functions import pandas_udf
 _REGISTRY: Dict[str, Tuple[str, Callable, Optional[T.DataType], int]] = {}
 _version_counter = 0
 
-# session-id -> {name: registered_version}
-_SESSION_STATE: Dict[str, Dict[str, int]] = {}
+# live SparkSession -> {name: registered_version}. Weak keys: a stopped
+# session's entry dies with the object, so a new session at a recycled
+# id() can never inherit stale "already registered" state.
+_SESSION_STATE: "weakref.WeakKeyDictionary[SparkSession, Dict[str, int]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_python(name: str, fn: Callable, return_type: Optional[str] = None) -> None:
@@ -154,16 +159,24 @@ def _make_vectorized(fn: Callable, arity: int, dt: T.DataType):
     to_np = ", ".join(f"s{i}.to_numpy()" for i in range(arity))
     # fallback: tail args as scalars — numpy fns like np.round(x, 2)
     # require the literal argument scalar, and the reference passes SQL
-    # literals as scalars too (vinum/core/base.py resolves Literal args)
+    # literals as scalars too (vinum/core/base.py resolves Literal args).
+    # Only legal when each tail column is constant within the batch:
+    # taking .iloc[0] of a genuinely varying column would silently apply
+    # the first row's value to the whole batch.
     scalar_tail = ", ".join(
         [f"s0.to_numpy()"] + [f"s{i}.iloc[0]" for i in range(1, arity)]
     )
+    tail_const = " and ".join(
+        [f"s{i}.nunique(dropna=False) <= 1" for i in range(1, arity)]
+    ) or "True"
     ns = {"pd": pd, "np": np, "_fn": fn, "_dtype": np_dtype}
     exec(
         f"def _wrapped({params}):\n"
         f"    try:\n"
         f"        out = _fn({to_np})\n"
         f"    except (TypeError, ValueError):\n"
+        f"        if not ({tail_const}):\n"
+        f"            raise\n"
         f"        out = _fn({scalar_tail})\n"
         f"    out = np.broadcast_to(np.asarray(out), (len(s0),)) "
         f"if np.ndim(out) == 0 else np.asarray(out)\n"
@@ -182,8 +195,7 @@ def ensure_udfs_registered(
 ) -> None:
     """Idempotently register (a) every user UDF from the registry and
     (b) each ``np.*`` function the current query references."""
-    sid = str(id(spark))
-    state = _SESSION_STATE.setdefault(sid, {})
+    state = _SESSION_STATE.setdefault(spark, {})
 
     for name, (kind, fn, dt, version) in list(_REGISTRY.items()):
         if state.get(name) == version:

@@ -76,9 +76,15 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
 
     ts_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    # Final tiebreak: when several RIGHT rows share the same (by, ts), the
+    # (ts, side) ordering alone is not total and which payload carries
+    # would depend on partitioning. xxhash64 of the payload struct makes
+    # the order deterministic: the duplicate with the LARGEST payload hash
+    # wins. Left rows all hash the same null payload, and their mutual
+    # order is irrelevant (each just reads the carry at its own frame end).
     w = (
         Window.partitionBy(*by_cols)
-        .orderBy(ts_order, F.col(_SIDE).asc())
+        .orderBy(ts_order, F.col(_SIDE).asc(), F.xxhash64(F.col(payload)).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = (

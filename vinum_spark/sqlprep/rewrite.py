@@ -373,10 +373,12 @@ def _grab_right_primary(tokens: List[Token], j: int) -> int:
 
 
 def _rewrite_modulo(tokens: List[Token]) -> List[Token]:
-    """``a % b`` → ``PMOD(a, b)``: the reference evaluates ``%`` with
-    ``np.mod`` (Python sign semantics, result sign follows divisor —
-    ``vinum/core/expressions.py:13-25``); Spark's ``%`` follows the
-    dividend. Identical for positive operands, differs for negatives."""
+    """``a % b`` → ``MOD(MOD(a, b) + (b), b)``: the reference evaluates
+    ``%`` with ``np.mod`` (Python sign semantics, result sign follows the
+    DIVISOR — ``vinum/core/expressions.py:13-25``); Spark's ``%``/``MOD``
+    follow the dividend. The double-MOD form reproduces np.mod for every
+    sign combination (PMOD only matches when the divisor is positive).
+    Emitted as ``MOD()`` calls, not ``%``, so this loop terminates."""
     while True:
         idx = next((i for i, t in enumerate(tokens) if t.text == "%"), None)
         if idx is None:
@@ -403,7 +405,7 @@ def _rewrite_modulo(tokens: List[Token]) -> List[Token]:
         left = render(tokens[lstart:idx])
         right = render(tokens[idx + 1 : rend + 1])
         # re-tokenize so later passes still see inner function calls
-        repl = tokenize(f"PMOD({left}, {right})")
+        repl = tokenize(f"MOD(MOD({left}, {right}) + ({right}), {right})")
         tokens = tokens[:lstart] + repl + tokens[rend + 1 :]
 
 
