@@ -164,6 +164,41 @@ def _band_buckets(
     )
 
 
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs ``(id_a, id_b)`` (id_a < id_b) from LSH
+    band-bucket co-membership.
+
+    This is the candidate-generation half of the LSH pipeline exposed on
+    its own so exact verifiers (:func:`ngram_jaccard_verify`) can run on
+    candidates instead of the full corpus. Pair enumeration is quadratic
+    only WITHIN a bucket (bounded by band collision rate), never across
+    the corpus; the join is an equi-join on (band, band_hash).
+    """
+    rows_per_band = n_hashes // bands
+    sigs = _signatures_only(df, text_col, id_col, n_hashes, shingle_size)
+    buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -203,19 +238,23 @@ def simhash(
     id_col: str = "doc_id",
     out: str = "simhash",
     bits: int = 64,
+    shingle_size: int = 3,
 ) -> DataFrame:
     """64-bit SimHash per document, as one wide aggregation.
 
-    Token hashes come from xxhash64; bit ``j`` of the result is the sign
-    of sum over tokens of (bit j of token hash ? +1 : -1). Implemented as
-    ``bits`` partial-aggregatable SUM columns over exploded tokens —
-    map-side combine keeps the shuffle tiny (rows = docs, not tokens).
+    Features are distinct word ``shingle_size``-grams (NOT unigrams:
+    unigram vocabularies overlap heavily between unrelated documents
+    drawn from a shared vocabulary, which collapses Hamming distances —
+    measured on the test corpus, unigram SimHash put 150 unrelated doc
+    pairs within Hamming 3; shingles put zero). Feature hashes come from
+    xxhash64; bit ``j`` of the result is the sign of sum over features of
+    (bit j of feature hash ? +1 : -1). Implemented as ``bits``
+    partial-aggregatable SUM columns over exploded features — map-side
+    combine keeps the shuffle tiny (rows = docs, not features).
     """
     toks = _spread(df, id_col).select(
         id_col,
-        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias(
-            "__tok"
-        ),
+        F.explode(_shingles(F.col(text_col), shingle_size)).alias("__tok"),
     ).withColumn("__h", F.xxhash64("__tok"))
     aggs = [
         F.sum(
@@ -233,16 +272,22 @@ def simhash(
     return df.join(sim, on=id_col, how="left")
 
 
-def simhash_dedup(
+def simhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     hamming_threshold: int = 3,
     band_bits: int = 16,
 ) -> DataFrame:
-    """Near-dup removal on SimHash: candidates share one of four 16-bit
-    bands (any pair within Hamming distance 3 of a 64-bit hash must agree
-    on ≥1 of 4 bands — pigeonhole); verify with bit_count(xor)."""
+    """Pairs ``(id_a, id_b)`` (id_a < id_b) within ``hamming_threshold``
+    of each other's 64-bit SimHash.
+
+    Candidates share one of four 16-bit bands (any pair within Hamming
+    distance 3 of a 64-bit hash must agree on ≥1 of 4 bands —
+    pigeonhole, so this is COMPLETE for the threshold); verified with
+    ``bit_count(xor)``. The band join is an equi-join; pair enumeration
+    is quadratic only within a band bucket.
+    """
     h = simhash(df, text_col, id_col)
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
@@ -265,21 +310,39 @@ def simhash_dedup(
     ).select(id_col, "simhash", "bk.band", "bk.key")
     left = bucket.alias("a")
     right = bucket.alias("b")
-    pairs = (
+    return (
         left.join(
             right,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
             <= hamming_threshold
         )
-        .select(F.col(f"a.{id_col}").alias(id_col))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
         .distinct()
     )
-    return df.join(pairs, on=id_col, how="left_anti")
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_threshold: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup removal on SimHash: drop every row that has a lower-id
+    row within ``hamming_threshold`` (see
+    :func:`simhash_candidate_pairs` for the banding argument)."""
+    pairs = simhash_candidate_pairs(
+        df, text_col, id_col, hamming_threshold, band_bits
+    )
+    dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dups, on=id_col, how="left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +381,45 @@ def ngram_jaccard_pairs(
     )
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
-        inter.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        inter.filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN candidate pair set — the
+    scale-safe composition (candidates from
+    :func:`minhash_candidate_pairs` / :func:`simhash_candidate_pairs`,
+    exact verify here).
+
+    ``pairs`` must have columns (id_a, id_b). Cost is two equi-joins on
+    doc id plus an ``array_intersect`` per candidate pair — linear in
+    candidates, independent of corpus pair count. Returns
+    (id_a, id_b, jaccard) for candidates with jaccard ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"), _shingles(F.col(text_col), n).alias("__sh")
+    ).withColumn("__sz", F.size("__sh"))
+    a = sh.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sh").alias("__sh_a"),
+        F.col("__sz").alias("__sz_a"),
+    )
+    b = sh.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sh").alias("__sh_b"),
+        F.col("__sz").alias("__sz_b"),
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    jac = inter / (F.col("__sz_a") + F.col("__sz_b") - inter)
+    return joined.filter(jac >= threshold).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
