@@ -117,3 +117,81 @@ def test_minhash_no_overflow_under_ansi(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
     assert kept == 2  # doc 1 deduped, no ARITHMETIC_OVERFLOW
+
+
+# --------------------------------------------------------------------------
+# Round-3 advisor findings
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "expr,want",
+    [
+        # |b| > INT_MAX/2: the old MOD(MOD(a,b)+b, b) form wrapped here
+        ("1999999999 % 2000000000", 1999999999),
+        ("-1999999999 % 2000000000", 1),
+        ("1999999999 % -2000000000", -1),
+        # long-range operands
+        ("8999999999999999999 % -9000000000000000000", -1),
+    ],
+)
+def test_modulo_large_divisor_no_overflow(trips, expr, want):
+    pdf = trips.sql_pd(f"select {expr} as m from t limit 1")
+    assert pdf["m"].tolist() == [want]
+
+
+def test_modulo_large_divisor_under_ansi(trips):
+    """The sign-conditional add never exceeds |b|, so ANSI mode must not
+    throw ARITHMETIC_OVERFLOW either."""
+    spark = trips.df.sparkSession
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        pdf = trips.sql_pd("select -1999999999 % 2000000000 as m from t limit 1")
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert pdf["m"].tolist() == [1]
+
+
+def test_asof_map_payload_column(spark):
+    """A MapType column carried from the right side must not break the
+    xxhash64 tiebreak (maps are unhashable — excluded from the hash)."""
+    from vinum_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (2, 10)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 5, {"a": 1}, "x"), (2, 7, {"b": 2}, "y")],
+        "k int, ts int, props map<string,int>, v string",
+    )
+    out = asof_join(left, right, on="ts", by="k").orderBy("k").collect()
+    assert [r["v_right"] for r in out] == ["x", "y"]
+    assert out[0]["props_right"] == {"a": 1}
+
+
+def test_asof_all_unhashable_payload(spark):
+    """Right side whose ONLY carried column is a map: tiebreak falls back
+    to the pre-hash ordering instead of failing analysis."""
+    from vinum_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 5, {"a": 1})], "k int, ts int, props map<string,int>"
+    )
+    out = asof_join(left, right, on="ts", by="k").collect()
+    assert out[0]["props_right"] == {"a": 1}
+
+
+def test_simhash_dedup_shingle_size_threaded(spark):
+    """shingle_size must reach candidate generation so signatures and
+    candidates are computed at the same shingle size."""
+    from vinum_spark.operators.dedup import simhash, simhash_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (1, "a b c d e f g h"), (2, "q r s t u v w x")],
+        "doc_id long, text string",
+    )
+    kept2 = simhash_dedup(docs, shingle_size=2)
+    assert kept2.count() == 2  # doc 1 is an exact dup at any shingle size
+    # signatures at shingle_size=2 equal what dedup's candidates used
+    s2 = simhash(docs, shingle_size=2).select("doc_id", "simhash").collect()
+    s3 = simhash(docs, shingle_size=3).select("doc_id", "simhash").collect()
+    assert {r["simhash"] for r in s2} != {r["simhash"] for r in s3}

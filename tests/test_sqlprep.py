@@ -53,8 +53,18 @@ class TestRewrites:
         assert "^" in out and "#" not in out
 
     def test_modulo_np_mod_form(self):
+        # bind-once lambda form: each operand appears exactly once, the
+        # divisor-sign correction is a conditional add (never overflows).
         out, _ = rewrite_sql("select a % 3 from t")
-        assert "MOD(MOD(a, 3) +(3), 3)" in out
+        assert "named_struct('a', a, 'b', 3)" in out
+        assert "MOD(__vs_m.a, __vs_m.b)" in out
+        assert out.count("'b', 3") == 1  # divisor evaluated once
+
+    def test_modulo_nested_grows_linearly(self):
+        out, _ = rewrite_sql("select a % b % c from t")
+        # each operand of the chain appears exactly once in the rewrite
+        assert out.count("'b', b)") == 1
+        assert out.count("'b', c)") == 1
 
     def test_concat_operator_null_semantics(self):
         out, _ = rewrite_sql("select a || b from t")
@@ -134,8 +144,9 @@ class TestRewrites:
         assert "CONCAT(COALESCE(CAST(CASE" in out and "END AS STRING)" in out
 
     def test_unary_minus_modulo(self):
+        # the unary minus must be absorbed into the dividend binding
         out, _ = rewrite_sql("SELECT -5 % 2 FROM t")
-        assert "MOD(MOD(- 5, 2)" in out.replace("MOD(-5", "MOD(- 5")
+        assert "'a', - 5, 'b', 2" in out.replace("'a', -5", "'a', - 5")
 
     def test_extension_aggregates_recognized(self):
         # stddev counts as aggregation: HAVING stays HAVING

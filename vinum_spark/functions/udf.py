@@ -163,6 +163,16 @@ def _make_vectorized(fn: Callable, arity: int, dt: T.DataType):
     # Only legal when each tail column is constant within the batch:
     # taking .iloc[0] of a genuinely varying column would silently apply
     # the first row's value to the whole batch.
+    #
+    # KNOWN LIMITATION (accepted): constancy is checked per Arrow batch,
+    # so whether np.round(x, col) with a VARYING col raises depends on
+    # batch boundaries — a size-1 or batch-constant partition succeeds
+    # while another partitioning raises. Values produced are per-row
+    # correct in every case; only the error behavior is partitioning-
+    # dependent. Detecting a non-literal tail arg at plan time would
+    # require resolving the expression tree pre-execution, which pandas
+    # UDFs cannot see; the reference has the same contract (scalar-tail
+    # args are SQL literals — passing a column there is outside it).
     scalar_tail = ", ".join(
         [f"s0.to_numpy()"] + [f"s{i}.iloc[0]" for i in range(1, arity)]
     )

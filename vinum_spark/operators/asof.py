@@ -28,6 +28,20 @@ from pyspark.sql import functions as F
 _SIDE = "__asof_side"
 
 
+def _is_hashable(dt) -> bool:
+    """Whether ``xxhash64`` accepts a column of this type (MapType is
+    rejected at analysis time, including maps nested in structs/arrays)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _is_hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_is_hashable(f.dataType) for f in dt.fields)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -78,13 +92,27 @@ def asof_join(
     ts_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     # Final tiebreak: when several RIGHT rows share the same (by, ts), the
     # (ts, side) ordering alone is not total and which payload carries
-    # would depend on partitioning. xxhash64 of the payload struct makes
+    # would depend on partitioning. xxhash64 of the payload fields makes
     # the order deterministic: the duplicate with the LARGEST payload hash
     # wins. Left rows all hash the same null payload, and their mutual
     # order is irrelevant (each just reads the carry at its own frame end).
+    # Only HASHABLE payload fields participate: xxhash64 rejects MapType
+    # (and maps nested anywhere in a type) at analysis time, and an asof
+    # join carrying a map column must still work — such fields simply
+    # don't contribute to the tiebreak. If no field is hashable the order
+    # of exact (by, ts) right-duplicates falls back to partition order,
+    # the pre-tiebreak behavior.
+    hashable = [
+        f"{payload}.{f.name}"
+        for f in r_tagged.schema[payload].dataType.fields
+        if _is_hashable(f.dataType)
+    ]
+    order_keys = [ts_order, F.col(_SIDE).asc()]
+    if hashable:
+        order_keys.append(F.xxhash64(*[F.col(c) for c in hashable]).asc())
     w = (
         Window.partitionBy(*by_cols)
-        .orderBy(ts_order, F.col(_SIDE).asc(), F.xxhash64(F.col(payload)).asc())
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = (

@@ -278,6 +278,7 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     hamming_threshold: int = 3,
     band_bits: int = 16,
+    shingle_size: int = 3,
 ) -> DataFrame:
     """Pairs ``(id_a, id_b)`` (id_a < id_b) within ``hamming_threshold``
     of each other's 64-bit SimHash.
@@ -288,7 +289,7 @@ def simhash_candidate_pairs(
     ``bit_count(xor)``. The band join is an equi-join; pair enumeration
     is quadratic only within a band bucket.
     """
-    h = simhash(df, text_col, id_col)
+    h = simhash(df, text_col, id_col, shingle_size=shingle_size)
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     bucket = h.select(
@@ -334,12 +335,17 @@ def simhash_dedup(
     id_col: str = "doc_id",
     hamming_threshold: int = 3,
     band_bits: int = 16,
+    shingle_size: int = 3,
 ) -> DataFrame:
     """Near-dup removal on SimHash: drop every row that has a lower-id
     row within ``hamming_threshold`` (see
-    :func:`simhash_candidate_pairs` for the banding argument)."""
+    :func:`simhash_candidate_pairs` for the banding argument).
+
+    ``shingle_size`` is threaded through to :func:`simhash` so candidate
+    generation always aligns with signatures computed at the same shingle
+    size."""
     pairs = simhash_candidate_pairs(
-        df, text_col, id_col, hamming_threshold, band_bits
+        df, text_col, id_col, hamming_threshold, band_bits, shingle_size
     )
     dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dups, on=id_col, how="left_anti")

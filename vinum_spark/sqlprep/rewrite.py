@@ -355,6 +355,20 @@ def _is_primary_end(tokens: List[Token], i: int) -> int:
                     return j
             j -= 1
         return 0
+    if t.text == "]":
+        # array index: absorb the [...] and recurse on the indexed primary
+        # (e.g. ``transform(...)[0]`` — the modulo rewrite emits these)
+        depth = 0
+        j = i
+        while j >= 0:
+            if tokens[j].text == "]":
+                depth += 1
+            elif tokens[j].text == "[":
+                depth -= 1
+                if depth == 0:
+                    return _is_primary_end(tokens, j - 1) if j > 0 else 0
+            j -= 1
+        return 0
     return i
 
 
@@ -373,12 +387,34 @@ def _grab_right_primary(tokens: List[Token], j: int) -> int:
 
 
 def _rewrite_modulo(tokens: List[Token]) -> List[Token]:
-    """``a % b`` → ``MOD(MOD(a, b) + (b), b)``: the reference evaluates
-    ``%`` with ``np.mod`` (Python sign semantics, result sign follows the
-    DIVISOR — ``vinum/core/expressions.py:13-25``); Spark's ``%``/``MOD``
-    follow the dividend. The double-MOD form reproduces np.mod for every
-    sign combination (PMOD only matches when the divisor is positive).
-    Emitted as ``MOD()`` calls, not ``%``, so this loop terminates."""
+    """``a % b`` → np.mod semantics (result sign follows the DIVISOR —
+    ``vinum/core/expressions.py:13-25``); Spark's ``%``/``MOD`` follow the
+    dividend and PMOD only matches when the divisor is positive.
+
+    Emitted form binds both operands ONCE inside a single-element
+    higher-order ``transform`` lambda::
+
+        transform(array(named_struct('a', a, 'b', b)),
+                  __vs_m -> MOD(__vs_m.a, __vs_m.b)
+                            + IF(MOD(__vs_m.a, __vs_m.b) != 0
+                                 AND (MOD(__vs_m.a, __vs_m.b) < 0)
+                                     != (__vs_m.b < 0),
+                                 __vs_m.b, 0))[0]
+
+    Why this shape:
+
+    - *sign-conditional add*, not ``MOD(MOD(a,b)+b, b)``: the add only
+      fires when dividend/divisor signs differ, so ``|result| < |b|`` and
+      the sum never overflows the integer type (the double-MOD form
+      wrapped for ``|b| > INT_MAX/2`` with ANSI off, threw with ANSI on);
+    - *single evaluation* of each operand: a nondeterministic divisor
+      (``rand()``) sees one value, and nested ``%`` chains grow linearly
+      in the rewritten SQL instead of 3^depth.
+
+    The lambda is interpreted (not codegen'd), but it runs once per row on
+    a one-element array — negligible against the scan, and ``%`` does not
+    appear in any bulk-throughput operator path. Emitted tokens contain no
+    ``%``, so this loop terminates."""
     while True:
         idx = next((i for i, t in enumerate(tokens) if t.text == "%"), None)
         if idx is None:
@@ -404,8 +440,13 @@ def _rewrite_modulo(tokens: List[Token]) -> List[Token]:
             rend = _grab_right_primary(tokens, idx + 2)
         left = render(tokens[lstart:idx])
         right = render(tokens[idx + 1 : rend + 1])
+        m = "MOD(__vs_m.a, __vs_m.b)"
         # re-tokenize so later passes still see inner function calls
-        repl = tokenize(f"MOD(MOD({left}, {right}) + ({right}), {right})")
+        repl = tokenize(
+            f"transform(array(named_struct('a', {left}, 'b', {right})), "
+            f"__vs_m -> {m} + IF({m} != 0 AND ({m} < 0) != (__vs_m.b < 0), "
+            f"__vs_m.b, 0))[0]"
+        )
         tokens = tokens[:lstart] + repl + tokens[rend + 1 :]
 
 

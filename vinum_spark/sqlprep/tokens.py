@@ -18,7 +18,7 @@ _TOKEN_RE = re.compile(
   | (?P<qident>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
   | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<ident>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)*)
-  | (?P<op>==|<=|>=|<>|!=|\|\||::|[=<>+\-*/%^#~&|])
+  | (?P<op>==|<=|>=|<>|!=|->|\|\||::|[=<>+\-*/%^#~&|])
   | (?P<punct>[(),.;\[\]])
     """,
     re.VERBOSE | re.DOTALL,
