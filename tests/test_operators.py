@@ -131,3 +131,128 @@ def test_lsh_recovers_close_neighbor(vectors):
     assert 0 in top.vec_id.tolist()
     assert 1 in top.vec_id.tolist()  # 0.01-perturbed twin shares the bucket
     assert 2 not in top.vec_id.tolist()  # opposite vector is far in sign-LSH
+
+
+# --------------------------------------------------------------------------
+# Candidate-generation / exact-verify compositions (the scale path:
+# bounded candidates from LSH banding, exact verification on candidates)
+# --------------------------------------------------------------------------
+
+
+def test_minhash_candidate_pairs_cover_exact(docs):
+    from vinum_spark.operators import minhash_candidate_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    }
+    cands = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(docs, n_hashes=64, bands=32).collect()
+    }
+    assert exact, "fixture must contain at least one near-dup pair"
+    assert exact <= cands  # candidates are a superset of qualifying pairs
+    for id_a, id_b in cands:
+        assert id_a < id_b
+
+
+def test_ngram_jaccard_verify_equals_corpus_wide(docs):
+    """verify(candidates) must reproduce the corpus-wide exact result when
+    candidates cover all qualifying pairs — the q28 gate composition."""
+    from vinum_spark.operators import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+        ngram_jaccard_verify,
+    )
+
+    full = ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    cands = minhash_candidate_pairs(docs, n_hashes=64, bands=32)
+    verified = ngram_jaccard_verify(docs, cands, n=2, threshold=0.5).collect()
+    as_map = lambda rows: {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert as_map(full) == as_map(verified)
+
+
+def test_ngram_jaccard_verify_filters_false_candidates(docs, spark):
+    from vinum_spark.operators import ngram_jaccard_verify
+
+    # hand a deliberately bad candidate (0, 3): exact verify must drop it
+    pairs = spark.createDataFrame([(0, 3), (0, 1)], "id_a long, id_b long")
+    out = ngram_jaccard_verify(docs, pairs, n=2, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(0, 1)}
+
+
+def test_simhash_candidate_pairs_find_near_dups(docs):
+    from vinum_spark.operators import simhash_candidate_pairs
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_candidate_pairs(docs, hamming_threshold=3).collect()
+    }
+    assert (0, 1) in pairs  # exact dup: Hamming 0
+    for id_a, id_b in pairs:
+        assert id_a < id_b
+    assert (3, 5) not in pairs and (0, 3) not in pairs  # unrelated docs
+
+
+def test_blocked_pair_cosine_matches_bruteforce(vectors):
+    """Block-grid exact all-pairs == brute-force on every pair, for every
+    block count (1 block degenerates to a single bucket; 16 > n rows)."""
+    from vinum_spark.operators import blocked_pair_cosine
+
+    rows = {r.vec_id: np.array(r.embedding, dtype="float64") for r in vectors.collect()}
+    want = {}
+    for i in sorted(rows):
+        for j in sorted(rows):
+            if i < j:
+                c = float(rows[i] @ rows[j] / (np.linalg.norm(rows[i]) * np.linalg.norm(rows[j])))
+                if c >= 0.2:
+                    want[(i, j)] = round(c, 6)
+    for n_blocks in (1, 3, 16):
+        got = {
+            (r.id_a, r.id_b): round(r.cosine, 6)
+            for r in blocked_pair_cosine(vectors, 0.2, n_blocks=n_blocks).collect()
+        }
+        assert got == want, f"n_blocks={n_blocks}"
+
+
+def test_blocked_pair_cosine_plan_is_equi_join(vectors):
+    from vinum_spark.operators import blocked_pair_cosine
+
+    df = blocked_pair_cosine(vectors, 0.2, n_blocks=4)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_candidates_plus_verify_on_planted_neardups(spark):
+    """The high-threshold scale path: on a corpus with PLANTED near-dups
+    (cos > 0.95) and background noise (cos < 0.5), LSH band candidates +
+    exact cosine verify reproduces exact blocked all-pairs."""
+    from vinum_spark.operators import (
+        blocked_pair_cosine,
+        cosine_verify,
+        lsh_candidate_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    for base_i in range(20):
+        base = rng.standard_normal(16)
+        rows.append((vid, [float(x) for x in base])); vid += 1
+        if base_i < 5:  # plant a near-dup of the first five
+            rows.append((vid, [float(x) for x in base + 0.05 * rng.standard_normal(16)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.id_a, r.id_b): round(r.cosine, 6)
+        for r in blocked_pair_cosine(df, 0.9, n_blocks=4).collect()
+    }
+    assert len(exact) == 5  # the planted pairs, nothing else
+    cands = lsh_candidate_pairs(df, dim=16, n_planes=16, band_bits=4)
+    got = {
+        (r.id_a, r.id_b): round(r.cosine, 6)
+        for r in cosine_verify(df, cands, 0.9).collect()
+    }
+    assert got == exact

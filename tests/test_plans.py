@@ -71,11 +71,18 @@ def test_codegen_present(spark):
 
 
 def test_no_cartesian_products_anywhere(spark):
-    # q39 intentionally uses a broadcast non-equi join (vec_id < vec_id);
-    # nothing in the inventory may fall back to CartesianProduct.
     for name in QUERIES:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_no_nested_loop_joins_anywhere(spark):
+    # every join in the inventory must be an equi-join (hash or
+    # sort-merge, possibly broadcast); BroadcastNestedLoopJoin enumerates
+    # O(n*m) pairs against a full-table broadcast and dies at scale
+    for name in QUERIES:
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_no_row_at_a_time_python(spark):

@@ -930,13 +930,20 @@ def q27(spark, sf_dir):
     WHERE inter / (sz_a + sz_b - inter) >= 0.8
     ORDER BY id_a, id_b
     """,
-    "Exact 3-gram Jaccard near-dup pairs (threshold 0.8) — the "
-    "verification path for MinHash candidates (operators/dedup.py).",
+    "Exact 3-gram Jaccard near-dup pairs (threshold 0.8) via the "
+    "scale-safe composition: LSH candidates (minhash_candidate_pairs, "
+    "bands=32 so a boundary pair at jaccard 0.8 is missed with "
+    "probability (1-0.8^2)^32 ~ 6e-15) + exact verify on candidates only "
+    "(ngram_jaccard_verify) — never a corpus-wide shingle self-join. The "
+    "oracle is the full exact computation, so a hash match proves the "
+    "candidate set covered every qualifying pair.",
 )
 def q28(spark, sf_dir):
-    return D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
-    ).orderBy("id_a", "id_b")
+    docs = _t(spark, sf_dir, "documents")
+    cands = D.minhash_candidate_pairs(docs, n_hashes=64, bands=32)
+    return D.ngram_jaccard_verify(docs, cands, n=3, threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @_q(
@@ -1161,28 +1168,22 @@ def q38(spark, sf_dir):
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.22
     ORDER BY id_a, id_b
     """,
-    "Embedding cosine near-dup pairs (exact verification path; the scale "
-    "path prefilters with sign-LSH buckets, operators/similarity.py).",
+    "Embedding cosine pairs >= 0.22 via blocked_pair_cosine "
+    "(operators/similarity.py): exact all-pairs distributed as an "
+    "equi-join on a block-pair grid — even tasks, bounded memory, no "
+    "full-table broadcast, no nested-loop join. The 0.22 threshold is a "
+    "77-degree angle (this corpus has no true near-dups; max pair cosine "
+    "is 0.51), where no LSH family can prune without losing recall — "
+    "for real near-dup thresholds (cos >= 0.7) the scale path is "
+    "lsh_candidate_pairs + cosine_verify, tested on planted near-dups "
+    "in tests/test_operators.py.",
 )
 def q39(spark, sf_dir):
-    from vinum_spark.operators.similarity import _dot, _norm
-
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    av, bv = F.col("a.embedding"), F.col("b.embedding")
-    cos = _dot(av, bv) / (_norm(av) * _norm(bv))
-    return (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.22)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round("cosine", 4).alias("cosine"),
-        )
-        .orderBy("id_a", "id_b")
-    )
+    out = S.blocked_pair_cosine(emb, threshold=0.22, n_blocks=8)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    ).orderBy("id_a", "id_b")
 
 
 @_q(

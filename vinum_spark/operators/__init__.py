@@ -18,16 +18,22 @@ from vinum_spark.operators.text import (
 from vinum_spark.operators.dedup import (
     dedup_exact,
     minhash_signatures,
+    minhash_candidate_pairs,
     minhash_lsh_dedup,
     simhash,
+    simhash_candidate_pairs,
     simhash_dedup,
     ngram_jaccard_pairs,
+    ngram_jaccard_verify,
 )
 from vinum_spark.operators.similarity import (
     with_cosine_similarity,
     cosine_topk,
     lsh_signature,
     lsh_bucket_topk,
+    lsh_candidate_pairs,
+    cosine_verify,
+    blocked_pair_cosine,
     ivf_index,
     ivf_topk,
 )
@@ -40,14 +46,20 @@ __all__ = [
     "with_fingerprint",
     "dedup_exact",
     "minhash_signatures",
+    "minhash_candidate_pairs",
     "minhash_lsh_dedup",
     "simhash",
+    "simhash_candidate_pairs",
     "simhash_dedup",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_verify",
     "with_cosine_similarity",
     "cosine_topk",
     "lsh_signature",
     "lsh_bucket_topk",
+    "lsh_candidate_pairs",
+    "cosine_verify",
+    "blocked_pair_cosine",
     "ivf_index",
     "ivf_topk",
     "asof_join",

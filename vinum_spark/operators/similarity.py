@@ -14,7 +14,7 @@ matching partitions.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -25,7 +25,23 @@ def _lit_array(vals: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vals])
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: Optional[int] = None) -> Column:
+    """Dot product of two array columns.
+
+    With ``dim`` known, expand to a flat literal-indexed sum — fully
+    whole-stage-codegen'd (higher-order ``aggregate``/``zip_with`` lambdas
+    execute INTERPRETED per element, measured ~50× slower; irrelevant for
+    one dot per row, decisive for pair-enumeration operators computing
+    millions of dots). Without ``dim``, fall back to the HOF form.
+    """
+    if dim is not None:
+        terms = [
+            a[i].cast("double") * b[i].cast("double") for i in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -33,8 +49,8 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _norm(a: Column, dim: Optional[int] = None) -> Column:
+    return F.sqrt(_dot(a, a, dim))
 
 
 def with_cosine_similarity(
@@ -147,6 +163,209 @@ def ivf_topk(
     indexed = ivf_index(df, len(q), n_cells, vec_col, seed=seed)
     candidates = indexed.filter(F.col("ivf_cell").isin(probe_cells))
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> Optional[int]:
+    """Vector length from one row (single-row driver fetch, same class as
+    a query-vector lookup). None on an empty frame — callers fall back to
+    the HOF dot, which handles any length including zero rows."""
+    head = df.select(vec_col).head(1)
+    return len(head[0][0]) if head and head[0][0] is not None else None
+
+
+def blocked_pair_cosine(
+    df: DataFrame,
+    threshold: float,
+    n_blocks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT all-pairs cosine similarity ≥ ``threshold`` via a block-grid
+    self-join — the distributed plan for exact pair enumeration.
+
+    Each vector is hashed to one of ``n_blocks`` blocks; every unordered
+    block pair (p ≤ q) becomes one join bucket, side A holding block p's
+    rows and side B block q's. The join is an EQUI-join on the
+    (block_a, block_b) key: no broadcast of the full table, no
+    BroadcastNestedLoopJoin, no cartesian product. Work per task is
+    (n/n_blocks)² pair evaluations — even by construction (blocks are
+    hash-assigned), so 1000 executors each get ~pairs/tasks work.
+    Replication cost: each row is shuffled ~n_blocks times; pick
+    n_blocks ≈ sqrt(desired tasks).
+
+    Exact all-pairs is inherently O(n²) COMPUTE — that is the query's
+    semantics. This operator makes the compute distribute evenly and the
+    memory bounded (a task materializes two blocks, not the table). When
+    the threshold is high enough for hyperplane LSH to prune (cos ≳ 0.7,
+    i.e. angle ≲ 45°), prefer :func:`lsh_candidate_pairs` +
+    :func:`cosine_verify`, which replaces the grid with bucket-local
+    pairs. At weak thresholds (e.g. 0.22 ≈ 77° — near-orthogonal) no LSH
+    family can prune without losing recall, and this blocked exact plan
+    is the right one.
+
+    The per-bucket kernel is an Arrow-batched ``applyInPandas`` matmul:
+    a dense O(n²) dot-product sweep is BLAS territory — one
+    ``A @ B.T`` per block pair replaces millions of per-pair expression
+    evaluations, and only pairs ≥ threshold ever materialize as rows
+    (measured ~10× faster than enumerating the pairs as a JVM join at
+    sf0.1; the join shape also shuffles every PAIR, this shape shuffles
+    every ROW ×n_blocks). This is the documented carve-out where built-in
+    expressions genuinely can't express the computation efficiently.
+    """
+    import pandas as pd
+
+    v = F.col(vec_col)
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        v.cast("array<double>").alias("__v"),
+    ).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks)).cast("int")
+    )
+    # A row in block b joins bucket (pa=b, pb=q) as side A for q ≥ b and
+    # bucket (pa=p, pb=b) as side B for p < b: every unordered block pair
+    # meets in exactly one bucket, the diagonal bucket holds each row once.
+    a_copies = base.select(
+        "__id",
+        "__v",
+        F.col("__blk").alias("__pa"),
+        F.explode(F.sequence(F.col("__blk"), F.lit(n_blocks - 1))).alias("__pb"),
+        F.lit("a").alias("__side"),
+    )
+    b_copies = base.filter(F.col("__blk") > 0).select(
+        "__id",
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.col("__blk") - 1)).alias("__pa"),
+        F.col("__blk").alias("__pb"),
+        F.lit("b").alias("__side"),
+    )
+    replicated = a_copies.unionByName(b_copies)
+    thr = float(threshold)
+
+    def _kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        diagonal = pdf["__pa"].iat[0] == pdf["__pb"].iat[0]
+        a_rows = pdf if diagonal else pdf[pdf["__side"] == "a"]
+        b_rows = pdf if diagonal else pdf[pdf["__side"] == "b"]
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+        if len(a_rows) == 0 or len(b_rows) == 0:
+            return empty
+        ids_a = a_rows["__id"].to_numpy()
+        ids_b = b_rows["__id"].to_numpy()
+        va = np.stack(a_rows["__v"].to_numpy())
+        vb = np.stack(b_rows["__v"].to_numpy())
+        sims = (va @ vb.T) / np.outer(
+            np.linalg.norm(va, axis=1), np.linalg.norm(vb, axis=1)
+        )
+        if diagonal:
+            ii, jj = np.nonzero(np.triu(sims >= thr, k=1))
+        else:
+            ii, jj = np.nonzero(sims >= thr)
+        lo = np.minimum(ids_a[ii], ids_b[jj])
+        hi = np.maximum(ids_a[ii], ids_b[jj])
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": sims[ii, jj]}
+        )
+
+    return replicated.groupBy("__pa", "__pb").applyInPandas(
+        _kernel, schema="id_a long, id_b long, cosine double"
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs from hyperplane-LSH band co-membership —
+    the embedding analogue of ``minhash_candidate_pairs``.
+
+    Bands of ``band_bits`` bits over the ``n_planes``-bit signature;
+    candidates share ≥1 band (equi-join on (band, key), pair enumeration
+    quadratic only within a bucket). For a pair at angle θ each bit
+    agrees with probability 1−θ/π, so recall is high only for HIGH
+    cosine thresholds (small angles) — use with
+    :func:`cosine_verify` for near-dup detection (cos ≳ 0.7); for weak
+    thresholds use :func:`blocked_pair_cosine` (see its docstring).
+    """
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    signed = lsh_signature(df, dim, n_planes, vec_col, seed=seed)
+    bucket = signed.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.shiftright("lsh_sig", bnd * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for bnd in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    a, b = bucket.alias("a"), bucket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def cosine_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Exact cosine for a GIVEN candidate pair set — two equi-joins on id
+    plus one codegen'd dot product per candidate; linear in candidates,
+    independent of corpus pair count. Returns (id_a, id_b, cosine) where
+    cosine ≥ ``threshold``."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__n", _norm(F.col("__v"), dim))
+    a = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__v_a"),
+        F.col("__n").alias("__n_a"),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__v_b"),
+        F.col("__n").alias("__n_b"),
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    cos = _dot(F.col("__v_a"), F.col("__v_b"), dim) / (
+        F.col("__n_a") * F.col("__n_b")
+    )
+    return (
+        joined.withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.col("__cos").alias("cosine"))
+    )
 
 
 def lsh_bucket_topk(
