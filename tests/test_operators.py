@@ -256,3 +256,19 @@ def test_lsh_candidates_plus_verify_on_planted_neardups(spark):
         for r in cosine_verify(df, cands, 0.9).collect()
     }
     assert got == exact
+
+
+def test_minhash_verified_dedup_matches_exact_rule(docs):
+    """Survivors must equal the exact domination rule: b dropped iff
+    some a<b has jaccard(a,b) >= threshold — computed brute-force."""
+    from vinum_spark.operators import minhash_verified_dedup, ngram_jaccard_pairs
+
+    exact_drops = {
+        r.id_b for r in ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    }
+    all_ids = {r.doc_id for r in docs.collect()}
+    kept = {
+        r.doc_id
+        for r in minhash_verified_dedup(docs, n=2, threshold=0.5, bands=32).collect()
+    }
+    assert kept == all_ids - exact_drops

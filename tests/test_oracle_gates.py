@@ -1,0 +1,58 @@
+"""Driver-style oracle gates for the five queries whose Spark results
+contain engine-specific machinery (LSH buckets, SimHash bands, HLL,
+hyperplane/IVF ANN): each query is designed to be self-verifying, and
+these tests run the SAME DuckDB oracle the round driver runs, at
+sf0.001 (the driver gates at sf0.01 — both verified)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from vinum_spark.inventory import QUERIES, oracle_sql
+
+SF_DIR = "/root/testdata/sf0.001"
+
+GATED = [
+    "q29_minhash_lsh_dedup",
+    "q30_simhash",
+    "q32_ann_lsh",
+    "q38_approx_distinct",
+    "q46_ann_ivf",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for name in ("documents", "embeddings", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", GATED)
+def test_gate_matches_duckdb_oracle(spark, oracle_con, name):
+    sdf = QUERIES[name].fn(spark, SF_DIR).toPandas()
+    odf = oracle_con.execute(oracle_sql()[name]).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert s.shape == o.shape
+    for c in cols:
+        if s[c].dtype.kind in "fciu":
+            assert np.allclose(
+                s[c].astype("float64"), o[c].astype("float64")
+            ), c
+        else:
+            assert (s[c].astype(str) == o[c].astype(str)).all(), c
+
+
+def test_every_query_has_an_oracle():
+    """Round-3 contract: zero rows-only checks left in the inventory."""
+    missing = [n for n in QUERIES if n not in oracle_sql()]
+    assert missing == []

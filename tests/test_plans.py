@@ -94,7 +94,15 @@ def test_no_row_at_a_time_python(spark):
 
 
 def test_minhash_partial_aggregates(spark):
-    plan = plan_of(spark, "q29_minhash_lsh_dedup")
+    # q29's final plan starts from the checkpointed candidate set, so
+    # assert the map-side combine on the candidate pipeline itself
+    from vinum_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = minhash_candidate_pairs(docs, n_hashes=64, bands=16)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     assert "partial_min" in plan  # map-side combine before the shuffle
 
 

@@ -20,6 +20,7 @@ from vinum_spark.operators.dedup import (
     minhash_signatures,
     minhash_candidate_pairs,
     minhash_lsh_dedup,
+    minhash_verified_dedup,
     simhash,
     simhash_candidate_pairs,
     simhash_dedup,
@@ -48,6 +49,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_candidate_pairs",
     "minhash_lsh_dedup",
+    "minhash_verified_dedup",
     "simhash",
     "simhash_candidate_pairs",
     "simhash_dedup",

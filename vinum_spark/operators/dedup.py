@@ -227,6 +227,47 @@ def minhash_lsh_dedup(
     return df.join(dups, on=id_col, how="left_anti")
 
 
+def minhash_verified_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Exact-verified near-dup removal — the full scale composition:
+    LSH candidates → exact n-gram Jaccard verify → drop every row with a
+    lower-id VERIFIED duplicate.
+
+    Unlike :func:`minhash_lsh_dedup` (pure bucket greedy: probabilistic
+    in both directions), survivors here match the exact domination rule
+    — ``b`` is dropped iff ∃ ``a < b`` with ``jaccard(a, b) ≥
+    threshold`` — provided candidates cover every qualifying pair.
+    That makes the survivor set independently checkable by any exact
+    engine, while the cost stays candidates-bounded: no corpus-wide pair
+    enumeration anywhere.
+
+    ``bands=16`` (4 rows/band) puts the LSH S-curve midpoint at
+    ``(1/16)^(1/4) = 0.5``: a pair at exactly jaccard 0.8 is missed with
+    probability ``(1 − 0.8⁴)¹⁶ ≈ 2e-4``, and real near-dups (j ≥ 0.89 on
+    every measured corpus) at ``≤ 1.4e-7`` — while keeping the candidate
+    set (and hence verify shingling, the expensive stage) near the true
+    pair set instead of sweeping in moderate-similarity pairs. For a
+    maximum-recall gate at small scale, pass ``bands=32`` (2 rows/band:
+    boundary miss ``6e-15``, more candidates).
+    """
+    cands = minhash_candidate_pairs(
+        df, text_col, id_col, n_hashes, bands, shingle_size=n
+    )
+    dups = (
+        ngram_jaccard_verify(df, cands, text_col, id_col, n, threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, on=id_col, how="left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -399,6 +440,7 @@ def ngram_jaccard_verify(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    materialize_pairs: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard for a GIVEN candidate pair set — the
     scale-safe composition (candidates from
@@ -409,8 +451,29 @@ def ngram_jaccard_verify(
     doc id plus an ``array_intersect`` per candidate pair — linear in
     candidates, independent of corpus pair count. Returns
     (id_a, id_b, jaccard) for candidates with jaccard ≥ threshold.
+
+    Shingling (the expensive part: interpreted higher-order transforms
+    per document) runs only on documents that appear in ``pairs`` — a
+    semi-join prefilter keeps verify cost candidates-proportional
+    instead of corpus-proportional.
+
+    The plan references ``pairs`` twice (id prefilter + the pair join),
+    and Spark recomputes a subtree per reference — for LSH-generated
+    candidates that would re-run the whole signature pipeline. Since the
+    candidate set is bounded by construction, ``materialize_pairs``
+    (default) snapshots it once with an eager ``localCheckpoint``
+    (measured 2× end-to-end on the sf0.1 verified-dedup pipeline). Pass
+    ``False`` to keep the plan fully lazy (e.g. for plan inspection).
     """
-    sh = df.select(
+    if materialize_pairs:
+        pairs = pairs.localCheckpoint(eager=True)
+    pair_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("__pid")
+    ).distinct()
+    needed = df.join(
+        pair_ids, df[id_col] == pair_ids["__pid"], "left_semi"
+    )
+    sh = needed.select(
         F.col(id_col).alias("__id"), _shingles(F.col(text_col), n).alias("__sh")
     ).withColumn("__sz", F.size("__sh"))
     a = sh.select(
