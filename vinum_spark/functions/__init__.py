@@ -5,6 +5,7 @@ from vinum_spark.functions.udf import (
     registered_udf_names,
     ensure_udfs_registered,
 )
+from vinum_spark.functions.agg import sum_overflow_safe
 
 __all__ = [
     "register_python",
@@ -12,4 +13,5 @@ __all__ = [
     "register_numpy_agg",
     "registered_udf_names",
     "ensure_udfs_registered",
+    "sum_overflow_safe",
 ]

@@ -559,13 +559,17 @@ def q16(spark, sf_dir):
     "literal into the scan filter.",
 )
 def q17(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    threshold = 1.5 * o.agg(F.avg("o_totalprice")).collect()[0][0]
-    return (
-        o.filter(F.col("o_totalprice") > threshold)
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_big"))
-        .orderBy("o_orderpriority")
+    # a REAL scalar subquery: one plan, Catalyst evaluates the subquery
+    # once and broadcasts the scalar into the filter — no driver collect
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_q17")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_big
+        FROM __orders_q17
+        WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM __orders_q17)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
     )
 
 
@@ -1624,15 +1628,14 @@ def q48(spark, sf_dir):
     "batch oracle.",
 )
 def q49(spark, sf_dir):
-    import tempfile
-
     from vinum_spark.streaming import stream_events, tumbling_counts
     from vinum_spark.streaming.windows import run_stream_to_memory
 
-    # materialize the (nanos-normalized) events as a stream source
-    src = tempfile.mkdtemp(prefix="vs_stream_src_")
-    _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
-    stream = stream_events(spark, src)
+    # stream the TIMESTAMP(NANOS) source directly (nanosAsLong read +
+    # in-stream conversion) — no per-run rewritten copy
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    stream = stream_events(spark, f"{sf_dir}/events.parquet", nanos_ts=True)
     run_stream_to_memory(tumbling_counts(stream), "q49_out")
     out = spark.table("q49_out")
     return out.select(
@@ -1670,15 +1673,14 @@ def q49(spark, sf_dir):
     "batch lag/cumsum sessionization (30-min gap).",
 )
 def q50(spark, sf_dir):
-    import tempfile
-
     from vinum_spark.streaming import session_aggregate, stream_events
     from vinum_spark.streaming.windows import run_stream_to_memory
 
-    src = tempfile.mkdtemp(prefix="vs_stream_sess_")
-    _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    stream = stream_events(spark, f"{sf_dir}/events.parquet", nanos_ts=True)
     run_stream_to_memory(
-        session_aggregate(stream_events(spark, src), gap="30 minutes"),
+        session_aggregate(stream, gap="30 minutes"),
         "q50_out",
     )
     out = spark.table("q50_out")

@@ -25,14 +25,46 @@ EVENTS_DDL = (
     "value double, props string"
 )
 
+# TIMESTAMP(NANOS) parquet reads as long under nanosAsLong
+EVENTS_NANOS_DDL = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
 
 def stream_events(
     spark: SparkSession,
     path: str,
     fmt: str = "parquet",
     max_files_per_trigger: Optional[int] = None,
+    nanos_ts: bool = False,
 ) -> DataFrame:
-    """``readStream`` over an events directory with the canonical schema."""
+    """``readStream`` over an events directory with the canonical schema.
+
+    ``nanos_ts=True`` streams parquet whose ``ts`` is TIMESTAMP(NANOS)
+    (which Spark's reader otherwise rejects) DIRECTLY: the
+    ``nanosAsLong`` legacy read maps it to a long, converted here to a
+    microsecond timestamp — no rewritten copy of the source needed.
+    """
+    if nanos_ts and fmt == "parquet":
+        import os
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        reader = spark.readStream.format(fmt).schema(EVENTS_NANOS_DDL)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        # FileStreamSource force-overrides basePath to the source path
+        # unless the path is a glob — a direct single-file path (the
+        # testdata layout) therefore fails 'basePath must be a
+        # directory'. Globifying the last character skips the override
+        # so the explicit directory basePath is honored; no copy of the
+        # source is ever made.
+        if os.path.isfile(path):
+            reader = reader.option("basePath", os.path.dirname(path))
+            path = f"{path[:-1]}[{path[-1]}]"
+        return reader.load(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     reader = spark.readStream.format(fmt).schema(EVENTS_DDL)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
