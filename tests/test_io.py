@@ -87,3 +87,74 @@ def test_read_parquet_filters_in(spark):
         spark=spark,
     )
     assert set(t.to_pandas()["n_regionkey"].unique()) <= {0, 1}
+
+
+class TestPyarrowSignatureParity:
+    """The reference's read_csv takes pyarrow option objects positionally
+    (vinum/io/arrow.py:64-108) — a first-port call must work unchanged."""
+
+    def test_read_csv_pyarrow_option_objects(self, spark, tmp_path):
+        import pyarrow.csv as pacsv
+        import vinum_spark as vs
+
+        p = tmp_path / "semi.csv"
+        p.write_text("a;b;c\n1;x;2.5\n2;y;3.5\nNA;z;4.5\n")
+        t = vs.read_csv(
+            str(p),
+            pacsv.ReadOptions(),
+            pacsv.ParseOptions(delimiter=";"),
+            pacsv.ConvertOptions(null_values=["NA"]),
+            spark=spark,
+        )
+        pdf = t.sql_pd("select count(*) as n, count(a) as na, sum(c) as s from t")
+        assert pdf["n"].tolist() == [3]
+        assert pdf["na"].tolist() == [2]  # 'NA' read as null
+        assert pdf["s"].tolist() == [10.5]
+
+    def test_read_csv_column_names_and_types(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.csv as pacsv
+        import vinum_spark as vs
+
+        p = tmp_path / "headerless.csv"
+        p.write_text("1,7\n2,9\n")
+        t = vs.read_csv(
+            str(p),
+            pacsv.ReadOptions(column_names=["k", "v"]),
+            None,
+            pacsv.ConvertOptions(column_types={"v": pa.int64()}),
+            spark=spark,
+        )
+        assert dict(t.df.dtypes)["v"] == "bigint"
+        pdf = t.sql_pd("select sum(v) as s from t")
+        assert pdf["s"].tolist() == [16]
+
+    def test_read_csv_autogenerate_column_names(self, spark, tmp_path):
+        import pyarrow.csv as pacsv
+        import vinum_spark as vs
+
+        p = tmp_path / "nohdr.csv"
+        p.write_text("5,6\n7,8\n")
+        t = vs.read_csv(
+            str(p), pacsv.ReadOptions(autogenerate_column_names=True), spark=spark
+        )
+        assert t.df.columns == ["f0", "f1"]  # pyarrow's naming convention
+
+    def test_read_csv_skip_rows_unsupported_is_loud(self, spark, tmp_path):
+        import pyarrow.csv as pacsv
+        import vinum_spark as vs
+
+        p = tmp_path / "x.csv"
+        p.write_text("a\n1\n")
+        with pytest.raises(NotImplementedError, match="skip_rows"):
+            vs.read_csv(str(p), pacsv.ReadOptions(skip_rows=2), spark=spark)
+
+    def test_read_csv_keyword_form_unchanged(self, spark, tmp_path):
+        import vinum_spark as vs
+
+        p = tmp_path / "kw.csv"
+        p.write_text("a|b\n1|2\n")
+        pdf = vs.read_csv(str(p), delimiter="|", spark=spark).sql_pd(
+            "select a + b as s from t"
+        )
+        assert pdf["s"].tolist() == [3]

@@ -5,15 +5,31 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
-JPG = b"\xff\xd8\xff\xe0" + b"\x01" * 100
+# spec-correct headers: PNG 64x48 RGBA (IHDR), JPEG 120x80 3-component
+# (APP0 then SOF0), GIF89a 320x200 (logical screen descriptor)
+PNG = (
+    b"\x89PNG\r\n\x1a\n"
+    + (13).to_bytes(4, "big") + b"IHDR"
+    + (64).to_bytes(4, "big") + (48).to_bytes(4, "big")
+    + bytes([8, 6, 0, 0, 0]) + b"\x00" * 4  # bitdepth, RGBA, …, crc
+    + b"\x00" * 32
+)
+JPG = (
+    b"\xff\xd8"
+    + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    + b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+    + (80).to_bytes(2, "big") + (120).to_bytes(2, "big") + bytes([3])
+    + b"\x00" * 9
+    + b"\x01" * 40
+)
+GIF = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 20
 MP4 = b"\x00\x00\x00\x18ftypmp42" + b"\x02" * 200
 RAW = b"justsomebytes" * 10
 
 
 @pytest.fixture(scope="module")
 def assets(spark):
-    rows = [(0, PNG), (1, JPG), (2, MP4), (3, RAW)]
+    rows = [(0, PNG), (1, JPG), (2, MP4), (3, RAW), (4, GIF)]
     return spark.createDataFrame(rows, "asset_id long, content binary")
 
 
@@ -36,9 +52,18 @@ def test_decode_images_shapes(assets):
     from vinum_spark.operators.multimodal import decode_images
 
     out = decode_images(assets).toPandas().set_index("asset_id")
-    assert len(out) == 4
-    assert (out["height"] >= 16).all() and (out["width"] >= 16).all()
-    # deterministic: same bytes → same fake shape across runs
+    assert len(out) == 5
+    # TRUE dimensions parsed from the container headers, no codec libs
+    png, jpg, gif = out.loc[0], out.loc[1], out.loc[4]
+    assert (png.height, png.width, png.channels) == (48, 64, 4)
+    assert png.decoder in ("png-header", "pil")
+    assert (jpg.height, jpg.width, jpg.channels) == (80, 120, 3)
+    assert jpg.decoder in ("jpeg-sof", "pil")
+    assert (gif.height, gif.width) == (200, 320)
+    assert gif.decoder in ("gif-header", "pil")
+    # unrecognized containers fall back to the labeled deterministic fake
+    assert out.loc[3].decoder in ("stub", "pil")
+    # deterministic: same bytes → same shape across runs
     again = decode_images(assets).toPandas().set_index("asset_id")
     assert out[["height", "width"]].equals(again[["height", "width"]])
 
@@ -49,7 +74,7 @@ def test_extract_features_unit_vectors(assets):
     import numpy as np
 
     out = extract_features(assets).toPandas()
-    assert len(out) == 4
+    assert len(out) == 5
     for v in out["feature"]:
         assert len(v) == 32
         assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)

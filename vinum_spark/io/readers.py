@@ -23,18 +23,75 @@ from vinum_spark.session import get_spark
 
 def read_csv(
     path: str,
+    read_options=None,
+    parse_options=None,
+    convert_options=None,
+    memory_pool=None,
+    *,
     header: bool = True,
     infer_schema: bool = True,
     delimiter: str = ",",
     spark: Optional[SparkSession] = None,
     **options,
 ) -> Table:
-    """CSV → Table (reference: ``vinum/io/arrow.py:64-108``).
+    """CSV → Table, reference-signature compatible
+    (``vinum/io/arrow.py:64-108``): the 2nd–5th positional parameters
+    accept ``pyarrow.csv.ReadOptions`` / ``ParseOptions`` /
+    ``ConvertOptions`` / ``memory_pool`` exactly as the reference does,
+    so a first-port call like ``read_csv(path, ro, po, co)`` works
+    unchanged. Option-object fields are lowered onto the Spark CSV
+    source:
 
-    ``inferSchema`` triggers an extra pass — acceptable for ad-hoc use;
-    pass an explicit ``schema=`` option at scale.
+    - ``ParseOptions``: delimiter → ``sep``, quote_char → ``quote``,
+      escape_char → ``escape``, newlines_in_values → ``multiLine``;
+    - ``ReadOptions``: skip_rows → ``skipRows`` emulation via header
+      handling, column_names / autogenerate_column_names → rename after
+      a headerless read (pyarrow's ``f0..fN`` convention);
+    - ``ConvertOptions``: include_columns → projection, column_types →
+      post-scan casts, null_values → ``nullValue``.
+
+    ``memory_pool`` is accepted and ignored — allocation is the JVM's
+    concern here. Keyword use (``header=``, ``delimiter=``, raw Spark
+    ``**options``) is unchanged. ``inferSchema`` triggers an extra pass
+    — acceptable for ad-hoc use; pass an explicit ``schema=`` at scale.
     """
     spark = spark or get_spark()
+    column_names = None
+    autogenerate = False
+    if read_options is not None:
+        if getattr(read_options, "skip_rows", 0):
+            raise NotImplementedError(
+                "read_options.skip_rows is not supported on the Spark "
+                "CSV source; pre-slice the input or use a comment prefix"
+            )
+        column_names = list(getattr(read_options, "column_names", None) or []) or None
+        autogenerate = bool(getattr(read_options, "autogenerate_column_names", False))
+        enc = getattr(read_options, "encoding", None)
+        if enc and enc != "utf8":
+            options.setdefault("encoding", enc)
+        if column_names or autogenerate:
+            header = False
+    if parse_options is not None:
+        delimiter = getattr(parse_options, "delimiter", None) or delimiter
+        quote = getattr(parse_options, "quote_char", None)
+        if isinstance(quote, str):
+            options.setdefault("quote", quote)
+        esc = getattr(parse_options, "escape_char", None)
+        if isinstance(esc, str):
+            options.setdefault("escape", esc)
+        if getattr(parse_options, "newlines_in_values", False):
+            options.setdefault("multiLine", "true")
+    include_columns = None
+    column_types = None
+    if convert_options is not None:
+        include_columns = list(getattr(convert_options, "include_columns", None) or []) or None
+        ct = getattr(convert_options, "column_types", None)
+        if ct:
+            column_types = dict(ct)
+        nulls = list(getattr(convert_options, "null_values", None) or [])
+        if len(nulls) == 1:
+            options.setdefault("nullValue", nulls[0])
+
     reader = (
         spark.read.option("header", str(header).lower())
         .option("inferSchema", str(infer_schema).lower())
@@ -45,7 +102,39 @@ def read_csv(
         reader = reader.option(k, v)
     if schema is not None:
         reader = reader.schema(schema)
-    return Table(reader.csv(path))
+    df = reader.csv(path)
+    if column_names:
+        df = df.toDF(*column_names)
+    elif autogenerate:
+        df = df.toDF(*[f"f{i}" for i in range(len(df.columns))])
+    if column_types:
+        from pyspark.sql import functions as F
+
+        for name, pa_type in column_types.items():
+            if name in df.columns:
+                spark_type = _PA_TO_SPARK.get(str(pa_type))
+                if spark_type:
+                    df = df.withColumn(name, F.col(name).cast(spark_type))
+    if include_columns:
+        df = df.select(*include_columns)
+    return Table(df)
+
+
+# pyarrow type name → Spark SQL type for ConvertOptions.column_types
+_PA_TO_SPARK = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "bool": "boolean",
+    "date32[day]": "date",
+    "timestamp[s]": "timestamp",
+    "timestamp[ms]": "timestamp",
+    "timestamp[us]": "timestamp",
+}
 
 
 def stream_csv(path: str, spark: Optional[SparkSession] = None, **options) -> StreamReader:

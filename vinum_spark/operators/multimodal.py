@@ -76,10 +76,53 @@ _DECODE_SCHEMA = T.StructType(
 
 def _fake_shape(data: bytes) -> tuple[int, int, int]:
     """DETERMINISTIC FAKE decode: derives a plausible (h, w, c) from the
-    content digest. Replaces PIL in codec-less environments; the Spark
-    plumbing around it is identical either way."""
+    content digest. Last resort for unrecognized containers in codec-less
+    environments; the Spark plumbing around it is identical either way."""
     h = hashlib.sha1(data or b"").digest()
     return 16 + h[0] % 240, 16 + h[1] % 240, 3
+
+
+# PNG color type → sample channels (greyscale, rgb, palette, grey+alpha,
+# rgba); palette decodes to indexed single samples at the container level
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _header_dims(data: bytes):
+    """TRUE (height, width, channels, decoder) parsed from the container
+    header bytes alone — no codec library required. PNG IHDR, GIF logical
+    screen descriptor, and JPEG SOF frame headers all carry dimensions in
+    fixed, spec-defined positions. Returns None for other formats."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 26:
+        # IHDR is mandated first: width/height big-endian at 16/20,
+        # color type at 25 (PNG spec §11.2.2)
+        w = int.from_bytes(data[16:20], "big")
+        h = int.from_bytes(data[20:24], "big")
+        return h, w, _PNG_CHANNELS.get(data[25], 3), "png-header"
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        # logical screen descriptor: little-endian u16 width, height
+        w = int.from_bytes(data[6:8], "little")
+        h = int.from_bytes(data[8:10], "little")
+        return h, w, 3, "gif-header"
+    if data[:3] == b"\xff\xd8\xff":
+        # walk marker segments to the first SOFn (C0–CF minus DHT C4,
+        # JPG C8, DAC CC): [marker][len][precision][height][width][ncomp]
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # bare markers
+                i += 2
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(data[i + 5 : i + 7], "big")
+                w = int.from_bytes(data[i + 7 : i + 9], "big")
+                return h, w, data[i + 9], "jpeg-sof"
+            i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
+    return None
 
 
 def decode_images(
@@ -87,8 +130,12 @@ def decode_images(
 ) -> DataFrame:
     """Decode image dimensions per asset via Arrow-batched mapInPandas.
 
-    Uses PIL when available; otherwise the deterministic fake (marked in
-    the ``decoder`` output column as ``stub``).
+    Decode ladder, per asset: PIL when importable (full decode) → pure-
+    byte header parsing for PNG/GIF/JPEG (true dimensions, ``decoder`` =
+    ``png-header``/``gif-header``/``jpeg-sof``) → deterministic fake
+    (``decoder`` = ``stub``) for unrecognized containers. Pixel-level
+    work (resize, color transforms) still needs a codec library; header
+    dimensions — the common pretraining-filter input — do not.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,22 +144,28 @@ def decode_images(
             import io
 
             def shape(data):
+                data = bytes(data or b"")
                 with Image.open(io.BytesIO(data)) as im:
-                    return im.height, im.width, len(im.getbands())
+                    return im.height, im.width, len(im.getbands()), "pil"
 
-            decoder = "pil"
         except ImportError:
-            shape = _fake_shape
-            decoder = "stub"
+
+            def shape(data):
+                data = bytes(data or b"")
+                parsed = _header_dims(data)
+                if parsed is not None:
+                    return parsed
+                return (*_fake_shape(data), "stub")
+
         for pdf in it:
-            hw = [shape(x) for x in pdf[content_col]]
+            rows = [shape(x) for x in pdf[content_col]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf[id_col].astype("int64"),
-                    "height": [t[0] for t in hw],
-                    "width": [t[1] for t in hw],
-                    "channels": [t[2] for t in hw],
-                    "decoder": decoder,
+                    "height": [t[0] for t in rows],
+                    "width": [t[1] for t in rows],
+                    "channels": [t[2] for t in rows],
+                    "decoder": [t[3] for t in rows],
                 }
             )
 
