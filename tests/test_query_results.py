@@ -798,7 +798,71 @@ NULLS = (
     ),
 )
 
-ALL_CASES = BASIC + GROUPBY + ORDERBY + BUILTINS + MATH + DATETIME + NULLS
+# Round-3 port of the remaining reference golden cases
+# (reference test_query_results.py — the last uncovered select literals)
+REFERENCE_TAIL = (
+    (
+        "trips",
+        "select * from t where vendor_id >= 2",
+        rows_to_columns_dict(
+            [r for r in TRIPS_ROWS if r[2] >= 2], TRIPS_COLUMNS
+        ),
+    ),
+    # Spark parses the literal as DECIMAL, so the string form stays plain
+    # (numpy str semantics), not scientific
+    (
+        "trips_groupby",
+        "select to_str(1099511627776.375) from t",
+        {"to_str": ("1099511627776.375",)},
+    ),
+    (
+        "trips_groupby",
+        "select sin(total) from t",
+        {
+            "sin": (0.65304075, -0.97854195, 0.9158096, 0.30227187,
+                    0.9158096, 0.55105617, 0.9158096, 0.65304075)
+        },
+    ),
+    (
+        "trips_groupby",
+        "select tan(total) from t",
+        {
+            "tan": (-0.86230175, -4.74910396, -2.28033021, -0.3171055,
+                    -2.28033021, 0.66036812, -2.28033021, -0.86230175)
+        },
+    ),
+    (
+        "trips_groupby",
+        "select log2(timestamp) from t",
+        {
+            "log2": (30.57734192, 30.57742296, 30.57750076, 30.57757855,
+                     30.57765633, 30.57773412, 30.57781189, 30.57788967)
+        },
+    ),
+    (
+        "trips_groupby",
+        "select log10(timestamp) from t",
+        {
+            "log10": (9.20469711, 9.2047215, 9.20474492, 9.20476834,
+                      9.20479175, 9.20481517, 9.20483858, 9.20486199)
+        },
+    ),
+    (
+        "trips_groupby",
+        "select datetime('2020-10-07 19')",
+        {"datetime": (np.datetime64("2020-10-07T19:00:00"),)},
+    ),
+    (
+        "trips_groupby",
+        "select date('2020-10-07T19:30:27')",
+        {"date": (np.datetime64("2020-10-07"),)},
+    ),
+)
+
+ALL_CASES = (
+    BASIC + GROUPBY + ORDERBY + BUILTINS + MATH + DATETIME + NULLS
+    + REFERENCE_TAIL
+)
 
 
 @pytest.mark.parametrize("fixture_name, query, expected", ALL_CASES)
