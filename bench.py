@@ -5,8 +5,9 @@
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Protocol (BASELINE.md): one shared session, Arrow on, AQE on; per query
-one untimed warm-up then median of 3 timed runs; ``value`` = sum of
-per-query medians.
+one untimed warm-up then median of 5 timed runs (raised from 3 in round
+3 — the round-2 run showed ±30% single-query wobble on q14/q18 with no
+code change on those paths); ``value`` = sum of per-query medians.
 """
 
 from __future__ import annotations
@@ -31,6 +32,9 @@ HEADLINE = [
     "q27_dedup_exact",
     "q29_minhash_lsh_dedup",
     "q31_cosine_topk",
+    "q33_asof_join",
+    "q39_embedding_neardup_pairs",
+    "q43_token_explode",
 ]
 
 
@@ -50,7 +54,7 @@ def main() -> None:
         # warm-up (codegen, file listing, broadcast build)
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
