@@ -195,3 +195,100 @@ def test_simhash_dedup_shingle_size_threaded(spark):
     s2 = simhash(docs, shingle_size=2).select("doc_id", "simhash").collect()
     s3 = simhash(docs, shingle_size=3).select("doc_id", "simhash").collect()
     assert {r["simhash"] for r in s2} != {r["simhash"] for r in s3}
+
+
+# --------------------------------------------------------------------------
+# Round-3 self-review findings
+# --------------------------------------------------------------------------
+
+
+def test_modulo_indexed_right_operand(trips):
+    """`a % arr[i]` must bind arr[i] as the divisor, not arr (with the
+    index misapplied to the modulo result)."""
+    pdf = trips.sql_pd("select 7 % array(4, 3)[1] as m from t limit 1")
+    assert pdf["m"].tolist() == [1]  # 7 % 3
+
+
+def test_modulo_indexed_left_and_right(trips):
+    pdf = trips.sql_pd(
+        "select array(9, 7)[0] % array(5, 2)[1] as m from t limit 1"
+    )
+    assert pdf["m"].tolist() == [1]  # 9 % 2
+
+
+def test_asof_payload_column_name_with_dot(spark):
+    from vinum_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = (
+        spark.createDataFrame([(1, 5, 2.5), (1, 5, 7.5)], "k int, ts int, v double")
+        .withColumnRenamed("v", "price.usd")
+    )
+    out = asof_join(left, right, on="ts", by="k").collect()
+    assert out[0]["price.usd_right"] in (2.5, 7.5)
+
+
+def test_read_csv_rejects_stale_positional_call(spark, tmp_path):
+    """Pre-parity callers passed header as the 2nd positional arg; that
+    must fail loudly, not silently read with header=True."""
+    import vinum_spark as vs
+
+    p = tmp_path / "pos.csv"
+    p.write_text("1,2\n3,4\n")
+    with pytest.raises(TypeError, match="keyword-only"):
+        vs.read_csv(str(p), False, spark=spark)
+
+
+def test_read_csv_multi_null_values_loud(spark, tmp_path):
+    import pyarrow.csv as pacsv
+    import vinum_spark as vs
+
+    p = tmp_path / "nv.csv"
+    p.write_text("a\n1\nNA\n")
+    with pytest.raises(NotImplementedError, match="null_values"):
+        vs.read_csv(
+            str(p),
+            None,
+            None,
+            pacsv.ConvertOptions(null_values=["NA", "MISSING"]),
+            spark=spark,
+        )
+
+
+def test_read_csv_default_convert_options_ok(spark, tmp_path):
+    """An untouched ConvertOptions() (pyarrow's default null list) must
+    not trip the multi-sentinel guard."""
+    import pyarrow.csv as pacsv
+    import vinum_spark as vs
+
+    p = tmp_path / "dflt.csv"
+    p.write_text("a\n1\n2\n")
+    pdf = vs.read_csv(
+        str(p), None, None, pacsv.ConvertOptions(), spark=spark
+    ).sql_pd("select sum(a) as s from t")
+    assert pdf["s"].tolist() == [3]
+
+
+def test_stream_events_glob_metachar_path_loud(spark, tmp_path):
+    from vinum_spark.streaming import stream_events
+
+    d = tmp_path / "sf[1]"
+    d.mkdir()
+    f = d / "events.parquet"
+    f.write_bytes(b"PAR1")
+    with pytest.raises(ValueError, match="glob metacharacters"):
+        stream_events(spark, str(f), nanos_ts=True)
+
+
+def test_decode_images_ladder_survives_undecodable_bytes(spark):
+    """Even with a codec library present, undecodable bytes must fall
+    down the ladder (header parse → fake), never fail the task."""
+    from vinum_spark.operators.multimodal import decode_images
+
+    df = spark.createDataFrame(
+        [(0, b"\xff\xd8\xff\x00garbage"), (1, b"notanimage")],
+        "asset_id long, content binary",
+    )
+    out = decode_images(df).toPandas().set_index("asset_id")
+    assert len(out) == 2
+    assert (out["height"] > 0).all()

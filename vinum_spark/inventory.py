@@ -1071,17 +1071,23 @@ def q31(spark, sf_dir):
 _ANN_TOP1_SUBQ = """
     (SELECT a.vec_id
      FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+     WHERE a.vec_id <> 0
      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
               a.vec_id
      LIMIT 1)
 """
 
 
-def _ann_recall_gate(ann, exact, min_overlap: int):
+def _ann_recall_gate(ann, exact, min_overlap: int, query_id: int = 0):
     """One-row (k, ann_top1_id, recall_ok) gate frame: recall of an ANN
     top-k against the exact top-k, computed fully in-query as two
     aggregation levels over a union — joinless (a 1-row join on a
-    literal key constant-folds into a nested-loop join)."""
+    literal key constant-folds into a nested-loop join).
+
+    ``ann_top1_id`` EXCLUDES the query vector itself (which both sides
+    always rank first at cosine 1.0 — a vacuous check): the reported id
+    is the best real neighbor the ANN found, which the oracle recomputes
+    exactly from the data, so a wrong nearest-neighbor hash-mismatches."""
     tagged = ann.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cosine").cast("double").alias("cosine"),
@@ -1097,10 +1103,11 @@ def _ann_recall_gate(ann, exact, min_overlap: int):
         F.count(F.lit(1)).alias("__cnt"),
         F.max(F.when(F.col("__is_ann") == 1, F.col("cosine"))).alias("__ann_cos"),
     )
-    # lexicographic struct max = (cosine desc, vec_id asc) ANN top-1
+    # lexicographic struct max = (cosine desc, vec_id asc) ANN top-1,
+    # excluding the query vector itself
     top_struct = F.max(
         F.when(
-            F.col("__ann_cos").isNotNull(),
+            F.col("__ann_cos").isNotNull() & (F.col("vec_id") != query_id),
             F.struct(
                 F.col("__ann_cos").alias("c"), (-F.col("vec_id")).alias("n")
             ),

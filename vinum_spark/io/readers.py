@@ -56,6 +56,20 @@ def read_csv(
     — acceptable for ad-hoc use; pass an explicit ``schema=`` at scale.
     """
     spark = spark or get_spark()
+    # the pre-parity API took header/infer_schema/delimiter positionally;
+    # a stale positional call like read_csv(path, False) would otherwise
+    # bind onto read_options and silently read with the wrong header mode
+    for arg, name in (
+        (read_options, "read_options"),
+        (parse_options, "parse_options"),
+        (convert_options, "convert_options"),
+    ):
+        if arg is not None and isinstance(arg, (bool, str, int, float)):
+            raise TypeError(
+                f"{name} must be a pyarrow.csv option object (got "
+                f"{type(arg).__name__}); header/infer_schema/delimiter "
+                "are keyword-only"
+            )
     column_names = None
     autogenerate = False
     if read_options is not None:
@@ -89,8 +103,21 @@ def read_csv(
         if ct:
             column_types = dict(ct)
         nulls = list(getattr(convert_options, "null_values", None) or [])
-        if len(nulls) == 1:
-            options.setdefault("nullValue", nulls[0])
+        if nulls and nulls != _pyarrow_default_null_values():
+            # Spark's CSV source accepts ONE nullValue sentinel. pyarrow's
+            # default list (left untouched) maps closely enough to Spark's
+            # defaults; a CUSTOM list with one entry maps exactly; a custom
+            # list with several entries cannot be honored — fail loudly
+            # rather than silently parsing those sentinels as strings.
+            if len(nulls) == 1:
+                options.setdefault("nullValue", nulls[0])
+            else:
+                raise NotImplementedError(
+                    "convert_options.null_values with multiple custom "
+                    "sentinels is not supported by the Spark CSV source "
+                    "(one nullValue only); pass a single sentinel or "
+                    "post-process with when/otherwise"
+                )
 
     reader = (
         spark.read.option("header", str(header).lower())
@@ -118,6 +145,17 @@ def read_csv(
     if include_columns:
         df = df.select(*include_columns)
     return Table(df)
+
+
+def _pyarrow_default_null_values() -> list:
+    """pyarrow's stock ConvertOptions.null_values — customized lists are
+    distinguished from the untouched default."""
+    try:
+        import pyarrow.csv as pacsv
+
+        return list(pacsv.ConvertOptions().null_values)
+    except ImportError:  # pragma: no cover
+        return []
 
 
 # pyarrow type name → Spark SQL type for ConvertOptions.column_types

@@ -73,16 +73,22 @@ def asof_join(
     # right row whose value columns are legitimately NULL still carries as
     # a (non-null) struct — per-column last(ignorenulls) would stitch
     # fields from DIFFERENT right rows.
+    # backtick-quote carried names so columns containing dots resolve as
+    # literal names, not nesting paths
     r_tagged = right.select(
         *by_cols,
         F.col(on),
-        F.struct(*[F.col(c) for c in carried]).alias(payload),
+        F.struct(
+            *[F.col(f"`{c}`").alias(c) for c in carried]
+        ).alias(payload),
     ).withColumn(_SIDE, F.lit(0))
     for c in left.columns:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
 
-    payload_type = dict(r_tagged.dtypes)[payload]
+    # cast by DataType object, not the dtypes string — a struct type's
+    # simpleString is not re-parseable when field names contain dots
+    payload_type = r_tagged.schema[payload].dataType
     l_tagged = left.withColumn(_SIDE, F.lit(1)).withColumn(
         payload, F.lit(None).cast(payload_type)
     )
@@ -102,14 +108,16 @@ def asof_join(
     # don't contribute to the tiebreak. If no field is hashable the order
     # of exact (by, ts) right-duplicates falls back to partition order,
     # the pre-tiebreak behavior.
+    # getField (not F.col("a.b")) so payload field names containing dots
+    # or other special characters resolve correctly
     hashable = [
-        f"{payload}.{f.name}"
+        F.col(payload).getField(f.name)
         for f in r_tagged.schema[payload].dataType.fields
         if _is_hashable(f.dataType)
     ]
     order_keys = [ts_order, F.col(_SIDE).asc()]
     if hashable:
-        order_keys.append(F.xxhash64(*[F.col(c) for c in hashable]).asc())
+        order_keys.append(F.xxhash64(*hashable).asc())
     w = (
         Window.partitionBy(*by_cols)
         .orderBy(*order_keys)
@@ -123,5 +131,5 @@ def asof_join(
     if how == "inner":
         out = out.filter(F.col(payload).isNotNull())
     for old, new in rmap.items():
-        out = out.withColumn(new, F.col(f"{payload}.{old}"))
+        out = out.withColumn(new, F.col(payload).getField(old))
     return out.drop(payload)

@@ -139,23 +139,30 @@ def decode_images(
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def header_or_fake(data):
+            parsed = _header_dims(data)
+            if parsed is not None:
+                return parsed
+            return (*_fake_shape(data), "stub")
+
         try:
             from PIL import Image  # pragma: no cover - not in container
             import io
 
             def shape(data):
                 data = bytes(data or b"")
-                with Image.open(io.BytesIO(data)) as im:
-                    return im.height, im.width, len(im.getbands()), "pil"
+                try:
+                    with Image.open(io.BytesIO(data)) as im:
+                        return im.height, im.width, len(im.getbands()), "pil"
+                except Exception:
+                    # non-image / truncated bytes must not fail the task:
+                    # continue down the ladder (header parse, then fake)
+                    return header_or_fake(data)
 
         except ImportError:
 
             def shape(data):
-                data = bytes(data or b"")
-                parsed = _header_dims(data)
-                if parsed is not None:
-                    return parsed
-                return (*_fake_shape(data), "stub")
+                return header_or_fake(bytes(data or b""))
 
         for pdf in it:
             rows = [shape(x) for x in pdf[content_col]]

@@ -168,7 +168,14 @@ def ivf_topk(
 def _infer_dim(df: DataFrame, vec_col: str) -> Optional[int]:
     """Vector length from one row (single-row driver fetch, same class as
     a query-vector lookup). None on an empty frame — callers fall back to
-    the HOF dot, which handles any length including zero rows."""
+    the HOF dot, which handles any length including zero rows.
+
+    CONTRACT: the embedding column must be fixed-dimension (true of any
+    real embedding corpus, and of the testdata schema). With ragged
+    input, the unrolled ``a[i]`` dot would read past a shorter vector —
+    NULL cosine with ANSI off (the pair silently filtered), an
+    INVALID_ARRAY_INDEX error with ANSI on. Pass ``dim`` explicitly (or
+    pre-validate ``F.size``) if the input's uniformity is not known."""
     head = df.select(vec_col).head(1)
     return len(head[0][0]) if head and head[0][0] is not None else None
 

@@ -373,17 +373,35 @@ def _is_primary_end(tokens: List[Token], i: int) -> int:
 
 
 def _grab_right_primary(tokens: List[Token], j: int) -> int:
-    """End index (inclusive) of the primary expression starting at j."""
+    """End index (inclusive) of the primary expression starting at j,
+    including any trailing array-index suffixes (``f(x)[0]``, ``arr[i]``)."""
     if (
         j < len(tokens)
         and tokens[j].kind == KIND_IDENT
         and j + 1 < len(tokens)
         and tokens[j + 1].text == "("
     ):
-        return match_paren(tokens, j + 1)
-    if j < len(tokens) and tokens[j].text == "(":
-        return match_paren(tokens, j)
-    return j
+        end = match_paren(tokens, j + 1)
+    elif j < len(tokens) and tokens[j].text == "(":
+        end = match_paren(tokens, j)
+    else:
+        end = j
+    # absorb [...] suffixes so `a % arr[0]` binds arr[0], not arr
+    while end + 1 < len(tokens) and tokens[end + 1].text == "[":
+        depth = 0
+        k = end + 1
+        while k < len(tokens):
+            if tokens[k].text == "[":
+                depth += 1
+            elif tokens[k].text == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if k >= len(tokens):
+            break
+        end = k
+    return end
 
 
 def _rewrite_modulo(tokens: List[Token]) -> List[Token]:

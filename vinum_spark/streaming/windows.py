@@ -60,6 +60,14 @@ def stream_events(
         # so the explicit directory basePath is honored; no copy of the
         # source is ever made.
         if os.path.isfile(path):
+            if any(c in "*?[]{}" for c in path):
+                # the globify trick below would corrupt such a path into a
+                # pattern matching nothing (a silently-empty stream)
+                raise ValueError(
+                    "single-file nanos streaming requires a path free of "
+                    f"glob metacharacters; move {path!r} into its own "
+                    "directory and stream the directory instead"
+                )
             reader = reader.option("basePath", os.path.dirname(path))
             path = f"{path[:-1]}[{path[-1]}]"
         return reader.load(path).withColumn(
