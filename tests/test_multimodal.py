@@ -100,3 +100,31 @@ def test_sample_frames_explodes_rows(assets):
     assert set(frames.columns) == {"asset_id", "frame_idx", "frame"}
     mp4_frames = frames[frames.asset_id == 2]
     assert mp4_frames.frame_idx.tolist() == list(range(len(mp4_frames)))
+
+
+def test_attach_metadata_digests_match_hashlib(assets):
+    """sha1 (default) and sha256 meta digests must equal hashlib's over
+    the raw bytes (the oracle gate can only check a hex-portable digest;
+    this pins the raw-byte path)."""
+    import hashlib
+
+    from vinum_spark.operators.multimodal import attach_metadata
+
+    by_id_sha1 = {
+        int(r["asset_id"]): r["meta"]["sha1"]
+        for r in attach_metadata(assets).collect()
+    }
+    by_id_sha256 = {
+        int(r["asset_id"]): r["meta"]["sha256"]
+        for r in attach_metadata(assets, hash_algo="sha256").collect()
+    }
+    assert by_id_sha1[0] == hashlib.sha1(PNG).hexdigest()
+    assert by_id_sha256[0] == hashlib.sha256(PNG).hexdigest()
+    assert by_id_sha256[1] == hashlib.sha256(JPG).hexdigest()
+
+
+def test_attach_metadata_rejects_unknown_algo(assets):
+    from vinum_spark.operators.multimodal import attach_metadata
+
+    with pytest.raises(ValueError, match="hash_algo"):
+        attach_metadata(assets, hash_algo="md5")

@@ -1698,6 +1698,110 @@ def q50(spark, sf_dir):
     ).orderBy("user_id", "session_start")
 
 
+@_q(
+    "q51_streaming_sliding",
+    """
+    WITH ev AS (
+      -- floor, not CAST: DuckDB's double->BIGINT cast ROUNDS, which would
+      -- bump sub-second timestamps >= .5s into the next second's block
+      SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    w AS (
+      SELECT event_type, value,
+             (es // 900) * 900 - j * 900 AS ws
+      FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js
+    )
+    SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM w
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "Sliding event-time windows (1 h window, 15 min slide) under the "
+    "oracle gate: a real readStream sliding aggregation drained to "
+    "memory must hash-match the batch expansion (each event belongs to "
+    "exactly 4 slide-aligned windows) computed in SQL. Completes the "
+    "windowed-streaming triple: tumbling (q49), session (q50), sliding.",
+)
+def q51(spark, sf_dir):
+    from vinum_spark.streaming import stream_events
+    from vinum_spark.streaming.windows import (
+        run_stream_to_memory,
+        sliding_aggregate,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    stream = stream_events(spark, f"{sf_dir}/events.parquet", nanos_ts=True)
+    # null values are excluded on BOTH sides: a window whose values are
+    # all null would average to NaN, whose sort position is not portable
+    # across engines (hash-compare instability)
+    stream = stream.filter(F.col("value").isNotNull())
+    run_stream_to_memory(
+        sliding_aggregate(stream, window="1 hour", slide="15 minutes"),
+        "q51_out",
+    )
+    out = spark.table("q51_out")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("avg_value", 4).alias("avg_value"),
+    ).orderBy("window_start", "event_type")
+
+
+_PNG_MAGIC = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+
+
+@_q(
+    "q52_multimodal_metadata",
+    r"""
+    WITH assets AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+                  ELSE encode(text) END AS content
+      FROM documents
+    )
+    SELECT doc_id,
+           octet_length(content) AS size_bytes,
+           sha256(hex(content)) AS content_digest,
+           CASE WHEN substr(hex(content), 1, 8) = '89504E47'
+                THEN 'image/png' ELSE 'application/octet-stream' END AS mime
+    FROM assets
+    ORDER BY doc_id
+    """,
+    "Multimodal metadata path under the oracle gate: binary assets "
+    "(document text bytes, every third row wrapped in a PNG header) -> "
+    "attach_metadata (operators/multimodal.py) computing size and "
+    "magic-byte mime fully JVM-side, plus a content digest "
+    "(sha256 over the hex encoding — DuckDB hashes only VARCHAR, so the "
+    "hex round-trip makes the digest engine-portable; attach_metadata's "
+    "raw-byte sha1/sha256 fields are pinned against hashlib in "
+    "tests/test_multimodal.py).",
+)
+def q52(spark, sf_dir):
+    from vinum_spark.operators.multimodal import attach_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    body = F.encode("text", "UTF-8")
+    content = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit(_PNG_MAGIC), body)
+    ).otherwise(body)
+    assets = d.select("doc_id", content.alias("content"))
+    m = attach_metadata(assets, hash_algo="sha256")
+    return m.select(
+        "doc_id",
+        F.col("meta.size_bytes").alias("size_bytes"),
+        F.sha2(F.hex("content"), 256).alias("content_digest"),
+        F.col("meta.mime").alias("mime"),
+    ).orderBy("doc_id")
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

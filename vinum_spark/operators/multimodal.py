@@ -41,9 +41,17 @@ _MAGIC = {
 }
 
 
-def attach_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Add a ``meta`` struct (size_bytes, sha1, mime) from built-ins only —
-    runs fully inside codegen, no Python."""
+def attach_metadata(
+    df: DataFrame, content_col: str = "content", hash_algo: str = "sha1"
+) -> DataFrame:
+    """Add a ``meta`` struct (size_bytes, digest, mime) from built-ins
+    only — runs fully inside codegen, no Python.
+
+    ``hash_algo``: ``sha1`` (default; field named ``sha1`` for back-
+    compat) or ``sha256`` (field ``sha256`` — the algorithm portable to
+    engines without sha1, used by the oracle-gated inventory query)."""
+    if hash_algo not in ("sha1", "sha256"):
+        raise ValueError("hash_algo must be 'sha1' or 'sha256'")
     c = F.col(content_col)
     prefix = F.upper(F.hex(F.substring(c, 1, 4)))
     prefix3 = F.substring(prefix, 1, 6)
@@ -53,11 +61,16 @@ def attach_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
         cond = prefix3 == magic[:6] if len(magic) == 6 else prefix == magic
         mime = F.when(cond, F.lit(m)).otherwise(mime)
     mime = F.when(mp4_marker == "66747970", F.lit("video/mp4")).otherwise(mime)
+    digest = (
+        F.sha1(c).alias("sha1")
+        if hash_algo == "sha1"
+        else F.sha2(c, 256).alias("sha256")
+    )
     return df.withColumn(
         "meta",
         F.struct(
             F.length(c).cast("bigint").alias("size_bytes"),
-            F.sha1(c).alias("sha1"),
+            digest,
             mime.alias("mime"),
         ),
     )
