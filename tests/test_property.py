@@ -91,3 +91,35 @@ def test_render_tokenize_roundtrip_stable(sql):
     once = render(tokenize(sql))
     twice = render(tokenize(once))
     assert once == twice
+
+
+# --------------------------------------------------------------------------
+# Modulo rewrite semantics: the emitted SQL must equal np.mod for ANY
+# operand pair (divisor-sign result, no overflow). Spark execution is per
+# example too slow for hypothesis; instead evaluate the emitted expression
+# with Python equivalents of MOD/IF, which mirrors Spark's integer
+# semantics exactly for these operators.
+# --------------------------------------------------------------------------
+
+
+def _spark_mod(a: int, b: int) -> int:
+    # Spark MOD/%: truncated toward zero, sign follows the dividend
+    r = abs(a) % abs(b)
+    return -r if a < 0 else r
+
+
+@given(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.integers(min_value=-(2**62), max_value=2**62).filter(lambda x: x != 0),
+)
+@settings(max_examples=300, deadline=None)
+def test_modulo_rewrite_matches_np_mod(a, b):
+    import numpy as np
+
+    m = _spark_mod(a, b)
+    # the emitted form: MOD(a,b) + IF(MOD != 0 AND sign differs, b, 0)
+    got = m + (b if (m != 0 and (m < 0) != (b < 0)) else 0)
+    want = int(np.mod(np.int64(a), np.int64(b)))
+    assert got == want
+    # the conditional add never exceeds |b| → no int64 overflow possible
+    assert abs(got) < abs(b) or got == 0
