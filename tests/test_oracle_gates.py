@@ -20,6 +20,8 @@ GATED = [
     "q32_ann_lsh",
     "q38_approx_distinct",
     "q46_ann_ivf",
+    "q51_streaming_sliding",
+    "q52_multimodal_metadata",
 ]
 
 
