@@ -28,7 +28,7 @@ GATED = [
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for name in ("documents", "embeddings", "lineitem"):
+    for name in ("documents", "embeddings", "lineitem", "events", "orders"):
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{name}.parquet')"
