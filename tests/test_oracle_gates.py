@@ -1,8 +1,11 @@
-"""Driver-style oracle gates for the five queries whose Spark results
-contain engine-specific machinery (LSH buckets, SimHash bands, HLL,
-hyperplane/IVF ANN): each query is designed to be self-verifying, and
-these tests run the SAME DuckDB oracle the round driver runs, at
-sf0.001 (the driver gates at sf0.01 — both verified)."""
+"""Driver-style oracle gates for the queries whose parity depends on
+deliberate gate DESIGN rather than plain SQL translation: engine-
+specific machinery made self-verifying (LSH buckets, SimHash bands,
+HLL, hyperplane/IVF ANN — recall/agreement gates) plus the paths with
+cross-engine representation traps (streaming sliding windows: epoch
+flooring; multimodal metadata: blob-hash portability). These tests run
+the SAME DuckDB oracle the round driver runs, at sf0.001 (the driver
+gates at sf0.01 — both verified)."""
 
 from __future__ import annotations
 
@@ -28,7 +31,7 @@ GATED = [
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for name in ("documents", "embeddings", "lineitem", "events", "orders"):
+    for name in ("documents", "embeddings", "lineitem", "events"):
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{name}.parquet')"

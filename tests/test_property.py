@@ -96,10 +96,28 @@ def test_render_tokenize_roundtrip_stable(sql):
 # --------------------------------------------------------------------------
 # Modulo rewrite semantics: the emitted SQL must equal np.mod for ANY
 # operand pair (divisor-sign result, no overflow). Spark execution is per
-# example too slow for hypothesis; instead evaluate the emitted expression
-# with Python equivalents of MOD/IF, which mirrors Spark's integer
-# semantics exactly for these operators.
+# example too slow for hypothesis; instead we (a) pin the EMITTED template
+# by string equality, so a rewrite regression fails here, then (b)
+# evaluate that exact template with Python equivalents of MOD/IF, which
+# mirror Spark's integer semantics for these operators.
 # --------------------------------------------------------------------------
+
+
+_MOD_TEMPLATE = (
+    "transform(array(named_struct('a', {left}, 'b', {right})), "
+    "__vs_m -> MOD(__vs_m.a, __vs_m.b) + IF(MOD(__vs_m.a, __vs_m.b) "
+    "!= 0 AND(MOD(__vs_m.a, __vs_m.b) < 0) !=(__vs_m.b < 0), __vs_m.b, 0))[0]"
+)
+
+
+def test_modulo_rewrite_emits_the_pinned_template():
+    """The numeric property below evaluates _MOD_TEMPLATE's semantics in
+    Python; this assertion proves the rewriter actually emits that exact
+    template (token rendering normalizes spacing)."""
+    out, _ = rewrite_sql("select a % b from t")
+    want = _MOD_TEMPLATE.format(left="a", right="b")
+    normalized = " ".join(out.split())
+    assert " ".join(f"select {want} from t".split()) == normalized
 
 
 def _spark_mod(a: int, b: int) -> int:

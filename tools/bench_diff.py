@@ -22,10 +22,11 @@ import sys
 def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = []
-    for path in sorted(
-        glob.glob(os.path.join(root, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    ):
+    def round_key(p: str):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json")), key=round_key):
         with open(path) as f:
             data = json.load(f)
         # driver records wrap bench stdout in a `tail` field — extract the
@@ -46,10 +47,14 @@ def main() -> None:
         piped = sys.stdin.read().strip().splitlines()
         for line in reversed(piped):
             try:
-                rounds.append(("current", json.loads(line)))
-                break
+                data = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            # accept only an actual bench record (bench.py prints exactly
+            # one; stray JSON-parseable log lines are skipped)
+            if isinstance(data, dict) and "queries" in data:
+                rounds.append(("current", data))
+                break
     if len(rounds) < 2:
         print("need at least two bench records to diff")
         return

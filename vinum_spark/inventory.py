@@ -1770,8 +1770,17 @@ _PNG_MAGIC = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
     SELECT doc_id,
            octet_length(content) AS size_bytes,
            sha256(hex(content)) AS content_digest,
-           CASE WHEN substr(hex(content), 1, 8) = '89504E47'
-                THEN 'image/png' ELSE 'application/octet-stream' END AS mime
+           -- mirrors attach_metadata's FULL magic-byte ladder (same
+           -- precedence): ftyp-at-offset-4 > prefix magics; branches are
+           -- prefix-exclusive so order among them is immaterial
+           CASE WHEN substr(hex(content), 9, 8) = '66747970' THEN 'video/mp4'
+                WHEN substr(hex(content), 1, 8) = '66747970' THEN 'video/mp4'
+                WHEN substr(hex(content), 1, 6) = '494433'   THEN 'audio/mpeg'
+                WHEN substr(hex(content), 1, 8) = '52494646' THEN 'audio/wav'
+                WHEN substr(hex(content), 1, 8) = '47494638' THEN 'image/gif'
+                WHEN substr(hex(content), 1, 6) = 'FFD8FF'   THEN 'image/jpeg'
+                WHEN substr(hex(content), 1, 8) = '89504E47' THEN 'image/png'
+                ELSE 'application/octet-stream' END AS mime
     FROM assets
     ORDER BY doc_id
     """,

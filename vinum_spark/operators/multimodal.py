@@ -48,8 +48,11 @@ def attach_metadata(
     only — runs fully inside codegen, no Python.
 
     ``hash_algo``: ``sha1`` (default; field named ``sha1`` for back-
-    compat) or ``sha256`` (field ``sha256`` — the algorithm portable to
-    engines without sha1, used by the oracle-gated inventory query)."""
+    compat) or ``sha256`` (field ``sha256``) — pick the algorithm the
+    consuming system standardizes on; both digests are pinned against
+    hashlib in tests/test_multimodal.py. (The oracle-gated inventory
+    query q52 compares a hex-roundtrip digest instead, because its SQL
+    oracle can hash only VARCHAR.)"""
     if hash_algo not in ("sha1", "sha256"):
         raise ValueError("hash_algo must be 'sha1' or 'sha256'")
     c = F.col(content_col)
