@@ -25,6 +25,7 @@ GATED = [
     "q46_ann_ivf",
     "q51_streaming_sliding",
     "q52_multimodal_metadata",
+    "q53_streaming_stateful_dedup",
 ]
 
 

@@ -1811,6 +1811,44 @@ def q52(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_q(
+    "q53_streaming_stateful_dedup",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "Custom stateful streaming dedup under the oracle gate "
+    "(applyInPandasWithState — the operator class Spark's built-ins "
+    "can't express): the events source is unioned with ITSELF as two "
+    "readStreams (every event arrives twice), stream_distinct "
+    "(streaming/stateful.py) must emit exactly the first occurrence per "
+    "(user_id group, event_id key), so per-type counts hash-match the "
+    "single-copy batch counts the oracle computes.",
+)
+def q53(spark, sf_dir):
+    from vinum_spark.streaming import stream_events
+    from vinum_spark.streaming.stateful import stream_distinct
+    from vinum_spark.streaming.windows import run_stream_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    s1 = stream_events(spark, f"{sf_dir}/events.parquet", nanos_ts=True)
+    s2 = stream_events(spark, f"{sf_dir}/events.parquet", nanos_ts=True)
+    doubled = s1.unionByName(s2)
+    deduped = stream_distinct(
+        doubled, group_col="user_id", key_cols=["event_id"]
+    )
+    run_stream_to_memory(deduped, "q53_out", mode="append")
+    return (
+        spark.table("q53_out")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("event_type")
+    )
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
