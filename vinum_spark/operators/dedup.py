@@ -18,7 +18,11 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import math
+import os
+import re
 from typing import List, Optional, Sequence
+from urllib.parse import urlparse
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -26,17 +30,66 @@ from pyspark.sql import functions as F
 from vinum_spark.operators.text import with_fingerprint
 
 
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '134217728b',
+    '128m', '128MB', '1g') into bytes."""
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([kmgt]?)i?b?", str(v).strip().lower())
+    if not m:
+        raise ValueError(f"unparseable byte size: {v!r}")
+    num, unit = m.groups()
+    scale = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}[unit]
+    return int(float(num) * scale)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> Optional[int]:
+    """Estimate how many partitions the frame scans as, from file-listing
+    metadata only — no plan-to-RDD conversion (``df.rdd`` plans the whole
+    query on the driver per call; this reads the already-cached file
+    index). Returns None when the estimate can't be made (non-file-backed
+    plan, or files on a store we can't stat) — callers should then trust
+    the upstream partitioning.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        mpb = _parse_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+    except Exception:
+        mpb = 128 * 1024 * 1024
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None  # remote store: trust its split computation
+        path = parsed.path or uri
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return None
+        total += max(1, math.ceil(size / max(mpb, 1)))
+    return total
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Ensure enough partitions for the CPU-heavy map stage that follows.
 
-    A single parquet file scans as one partition, serializing shingling/
-    hashing on one core. When the input has fewer partitions than the
-    cluster's parallelism, hash-repartition the (small) doc rows by key —
-    cheap relative to the 10-100× parallelism it unlocks. Inputs already
-    well-partitioned (the 100 TB case) pass through untouched.
+    A single small parquet file scans as one partition, serializing
+    shingling/hashing on one core. When the input is a local file scan
+    whose estimated split count is below the cluster's parallelism,
+    hash-repartition the (small) doc rows by key — cheap relative to the
+    10-100× parallelism it unlocks. Inputs already well-partitioned (the
+    100 TB case: many files, or big files that split by
+    ``maxPartitionBytes``) and non-file-backed frames (their partitioning
+    came from an upstream shuffle) pass through untouched.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    est = _estimated_scan_partitions(df)
+    if est is not None and est < max(target // 2, 2):
         return df.repartition(target, key)
     return df
 
@@ -59,6 +112,18 @@ def _shingles(col: Column, n: int) -> Column:
         lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
     )
     return F.array_distinct(grams)
+
+
+def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """``(id, __sh)`` — each document's distinct word n-gram shingle
+    array, parallelism-spread. Shingling (interpreted higher-order
+    transforms per document) is the most expensive map stage in the
+    MinHash pipeline; operators that need it in more than one stage
+    compute this frame once and pass it down (see
+    :func:`minhash_verified_dedup`)."""
+    return _spread(df, id_col).select(
+        F.col(id_col), _shingles(F.col(text_col), n).alias("__sh")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -102,18 +167,25 @@ def _signatures_only(
     n_hashes: int,
     shingle_size: int,
     out: str = "minhash",
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(id, signature) frame — see :func:`minhash_signatures` for the
     algorithm; kept separate so consumers that don't need the original
-    columns (LSH dedup) skip the join-back entirely."""
+    columns (LSH dedup) skip the join-back entirely. ``shingles``: a
+    precomputed :func:`_shingle_frame` to reuse instead of re-shingling.
+    """
     # Hash each shingle string ONCE, then derive the n_hashes values with
     # xxhash64 over the fixed-width (long, seed) pair — near the cost of a
     # multiply, a proper independent hash family, and no int64 overflow
     # (multiplicative mixing would throw under a caller session with ANSI
     # mode on).
-    sh = _shingles(F.col(text_col), shingle_size)
-    exploded = _spread(df, id_col).select(
-        F.col(id_col), F.explode(sh).alias("__g")
+    base = (
+        shingles
+        if shingles is not None
+        else _shingle_frame(df, text_col, id_col, shingle_size)
+    )
+    exploded = base.select(
+        F.col(id_col), F.explode("__sh").alias("__g")
     ).withColumn("__h", F.xxhash64("__g"))
     mins = exploded.groupBy(id_col).agg(
         *[
@@ -171,6 +243,7 @@ def minhash_candidate_pairs(
     n_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Candidate near-dup pairs ``(id_a, id_b)`` (id_a < id_b) from LSH
     band-bucket co-membership.
@@ -180,9 +253,12 @@ def minhash_candidate_pairs(
     candidates instead of the full corpus. Pair enumeration is quadratic
     only WITHIN a bucket (bounded by band collision rate), never across
     the corpus; the join is an equi-join on (band, band_hash).
+    ``shingles``: a precomputed :func:`_shingle_frame` to reuse.
     """
     rows_per_band = n_hashes // bands
-    sigs = _signatures_only(df, text_col, id_col, n_hashes, shingle_size)
+    sigs = _signatures_only(
+        df, text_col, id_col, n_hashes, shingle_size, shingles=shingles
+    )
     buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
