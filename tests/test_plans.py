@@ -93,6 +93,63 @@ def test_no_row_at_a_time_python(spark):
         assert "BatchEvalPython" not in plan, name
 
 
+def _hof_in_filters(plan: str, conditions: bool = False) -> list:
+    """Return scan-filter lines (DataFilters / PushedFilters) — and, with
+    ``conditions=True``, Filter-node Condition lines — that contain a
+    higher-order-function call. HOFs legitimately appear in Project nodes
+    (that's where shingling happens) and may appear in a Filter whose
+    PURPOSE is that computation (q32's Hamming-radius filter computes the
+    LSH signature inline). Appearing at the SCAN, though, means Catalyst
+    inferred a predicate from a Generate and alias-substituted the full
+    expression into it — the shape that made q29 evaluate shingling
+    twice (once single-threaded below the repartition Exchange) in
+    round 4.
+    """
+    markers = ("DataFilters:", "PushedFilters:") + (
+        ("Condition :",) if conditions else ()
+    )
+    bad = []
+    for line in plan.splitlines():
+        stripped = line.strip()
+        if stripped.startswith(markers):
+            if "transform(" in stripped or "array_distinct(" in stripped:
+                bad.append(stripped)
+    return bad
+
+
+def test_no_hof_in_scan_filters_dedup_family(spark):
+    # the regression class that shipped in round 4: an inferred
+    # size(shingles) > 0 filter expanded to the full shingling HOF and
+    # pushed below the repartition into the FileScan. In the dedup family
+    # no Filter node ever legitimately re-evaluates shingling, so check
+    # Filter conditions too, not just the scan.
+    for name in ("q28_ngram_jaccard", "q29_minhash_lsh_dedup", "q30_simhash"):
+        plan = plan_of(spark, name)
+        found = _hof_in_filters(plan, conditions=True)
+        assert not found, (name, found)
+
+
+def test_no_hof_in_scan_filters_anywhere(spark):
+    for name in QUERIES:
+        plan = plan_of(spark, name)
+        found = _hof_in_filters(plan)
+        assert not found, (name, found)
+
+
+def test_minhash_candidates_no_inferred_shingle_filter(spark):
+    # the lazy (no precomputed-shingles) path must keep the direct
+    # explode-of-expression shape: generate from a non-trivial child, so
+    # InferFiltersFromGenerate declines and DataFilters stays empty
+    from vinum_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = minhash_candidate_pairs(docs, n_hashes=64, bands=16)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert not _hof_in_filters(plan), _hof_in_filters(plan)
+
+
 def test_minhash_partial_aggregates(spark):
     # q29's final plan starts from the checkpointed candidate set, so
     # assert the map-side combine on the candidate pipeline itself

@@ -22,7 +22,7 @@ import math
 import os
 import re
 from typing import List, Optional, Sequence
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -65,8 +65,9 @@ def _estimated_scan_partitions(df: DataFrame) -> Optional[int]:
     for uri in files:
         parsed = urlparse(uri)
         if parsed.scheme not in ("", "file"):
-            return None  # remote store: trust its split computation
-        path = parsed.path or uri
+            return None  # remote store: can't stat sizes; caller falls back
+        # inputFiles() returns percent-encoded URIs; decode before stat
+        path = unquote(parsed.path) or uri
         try:
             size = os.path.getsize(path)
         except OSError:
@@ -79,17 +80,28 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     """Ensure enough partitions for the CPU-heavy map stage that follows.
 
     A single small parquet file scans as one partition, serializing
-    shingling/hashing on one core. When the input is a local file scan
-    whose estimated split count is below the cluster's parallelism,
-    hash-repartition the (small) doc rows by key — cheap relative to the
-    10-100× parallelism it unlocks. Inputs already well-partitioned (the
-    100 TB case: many files, or big files that split by
-    ``maxPartitionBytes``) and non-file-backed frames (their partitioning
-    came from an upstream shuffle) pass through untouched.
+    shingling/hashing on one core. When the input's split count is below
+    the cluster's parallelism, hash-repartition the (small) doc rows by
+    key — cheap relative to the 10-100× parallelism it unlocks. Inputs
+    already well-partitioned (the 100 TB case: many files, or big files
+    that split by ``maxPartitionBytes``) pass through untouched.
+
+    The split count comes from file-listing metadata when the frame is a
+    local file scan (no job planning); otherwise — in-memory frames
+    (e.g. ``createDataFrame`` ingestion, which coalesces to 1 partition),
+    remote stores we can't stat — fall back to an ``rdd.getNumPartitions``
+    probe, which plans (but does not run) the query on the driver. The
+    slower probe is the price of never passing a single-partition frame
+    through to a CPU-bound stage.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     est = _estimated_scan_partitions(df)
-    if est is not None and est < max(target // 2, 2):
+    if est is None:
+        try:
+            est = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+    if est < max(target // 2, 2):
         return df.repartition(target, key)
     return df
 
@@ -118,9 +130,21 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     """``(id, __sh)`` — each document's distinct word n-gram shingle
     array, parallelism-spread. Shingling (interpreted higher-order
     transforms per document) is the most expensive map stage in the
-    MinHash pipeline; operators that need it in more than one stage
-    compute this frame once and pass it down (see
-    :func:`minhash_verified_dedup`)."""
+    MinHash pipeline; :func:`minhash_verified_dedup` computes this frame
+    ONCE, ``localCheckpoint``-s it, and passes it to both the candidate
+    and verify stages via their ``shingles=`` parameters.
+
+    CALLER CONTRACT: materialize (``localCheckpoint(eager=True)``) this
+    frame before referencing it from more than one consumer. Two reasons:
+    Spark recomputes a plan subtree per reference, so an unmaterialized
+    frame re-shingles per consumer; and Catalyst's
+    infer-filters-from-generate rule turns a later ``explode(__sh)`` into
+    a ``size(__sh) > 0`` filter that alias-substitution expands to the
+    full shingling expression and pushes into the file scan — running the
+    most expensive map stage twice, once below the repartition (this
+    exact regression shipped in round 4 and cost 1.9× on q29; the
+    checkpoint's lineage cut makes both failure modes impossible).
+    """
     return _spread(df, id_col).select(
         F.col(id_col), _shingles(F.col(text_col), n).alias("__sh")
     )
@@ -172,21 +196,29 @@ def _signatures_only(
     """(id, signature) frame — see :func:`minhash_signatures` for the
     algorithm; kept separate so consumers that don't need the original
     columns (LSH dedup) skip the join-back entirely. ``shingles``: a
-    precomputed :func:`_shingle_frame` to reuse instead of re-shingling.
+    precomputed, MATERIALIZED :func:`_shingle_frame` to reuse instead of
+    re-shingling (see that function's caller contract).
     """
     # Hash each shingle string ONCE, then derive the n_hashes values with
     # xxhash64 over the fixed-width (long, seed) pair — near the cost of a
     # multiply, a proper independent hash family, and no int64 overflow
     # (multiplicative mixing would throw under a caller session with ANSI
     # mode on).
-    base = (
-        shingles
-        if shingles is not None
-        else _shingle_frame(df, text_col, id_col, shingle_size)
-    )
-    exploded = base.select(
-        F.col(id_col), F.explode("__sh").alias("__g")
-    ).withColumn("__h", F.xxhash64("__g"))
+    if shingles is not None:
+        exploded = shingles.select(F.col(id_col), F.explode("__sh").alias("__g"))
+    else:
+        # Explode the shingle EXPRESSION directly, never a named projection
+        # of it: InferFiltersFromGenerate declines non-trivial generator
+        # children, but given `explode(attribute)` it infers
+        # `size(attr) > 0`, which alias substitution + pushdown expand
+        # into a second, pre-repartition evaluation of the whole shingling
+        # HOF inside the scan (the round-4 q29 regression; plan-guarded in
+        # tests/test_plans.py::test_no_hof_in_scan_filters).
+        exploded = _spread(df, id_col).select(
+            F.col(id_col),
+            F.explode(_shingles(F.col(text_col), shingle_size)).alias("__g"),
+        )
+    exploded = exploded.withColumn("__h", F.xxhash64("__g"))
     mins = exploded.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__h{i}")
@@ -328,16 +360,29 @@ def minhash_verified_dedup(
     ``(1/16)^(1/4) = 0.5``: a pair at exactly jaccard 0.8 is missed with
     probability ``(1 − 0.8⁴)¹⁶ ≈ 2e-4``, and real near-dups (j ≥ 0.89 on
     every measured corpus) at ``≤ 1.4e-7`` — while keeping the candidate
-    set (and hence verify shingling, the expensive stage) near the true
-    pair set instead of sweeping in moderate-similarity pairs. For a
-    maximum-recall gate at small scale, pass ``bands=32`` (2 rows/band:
-    boundary miss ``6e-15``, more candidates).
+    set (and hence verify cost) near the true pair set instead of
+    sweeping in moderate-similarity pairs. For a maximum-recall gate at
+    small scale, pass ``bands=32`` (2 rows/band: boundary miss ``6e-15``,
+    more candidates).
+
+    Shingling runs ONCE: the ``(id, shingles)`` frame is computed,
+    ``localCheckpoint``-ed (bounded: one row per doc; the lineage cut
+    also blocks Catalyst from inferring the shingle expression into the
+    file scan — see :func:`_shingle_frame`), then shared by the
+    signature stage and the Jaccard verify stage. On a cluster the
+    checkpoint lives in executor block storage (memory, spilling to
+    local disk) without replication — an executor loss fails the job
+    back to the caller, the standard localCheckpoint trade-off for
+    not recomputing the most expensive map stage three times.
     """
+    sh = _shingle_frame(df, text_col, id_col, n).localCheckpoint(eager=True)
     cands = minhash_candidate_pairs(
-        df, text_col, id_col, n_hashes, bands, shingle_size=n
+        df, text_col, id_col, n_hashes, bands, shingle_size=n, shingles=sh
     )
     dups = (
-        ngram_jaccard_verify(df, cands, text_col, id_col, n, threshold)
+        ngram_jaccard_verify(
+            df, cands, text_col, id_col, n, threshold, shingles=sh
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
@@ -517,6 +562,7 @@ def ngram_jaccard_verify(
     n: int = 3,
     threshold: float = 0.8,
     materialize_pairs: bool = True,
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for a GIVEN candidate pair set — the
     scale-safe composition (candidates from
@@ -531,7 +577,10 @@ def ngram_jaccard_verify(
     Shingling (the expensive part: interpreted higher-order transforms
     per document) runs only on documents that appear in ``pairs`` — a
     semi-join prefilter keeps verify cost candidates-proportional
-    instead of corpus-proportional.
+    instead of corpus-proportional. Pass a materialized
+    :func:`_shingle_frame` via ``shingles`` to skip re-shingling
+    entirely and just semi-join the precomputed arrays down to the
+    candidate ids (what :func:`minhash_verified_dedup` does).
 
     The plan references ``pairs`` twice (id prefilter + the pair join),
     and Spark recomputes a subtree per reference — for LSH-generated
@@ -546,12 +595,19 @@ def ngram_jaccard_verify(
     pair_ids = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias("__pid")
     ).distinct()
-    needed = df.join(
-        pair_ids, df[id_col] == pair_ids["__pid"], "left_semi"
-    )
-    sh = needed.select(
-        F.col(id_col).alias("__id"), _shingles(F.col(text_col), n).alias("__sh")
-    ).withColumn("__sz", F.size("__sh"))
+    if shingles is not None:
+        sh = shingles.join(
+            pair_ids, shingles[id_col] == pair_ids["__pid"], "left_semi"
+        ).select(F.col(id_col).alias("__id"), F.col("__sh"))
+    else:
+        needed = df.join(
+            pair_ids, df[id_col] == pair_ids["__pid"], "left_semi"
+        )
+        sh = needed.select(
+            F.col(id_col).alias("__id"),
+            _shingles(F.col(text_col), n).alias("__sh"),
+        )
+    sh = sh.withColumn("__sz", F.size("__sh"))
     a = sh.select(
         F.col("__id").alias("id_a"),
         F.col("__sh").alias("__sh_a"),
