@@ -49,6 +49,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings = {}
+    raw_runs = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
         # warm-up (codegen, file listing, broadcast build)
@@ -59,6 +60,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        raw_runs[name] = [round(r, 3) for r in runs]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -68,6 +70,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": raw_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

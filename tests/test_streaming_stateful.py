@@ -36,3 +36,26 @@ def test_stream_distinct_dedups_across_files(spark, dup_events_dir):
     # raw input really contains duplicates
     raw = spark.read.parquet(dup_events_dir)
     assert raw.count() == 1000
+
+
+def test_stream_distinct_state_bounded_by_default():
+    """Unbounded state must be the explicit opt-in, never the default
+    (at 100 TB/day an ever-growing seen-set is a slow OOM)."""
+    import inspect
+
+    from vinum_spark.streaming.stateful import DEFAULT_TIMEOUT_MS
+
+    default = inspect.signature(stream_distinct).parameters["timeout_ms"].default
+    assert default == DEFAULT_TIMEOUT_MS > 0
+
+
+def test_stream_distinct_unbounded_opt_in(spark, dup_events_dir):
+    """timeout_ms=0 (explicit) still runs with NoTimeout exact retention."""
+    stream = stream_events(spark, dup_events_dir, max_files_per_trigger=1)
+    deduped = stream_distinct(
+        stream, group_col="user_id", key_cols=["event_id"], timeout_ms=0
+    )
+    run_stream_to_memory(deduped, "distinct_unbounded_out", mode="append")
+    got = spark.table("distinct_unbounded_out").toPandas()
+    assert len(got) == 500
+    assert got["event_id"].is_unique

@@ -27,6 +27,7 @@ from typing import Callable, Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from vinum_spark.operators import dedup as D
 from vinum_spark.operators import similarity as S
@@ -58,17 +59,35 @@ def _q(name: str, oracle: Optional[str], desc: str):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin the semantics these queries were validated under, whatever the
-    # caller's session defaults are (driver sessions may differ).
+    # caller's session defaults are (driver sessions may differ). These
+    # are deliberately NOT restored: the returned DataFrame is lazy, so
+    # the confs must still hold when the caller executes it — a
+    # save/restore here would silently flip semantics at collect time.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects
-        # (PARQUET_TYPE_ILLEGAL); read nanos as long, convert to a
-        # microsecond timestamp (truncation matches DuckDB's ms/us views).
+        # nanosAsLong is a no-op for non-nanos files but lets us read
+        # either generation of the events table (see _normalize_events_ts).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a microsecond TimestampType column.
+
+    The driver-generated events table has shipped with two physical
+    layouts for ``ts``: parquet TIMESTAMP(NANOS) (which Spark reads as a
+    long under ``nanosAsLong`` — convert ns→us) and plain
+    ``timestamp[us]`` (reads as TIMESTAMP_NTZ — cast to session-local
+    TIMESTAMP, an identity under the pinned UTC zone). Dispatching on the
+    observed type instead of assuming one layout keeps every events
+    query working across data regenerations.
+    """
+    t = df.schema["ts"].dataType
+    if isinstance(t, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ===========================================================================

@@ -44,11 +44,17 @@ def read_csv(
 
     - ``ParseOptions``: delimiter → ``sep``, quote_char → ``quote``,
       escape_char → ``escape``, newlines_in_values → ``multiLine``;
-    - ``ReadOptions``: skip_rows → ``skipRows`` emulation via header
-      handling, column_names / autogenerate_column_names → rename after
+    - ``ReadOptions``: skip_rows → the first N physical lines of the
+      (single) input file are dropped before header parsing, exactly
+      pyarrow's semantics (line-indexed text read; single plain file
+      only, incompatible with ``newlines_in_values`` — both fail
+      loudly); column_names / autogenerate_column_names → rename after
       a headerless read (pyarrow's ``f0..fN`` convention);
     - ``ConvertOptions``: include_columns → projection, column_types →
-      post-scan casts, null_values → ``nullValue``.
+      post-scan casts, null_values → ``nullValue`` for the first
+      sentinel plus a post-scan sentinel→NULL rewrite and single-pass
+      type re-inference for the rest (pyarrow applies sentinels BEFORE
+      inference; the re-inference pass restores that ordering).
 
     ``memory_pool`` is accepted and ignored — allocation is the JVM's
     concern here. Keyword use (``header=``, ``delimiter=``, raw Spark
@@ -72,12 +78,9 @@ def read_csv(
             )
     column_names = None
     autogenerate = False
+    skip_rows = 0
     if read_options is not None:
-        if getattr(read_options, "skip_rows", 0):
-            raise NotImplementedError(
-                "read_options.skip_rows is not supported on the Spark "
-                "CSV source; pre-slice the input or use a comment prefix"
-            )
+        skip_rows = int(getattr(read_options, "skip_rows", 0) or 0)
         column_names = list(getattr(read_options, "column_names", None) or []) or None
         autogenerate = bool(getattr(read_options, "autogenerate_column_names", False))
         enc = getattr(read_options, "encoding", None)
@@ -103,21 +106,18 @@ def read_csv(
         if ct:
             column_types = dict(ct)
         nulls = list(getattr(convert_options, "null_values", None) or [])
+        extra_nulls: List[str] = []
         if nulls and nulls != _pyarrow_default_null_values():
-            # Spark's CSV source accepts ONE nullValue sentinel. pyarrow's
-            # default list (left untouched) maps closely enough to Spark's
-            # defaults; a CUSTOM list with one entry maps exactly; a custom
-            # list with several entries cannot be honored — fail loudly
-            # rather than silently parsing those sentinels as strings.
-            if len(nulls) == 1:
-                options.setdefault("nullValue", nulls[0])
-            else:
-                raise NotImplementedError(
-                    "convert_options.null_values with multiple custom "
-                    "sentinels is not supported by the Spark CSV source "
-                    "(one nullValue only); pass a single sentinel or "
-                    "post-process with when/otherwise"
-                )
+            # Spark's CSV source accepts ONE nullValue sentinel; the
+            # first custom sentinel maps onto it and the rest are applied
+            # post-scan (sentinel→NULL on string columns, then a
+            # single-pass type re-inference so a column whose only
+            # blocker was a sentinel still comes out numeric, matching
+            # pyarrow's sentinels-before-inference ordering).
+            options.setdefault("nullValue", nulls[0])
+            extra_nulls = [n for n in nulls[1:] if n != nulls[0]]
+    else:
+        extra_nulls = []
 
     reader = (
         spark.read.option("header", str(header).lower())
@@ -129,7 +129,10 @@ def read_csv(
         reader = reader.option(k, v)
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.csv(path)
+    if skip_rows:
+        df = _read_csv_skipping(spark, reader, path, skip_rows, options)
+    else:
+        df = reader.csv(path)
     if column_names:
         df = df.toDF(*column_names)
     elif autogenerate:
@@ -142,9 +145,94 @@ def read_csv(
                 spark_type = _PA_TO_SPARK.get(str(pa_type))
                 if spark_type:
                     df = df.withColumn(name, F.col(name).cast(spark_type))
+    if extra_nulls:
+        df = _apply_null_sentinels(df, extra_nulls, reinfer=infer_schema)
     if include_columns:
         df = df.select(*include_columns)
     return Table(df)
+
+
+def _read_csv_skipping(spark, reader, path: str, skip_rows: int, options):
+    """pyarrow ``ReadOptions.skip_rows`` semantics: drop the first N
+    physical lines of the file, THEN parse (header line included in what
+    remains). Spark's CSV source has no skipRows option, so the file is
+    read as ordered text (``textFile`` + ``zipWithIndex`` — intra-file
+    line order is contractual there) and the surviving lines are fed to
+    the same CSV parser. This is the one deliberate RDD use in the
+    readers: a per-line positional filter is imperative by nature.
+    Single plain file only (skip-N-lines is not well-defined across a
+    multi-file glob), and incompatible with ``newlines_in_values``
+    (quoted embedded newlines break line-oriented splitting).
+    """
+    import os
+
+    if any(c in path for c in "*?[]{}") or os.path.isdir(path):
+        raise NotImplementedError(
+            "read_options.skip_rows supports a single plain file only "
+            f"(got {path!r}); pre-slice multi-file inputs instead"
+        )
+    if str(options.get("multiLine", "")).lower() == "true":
+        raise NotImplementedError(
+            "read_options.skip_rows cannot be combined with "
+            "parse_options.newlines_in_values: skipping is line-oriented "
+            "while quoted values may embed newlines"
+        )
+    lines = (
+        spark.sparkContext.textFile(path)
+        .zipWithIndex()
+        .filter(lambda li: li[1] >= skip_rows)
+        .map(lambda li: li[0])
+    )
+    return reader.csv(lines)
+
+
+def _apply_null_sentinels(df, sentinels, reinfer: bool):
+    """Rewrite custom null sentinels to NULL post-scan, then (optionally)
+    re-infer types in ONE aggregate pass.
+
+    pyarrow applies ``null_values`` before type inference; Spark's single
+    ``nullValue`` cannot. A column whose cells are e.g. ``1, 2, NA``
+    therefore arrives as *string*. After the sentinel→NULL rewrite, a
+    single ``agg`` computes, per string column, whether every surviving
+    value parses as bigint / double / boolean, and casts accordingly —
+    one extra scan, the same cost class as ``inferSchema`` itself.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
+    if not str_cols:
+        return df
+    sent = list(sentinels)
+    for c in str_cols:
+        df = df.withColumn(
+            c, F.when(F.col(c).isin(sent), F.lit(None)).otherwise(F.col(c))
+        )
+    if not reinfer:
+        return df
+    aggs = []
+    for i, c in enumerate(str_cols):
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"__s{i}_n"),
+            F.count(col.try_cast("bigint")).alias(f"__s{i}_i"),
+            F.count(col.try_cast("double")).alias(f"__s{i}_d"),
+            F.count(F.when(F.lower(col).isin("true", "false"), 1)).alias(
+                f"__s{i}_b"
+            ),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    for i, c in enumerate(str_cols):
+        n = row[f"__s{i}_n"]
+        if n == 0:
+            continue
+        if row[f"__s{i}_i"] == n:
+            df = df.withColumn(c, F.col(c).cast("bigint"))
+        elif row[f"__s{i}_d"] == n:
+            df = df.withColumn(c, F.col(c).cast("double"))
+        elif row[f"__s{i}_b"] == n:
+            df = df.withColumn(c, F.col(c).cast("boolean"))
+    return df
 
 
 def _pyarrow_default_null_values() -> list:

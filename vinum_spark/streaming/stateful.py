@@ -28,17 +28,25 @@ def _digest(parts: Iterable[Any]) -> int:
     return int.from_bytes(hashlib.sha1(raw.encode()).digest()[:8], "big", signed=True)
 
 
+#: default processing-time eviction (1 h). State is bounded BY DEFAULT:
+#: at 100 TB/day an unbounded seen-set is a slow OOM, so unbounded
+#: retention is the explicit opt-in (``timeout_ms=0``), not the default.
+DEFAULT_TIMEOUT_MS = 3_600_000
+
+
 def stream_distinct(
     df: DataFrame,
     group_col: str = "user_id",
     key_cols: Sequence[str] = ("event_id",),
-    timeout_ms: int = 0,
+    timeout_ms: int = DEFAULT_TIMEOUT_MS,
 ) -> DataFrame:
     """First-occurrence-only stream, deduped within and across batches.
 
-    Output schema == input schema. ``timeout_ms > 0`` evicts a group's
-    seen-set after that much processing-time inactivity (trade memory for
-    the chance of re-admitting a very late duplicate).
+    Output schema == input schema. ``timeout_ms > 0`` (the default:
+    1 hour) evicts a group's seen-set after that much processing-time
+    inactivity — memory stays bounded at the cost of re-admitting a
+    duplicate that arrives after its group went quiet for the timeout.
+    Pass ``timeout_ms=0`` to opt in to unbounded exact retention.
     """
     schema = df.schema
     out_cols = [f.name for f in schema.fields]

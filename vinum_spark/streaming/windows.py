@@ -31,6 +31,12 @@ EVENTS_NANOS_DDL = (
     "value double, props string"
 )
 
+# plain timestamp[us] parquet (no UTC adjustment flag) reads as NTZ
+EVENTS_NTZ_DDL = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
 
 def stream_events(
     spark: SparkSession,
@@ -41,16 +47,36 @@ def stream_events(
 ) -> DataFrame:
     """``readStream`` over an events directory with the canonical schema.
 
-    ``nanos_ts=True`` streams parquet whose ``ts`` is TIMESTAMP(NANOS)
-    (which Spark's reader otherwise rejects) DIRECTLY: the
-    ``nanosAsLong`` legacy read maps it to a long, converted here to a
-    microsecond timestamp — no rewritten copy of the source needed.
+    For parquet sources the physical type of ``ts`` is auto-detected
+    from the source schema (the driver-generated events table has
+    shipped both as TIMESTAMP(NANOS) — readable only as long under the
+    ``nanosAsLong`` legacy conf, converted ns→us here — and as plain
+    ``timestamp[us]``, which reads as TIMESTAMP_NTZ and is cast to the
+    session-local TIMESTAMP, an identity under UTC). Streaming requires
+    a user-supplied schema, so the batch reader probes the footer once;
+    no rewritten copy of the source is ever made. ``nanos_ts`` is kept
+    for back-compat and ignored — detection is always automatic.
     """
-    if nanos_ts and fmt == "parquet":
+    del nanos_ts  # auto-detected; parameter kept for API stability
+    if fmt == "parquet":
         import os
 
+        single_file = os.path.isfile(path)
+        if single_file and any(c in "*?[]{}" for c in path):
+            # the globify trick below would corrupt such a path into a
+            # pattern matching nothing (a silently-empty stream)
+            raise ValueError(
+                "single-file streaming requires a path free of "
+                f"glob metacharacters; move {path!r} into its own "
+                "directory and stream the directory instead"
+            )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        reader = spark.readStream.format(fmt).schema(EVENTS_NANOS_DDL)
+        ts_type = spark.read.parquet(path).schema["ts"].dataType.simpleString()
+        ddl = {
+            "bigint": EVENTS_NANOS_DDL,
+            "timestamp_ntz": EVENTS_NTZ_DDL,
+        }.get(ts_type, EVENTS_DDL)
+        reader = spark.readStream.format(fmt).schema(ddl)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         # FileStreamSource force-overrides basePath to the source path
@@ -59,20 +85,15 @@ def stream_events(
         # directory'. Globifying the last character skips the override
         # so the explicit directory basePath is honored; no copy of the
         # source is ever made.
-        if os.path.isfile(path):
-            if any(c in "*?[]{}" for c in path):
-                # the globify trick below would corrupt such a path into a
-                # pattern matching nothing (a silently-empty stream)
-                raise ValueError(
-                    "single-file nanos streaming requires a path free of "
-                    f"glob metacharacters; move {path!r} into its own "
-                    "directory and stream the directory instead"
-                )
+        if single_file:
             reader = reader.option("basePath", os.path.dirname(path))
             path = f"{path[:-1]}[{path[-1]}]"
-        return reader.load(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        out = reader.load(path)
+        if ts_type == "bigint":
+            out = out.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            out = out.withColumn("ts", F.col("ts").cast("timestamp"))
+        return out
     reader = spark.readStream.format(fmt).schema(EVENTS_DDL)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
