@@ -140,14 +140,49 @@ class TestPyarrowSignatureParity:
         )
         assert t.df.columns == ["f0", "f1"]  # pyarrow's naming convention
 
-    def test_read_csv_skip_rows_unsupported_is_loud(self, spark, tmp_path):
+    def test_read_csv_skip_rows_drops_leading_lines(self, spark, tmp_path):
+        """pyarrow semantics: skip N physical lines, THEN parse (header
+        included in what remains) — cross-checked against pyarrow itself."""
         import pyarrow.csv as pacsv
         import vinum_spark as vs
 
         p = tmp_path / "x.csv"
-        p.write_text("a\n1\n")
-        with pytest.raises(NotImplementedError, match="skip_rows"):
-            vs.read_csv(str(p), pacsv.ReadOptions(skip_rows=2), spark=spark)
+        p.write_text("garbage preamble line\na,b\n1,2\n3,4\n")
+        t = vs.read_csv(str(p), pacsv.ReadOptions(skip_rows=1), spark=spark)
+        assert t.df.columns == ["a", "b"]
+        pdf = t.sql_pd("select sum(a) as s, sum(b) as t from t")
+        assert pdf["s"].tolist() == [4] and pdf["t"].tolist() == [6]
+        # parity with pyarrow on the same file
+        pa_tbl = pacsv.read_csv(str(p), read_options=pacsv.ReadOptions(skip_rows=1))
+        assert pa_tbl.column_names == ["a", "b"]
+        assert sum(pa_tbl["a"].to_pylist()) == 4
+
+    def test_read_csv_skip_rows_unsupported_combos_loud(self, spark, tmp_path):
+        """The genuinely unsupported combos still fail loudly: multi-file
+        glob paths, newlines_in_values, non-utf8 encodings."""
+        import pyarrow.csv as pacsv
+        import vinum_spark as vs
+
+        d = tmp_path / "many"
+        d.mkdir()
+        (d / "x.csv").write_text("a\n1\n")
+        with pytest.raises(NotImplementedError, match="single plain file"):
+            vs.read_csv(str(d), pacsv.ReadOptions(skip_rows=1), spark=spark)
+        p = tmp_path / "x.csv"
+        p.write_text("skipme\na\n1\n")
+        with pytest.raises(NotImplementedError, match="newlines_in_values"):
+            vs.read_csv(
+                str(p),
+                pacsv.ReadOptions(skip_rows=1),
+                pacsv.ParseOptions(newlines_in_values=True),
+                spark=spark,
+            )
+        with pytest.raises(NotImplementedError, match="utf-8"):
+            vs.read_csv(
+                str(p),
+                pacsv.ReadOptions(skip_rows=1, encoding="latin-1"),
+                spark=spark,
+            )
 
     def test_read_csv_keyword_form_unchanged(self, spark, tmp_path):
         import vinum_spark as vs

@@ -239,20 +239,73 @@ def test_read_csv_rejects_stale_positional_call(spark, tmp_path):
         vs.read_csv(str(p), False, spark=spark)
 
 
-def test_read_csv_multi_null_values_loud(spark, tmp_path):
+def test_read_csv_multi_null_values_reinfer(spark, tmp_path):
+    """Multi-sentinel null_values: sentinels become NULL and a column
+    whose only type-blocker was a sentinel is re-inferred numeric —
+    pyarrow's sentinels-before-inference ordering."""
     import pyarrow.csv as pacsv
     import vinum_spark as vs
 
     p = tmp_path / "nv.csv"
-    p.write_text("a\n1\nNA\n")
-    with pytest.raises(NotImplementedError, match="null_values"):
-        vs.read_csv(
-            str(p),
-            None,
-            None,
-            pacsv.ConvertOptions(null_values=["NA", "MISSING"]),
-            spark=spark,
-        )
+    p.write_text("a,w\n1,x\n2,NA\nNA,y\nMISSING,MISSING\n")
+    t = vs.read_csv(
+        str(p),
+        None,
+        None,
+        pacsv.ConvertOptions(null_values=["NA", "MISSING"]),
+        spark=spark,
+    )
+    dt = dict(t.df.dtypes)
+    assert dt["a"] == "bigint"  # re-inferred numeric after sentinel->NULL
+    pdf = t.sql_pd("select sum(a) as s, count(a) as n from t")
+    assert pdf["s"].tolist() == [3] and pdf["n"].tolist() == [2]
+    # strings_can_be_null defaults False in pyarrow: the genuine string
+    # column keeps its sentinels as literal values
+    w = t.sql_pd("select w from t order by w")["w"].tolist()
+    assert w == ["MISSING", "NA", "x", "y"]
+
+
+def test_read_csv_strings_can_be_null(spark, tmp_path):
+    """strings_can_be_null=True nulls sentinels in string columns too."""
+    import pyarrow.csv as pacsv
+    import vinum_spark as vs
+
+    p = tmp_path / "scbn.csv"
+    p.write_text("a,w\n1,x\n2,NA\nNA,y\nMISSING,MISSING\n")
+    t = vs.read_csv(
+        str(p),
+        None,
+        None,
+        pacsv.ConvertOptions(
+            null_values=["NA", "MISSING"], strings_can_be_null=True
+        ),
+        spark=spark,
+    )
+    pdf = t.sql_pd("select count(w) as n, sum(a) as s from t")
+    assert pdf["n"].tolist() == [2] and pdf["s"].tolist() == [3]
+
+
+def test_read_csv_explicit_schema_is_authoritative(spark, tmp_path):
+    """An explicit schema= must never be overridden by sentinel
+    re-inference: a declared string column of zero-padded codes stays
+    string, leading zeros intact."""
+    import pyarrow.csv as pacsv
+    import vinum_spark as vs
+
+    p = tmp_path / "sch.csv"
+    p.write_text("code,v\n001,1\n002,NA\n003,MISSING\n")
+    t = vs.read_csv(
+        str(p),
+        None,
+        None,
+        pacsv.ConvertOptions(null_values=["NA", "MISSING"]),
+        schema="code string, v string",
+        infer_schema=False,
+        spark=spark,
+    )
+    assert dict(t.df.dtypes)["code"] == "string"
+    codes = t.sql_pd("select code from t order by code")["code"].tolist()
+    assert codes == ["001", "002", "003"]
 
 
 def test_read_csv_default_convert_options_ok(spark, tmp_path):

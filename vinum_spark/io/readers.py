@@ -100,24 +100,32 @@ def read_csv(
             options.setdefault("multiLine", "true")
     include_columns = None
     column_types = None
+    extra_nulls: List[str] = []
+    strings_can_be_null = False
     if convert_options is not None:
         include_columns = list(getattr(convert_options, "include_columns", None) or []) or None
         ct = getattr(convert_options, "column_types", None)
         if ct:
             column_types = dict(ct)
+        strings_can_be_null = bool(
+            getattr(convert_options, "strings_can_be_null", False)
+        )
         nulls = list(getattr(convert_options, "null_values", None) or [])
-        extra_nulls: List[str] = []
         if nulls and nulls != _pyarrow_default_null_values():
-            # Spark's CSV source accepts ONE nullValue sentinel; the
-            # first custom sentinel maps onto it and the rest are applied
-            # post-scan (sentinel→NULL on string columns, then a
-            # single-pass type re-inference so a column whose only
-            # blocker was a sentinel still comes out numeric, matching
-            # pyarrow's sentinels-before-inference ordering).
-            options.setdefault("nullValue", nulls[0])
-            extra_nulls = [n for n in nulls[1:] if n != nulls[0]]
-    else:
-        extra_nulls = []
+            if strings_can_be_null:
+                # every column may null the sentinels: Spark's single
+                # nullValue option (applied to all columns at scan time)
+                # takes the first sentinel; the rest go post-scan.
+                options.setdefault("nullValue", nulls[0])
+                extra_nulls = [n for n in nulls[1:] if n != nulls[0]]
+            else:
+                # pyarrow's default: sentinels null only during
+                # conversion to NON-string types; a genuine string
+                # column keeps them literal. Spark's nullValue can't
+                # express that (it nulls string columns too), so ALL
+                # sentinels are applied post-scan, and only to columns
+                # the re-inference pass retypes away from string.
+                extra_nulls = list(dict.fromkeys(nulls))
 
     reader = (
         spark.read.option("header", str(header).lower())
@@ -146,7 +154,15 @@ def read_csv(
                 if spark_type:
                     df = df.withColumn(name, F.col(name).cast(spark_type))
     if extra_nulls:
-        df = _apply_null_sentinels(df, extra_nulls, reinfer=infer_schema)
+        # an explicit schema= is authoritative: never re-infer over it
+        # (a declared string column like zero-padded codes must stay
+        # string); sentinel rewriting still applies per strings_can_be_null
+        df = _apply_null_sentinels(
+            df,
+            extra_nulls,
+            reinfer=infer_schema and schema is None,
+            strings_can_be_null=strings_can_be_null,
+        )
     if include_columns:
         df = df.select(*include_columns)
     return Table(df)
@@ -177,6 +193,19 @@ def _read_csv_skipping(spark, reader, path: str, skip_rows: int, options):
             "parse_options.newlines_in_values: skipping is line-oriented "
             "while quoted values may embed newlines"
         )
+    enc = str(options.get("encoding", "utf8")).lower().replace("-", "")
+    if enc not in ("utf8", "ascii"):
+        # textFile always decodes UTF-8; silently misdecoding the bytes
+        # would be worse than refusing
+        raise NotImplementedError(
+            "read_options.skip_rows supports utf-8 input only (got "
+            f"encoding={options['encoding']!r}); re-encode the file or "
+            "pre-slice it instead"
+        )
+    # Caveat (documented divergence): Spark's Dataset[String] CSV path
+    # drops EVERY line byte-equal to the header, not just the first —
+    # a data row that exactly repeats the header line is lost here,
+    # unlike the plain file-path read.
     lines = (
         spark.sparkContext.textFile(path)
         .zipWithIndex()
@@ -186,16 +215,23 @@ def _read_csv_skipping(spark, reader, path: str, skip_rows: int, options):
     return reader.csv(lines)
 
 
-def _apply_null_sentinels(df, sentinels, reinfer: bool):
+def _apply_null_sentinels(
+    df, sentinels, reinfer: bool, strings_can_be_null: bool = True
+):
     """Rewrite custom null sentinels to NULL post-scan, then (optionally)
     re-infer types in ONE aggregate pass.
 
     pyarrow applies ``null_values`` before type inference; Spark's single
     ``nullValue`` cannot. A column whose cells are e.g. ``1, 2, NA``
-    therefore arrives as *string*. After the sentinel→NULL rewrite, a
-    single ``agg`` computes, per string column, whether every surviving
-    value parses as bigint / double / boolean, and casts accordingly —
-    one extra scan, the same cost class as ``inferSchema`` itself.
+    therefore arrives as *string*. A single ``agg`` computes, per string
+    column, whether every non-sentinel value parses as bigint / double /
+    boolean — one extra scan, the same cost class as ``inferSchema``.
+
+    ``strings_can_be_null`` mirrors pyarrow's ConvertOptions flag: when
+    False (pyarrow's default) sentinels become NULL only in columns the
+    re-inference pass retypes AWAY from string — a genuine string column
+    keeps them as literal values, exactly as pyarrow's converter does.
+    When True, every string column nulls the sentinels.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
@@ -204,34 +240,41 @@ def _apply_null_sentinels(df, sentinels, reinfer: bool):
     if not str_cols:
         return df
     sent = list(sentinels)
+
+    def nulled(c):
+        return F.when(F.col(c).isin(sent), F.lit(None)).otherwise(F.col(c))
+
+    retyped = {}
+    if reinfer:
+        aggs = []
+        for i, c in enumerate(str_cols):
+            col = nulled(c)  # sentinels-before-inference, pyarrow's order
+            aggs += [
+                F.count(col).alias(f"__s{i}_n"),
+                F.count(col.try_cast("bigint")).alias(f"__s{i}_i"),
+                F.count(col.try_cast("double")).alias(f"__s{i}_d"),
+                F.count(F.when(F.lower(col).isin("true", "false"), 1)).alias(
+                    f"__s{i}_b"
+                ),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        for i, c in enumerate(str_cols):
+            n = row[f"__s{i}_n"]
+            if n == 0:
+                continue
+            if row[f"__s{i}_i"] == n:
+                retyped[c] = "bigint"
+            elif row[f"__s{i}_d"] == n:
+                retyped[c] = "double"
+            elif row[f"__s{i}_b"] == n:
+                retyped[c] = "boolean"
     for c in str_cols:
-        df = df.withColumn(
-            c, F.when(F.col(c).isin(sent), F.lit(None)).otherwise(F.col(c))
-        )
-    if not reinfer:
-        return df
-    aggs = []
-    for i, c in enumerate(str_cols):
-        col = F.col(c)
-        aggs += [
-            F.count(col).alias(f"__s{i}_n"),
-            F.count(col.try_cast("bigint")).alias(f"__s{i}_i"),
-            F.count(col.try_cast("double")).alias(f"__s{i}_d"),
-            F.count(F.when(F.lower(col).isin("true", "false"), 1)).alias(
-                f"__s{i}_b"
-            ),
-        ]
-    row = df.agg(*aggs).collect()[0]
-    for i, c in enumerate(str_cols):
-        n = row[f"__s{i}_n"]
-        if n == 0:
-            continue
-        if row[f"__s{i}_i"] == n:
-            df = df.withColumn(c, F.col(c).cast("bigint"))
-        elif row[f"__s{i}_d"] == n:
-            df = df.withColumn(c, F.col(c).cast("double"))
-        elif row[f"__s{i}_b"] == n:
-            df = df.withColumn(c, F.col(c).cast("boolean"))
+        if strings_can_be_null:
+            df = df.withColumn(c, nulled(c))
+        elif c in retyped:
+            df = df.withColumn(c, nulled(c))
+    for c, t in retyped.items():
+        df = df.withColumn(c, F.col(c).cast(t))
     return df
 
 

@@ -37,6 +37,50 @@ EVENTS_NTZ_DDL = (
     "value double, props string"
 )
 
+#: footer-probe results per (session id, path) — the probe is a batch
+#: parquet read, so re-probing on every stream_events call in a hot loop
+#: would be a per-call scan of the source footer.
+_TS_TYPE_CACHE: dict = {}
+
+
+def _probe_ts_type(spark: SparkSession, path: str) -> str:
+    """Detect the physical type of ``ts`` from the parquet footer, once
+    per (session, path).
+
+    TIMESTAMP(NANOS) sources are only readable under the ``nanosAsLong``
+    legacy conf, so the probe runs with it on; if the source turns out
+    NOT to be nanos, the prior conf value is restored so the session-wide
+    flag isn't left flipped for unrelated reads. An unreadable path (an
+    empty or not-yet-populated source directory — normal at streaming
+    setup time) falls back to the canonical TIMESTAMP schema instead of
+    raising at stream-definition time.
+    """
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    cache_key = (id(spark), path)
+    if cache_key in _TS_TYPE_CACHE:
+        ts_type = _TS_TYPE_CACHE[cache_key]
+        if ts_type == "bigint":
+            # a later probe of a non-nanos path may have restored the
+            # conf; the nanos stream still needs it
+            spark.conf.set(conf_key, "true")
+        return ts_type
+    from pyspark.errors import AnalysisException
+
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        ts_type = spark.read.parquet(path).schema["ts"].dataType.simpleString()
+    except AnalysisException:
+        ts_type = "timestamp"  # empty dir: assume canonical schema
+    if ts_type != "bigint":
+        # not a nanos source: don't leave the legacy flag set session-wide
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
+    _TS_TYPE_CACHE[cache_key] = ts_type
+    return ts_type
+
 
 def stream_events(
     spark: SparkSession,
@@ -70,8 +114,7 @@ def stream_events(
                 f"glob metacharacters; move {path!r} into its own "
                 "directory and stream the directory instead"
             )
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ts_type = spark.read.parquet(path).schema["ts"].dataType.simpleString()
+        ts_type = _probe_ts_type(spark, path)
         ddl = {
             "bigint": EVENTS_NANOS_DDL,
             "timestamp_ntz": EVENTS_NTZ_DDL,
@@ -167,9 +210,30 @@ def session_aggregate(
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, table_name: str, mode: str = "complete"
+    stream_df: DataFrame,
+    table_name: str,
+    mode: str = "complete",
+    idle_timeout: float = 600.0,
 ) -> None:
-    """Drain all available input into an in-memory sink (testing helper)."""
+    """Drain all available input into an in-memory sink (testing helper).
+
+    Termination contract: under ``ProcessingTimeTimeout`` Spark's
+    stateful exec reports "should run another batch" unconditionally, so
+    an ``availableNow`` trigger never self-terminates — it schedules
+    empty microbatches (and commits state files) forever. Neither
+    ``awaitTermination()`` nor ``processAllAvailable()`` returns in that
+    regime (the microbatch thread never latches ``noNewData`` while it
+    keeps constructing timeout batches — observed spinning past batch
+    1000 on a 2-file input). The drain that is bounded for EVERY trigger
+    and timeout conf is progress polling: ``availableNow`` plans all
+    input up front and batches consume it monotonically, so the first
+    COMMITTED batch with ``numInputRows == 0`` after batch 0 proves all
+    available input (and any final watermark-commit emission) is already
+    in the sink — stop there. Queries that self-terminate (non-stateful,
+    or ``NoTimeout``) exit the poll via ``isActive`` instead.
+    """
+    import time
+
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
@@ -177,4 +241,20 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        deadline = time.monotonic() + idle_timeout
+        while q.isActive:
+            lp = q.lastProgress
+            if lp is not None and lp["numInputRows"] == 0 and lp["batchId"] > 0:
+                break
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"stream {table_name!r} did not drain within "
+                    f"{idle_timeout}s (lastProgress={lp})"
+                )
+            time.sleep(0.05)
+        exc = q.exception()
+        if exc is not None:
+            raise exc
+    finally:
+        q.stop()
