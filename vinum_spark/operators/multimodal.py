@@ -12,11 +12,15 @@ Design (the 100 TB shape):
   batches: Python cost is per-batch, parallelism is per-partition, and
   memory stays bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
-The actual codec work is STUBBED (this container ships no image/audio
-libraries): when PIL/soundfile are importable they are used; otherwise a
-clearly-marked deterministic fake derives shapes/features from the bytes
-so the Spark-side plumbing — schemas, batch iteration, UDF signatures —
-is real and tested end-to-end.
+Header-level metadata is REAL and codec-free: image dimensions (PNG
+IHDR / GIF LSD / JPEG SOF), WAV fmt-chunk audio params + duration, and
+MP4 mvhd/tkhd duration + display dims are parsed from container bytes.
+Only pixel/sample-level work (full decode, resize, feature models) is
+STUBBED (this container ships no codec libraries): when PIL is
+importable it is used; otherwise a clearly-marked deterministic fake
+derives shapes/features from the bytes so the Spark-side plumbing —
+schemas, batch iteration, UDF signatures — is real and tested
+end-to-end.
 """
 
 from __future__ import annotations
@@ -193,6 +197,158 @@ def decode_images(
             )
 
     return df.mapInPandas(batches, schema=_DECODE_SCHEMA)
+
+
+_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+_PROBE_NULL = (None, None, None, None, None, None)
+
+
+def _parse_wav(data: bytes):
+    """TRUE audio metadata from the RIFF/WAVE chunk list alone — no codec
+    library. The fmt chunk carries channels / sample rate / bit depth in
+    fixed little-endian positions; duration is the data chunk's byte size
+    over the fmt byte rate. Returns None unless both chunks parse."""
+    if len(data) < 36 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        csize = int.from_bytes(data[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(data):
+            fmt = {
+                "channels": int.from_bytes(data[i + 10 : i + 12], "little"),
+                "sample_rate": int.from_bytes(data[i + 12 : i + 16], "little"),
+                "byte_rate": int.from_bytes(data[i + 16 : i + 20], "little"),
+                "bits": int.from_bytes(data[i + 22 : i + 24], "little"),
+            }
+        elif cid == b"data":
+            data_size = csize
+        # chunks are word-aligned: odd sizes are padded with one byte
+        i += 8 + csize + (csize & 1)
+    if fmt is None or data_size is None or not fmt["byte_rate"]:
+        return None
+    return (
+        "audio",
+        fmt["channels"],
+        fmt["sample_rate"],
+        fmt["bits"],
+        data_size / fmt["byte_rate"],
+        None,
+        None,
+        "wav-fmt",
+    )
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) over an ISO-BMFF box
+    range. Size 0 (to-end) and size 1 (64-bit largesize) per spec."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(data[i : i + 4], "big")
+        btype = data[i + 4 : i + 8]
+        payload = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(data[i + 8 : i + 16], "big")
+            payload = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield btype, payload, i + size
+        i += size
+
+
+def _parse_mp4(data: bytes):
+    """TRUE video metadata from ISO-BMFF header boxes alone: duration =
+    mvhd duration/timescale (version 0 and 1 layouts), display dims from
+    the widest trak's tkhd 16.16 fixed-point width/height. Returns None
+    unless an mvhd parses."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    duration = None
+    width = height = None
+    for btype, ps, pe in _iter_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ityp, is_, ie in _iter_boxes(data, ps, pe):
+            if ityp == b"mvhd" and is_ + 4 <= ie:
+                ver = data[is_]
+                if ver == 1 and is_ + 32 <= ie:
+                    ts = int.from_bytes(data[is_ + 20 : is_ + 24], "big")
+                    dur = int.from_bytes(data[is_ + 24 : is_ + 32], "big")
+                elif ver == 0 and is_ + 24 <= ie:
+                    ts = int.from_bytes(data[is_ + 12 : is_ + 16], "big")
+                    dur = int.from_bytes(data[is_ + 16 : is_ + 20], "big")
+                else:
+                    continue
+                if ts:
+                    duration = dur / ts
+            elif ityp == b"trak":
+                for ttyp, tps, tpe in _iter_boxes(data, is_, ie):
+                    if ttyp != b"tkhd":
+                        continue
+                    # tkhd payload: ver/flags, times/track_id/duration
+                    # (v1 widens the times), reserved, layer/volume,
+                    # 36-byte matrix, then 16.16 fixed width/height —
+                    # width lands at +76 (v0) / +88 (v1)
+                    ver = data[tps]
+                    off = tps + (88 if ver == 1 else 76)
+                    if off + 8 <= tpe:
+                        w = int.from_bytes(data[off : off + 4], "big") >> 16
+                        h = int.from_bytes(data[off + 4 : off + 8], "big") >> 16
+                        if w and h and (width is None or w > width):
+                            width, height = w, h
+    if duration is None:
+        return None
+    return ("video", None, None, None, duration, height, width, "mp4-mvhd")
+
+
+def probe_media(
+    df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
+) -> DataFrame:
+    """Audio/video metadata per asset via Arrow-batched ``mapInPandas``:
+    WAV fmt-chunk (channels, sample rate, bit depth, duration) and MP4
+    mvhd/tkhd (duration, display dims) parsed from header BYTES — the
+    pretraining-filter inputs that need no codec library. Unrecognized
+    containers come back with ``decoder='stub'`` and NULL fields (never a
+    fake value: a filter on duration must not act on invented numbers).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def probe(data):
+            data = bytes(data or b"")
+            parsed = _parse_wav(data) or _parse_mp4(data)
+            if parsed is not None:
+                return parsed
+            return ("unknown",) + _PROBE_NULL + ("stub",)
+
+        for pdf in it:
+            rows = [probe(x) for x in pdf[content_col]]
+            out = pd.DataFrame(
+                rows,
+                columns=[f.name for f in _PROBE_SCHEMA.fields[1:]],
+            )
+            out.insert(0, "asset_id", pdf[id_col].astype("int64").values)
+            yield out
+
+    return df.mapInPandas(batches, schema=_PROBE_SCHEMA)
 
 
 _FEATURE_DIM = 32
