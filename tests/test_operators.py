@@ -272,3 +272,93 @@ def test_minhash_verified_dedup_matches_exact_rule(docs):
         for r in minhash_verified_dedup(docs, n=2, threshold=0.5, bands=32).collect()
     }
     assert kept == all_ids - exact_drops
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def test_winnowing_identical_docs_share_all_fingerprints(spark):
+    from vinum_spark.operators.text import winnowing_fingerprints
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    fps = winnowing_fingerprints(df, k=8, window=4).toPandas()
+    a = set(fps[fps.doc_id == 0].fingerprint)
+    b = set(fps[fps.doc_id == 1].fingerprint)
+    assert a and a == b
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """Winnowing guarantee: a shared substring of length >= k + window - 1
+    contributes at least one common fingerprint."""
+    from vinum_spark.operators.text import winnowing_fingerprints
+
+    shared = "abcdefghijklmnopqrstuvwxyz0123456789"  # len 36 >= 8 + 4 - 1
+    df = spark.createDataFrame(
+        [
+            (0, f"prefix one {shared} tail xxxxxxx"),
+            (1, f"totally different preamble {shared} and another ending"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df, k=8, window=4).toPandas()
+    a = set(fps[fps.doc_id == 0].fingerprint)
+    b = set(fps[fps.doc_id == 1].fingerprint)
+    assert a & b
+
+
+def test_winnowing_short_and_empty_docs_yield_no_rows(spark):
+    from vinum_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "tiny"), (2, None)], "doc_id long, text string"
+    )
+    assert winnowing_fingerprints(df, k=8, window=4).count() == 0
+
+
+def test_winnowing_max_doc_freq_drops_hot_fingerprints(spark):
+    from vinum_spark.operators.text import winnowing_fingerprints
+
+    boiler = "standard header boilerplate text shared by every document"
+    rows = [(i, f"{boiler} unique tail number {i}!{i}?{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unfiltered = winnowing_fingerprints(df, k=8, window=4).toPandas()
+    hot = unfiltered.groupby("fingerprint").size()
+    assert (hot >= 6).any()  # the boilerplate produces corpus-wide fps
+    filtered = winnowing_fingerprints(df, k=8, window=4, max_doc_freq=5).toPandas()
+    kept_freq = filtered.groupby("fingerprint").size()
+    assert (kept_freq <= 5).all()
+
+
+def test_winnowing_shared_pairs_finds_near_dups_only(spark):
+    from vinum_spark.operators.text import winnowing_shared_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    df = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " with a small suffix change"),
+            (2, "entirely unrelated document talking about spark catalyst"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnowing_shared_pairs(
+        df, k=8, window=4, max_doc_freq=None, min_shared=3
+    ).toPandas()
+    assert set(zip(pairs.id_a, pairs.id_b)) == {(0, 1)}
+
+
+def test_winnowing_plan_single_md5(spark):
+    """The gram-hash array must be materialized in its own projection:
+    inlined into the windowing lambda it re-executes per window element
+    (O(len^2) md5 calls per doc — minutes, not sub-second, on 500 docs).
+    Pin: exactly one md5 in the executed plan."""
+    from vinum_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame([(0, "x" * 50)], "doc_id long, text string")
+    fps = winnowing_fingerprints(df, k=8, window=4)
+    fps.count()
+    plan = fps._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("md5") == 1

@@ -1868,6 +1868,53 @@ def q53(spark, sf_dir):
     )
 
 
+@_q(
+    "q54_winnowing_pairs",
+    r"""
+    WITH d AS (
+      SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(s)-16+1, 0)+1),
+                            p -> md5(substr(s, CAST(p AS INT), 16))) AS hashes
+      FROM d
+    ), w AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, greatest(len(hashes)-4+1, 0)+1),
+                 i -> list_min(hashes[CAST(i AS INT):CAST(i AS INT)+3])))) AS fp
+      FROM g
+    ), rare AS (
+      SELECT fp FROM w GROUP BY fp HAVING count(*) <= 10
+    ), wr AS (
+      SELECT w.doc_id, w.fp FROM w JOIN rare USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM wr a JOIN wr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 5
+    ORDER BY id_a, id_b
+    """,
+    "Rolling-hash document fingerprinting via winnowing (MOSS, "
+    "SIGMOD'03): char-16-gram md5 rolling hashes, min-of-4-window "
+    "selection, document-frequency cap 10 (bounds every pairing bucket "
+    "— the 100 TB guard), pairs sharing >= 5 fingerprints. Fingerprint "
+    "extraction is pure map-side array expressions (zero shuffles); the "
+    "DuckDB oracle computes the identical fingerprint set via "
+    "list_transform/list_min, so the pair list hash-matches exactly.",
+)
+def q54(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = X.winnowing_shared_pairs(
+        d, col="text", id_col="doc_id", k=16, window=4,
+        max_doc_freq=10, min_shared=5,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("n_shared").cast("bigint").alias("n_shared")
+    ).orderBy("id_a", "id_b")
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 53 registered, three always fall
 #: outside it. Order the export so every operator CLASS sits inside the
