@@ -62,3 +62,37 @@ def test_session_stream_runs(spark, events_dir):
     assert (got["n_events"] >= 1).all()
     # session bounds are ordered
     assert (got["session_end"] >= got["session_start"]).all()
+
+
+def test_interval_join_stream_matches_batch(spark, events_dir):
+    """Stream-stream inner join with a time-range condition must emit
+    exactly the batch-join rows (watermarks only bound state for inner
+    joins; they do not change the emitted set)."""
+    from vinum_spark.streaming import stream_interval_join
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    sc, sp = split(stream_events(spark, events_dir))
+    joined = stream_interval_join(sc, sp, within="30 minutes")
+    assert joined.isStreaming
+    run_stream_to_memory(joined, "ij_out", mode="append")
+    got = (
+        spark.table("ij_out")
+        .select("l_event_id", "r_event_id")
+        .orderBy("l_event_id", "r_event_id")
+        .toPandas()
+    )
+
+    bc, bp = split(spark.read.parquet(events_dir))
+    want = (
+        stream_interval_join(bc, bp, within="30 minutes")
+        .select("l_event_id", "r_event_id")
+        .orderBy("l_event_id", "r_event_id")
+        .toPandas()
+    )
+    assert len(got) == len(want) > 0
+    assert got.values.tolist() == want.values.tolist()

@@ -1915,6 +1915,54 @@ def q54(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@_q(
+    "q55_stream_interval_join",
+    """
+    SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.user_id AS user_id,
+           round(r.value - l.value, 4) AS value_delta
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    ORDER BY l_event_id, r_event_id
+    """,
+    "Watermarked stream-stream INNER join (streaming/joins.py): clicks "
+    "and purchases arrive as two real readStreams, joined on user_id "
+    "with an event-time range (purchase within 30 min of the click). "
+    "The time bound + both watermarks let Spark evict join state, so "
+    "state is O(rate x (watermark + interval)) at 100 TB; an inner "
+    "join with a time constraint emits exactly the batch-join rows, so "
+    "the drained sink hash-matches the batch oracle.",
+)
+def q55(spark, sf_dir):
+    from vinum_spark.streaming import stream_events, stream_interval_join
+    from vinum_spark.streaming.windows import run_stream_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    clicks = stream_events(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    purchases = stream_events(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_interval_join(
+        clicks, purchases, key="user_id", ts_col="ts", within="30 minutes"
+    )
+    run_stream_to_memory(joined, "q55_out", mode="append")
+    return (
+        spark.table("q55_out")
+        .select(
+            F.col("l_event_id"),
+            F.col("r_event_id"),
+            F.col("l_user_id").alias("user_id"),
+            F.round(F.col("r_value") - F.col("l_value"), 4).alias("value_delta"),
+        )
+        .orderBy("l_event_id", "r_event_id")
+    )
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 53 registered, three always fall
 #: outside it. Order the export so every operator CLASS sits inside the

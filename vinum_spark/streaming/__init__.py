@@ -4,10 +4,12 @@ from vinum_spark.streaming.windows import (
     sliding_aggregate,
     session_aggregate,
 )
+from vinum_spark.streaming.joins import stream_interval_join
 
 __all__ = [
     "stream_events",
     "tumbling_counts",
     "sliding_aggregate",
     "session_aggregate",
+    "stream_interval_join",
 ]
