@@ -59,3 +59,23 @@ def test_stream_distinct_unbounded_opt_in(spark, dup_events_dir):
     got = spark.table("distinct_unbounded_out").toPandas()
     assert len(got) == 500
     assert got["event_id"].is_unique
+
+
+def test_dedup_within_watermark_stream_matches_batch(spark, dup_events_dir):
+    """Built-in dropDuplicatesWithinWatermark twin: the doubled source
+    deduped on event_id must reproduce the single-copy counts (the
+    duplicates land within the watermark of their first occurrence)."""
+    from vinum_spark.streaming.stateful import stream_dedup_within_watermark
+
+    stream = stream_events(spark, dup_events_dir)
+    deduped = stream_dedup_within_watermark(
+        stream, key_cols=["event_id"], watermark="1 hour"
+    )
+    assert deduped.isStreaming
+    run_stream_to_memory(deduped, "ddww_out", mode="append")
+    got = spark.table("ddww_out")
+    n_unique = (
+        spark.read.parquet(dup_events_dir).select("event_id").distinct().count()
+    )
+    assert got.count() == n_unique == 500
+    assert got.select("event_id").distinct().count() == n_unique

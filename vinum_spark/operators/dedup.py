@@ -48,6 +48,19 @@ def _estimated_scan_partitions(df: DataFrame) -> Optional[int]:
     index). Returns None when the estimate can't be made (non-file-backed
     plan, or files on a store we can't stat) — callers should then trust
     the upstream partitioning.
+
+    Known divergence from Spark's real split planning: Spark packs
+    multiple small files into one partition (``openCostInBytes`` bin
+    packing), while this estimate floors every file at one partition —
+    so for many-tiny-file inputs it OVERESTIMATES, and ``_spread`` may
+    skip a repartition that Spark's packing would have made useful. The
+    error is bounded (at most the file count vs the packed count) and
+    on the safe side for the common layouts: single-big-file inputs
+    (underestimation impossible — ceil(size/maxPartitionBytes) is
+    exact) and the 100 TB case (files >> maxPartitionBytes, packing
+    irrelevant). The alternative — replaying Spark's bin packing —
+    would duplicate version-dependent planner internals for a
+    heuristic whose only consumer tolerates slack.
     """
     try:
         files = df.inputFiles()

@@ -91,3 +91,26 @@ def stream_distinct(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def stream_dedup_within_watermark(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Built-in-first streaming dedup: Spark's
+    ``dropDuplicatesWithinWatermark`` over the key columns.
+
+    The eviction policy differs from :func:`stream_distinct`:
+    state is dropped by EVENT-time watermark (a duplicate arriving
+    within the watermark of the first occurrence is always removed;
+    one arriving later may be re-admitted), vs ``stream_distinct``'s
+    per-group PROCESSING-time inactivity timeout and custom key
+    digesting. Prefer this one whenever the event-time guarantee is
+    what the pipeline needs — it runs fully JVM-side (no Python state
+    worker) with partial state cleanup handled by the engine.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
