@@ -1874,17 +1874,26 @@ def q53(spark, sf_dir):
     WITH d AS (
       SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
       FROM documents
-    ), g AS (
-      SELECT doc_id,
-             list_transform(range(1, greatest(length(s)-16+1, 0)+1),
-                            p -> md5(substr(s, CAST(p AS INT), 16))) AS hashes
+    ), pos AS (
+      SELECT doc_id, s,
+             unnest(range(1, greatest(length(s)-16+1, 0)+1)) AS p
       FROM d
+    ), h AS (
+      SELECT doc_id, p, md5(substr(s, CAST(p AS INT), 16)) AS hash
+      FROM pos
+    ), wmin AS (
+      -- min gram-hash of each window of 4 consecutive positions; only
+      -- full windows select (p <= n_grams - 4 + 1). Equivalent to the
+      -- list_transform/list_min array form (verified identical), but
+      -- the exploded form parallelizes across DuckDB morsels instead
+      -- of evaluating lambdas over one 5000-row row group (15-60x).
+      SELECT doc_id, p,
+             min(hash) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM h
     ), w AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-                 range(1, greatest(len(hashes)-4+1, 0)+1),
-                 i -> list_min(hashes[CAST(i AS INT):CAST(i AS INT)+3])))) AS fp
-      FROM g
+      SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= n_grams - 3
     ), rare AS (
       SELECT fp FROM w GROUP BY fp HAVING count(*) <= 10
     ), wr AS (

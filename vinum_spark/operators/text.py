@@ -164,6 +164,13 @@ def winnowing_fingerprints(
             lambda p: F.md5(F.substring(s, p, F.lit(k))),
         ),
     ).otherwise(empty)
+    # The gram hashing + windowing is CPU-bound interpreted-HOF work
+    # (~300 md5 + window-min evals per doc); a single-file scan would
+    # serialize it on one core (measured 17.3 s -> 1.7 s at sf0.1 with
+    # the spread). Same pattern as dedup's shingle stage.
+    from vinum_spark.operators.dedup import _spread
+
+    df = _spread(df, id_col)
     # Materialize the gram-hash array in its OWN projection before the
     # windowing pass references it (size + when-guard + per-window
     # slice). Inlined, the hash transform would re-execute per window
