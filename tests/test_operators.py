@@ -362,3 +362,40 @@ def test_winnowing_plan_single_md5(spark):
     fps.count()
     plan = fps._jdf.queryExecution().executedPlan().toString()
     assert plan.count("md5") == 1
+
+
+def test_winnowing_matches_pure_python_reference(spark):
+    """Independent-implementation cross-check (third implementation
+    besides the Spark operator and the DuckDB oracle): a 15-line pure
+    Python winnowing over seeded random docs must produce the exact
+    same fingerprint sets."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = []
+    for i in range(40):
+        body = " ".join(rng.choice(words) for _ in range(rng.randint(0, 30)))
+        if i % 3 == 0:
+            body += " the quick brown fox jumps over the lazy dog"
+        docs.append((i, body))
+
+    k, w = 8, 4
+
+    def py_winnow(text):
+        s = " ".join(text.strip().split()).lower()
+        hashes = [
+            hashlib.md5(s[p : p + k].encode()).hexdigest()
+            for p in range(len(s) - k + 1)
+        ]
+        return {
+            min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)
+        }
+
+    from vinum_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = winnowing_fingerprints(df, k=k, window=w).toPandas()
+    for i, body in docs:
+        assert set(got[got.doc_id == i].fingerprint) == py_winnow(body), i

@@ -96,3 +96,99 @@ def test_interval_join_stream_matches_batch(spark, events_dir):
     )
     assert len(got) == len(want) > 0
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Real watermark semantics across microbatches: once a window's
+    state is evicted (watermark passed its end and the finalized row
+    was appended), a late event for that window arriving in a later
+    batch is DROPPED — it neither mutates the emitted row nor
+    re-creates state (which would append a duplicate window). Batch
+    recomputation, with no watermark cutoff, would count it.
+
+    Empirical note: a late row arriving while its window's state is
+    still alive (eviction happens at end-of-batch) IS merged — so the
+    drop needs the eviction to have happened in an earlier batch,
+    hence the three-file structure.
+    """
+    import time as _time
+
+    from vinum_spark.streaming import stream_events, tumbling_counts
+    from vinum_spark.streaming.windows import run_stream_to_memory
+
+    src = str(tmp_path / "late_events")
+
+    def ev(i, ts):
+        return (i, ts, 1, "click", 1.0, "{}")
+
+    ddl_raw = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(rows, ddl_raw).select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+
+    # batch 0: three rows in window [10:00, 11:00), max ts 12:00
+    # -> watermark for batch 1 = 11:30
+    a = frame(
+        [
+            ev(1, "2024-01-01 10:05:00"),
+            ev(2, "2024-01-01 10:20:00"),
+            ev(3, "2024-01-01 10:40:00"),
+            ev(4, "2024-01-01 12:00:00"),
+        ]
+    )
+    # batch 1: watermark 11:30 > 11:00 finalizes + evicts [10:00,11:00)
+    b = frame([ev(6, "2024-01-01 15:00:00")])
+    # batch 2: a LATE row for the evicted window -> dropped
+    c = frame([ev(5, "2024-01-01 10:30:00")])
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)  # file-source batches order by modification time
+    b.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    c.coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_events(spark, src, max_files_per_trigger=1)
+    agg = tumbling_counts(stream, window="1 hour", watermark="30 minutes")
+    run_stream_to_memory(agg, "late_out", mode="append")
+    pdf = spark.table("late_out").toPandas()
+    got = pdf.set_index(pdf.window_start.astype(str))
+    # the late row (event 5) is excluded and no duplicate window row
+    # was appended
+    assert int(got.loc["2024-01-01 10:00:00"].n) == 3
+    assert (pdf.window_start.astype(str) == "2024-01-01 10:00:00").sum() == 1
+    # batch recomputation (no watermark cutoff) WOULD count it
+    batch_n = (
+        tumbling_counts(spark.read.parquet(src), window="1 hour")
+        .filter(F.col("window_start") == "2024-01-01 10:00:00")
+        .select("n")
+        .collect()[0][0]
+    )
+    assert batch_n == 4
+
+
+def test_run_stream_to_parquet_file_sink(spark, events_dir, tmp_path):
+    """Windowed aggregation drained to a checkpointed parquet file sink:
+    finalized windows land as files; re-running with the same checkpoint
+    is a no-op (exactly-once via the sink commit log)."""
+    from vinum_spark.streaming import stream_events, tumbling_counts
+    from vinum_spark.streaming.windows import run_stream_to_parquet
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    agg = tumbling_counts(stream_events(spark, events_dir))
+    run_stream_to_parquet(agg, out, ckpt)
+    first = spark.read.parquet(out).count()
+    assert first > 0
+    # same checkpoint -> no new input -> no duplicate rows
+    agg2 = tumbling_counts(stream_events(spark, events_dir))
+    run_stream_to_parquet(agg2, out, ckpt)
+    assert spark.read.parquet(out).count() == first

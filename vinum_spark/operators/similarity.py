@@ -304,6 +304,13 @@ def lsh_candidate_pairs(
     """
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
+    # signature + band explode are CPU-bound map work; a single-file
+    # scan (or a union of two) serializes them on 1-2 cores. Same
+    # spread-before-heavy-map pattern as dedup's shingle stage
+    # (measured 29 s -> 14 s end-to-end for candidates+verify at sf0.1).
+    from vinum_spark.operators.dedup import _spread
+
+    df = _spread(df, id_col)
     signed = lsh_signature(df, dim, n_planes, vec_col, seed=seed)
     bucket = signed.select(
         F.col(id_col),

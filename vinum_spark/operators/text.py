@@ -177,7 +177,8 @@ def winnowing_fingerprints(
     # element — O(len^2) md5 calls per document (measured: minutes vs
     # sub-second on 500 docs). CollapseProject keeps the two projects
     # separate because the alias is non-cheap and multiply-referenced;
-    # the executed plan carries exactly one md5 (pinned in test_plans).
+    # the executed plan carries exactly one md5 (pinned in
+    # tests/test_operators.py::test_winnowing_plan_single_md5).
     hashed = df.select(F.col(id_col), hashes.alias("__winnow_hashes"))
     hcol = F.col("__winnow_hashes")
     n_windows = F.size(hcol) - F.lit(window - 1)

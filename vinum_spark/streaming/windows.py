@@ -209,6 +209,30 @@ def session_aggregate(
     )
 
 
+def _drain(q, name: str, idle_timeout: float) -> None:
+    """Bounded drain for an ``availableNow`` query (see
+    ``run_stream_to_memory`` for the termination contract)."""
+    import time
+
+    try:
+        deadline = time.monotonic() + idle_timeout
+        while q.isActive:
+            lp = q.lastProgress
+            if lp is not None and lp["numInputRows"] == 0 and lp["batchId"] > 0:
+                break
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"stream {name!r} did not drain within "
+                    f"{idle_timeout}s (lastProgress={lp})"
+                )
+            time.sleep(0.05)
+        exc = q.exception()
+        if exc is not None:
+            raise exc
+    finally:
+        q.stop()
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     table_name: str,
@@ -232,8 +256,6 @@ def run_stream_to_memory(
     in the sink — stop there. Queries that self-terminate (non-stateful,
     or ``NoTimeout``) exit the poll via ``isActive`` instead.
     """
-    import time
-
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
@@ -241,20 +263,30 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        deadline = time.monotonic() + idle_timeout
-        while q.isActive:
-            lp = q.lastProgress
-            if lp is not None and lp["numInputRows"] == 0 and lp["batchId"] > 0:
-                break
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"stream {table_name!r} did not drain within "
-                    f"{idle_timeout}s (lastProgress={lp})"
-                )
-            time.sleep(0.05)
-        exc = q.exception()
-        if exc is not None:
-            raise exc
-    finally:
-        q.stop()
+    _drain(q, table_name, idle_timeout)
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    idle_timeout: float = 600.0,
+) -> None:
+    """Drain all available input into a parquet directory sink.
+
+    The production-shaped sink: exactly-once file output via the
+    checkpointed file-sink commit log (restarting with the same
+    ``checkpoint`` resumes instead of duplicating). Parquet sinks
+    support append mode only — use windowed/watermarked transforms
+    whose finalized results append. Same bounded-drain contract as
+    ``run_stream_to_memory``.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, path, idle_timeout)
