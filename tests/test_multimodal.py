@@ -208,3 +208,63 @@ def test_probe_media_unknown_is_honest_stub(spark):
     for r in rows.values():
         assert r["decoder"] == "stub"
         assert r["duration_s"] is None and r["sample_rate"] is None
+
+
+def _sine_wav(freq=440.0, rate=8000, seconds=0.5, amp=0.5, channels=1):
+    """Spec-built PCM16 WAV with a real sine payload."""
+    import numpy as np
+
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    mono = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    pcm = np.repeat(mono, channels).tobytes()
+    byte_rate = rate * channels * 2
+    return (
+        b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data" + len(pcm).to_bytes(4, "little")
+        + pcm
+    )
+
+
+def test_decode_audio_real_pcm_stats(spark):
+    """decode_audio performs a REAL PCM16 decode: RMS of a sine is
+    amp/sqrt(2), peak is amp, duration is n/rate — numbers a stub
+    cannot fake."""
+    import math
+
+    from vinum_spark.operators.multimodal import decode_audio
+
+    wav = _sine_wav(amp=0.5, rate=8000, seconds=0.5)
+    df = spark.createDataFrame(
+        [(0, wav), (1, b"not audio at all")], "asset_id long, content binary"
+    )
+    rows = {r["asset_id"]: r for r in decode_audio(df).collect()}
+    good = rows[0]
+    assert good["decoder"] == "pcm16"
+    assert good["n_channels"] == 1
+    assert good["sample_rate"] == 8000
+    assert good["n_samples"] == 4000
+    assert abs(good["duration_s"] - 0.5) < 1e-9
+    assert abs(good["rms"] - 0.5 / math.sqrt(2)) < 0.01
+    assert abs(good["peak"] - 0.5) < 0.01
+    bad = rows[1]
+    assert bad["decoder"] == "stub"
+    assert bad["rms"] is None and bad["n_samples"] is None
+
+
+def test_decode_audio_stereo_frames(spark):
+    from vinum_spark.operators.multimodal import decode_audio
+
+    wav = _sine_wav(rate=4000, seconds=0.25, channels=2)
+    df = spark.createDataFrame([(0, wav)], "asset_id long, content binary")
+    row = decode_audio(df).collect()[0]
+    assert row["n_channels"] == 2
+    assert row["n_samples"] == 1000  # frames, not interleaved samples
+    assert abs(row["duration_s"] - 0.25) < 1e-9

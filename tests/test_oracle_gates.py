@@ -26,6 +26,8 @@ GATED = [
     "q51_streaming_sliding",
     "q52_multimodal_metadata",
     "q53_streaming_stateful_dedup",
+    "q54_winnowing_pairs",
+    "q56_embedding_lsh_verify",
 ]
 
 

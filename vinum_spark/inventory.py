@@ -2018,6 +2018,41 @@ def q56(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@_q(
+    "q57_skew_salted_agg",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "Skew-safe two-phase aggregation under the oracle gate "
+    "(operators/skew.py): events carry only 5 distinct event_type "
+    "values — the canonical hot-key shape where a plain groupBy sends "
+    "each key's entire volume to one reducer. salted_count/salted_sum "
+    "spread each key over 32 salt buckets (phase 1 partials) then "
+    "merge per key (phase 2); results must equal the direct GROUP BY "
+    "the oracle computes.",
+)
+def q57(spark, sf_dir):
+    from vinum_spark.operators.skew import salted_count, salted_sum
+
+    e = _t(spark, sf_dir, "events")
+    n = salted_count(e, ["event_type"])
+    s = salted_sum(e, ["event_type"], "value")
+    return (
+        n.join(s, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 53 registered, three always fall
 #: outside it. Order the export so every operator CLASS sits inside the

@@ -15,12 +15,14 @@ Design (the 100 TB shape):
 Header-level metadata is REAL and codec-free: image dimensions (PNG
 IHDR / GIF LSD / JPEG SOF), WAV fmt-chunk audio params + duration, and
 MP4 mvhd/tkhd duration + display dims are parsed from container bytes.
-Only pixel/sample-level work (full decode, resize, feature models) is
-STUBBED (this container ships no codec libraries): when PIL is
-importable it is used; otherwise a clearly-marked deterministic fake
-derives shapes/features from the bytes so the Spark-side plumbing —
-schemas, batch iteration, UDF signatures — is real and tested
-end-to-end.
+Sample-level audio is ALSO real for PCM16 WAV (``decode_audio``:
+numpy ``frombuffer`` over the data chunk — waveform RMS/peak/duration
+need no codec library). Only compressed-codec pixel/sample work (full
+image decode, resize, feature models, video frames) is STUBBED (this
+container ships no codec libraries): when PIL is importable it is
+used; otherwise a clearly-marked deterministic fake derives
+shapes/features from the bytes so the Spark-side plumbing — schemas,
+batch iteration, UDF signatures — is real and tested end-to-end.
 """
 
 from __future__ import annotations
@@ -252,6 +254,97 @@ def _parse_wav(data: bytes):
         None,
         "wav-fmt",
     )
+
+
+def _wav_pcm_samples(data: bytes):
+    """REAL sample decode for PCM WAV — no codec library: 16-bit PCM is
+    a numpy ``frombuffer`` view over the data chunk. Returns
+    (float64 samples in [-1, 1], channels, sample_rate) or None for
+    non-RIFF / non-PCM / non-16-bit content."""
+    if len(data) < 36 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    fmt = None
+    payload = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        csize = int.from_bytes(data[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(data):
+            fmt = {
+                "format": int.from_bytes(data[i + 8 : i + 10], "little"),
+                "channels": int.from_bytes(data[i + 10 : i + 12], "little"),
+                "sample_rate": int.from_bytes(data[i + 12 : i + 16], "little"),
+                "bits": int.from_bytes(data[i + 22 : i + 24], "little"),
+            }
+        elif cid == b"data":
+            payload = data[i + 8 : i + 8 + csize]
+        i += 8 + csize + (csize & 1)
+    if (
+        fmt is None
+        or payload is None
+        or fmt["format"] != 1  # PCM
+        or fmt["bits"] != 16
+        or not fmt["channels"]
+    ):
+        return None
+    raw = np.frombuffer(
+        payload[: len(payload) - (len(payload) % 2)], dtype="<i2"
+    )
+    return raw.astype("float64") / 32768.0, fmt["channels"], fmt["sample_rate"]
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
+) -> DataFrame:
+    """Waveform statistics from REAL PCM decode (16-bit WAV): sample
+    count, duration, RMS, peak — computed with numpy over the data
+    chunk, no codec library. Non-WAV / non-PCM16 content yields NULL
+    stats with ``decoder='stub'`` (never invented values). Arrow-batched
+    ``mapInPandas``; per-partition parallelism, memory bounded by the
+    Arrow batch size."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def stats(data):
+            parsed = _wav_pcm_samples(bytes(data or b""))
+            if parsed is None:
+                return (None, None, None, None, None, None, "stub")
+            samples, channels, rate = parsed
+            n_frames = len(samples) // channels
+            rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+            peak = float(np.max(np.abs(samples))) if len(samples) else 0.0
+            return (
+                channels,
+                rate,
+                n_frames,
+                n_frames / rate if rate else None,
+                rms,
+                peak,
+                "pcm16",
+            )
+
+        for pdf in it:
+            rows = [stats(x) for x in pdf[content_col]]
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in _AUDIO_SCHEMA.fields[1:]]
+            )
+            out.insert(0, "asset_id", pdf[id_col].astype("int64").values)
+            yield out
+
+    return df.mapInPandas(batches, schema=_AUDIO_SCHEMA)
 
 
 def _iter_boxes(data: bytes, start: int, end: int):
