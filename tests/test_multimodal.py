@@ -268,3 +268,104 @@ def test_decode_audio_stereo_frames(spark):
     assert row["n_channels"] == 2
     assert row["n_samples"] == 1000  # frames, not interleaved samples
     assert abs(row["duration_s"] - 0.25) < 1e-9
+
+
+def _png_rgb(arr, filters=None):
+    """Spec-built PNG encoder (stdlib only): 8-bit RGB, one IDAT,
+    per-row filter codes (default all 0/None)."""
+    import binascii
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    filters = filters or [0] * h
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + binascii.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # 8-bit, truecolor, no interlace
+    )
+    raw = b""
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for y in range(h):
+        line = arr[y].reshape(-1).astype(np.int32)
+        f = filters[y]
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            filt = (line - np.concatenate([np.zeros(3, np.int32), line[:-3]])) % 256
+        elif f == 2:  # Up
+            filt = (line - prev) % 256
+        else:
+            raise ValueError(f)
+        raw += bytes([f]) + bytes(filt.astype(np.uint8))
+        prev = line
+    return (
+        bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixels_roundtrip_all_filters(spark):
+    """_png_pixels must reproduce the source array exactly through
+    zlib + None/Sub/Up scanline filters."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _png_pixels
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (12, 10, 3), dtype=np.uint8)
+    png = _png_rgb(arr, filters=[0, 1, 2] * 4)
+    got = _png_pixels(png)
+    assert got is not None and got.shape == (12, 10, 3)
+    assert np.array_equal(got, arr)
+
+
+def test_decode_images_real_png_pixels(spark):
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import decode_images
+
+    arr = np.zeros((16, 24, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, _png_rgb(arr)), (1, b"not an image")],
+        "asset_id long, content binary",
+    )
+    rows = {r["asset_id"]: r for r in decode_images(df).collect()}
+    assert rows[0]["decoder"] == "png-zlib"
+    assert (rows[0]["height"], rows[0]["width"], rows[0]["channels"]) == (16, 24, 3)
+    assert rows[1]["decoder"] == "stub"
+
+
+def test_extract_features_real_png_similarity(spark):
+    """Real pooled-grayscale features: a near-identical image pair must
+    be close in cosine; an inverted image must not."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import extract_features
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[:2, :2] = 0  # tiny corner edit
+    far = (255 - base).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(0, _png_rgb(base)), (1, _png_rgb(near)), (2, _png_rgb(far))],
+        "asset_id long, content binary",
+    )
+    out = extract_features(df).toPandas().set_index("asset_id")
+    assert set(out.extractor) == {"png-pool8"}
+    f = {i: np.array(out.loc[i].feature) for i in (0, 1, 2)}
+    cos = lambda a, b: float(a @ b)  # unit vectors
+    assert cos(f[0], f[1]) > 0.9
+    assert cos(f[0], f[2]) < -0.9  # inversion flips the centered feature

@@ -15,11 +15,13 @@ Design (the 100 TB shape):
 Header-level metadata is REAL and codec-free: image dimensions (PNG
 IHDR / GIF LSD / JPEG SOF), WAV fmt-chunk audio params + duration, and
 MP4 mvhd/tkhd duration + display dims are parsed from container bytes.
-Sample-level audio is ALSO real for PCM16 WAV (``decode_audio``:
-numpy ``frombuffer`` over the data chunk — waveform RMS/peak/duration
-need no codec library). Only compressed-codec pixel/sample work (full
-image decode, resize, feature models, video frames) is STUBBED (this
-container ships no codec libraries): when PIL is importable it is
+Sample/pixel-level decode is ALSO real where stdlib suffices: PCM16
+WAV (``decode_audio``: numpy ``frombuffer`` over the data chunk →
+RMS/peak/duration) and 8-bit non-interlaced PNG (``_png_pixels``:
+zlib + numpy scanline un-filtering → true pixels, feeding a REAL
+8×8 pooled-grayscale feature in ``extract_features``). Only work
+requiring external codec libraries (JPEG/GIF pixels, video frames,
+learned feature models) is STUBBED: when PIL is importable it is
 used; otherwise a clearly-marked deterministic fake derives
 shapes/features from the bytes so the Spark-side plumbing — schemas,
 batch iteration, UDF signatures — is real and tested end-to-end.
@@ -147,21 +149,98 @@ def _header_dims(data: bytes):
     return None
 
 
+def _png_pixels(data: bytes):
+    """REAL pixel decode for 8-bit non-interlaced PNG — stdlib zlib +
+    numpy scanline un-filtering, no codec library. Returns an
+    (H, W, C) uint8 array, or None for anything this decoder doesn't
+    cover (non-PNG, 16-bit, palette, interlaced, truncated)."""
+    import zlib
+
+    if len(data) < 33 or data[:8] != bytes(
+        [0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A]
+    ):
+        return None
+    pos, idat = 8, []
+    h = w = channels = None
+    while pos + 8 <= len(data):
+        clen = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR" and clen >= 13:
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type, _, _, interlace = body[8:13]
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+            if bit_depth != 8 or channels is None or interlace != 0:
+                return None
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + crc
+    if not idat or not h or not w:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        base = y * (stride + 1)
+        f = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride, base + 1)
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:  # None
+            cur = line.copy()
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            px = line.reshape(w, channels).astype(np.uint32)
+            cur = (np.cumsum(px, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up (uint8 addition wraps, as the spec requires)
+            cur = line + prev
+        elif f == 3:  # Average: sequential left-dependency
+            cur = np.empty(stride, np.uint8)
+            for i in range(stride):
+                left = int(cur[i - channels]) if i >= channels else 0
+                cur[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth: sequential left-dependency
+            cur = np.empty(stride, np.uint8)
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur
+    return out.reshape(h, w, channels)
+
+
 def decode_images(
     df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
 ) -> DataFrame:
     """Decode image dimensions per asset via Arrow-batched mapInPandas.
 
-    Decode ladder, per asset: PIL when importable (full decode) → pure-
-    byte header parsing for PNG/GIF/JPEG (true dimensions, ``decoder`` =
+    Decode ladder, per asset: PIL when importable (full decode) → REAL
+    pixel decode for 8-bit non-interlaced PNG (stdlib zlib + numpy
+    un-filtering, ``decoder`` = ``png-zlib``) → pure-byte header
+    parsing for PNG/GIF/JPEG (true dimensions, ``decoder`` =
     ``png-header``/``gif-header``/``jpeg-sof``) → deterministic fake
-    (``decoder`` = ``stub``) for unrecognized containers. Pixel-level
-    work (resize, color transforms) still needs a codec library; header
-    dimensions — the common pretraining-filter input — do not.
+    (``decoder`` = ``stub``) for unrecognized containers. Compressed
+    codecs (JPEG/GIF pixels) still need a codec library; PNG pixels and
+    header dimensions — the common pretraining-filter inputs — do not.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def header_or_fake(data):
+            px = _png_pixels(data)
+            if px is not None:
+                return (px.shape[0], px.shape[1], px.shape[2], "png-zlib")
             parsed = _header_dims(data)
             if parsed is not None:
                 return parsed
@@ -450,8 +529,28 @@ _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("extractor", T.StringType()),
     ]
 )
+
+
+def _pooled_gray_feature(px: np.ndarray) -> np.ndarray:
+    """REAL 64-dim image feature: 8×8 block-averaged grayscale,
+    mean-centered and L2-normalized (aHash-style). Perceptually
+    meaningful — near-identical images land near in cosine space."""
+    gray = px[..., :3].mean(axis=2) if px.shape[2] >= 3 else px[..., 0].astype("float64")
+    pools = [
+        block.astype("float64").mean()
+        for rows in np.array_split(gray, 8, axis=0)
+        for block in np.array_split(rows, 8, axis=1)
+    ]
+    v = np.asarray(pools, dtype="float64")
+    v = v - v.mean()
+    n = np.linalg.norm(v)
+    if n < 1e-12:  # flat image: deterministic constant direction
+        v = np.ones(_FEATURE_DIM)
+        n = np.linalg.norm(v)
+    return (v / n).astype("float32")
 
 
 def extract_features(
@@ -459,22 +558,35 @@ def extract_features(
 ) -> DataFrame:
     """Per-asset feature vector (array<float>) via mapInPandas.
 
-    STUB embedding: bytes → sha-seeded unit vector (deterministic). A real
-    model slots into the same batch loop; the output feeds straight into
-    ``operators.similarity`` (cosine top-k / LSH) unchanged.
+    REAL for decodable PNGs: 8×8 mean-pooled grayscale over the actual
+    pixels (``extractor='png-pool8'``). STUB elsewhere: sha-seeded unit
+    vector, deterministic, clearly labeled (``extractor='stub'``) — a
+    real model slots into the same batch loop. Either way the output
+    feeds straight into ``operators.similarity`` (cosine top-k / LSH)
+    unchanged.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
+            kinds = []
             for data in pdf[content_col]:
-                seed = int.from_bytes(
-                    hashlib.sha1(bytes(data or b"")).digest()[:4], "big"
-                )
+                data = bytes(data or b"")
+                px = _png_pixels(data)
+                if px is not None and px.shape[0] >= 8 and px.shape[1] >= 8:
+                    feats.append(_pooled_gray_feature(px).tolist())
+                    kinds.append("png-pool8")
+                    continue
+                seed = int.from_bytes(hashlib.sha1(data).digest()[:4], "big")
                 v = np.random.RandomState(seed).standard_normal(_FEATURE_DIM)
                 feats.append((v / np.linalg.norm(v)).astype("float32").tolist())
+                kinds.append("stub")
             yield pd.DataFrame(
-                {"asset_id": pdf[id_col].astype("int64"), "feature": feats}
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "feature": feats,
+                    "extractor": kinds,
+                }
             )
 
     return df.mapInPandas(batches, schema=_FEATURE_SCHEMA)
