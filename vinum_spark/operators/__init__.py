@@ -14,6 +14,8 @@ from vinum_spark.operators.text import (
     with_text_stats,
     with_lang_id,
     with_fingerprint,
+    winnowing_fingerprints,
+    winnowing_shared_pairs,
 )
 from vinum_spark.operators.dedup import (
     dedup_exact,
@@ -39,12 +41,23 @@ from vinum_spark.operators.similarity import (
     ivf_topk,
 )
 from vinum_spark.operators.asof import asof_join
+from vinum_spark.operators.multimodal import (
+    attach_metadata,
+    decode_images,
+    decode_audio,
+    probe_media,
+    extract_features,
+    sample_frames,
+)
+from vinum_spark.operators.skew import salted_count, salted_sum, salted_join
 
 __all__ = [
     "with_token_count",
     "with_text_stats",
     "with_lang_id",
     "with_fingerprint",
+    "winnowing_fingerprints",
+    "winnowing_shared_pairs",
     "dedup_exact",
     "minhash_signatures",
     "minhash_candidate_pairs",
@@ -65,4 +78,13 @@ __all__ = [
     "ivf_index",
     "ivf_topk",
     "asof_join",
+    "attach_metadata",
+    "decode_images",
+    "decode_audio",
+    "probe_media",
+    "extract_features",
+    "sample_frames",
+    "salted_count",
+    "salted_sum",
+    "salted_join",
 ]
