@@ -193,3 +193,57 @@ class TestPyarrowSignatureParity:
             "select a + b as s from t"
         )
         assert pdf["s"].tolist() == [3]
+
+
+    def test_read_csv_column_types_authoritative_over_reinference(
+        self, spark, tmp_path
+    ):
+        """An explicit ConvertOptions.column_types entry must never be
+        retyped by sentinel re-inference (pyarrow treats it as
+        authoritative): a declared-string code column keeps its leading
+        zeros while an undeclared all-numeric column still re-infers."""
+        import pyarrow as pa
+        import pyarrow.csv as pacsv
+        import vinum_spark as vs
+
+        p = tmp_path / "codes.csv"
+        p.write_text("code,v\n01,1\n02,NA\n03,2\n")
+        t = vs.read_csv(
+            str(p),
+            None,
+            None,
+            pacsv.ConvertOptions(
+                column_types={"code": pa.string()}, null_values=["NA"]
+            ),
+            spark=spark,
+        )
+        types = dict(t.df.dtypes)
+        assert types["code"] == "string"  # NOT retyped to bigint
+        assert types["v"] == "bigint"  # undeclared column still re-infers
+        pdf = t.sql_pd("select code, v from t order by code")
+        assert pdf["code"].tolist() == ["01", "02", "03"]  # zeros kept
+        assert pdf["v"].isna().tolist() == [False, True, False]
+
+    def test_read_csv_pinned_string_nulls_under_strings_can_be_null(
+        self, spark, tmp_path
+    ):
+        import pyarrow as pa
+        import pyarrow.csv as pacsv
+        import vinum_spark as vs
+
+        p = tmp_path / "codes2.csv"
+        p.write_text("code,v\nNA,1\n02,2\n")
+        t = vs.read_csv(
+            str(p),
+            None,
+            None,
+            pacsv.ConvertOptions(
+                column_types={"code": pa.string()},
+                null_values=["NA"],
+                strings_can_be_null=True,
+            ),
+            spark=spark,
+        )
+        pdf = t.sql_pd("select code from t order by v")
+        assert pdf["code"].isna().tolist() == [True, False]
+        assert dict(t.df.dtypes)["code"] == "string"

@@ -76,7 +76,7 @@ def test_extract_features_unit_vectors(assets):
     out = extract_features(assets).toPandas()
     assert len(out) == 5
     for v in out["feature"]:
-        assert len(v) == 32
+        assert len(v) == 64  # one dim for every extractor (= 8x8 pools)
         assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
 
 
@@ -341,10 +341,14 @@ def test_decode_images_real_png_pixels(spark):
         [(0, _png_rgb(arr)), (1, b"not an image")],
         "asset_id long, content binary",
     )
-    rows = {r["asset_id"]: r for r in decode_images(df).collect()}
+    rows = {r["asset_id"]: r for r in decode_images(df, pixels=True).collect()}
     assert rows[0]["decoder"] == "png-zlib"
     assert (rows[0]["height"], rows[0]["width"], rows[0]["channels"]) == (16, 24, 3)
     assert rows[1]["decoder"] == "stub"
+    # default path: dims from header bytes, no per-asset decompression
+    cheap = {r["asset_id"]: r for r in decode_images(df).collect()}
+    assert cheap[0]["decoder"] == "png-header"
+    assert (cheap[0]["height"], cheap[0]["width"]) == (16, 24)
 
 
 def test_extract_features_real_png_similarity(spark):
@@ -369,3 +373,26 @@ def test_extract_features_real_png_similarity(spark):
     cos = lambda a, b: float(a @ b)  # unit vectors
     assert cos(f[0], f[1]) > 0.9
     assert cos(f[0], f[2]) < -0.9  # inversion flips the centered feature
+
+
+def test_extract_features_uniform_dims_mixed_corpus(spark):
+    """A corpus mixing decodable PNGs, flat PNGs (fallback path), and
+    undecodable bytes must yield ONE feature dimensionality — mixed
+    dims would break any downstream cosine/LSH stage."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import extract_features
+
+    rng = np.random.RandomState(2)
+    textured = _png_rgb(rng.randint(0, 256, (16, 16, 3), dtype=np.uint8))
+    flat = _png_rgb(np.full((16, 16, 3), 128, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(0, textured), (1, flat), (2, b"jpeg-ish opaque bytes")],
+        "asset_id long, content binary",
+    )
+    out = extract_features(df).toPandas().set_index("asset_id")
+    dims = {i: len(out.loc[i].feature) for i in (0, 1, 2)}
+    assert dims == {0: 64, 1: 64, 2: 64}
+    assert out.loc[0].extractor == "png-pool8"
+    assert out.loc[1].extractor == "png-pool8"  # flat fallback, same dim
+    assert out.loc[2].extractor == "stub"

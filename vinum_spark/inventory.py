@@ -2054,14 +2054,18 @@ def q57(spark, sf_dir):
 
 
 #: The round driver's correctness gate records only the FIRST 50
-#: entries of ``queries()``; with 53 registered, three always fall
-#: outside it. Order the export so every operator CLASS sits inside the
-#: gate: the three youngest classes (streaming sliding window,
+#: entries of ``queries()``; with 57 registered, seven fall outside it.
+#: Order the export so the operator classes with the least other
+#: coverage sit inside the gate: q51/q52/q53 (streaming sliding window,
 #: multimodal metadata, stateful streaming dedup) take the slots of
 #: q20/q44/q45, which are each subsumed by other green gates (set-ops by
 #: the golden suite, exact-dedup survivors by q27, the table-SQL
-#: pipeline by q40/q45's API tests) and move to the tail. Tail entries
-#: remain runnable via ``tools/check_oracle.py``.
+#: pipeline by q40's API tests) and move to the tail. The round-7
+#: additions q54-q57 (winnowing, stream-stream join, embedding-LSH
+#: verify, salted agg) sit at gate positions 51-54 — outside the
+#: driver's record but oracle-checked in-suite (tests/test_oracle_gates
+#: covers q54/q56) and on demand via ``tools/check_oracle.py``; README
+#: documents the tail.
 _DEMOTED_TO_TAIL = (
     "q20_set_ops",
     "q44_dedup_exact_survivors",

@@ -127,12 +127,24 @@ def read_csv(
                 # the re-inference pass retypes away from string.
                 extra_nulls = list(dict.fromkeys(nulls))
 
+    schema = options.pop("schema", None)
+    # A column explicitly pinned to STRING must keep its raw text
+    # (leading zeros!). Spark's inferSchema is all-or-nothing — it
+    # would parse '01' into int 1 BEFORE any cast could save it — so
+    # when such a pin exists the scan reads everything as text and the
+    # re-inference pass (extended with date/timestamp) retypes the
+    # unpinned columns instead, mirroring pyarrow's per-column
+    # authority.
+    pinned_string = schema is None and any(
+        str(t) in ("string", "large_string")
+        for t in (column_types or {}).values()
+    )
+    scan_infer = infer_schema and not pinned_string
     reader = (
         spark.read.option("header", str(header).lower())
-        .option("inferSchema", str(infer_schema).lower())
+        .option("inferSchema", str(scan_infer).lower())
         .option("sep", delimiter)
     )
-    schema = options.pop("schema", None)
     for k, v in options.items():
         reader = reader.option(k, v)
     if schema is not None:
@@ -153,15 +165,20 @@ def read_csv(
                 spark_type = _PA_TO_SPARK.get(str(pa_type))
                 if spark_type:
                     df = df.withColumn(name, F.col(name).cast(spark_type))
-    if extra_nulls:
-        # an explicit schema= is authoritative: never re-infer over it
-        # (a declared string column like zero-padded codes must stay
-        # string); sentinel rewriting still applies per strings_can_be_null
+    if extra_nulls or (pinned_string and infer_schema):
+        # explicit types are authoritative: never re-infer over schema=
+        # or over ConvertOptions.column_types entries (a column declared
+        # string — zero-padded codes — must stay string, matching
+        # pyarrow); sentinel rewriting still applies per
+        # strings_can_be_null. When the scan was forced to plain text
+        # by a string pin, this pass also performs the type inference
+        # the scan skipped for the unpinned columns.
         df = _apply_null_sentinels(
             df,
             extra_nulls,
             reinfer=infer_schema and schema is None,
             strings_can_be_null=strings_can_be_null,
+            pinned_cols=frozenset(column_types or ()),
         )
     if include_columns:
         df = df.select(*include_columns)
@@ -216,7 +233,11 @@ def _read_csv_skipping(spark, reader, path: str, skip_rows: int, options):
 
 
 def _apply_null_sentinels(
-    df, sentinels, reinfer: bool, strings_can_be_null: bool = True
+    df,
+    sentinels,
+    reinfer: bool,
+    strings_can_be_null: bool = True,
+    pinned_cols: frozenset = frozenset(),
 ):
     """Rewrite custom null sentinels to NULL post-scan, then (optionally)
     re-infer types in ONE aggregate pass.
@@ -232,12 +253,27 @@ def _apply_null_sentinels(
     re-inference pass retypes AWAY from string — a genuine string column
     keeps them as literal values, exactly as pyarrow's converter does.
     When True, every string column nulls the sentinels.
+
+    ``pinned_cols`` (columns explicitly typed by the caller via
+    ``ConvertOptions.column_types``) are exempt from re-inference — an
+    explicitly-string column must keep its leading zeros — but still
+    honor ``strings_can_be_null`` for sentinel nulling, matching
+    pyarrow's converter.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
-    str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
-    if not str_cols:
+    str_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, StringType) and f.name not in pinned_cols
+    ]
+    pinned_str = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, StringType) and f.name in pinned_cols
+    ]
+    if not str_cols and not pinned_str:
         return df
     sent = list(sentinels)
 
@@ -245,7 +281,7 @@ def _apply_null_sentinels(
         return F.when(F.col(c).isin(sent), F.lit(None)).otherwise(F.col(c))
 
     retyped = {}
-    if reinfer:
+    if reinfer and str_cols:
         aggs = []
         for i, c in enumerate(str_cols):
             col = nulled(c)  # sentinels-before-inference, pyarrow's order
@@ -256,6 +292,10 @@ def _apply_null_sentinels(
                 F.count(F.when(F.lower(col).isin("true", "false"), 1)).alias(
                     f"__s{i}_b"
                 ),
+                # date/timestamp matter when a string pin forced the
+                # whole scan to plain text (scan-level inference off)
+                F.count(col.try_cast("date")).alias(f"__s{i}_dt"),
+                F.count(col.try_cast("timestamp")).alias(f"__s{i}_ts"),
             ]
         row = df.agg(*aggs).collect()[0]
         for i, c in enumerate(str_cols):
@@ -268,10 +308,19 @@ def _apply_null_sentinels(
                 retyped[c] = "double"
             elif row[f"__s{i}_b"] == n:
                 retyped[c] = "boolean"
+            elif row[f"__s{i}_dt"] == n:
+                retyped[c] = "date"
+            elif row[f"__s{i}_ts"] == n:
+                retyped[c] = "timestamp"
     for c in str_cols:
         if strings_can_be_null:
             df = df.withColumn(c, nulled(c))
         elif c in retyped:
+            df = df.withColumn(c, nulled(c))
+    # explicitly-typed string columns: sentinels null only under
+    # strings_can_be_null; the declared type itself is never touched
+    if strings_can_be_null:
+        for c in pinned_str:
             df = df.withColumn(c, nulled(c))
     for c, t in retyped.items():
         df = df.withColumn(c, F.col(c).cast(t))

@@ -222,25 +222,31 @@ def _png_pixels(data: bytes):
 
 
 def decode_images(
-    df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+    pixels: bool = False,
 ) -> DataFrame:
     """Decode image dimensions per asset via Arrow-batched mapInPandas.
 
-    Decode ladder, per asset: PIL when importable (full decode) → REAL
-    pixel decode for 8-bit non-interlaced PNG (stdlib zlib + numpy
-    un-filtering, ``decoder`` = ``png-zlib``) → pure-byte header
-    parsing for PNG/GIF/JPEG (true dimensions, ``decoder`` =
-    ``png-header``/``gif-header``/``jpeg-sof``) → deterministic fake
-    (``decoder`` = ``stub``) for unrecognized containers. Compressed
-    codecs (JPEG/GIF pixels) still need a codec library; PNG pixels and
-    header dimensions — the common pretraining-filter inputs — do not.
+    Decode ladder, per asset: PIL when importable (full decode) →
+    pure-byte header parsing for PNG/GIF/JPEG (true dimensions,
+    ``decoder`` = ``png-header``/``gif-header``/``jpeg-sof``) →
+    deterministic fake (``decoder`` = ``stub``). Dimensions come from
+    ~26 header bytes — a dimension-filter pass over 100 TB must NOT
+    pay zlib decompression per asset, so the REAL PNG pixel decode
+    (``decoder`` = ``png-zlib``; stdlib zlib + numpy un-filtering, see
+    ``_png_pixels``) is opt-in via ``pixels=True``, for callers that
+    want pixel-verified dims; ``extract_features`` always uses the
+    pixel path (it needs the actual image).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def header_or_fake(data):
-            px = _png_pixels(data)
-            if px is not None:
-                return (px.shape[0], px.shape[1], px.shape[2], "png-zlib")
+            if pixels:
+                px = _png_pixels(data)
+                if px is not None:
+                    return (px.shape[0], px.shape[1], px.shape[2], "png-zlib")
             parsed = _header_dims(data)
             if parsed is not None:
                 return parsed
@@ -297,30 +303,45 @@ _PROBE_SCHEMA = T.StructType(
 _PROBE_NULL = (None, None, None, None, None, None)
 
 
+def _riff_chunks(data: bytes):
+    """Walk a RIFF/WAVE container, yielding (chunk_id, payload_offset,
+    payload_size). Chunks are word-aligned: odd sizes pad one byte.
+    Yields nothing for non-RIFF/WAVE input — the single chunk walk
+    shared by header metadata (``_parse_wav``) and sample decode
+    (``_wav_pcm_samples``)."""
+    if len(data) < 36 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        csize = int.from_bytes(data[i + 4 : i + 8], "little")
+        yield cid, i + 8, csize
+        i += 8 + csize + (csize & 1)
+
+
+def _riff_fmt(data: bytes, off: int):
+    """Decode the fixed little-endian fmt-chunk fields at ``off``."""
+    return {
+        "format": int.from_bytes(data[off : off + 2], "little"),
+        "channels": int.from_bytes(data[off + 2 : off + 4], "little"),
+        "sample_rate": int.from_bytes(data[off + 4 : off + 8], "little"),
+        "byte_rate": int.from_bytes(data[off + 8 : off + 12], "little"),
+        "bits": int.from_bytes(data[off + 14 : off + 16], "little"),
+    }
+
+
 def _parse_wav(data: bytes):
     """TRUE audio metadata from the RIFF/WAVE chunk list alone — no codec
     library. The fmt chunk carries channels / sample rate / bit depth in
     fixed little-endian positions; duration is the data chunk's byte size
     over the fmt byte rate. Returns None unless both chunks parse."""
-    if len(data) < 36 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        return None
     fmt = None
     data_size = None
-    i = 12
-    while i + 8 <= len(data):
-        cid = data[i : i + 4]
-        csize = int.from_bytes(data[i + 4 : i + 8], "little")
-        if cid == b"fmt " and i + 24 <= len(data):
-            fmt = {
-                "channels": int.from_bytes(data[i + 10 : i + 12], "little"),
-                "sample_rate": int.from_bytes(data[i + 12 : i + 16], "little"),
-                "byte_rate": int.from_bytes(data[i + 16 : i + 20], "little"),
-                "bits": int.from_bytes(data[i + 22 : i + 24], "little"),
-            }
+    for cid, off, csize in _riff_chunks(data):
+        if cid == b"fmt " and off + 16 <= len(data):
+            fmt = _riff_fmt(data, off)
         elif cid == b"data":
             data_size = csize
-        # chunks are word-aligned: odd sizes are padded with one byte
-        i += 8 + csize + (csize & 1)
     if fmt is None or data_size is None or not fmt["byte_rate"]:
         return None
     return (
@@ -340,24 +361,13 @@ def _wav_pcm_samples(data: bytes):
     a numpy ``frombuffer`` view over the data chunk. Returns
     (float64 samples in [-1, 1], channels, sample_rate) or None for
     non-RIFF / non-PCM / non-16-bit content."""
-    if len(data) < 36 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        return None
     fmt = None
     payload = None
-    i = 12
-    while i + 8 <= len(data):
-        cid = data[i : i + 4]
-        csize = int.from_bytes(data[i + 4 : i + 8], "little")
-        if cid == b"fmt " and i + 24 <= len(data):
-            fmt = {
-                "format": int.from_bytes(data[i + 8 : i + 10], "little"),
-                "channels": int.from_bytes(data[i + 10 : i + 12], "little"),
-                "sample_rate": int.from_bytes(data[i + 12 : i + 16], "little"),
-                "bits": int.from_bytes(data[i + 22 : i + 24], "little"),
-            }
+    for cid, off, csize in _riff_chunks(data):
+        if cid == b"fmt " and off + 16 <= len(data):
+            fmt = _riff_fmt(data, off)
         elif cid == b"data":
-            payload = data[i + 8 : i + 8 + csize]
-        i += 8 + csize + (csize & 1)
+            payload = data[off : off + csize]
     if (
         fmt is None
         or payload is None
@@ -523,7 +533,10 @@ def probe_media(
     return df.mapInPandas(batches, schema=_PROBE_SCHEMA)
 
 
-_FEATURE_DIM = 32
+#: one dimensionality for EVERY extractor (= the 8x8 pool grid of the
+#: real PNG path): a corpus mixing decodable and stubbed assets must
+#: produce a single-dim feature column or downstream cosine/LSH breaks
+_FEATURE_DIM = 64
 
 _FEATURE_SCHEMA = T.StructType(
     [

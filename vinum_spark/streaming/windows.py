@@ -68,17 +68,28 @@ def _probe_ts_type(spark: SparkSession, path: str) -> str:
 
     prior = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, "true")
+    probed = True
+    ts_type = "timestamp"
     try:
-        ts_type = spark.read.parquet(path).schema["ts"].dataType.simpleString()
-    except AnalysisException:
-        ts_type = "timestamp"  # empty dir: assume canonical schema
-    if ts_type != "bigint":
-        # not a nanos source: don't leave the legacy flag set session-wide
-        if prior is None:
-            spark.conf.unset(conf_key)
+        schema = spark.read.parquet(path).schema
+        if "ts" in schema.fieldNames():
+            ts_type = schema["ts"].dataType.simpleString()
         else:
-            spark.conf.set(conf_key, prior)
-    _TS_TYPE_CACHE[cache_key] = ts_type
+            probed = False  # readable but no ts field: canonical fallback
+    except AnalysisException:
+        # empty / not-yet-populated dir: fall back WITHOUT caching, so a
+        # source populated later (possibly with NANOS files) re-probes
+        probed = False
+    finally:
+        if ts_type != "bigint":
+            # not (known to be) a nanos source: don't leave the legacy
+            # flag set session-wide
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
+    if probed:
+        _TS_TYPE_CACHE[cache_key] = ts_type
     return ts_type
 
 
