@@ -247,3 +247,25 @@ class TestPyarrowSignatureParity:
         pdf = t.sql_pd("select code from t order by v")
         assert pdf["code"].isna().tolist() == [True, False]
         assert dict(t.df.dtypes)["code"] == "string"
+
+    def test_read_csv_string_pin_without_null_values(self, spark, tmp_path):
+        """A string pin alone (no null_values) must still keep raw text
+        and still type-infer the unpinned columns — including the
+        date/timestamp classes the forced-plain scan skipped."""
+        import pyarrow as pa
+        import pyarrow.csv as pacsv
+        import vinum_spark as vs
+
+        p = tmp_path / "codes3.csv"
+        p.write_text("code,v,d\n01,1,2024-01-02\n02,2,2024-01-03\n")
+        t = vs.read_csv(
+            str(p),
+            None,
+            None,
+            pacsv.ConvertOptions(column_types={"code": pa.string()}),
+            spark=spark,
+        )
+        types = dict(t.df.dtypes)
+        assert types == {"code": "string", "v": "bigint", "d": "date"}
+        pdf = t.sql_pd("select code from t order by code")
+        assert pdf["code"].tolist() == ["01", "02"]
