@@ -396,3 +396,29 @@ def test_extract_features_uniform_dims_mixed_corpus(spark):
     assert out.loc[0].extractor == "png-pool8"
     assert out.loc[1].extractor == "png-pool8"  # flat fallback, same dim
     assert out.loc[2].extractor == "stub"
+
+
+def test_resize_images_real_roundtrip(spark):
+    """resize_images: decodable PNG -> real nearest-neighbor resample ->
+    re-encoded PNG that decodes back to exactly the target shape with
+    the expected sample values; undecodable bytes pass through."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _png_pixels, resize_images
+
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 256, (16, 24, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, _png_rgb(arr)), (1, b"opaque")], "asset_id long, content binary"
+    )
+    rows = {r["asset_id"]: r for r in resize_images(df, 8, 8).collect()}
+    ok = rows[0]
+    assert ok["resizer"] == "png-nn"
+    out = _png_pixels(bytes(ok["content"]))
+    assert out.shape == (8, 8, 3)
+    yi = (np.arange(8) * 16) // 8
+    xi = (np.arange(8) * 24) // 8
+    assert np.array_equal(out, arr[yi][:, xi])
+    passthru = rows[1]
+    assert passthru["resizer"] == "stub"
+    assert bytes(passthru["content"]) == b"opaque"

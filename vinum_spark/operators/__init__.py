@@ -45,6 +45,7 @@ from vinum_spark.operators.multimodal import (
     attach_metadata,
     decode_images,
     decode_audio,
+    resize_images,
     probe_media,
     extract_features,
     sample_frames,
@@ -81,6 +82,7 @@ __all__ = [
     "attach_metadata",
     "decode_images",
     "decode_audio",
+    "resize_images",
     "probe_media",
     "extract_features",
     "sample_frames",

@@ -547,6 +547,91 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _png_encode(px: np.ndarray) -> bytes:
+    """Minimal PNG encoder (stdlib zlib): 8-bit gray/gray+alpha/RGB/RGBA,
+    filter-0 scanlines — the inverse of ``_png_pixels`` for round-trips."""
+    import zlib
+
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _resize_nearest(px: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Nearest-neighbor resample via integer index maps — exact, cheap,
+    and deterministic (the standard thumbnail path when no filtering
+    library is present)."""
+    yi = (np.arange(height) * px.shape[0]) // height
+    xi = (np.arange(width) * px.shape[1]) // width
+    return px[yi][:, xi]
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("resizer", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    height: int,
+    width: int,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL image resize for decodable PNGs — no codec library:
+    ``_png_pixels`` decode → nearest-neighbor numpy resample →
+    ``_png_encode`` re-encode (``resizer='png-nn'``; the output decodes
+    back to exactly (height, width)). Undecodable content passes
+    through untouched with ``resizer='stub'`` — never invented pixels.
+    Arrow-batched ``mapInPandas``, the same 100 TB shape as the other
+    decode stages."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(data):
+            data = bytes(data or b"")
+            px = _png_pixels(data)
+            if px is None:
+                return (data, None, None, "stub")
+            small = np.ascontiguousarray(_resize_nearest(px, height, width))
+            return (_png_encode(small), height, width, "png-nn")
+
+        for pdf in it:
+            rows = [one(x) for x in pdf[content_col]]
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in _RESIZE_SCHEMA.fields[1:]]
+            )
+            out.insert(0, "asset_id", pdf[id_col].astype("int64").values)
+            yield out
+
+    return df.mapInPandas(batches, schema=_RESIZE_SCHEMA)
+
+
 def _pooled_gray_feature(px: np.ndarray) -> np.ndarray:
     """REAL 64-dim image feature: 8×8 block-averaged grayscale,
     mean-centered and L2-normalized (aHash-style). Perceptually
