@@ -28,6 +28,13 @@ GATED = [
     "q53_streaming_stateful_dedup",
     "q54_winnowing_pairs",
     "q56_embedding_lsh_verify",
+    # round-7 additions with cross-engine representation traps: lambda
+    # HOF + regex parity (q58), md5-threshold sample membership (q59),
+    # tokenizer-split parity (q60), RE2-subset redaction bytes (q61)
+    "q58_quality_rules",
+    "q59_stratified_sample",
+    "q60_length_buckets",
+    "q61_pii_redaction",
 ]
 
 

@@ -1,0 +1,182 @@
+"""Unit tests for deterministic sampling + quality-rule + PII operators."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+    )
+
+
+def test_deterministic_sample_rate_and_reproducibility(keyed):
+    from vinum_spark.operators import deterministic_sample
+
+    a = deterministic_sample(keyed, "k", 0.25, seed="s1")
+    got = sorted(r["k"] for r in a.collect())
+    again = sorted(r["k"] for r in deterministic_sample(keyed, "k", 0.25, seed="s1").collect())
+    assert got == again  # byte-for-byte reproducible
+    assert 0.18 <= len(got) / 2000 <= 0.32  # ~25% within binomial noise
+    # repartitioning must not change membership (rand(seed) fails this)
+    shuffled = sorted(
+        r["k"] for r in deterministic_sample(keyed.repartition(13), "k", 0.25, seed="s1").collect()
+    )
+    assert shuffled == got
+
+
+def test_deterministic_sample_matches_duckdb(keyed):
+    """Engine-portability: DuckDB reproduces the exact member set."""
+    from vinum_spark.operators import deterministic_sample
+    from vinum_spark.operators.sampling import sample_threshold_hex
+
+    got = sorted(r["k"] for r in deterministic_sample(keyed, "k", 0.1, seed="x").collect())
+    thr = sample_threshold_hex(0.1)
+    oracle = duckdb.connect().execute(
+        f"""
+        SELECT i FROM range(0, 2000) t(i)
+        WHERE substring(md5(concat_ws(chr(31), CAST(i AS VARCHAR), 'x')), 1, 8)
+              < '{thr}'
+        ORDER BY i
+        """
+    ).fetchall()
+    assert got == [r[0] for r in oracle]
+
+
+def test_deterministic_sample_seeds_independent(keyed):
+    from vinum_spark.operators import deterministic_sample
+
+    a = {r["k"] for r in deterministic_sample(keyed, "k", 0.5, seed="a").collect()}
+    b = {r["k"] for r in deterministic_sample(keyed, "k", 0.5, seed="b").collect()}
+    overlap = len(a & b) / 2000
+    assert 0.15 <= overlap <= 0.35  # independent draws -> ~25% joint
+
+
+def test_deterministic_sample_fraction_bounds(keyed):
+    from vinum_spark.operators import deterministic_sample
+
+    assert deterministic_sample(keyed, "k", 0.0).count() == 0
+    assert deterministic_sample(keyed, "k", 1.0).count() == 2000
+    with pytest.raises(ValueError):
+        deterministic_sample(keyed, "k", 1.5)
+
+
+def test_stratified_sample_per_stratum_rates(keyed):
+    from vinum_spark.operators import stratified_sample
+
+    s = stratified_sample(
+        keyed, "grp", {"0": 1.0, "1": 0.0}, key_col="k", seed="s", default_fraction=0.5
+    )
+    counts = {r["grp"]: r["n"] for r in s.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("0") == 500
+    assert "1" not in counts
+    assert 175 <= counts.get("2", 0) <= 325 and 175 <= counts.get("3", 0) <= 325
+
+
+def test_group_sample_topn_exact_count_and_deterministic(keyed):
+    from vinum_spark.operators import group_sample_topn
+
+    s = group_sample_topn(keyed, "grp", n=7, key_col="k", seed="s")
+    pdf = s.toPandas()
+    assert (pdf.groupby("grp").size() == 7).all()
+    assert pdf.sample_rank.max() == 7
+    again = group_sample_topn(keyed, "grp", n=7, key_col="k", seed="s").toPandas()
+    assert sorted(pdf.k) == sorted(again.k)
+
+
+def test_group_sample_topn_pushes_limit_below_sort(keyed):
+    """rank<=n must prune map-side (WindowGroupLimit), not sort whole
+    groups — the property that makes per-domain caps viable at 100 TB."""
+    from vinum_spark.operators import group_sample_topn
+
+    plan = group_sample_topn(keyed, "grp", n=7, key_col="k")._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_length_bucket_stats(spark):
+    from vinum_spark.operators import length_bucket_stats
+
+    df = spark.createDataFrame(
+        [(10,), (40,), (70,), (100,), (100,)], "n_tokens int"
+    )
+    out = {
+        r["bucket_lo"]: (r["n_docs"], r["sum_tokens"], r["n_packed_seqs"])
+        for r in length_bucket_stats(df, bucket_width=64, pack_len=128).collect()
+    }
+    assert out[0] == (2, 50, 1)  # 10 + 40
+    assert out[64] == (3, 270, 3)  # 70 + 100 + 100 -> ceil(270/128) = 3
+
+
+def test_quality_rules_flags_boilerplate(spark):
+    from vinum_spark.operators import with_quality_rules
+
+    nav = "\n".join(["Home | About | Contact"] * 8 + ["one real sentence here"])
+    clean = "A perfectly ordinary paragraph of prose.\nIt has two lines of text."
+    bullets = "\n".join(["- item one", "- item two", "* item three"])
+    df = spark.createDataFrame(
+        [(0, nav), (1, clean), (2, bullets)], "doc_id long, text string"
+    )
+    pdf = with_quality_rules(df).toPandas().set_index("doc_id")
+    assert pdf.loc[0, "dup_line_frac"] > 0.7
+    assert not pdf.loc[0, "quality_pass"]
+    assert pdf.loc[1, "dup_line_frac"] == 0.0
+    assert pdf.loc[1, "quality_pass"]
+    assert pdf.loc[2, "bullet_line_frac"] == 1.0
+    assert not pdf.loc[2, "quality_pass"]
+
+
+def test_quality_rules_empty_and_symbols(spark):
+    from vinum_spark.operators import with_quality_rules
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "## ### #### words here"), (2, "ab cd ef gh")],
+        "doc_id long, text string",
+    )
+    pdf = with_quality_rules(df).toPandas().set_index("doc_id")
+    assert pdf.loc[0, "dup_line_frac"] == 0.0  # no lines -> no crash
+    assert pdf.loc[1, "symbol_word_ratio"] > 0.1
+    assert not pdf.loc[1, "quality_pass"]
+    assert pdf.loc[2, "mean_word_len"] == 2.0
+
+
+def test_pii_redaction_counts_and_text(spark):
+    from vinum_spark.operators import with_pii_redacted
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@example.co.uk or bob@test.io"),
+            (1, "call +1-555-123-4567 today"),
+            (2, "server at 192.168.0.1 is down"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    pdf = with_pii_redacted(df).toPandas().set_index("doc_id")
+    assert pdf.loc[0, "n_email"] == 2
+    assert "<EMAIL>" in pdf.loc[0, "text_redacted"]
+    assert "@" not in pdf.loc[0, "text_redacted"]
+    assert pdf.loc[1, "n_phone"] == 1
+    assert "555" not in pdf.loc[1, "text_redacted"]
+    assert pdf.loc[2, "n_ipv4"] == 1
+    assert "<IPV4>" in pdf.loc[2, "text_redacted"]
+    assert pdf.loc[3, "text_redacted"] == "nothing sensitive here"
+    assert int(pdf[["n_email", "n_phone", "n_ipv4"]].loc[3].sum()) == 0
+
+
+def test_sampling_predicates_are_scan_pushed(keyed, tmp_path, spark):
+    """The md5-threshold predicate must survive to the scan side as a
+    plain filter (map-side only, no shuffle in the plan)."""
+    from vinum_spark.operators import deterministic_sample
+
+    p = str(tmp_path / "keyed.parquet")
+    keyed.write.mode("overwrite").parquet(p)
+    plan = (
+        deterministic_sample(spark.read.parquet(p), "k", 0.25)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # zero shuffles

@@ -2053,6 +2053,244 @@ def q57(spark, sf_dir):
     )
 
 
+_Q58_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, lang,
+        list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0)
+          AS lines,
+        regexp_extract_all(text, '[A-Za-z]+') AS words,
+        length(regexp_replace(text, '[^#…]', '', 'g')) AS n_symbols
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, lang,
+        len(lines) AS n_lines,
+        greatest(len(lines), 1) AS safe_lines,
+        len(list_distinct(list_transform(lines, x -> trim(x)))) AS n_distinct,
+        len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+          AS n_bullet,
+        len(list_filter(lines, x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))
+          AS n_ellipsis,
+        greatest(len(words), 1) AS safe_words,
+        coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+          AS word_chars,
+        n_symbols
+      FROM base
+    )
+    SELECT doc_id, lang,
+      round((n_lines - n_distinct) / CAST(safe_lines AS DOUBLE), 6)
+        AS dup_line_frac,
+      round(n_bullet / CAST(safe_lines AS DOUBLE), 6) AS bullet_line_frac,
+      round(n_ellipsis / CAST(safe_lines AS DOUBLE), 6) AS ellipsis_line_frac,
+      round(n_symbols / CAST(safe_words AS DOUBLE), 6) AS symbol_word_ratio,
+      round(word_chars / CAST(safe_words AS DOUBLE), 6) AS mean_word_len,
+      CAST(dup_line_frac <= 0.30 AND symbol_word_ratio <= 0.10
+           AND bullet_line_frac <= 0.90 AND mean_word_len >= 2.0
+           AND mean_word_len <= 12.0 AS INT) AS quality_pass
+    FROM sig ORDER BY doc_id
+    """
+
+
+@_q(
+    "q58_quality_rules",
+    _Q58_ORACLE,
+    "Gopher/C4-style document quality gates (operators/text.py "
+    "with_quality_rules): duplicate-line fraction, bullet/ellipsis line "
+    "shares, symbol-per-word ratio, mean alphabetic word length, and "
+    "the composite quality_pass flag. All signals are built-in "
+    "array/regex expressions in one codegen'd projection — no Python, "
+    "no shuffle — so at 100 TB the filter runs at scan speed and "
+    "Catalyst pushes quality_pass pruning into the scan. The DuckDB "
+    "oracle recomputes every signal from the same definitions.",
+)
+def q58(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    q = X.with_quality_rules(d)
+    return q.select(
+        "doc_id",
+        "lang",
+        "dup_line_frac",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "symbol_word_ratio",
+        "mean_word_len",
+        F.col("quality_pass").cast("int").alias("quality_pass"),
+    ).orderBy("doc_id")
+
+
+#: Per-stratum keep rates for q59 — the downsample-the-head mix shape
+#: (cap high-volume click/view, keep every purchase).
+_Q59_FRACTIONS = {"click": 0.1, "view": 0.05, "purchase": 1.0}
+_Q59_DEFAULT = 0.2
+_Q59_SEED = "r7"
+
+
+def _q59_oracle() -> str:
+    from vinum_spark.operators.sampling import sample_threshold_hex
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{sample_threshold_hex(v)}'"
+        for k, v in sorted(_Q59_FRACTIONS.items())
+    )
+    return f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value,
+           min(event_id) AS min_id,
+           max(event_id) AS max_id
+    FROM events
+    WHERE substring(md5(concat_ws(chr(31), CAST(event_id AS VARCHAR),
+                                  '{_Q59_SEED}')), 1, 8)
+          < CASE event_type {cases}
+            ELSE '{sample_threshold_hex(_Q59_DEFAULT)}' END
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@_q(
+    "q59_stratified_sample",
+    _q59_oracle(),
+    "Deterministic stratified sampling (operators/sampling.py): keep "
+    "10% of clicks, 5% of views, 100% of purchases, 20% default — "
+    "membership is substr(md5(event_id || seed), 1, 8) < per-stratum "
+    "hex threshold, a pure per-row codegen'd predicate. Unlike "
+    "rand(seed), the sample is identical across reruns, partitionings, "
+    "and engines (the DuckDB oracle reproduces the exact member set, "
+    "verified by min/max ids + count + sum per stratum). Map-side "
+    "only: no shuffle, no state; at 100 TB the filter pushes into the "
+    "scan and a re-shard cannot change the training set.",
+)
+def q59(spark, sf_dir):
+    from vinum_spark.operators.sampling import stratified_sample
+
+    e = _t(spark, sf_dir, "events")
+    s = stratified_sample(
+        e,
+        "event_type",
+        _Q59_FRACTIONS,
+        key_col="event_id",
+        seed=_Q59_SEED,
+        default_fraction=_Q59_DEFAULT,
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "q60_length_buckets",
+    """
+    WITH t AS (
+      SELECT CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(floor(n_tokens / 32) AS BIGINT) * 32 AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(ceil(sum(n_tokens) / 512.0) AS BIGINT) AS n_packed_seqs
+    FROM t
+    GROUP BY bucket_lo
+    ORDER BY bucket_lo
+    """,
+    "Sequence-packing planning query (operators/sampling.py "
+    "length_bucket_stats): token-length histogram in width-32 buckets "
+    "plus the packed-sequence capacity bound ceil(sum_tokens/512) per "
+    "bucket — the batch-shape planning pass behind packed-batch "
+    "training. Bucket id is a codegen'd integer divide; one "
+    "partial-aggregated shuffle on the bucket id.",
+)
+def q60(spark, sf_dir):
+    from vinum_spark.operators.sampling import length_bucket_stats
+
+    d = X.with_token_count(_t(spark, sf_dir, "documents"))
+    return (
+        length_bucket_stats(d, bucket_width=32, pack_len=512)
+        .select(
+            "bucket_lo",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "sum_tokens",
+            "n_packed_seqs",
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+def _q61_oracle() -> str:
+    e, p, i = (X.PII_PATTERNS[k] for k in ("email", "phone", "ipv4"))
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN text || ' contact user'
+                  || CAST(doc_id AS VARCHAR) || '@example.com now'
+             WHEN doc_id % 11 = 0 THEN text
+                  || ' call +1-555-123-4567 or 10.0.0.1'
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ipv4,
+      md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '{e}', '<EMAIL>', 'g'),
+            '{p}', '<PHONE>', 'g'),
+            '{i}', '<IPV4>', 'g')) AS red_md5
+    FROM planted ORDER BY doc_id
+    """
+
+
+@_q(
+    "q61_pii_redaction",
+    _q61_oracle(),
+    "PII scrubbing (operators/text.py with_pii_redacted): emails, "
+    "phone numbers, and IPv4 addresses replaced with typed "
+    "placeholders, counts per category on the original text. Patterns "
+    "are restricted to the RE2-compatible subset so the DuckDB oracle "
+    "computes the byte-identical redaction (gated via md5 of the "
+    "redacted text). PII is planted deterministically (doc_id % 7 -> "
+    "email, % 11 -> phone + IP) in BOTH engines so the gate exercises "
+    "real matches at every SF. Chained regexp_replace in one "
+    "projection: zero Python, zero shuffle, scan-speed at 100 TB.",
+)
+def q61(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" call +1-555-123-4567 or 10.0.0.1")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    r = X.with_pii_redacted(planted)
+    return r.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("text_redacted").alias("red_md5"),
+    ).orderBy("doc_id")
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 57 registered, seven fall outside it.
 #: Order the export so the operator classes with the least other

@@ -14,8 +14,16 @@ from vinum_spark.operators.text import (
     with_text_stats,
     with_lang_id,
     with_fingerprint,
+    with_quality_rules,
+    with_pii_redacted,
     winnowing_fingerprints,
     winnowing_shared_pairs,
+)
+from vinum_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+    group_sample_topn,
+    length_bucket_stats,
 )
 from vinum_spark.operators.dedup import (
     dedup_exact,
@@ -57,6 +65,12 @@ __all__ = [
     "with_text_stats",
     "with_lang_id",
     "with_fingerprint",
+    "with_quality_rules",
+    "with_pii_redacted",
+    "deterministic_sample",
+    "stratified_sample",
+    "group_sample_topn",
+    "length_bucket_stats",
     "winnowing_fingerprints",
     "winnowing_shared_pairs",
     "dedup_exact",

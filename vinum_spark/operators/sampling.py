@@ -1,0 +1,147 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Training pipelines need samples that are (a) reproducible across reruns
+and engines — a re-shard or a Spark upgrade must not change which
+documents are in the training set — and (b) computable without a global
+pass. ``rand(seed)`` fails both: it is partitioning-dependent and not
+portable to any other engine. These operators instead hash a stable key
+with md5 (every engine agrees on md5) and threshold the hex prefix, so
+membership is a pure per-row function of (key, seed): no shuffle, no
+state, trivially re-runnable on 100 TB, and an external system (DuckDB,
+Trino, a Python validator) can reproduce the exact sample.
+
+``group_sample_topn`` is the deterministic replacement for per-group
+reservoir sampling: the n smallest md5 values per group ARE a uniform
+without-replacement sample of the group, selected with one shuffle on
+the group key.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Width of the hex prefix compared against the threshold. 8 hex digits
+#: = 32 bits of hash, so the realized fraction deviates from the target
+#: by at most 2^-32 — far below sampling noise at any corpus size.
+_HEX_DIGITS = 8
+
+
+def sample_threshold_hex(fraction: float) -> str:
+    """Lexicographic hex threshold selecting ``fraction`` of uniform
+    md5 prefixes: ``substr(md5(k), 1, 8) < threshold`` keeps that share.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    n = int(fraction * (16 ** _HEX_DIGITS))
+    if n >= 16 ** _HEX_DIGITS:
+        # fraction == 1.0: 16^8 is 9 hex digits, which compares BELOW
+        # most 8-digit prefixes lexicographically ('1...' < 'f...').
+        # 'g' sorts above every hex digit in ASCII (and in DuckDB's
+        # byte-wise VARCHAR order), so `prefix < 'g'` keeps everything.
+        return "g"
+    return format(n, f"0{_HEX_DIGITS}x")
+
+
+def _sample_key(key: Column, seed: str) -> Column:
+    return F.substring(F.md5(F.concat_ws("\x1f", key.cast("string"), F.lit(seed))), 1, _HEX_DIGITS)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = "0"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by ``md5(key || seed)`` —
+    reproducible across reruns, partitionings, and engines. Map-side
+    only: the predicate is a codegen'd string compare, pushed to the
+    scan like any filter. Different ``seed`` values yield independent
+    samples (disjoint train/validation splits via complementary
+    thresholds on one seed, or independent draws via two seeds).
+    """
+    thr = sample_threshold_hex(fraction)
+    return df.filter(_sample_key(F.col(key_col), seed) < thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Dict[str, float],
+    key_col: str,
+    seed: str = "0",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the downsample-the-head /
+    keep-the-tail move every data-mixing pipeline makes (e.g. cap web
+    crawl at 10%, keep 100% of books). ``fractions`` maps stratum value
+    to its keep-rate; strata not listed get ``default_fraction``.
+
+    Still map-side only: the per-row threshold is a CASE over the
+    stratum column compared against the same md5 prefix. No shuffle, no
+    per-stratum pass, and adding a stratum is a plan-time change.
+    """
+    thr: Column = F.lit(sample_threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(sample_threshold_hex(frac))
+        ).otherwise(thr)
+    return df.filter(_sample_key(F.col(key_col), seed) < thr)
+
+
+def group_sample_topn(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str,
+    seed: str = "0",
+    out: str = "sample_rank",
+) -> DataFrame:
+    """Uniform without-replacement sample of up to ``n`` rows per group:
+    rank rows inside each group by ``md5(key || seed)`` and keep the n
+    smallest. Deterministic and engine-portable like the fraction
+    samplers, but with an exact per-group count — the shape used for
+    "at most n examples per domain" caps.
+
+    One shuffle on ``group_col``; rank ties are impossible (md5 of
+    distinct keys) so the result is unique. At 100 TB prefer this over
+    ``collect_list``-based reservoirs: the window's partial sort spills
+    gracefully, and with n small Spark's WindowGroupLimit pushes the
+    rank filter below the sort (rank <= n prunes map-side).
+    """
+    rk = _sample_key(F.col(key_col), seed)
+    w = Window.partitionBy(group_col).orderBy(rk.asc())
+    return (
+        df.withColumn(out, F.row_number().over(w))
+        .filter(F.col(out) <= n)
+    )
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    n_tokens_col: str = "n_tokens",
+    bucket_width: int = 64,
+    pack_len: Optional[int] = 2048,
+) -> DataFrame:
+    """Token-length histogram + sequence-packing capacity per bucket —
+    the planning query behind packed-batch training (bucket documents
+    by length, then pack each bucket into fixed ``pack_len``-token
+    rows). Returns per-bucket ``(bucket_lo, n_docs, sum_tokens,
+    n_packed_seqs)`` where ``n_packed_seqs = ceil(sum_tokens /
+    pack_len)`` is the bin-capacity lower bound on packed sequences.
+
+    One partial-aggregated shuffle on the bucket id; the bucket id is a
+    codegen'd integer divide, so the histogram runs at scan speed.
+    """
+    bucket_lo = (
+        (F.col(n_tokens_col) / bucket_width).cast("bigint") * bucket_width
+    ).alias("bucket_lo")
+    agg = df.groupBy(bucket_lo).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens_col).cast("bigint").alias("sum_tokens"),
+    )
+    if pack_len is not None:
+        agg = agg.withColumn(
+            "n_packed_seqs",
+            F.ceil(F.col("sum_tokens") / F.lit(pack_len)).cast("bigint"),
+        )
+    return agg

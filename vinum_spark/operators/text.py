@@ -104,12 +104,119 @@ def with_lang_id(df: DataFrame, col: str = "text", out: str = "lang_pred") -> Da
     return df.withColumn(out, pred)
 
 
+def with_quality_rules(
+    df: DataFrame,
+    col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_symbol_word_ratio: float = 0.10,
+    max_bullet_line_frac: float = 0.90,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+) -> DataFrame:
+    """Gopher/C4-style repetition + formatting quality gates.
+
+    Adds the rule signals large-scale training-data pipelines filter on
+    (Rae et al. 2021 "Scaling Language Models" §A1.1; Raffel et al. 2020
+    C4 heuristics) and a composite ``quality_pass`` flag:
+
+    - ``dup_line_frac``   — 1 - distinct/total over non-blank lines (the
+      strongest boilerplate signal: nav bars, cookie banners repeat).
+    - ``bullet_line_frac`` — share of non-blank lines starting with a
+      bullet marker (``-``, ``*``, ``•``).
+    - ``ellipsis_line_frac`` — share of non-blank lines ending in ``...``
+      or ``…`` (truncated scrapes).
+    - ``symbol_word_ratio`` — ``#``/``…`` symbols per word.
+    - ``mean_word_len``   — mean alphabetic-word length (gibberish and
+      minified blobs fall outside [2, 12]).
+
+    Every signal is a pure built-in array/regex expression — one
+    codegen'd projection, no Python, no shuffle; the flag is a plain
+    boolean conjunction so Catalyst can push ``filter(quality_pass)``
+    straight into the scan's row-group pruning at 100 TB.
+    """
+    c = F.col(col)
+    lines = F.filter(
+        F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1))
+    n_distinct = F.size(F.array_distinct(F.transform(lines, F.trim)))
+    n_bullet = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]"))
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))
+    )
+    words = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+"), 0)
+    n_words = F.size(words)
+    safe_words = F.greatest(n_words, F.lit(1))
+    word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = F.length(F.regexp_replace(c, r"[^#…]", ""))
+    dup_line_frac = F.round(
+        (n_lines - n_distinct) / safe_lines, 6
+    )
+    bullet_line_frac = F.round(n_bullet / safe_lines, 6)
+    ellipsis_line_frac = F.round(n_ellipsis / safe_lines, 6)
+    symbol_word_ratio = F.round(n_symbols / safe_words, 6)
+    mean_word_len = F.round(word_chars / safe_words, 6)
+    out = (
+        df.withColumn("dup_line_frac", dup_line_frac)
+        .withColumn("bullet_line_frac", bullet_line_frac)
+        .withColumn("ellipsis_line_frac", ellipsis_line_frac)
+        .withColumn("symbol_word_ratio", symbol_word_ratio)
+        .withColumn("mean_word_len", mean_word_len)
+    )
+    return out.withColumn(
+        "quality_pass",
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+    )
+
+
 def with_fingerprint(df: DataFrame, col: str = "text", out: str = "fingerprint") -> DataFrame:
     """Deterministic document fingerprint: md5 hex of the
     whitespace-normalized, lowercased text. Engine-portable (md5 exists in
     every SQL dialect) — used as the exact-dedup key."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(col)), _WS, " "))
     return df.withColumn(out, F.md5(norm))
+
+
+# Patterns restricted to the RE2-compatible subset (no lookaround, no
+# backreferences) so the DuckDB/Trino oracle computes the identical
+# redaction — portability is part of the operator contract, like the
+# md5 fingerprints.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def with_pii_redacted(
+    df: DataFrame, col: str = "text", out: str = "text_redacted"
+) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 addresses, replacing each
+    with a typed placeholder (``<EMAIL>``, ``<PHONE>``, ``<IPV4>``), and
+    count matches per category (``n_email``/``n_phone``/``n_ipv4``).
+
+    Pure chained ``regexp_replace`` / ``regexp_count`` — codegen'd,
+    zero Python, zero shuffle; at 100 TB this runs at scan speed as one
+    projection. Counts are computed on the ORIGINAL text (before any
+    replacement) so categories don't mask each other; replacements are
+    applied email → phone → ipv4, so an email is never re-matched as a
+    phone fragment.
+    """
+    c = F.col(col)
+    red = c
+    for kind, pat in PII_PATTERNS.items():
+        df = df.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)).cast("bigint"))
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return df.withColumn(out, red)
 
 
 def winnowing_fingerprints(
