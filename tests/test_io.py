@@ -269,3 +269,76 @@ class TestPyarrowSignatureParity:
         assert types == {"code": "string", "v": "bigint", "d": "date"}
         pdf = t.sql_pd("select code from t order by code")
         assert pdf["code"].tolist() == ["01", "02"]
+
+
+class TestTaxiShapedGoldens:
+    """The reference's NYC-taxi IO golden shape (vinum/tests/test_io.py:6-72
+    — a ~50k-row group-by with count/min/max/sum/avg over a double plus
+    min/max over a timestamp, run identically through the CSV and parquet
+    readers) ported onto the driver's lineitem at sf0.01 (~60k rows).
+    The same SQL must produce identical results through read_parquet and
+    read_csv, both matching a DuckDB oracle on the same bytes."""
+
+    SQL = (
+        "select l_linenumber ln, "
+        "count(*), "
+        "min(l_extendedprice) min_3, "
+        "max(l_extendedprice) max_3, "
+        "round(sum(l_extendedprice), 2) sum_3, "
+        "round(avg(l_extendedprice), 6) avg_3, "
+        "min(l_returnflag) min_2, "
+        "max(l_linestatus) max_2 "
+        "from t group by ln order by ln"
+    )
+    ORACLE = (
+        "SELECT l_linenumber AS ln, count(*) AS count_star, "
+        "min(l_extendedprice) AS min_3, max(l_extendedprice) AS max_3, "
+        "round(sum(l_extendedprice), 2) AS sum_3, "
+        "round(avg(l_extendedprice), 6) AS avg_3, "
+        "min(l_returnflag) AS min_2, max(l_linestatus) AS max_2 "
+        "FROM src GROUP BY ln ORDER BY ln"
+    )
+    PARQUET = "/root/testdata/sf0.01/lineitem.parquet"
+
+    @pytest.fixture(scope="class")
+    def oracle_pdf(self):
+        import duckdb
+
+        return (
+            duckdb.connect()
+            .execute(
+                self.ORACLE.replace(
+                    "src", f"read_parquet('{self.PARQUET}')"
+                )
+            )
+            .df()
+        )
+
+    def _check(self, pdf, oracle_pdf):
+        import numpy as np
+
+        assert list(pdf.columns) == list(oracle_pdf.columns)
+        assert len(pdf) == len(oracle_pdf)
+        for c in pdf.columns:
+            if pdf[c].dtype.kind in "fc":
+                assert np.allclose(pdf[c], oracle_pdf[c]), c
+            else:
+                assert (pdf[c].astype(str) == oracle_pdf[c].astype(str)).all(), c
+
+    def test_parquet_path(self, spark, oracle_pdf):
+        import vinum_spark as vs
+
+        t = vs.read_parquet(self.PARQUET, spark=spark)
+        self._check(t.sql_pd(self.SQL), oracle_pdf)
+
+    def test_csv_path_same_result(self, spark, oracle_pdf, tmp_path_factory):
+        import duckdb
+        import vinum_spark as vs
+
+        p = str(tmp_path_factory.mktemp("taxi_golden") / "lineitem.csv")
+        duckdb.connect().execute(
+            f"COPY (SELECT l_linenumber, l_extendedprice, l_returnflag, l_linestatus "
+            f"FROM read_parquet('{self.PARQUET}')) TO '{p}' (HEADER)"
+        )
+        t = vs.read_csv(p, spark=spark)
+        self._check(t.sql_pd(self.SQL), oracle_pdf)
