@@ -130,3 +130,21 @@ def test_np_scalar_tail_varying_column_raises_actionably(trips):
         # check fails -> actionable TypeError from the wrapper
         trips.sql_pd("select np.round(total, id) as r from t")
     assert "SQL literals" in str(exc_info.value)
+
+
+def test_udf_null_passthrough_matches_reference(spark):
+    """Null-handling parity with the reference's bare ``np.vectorize``
+    wrap (vinum/core/udf.py:134 — no masking, no special-casing):
+    float nulls arrive as NaN inside the vectorized fn; string nulls
+    arrive as Python None objects, so ``str(None)`` yields the literal
+    'None' (the same quirk the `||` concat operator pins)."""
+    import numpy as np
+
+    from vinum_spark.api.table import Table
+    from vinum_spark.functions.udf import register_numpy, register_python
+
+    t = Table.from_pydict({"x": [1.0, None, 3.0], "s": ["a", None, "c"]}, spark=spark)
+    register_numpy("nan_flag_", lambda x: np.isnan(x), "boolean")
+    assert t.sql_pd("select nan_flag_(x) f from t").f.tolist() == [False, True, False]
+    register_python("str_of_", lambda s: str(s), "string")
+    assert t.sql_pd("select str_of_(s) r from t").r.tolist() == ["a", "None", "c"]
