@@ -37,6 +37,7 @@ GATED = [
     "q59_stratified_sample",
     "q60_length_buckets",
     "q61_pii_redaction",
+    "q62_deterministic_shard",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible

@@ -180,3 +180,50 @@ def test_sampling_predicates_are_scan_pushed(keyed, tmp_path, spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # zero shuffles
+
+
+def test_with_shard_deterministic_and_uniform(keyed):
+    from vinum_spark.operators import with_shard
+
+    s = with_shard(keyed, "k", 16, seed="t")
+    counts = {r["shard"]: r["n"] for r in s.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(16))
+    assert all(70 <= c <= 190 for c in counts.values())  # ~125 each
+    again = with_shard(keyed.repartition(7), "k", 16, seed="t")
+    a = sorted((r["k"], r["shard"]) for r in s.collect())
+    b = sorted((r["k"], r["shard"]) for r in again.collect())
+    assert a == b
+
+
+def test_with_shard_matches_duckdb(keyed):
+    import duckdb
+
+    from vinum_spark.operators import with_shard
+
+    got = sorted((r["k"], r["shard"]) for r in with_shard(keyed, "k", 8, seed="x").collect())
+    oracle = duckdb.connect().execute(
+        """
+        SELECT i, CAST(('0x' || substring(md5(concat_ws(chr(31),
+                 CAST(i AS VARCHAR), 'x')), 1, 8))::UBIGINT % 8 AS INT)
+        FROM range(0, 2000) t(i) ORDER BY i
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in oracle]
+
+
+def test_export_shards_one_file_per_shard(keyed, tmp_path, spark):
+    import glob
+    import os
+
+    from vinum_spark.operators import export_shards, with_shard
+
+    out = str(tmp_path / "shards")
+    export_shards(keyed, out, "k", 4, seed="e")
+    for shard in range(4):
+        files = glob.glob(os.path.join(out, f"shard={shard}", "*.parquet"))
+        assert len(files) == 1, (shard, files)  # repartition aligned the write
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    # round-trip preserves the assignment
+    expect = {r["k"]: r["shard"] for r in with_shard(keyed, "k", 4, seed="e").collect()}
+    assert all(expect[r["k"]] == int(r["shard"]) for r in back.collect())

@@ -2291,6 +2291,47 @@ def q61(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_q(
+    "q62_deterministic_shard",
+    """
+    SELECT CAST(('0x' || substring(md5(concat_ws(chr(31),
+               CAST(event_id AS VARCHAR), 'shard7')), 1, 8))::UBIGINT
+               % 8 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n,
+           min(event_id) AS min_id,
+           max(event_id) AS max_id,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    "Deterministic shard assignment (operators/sampling.py with_shard) "
+    "— the global-shuffle step of a training-data export: shard = "
+    "int(md5(event_id || seed)[:8], 16) % 8, a pure per-row function "
+    "of (key, seed), so membership survives reruns, repartitioning, "
+    "and engine changes (the oracle recomputes the identical "
+    "assignment, verified per shard by count + min/max id + value "
+    "sum). export_shards pairs this with repartition(n, shard) + "
+    "partitionBy for a one-file-per-shard reproducible permutation "
+    "write at any scale.",
+)
+def q62(spark, sf_dir):
+    from vinum_spark.operators.sampling import with_shard
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        with_shard(e, "event_id", 8, seed="shard7")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("shard")
+    )
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 61 registered, eleven fall outside it.
 #: Order the export so the operator classes with the least other

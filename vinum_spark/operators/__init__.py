@@ -24,6 +24,8 @@ from vinum_spark.operators.sampling import (
     stratified_sample,
     group_sample_topn,
     length_bucket_stats,
+    with_shard,
+    export_shards,
 )
 from vinum_spark.operators.dedup import (
     dedup_exact,
@@ -71,6 +73,8 @@ __all__ = [
     "stratified_sample",
     "group_sample_topn",
     "length_bucket_stats",
+    "with_shard",
+    "export_shards",
     "winnowing_fingerprints",
     "winnowing_shared_pairs",
     "dedup_exact",

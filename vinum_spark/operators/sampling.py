@@ -116,6 +116,62 @@ def group_sample_topn(
     )
 
 
+def with_shard(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "0",
+    out: str = "shard",
+) -> DataFrame:
+    """Stable shard assignment: ``int(md5(key || seed)[:8], 16) %
+    n_shards`` — the deterministic global shuffle behind training-data
+    export. Every row's shard is a pure function of (key, seed), so a
+    re-run, a different partitioning, or a different engine produces
+    the identical sharding (DuckDB: ``('0x' || substr(md5(..), 1,
+    8))::UBIGINT % n``), and the 32-bit hash spreads keys uniformly
+    regardless of key skew or ordering.
+
+    Map-side only. Pair with :func:`export_shards` to materialize.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = _sample_key(F.col(key_col), seed)
+    return df.withColumn(
+        out, (F.conv(h, 16, 10).cast("bigint") % n_shards).cast("int")
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    seed: str = "0",
+) -> None:
+    """Write the frame as ``path/shard=K/`` parquet directories with a
+    deterministic within-shard order — the terminal global-shuffle step
+    of a training-data pipeline.
+
+    One shuffle total: ``repartition(n_shards, shard)`` aligns each
+    shard onto exactly one task, so ``partitionBy`` emits ONE file per
+    shard directory instead of (tasks × shards) fragments — at 1000
+    executors the naive write would scatter every shard across every
+    task and produce a million tiny files. Within a shard, rows are
+    sorted by the same md5 key that assigned the shard, so the full
+    export is a reproducible pseudo-random permutation of the corpus:
+    training order is stable across reruns without any global sort.
+    """
+    sharded = with_shard(df, key_col, n_shards, seed=seed)
+    order_key = _sample_key(F.col(key_col), seed + "#order")
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(order_key)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def length_bucket_stats(
     df: DataFrame,
     n_tokens_col: str = "n_tokens",
