@@ -399,3 +399,55 @@ def test_winnowing_matches_pure_python_reference(spark):
     got = winnowing_fingerprints(df, k=k, window=w).toPandas()
     for i, body in docs:
         assert set(got[got.doc_id == i].fingerprint) == py_winnow(body), i
+
+
+def test_connected_components_labels_min_id(spark):
+    from vinum_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_chain_beyond_one_hop(spark):
+    """Transitive closure: a 6-node path collapses to one component even
+    though no single pair spans it."""
+    from vinum_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    comps = {r["component"] for r in connected_components(edges).collect()}
+    assert comps == {0}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from vinum_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=2)
+
+
+def test_dedup_clusters_groups_transitive_dups(docs):
+    from vinum_spark.operators import dedup_clusters
+
+    pdf = dedup_clusters(docs, n=3, threshold=0.5).toPandas()
+    by_doc = pdf.set_index("doc_id")
+    # docs 0, 1, 4 are normalization-identical; 2 is a near-dup of them
+    assert by_doc.loc[0, "component"] == 0
+    assert by_doc.loc[1, "component"] == 0
+    assert by_doc.loc[4, "component"] == 0
+    assert by_doc.loc[2, "component"] == 0  # transitive via any of 0/1/4
+    assert by_doc.loc[0, "cluster_size"] == 4
+    assert 3 not in by_doc.index  # unique doc never appears

@@ -38,6 +38,7 @@ GATED = [
     "q60_length_buckets",
     "q61_pii_redaction",
     "q62_deterministic_shard",
+    "q63_dedup_clusters",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible

@@ -2332,6 +2332,46 @@ def q62(spark, sf_dir):
     )
 
 
+@_q(
+    "q63_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE.strip().rstrip()},
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      WHERE inter / (sz_a + sz_b - inter) >= 0.8
+      UNION
+      SELECT id_b, id_a FROM pairs
+      WHERE inter / (sz_a + sz_b - inter) >= 0.8
+    ),
+    reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    ),
+    labels AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT l.id AS doc_id, l.component,
+           CAST(c.n AS BIGINT) AS cluster_size
+    FROM labels l
+    JOIN (SELECT component, count(*) AS n FROM labels
+          GROUP BY component) c USING (component)
+    ORDER BY doc_id
+    """,
+    "Near-dup CLUSTERS via connected components (operators/dedup.py "
+    "connected_components): LSH candidates + exact 3-gram Jaccard "
+    "verify give the edge set, then iterative min-label propagation "
+    "(DataFrame joins + partial-agg MIN per round, localCheckpoint "
+    "lineage cuts) labels each component with its minimum doc id — "
+    "the transitive-closure semantics pair-at-a-time dedup cannot "
+    "express (A~B, B~C must yield ONE cluster {{A,B,C}}). The oracle "
+    "computes the identical fixed point with a recursive CTE over the "
+    "exact pair set, so a hash match proves both the edge coverage "
+    "and the component labelling.",
+)
+def q63(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.dedup_clusters(docs, n=3, threshold=0.8).orderBy("doc_id")
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 61 registered, eleven fall outside it.
 #: Order the export so the operator classes with the least other

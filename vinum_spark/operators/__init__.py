@@ -38,6 +38,8 @@ from vinum_spark.operators.dedup import (
     simhash_dedup,
     ngram_jaccard_pairs,
     ngram_jaccard_verify,
+    connected_components,
+    dedup_clusters,
 )
 from vinum_spark.operators.similarity import (
     with_cosine_similarity,
@@ -87,6 +89,8 @@ __all__ = [
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "ngram_jaccard_verify",
+    "connected_components",
+    "dedup_clusters",
     "with_cosine_similarity",
     "cosine_topk",
     "lsh_signature",

@@ -637,3 +637,109 @@ def ngram_jaccard_verify(
     return joined.filter(jac >= threshold).select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected-components dedup clustering
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the
+    transitive-closure step that turns pairwise near-dup matches into
+    dedup CLUSTERS. Pair-at-a-time dedup (drop id_b of every pair) is
+    order-dependent and can over-drop chains (A~B, B~C drops both B and
+    C even though A≁C); component labels give the principled semantics:
+    one survivor per cluster, every member attributable to it.
+
+    Implementation: iterative min-label propagation as DataFrame joins.
+    Each round every node takes the minimum label among itself and its
+    neighbors; rounds repeat until a fixed point. Per round: one
+    equi-join edges⋈labels + one partial-aggregated min — all shuffles
+    on the node id, nothing quadratic, no driver-side graph. Labels are
+    ``localCheckpoint``-ed each round to cut lineage (the plan would
+    otherwise double per iteration). Convergence needs
+    O(component diameter) rounds; near-dup clusters are
+    shallow (dups of a common source), so 3-5 rounds is typical. For
+    adversarially long chains at 100 TB, swap in the alternating
+    large-star/small-star rounds (Kiveris et al., "Connected Components
+    in MapReduce", SoCC'14) — same join primitive, O(log^2 n) rounds;
+    the fixed-point loop and checkpoint pattern here carry over
+    unchanged.
+
+    Returns ``(node, component)`` where ``component`` is the minimum
+    node id in the component. Raises after ``max_iterations`` rounds
+    without convergence rather than returning partial labels.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    )
+    adj = sym.unionByName(
+        sym.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        adj.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            adj.join(labels, adj["s"] == labels["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.col("label"),
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
+                "new_label"
+            ),
+        )
+        stepped = stepped.localCheckpoint(eager=True)
+        if stepped.filter(F.col("new_label") < F.col("label")).isEmpty():
+            return stepped.select("node", F.col("label").alias("component"))
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds; "
+        "the graph has a component with diameter > max_iterations — raise "
+        "max_iterations or use large-star/small-star rounds for long chains"
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Cluster-labelled near-dup frame: LSH candidates → exact Jaccard
+    verify → connected components. Returns ``(id_col, component,
+    cluster_size)`` for every document in a cluster of size ≥ 2 —
+    the survivor is ``id == component`` (minimum id), everything else
+    its attributed duplicates. Documents with no near-dup don't appear.
+
+    The scale shape is candidates-proportional end-to-end: candidate
+    generation never leaves band buckets, verify touches only
+    candidates, and the component loop shuffles (node, label) pairs —
+    bounded by the number of matched documents, not the corpus.
+    """
+    cands = minhash_candidate_pairs(df, text_col, id_col, n_hashes=n_hashes, bands=bands)
+    verified = ngram_jaccard_verify(
+        df, cands, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    )
+    cc = connected_components(verified)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias(id_col),
+        "component",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )
