@@ -39,6 +39,7 @@ GATED = [
     "q61_pii_redaction",
     "q62_deterministic_shard",
     "q63_dedup_clusters",
+    "q64_repetition_signals",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible

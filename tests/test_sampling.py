@@ -227,3 +227,18 @@ def test_export_shards_one_file_per_shard(keyed, tmp_path, spark):
     # round-trip preserves the assignment
     expect = {r["k"]: r["shard"] for r in with_shard(keyed, "k", 4, seed="e").collect()}
     assert all(expect[r["k"]] == int(r["shard"]) for r in back.collect())
+
+
+def test_repetition_stats_flags_stuffing(spark):
+    from vinum_spark.operators import repetition_stats
+
+    stuffed = " ".join(["buy cheap pills"] * 20)
+    normal = "the quick brown fox jumps over one lazy dog near a river bank"
+    df = spark.createDataFrame(
+        [(0, stuffed), (1, normal), (2, "single")], "doc_id long, text string"
+    )
+    pdf = repetition_stats(df).toPandas().set_index("doc_id")
+    # "cheap pills" / "pills buy" / "buy cheap" each ~20/59 of grams
+    assert pdf.loc[0, "top_ngram_frac"] > 0.3
+    assert pdf.loc[1, "top_ngram_frac"] < 0.15
+    assert 2 not in pdf.index  # one word -> no 2-grams -> absent

@@ -52,3 +52,23 @@ def test_grouped_agg_udf_api(spark, trips_groupby):
         "group by vendor_id order by vendor_id"
     )
     assert pdf["spread"].tolist() == pytest.approx([30.97, 130.0, 0.0])
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC reader/writer round trip; columns/filters lower to a pruned,
+    pushed-down scan exactly like the parquet path."""
+    import vinum_spark as vs
+    from vinum_spark.api.table import Table
+
+    t = Table.from_pydict(
+        {"id": [1, 2, 3, 4], "grp": ["a", "a", "b", "b"], "v": [1.0, 2.0, 3.0, 4.0]},
+        spark=spark,
+    )
+    out = str(tmp_path / "orc_rt")
+    t.write_orc(out, partition_by=["grp"])
+    back = vs.read_orc(out, columns=["id", "v"], filters=[("id", ">=", 3)], spark=spark)
+    pdf = back.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(pdf.columns) == ["id", "v"]
+    assert pdf.id.tolist() == [3, 4]
+    plan = back._df._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()

@@ -24,7 +24,7 @@ from vinum_spark.session import get_spark, stop_spark
 from vinum_spark.api.table import Table
 from vinum_spark.api.stream_reader import StreamReader
 from vinum_spark.api.multi import sql
-from vinum_spark.io.readers import read_csv, read_json, read_parquet, stream_csv
+from vinum_spark.io.readers import read_csv, read_json, read_orc, read_parquet, stream_csv
 from vinum_spark.functions.udf import (
     register_python,
     register_numpy,
@@ -37,6 +37,7 @@ __all__ = [
     "StreamReader",
     "read_csv",
     "read_json",
+    "read_orc",
     "read_parquet",
     "stream_csv",
     "register_python",

@@ -184,6 +184,17 @@ class Table:
     def write_json(self, path: str, mode: str = "overwrite") -> None:
         self._df.write.mode(mode).json(path)
 
+    def write_orc(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        partition_by: Optional[List[str]] = None,
+    ) -> None:
+        w = self._df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.orc(path)
+
     def __repr__(self) -> str:
         return f"Table({self._df.schema.simpleString()})"
 

@@ -2372,6 +2372,41 @@ def q63(spark, sf_dir):
     return D.dedup_clusters(docs, n=3, threshold=0.8).orderBy("doc_id")
 
 
+@_q(
+    "q64_repetition_signals",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z]+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1])) AS g
+      FROM toks WHERE len(w) >= 2
+    ), per_gram AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_ngrams,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_ngram_frac
+    FROM per_gram
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "Within-document repetition (operators/text.py repetition_stats): "
+    "the Gopher fraction-in-most-common-2-gram signal that catches "
+    "keyword stuffing the line-level q58 rules miss. Both shuffles are "
+    "keyed on doc_id so group sizes are bounded by document length — "
+    "no corpus-wide gram key to go hot at 100 TB. The oracle "
+    "recomputes the identical per-doc gram histogram.",
+)
+def q64(spark, sf_dir):
+    return X.repetition_stats(_t(spark, sf_dir, "documents"), n=2).orderBy(
+        "doc_id"
+    )
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 61 registered, eleven fall outside it.
 #: Order the export so the operator classes with the least other

@@ -400,6 +400,34 @@ def read_parquet(
     return Table(df)
 
 
+def read_orc(
+    path: Union[str, Sequence[str]],
+    columns: Optional[List[str]] = None,
+    filters: Optional[Iterable[Tuple]] = None,
+    spark: Optional[SparkSession] = None,
+    **options,
+) -> Table:
+    """ORC -> Table. Beyond the reference's surface (csv/json/parquet,
+    ``vinum/io/arrow.py``) but shares :func:`read_parquet`'s contract:
+    ``columns``/``filters`` lower to projection + filter expressions
+    that Catalyst pushes into the ORC scan (predicate pushdown +
+    column pruning are native for ORC like parquet); hive-style
+    partition discovery is automatic.
+    """
+    spark = spark or get_spark()
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    paths = [path] if isinstance(path, str) else list(path)
+    df = reader.orc(*paths)
+    if columns:
+        df = df.select(*columns)
+    if filters:
+        for col, op, val in filters:
+            df = df.filter(_filter_expr(col, op, val))
+    return Table(df)
+
+
 def _filter_expr(col: str, op: str, val):
     from pyspark.sql import functions as F
 

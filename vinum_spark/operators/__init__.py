@@ -16,6 +16,7 @@ from vinum_spark.operators.text import (
     with_fingerprint,
     with_quality_rules,
     with_pii_redacted,
+    repetition_stats,
     winnowing_fingerprints,
     winnowing_shared_pairs,
 )
@@ -71,6 +72,7 @@ __all__ = [
     "with_fingerprint",
     "with_quality_rules",
     "with_pii_redacted",
+    "repetition_stats",
     "deterministic_sample",
     "stratified_sample",
     "group_sample_topn",

@@ -186,6 +186,47 @@ def with_fingerprint(df: DataFrame, col: str = "text", out: str = "fingerprint")
     return df.withColumn(out, F.md5(norm))
 
 
+def repetition_stats(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Within-document n-gram repetition — the Gopher "fraction in the
+    most common n-gram" signal (Rae et al. 2021 §A1.1) that catches
+    keyword-stuffed and template-generated text the line-level rules in
+    :func:`with_quality_rules` miss (repeated PHRASES on one line).
+
+    Returns ``(id_col, n_ngrams, top_ngram_frac)`` per document with at
+    least one word n-gram: ``top_ngram_frac`` = occurrences of the most
+    frequent lowercase word n-gram / total n-gram occurrences.
+
+    Two partial-aggregated shuffles, both keyed on the document id
+    ((doc, gram) counts, then the per-doc max/total) — per-doc group
+    sizes are bounded by document length, so no key is ever hot at
+    100 TB regardless of corpus-wide gram skew (contrast a corpus-wide
+    gram count, which would hot-key on "of the").
+    """
+    words = F.regexp_extract_all(F.lower(F.col(col)), F.lit("[a-z]+"), 0)
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + F.lit(k)) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    per_gram = exploded.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("__c").cast("bigint").alias("n_ngrams"),
+        F.round(F.max("__c") / F.sum("__c"), 6).alias("top_ngram_frac"),
+    )
+
+
 # Patterns restricted to the RE2-compatible subset (no lookaround, no
 # backreferences) so the DuckDB/Trino oracle computes the identical
 # redaction — portability is part of the operator contract, like the
