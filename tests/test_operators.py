@@ -451,3 +451,14 @@ def test_dedup_clusters_groups_transitive_dups(docs):
     assert by_doc.loc[2, "component"] == 0  # transitive via any of 0/1/4
     assert by_doc.loc[0, "cluster_size"] == 4
     assert 3 not in by_doc.index  # unique doc never appears
+
+
+def test_lsh_signature_plane_bounds(spark):
+    from vinum_spark.operators.similarity import lsh_signature
+
+    df = spark.createDataFrame([(1, [0.1] * 4)], "vec_id long, embedding array<float>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_planes"):
+        lsh_signature(df, dim=4, n_planes=64)
+    assert lsh_signature(df, dim=4, n_planes=8).collect()[0]["lsh_sig"] >= 0
