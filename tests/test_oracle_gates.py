@@ -40,6 +40,7 @@ GATED = [
     "q62_deterministic_shard",
     "q63_dedup_clusters",
     "q64_repetition_signals",
+    "q65_pipeline_compose",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible
