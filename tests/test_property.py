@@ -141,3 +141,18 @@ def test_modulo_rewrite_matches_np_mod(a, b):
     assert got == want
     # the conditional add never exceeds |b| → no int64 overflow possible
     assert abs(got) < abs(b) or got == 0
+
+
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+def test_sample_threshold_hex_monotone_and_bounded(f):
+    """Threshold is a valid comparator string: 8 lowercase hex digits
+    (or the 'g' full-keep sentinel), monotone in the fraction."""
+    from vinum_spark.operators.sampling import sample_threshold_hex
+
+    t = sample_threshold_hex(f)
+    assert t == "g" or (len(t) == 8 and all(c in "0123456789abcdef" for c in t))
+    # monotone: a smaller fraction never yields a larger threshold
+    smaller = sample_threshold_hex(f / 2)
+    assert smaller <= t or t == "g"
+    assert sample_threshold_hex(0.0) == "00000000"
+    assert sample_threshold_hex(1.0) == "g"

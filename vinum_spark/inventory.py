@@ -2510,6 +2510,40 @@ def q65(spark, sf_dir):
     )
 
 
+@_q(
+    "q66_group_topn_sample",
+    """
+    SELECT event_type, sample_rank, event_id FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY substring(md5(concat_ws(chr(31),
+                 CAST(event_id AS VARCHAR), 'cap')), 1, 8)
+             ) AS sample_rank
+      FROM events)
+    WHERE sample_rank <= 5
+    ORDER BY event_type, sample_rank
+    """,
+    "Per-group deterministic top-n sample (operators/sampling.py "
+    "group_sample_topn): the n rows with smallest md5(key || seed) per "
+    "group ARE a uniform without-replacement sample — the 'at most n "
+    "examples per domain' cap, reproducible across engines (oracle "
+    "reproduces the exact member rows). One shuffle on the group key; "
+    "Spark's WindowGroupLimit pushes rank <= n below the sort so "
+    "map-side partial top-n bounds the shuffle at n rows per group "
+    "per partition (plan-pinned in tests/test_sampling.py).",
+)
+def q66(spark, sf_dir):
+    from vinum_spark.operators.sampling import group_sample_topn
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        group_sample_topn(e, "event_type", n=5, key_col="event_id", seed="cap")
+        .select("event_type", "sample_rank", "event_id")
+        .orderBy("event_type", "sample_rank")
+    )
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 61 registered, eleven fall outside it.
 #: Order the export so the operator classes with the least other
