@@ -97,7 +97,7 @@ def test_sample_frames_explodes_rows(assets):
 
     frames = sample_frames(assets, every_n=50).toPandas()
     assert len(frames) > 4  # more rows out than in
-    assert set(frames.columns) == {"asset_id", "frame_idx", "frame"}
+    assert set(frames.columns) == {"asset_id", "frame_idx", "frame", "decoder"}
     mp4_frames = frames[frames.asset_id == 2]
     assert mp4_frames.frame_idx.tolist() == list(range(len(mp4_frames)))
 
@@ -422,3 +422,43 @@ def test_resize_images_real_roundtrip(spark):
     passthru = rows[1]
     assert passthru["resizer"] == "stub"
     assert bytes(passthru["content"]) == b"opaque"
+
+
+def _animated_gif(n_frames: int) -> bytes:
+    """Minimal structurally-valid GIF89a with n image descriptors."""
+    out = b"GIF89a" + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    out += bytes([0x00, 0x00, 0x00])  # packed (no GCT), bg, aspect
+    for _ in range(n_frames):
+        # graphic control extension (label 0xF9, 4-byte block, terminator)
+        out += bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+        # image descriptor: separator, x=0, y=0, w=2, h=2, packed=0
+        out += bytes([0x2C]) + b"\x00\x00\x00\x00" + (2).to_bytes(2, "little") + (2).to_bytes(2, "little") + bytes([0x00])
+        # LZW min code size + one fake data sub-block + terminator
+        out += bytes([0x02, 0x03, 0xAA, 0xBB, 0xCC, 0x00])
+    return out + bytes([0x3B])
+
+
+def test_sample_frames_real_gif_block_walk(spark):
+    from vinum_spark.operators.multimodal import _gif_frame_spans, sample_frames
+
+    gif = _animated_gif(5)
+    spans = _gif_frame_spans(gif)
+    assert len(spans) == 5
+    for lo, hi in spans:
+        assert gif[lo] == 0x2C  # each frame starts at its image descriptor
+
+    df = spark.createDataFrame([(1, gif)], "asset_id long, content binary")
+    frames = sample_frames(df, every_n=2).toPandas()
+    # frames 0, 2, 4 of 5
+    assert frames.frame_idx.tolist() == [0, 1, 2]
+    assert (frames.decoder == "gif-blocks").all()
+    assert all(bytes(f)[0] == 0x2C for f in frames.frame)
+
+
+def test_sample_frames_truncated_gif_falls_back_to_stub(spark):
+    from vinum_spark.operators.multimodal import sample_frames
+
+    broken = _animated_gif(3)[:-8]  # cut mid-frame
+    df = spark.createDataFrame([(1, broken)], "asset_id long, content binary")
+    frames = sample_frames(df, every_n=10).toPandas()
+    assert (frames.decoder == "stub").all()  # refused, never guessed
