@@ -192,3 +192,59 @@ def test_run_stream_to_parquet_file_sink(spark, events_dir, tmp_path):
     agg2 = tumbling_counts(stream_events(spark, events_dir))
     run_stream_to_parquet(agg2, out, ckpt)
     assert spark.read.parquet(out).count() == first
+
+
+def test_quality_and_sampling_operators_compose_with_readstream(spark, tmp_path):
+    """The map-side pipeline operators (quality rules, PII redaction,
+    deterministic sampling, shard assignment) are plain projections and
+    filters, so the SAME operator code must run unchanged on a
+    readStream source — the property that lets one pipeline definition
+    serve both batch backfill and streaming ingest at 100 TB."""
+    import pandas as pd
+
+    from vinum_spark.operators import (
+        deterministic_sample,
+        with_pii_redacted,
+        with_quality_rules,
+        with_shard,
+    )
+
+    src = str(tmp_path / "docs_src")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": list(range(40)),
+            "text": [f"a perfectly ordinary document number {i}" for i in range(40)],
+        }
+    ).to_parquet(src + "/part0.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    piped = with_shard(
+        deterministic_sample(
+            with_pii_redacted(with_quality_rules(stream)), "doc_id", 0.5, seed="s"
+        ),
+        "doc_id",
+        4,
+        seed="s2",
+    )
+    assert piped.isStreaming
+    run_stream_to_memory(piped, "pipe_out", mode="append")
+    got = spark.table("pipe_out").toPandas()
+
+    batch = with_shard(
+        deterministic_sample(
+            with_pii_redacted(with_quality_rules(spark.read.parquet(src))),
+            "doc_id",
+            0.5,
+            seed="s",
+        ),
+        "doc_id",
+        4,
+        seed="s2",
+    ).toPandas()
+    cols = sorted(batch.columns)
+    a = got[cols].sort_values("doc_id").reset_index(drop=True)
+    b = batch[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
