@@ -462,3 +462,18 @@ def test_lsh_signature_plane_bounds(spark):
     with _pytest.raises(ValueError, match="n_planes"):
         lsh_signature(df, dim=4, n_planes=64)
     assert lsh_signature(df, dim=4, n_planes=8).collect()[0]["lsh_sig"] >= 0
+
+
+def test_lsh_and_ivf_null_vectors_yield_null_not_crash(spark):
+    """NULL / wrong-length embeddings must produce NULL signature/cell
+    (excluded from banding and probes), never a crashed Arrow batch."""
+    from vinum_spark.operators.similarity import ivf_index, lsh_signature
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, None), (3, [0.1] * 3)],
+        "vec_id long, embedding array<double>",
+    )
+    sig = {r["vec_id"]: r["lsh_sig"] for r in lsh_signature(df, dim=8, n_planes=8).collect()}
+    assert sig[1] is not None and sig[2] is None and sig[3] is None
+    cell = {r["vec_id"]: r["ivf_cell"] for r in ivf_index(df, dim=8, n_cells=4).collect()}
+    assert cell[1] is not None and cell[2] is None and cell[3] is None

@@ -56,6 +56,10 @@ GATED = [
     "q08_math_functions",
     "q09_string_functions",
     "q10_datetime",
+    "q15_anti_join",
+    "q19_window_running",
+    "q36_cube",
+    "q47_grouping_sets",
 ]
 
 

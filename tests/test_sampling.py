@@ -152,6 +152,7 @@ def test_pii_redaction_counts_and_text(spark):
             (0, "mail me at jane.doe+x@example.co.uk or bob@test.io"),
             (1, "call +1-555-123-4567 today"),
             (2, "server at 192.168.0.1 is down"),
+            (4, "gateway 192.168.100.1 and peer 255.255.255.255 up"),
             (3, "nothing sensitive here"),
         ],
         "doc_id long, text string",
@@ -166,6 +167,12 @@ def test_pii_redaction_counts_and_text(spark):
     assert "<IPV4>" in pdf.loc[2, "text_redacted"]
     assert pdf.loc[3, "text_redacted"] == "nothing sensitive here"
     assert int(pdf[["n_email", "n_phone", "n_ipv4"]].loc[3].sum()) == 0
+    # 3-digit-octet IPs also match the phone pattern; ipv4 priority must
+    # win: counted once, as IPs, and redacted as <IPV4> not <PHONE>
+    assert pdf.loc[4, "n_ipv4"] == 2
+    assert pdf.loc[4, "n_phone"] == 0
+    assert "<PHONE>" not in pdf.loc[4, "text_redacted"]
+    assert pdf.loc[4, "text_redacted"].count("<IPV4>") == 2
 
 
 def test_sampling_predicates_are_scan_pushed(keyed, tmp_path, spark):
@@ -227,6 +234,17 @@ def test_export_shards_one_file_per_shard(keyed, tmp_path, spark):
     # round-trip preserves the assignment
     expect = {r["k"]: r["shard"] for r in with_shard(keyed, "k", 4, seed="e").collect()}
     assert all(expect[r["k"]] == int(r["shard"]) for r in back.collect())
+    # within each shard file, rows are in full-md5 order of (k, seed#order)
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    for shard in range(4):
+        f = glob.glob(os.path.join(out, f"shard={shard}", "*.parquet"))[0]
+        ks = pq.read_table(f).column("k").to_pylist()
+        def okey(k):
+            return hashlib.md5(f"{k}\x1fe#order".encode()).hexdigest()
+        assert ks == sorted(ks, key=lambda k: (okey(k), k)), shard
 
 
 def test_repetition_stats_flags_stuffing(spark):

@@ -386,12 +386,20 @@ def read_parquet(
     Catalyst pushes into the scan (verify with ``PushedFilters`` in
     ``df.explain``). Hive-style partition discovery is automatic.
     """
+    return _read_with_pushdown("parquet", path, columns, filters, spark, options)
+
+
+def _read_with_pushdown(fmt, path, columns, filters, spark, options) -> Table:
+    """Shared lowering for the columnar formats (parquet/orc): reader
+    options, path normalization, then columns/filters as projection +
+    filter expressions Catalyst pushes into the scan. One body so a fix
+    to the lowering can never diverge between formats."""
     spark = spark or get_spark()
     reader = spark.read
     for k, v in options.items():
         reader = reader.option(k, v)
     paths = [path] if isinstance(path, str) else list(path)
-    df = reader.parquet(*paths)
+    df = getattr(reader, fmt)(*paths)
     if columns:
         df = df.select(*columns)
     if filters:
@@ -414,18 +422,7 @@ def read_orc(
     column pruning are native for ORC like parquet); hive-style
     partition discovery is automatic.
     """
-    spark = spark or get_spark()
-    reader = spark.read
-    for k, v in options.items():
-        reader = reader.option(k, v)
-    paths = [path] if isinstance(path, str) else list(path)
-    df = reader.orc(*paths)
-    if columns:
-        df = df.select(*columns)
-    if filters:
-        for col, op, val in filters:
-            df = df.filter(_filter_expr(col, op, val))
-    return Table(df)
+    return _read_with_pushdown("orc", path, columns, filters, spark, options)
 
 
 def _filter_expr(col: str, op: str, val):

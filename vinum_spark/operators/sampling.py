@@ -45,8 +45,15 @@ def sample_threshold_hex(fraction: float) -> str:
     return format(n, f"0{_HEX_DIGITS}x")
 
 
+def _full_key(key: Column, seed: str) -> Column:
+    """Full 128-bit md5 hex of (key, seed) — collision-free in practice,
+    used wherever a total ORDER is needed (ranking, within-shard sort).
+    """
+    return F.md5(F.concat_ws("\x1f", key.cast("string"), F.lit(seed)))
+
+
 def _sample_key(key: Column, seed: str) -> Column:
-    return F.substring(F.md5(F.concat_ws("\x1f", key.cast("string"), F.lit(seed))), 1, _HEX_DIGITS)
+    return F.substring(_full_key(key, seed), 1, _HEX_DIGITS)
 
 
 def deterministic_sample(
@@ -102,14 +109,18 @@ def group_sample_topn(
     samplers, but with an exact per-group count — the shape used for
     "at most n examples per domain" caps.
 
-    One shuffle on ``group_col``; rank ties are impossible (md5 of
-    distinct keys) so the result is unique. At 100 TB prefer this over
+    One shuffle on ``group_col``. Ranking uses the FULL 32-hex md5 with
+    ``key_col`` as the final tiebreaker, so the selected rows are a
+    total deterministic order even across md5-prefix collisions and
+    duplicate keys — an 8-hex (32-bit) prefix would collide with ~10%
+    probability in a 30k-row group and make the sample
+    partitioning-dependent. At 100 TB prefer this over
     ``collect_list``-based reservoirs: the window's partial sort spills
     gracefully, and with n small Spark's WindowGroupLimit pushes the
     rank filter below the sort (rank <= n prunes map-side).
     """
-    rk = _sample_key(F.col(key_col), seed)
-    w = Window.partitionBy(group_col).orderBy(rk.asc())
+    rk = _full_key(F.col(key_col), seed)
+    w = Window.partitionBy(group_col).orderBy(rk.asc(), F.col(key_col).asc())
     return (
         df.withColumn(out, F.row_number().over(w))
         .filter(F.col(out) <= n)
@@ -152,20 +163,26 @@ def export_shards(
     deterministic within-shard order — the terminal global-shuffle step
     of a training-data pipeline.
 
-    One shuffle total: ``repartition(n_shards, shard)`` aligns each
-    shard onto exactly one task, so ``partitionBy`` emits ONE file per
-    shard directory instead of (tasks × shards) fragments — at 1000
-    executors the naive write would scatter every shard across every
-    task and produce a million tiny files. Within a shard, rows are
-    sorted by the same md5 key that assigned the shard, so the full
-    export is a reproducible pseudo-random permutation of the corpus:
-    training order is stable across reruns without any global sort.
+    One shuffle total: ``repartition(n_shards, shard)`` routes each
+    shard VALUE to a single task (hash collisions may co-locate two
+    shards in one task — still one file per shard, some tasks idle), so
+    ``partitionBy`` emits ONE file per shard directory instead of
+    (tasks × shards) fragments — at 1000 executors the naive write
+    would scatter every shard across every task and produce a million
+    tiny files. Rows are sorted within each task by ``(shard,
+    full-md5 order key, key_col)``: leading with the partition column
+    lets the file writer stream the pre-sorted input without inserting
+    its own sort (which would not be order-stable), and the full-hash
+    + key tiebreak makes the within-shard order a total function of
+    (key, seed) — the export is a reproducible pseudo-random
+    permutation of the corpus, stable across reruns, with no global
+    sort.
     """
     sharded = with_shard(df, key_col, n_shards, seed=seed)
-    order_key = _sample_key(F.col(key_col), seed + "#order")
+    order_key = _full_key(F.col(key_col), seed + "#order")
     (
         sharded.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions(order_key)
+        .sortWithinPartitions(F.col("shard"), order_key, F.col(key_col))
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

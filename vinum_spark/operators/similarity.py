@@ -144,9 +144,26 @@ def lsh_signature(
     # stringifies them and pandas_udf rejects the string form
     @pandas_udf("long")
     def _sig(v):
-        mat = np.stack(v.to_numpy()).astype("float64")
-        bits = (mat @ planes_t) > 0
-        return pd.Series((bits * weights).sum(axis=1).astype("int64"))
+        vals = v.to_numpy()
+        ok = np.fromiter(
+            (x is not None and len(x) == planes_t.shape[0] for x in vals),
+            dtype=bool,
+            count=len(vals),
+        )
+        sigs = np.zeros(len(vals), dtype="int64")
+        if ok.any():
+            mat = np.stack(
+                [np.asarray(x, dtype="float64") for x in vals[ok]]
+            )
+            bits = (mat @ planes_t) > 0
+            sigs[ok] = (bits * weights).sum(axis=1)
+        # NULL / wrong-length vectors get a NULL signature, so they drop
+        # out of band-bucket joins instead of crashing the batch (the
+        # old expression form silently hashed them to signature 0,
+        # which clustered every bad row into one hot bucket)
+        return pd.Series(
+            [int(s) if k else None for s, k in zip(sigs, ok)], dtype="object"
+        )
 
     return df.withColumn(out, _sig(vec_col))
 
@@ -185,8 +202,23 @@ def ivf_index(
     # stringifies them and pandas_udf rejects the string form
     @pandas_udf("int")
     def _cell(v):
-        mat = np.stack(v.to_numpy()).astype("float64")
-        return pd.Series(np.argmax(mat @ cent_t, axis=1).astype("int32"))
+        vals = v.to_numpy()
+        ok = np.fromiter(
+            (x is not None and len(x) == cent_t.shape[0] for x in vals),
+            dtype=bool,
+            count=len(vals),
+        )
+        cells = np.zeros(len(vals), dtype="int32")
+        if ok.any():
+            mat = np.stack(
+                [np.asarray(x, dtype="float64") for x in vals[ok]]
+            )
+            cells[ok] = np.argmax(mat @ cent_t, axis=1)
+        # NULL / wrong-length vectors -> NULL cell (excluded from every
+        # probe) rather than a crashed batch
+        return pd.Series(
+            [int(c) if k else None for c, k in zip(cells, ok)], dtype="object"
+        )
 
     return df.withColumn(out, _cell(vec_col))
 

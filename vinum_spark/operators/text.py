@@ -230,32 +230,37 @@ def repetition_stats(
 # Patterns restricted to the RE2-compatible subset (no lookaround, no
 # backreferences) so the DuckDB/Trino oracle computes the identical
 # redaction — portability is part of the operator contract, like the
-# md5 fingerprints.
+# md5 fingerprints. Dict order IS the match-priority order: each
+# category is counted and redacted on the text with all EARLIER
+# categories already replaced, so a span can only ever belong to one
+# category. ipv4 outranks phone because the phone pattern also matches
+# dotted IPs with 3-digit octets (192.168.100.1) — with ipv4 first,
+# such spans are counted and redacted as <IPV4>, never double-counted.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
 }
 
 
 def with_pii_redacted(
     df: DataFrame, col: str = "text", out: str = "text_redacted"
 ) -> DataFrame:
-    """Scrub emails / phone numbers / IPv4 addresses, replacing each
-    with a typed placeholder (``<EMAIL>``, ``<PHONE>``, ``<IPV4>``), and
-    count matches per category (``n_email``/``n_phone``/``n_ipv4``).
+    """Scrub emails / IPv4 addresses / phone numbers, replacing each
+    with a typed placeholder (``<EMAIL>``, ``<IPV4>``, ``<PHONE>``), and
+    count matches per category (``n_email``/``n_ipv4``/``n_phone``).
 
     Pure chained ``regexp_replace`` / ``regexp_count`` — codegen'd,
     zero Python, zero shuffle; at 100 TB this runs at scan speed as one
-    projection. Counts are computed on the ORIGINAL text (before any
-    replacement) so categories don't mask each other; replacements are
-    applied email → phone → ipv4, so an email is never re-matched as a
-    phone fragment.
+    projection. Categories are processed in ``PII_PATTERNS`` priority
+    order and each count runs on the text with earlier categories
+    already redacted, so every character span is counted exactly once
+    (an IP is never also a phone; an email's digits are never a phone
+    fragment).
     """
-    c = F.col(col)
-    red = c
+    red = F.col(col)
     for kind, pat in PII_PATTERNS.items():
-        df = df.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)).cast("bigint"))
+        df = df.withColumn(f"n_{kind}", F.regexp_count(red, F.lit(pat)).cast("bigint"))
         red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
     return df.withColumn(out, red)
 
