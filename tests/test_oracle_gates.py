@@ -42,6 +42,7 @@ GATED = [
     "q64_repetition_signals",
     "q65_pipeline_compose",
     "q66_group_topn_sample",
+    "q67_vocab_topk",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible

@@ -260,3 +260,18 @@ def test_repetition_stats_flags_stuffing(spark):
     assert pdf.loc[0, "top_ngram_frac"] > 0.3
     assert pdf.loc[1, "top_ngram_frac"] < 0.15
     assert 2 not in pdf.index  # one word -> no 2-grams -> absent
+
+
+def test_vocab_topk_counts_and_plan(spark):
+    from vinum_spark.operators import vocab_topk
+
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog"), (1, "the dog runs"), (2, "a cat sleeps")],
+        "doc_id long, text string",
+    )
+    pdf = vocab_topk(df, k=3).toPandas()
+    assert pdf.token.tolist() == ["the", "cat", "dog"]  # 3, 2, 2 (tie by text)
+    assert pdf.n_occurrences.tolist() == [3, 2, 2]
+    assert pdf.n_docs.tolist() == [2, 2, 2]
+    plan = vocab_topk(df, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k fused, no global sort

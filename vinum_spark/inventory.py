@@ -2550,6 +2550,38 @@ def q66(spark, sf_dir):
     )
 
 
+@_q(
+    "q67_vocab_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ), occ AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM toks GROUP BY token
+    ), dfq AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM toks GROUP BY token
+    )
+    SELECT token, n_occurrences, n_docs
+    FROM occ JOIN dfq USING (token)
+    ORDER BY n_occurrences DESC, token
+    LIMIT 20
+    """,
+    "Corpus vocabulary top-20 (operators/text.py vocab_topk) — the "
+    "canonical hot-key aggregation ('the' is in every row): "
+    "occurrences go through the salted two-phase count so no reducer "
+    "sees a full token's volume, document frequency dedups (token, "
+    "doc) pairs before counting, and the top-k is a "
+    "TakeOrderedAndProject with token-text tiebreak so both engines "
+    "produce one total order. The oracle computes the plain "
+    "aggregation — salted phases must be numerically invisible.",
+)
+def q67(spark, sf_dir):
+    return X.vocab_topk(_t(spark, sf_dir, "documents"), k=20)
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 66 registered, sixteen fall outside
 #: it. Order the export so the operator classes with the least other

@@ -17,6 +17,7 @@ from vinum_spark.operators.text import (
     with_quality_rules,
     with_pii_redacted,
     repetition_stats,
+    vocab_topk,
     winnowing_fingerprints,
     winnowing_shared_pairs,
 )
@@ -73,6 +74,7 @@ __all__ = [
     "with_quality_rules",
     "with_pii_redacted",
     "repetition_stats",
+    "vocab_topk",
     "deterministic_sample",
     "stratified_sample",
     "group_sample_topn",

@@ -227,6 +227,51 @@ def repetition_stats(
     )
 
 
+def vocab_topk(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Corpus-wide vocabulary top-k: the ``k`` most frequent lowercase
+    word tokens with occurrence and document-frequency counts — the
+    vocabulary/stopword planning query behind tokenizer training and
+    quality-rule threshold tuning.
+
+    This is the canonical HOT-KEY aggregation ("the" appears in nearly
+    every row), so occurrence counting goes through the salted
+    two-phase path (operators/skew.py salted_count): phase 1 spreads
+    each token over ``salt_buckets`` reducers, phase 2 merges partials
+    — no single reducer ever sees a full token's volume. Document
+    frequency dedups (token, doc) pairs first (the pair shuffle is
+    spread by doc id), then partial-counts per token. The final top-k
+    is a TakeOrderedAndProject — per-partition heaps, never a global
+    sort. Ties at the boundary break by token text, so the result is a
+    total deterministic order in every engine.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(col)), F.lit("[a-z]+"), 0)
+        ).alias("token"),
+    )
+    from vinum_spark.operators.skew import salted_count
+
+    occ = salted_count(toks, ["token"], salt_buckets=salt_buckets)
+    docs = (
+        toks.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return (
+        occ.join(docs, "token")
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+        .select("token", F.col("n").alias("n_occurrences"), "n_docs")
+    )
+
+
 # Patterns restricted to the RE2-compatible subset (no lookaround, no
 # backreferences) so the DuckDB/Trino oracle computes the identical
 # redaction — portability is part of the operator contract, like the
