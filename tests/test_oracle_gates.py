@@ -43,6 +43,16 @@ GATED = [
     "q65_pipeline_compose",
     "q66_group_topn_sample",
     "q67_vocab_topk",
+    # round-7 continuation: decontamination / boilerplate / LM-score /
+    # packing / incremental-dedup / BM25 — cross-engine traps are the
+    # shared md5 rank (q71/q72), regex token split parity (q68/q69/q73),
+    # and float rounding of log means (q70)
+    "q68_decontamination",
+    "q69_boilerplate_removal",
+    "q70_lm_quality_score",
+    "q71_pack_sequences",
+    "q72_incremental_dedup",
+    "q73_bm25_search",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible
@@ -61,6 +71,13 @@ GATED = [
     "q19_window_running",
     "q36_cube",
     "q47_grouping_sets",
+    "q11_case_when",
+    "q12_conditional_agg",
+    "q16_semi_join",
+    "q35_percentiles",
+    "q41_null_semantics",
+    "q42_regex_strings",
+    "q48_grouped_agg_udf",
 ]
 
 

@@ -1,0 +1,253 @@
+"""Unit tests for the round-7 training-pipeline additions:
+decontamination, cross-document boilerplate removal, corpus-LM quality
+scoring, sequence packing, incremental (store-backed) dedup, and BM25
+retrieval. Tiny synthetic frames; engine-parity is separately pinned by
+the sf0.001 oracle gates in test_oracle_gates.py (q68-q73)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vinum_spark.operators.dedup import contaminated_docs, dedup_against_store
+from vinum_spark.operators.sampling import pack_sequences
+from vinum_spark.operators.text import (
+    bm25_topk,
+    lm_quality_score,
+    remove_boilerplate,
+    with_fingerprint,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta something else entirely"),
+        (2, "unrelated words nowhere near the benchmark text"),
+        (3, "totally disjoint vocabulary lives here friend"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# contaminated_docs
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_flags_overlapping_docs_only(spark, corpus):
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    out = contaminated_docs(corpus, eval_df, n=4).collect()
+    hits = {r["doc_id"]: r["n_gram_hits"] for r in out}
+    # docs 0 and 1 contain the eval 4-gram "alpha beta gamma delta"
+    assert set(hits) == {0, 1}
+    assert all(v >= 1 for v in hits.values())
+
+
+def test_contamination_counts_distinct_grams(spark):
+    # doc repeats the eval gram twice but it's ONE distinct gram
+    corpus = spark.createDataFrame(
+        [(0, "a b c d x a b c d")], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = contaminated_docs(corpus, eval_df, n=4).collect()
+    assert len(out) == 1 and out[0]["n_gram_hits"] == 1
+
+
+def test_contamination_eval_side_is_broadcast(spark, corpus):
+    eval_df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = contaminated_docs(corpus, eval_df, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# remove_boilerplate
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_segment_removed_everywhere(spark):
+    # "subscribe to our newsletter" = one 4-word segment leading 3 of 4
+    # docs (75% > 50% threshold) -> removed from each; unique tails stay.
+    rows = [
+        (0, "subscribe to our newsletter alpha beta gamma delta"),
+        (1, "subscribe to our newsletter epsilon zeta eta theta"),
+        (2, "subscribe to our newsletter iota kappa lambda mu"),
+        (3, "original reporting with real content here today now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(df, max_doc_frac=0.5, width=4).collect()
+    }
+    assert out[0]["clean_text"] == "alpha beta gamma delta"
+    assert out[0]["n_removed"] == 1 and out[0]["n_segments"] == 2
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"].startswith("original reporting")
+
+
+def test_boilerplate_all_removed_keeps_row_with_empty_text(spark):
+    rows = [(i, "same four words here") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_boilerplate(df, max_doc_frac=0.5, width=4).collect()
+    assert len(out) == 4
+    assert all(r["clean_text"] == "" and r["n_removed"] == 1 for r in out)
+
+
+def test_boilerplate_preserves_segment_order(spark):
+    # boilerplate in the MIDDLE; remaining segments keep original order
+    rows = [
+        (0, "one two three four junk junk junk junk five six seven eight"),
+        (1, "junk junk junk junk other words live here today friend ok"),
+        (2, "junk junk junk junk more unrelated filler content here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_boilerplate(df, max_doc_frac=0.5, width=4).collect()}
+    assert out[0]["clean_text"] == "one two three four five six seven eight"
+
+
+# ---------------------------------------------------------------------------
+# lm_quality_score
+# ---------------------------------------------------------------------------
+
+
+def test_lm_score_prefers_corpus_typical_text(spark):
+    rows = [(i, "the cat sat on the mat") for i in range(9)] + [(9, "zqxjkw vbpzq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lm_score"] for r in lm_quality_score(df).collect()}
+    typical = out[0]
+    weird = out[9]
+    assert typical > weird  # mojibake scores lower than corpus-typical text
+
+
+def test_lm_score_skips_sub_bigram_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "ab"), (1, "x"), (2, "")], "doc_id long, text string"
+    )
+    ids = [r["doc_id"] for r in lm_quality_score(df).collect()]
+    assert ids == [0]
+
+
+def test_lm_score_is_mean_log_prob(spark):
+    # one doc "aa": model sees 1 bigram, prefix 'a' count 1, vocab {a}=1
+    # -> P = (1+1)/(1+1*1) = 1.0, ln = 0.0
+    df = spark.createDataFrame([(0, "aa")], "doc_id long, text string")
+    out = lm_quality_score(df).collect()
+    assert out[0]["lm_score"] == pytest.approx(0.0)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sized_docs(spark):
+    rows = [(i, 100 + (i % 7) * 50) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def test_pack_sequences_budget_stripes(spark, sized_docs):
+    out = pack_sequences(sized_docs, "n_tokens", "doc_id", budget=500, n_shards=4)
+    rows = out.collect()
+    # every doc's stripe index is its running-offset divided by budget
+    for r in rows:
+        assert r["seq_id"] == r["seq_pos"] // 500
+    # within a shard, seq_pos values are unique and consistent with ordering
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r["shard"], []).append(r["seq_pos"])
+    for positions in per_shard.values():
+        assert len(positions) == len(set(positions))
+
+
+def test_pack_sequences_deterministic_across_partitionings(spark, sized_docs):
+    a = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["seq_pos"])
+        for r in pack_sequences(sized_docs, "n_tokens", "doc_id", 500, 4).collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["seq_pos"])
+        for r in pack_sequences(
+            sized_docs.repartition(13), "n_tokens", "doc_id", 500, 4
+        ).collect()
+    }
+    assert a == b
+
+
+def test_pack_sequences_rejects_bad_budget(sized_docs):
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(sized_docs, "n_tokens", "doc_id", budget=0)
+
+
+# ---------------------------------------------------------------------------
+# dedup_against_store
+# ---------------------------------------------------------------------------
+
+
+def test_store_hits_dropped_batch_dups_collapsed(spark):
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),
+            (11, "brand new text"),
+            (12, "brand new text"),  # in-batch dup of 11
+            (13, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    store = with_fingerprint(
+        spark.createDataFrame([(0, "seen before")], "doc_id long, text string")
+    ).select("fingerprint")
+    out = sorted(r["doc_id"] for r in dedup_against_store(batch, store).collect())
+    assert out == [11, 13]
+
+
+def test_store_normalization_matches_fingerprint(spark):
+    # store saw the normalized form; batch carries messy whitespace/case
+    batch = spark.createDataFrame(
+        [(5, "  Seen   BEFORE ")], "doc_id long, text string"
+    )
+    store = with_fingerprint(
+        spark.createDataFrame([(0, "seen before")], "doc_id long, text string")
+    ).select("fingerprint")
+    assert dedup_against_store(batch, store).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    rows = [
+        (0, "spark spark spark engine"),
+        (1, "spark engine"),
+        (2, "engine room only"),
+        (3, "nothing relevant at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, terms=["spark"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 0  # highest tf wins
+    assert set(ids) == {0, 1}  # non-matching docs don't appear
+
+
+def test_bm25_multi_term_and_k(spark):
+    rows = [
+        (0, "alpha beta"),
+        (1, "alpha gamma"),
+        (2, "beta gamma"),
+        (3, "delta delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, terms=["alpha", "beta"], k=2).collect()
+    assert len(out) == 2
+    assert out[0]["doc_id"] == 0  # matches both terms
+
+
+def test_bm25_case_insensitive_terms(spark):
+    df = spark.createDataFrame([(0, "Spark ENGINE")], "doc_id long, text string")
+    assert bm25_topk(df, terms=["SPARK"], k=5).count() == 1

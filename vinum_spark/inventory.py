@@ -2582,11 +2582,250 @@ def q67(spark, sf_dir):
     return X.vocab_topk(_t(spark, sf_dir, "documents"), k=20)
 
 
+@_q(
+    "q68_decontamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 3, 1) + 1),
+               i -> array_to_string(t[i:i+3], ' ')))) AS gram
+      FROM toks
+    ), ev AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+    )
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_gram_hits
+    FROM grams g JOIN ev USING (gram)
+    WHERE g.doc_id % 10 <> 0
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+    "Benchmark decontamination (operators/dedup.py contaminated_docs): "
+    "corpus documents sharing any word 4-gram with the eval slice "
+    "(doc_id % 10 = 0 stands in for the benchmark set). The eval "
+    "distinct-gram frame is BROADCAST — at 100 TB the corpus never "
+    "shuffles for the membership probe; the only corpus-keyed shuffle "
+    "is the per-document hit count. The GPT-3/PaLM overlap rule, "
+    "word-gram variant.",
+)
+def q68(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    eval_df = d.filter(F.col("doc_id") % 10 == 0)
+    return D.contaminated_docs(corpus, eval_df, n=4).orderBy("doc_id")
+
+
+@_q(
+    "q69_boilerplate_removal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), segs AS (
+      SELECT doc_id, j AS pos,
+             array_to_string(t[(j-1)*4+1:(j-1)*4+4], ' ') AS seg
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(CAST(ceil(len(t) / 4.0) AS INTEGER), 1) + 1)) AS j
+            FROM toks)
+    ), boiler AS (
+      SELECT seg FROM segs GROUP BY seg
+      HAVING count(DISTINCT doc_id) >
+             CAST(floor(0.05 * (SELECT count(*) FROM documents)) AS BIGINT)
+    ), kept AS (
+      SELECT s.doc_id,
+             array_to_string(array_agg(s.seg ORDER BY s.pos), ' ') AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM segs s ANTI JOIN boiler b ON s.seg = b.seg
+      GROUP BY s.doc_id
+    ), totals AS (
+      SELECT doc_id,
+             CAST(greatest(CAST(ceil(len(t) / 4.0) AS INTEGER), 1) AS BIGINT) AS n_segments
+      FROM toks
+    )
+    SELECT t.doc_id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           t.n_segments,
+           CAST(t.n_segments - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+    FROM totals t LEFT JOIN kept k USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    "CCNet-style cross-document boilerplate removal (operators/text.py "
+    "remove_boilerplate): 4-word segments occurring in >5% of all "
+    "documents are dropped everywhere and survivors reassembled in "
+    "order. Two shuffles (segment doc-frequency, per-doc reassembly); "
+    "the boilerplate set is inherently small (a segment must recur "
+    "across >5% of docs) and is BROADCAST to the anti-join.",
+)
+def q69(spark, sf_dir):
+    return X.remove_boilerplate(
+        _t(spark, sf_dir, "documents"), width=4, max_doc_frac=0.05
+    ).orderBy("doc_id")
+
+
+@_q(
+    "q70_lm_quality_score",
+    """
+    WITH pairs AS (
+      SELECT doc_id, substr(text, i, 2) AS bg
+      FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i
+            FROM documents WHERE length(text) >= 2)
+    ), bgc AS (
+      SELECT bg, count(*) AS n_bg FROM pairs GROUP BY bg
+    ), pfx AS (
+      SELECT substr(bg, 1, 1) AS c1, count(*) AS n_c1 FROM pairs GROUP BY 1
+    ), voc AS (
+      SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM pairs
+    ), model AS (
+      SELECT bg, ln((n_bg + 1.0) / (n_c1 + 1.0 * v)) AS logp
+      FROM bgc JOIN pfx ON substr(bg, 1, 1) = c1 CROSS JOIN voc
+    )
+    SELECT p.doc_id, round(avg(m.logp), 4) AS lm_score
+    FROM pairs p JOIN model m USING (bg)
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+    "Corpus char-bigram LM quality score (operators/text.py "
+    "lm_quality_score) — the cheap stand-in for CCNet's KenLM "
+    "perplexity filter: mean ln P(c2|c1) under add-one Laplace "
+    "estimates trained on the corpus itself. The model is bounded by "
+    "charset-squared (not corpus size) and BROADCAST into the scoring "
+    "join; training is one partial-agg count per bigram — word-count "
+    "shape at 100 TB.",
+)
+def q70(spark, sf_dir):
+    return X.lm_quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@_q(
+    "q71_pack_sequences",
+    """
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substring(md5(concat_ws(chr(31),
+                 CAST(doc_id AS VARCHAR), '0')), 1, 8))::UBIGINT % 8 AS INT) AS shard,
+             md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '0')) AS rk
+      FROM documents
+    ), packed AS (
+      SELECT shard, n_chars,
+             COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY rk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_pos
+      FROM sharded
+    )
+    SELECT shard, CAST(floor(seq_pos / 2000.0) AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS seq_len
+    FROM packed
+    GROUP BY shard, seq_id
+    ORDER BY shard, seq_id
+    """,
+    "Budget-striped sequence packing (operators/sampling.py "
+    "pack_sequences): documents ordered by the deterministic md5 rank "
+    "inside 8 md5 shards, seq_id = floor(running-length-before / "
+    "2000) — a pure window expression (no sequential first-fit loop), "
+    "identical on any engine/partitioning. One shuffle + one "
+    "in-partition sort per shard; shards bound sort size and skew at "
+    "100 TB. Verified per packed sequence by doc count + length sum.",
+)
+def q71(spark, sf_dir):
+    from vinum_spark.operators.sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        pack_sequences(d, "n_chars", "doc_id", budget=2000, n_shards=8)
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("seq_len"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+@_q(
+    "q72_incremental_dedup",
+    r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), store AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 3 = 0
+    ), batch AS (
+      SELECT * FROM fp WHERE doc_id % 3 <> 0
+    ), fresh AS (
+      SELECT b.* FROM batch b ANTI JOIN store s ON b.fingerprint = s.fingerprint
+    )
+    SELECT doc_id, fingerprint
+    FROM (SELECT doc_id, fingerprint,
+                 row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+          FROM fresh)
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    "Incremental exact dedup against a fingerprint store "
+    "(operators/dedup.py dedup_against_store): the doc_id%3=0 slice "
+    "plays the historical corpus (16-byte digests only — ~2 TB of "
+    "state per trillion docs, no text re-scan), the rest is the new "
+    "batch. Anti-join on the digest + one in-batch survivor shuffle; "
+    "bucketing the store by fingerprint makes follow-up runs shuffle "
+    "only the batch side.",
+)
+def q72(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    store = X.with_fingerprint(d.filter(F.col("doc_id") % 3 == 0)).select("fingerprint")
+    batch = d.filter(F.col("doc_id") % 3 != 0)
+    return (
+        D.dedup_against_store(batch, store)
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "q73_bm25_search",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), stats AS (
+      SELECT count(*) AS n, avg(len(t)) AS avgdl FROM base
+    ), tf AS (
+      SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+                   unnest(list_transform(t, x -> lower(x))) AS tok
+            FROM base)
+      WHERE tok IN ('spark', 'vector', 'window')
+      GROUP BY doc_id, dl, tok
+    ), dfreq AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+    )
+    SELECT doc_id,
+           round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                     * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+    FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+    "BM25 keyword retrieval (operators/text.py bm25_topk) for the "
+    "query {spark, vector, window}: Robertson idf + k1=1.2/b=0.75 "
+    "saturation. Query-term tf comes from a filtered token explode "
+    "(exploded rows proportional to query-term occurrences, not "
+    "corpus tokens); corpus stats (N, avgdl) and per-term df are tiny "
+    "BROADCAST frames; the top-10 is a TakeOrderedAndProject, never a "
+    "full sort.",
+)
+def q73(spark, sf_dir):
+    return X.bm25_topk(
+        _t(spark, sf_dir, "documents"), terms=["spark", "vector", "window"], k=10
+    )
+
+
 #: The round driver's correctness gate records only the FIRST 50
-#: entries of ``queries()``; with 66 registered, sixteen fall outside
-#: it. Order the export so the operator classes with the least other
-#: coverage sit inside the gate: the streaming/multimodal/pipeline
-#: additions (q51-q66) take the slots of queries each subsumed by
+#: entries of ``queries()``; with 73 registered, twenty-three fall
+#: outside it. Order the export so the operator classes with the least
+#: other coverage sit inside the gate: the streaming/multimodal/pipeline
+#: additions (q51-q73) take the slots of queries each subsumed by
 #: other green gates — q20/q44/q45 (set-ops by the golden suite,
 #: exact-dedup survivors by q27, the table-SQL pipeline by q40's API
 #: tests), the q02-q10 basics (filter/agg/distinct/having/sort/
@@ -2616,6 +2855,23 @@ _DEMOTED_TO_TAIL = (
     "q36_cube",
     "q38_approx_distinct",
     "q47_grouping_sets",
+    # round-7 continuation: seven more slots for q67-q73, each demoted
+    # entry's semantics exercised by an in-gate sibling AND its exact
+    # driver oracle still run in-suite — CASE cascades (q11) power the
+    # gated q26/q58; conditional agg (q12) recurs in q58/q60; the join
+    # family keeps q13/q14/q17 (q16 semi joins out with q15 anti);
+    # percentile disagreement (q35) has its own in-suite approx-vs-exact
+    # agreement gate; null semantics (q41) are hash-pinned by the golden
+    # NULLS block; regex (q42) is the machinery of gated q58/q61; the
+    # UDF family keeps q40 vectorized (q48 grouped-agg joins it in the
+    # tail).
+    "q11_case_when",
+    "q12_conditional_agg",
+    "q16_semi_join",
+    "q35_percentiles",
+    "q41_null_semantics",
+    "q42_regex_strings",
+    "q48_grouped_agg_udf",
 )
 _PROMOTED = (
     "q51_streaming_sliding",
@@ -2634,6 +2890,13 @@ _PROMOTED = (
     "q64_repetition_signals",
     "q65_pipeline_compose",
     "q66_group_topn_sample",
+    "q67_vocab_topk",
+    "q68_decontamination",
+    "q69_boilerplate_removal",
+    "q70_lm_quality_score",
+    "q71_pack_sequences",
+    "q72_incremental_dedup",
+    "q73_bm25_search",
 )
 
 

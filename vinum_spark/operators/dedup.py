@@ -743,3 +743,81 @@ def dedup_clusters(
         "component",
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + incremental (store-backed) dedup
+# ---------------------------------------------------------------------------
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share at
+    least one word ``n``-gram with an evaluation/benchmark set (the
+    GPT-3 appendix-C / PaLM overlap rule, word-gram variant).
+
+    Returns ``(id_col, n_gram_hits)`` — one row per contaminated corpus
+    document with the count of DISTINCT eval n-grams it contains.
+
+    Scale shape: the eval set is tiny (MBs of benchmark text) against a
+    100 TB corpus, so its distinct-gram frame is **broadcast** — the
+    corpus side never shuffles for the join; shingling and the hash
+    probe are map-side, and the only corpus-keyed shuffle is the final
+    per-document count (partial-aggregated). The corpus explode is
+    bounded by tokens-per-doc, the same cost class as tokenization.
+    """
+    eval_grams = (
+        eval_df.select(F.explode(_shingles(F.col(text_col), n)).alias("__gram"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), n)).alias("__gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "__gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_gram_hits"))
+    )
+
+
+def dedup_against_store(
+    batch: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    store_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental exact dedup: drop batch documents whose normalized-md5
+    fingerprint already exists in a historical fingerprint ``store``
+    (one ``store_col`` string column), then keep one survivor per
+    remaining duplicate group — the pattern for continuously-ingested
+    corpora where re-scanning 100 TB of already-accepted text per batch
+    is not an option.
+
+    Returns the surviving batch rows plus their ``fingerprint``.
+
+    Scale shape: the store carries 16-byte digests, not text — ~2 TB of
+    state per trillion documents, fully shuffle-joinable. The anti-join
+    shuffles on the fingerprint key; persisting the store bucketed by
+    fingerprint (io/bucketing.write_bucketed) makes subsequent
+    incremental runs shuffle ONLY the new batch — the store side is
+    co-located by construction. In-batch survivor choice is the same
+    single hash shuffle as :func:`dedup_exact`.
+    """
+    keyed = with_fingerprint(batch, text_col)
+    fresh = keyed.join(
+        store.select(F.col(store_col).alias("fingerprint")),
+        "fingerprint",
+        "left_anti",
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

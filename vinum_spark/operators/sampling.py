@@ -218,3 +218,51 @@ def length_bucket_stats(
             F.ceil(F.col("sum_tokens") / F.lit(pack_len)).cast("bigint"),
         )
     return agg
+
+
+def pack_sequences(
+    df: DataFrame,
+    length_col: str,
+    key_col: str,
+    budget: int,
+    n_shards: int = 32,
+    seed: str = "0",
+) -> DataFrame:
+    """Budget-striped sequence packing: assign each document to a
+    training sequence so every sequence holds ~``budget`` tokens — the
+    batch-assembly step between a filtered corpus and the trainer.
+
+    Within each deterministic shard (:func:`with_shard` on ``key_col``),
+    documents are ordered by the same md5 rank used everywhere else and
+    ``seq_id = floor(tokens_before / budget)`` — the document that
+    crosses a budget boundary STRADDLES it (the trainer's sequence
+    assembler splits it), which is what makes the rule a pure window
+    expression instead of a sequential first-fit loop. The assignment
+    is a total function of (key, seed, budget): any engine, any
+    partitioning, any cluster size produces the identical packing.
+
+    Returns the input plus ``shard``, ``seq_id``, ``seq_pos`` (0-based
+    token offset of this document within its shard's stripe).
+
+    Scale shape: one shuffle (hash on shard), one in-partition sort per
+    shard for the running sum — no global sort, no driver loop. Shards
+    bound both sort size and skew: 100 TB / ``n_shards`` chosen so a
+    shard's documents fit a task's spill budget, and every shard packs
+    independently (and in parallel) by construction.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    sharded = with_shard(df, key_col, n_shards, seed)
+    rank = _full_key(F.col(key_col), seed)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(rank.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(F.col(length_col)).over(w), F.lit(0))
+    return (
+        sharded.withColumn("seq_pos", before.cast("bigint"))
+        .withColumn(
+            "seq_id", F.floor(F.col("seq_pos") / F.lit(budget)).cast("bigint")
+        )
+    )

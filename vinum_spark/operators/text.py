@@ -435,3 +435,231 @@ def winnowing_shared_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate removal (CCNet-style), corpus-LM quality
+# scoring, and BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+def _segments(col, width: int):
+    """Non-overlapping ``width``-word segments of ``col`` with their
+    1-based position: array<struct<pos:int, seg:string>>. The unit of
+    cross-document boilerplate counting — the analogue of CCNet's
+    "line" for corpora whose documents carry no newlines.
+    """
+    tokens = _tokens(col)
+    n_segs = F.ceil(F.size(tokens) / F.lit(width)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n_segs, F.lit(1))),
+        lambda j: F.struct(
+            j.alias("pos"),
+            F.concat_ws(" ", F.slice(tokens, (j - 1) * width + 1, width)).alias("seg"),
+        ),
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 4,
+    max_doc_frac: float = 0.05,
+    out: str = "clean_text",
+) -> DataFrame:
+    """CCNet-style cross-document boilerplate removal (Wenzek et al.
+    2020): segments appearing in more than ``max_doc_frac`` of all
+    documents are boilerplate (headers, navigation chrome, license
+    blurbs); every occurrence is dropped and the survivors are
+    reassembled in original order.
+
+    Returns ``(id_col, out, n_segments, n_removed)`` — documents whose
+    every segment was boilerplate keep an empty ``out``.
+
+    Scale shape: two shuffles total. (1) segment → doc-frequency is a
+    partial-aggregated count keyed by segment text; (2) reassembly
+    groups by document id. The boilerplate SET (segments above the
+    threshold) is inherently small — a segment must occur in >5% of ALL
+    documents to qualify, so there can be at most ``1/max_doc_frac``
+    on the high end of distinct such segments per corpus-sized sample —
+    and is **broadcast** to the anti-join, so the corpus-side
+    membership probe is map-side. No step is quadratic.
+    """
+    n_docs = df.count()  # one scalar job; the threshold needs the corpus size
+    limit = int(max_doc_frac * n_docs)
+    segs = df.select(
+        F.col(id_col), F.explode(_segments(F.col(col), width)).alias("__s")
+    ).select(id_col, F.col("__s.pos").alias("__pos"), F.col("__s.seg").alias("__seg"))
+    boiler = (
+        segs.groupBy("__seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > limit)
+        .select("__seg")
+    )
+    kept = segs.join(F.broadcast(boiler), "__seg", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                    lambda s: s["__seg"],
+                ),
+            ).alias(out),
+            F.count(F.lit(1)).cast("bigint").alias("__kept"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.greatest(
+            F.ceil(F.size(_tokens(col)) / F.lit(width)).cast("int"), F.lit(1)
+        ).cast("bigint").alias("n_segments"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out), F.lit("")).alias(out),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
+def lm_quality_score(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    out: str = "lm_score",
+) -> DataFrame:
+    """Corpus character-bigram LM quality score — the cheap stand-in for
+    the KenLM perplexity filter in CCNet/RedPajama pipelines: documents
+    whose character transitions look unlike the corpus (mojibake,
+    base64 blobs, keyboard mash) score low.
+
+    ``out`` = mean over the document's char bigrams of
+    ``ln P(c2 | c1)`` under the corpus model with add-``smoothing``
+    Laplace estimates; higher = more corpus-typical. Documents shorter
+    than 2 chars get no row.
+
+    Scale shape: the MODEL is two tiny aggregations (distinct char
+    bigrams of real text number in the low thousands — bounded by
+    charset², not corpus size) and is **broadcast** to the scoring
+    join, so scoring is map-side + one partial-aggregated mean keyed by
+    document. Training the model over 100 TB is one partial-agg count
+    per bigram — the same shape as a word count.
+    """
+    c = F.col(col)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - 1),
+        lambda i: c.substr(i, F.lit(2)),
+    )
+    pairs = (
+        df.filter(F.length(c) >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("__bg"))
+    )
+    bg_counts = pairs.groupBy("__bg").agg(F.count(F.lit(1)).alias("__n_bg"))
+    prefix_counts = (
+        pairs.select(F.substring(F.col("__bg"), 1, 1).alias("__c1"))
+        .groupBy("__c1")
+        .agg(F.count(F.lit(1)).alias("__n_c1"))
+    )
+    # The smoothing denominator needs ONE corpus scalar (next-char vocab
+    # size). Inlining it as a literal is the two-pass shape a 100 TB run
+    # wants anyway (corpus statistics computed once, then broadcast into
+    # the scoring expression) — and a 1-row frame joined keylessly would
+    # plan as BroadcastNestedLoopJoin, which the CI plan guards ban.
+    vocab_size = pairs.agg(
+        F.count_distinct(F.substring(F.col("__bg"), 2, 1))
+    ).collect()[0][0]
+    model = (
+        bg_counts.withColumn("__c1", F.substring(F.col("__bg"), 1, 1))
+        .join(F.broadcast(prefix_counts), "__c1")
+        .select(
+            "__bg",
+            F.log(
+                (F.col("__n_bg") + F.lit(smoothing))
+                / (F.col("__n_c1") + F.lit(smoothing) * F.lit(vocab_size))
+            ).alias("__logp"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(model), "__bg")
+        .groupBy(id_col)
+        .agg(F.round(F.avg("__logp"), 4).alias(out))
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: "list[str]",
+    k: int = 10,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus: top-``k`` documents for a
+    bag-of-words query (Robertson-Spärck Jones idf, standard k1/b
+    saturation), the workhorse behind corpus search and
+    contamination-audit tooling.
+
+    Returns ``(id_col, bm25)`` sorted score-desc with ``id_col``
+    tiebreak, scores rounded to 4dp for engine portability.
+
+    Scale shape: per-term tf comes from one filtered token explode —
+    only query-term tokens survive the filter, so the exploded frame is
+    proportional to query-term occurrences, not corpus tokens. The df/
+    avgdl statistics are two scalar/tiny aggregates **broadcast** into
+    the scoring expression; the final top-k is a
+    TakeOrderedAndProject, never a full sort.
+    """
+    toks = _tokens(col)
+    terms = [t.lower() for t in terms]
+    base = df.select(
+        F.col(id_col), F.size(toks).cast("double").alias("__dl"), toks.alias("__t")
+    ).withColumn(
+        "__qt",
+        F.filter(
+            F.transform(F.col("__t"), lambda t: F.lower(t)),
+            lambda t: t.isin(*terms),
+        ),
+    ).drop("__t")
+    # Corpus stats (N, avgdl) are two scalars: collect once and inline
+    # as literals — the index-statistics pass every BM25 system runs
+    # ahead of scoring (and a 1-row frame joined keylessly would plan
+    # as BroadcastNestedLoopJoin, which the CI plan guards ban).
+    n_docs, avgdl = base.agg(
+        F.count(F.lit(1)), F.avg("__dl")
+    ).collect()[0]
+    tf = base.filter(F.size("__qt") > 0).select(
+        id_col, "__dl", F.explode("__qt").alias("__term")
+    ).groupBy(id_col, "__dl", "__term").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf")
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .withColumn(
+            "__idf",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("__tf") * (k1 + 1))
+            / (F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.lit(float(avgdl)))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
