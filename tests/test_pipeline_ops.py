@@ -251,3 +251,9 @@ def test_bm25_multi_term_and_k(spark):
 def test_bm25_case_insensitive_terms(spark):
     df = spark.createDataFrame([(0, "Spark ENGINE")], "doc_id long, text string")
     assert bm25_topk(df, terms=["SPARK"], k=5).count() == 1
+
+
+def test_bm25_rejects_empty_terms(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="query term"):
+        bm25_topk(df, terms=[], k=5)

@@ -178,3 +178,42 @@ def test_semi_join_planned(spark):
 def test_anti_join_planned(spark):
     plan = plan_of(spark, "q15_anti_join")
     assert "LeftAnti" in plan
+
+
+def test_decontamination_broadcasts_eval_grams(spark):
+    # q68: the eval/benchmark gram set must be the BROADCAST side — the
+    # 100 TB corpus never shuffles for the membership probe
+    plan = plan_of(spark, "q68_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_set_broadcast_anti_join(spark):
+    # q69: boilerplate membership is a broadcast LeftAnti probe; only the
+    # doc-frequency count and per-doc reassembly shuffle
+    plan = plan_of(spark, "q69_boilerplate_removal")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_lm_model_broadcast_into_scoring(spark):
+    # q70: the bigram model (bounded by charset², not corpus size) is
+    # broadcast; the per-document mean partial-aggregates
+    plan = plan_of(spark, "q70_lm_quality_score")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pack_sequences_single_shuffle_no_global_sort(spark):
+    # q71: one hash partitioning on shard + in-partition sort; a global
+    # range sort would be a second full-data shuffle at 100 TB. The
+    # final orderBy in the gate query is on the tiny aggregated frame.
+    plan = plan_of(spark, "q71_pack_sequences")
+    assert "Window" in plan
+    win_part = plan.split("Window")[1]
+    assert "hashpartitioning(shard" in win_part or "hashpartitioning(shard" in plan
+
+
+def test_bm25_topk_fuses(spark):
+    # q73: the top-10 must be a TakeOrderedAndProject, never a full sort
+    plan = plan_of(spark, "q73_bm25_search")
+    assert "TakeOrderedAndProject" in plan

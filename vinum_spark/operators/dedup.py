@@ -775,7 +775,7 @@ def contaminated_docs(
         eval_df.select(F.explode(_shingles(F.col(text_col), n)).alias("__gram"))
         .distinct()
     )
-    corpus_grams = corpus.select(
+    corpus_grams = _spread(corpus, id_col).select(
         F.col(id_col), F.explode(_shingles(F.col(text_col), n)).alias("__gram")
     )
     return (

@@ -217,7 +217,13 @@ def repetition_stats(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    from vinum_spark.operators.dedup import _spread
+
+    # spread before the interpreted-HOF gram build: a single parquet
+    # file scans as one partition and would serialize it on one core
+    exploded = _spread(df, id_col).select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    )
     per_gram = exploded.groupBy(id_col, "__g").agg(
         F.count(F.lit(1)).alias("__c")
     )
@@ -486,11 +492,20 @@ def remove_boilerplate(
     and is **broadcast** to the anti-join, so the corpus-side
     membership probe is map-side. No step is quadratic.
     """
+    from vinum_spark.operators.dedup import _spread
+
     n_docs = df.count()  # one scalar job; the threshold needs the corpus size
     limit = int(max_doc_frac * n_docs)
-    segs = df.select(
-        F.col(id_col), F.explode(_segments(F.col(col), width)).alias("__s")
-    ).select(id_col, F.col("__s.pos").alias("__pos"), F.col("__s.seg").alias("__seg"))
+    # Spread before the interpreted-HOF segmentation (a single parquet
+    # file scans as ONE partition), and checkpoint: the segment frame
+    # feeds BOTH the doc-frequency count and the anti-join/reassembly —
+    # without the checkpoint the explode would run once per consumer.
+    segs = (
+        _spread(df, id_col)
+        .select(F.col(id_col), F.explode(_segments(F.col(col), width)).alias("__s"))
+        .select(id_col, F.col("__s.pos").alias("__pos"), F.col("__s.seg").alias("__seg"))
+        .localCheckpoint(eager=True)
+    )
     boiler = (
         segs.groupBy("__seg")
         .agg(F.count_distinct(F.col(id_col)).alias("__df"))
@@ -559,9 +574,16 @@ def lm_quality_score(
         F.sequence(F.lit(1), F.length(c) - 1),
         lambda i: c.substr(i, F.lit(2)),
     )
+    from vinum_spark.operators.dedup import _spread
+
+    # Spread before the interpreted-HOF bigram explode (single-file scans
+    # are one partition) and checkpoint: the bigram frame feeds the
+    # model counts, the vocab scalar AND the scoring join — four
+    # consumers, one materialization.
     pairs = (
-        df.filter(F.length(c) >= 2)
+        _spread(df.filter(F.length(c) >= 2), id_col)
         .select(F.col(id_col), F.explode(bigrams).alias("__bg"))
+        .localCheckpoint(eager=True)
     )
     bg_counts = pairs.groupBy("__bg").agg(F.count(F.lit(1)).alias("__n_bg"))
     prefix_counts = (
@@ -619,6 +641,8 @@ def bm25_topk(
     the scoring expression; the final top-k is a
     TakeOrderedAndProject, never a full sort.
     """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
     toks = _tokens(col)
     terms = [t.lower() for t in terms]
     base = df.select(
