@@ -257,3 +257,67 @@ def test_bm25_rejects_empty_terms(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="query term"):
         bm25_topk(df, terms=[], k=5)
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mix_corpus(spark):
+    rows = []
+    for i in range(10):
+        rows.append((i, "web", 100, 10.0 - i))      # quality 10..1
+    for i in range(10, 20):
+        rows.append((i, "books", 100, 30.0 - i))    # quality 20..11
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long, quality double"
+    )
+
+
+def test_mixture_fills_each_stratum_to_its_share(spark, mix_corpus):
+    from vinum_spark.operators.sampling import mixture_sample
+
+    out = mixture_sample(
+        mix_corpus, "source", {"web": 0.5, "books": 0.5}, budget=600,
+        length_col="n_tokens", quality_col="quality", key_col="doc_id",
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # 300 tokens/stratum at 100 each -> top-3 quality docs per stratum
+    assert sorted(by_src["web"]) == [0, 1, 2]
+    assert sorted(by_src["books"]) == [10, 11, 12]
+
+
+def test_mixture_unlisted_stratum_gets_nothing(spark, mix_corpus):
+    from vinum_spark.operators.sampling import mixture_sample
+
+    out = mixture_sample(
+        mix_corpus, "source", {"web": 1.0}, budget=200,
+        length_col="n_tokens", quality_col="quality", key_col="doc_id",
+    ).collect()
+    assert {r["source"] for r in out} == {"web"}
+
+
+def test_mixture_straddles_boundary_by_at_most_one_doc(spark, mix_corpus):
+    from vinum_spark.operators.sampling import mixture_sample
+
+    # share = 250 tokens: docs at cumulative-before 0, 100, 200 qualify
+    # (200 < 250) -> 3 docs, 300 tokens — one straddler past the share
+    out = mixture_sample(
+        mix_corpus, "source", {"web": 1.0}, budget=250,
+        length_col="n_tokens", quality_col="quality", key_col="doc_id",
+    ).collect()
+    assert len(out) == 3
+
+
+def test_mixture_rejects_bad_budget(mix_corpus):
+    from vinum_spark.operators.sampling import mixture_sample
+
+    with pytest.raises(ValueError, match="budget"):
+        mixture_sample(
+            mix_corpus, "source", {"web": 1.0}, budget=0,
+            length_col="n_tokens", quality_col="quality", key_col="doc_id",
+        )
