@@ -53,6 +53,7 @@ GATED = [
     "q71_pack_sequences",
     "q72_incremental_dedup",
     "q73_bm25_search",
+    "q74_mixture_sample",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible
@@ -78,6 +79,7 @@ GATED = [
     "q41_null_semantics",
     "q42_regex_strings",
     "q48_grouped_agg_udf",
+    "q37_pivot",
 ]
 
 

@@ -266,3 +266,52 @@ def pack_sequences(
             "seq_id", F.floor(F.col("seq_pos") / F.lit(budget)).cast("bigint")
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: Dict[str, float],
+    budget: int,
+    length_col: str,
+    quality_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Quality-weighted corpus mixing: fill each stratum's share of a
+    global token ``budget`` with its highest-``quality_col`` documents —
+    the data-mixing step that blends sources (web/books/code/…) to
+    target proportions for a training run.
+
+    A document is kept when the cumulative ``length_col`` of the
+    strictly-better documents in its stratum is below
+    ``weights[stratum] * budget`` — so every stratum's selection may
+    STRADDLE its boundary by at most one document (same budget-striping
+    rule as :func:`pack_sequences`, which keeps the predicate a pure
+    window expression). Ordering is (quality desc, key asc) — total and
+    engine-portable. Strata missing from ``weights`` get nothing.
+
+    Scale shape: one hash shuffle on the stratum + an in-partition sort
+    per stratum; the weight table enters as an inlined CASE expression
+    (it is query configuration, not data). No global sort, no driver
+    loop — the same plan at 5 000 or 5 billion documents. Heavily
+    skewed strata (web >> wiki) sort within one task each; if a single
+    stratum outgrows a task's spill budget, pre-split it with
+    :func:`with_shard` and rescale its weight.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    alloc = F.lit(None).cast("double")
+    for stratum, frac in weights.items():
+        alloc = F.when(F.col(strata_col) == stratum, F.lit(float(frac) * budget)).otherwise(alloc)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col(quality_col).desc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(F.col(length_col)).over(w), F.lit(0))
+    return (
+        df.withColumn("__alloc", alloc)
+        .withColumn("__before", before)
+        .filter(F.col("__before") < F.col("__alloc"))
+        .drop("__alloc", "__before")
+    )
