@@ -321,3 +321,28 @@ def test_mixture_rejects_bad_budget(mix_corpus):
             mix_corpus, "source", {"web": 1.0}, budget=0,
             length_col="n_tokens", quality_col="quality", key_col="doc_id",
         )
+
+
+def test_pack_sequences_matches_python_mirror(spark, sized_docs):
+    """Independent reimplementation of the packing rule in pure Python
+    (hashlib md5) — guards the md5-rank/shard conventions the DuckDB
+    oracles also rely on, without Spark or DuckDB in the loop."""
+    import hashlib
+
+    rows = [(r["doc_id"], r["n_tokens"]) for r in sized_docs.collect()]
+    fk = {i: hashlib.md5(f"{i}\x1f0".encode()).hexdigest() for i, _ in rows}
+    expected = {}
+    shards = {}
+    for i, n in rows:
+        shards.setdefault(int(fk[i][:8], 16) % 4, []).append((fk[i], i, n))
+    for shard, docs in shards.items():
+        docs.sort()
+        before = 0
+        for _, i, n in docs:
+            expected[i] = (shard, before // 500, before)
+            before += n
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["seq_pos"])
+        for r in pack_sequences(sized_docs, "n_tokens", "doc_id", 500, 4).collect()
+    }
+    assert got == expected
