@@ -82,3 +82,42 @@ def test_bucketed_join_elides_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from vinum_spark.io.bucketing import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    df = spark.range(10000).withColumnRenamed("id", "k")
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*")) == 64
+    n = compact_parquet(spark, src, dst, target_file_bytes=10 * 1024 * 1024)
+    assert n == 1  # 10k longs << 10 MB target
+    assert len(glob.glob(f"{dst}/part-*")) == 1
+    # row-for-row identical content
+    assert spark.read.parquet(dst).orderBy("k").collect() == df.orderBy("k").collect()
+
+
+def test_compact_parquet_partitioned_layout(spark, tmp_path):
+    from vinum_spark.io.bucketing import compact_parquet
+    from pyspark.sql import functions as F
+
+    src, dst = str(tmp_path / "psrc"), str(tmp_path / "pdst")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    )
+    df.repartition(16).write.parquet(src)
+    compact_parquet(spark, src, dst, target_file_bytes=64 * 1024 * 1024,
+                    partition_cols="p")
+    out = spark.read.parquet(dst)
+    assert out.count() == 1000
+    assert sorted(r["p"] for r in out.select("p").distinct().collect()) == [0, 1, 2]
+
+
+def test_compact_parquet_rejects_bad_target(spark, tmp_path):
+    from vinum_spark.io.bucketing import compact_parquet
+
+    with pytest.raises(ValueError, match="target_file_bytes"):
+        compact_parquet(spark, str(tmp_path), str(tmp_path / "o"), 0)

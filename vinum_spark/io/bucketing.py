@@ -54,3 +54,48 @@ def join_is_shuffle_free(joined: DataFrame) -> bool:
         joined._jdf.queryExecution(), "simple"
     )
     return "Exchange" not in plan
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    partition_cols: Union[str, Sequence[str], None] = None,
+) -> int:
+    """Rewrite a parquet dataset into ~``target_file_bytes`` files — the
+    small-file compaction every long-running ingestion pipeline needs:
+    streaming sinks and incremental batches leave thousands of KB-sized
+    files whose per-file open/footer cost dominates scans and whose
+    count explodes driver file-listing memory at 100 TB.
+
+    File count = ceil(current total bytes / target), from the scan's
+    file-listing statistics (no data read, no extra job). The rewrite
+    itself is one ``repartition`` — a round-robin shuffle that also
+    rebalances skewed input files — or, with ``partition_cols``, a hash
+    shuffle on those columns so each hive partition is written by the
+    tasks that own it. Returns the chosen file count.
+
+    The 256 MB default matches ``maxPartitionBytes``-sized scan splits:
+    compacted files re-split cleanly on read. Run per partition (point
+    ``src`` at one hive partition) to bound the shuffle to fresh data
+    instead of rewriting the corpus.
+    """
+    if target_file_bytes < 1:
+        raise ValueError(f"target_file_bytes must be >= 1, got {target_file_bytes}")
+    df = spark.read.parquet(src)
+    total = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n_files = max(1, -(-int(total) // target_file_bytes))
+    if partition_cols:
+        cols = (
+            [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+        )
+        (
+            df.repartition(n_files, *cols)
+            .write.mode("overwrite")
+            .partitionBy(*cols)
+            .parquet(dst)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    return n_files
