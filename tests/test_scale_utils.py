@@ -121,3 +121,31 @@ def test_compact_parquet_rejects_bad_target(spark, tmp_path):
 
     with pytest.raises(ValueError, match="target_file_bytes"):
         compact_parquet(spark, str(tmp_path), str(tmp_path / "o"), 0)
+
+
+def test_compact_parquet_splits_oversized_hive_partition(spark, tmp_path):
+    # review regression: hashing on partition cols alone wrote ONE file
+    # per hive partition regardless of size; the salt must split a
+    # partition that exceeds the target into multiple files
+    from vinum_spark.io.bucketing import compact_parquet
+    from pyspark.sql import functions as F
+    import glob
+
+    src, dst = str(tmp_path / "skew_src"), str(tmp_path / "skew_dst")
+    df = spark.range(60000).select(
+        F.col("id").alias("k"),
+        F.lit(0).alias("p"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    df.write.parquet(src)
+    import os
+
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(f"{src}/part-*")
+    )
+    n = compact_parquet(
+        spark, src, dst, target_file_bytes=max(1, total // 4), partition_cols="p"
+    )
+    files = glob.glob(f"{dst}/p=0/part-*")
+    assert len(files) > 1  # the oversized partition was split
+    assert spark.read.parquet(dst).count() == 60000

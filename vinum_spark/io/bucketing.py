@@ -83,15 +83,39 @@ def compact_parquet(
     """
     if target_file_bytes < 1:
         raise ValueError(f"target_file_bytes must be >= 1, got {target_file_bytes}")
+    from pyspark.sql import functions as F
+
     df = spark.read.parquet(src)
-    total = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    n_files = max(1, -(-int(total) // target_file_bytes))
+    total = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n_files = max(1, -(-total // target_file_bytes))
     if partition_cols:
         cols = (
             [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
         )
+        # Hashing on the partition columns alone would write ONE file per
+        # hive partition regardless of size (a 20 GB skewed partition ->
+        # one 20 GB file from one task). Apportion the global file count
+        # to partitions by row share (bytes/rows assumed uniform within a
+        # dataset) and salt the shuffle key so each partition splits into
+        # ~its own file count. The groupBy is bounded by the number of
+        # hive partitions, not rows.
+        rows = {tuple(r[c] for c in cols): r["count"]
+                for r in df.groupBy(*cols).count().collect()}
+        total_rows = max(1, sum(rows.values()))
+        per_part = {
+            k: max(1, round(n_files * v / total_rows)) for k, v in rows.items()
+        }
+        k_expr = F.lit(1)
+        for key, k in per_part.items():
+            cond = F.lit(True)
+            for c, val in zip(cols, key):
+                cond = cond & (F.col(c).eqNullSafe(F.lit(val)))
+            k_expr = F.when(cond, F.lit(k)).otherwise(k_expr)
+        n_files = sum(per_part.values())
         (
-            df.repartition(n_files, *cols)
+            df.withColumn("__salt", F.floor(F.rand(42) * k_expr).cast("int"))
+            .repartition(n_files, *cols, F.col("__salt"))
+            .drop("__salt")
             .write.mode("overwrite")
             .partitionBy(*cols)
             .parquet(dst)

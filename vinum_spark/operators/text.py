@@ -486,11 +486,14 @@ def remove_boilerplate(
     Scale shape: two shuffles total. (1) segment → doc-frequency is a
     partial-aggregated count keyed by segment text; (2) reassembly
     groups by document id. The boilerplate SET (segments above the
-    threshold) is inherently small — a segment must occur in >5% of ALL
-    documents to qualify, so there can be at most ``1/max_doc_frac``
-    on the high end of distinct such segments per corpus-sized sample —
-    and is **broadcast** to the anti-join, so the corpus-side
-    membership probe is map-side. No step is quadratic.
+    threshold) is bounded by ``avg_segments_per_doc / max_doc_frac``
+    distinct entries (each must occur in > ``max_doc_frac * n_docs``
+    documents, and there are only ``avg_segments_per_doc * n_docs``
+    occurrences to spend) — thousands, not corpus-sized, for web-scale
+    settings — and is **broadcast** to the anti-join, so the
+    corpus-side membership probe is map-side. For very long documents
+    with a tight threshold, check the bound before relying on the
+    broadcast. No step is quadratic.
     """
     from vinum_spark.operators.dedup import _spread
 
@@ -526,11 +529,11 @@ def remove_boilerplate(
             F.count(F.lit(1)).cast("bigint").alias("__kept"),
         )
     )
-    totals = df.select(
-        F.col(id_col),
-        F.greatest(
-            F.ceil(F.size(_tokens(col)) / F.lit(width)).cast("int"), F.lit(1)
-        ).cast("bigint").alias("n_segments"),
+    # every document (including empty ones) has exactly max(__pos) rows
+    # in segs, so totals come from the small checkpointed frame instead
+    # of a third tokenize-the-corpus scan
+    totals = segs.groupBy(id_col).agg(
+        F.max("__pos").cast("bigint").alias("n_segments")
     )
     return (
         totals.join(rebuilt, id_col, "left")
@@ -643,8 +646,11 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
+    from vinum_spark.operators.dedup import _spread
+
     toks = _tokens(col)
     terms = [t.lower() for t in terms]
+    df = _spread(df, id_col)  # single-file scans are one partition
     base = df.select(
         F.col(id_col), F.size(toks).cast("double").alias("__dl"), toks.alias("__t")
     ).withColumn(
@@ -661,6 +667,10 @@ def bm25_topk(
     n_docs, avgdl = base.agg(
         F.count(F.lit(1)), F.avg("__dl")
     ).collect()[0]
+    if not n_docs:  # empty corpus: no stats, no matches
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("bm25")
+        ).limit(0)
     tf = base.filter(F.size("__qt") > 0).select(
         id_col, "__dl", F.explode("__qt").alias("__term")
     ).groupBy(id_col, "__dl", "__term").agg(
