@@ -357,3 +357,67 @@ def test_bm25_empty_corpus_returns_empty(spark):
     out = bm25_topk(df, terms=["spark"], k=5)
     assert out.columns == ["doc_id", "bm25"]
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# strip_html / normalize_text
+# ---------------------------------------------------------------------------
+
+
+def test_strip_html_basic_extraction(spark):
+    from vinum_spark.operators.text import strip_html
+
+    html = (
+        "<html><head><style>p {color:red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><h1>Title</h1><p>Hello &amp; welcome to the "
+        "<b>corpus</b>.</p><!-- nav --><div>Second&nbsp;block</div></body></html>"
+    )
+    df = spark.createDataFrame([(0, html)], "doc_id long, text string")
+    out = strip_html(df).collect()[0]["clean_text"]
+    assert "Title" in out and "Hello & welcome to the corpus" in out
+    assert "Second block" in out
+    assert "<" not in out and "script" not in out and "color" not in out
+
+
+def test_strip_html_plain_text_passthrough(spark):
+    from vinum_spark.operators.text import strip_html
+
+    df = spark.createDataFrame([(0, "no markup here")], "doc_id long, text string")
+    assert strip_html(df).collect()[0]["clean_text"] == "no markup here"
+
+
+def test_normalize_text_folds_unicode_variants(spark):
+    from vinum_spark.operators.text import normalize_text
+
+    rows = [
+        (0, "\ufb01le \u201cquoted\u201d \u2014 ok"),  # ligature, smart quotes, em-dash
+        (1, "\uff46\uff55\uff4c\uff4c\uff57\uff49\uff44\uff54\uff48"),  # full-width
+        (2, "zero\u200bwidth\x07ctrl"),  # zero-width + control chars
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
+    assert out[0] == 'file "quoted" - ok'
+    assert out[1] == "fullwidth"
+    assert out[2] == "zerowidthctrl"
+    assert out[3] is None
+
+
+def test_normalize_makes_visually_equal_docs_hash_equal(spark):
+    from vinum_spark.operators.text import normalize_text, with_fingerprint
+
+    rows = [(0, "\ufb01le  \u201cA\u201d"), (1, 'file "A"')]
+    df = normalize_text(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    fps = with_fingerprint(df, col="norm_text").select("fingerprint").collect()
+    assert fps[0]["fingerprint"] == fps[1]["fingerprint"]
+
+
+def test_normalize_text_is_arrow_batched_not_row_at_a_time(spark):
+    from vinum_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = normalize_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan

@@ -10,6 +10,11 @@ construction — the 100 TB design requirement.
 """
 
 from vinum_spark.operators.text import (
+    bm25_topk,
+    lm_quality_score,
+    normalize_text,
+    remove_boilerplate,
+    strip_html,
     with_token_count,
     with_text_stats,
     with_lang_id,
@@ -23,6 +28,8 @@ from vinum_spark.operators.text import (
 )
 from vinum_spark.operators.sampling import (
     deterministic_sample,
+    mixture_sample,
+    pack_sequences,
     stratified_sample,
     group_sample_topn,
     length_bucket_stats,
@@ -30,6 +37,8 @@ from vinum_spark.operators.sampling import (
     export_shards,
 )
 from vinum_spark.operators.dedup import (
+    contaminated_docs,
+    dedup_against_store,
     dedup_exact,
     minhash_signatures,
     minhash_candidate_pairs,

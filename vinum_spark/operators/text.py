@@ -697,3 +697,81 @@ def bm25_topk(
         .agg(F.round(F.sum("__s"), 4).alias("bm25"))
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def strip_html(df: DataFrame, col: str = "text", out: str = "clean_text") -> DataFrame:
+    """HTML → text extraction, the first step of every web-corpus
+    pipeline (the regex-ladder tier — real pipelines graduate to a DOM
+    extractor for boilerplate-aware extraction; this handles the bulk
+    strip): drop ``<script>``/``<style>`` blocks wholesale, remove tags,
+    decode the common entities, collapse whitespace.
+
+    Pure chained ``regexp_replace`` — whole-stage codegen, map-side,
+    zero shuffles; composes with the quality/dedup operators downstream.
+    """
+    c = F.col(col)
+    c = F.regexp_replace(c, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?i)<br\s*/?>|</p>|</div>|</h[1-6]>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    return df.withColumn(out, F.trim(c))
+
+
+def normalize_text(
+    df: DataFrame,
+    col: str = "text",
+    out: str = "norm_text",
+    form: str = "NFKC",
+) -> DataFrame:
+    """Unicode normalization for dedup keys: ``form`` normalization
+    (NFKC folds full-width/compatibility forms), smart-quote/dash
+    folding, zero-width and control character removal, whitespace
+    collapse. Running this BEFORE fingerprinting/MinHash is what makes
+    visually-identical scrapes actually hash equal.
+
+    The JVM has no Unicode-normalization builtin, so this is the one
+    text operator that crosses to Python — as an Arrow-batched
+    ``pandas_udf`` (vectorized str ops per batch), never row-at-a-time;
+    still map-side with zero shuffles.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm_fn(s):
+        import unicodedata
+
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize(form, t)
+            t = t.translate(_NORM_FOLD)
+            t = "".join(
+                ch for ch in t
+                if ch in "\n\t " or not unicodedata.category(ch).startswith(("C", "Zl", "Zp"))
+            )
+            return " ".join(t.split())
+
+        return s.map(one)
+
+    # real class objects, not strings: this module uses PEP 563
+    # postponed annotations, which pandas_udf's hint inspection can't
+    # resolve for locally-imported names
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = pandas_udf(_norm_fn, "string")
+    return df.withColumn(out, _norm(F.col(col)))
+
+
+#: smart quotes/dashes/spaces → ASCII, for :func:`normalize_text`
+_NORM_FOLD = str.maketrans({
+    "‘": "'", "’": "'", "‚": "'", "‛": "'",
+    "“": '"', "”": '"', "„": '"', "‟": '"',
+    "–": "-", "—": "-", "−": "-",
+    " ": " ", " ": " ", " ": " ",
+})
