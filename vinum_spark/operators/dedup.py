@@ -732,9 +732,17 @@ def dedup_clusters(
     candidates, and the component loop shuffles (node, label) pairs —
     bounded by the number of matched documents, not the corpus.
     """
-    cands = minhash_candidate_pairs(df, text_col, id_col, n_hashes=n_hashes, bands=bands)
+    # shingle ONCE and share between candidate generation and verify —
+    # the same checkpoint pattern (and rationale) as
+    # :func:`minhash_verified_dedup`
+    sh = _shingle_frame(df, text_col, id_col, n).localCheckpoint(eager=True)
+    cands = minhash_candidate_pairs(
+        df, text_col, id_col, n_hashes=n_hashes, bands=bands,
+        shingle_size=n, shingles=sh,
+    )
     verified = ngram_jaccard_verify(
-        df, cands, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+        df, cands, text_col=text_col, id_col=id_col, n=n, threshold=threshold,
+        shingles=sh,
     )
     cc = connected_components(verified)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
