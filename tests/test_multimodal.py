@@ -462,3 +462,39 @@ def test_sample_frames_truncated_gif_falls_back_to_stub(spark):
     df = spark.createDataFrame([(1, broken)], "asset_id long, content binary")
     frames = sample_frames(df, every_n=10).toPandas()
     assert (frames.decoder == "stub").all()  # refused, never guessed
+
+
+def test_extract_features_real_wav_rms_envelope(spark):
+    """Real WAV features: same loudness envelope at different sample
+    rates stays close in cosine; a bursty envelope does not."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import extract_features
+
+    steady_a = _sine_wav(freq=440.0, rate=8000, seconds=0.5, amp=0.5)
+    steady_b = _sine_wav(freq=220.0, rate=4000, seconds=0.5, amp=0.5)
+    # bursty: loud first half, near-silent second half
+    import struct
+
+    rate, seconds = 8000, 0.5
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    amp = np.where(t < seconds / 2, 0.9, 0.01)
+    samples = (amp * np.sin(2 * np.pi * 440.0 * t) * 32767).astype("<i2")
+    payload = samples.tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(payload))
+    )
+    bursty = hdr + payload
+    df = spark.createDataFrame(
+        [(0, steady_a), (1, steady_b), (2, bursty)],
+        "asset_id long, content binary",
+    )
+    out = extract_features(df).toPandas().set_index("asset_id")
+    assert set(out.extractor) == {"wav-rms64"}
+    f = {i: np.array(out.loc[i].feature) for i in (0, 1, 2)}
+    cos = lambda a, b: float(a @ b)
+    assert cos(f[0], f[1]) > 0.98  # same flat envelope, different rate/pitch
+    assert cos(f[0], f[2]) < 0.85  # half-silent envelope is far

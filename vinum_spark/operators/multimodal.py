@@ -651,16 +651,30 @@ def _pooled_gray_feature(px: np.ndarray) -> np.ndarray:
     return (v / n).astype("float32")
 
 
+def _rms_envelope_feature(samples: "np.ndarray") -> "np.ndarray":
+    """64-window RMS envelope of a mono-folded sample array, L2
+    normalized — all numpy, no codec dependency."""
+    n = samples.size - (samples.size % _FEATURE_DIM)
+    windows = samples[:n].reshape(_FEATURE_DIM, -1)
+    rms = np.sqrt((windows**2).mean(axis=1))
+    norm = np.linalg.norm(rms)
+    return (rms / norm if norm > 0 else rms).astype("float32")
+
+
 def extract_features(
     df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
 ) -> DataFrame:
     """Per-asset feature vector (array<float>) via mapInPandas.
 
     REAL for decodable PNGs: 8×8 mean-pooled grayscale over the actual
-    pixels (``extractor='png-pool8'``). STUB elsewhere: sha-seeded unit
-    vector, deterministic, clearly labeled (``extractor='stub'``) — a
-    real model slots into the same batch loop. Either way the output
-    feeds straight into ``operators.similarity`` (cosine top-k / LSH)
+    pixels (``extractor='png-pool8'``). REAL for decodable PCM16 WAVs:
+    the 64-window RMS loudness envelope of the actual samples, L2-
+    normalized (``extractor='wav-rms64'``) — the classic codec-free
+    audio fingerprint, enough for near-dup detection of re-encoded or
+    trimmed copies. STUB elsewhere: sha-seeded unit vector,
+    deterministic, clearly labeled (``extractor='stub'``) — a real
+    model slots into the same batch loop. Either way the output feeds
+    straight into ``operators.similarity`` (cosine top-k / LSH)
     unchanged.
     """
 
@@ -674,6 +688,11 @@ def extract_features(
                 if px is not None and px.shape[0] >= 8 and px.shape[1] >= 8:
                     feats.append(_pooled_gray_feature(px).tolist())
                     kinds.append("png-pool8")
+                    continue
+                wav = _wav_pcm_samples(data)
+                if wav is not None and wav[0].size >= _FEATURE_DIM:
+                    feats.append(_rms_envelope_feature(wav[0]).tolist())
+                    kinds.append("wav-rms64")
                     continue
                 seed = int.from_bytes(hashlib.sha1(data).digest()[:4], "big")
                 v = np.random.RandomState(seed).standard_normal(_FEATURE_DIM)
