@@ -421,3 +421,94 @@ def test_normalize_text_is_arrow_batched_not_row_at_a_time(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     plan = normalize_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# prepare_corpus (composed pipeline)
+# ---------------------------------------------------------------------------
+
+
+def test_prepare_corpus_equals_manual_chain(spark):
+    """The one-call pipeline must produce EXACTLY what chaining the
+    standalone (individually oracle-gated) operators produces."""
+    from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
+    from vinum_spark.operators.dedup import dedup_exact
+    from vinum_spark.operators.sampling import with_shard
+    from vinum_spark.operators.text import with_quality_rules
+
+    rows = [
+        (i, f"some realistic words here item {i % 5} with content", f"src{i % 2}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    got = prepare_corpus(df, CorpusConfig(n_shards=4)).select(
+        "doc_id", "text", "shard"
+    )
+    manual = with_shard(
+        dedup_exact(
+            with_quality_rules(df).filter("quality_pass"), id_col="doc_id"
+        ),
+        "doc_id",
+        4,
+    ).select("doc_id", "text", "shard")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, manual.collect()))
+
+
+def test_prepare_corpus_decontaminates(spark):
+    from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta unique tail one"),
+            (1, "clean words entirely different from benchmark"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(9, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    out = prepare_corpus(
+        corpus,
+        CorpusConfig(
+            quality_filter=False,
+            dedup=False,
+            decontaminate_against=eval_df,
+            decontaminate_ngram=4,
+        ),
+    )
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_prepare_corpus_full_stack_runs(spark):
+    """All stages on at once over markup-wrapped input."""
+    from pyspark.sql import functions as F
+    from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
+
+    rows = [
+        (i, f"<p>genuine textual content number {i} appears here today</p>",
+         f"src{i % 2}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    eval_df = spark.createDataFrame(
+        [(99, "never matches anything meaningful whatsoever")],
+        "doc_id long, text string",
+    )
+    out = prepare_corpus(
+        df,
+        CorpusConfig(
+            strip_html=True,
+            normalize=True,
+            quality_filter=True,
+            dedup=True,
+            decontaminate_against=eval_df,
+            decontaminate_ngram=4,
+            mixture_weights={"src0": 0.5, "src1": 0.5},
+            mixture_budget=10000,
+            n_shards=4,
+        ),
+    ).collect()
+    assert len(out) > 0
+    assert all("<p>" not in r["text"] for r in out)
+    assert all(0 <= r["shard"] < 4 for r in out)

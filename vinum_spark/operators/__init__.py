@@ -64,6 +64,7 @@ from vinum_spark.operators.similarity import (
     ivf_topk,
 )
 from vinum_spark.operators.asof import asof_join
+from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
 from vinum_spark.operators.multimodal import (
     attach_metadata,
     decode_images,
