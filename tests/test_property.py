@@ -156,3 +156,26 @@ def test_sample_threshold_hex_monotone_and_bounded(f):
     assert smaller <= t or t == "g"
     assert sample_threshold_hex(0.0) == "00000000"
     assert sample_threshold_hex(1.0) == "g"
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_normalize_one_idempotent_and_clean(s):
+    """normalize_text's core: idempotent, and its output never contains
+    control/zero-width characters or runs of whitespace."""
+    import unicodedata
+
+    from vinum_spark.operators.text import _normalize_one
+
+    out = _normalize_one(s)
+    assert _normalize_one(out) == out  # fixed point
+    assert "  " not in out and not out.startswith(" ") and not out.endswith(" ")
+    for ch in out:
+        if ch != " ":
+            assert not unicodedata.category(ch).startswith(("C", "Zl", "Zp"))
+
+
+def test_normalize_one_none_passthrough():
+    from vinum_spark.operators.text import _normalize_one
+
+    assert _normalize_one(None) is None

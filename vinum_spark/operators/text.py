@@ -745,20 +745,7 @@ def normalize_text(
     from pyspark.sql.functions import pandas_udf
 
     def _norm_fn(s):
-        import unicodedata
-
-        def one(t):
-            if t is None:
-                return None
-            t = unicodedata.normalize(form, t)
-            t = t.translate(_NORM_FOLD)
-            t = "".join(
-                ch for ch in t
-                if ch in "\n\t " or not unicodedata.category(ch).startswith(("C", "Zl", "Zp"))
-            )
-            return " ".join(t.split())
-
-        return s.map(one)
+        return s.map(lambda t: _normalize_one(t, form))
 
     # real class objects, not strings: this module uses PEP 563
     # postponed annotations, which pandas_udf's hint inspection can't
@@ -766,6 +753,25 @@ def normalize_text(
     _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
     _norm = pandas_udf(_norm_fn, "string")
     return df.withColumn(out, _norm(F.col(col)))
+
+
+def _normalize_one(t: Optional[str], form: str = "NFKC") -> Optional[str]:
+    """The per-string normalization core (module-scope so it is
+    property-testable without Spark): Unicode ``form`` → quote/dash
+    fold → control/zero-width strip → whitespace collapse. Idempotent
+    by construction — every stage's output is a fixed point of itself
+    and of the stages before it."""
+    import unicodedata
+
+    if t is None:
+        return None
+    t = unicodedata.normalize(form, t)
+    t = t.translate(_NORM_FOLD)
+    t = "".join(
+        ch for ch in t
+        if ch in "\n\t " or not unicodedata.category(ch).startswith(("C", "Zl", "Zp"))
+    )
+    return " ".join(t.split())
 
 
 #: smart quotes/dashes/spaces → ASCII, for :func:`normalize_text`
