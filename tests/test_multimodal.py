@@ -498,3 +498,24 @@ def test_extract_features_real_wav_rms_envelope(spark):
     cos = lambda a, b: float(a @ b)
     assert cos(f[0], f[1]) > 0.98  # same flat envelope, different rate/pitch
     assert cos(f[0], f[2]) < 0.85  # half-silent envelope is far
+
+
+def test_extract_features_silent_wav_unit_vector(spark):
+    # review regression: digital silence must not produce a zero vector
+    import numpy as np
+    import struct
+
+    from vinum_spark.operators.multimodal import extract_features
+
+    rate = 8000
+    payload = (np.zeros(4000, dtype="<i2")).tobytes()
+    silent = (
+        b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    df = spark.createDataFrame([(0, silent)], "asset_id long, content binary")
+    out = extract_features(df).collect()[0]
+    assert out["extractor"] == "wav-rms64"
+    v = np.array(out["feature"])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5

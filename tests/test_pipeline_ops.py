@@ -512,3 +512,70 @@ def test_prepare_corpus_full_stack_runs(spark):
     assert len(out) > 0
     assert all("<p>" not in r["text"] for r in out)
     assert all(0 <= r["shard"] < 4 for r in out)
+
+
+def test_strip_html_double_escaped_entities_stay_text(spark):
+    # review regression: '&amp;lt;' renders as '&lt;' in a browser and
+    # must NOT decode twice into a real '<'
+    from vinum_spark.operators.text import strip_html
+
+    df = spark.createDataFrame(
+        [(0, "<p>5 &amp;lt; 6 &amp; 7 &gt; 2</p>")], "doc_id long, text string"
+    )
+    out = strip_html(df).collect()[0]["clean_text"]
+    assert out == "5 &lt; 6 & 7 > 2"
+
+
+def test_normalize_one_composes_after_format_strip():
+    # review regression: stripping a soft hyphen between base letter and
+    # combining mark must still produce the composed (NFC) form
+    from vinum_spark.operators.text import _normalize_one
+
+    assert _normalize_one("a\u00ad\u0301") == _normalize_one("a\u0301") == "\u00e1"
+
+
+def test_prepare_corpus_mixture_custom_quality_col(spark):
+    # review regression: non-default mixture_quality_col crashed on an
+    # unresolvable n_chars column
+    from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
+
+    rows = [(i, f"words here number {i}", "web", float(i)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, my_score double"
+    )
+    out = prepare_corpus(
+        df,
+        CorpusConfig(
+            quality_filter=False,
+            dedup=False,
+            mixture_weights={"web": 1.0},
+            mixture_budget=50,
+            mixture_quality_col="my_score",
+        ),
+    ).collect()
+    assert len(out) > 0
+    # highest my_score docs picked first
+    assert max(r["doc_id"] for r in out) == 9
+
+
+def test_prepare_corpus_decontaminates_normalized_eval(spark):
+    # review regression: with normalize on, the eval set must be
+    # normalized too or unicode variants of benchmark text slip through
+    from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta tail"), (1, "clean other words here")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(9, "\uff41lpha beta gamma delta")],  # full-width 'a' folds to 'a'
+        "doc_id long, text string",
+    )
+    out = prepare_corpus(
+        corpus,
+        CorpusConfig(
+            normalize=True, quality_filter=False, dedup=False,
+            decontaminate_against=eval_df, decontaminate_ngram=4,
+        ),
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]

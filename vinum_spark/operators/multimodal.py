@@ -658,7 +658,10 @@ def _rms_envelope_feature(samples: "np.ndarray") -> "np.ndarray":
     windows = samples[:n].reshape(_FEATURE_DIM, -1)
     rms = np.sqrt((windows**2).mean(axis=1))
     norm = np.linalg.norm(rms)
-    return (rms / norm if norm > 0 else rms).astype("float32")
+    if norm < 1e-12:  # digital silence: deterministic constant direction
+        rms = np.ones(_FEATURE_DIM)
+        norm = np.linalg.norm(rms)
+    return (rms / norm).astype("float32")
 
 
 def extract_features(

@@ -14,7 +14,7 @@ packing) — composition adds none.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional
 
 from pyspark.sql import DataFrame
@@ -46,11 +46,12 @@ class CorpusConfig:
     mixture_budget: int = 0
     mixture_strata_col: str = "source"
     mixture_quality_col: str = "mean_token_len"
+    mixture_length_col: Optional[str] = None  # default: computed token stats
     n_shards: Optional[int] = None
     shard_seed: str = "0"
 
 
-def prepare_corpus(df: DataFrame, config: CorpusConfig = CorpusConfig()) -> DataFrame:
+def prepare_corpus(df: DataFrame, config: Optional[CorpusConfig] = None) -> DataFrame:
     """Run the configured preparation chain and return the surviving
     rows with the working text in ``config.text_col`` plus the columns
     the enabled stages add (quality signals, ``fingerprint``,
@@ -62,7 +63,7 @@ def prepare_corpus(df: DataFrame, config: CorpusConfig = CorpusConfig()) -> Data
     mix → shard. Each stage is exactly the standalone operator — no
     pipeline-specific variants to drift from the gated semantics.
     """
-    c = config
+    c = config if config is not None else CorpusConfig()
     text_col = c.text_col
     if c.strip_html:
         df = X.strip_html(df, col=text_col, out="__clean")
@@ -88,25 +89,43 @@ def prepare_corpus(df: DataFrame, config: CorpusConfig = CorpusConfig()) -> Data
     if c.dedup:
         df = D.dedup_exact(df, id_col=c.id_col, text_col=text_col)
     if c.decontaminate_against is not None:
+        # the eval set must see the SAME text transforms as the corpus —
+        # normalizing one side only would break the exact n-gram match
+        # and silently miss contamination
+        eval_df = c.decontaminate_against
+        if c.strip_html:
+            eval_df = X.strip_html(eval_df, col=text_col, out="__clean")
+            eval_df = eval_df.drop(text_col).withColumnRenamed("__clean", text_col)
+        if c.normalize:
+            eval_df = X.normalize_text(eval_df, col=text_col, out="__norm")
+            eval_df = eval_df.drop(text_col).withColumnRenamed("__norm", text_col)
         hits = D.contaminated_docs(
             df,
-            c.decontaminate_against,
+            eval_df,
             text_col=text_col,
             id_col=c.id_col,
             n=c.decontaminate_ngram,
         ).select(c.id_col)
-        df = df.join(F.broadcast(hits), c.id_col, "left_anti")
+        # plain anti-join: the HIT set is corpus-proportional in the
+        # worst case (one common eval n-gram can flag millions of docs),
+        # so broadcasting it is AQE's call, not ours — only the eval
+        # GRAM frame inside contaminated_docs is always-broadcast
+        df = df.join(hits, c.id_col, "left_anti")
     if c.mixture_weights:
-        if c.mixture_quality_col == "mean_token_len" and (
-            "mean_token_len" not in df.columns
-        ):
-            df = X.with_text_stats(df, col=text_col)
+        length_col = c.mixture_length_col
+        need = [c.mixture_quality_col] + ([length_col] if length_col else [])
+        if any(col not in df.columns for col in need) or length_col is None:
+            # compute the token stats whenever the mixture's quality or
+            # length column isn't already on the frame
+            if "n_chars_calc" not in df.columns:
+                df = X.with_text_stats(df, col=text_col)
+            length_col = length_col or "n_chars_calc"
         df = S.mixture_sample(
             df,
             strata_col=c.mixture_strata_col,
             weights=c.mixture_weights,
             budget=c.mixture_budget,
-            length_col="n_chars_calc" if "n_chars_calc" in df.columns else "n_chars",
+            length_col=length_col,
             quality_col=c.mixture_quality_col,
             key_col=c.id_col,
         )

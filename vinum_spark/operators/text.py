@@ -714,14 +714,18 @@ def strip_html(df: DataFrame, col: str = "text", out: str = "clean_text") -> Dat
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"(?i)<br\s*/?>|</p>|</div>|</h[1-6]>", "\n")
     c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    # &amp; decodes LAST: decoding it first would turn doubly-escaped
+    # entities ('&amp;lt;' renders as '&lt;') into real markup chars
     for ent, rep in (
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
         ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+        ("&amp;", "&"),
     ):
         c = F.replace(c, F.lit(ent), F.lit(rep))
     c = F.regexp_replace(c, r"[ \t]+", " ")
     c = F.regexp_replace(c, r" ?\n ?", "\n")
-    return df.withColumn(out, F.trim(c))
+    # trim() strips only spaces; block-tag newlines need the regex form
+    return df.withColumn(out, F.regexp_replace(c, r"^\s+|\s+$", ""))
 
 
 def normalize_text(
@@ -758,9 +762,9 @@ def normalize_text(
 def _normalize_one(t: Optional[str], form: str = "NFKC") -> Optional[str]:
     """The per-string normalization core (module-scope so it is
     property-testable without Spark): Unicode ``form`` → quote/dash
-    fold → control/zero-width strip → whitespace collapse. Idempotent
-    by construction — every stage's output is a fixed point of itself
-    and of the stages before it."""
+    fold → control/zero-width strip → re-normalize → whitespace
+    collapse. Idempotent (hypothesis-pinned): the second normalize
+    composes sequences the character strip exposes."""
     import unicodedata
 
     if t is None:
@@ -771,6 +775,12 @@ def _normalize_one(t: Optional[str], form: str = "NFKC") -> Optional[str]:
         ch for ch in t
         if ch in "\n\t " or not unicodedata.category(ch).startswith(("C", "Zl", "Zp"))
     )
+    # re-normalize: stripping a format char (e.g. soft hyphen) between a
+    # base letter and a combining mark exposes a composable sequence the
+    # first pass could not compose — without this, 'a\u00ad\u0301' and
+    # '\u00e1' would fingerprint differently and the function would not
+    # be a fixed point of itself
+    t = unicodedata.normalize(form, t)
     return " ".join(t.split())
 
 
