@@ -54,6 +54,7 @@ GATED = [
     "q72_incremental_dedup",
     "q73_bm25_search",
     "q74_mixture_sample",
+    "q75_prepare_corpus",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible
@@ -80,6 +81,7 @@ GATED = [
     "q42_regex_strings",
     "q48_grouped_agg_udf",
     "q37_pivot",
+    "q24_events_sessionize",
 ]
 
 
