@@ -248,3 +248,39 @@ def test_quality_and_sampling_operators_compose_with_readstream(spark, tmp_path)
     a = got[cols].sort_values("doc_id").reset_index(drop=True)
     b = batch[cols].sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_prepare_corpus_map_side_config_runs_on_readstream(spark, tmp_path):
+    """prepare_corpus with a map-side-only config (strip/normalize/
+    quality/shard — no dedup, which needs a window) must accept a
+    readStream frame and produce the batch result exactly: one pipeline
+    definition, batch backfill AND streaming ingest."""
+    import os
+
+    import pandas as pd
+
+    from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
+
+    src = str(tmp_path / "pc_src")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": list(range(30)),
+            "text": [f"<p>ordinary streaming document {i}</p>" for i in range(30)],
+        }
+    ).to_parquet(src + "/part0.parquet")
+    cfg = CorpusConfig(
+        strip_html=True, normalize=True, quality_filter=True,
+        dedup=False, n_shards=4,
+    )
+    stream_out = prepare_corpus(
+        spark.readStream.schema("doc_id long, text string").parquet(src), cfg
+    )
+    assert stream_out.isStreaming
+    run_stream_to_memory(stream_out, "pc_stream_out", mode="append")
+    got = spark.table("pc_stream_out").toPandas()
+    batch = prepare_corpus(spark.read.parquet(src), cfg).toPandas()
+    cols = sorted(batch.columns)
+    a = got[cols].sort_values("doc_id").reset_index(drop=True)
+    b = batch[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
