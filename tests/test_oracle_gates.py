@@ -55,6 +55,7 @@ GATED = [
     "q73_bm25_search",
     "q74_mixture_sample",
     "q75_prepare_corpus",
+    "q76_encode_tokens",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible
@@ -82,6 +83,7 @@ GATED = [
     "q48_grouped_agg_udf",
     "q37_pivot",
     "q24_events_sessionize",
+    "q26_lang_id",
 ]
 
 

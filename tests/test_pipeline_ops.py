@@ -579,3 +579,48 @@ def test_prepare_corpus_decontaminates_normalized_eval(spark):
         ),
     ).collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+# ---------------------------------------------------------------------------
+# encode_tokens
+# ---------------------------------------------------------------------------
+
+
+def test_encode_tokens_order_oov_and_truncation(spark):
+    from vinum_spark.operators.text import encode_tokens
+
+    df = spark.createDataFrame(
+        [(0, "the cat saw the dog"), (1, "unknown words only")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the", 1), ("cat", 2), ("dog", 3)], "token string, token_id int"
+    )
+    out = {r["doc_id"]: r for r in encode_tokens(df, vocab).collect()}
+    assert out[0]["token_ids"] == [1, 2, 0, 1, 3]  # position order, OOV=0
+    assert out[0]["seq_len"] == 5 and out[0]["n_oov"] == 1
+    assert out[1]["token_ids"] == [0, 0, 0] and out[1]["n_oov"] == 3
+    trunc = {
+        r["doc_id"]: r
+        for r in encode_tokens(df, vocab, max_len=3).collect()
+    }
+    assert trunc[0]["token_ids"] == [1, 2, 0]
+    assert trunc[0]["seq_len"] == 5  # pre-truncation length preserved
+
+
+def test_encode_tokens_vocab_is_broadcast(spark):
+    from vinum_spark.operators.text import encode_tokens
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("a", 1)], "token string, token_id int")
+    plan = encode_tokens(df, vocab)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_encode_tokens_rejects_bad_max_len(spark):
+    from vinum_spark.operators.text import encode_tokens
+
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("a", 1)], "token string, token_id int")
+    with pytest.raises(ValueError, match="max_len"):
+        encode_tokens(df, vocab, max_len=0)

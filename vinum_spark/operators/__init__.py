@@ -11,6 +11,7 @@ construction — the 100 TB design requirement.
 
 from vinum_spark.operators.text import (
     bm25_topk,
+    encode_tokens,
     lm_quality_score,
     normalize_text,
     remove_boilerplate,

@@ -791,3 +791,57 @@ _NORM_FOLD = str.maketrans({
     "–": "-", "—": "-", "−": "-",
     " ": " ", " ": " ", " ": " ",
 })
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_len: Optional[int] = None,
+    unk_id: int = 0,
+) -> DataFrame:
+    """Token-ID encoding against a vocabulary table — the last hop from
+    a prepared corpus to trainer input: whitespace tokens looked up in
+    ``vocab`` (columns ``token``, ``token_id``), out-of-vocabulary
+    tokens mapped to ``unk_id``, sequences optionally truncated to
+    ``max_len``.
+
+    Returns ``(id_col, token_ids array<int>, seq_len, n_oov)`` —
+    ``seq_len`` counts the PRE-truncation tokens so capacity planning
+    sees true document lengths.
+
+    Scale shape: the vocab (even 1M entries is MBs) is **broadcast**
+    into the token lookup, so encoding is map-side except one shuffle
+    keyed by document id for the ordered re-assembly; order is carried
+    by the token's position, not by partitioning luck. The lookup is a
+    left join, never a Python dict — no driver-side vocab collect, and
+    the same plan at any vocab or corpus size.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(_tokens(col)).alias("__pos", "__tok")
+    )
+    looked = toks.join(
+        F.broadcast(vocab.select(F.col("token").alias("__tok"), "token_id")),
+        "__tok",
+        "left",
+    ).select(
+        id_col,
+        "__pos",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("int").alias("__id"),
+        F.col("token_id").isNull().cast("int").alias("__oov"),
+    )
+    ids_in_order = F.transform(
+        F.array_sort(F.collect_list(F.struct("__pos", "__id"))),
+        lambda s: s["__id"],
+    )
+    out = looked.groupBy(id_col).agg(
+        ids_in_order.alias("token_ids"),
+        F.count(F.lit(1)).cast("bigint").alias("seq_len"),
+        F.sum("__oov").cast("bigint").alias("n_oov"),
+    )
+    if max_len is not None:
+        if max_len < 1:
+            raise ValueError(f"max_len must be >= 1, got {max_len}")
+        out = out.withColumn("token_ids", F.slice("token_ids", 1, max_len))
+    return out
