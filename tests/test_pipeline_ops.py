@@ -624,3 +624,19 @@ def test_encode_tokens_rejects_bad_max_len(spark):
     vocab = spark.createDataFrame([("a", 1)], "token string, token_id int")
     with pytest.raises(ValueError, match="max_len"):
         encode_tokens(df, vocab, max_len=0)
+
+
+def test_encode_tokens_keeps_zero_token_docs(spark):
+    # review regression: empty/whitespace-only docs must not vanish
+    from vinum_spark.operators.text import encode_tokens
+
+    df = spark.createDataFrame(
+        [(0, "the cat"), (1, ""), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("the", 1)], "token string, token_id int")
+    out = {r["doc_id"]: r for r in encode_tokens(df, vocab).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for i in (1, 2, 3):
+        assert out[i]["token_ids"] == [] and out[i]["seq_len"] == 0
+        assert out[i]["n_oov"] == 0

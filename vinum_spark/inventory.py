@@ -2996,10 +2996,12 @@ def q75(spark, sf_dir):
     "q76_encode_tokens",
     r"""
     WITH toks AS (
+      -- whitespace-only docs have ZERO tokens (string_split_regex of ''
+      -- would report ['']); they re-enter via the final left join
       SELECT doc_id, unnest(t) AS tok,
              generate_subscripts(t, 1) AS pos
       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-            FROM documents)
+            FROM documents WHERE trim(text) <> '')
     ), vocab AS (
       SELECT tok AS token,
              CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS token_id
@@ -3012,15 +3014,22 @@ def q75(spark, sf_dir):
              CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS oov
       FROM toks t LEFT JOIN vocab v ON lower(t.tok) = v.token
     )
-    SELECT doc_id,
-           md5(array_to_string(list_transform(
-             list_sort(list_zip(array_agg(pos), array_agg(id)),
-                       'ASC'), p -> p[2]), ',')) AS ids_hash,
-           CAST(count(*) AS BIGINT) AS seq_len,
-           CAST(sum(oov) AS BIGINT) AS n_oov
-    FROM looked
-    GROUP BY doc_id
-    ORDER BY doc_id
+    , grouped AS (
+      SELECT doc_id,
+             md5(array_to_string(list_transform(
+               list_sort(list_zip(array_agg(pos), array_agg(id)),
+                         'ASC'), p -> p[2]), ',')) AS ids_hash,
+             CAST(count(*) AS BIGINT) AS seq_len,
+             CAST(sum(oov) AS BIGINT) AS n_oov
+      FROM looked
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(g.ids_hash, md5('')) AS ids_hash,
+           COALESCE(g.seq_len, 0) AS seq_len,
+           COALESCE(g.n_oov, 0) AS n_oov
+    FROM documents d LEFT JOIN grouped g USING (doc_id)
+    ORDER BY d.doc_id
     """,
     "Token-ID encoding (operators/text.py encode_tokens) against a "
     "vocab of the 30 most frequent lowercased corpus tokens "
@@ -3034,7 +3043,9 @@ def q75(spark, sf_dir):
 )
 def q76(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"))
+    toks = d.filter(F.trim(F.col("text")) != "").select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -807,7 +807,9 @@ def encode_tokens(
     tokens mapped to ``unk_id``, sequences optionally truncated to
     ``max_len``.
 
-    Returns ``(id_col, token_ids array<int>, seq_len, n_oov)`` —
+    Returns ``(id_col, token_ids array<int>, seq_len, n_oov)`` — one
+    row per input document, INCLUDING zero-token ones (empty array,
+    seq_len 0): trainer-input frames must not silently lose documents.
     ``seq_len`` counts the PRE-truncation tokens so capacity planning
     sees true document lengths.
 
@@ -835,10 +837,18 @@ def encode_tokens(
         F.array_sort(F.collect_list(F.struct("__pos", "__id"))),
         lambda s: s["__id"],
     )
-    out = looked.groupBy(id_col).agg(
+    grouped = looked.groupBy(id_col).agg(
         ids_in_order.alias("token_ids"),
         F.count(F.lit(1)).cast("bigint").alias("seq_len"),
         F.sum("__oov").cast("bigint").alias("n_oov"),
+    )
+    # zero-token documents produce no exploded rows and would vanish in
+    # the groupBy — left-join back so every input doc keeps a row
+    out = df.select(id_col).join(grouped, id_col, "left").select(
+        id_col,
+        F.coalesce("token_ids", F.array().cast("array<int>")).alias("token_ids"),
+        F.coalesce("seq_len", F.lit(0)).cast("bigint").alias("seq_len"),
+        F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
     )
     if max_len is not None:
         if max_len < 1:
