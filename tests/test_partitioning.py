@@ -83,3 +83,40 @@ def test_result_invariant_under_many_partitions(many_partition_spark, oracle_con
             ), c
         else:
             assert (s[c].astype(str) == o[c].astype(str)).all(), c
+
+
+@pytest.fixture(scope="module")
+def odd_reducer_spark(spark):
+    """Different reducer count than the pinned 32 — what actually
+    changes when the same job lands on a different-sized cluster."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q27_dedup_exact",
+        "q29_minhash_lsh_dedup",
+        "q63_dedup_clusters",
+        "q71_pack_sequences",
+        "q74_mixture_sample",
+        "q76_encode_tokens",
+    ],
+)
+def test_result_invariant_under_odd_reducer_count(odd_reducer_spark, oracle_con, name):
+    sdf = QUERIES[name].fn(odd_reducer_spark, SF_DIR).toPandas()
+    odf = oracle_con.execute(oracle_sql()[name]).df()
+    cols = sorted(sdf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert s.shape == o.shape
+    for c in cols:
+        if s[c].dtype.kind in "fciu":
+            assert np.allclose(s[c].astype("float64"), o[c].astype("float64")), c
+        else:
+            assert (s[c].astype(str) == o[c].astype(str)).all(), c
