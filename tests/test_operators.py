@@ -477,3 +477,45 @@ def test_lsh_and_ivf_null_vectors_yield_null_not_crash(spark):
     assert sig[1] is not None and sig[2] is None and sig[3] is None
     cell = {r["vec_id"]: r["ivf_cell"] for r in ivf_index(df, dim=8, n_cells=4).collect()}
     assert cell[1] is not None and cell[2] is None and cell[3] is None
+
+
+def test_pq_encode_shapes_and_nulls(spark, vectors):
+    from vinum_spark.operators.similarity import pq_encode
+
+    out = pq_encode(vectors, dim=8, m=2, n_codes=4).collect()
+    assert any(r["pq_code"] is not None for r in out)
+    for r in out:
+        assert r["pq_code"] is None or len(r["pq_code"]) == 2
+
+
+def test_pq_topk_with_trained_books_recovers_neighbor(spark, vectors):
+    from vinum_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    q = vectors.filter("vec_id = 0").select("embedding").collect()[0][0]
+    books = train_pq_codebooks(vectors, 8, m=2, n_codes=4, sample=64)
+    ann = [r["vec_id"] for r in pq_topk(
+        vectors, q, k=2, m=2, n_codes=4, rerank=8, codebooks=books
+    ).collect()]
+    exact = [r["vec_id"] for r in cosine_topk(vectors, q, k=2).collect()]
+    assert ann[0] == exact[0]  # top-1 must survive quantization + rerank
+
+
+def test_pq_rejects_indivisible_dim(spark, vectors):
+    from vinum_spark.operators.similarity import pq_encode
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_encode(vectors, dim=8, m=3)
+
+
+def test_pq_training_is_deterministic(spark, vectors):
+    import numpy as np
+
+    from vinum_spark.operators.similarity import train_pq_codebooks
+
+    a = train_pq_codebooks(vectors, 8, m=2, n_codes=4, sample=64)
+    b = train_pq_codebooks(vectors.repartition(5), 8, m=2, n_codes=4, sample=64)
+    assert np.allclose(a, b)

@@ -56,6 +56,7 @@ GATED = [
     "q74_mixture_sample",
     "q75_prepare_corpus",
     "q76_encode_tokens",
+    "q77_ann_pq",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible
@@ -84,6 +85,7 @@ GATED = [
     "q37_pivot",
     "q24_events_sessionize",
     "q26_lang_id",
+    "q32_ann_lsh",
 ]
 
 

@@ -490,3 +490,172 @@ def lsh_bucket_topk(
         F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(q_sig))) <= hamming_radius
     )
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
+def _pq_codebooks(dim: int, m: int, n_codes: int, seed: int = 77) -> np.ndarray:
+    """(m, n_codes, dim//m) deterministic random sub-codebooks — the
+    dependency-free stand-in for k-means-trained codebooks (same
+    rationale as :func:`ivf_index`'s fixed centroids: the encode and
+    query paths are identical to trained PQ, and determinism makes the
+    operator oracle-gateable)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((m, n_codes, dim // m)).astype("float64")
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 77,
+) -> np.ndarray:
+    """Train PQ sub-codebooks with per-subspace k-means over a
+    DETERMINISTIC sample (smallest ``sample`` ids, seeded init, fixed
+    iteration count) — trained codebooks separate real data far better
+    than random ones, and the bounded driver-side sample keeps the
+    operator reproducible and collect-safe (2048 × dim floats ≈ 1 MB;
+    the corpus itself never leaves the cluster). Returns the
+    (m, n_codes, dim//m) array :func:`pq_encode`/:func:`pq_topk`
+    accept via ``codebooks=``."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .orderBy(F.col(id_col).asc())
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
+    mat = np.stack([np.asarray(r[0], dtype="float64") for r in rows])
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        s = mat[:, j * sub : (j + 1) * sub]
+        cent = s[rng.choice(len(s), size=n_codes, replace=len(s) < n_codes)]
+        for _ in range(iters):
+            d = ((s[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(n_codes):
+                members = s[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    out: str = "pq_code",
+    seed: int = 77,
+    codebooks: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``m``
+    subvectors and store only the index of the nearest codeword per
+    subspace — ``m`` small ints instead of ``dim`` floats (64-dim
+    float32 → 8 bytes at m=8/n_codes≤256, a 32× memory cut). THE
+    technique for ANN over corpora whose raw vectors don't fit the
+    cluster (Jégou, Douze & Schmid, TPAMI'11).
+
+    Map-side only: one Arrow-batched argmin against each (n_codes ×
+    sub_dim) codebook per batch; NULL / wrong-length vectors encode to
+    NULL (excluded from search) instead of crashing the batch.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = codebooks if codebooks is not None else _pq_codebooks(dim, m, n_codes, seed)
+    sub = dim // m
+
+    def _enc_fn(v):
+        vals = v.to_numpy()
+        ok = np.fromiter(
+            (x is not None and len(x) == dim for x in vals),
+            dtype=bool,
+            count=len(vals),
+        )
+        out_codes = [None] * len(vals)
+        if ok.any():
+            mat = np.stack([np.asarray(x, dtype="float64") for x in vals[ok]])
+            codes = np.empty((mat.shape[0], m), dtype="int32")
+            for j in range(m):
+                s = mat[:, j * sub : (j + 1) * sub]
+                # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2; ||s||^2 constant per row
+                d = -2.0 * (s @ books[j].T) + (books[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmin(d, axis=1)
+            rows = iter(codes.tolist())
+            out_codes = [next(rows) if k else None for k in ok]
+        return pd.Series(out_codes, dtype="object")
+
+    _enc_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _enc = pandas_udf(_enc_fn, "array<int>")
+    return df.withColumn(out, _enc(F.col(vec_col)))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 77,
+    codebooks: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """PQ approximate top-k: asymmetric-distance (ADC) scan over the
+    codes, then exact cosine re-rank of the best ``rerank`` candidates.
+
+    Scale shape: the per-query distance table (m × n_codes floats) is
+    computed once on the driver and closed over — the scan reads ONLY
+    the code column (``m`` ints/row, the whole point of PQ), the ADC
+    sum is an Arrow-batched table lookup, candidate selection is a
+    TakeOrdered (never a full sort), and the exact re-rank touches
+    ``rerank`` rows' raw vectors. No shuffle anywhere.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(list(query_vec), dtype="float64")
+    dim = q.shape[0]
+    books = codebooks if codebooks is not None else _pq_codebooks(dim, m, n_codes, seed)
+    sub = dim // m
+    # ADC table: squared L2 from each query subvector to every codeword
+    table = np.stack(
+        [((books[j] - q[j * sub : (j + 1) * sub]) ** 2).sum(axis=1) for j in range(m)]
+    )  # m x n_codes
+
+    def _adc_fn(codes):
+        vals = codes.to_numpy()
+        out = np.full(len(vals), np.nan)
+        ok = np.fromiter(
+            (c is not None and len(c) == m for c in vals), dtype=bool, count=len(vals)
+        )
+        if ok.any():
+            cm = np.stack([np.asarray(c, dtype="int64") for c in vals[ok]])
+            out[ok] = table[np.arange(m), cm].sum(axis=1)
+        return pd.Series(out)
+
+    _adc_fn.__annotations__ = {"codes": pd.Series, "return": pd.Series}
+    _adc = pandas_udf(_adc_fn, "double")
+
+    coded = pq_encode(df, dim, m, n_codes, vec_col, "__pq", seed, codebooks=books)
+    cands = (
+        coded.withColumn("__adc", _adc(F.col("__pq")))
+        .filter(F.col("__adc").isNotNull())
+        .orderBy(F.col("__adc").asc(), F.col(id_col).asc())
+        .limit(rerank)
+        .drop("__pq", "__adc")
+    )
+    return cosine_topk(cands, query_vec, k=k, vec_col=vec_col, id_col=id_col)
