@@ -519,3 +519,31 @@ def test_pq_training_is_deterministic(spark, vectors):
     a = train_pq_codebooks(vectors, 8, m=2, n_codes=4, sample=64)
     b = train_pq_codebooks(vectors.repartition(5), 8, m=2, n_codes=4, sample=64)
     assert np.allclose(a, b)
+
+
+def test_knn_join_matches_exact_per_query(spark, vectors):
+    from vinum_spark.operators.similarity import cosine_topk, knn_join
+
+    q = vectors.filter("vec_id = 0")
+    c = vectors.filter("vec_id <> 0")
+    got = [
+        (r["rank"], r["vec_id"])
+        for r in knn_join(q, c, k=3, n_blocks=2).orderBy("rank").collect()
+    ]
+    exact = [r["vec_id"] for r in cosine_topk(c, q.collect()[0]["embedding"], k=3).collect()]
+    assert [v for _, v in got] == exact
+
+
+def test_knn_join_every_query_gets_k_rows(spark, vectors):
+    from vinum_spark.operators.similarity import knn_join
+
+    out = knn_join(vectors, vectors, k=2, n_blocks=3).toPandas()
+    counts = out.groupby("query_id").size()
+    assert (counts == 2).all() and len(counts) == 5
+
+
+def test_knn_join_rejects_bad_params(spark, vectors):
+    from vinum_spark.operators.similarity import knn_join
+
+    with pytest.raises(ValueError, match="k and n_blocks"):
+        knn_join(vectors, vectors, k=0)

@@ -57,6 +57,7 @@ GATED = [
     "q75_prepare_corpus",
     "q76_encode_tokens",
     "q77_ann_pq",
+    "q78_knn_join",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible
@@ -86,6 +87,7 @@ GATED = [
     "q24_events_sessionize",
     "q26_lang_id",
     "q32_ann_lsh",
+    "q30_simhash",
 ]
 
 

@@ -3098,11 +3098,53 @@ def q77(spark, sf_dir):
     return _ann_recall_gate(ann, exact, min_overlap=7)
 
 
+@_q(
+    "q78_knn_join",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_cosine_similarity(q.embedding, c.embedding) AS cos
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+           round(cos, 4) AS cosine
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    "Batched exact k-NN join (operators/similarity.py knn_join): the "
+    "top-5 corpus neighbors for EVERY row of a query table (vec_id%50 "
+    "slice) — the retrieval-augmentation shape, where the query side "
+    "is a table, not a literal. Corpus hashed into blocks once, "
+    "queries replicated per block, one BLAS matmul + LOCAL top-k per "
+    "(query-block, corpus-block) bucket, then a bounded global re-rank "
+    "over |Q| x n_blocks x k candidates — never |Q| x |C| rows, no "
+    "broadcast of either table, no cartesian (CI plan guards run on "
+    "this query like every other). Oracle computes the exact "
+    "cross-join ranking.",
+)
+def q78(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_join(
+        emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "vec_id"),
+        emb.filter(F.col("vec_id") % 50 != 0),
+        k=5,
+    ).orderBy("query_id", "rank")
+
+
 #: The round driver's correctness gate records only the FIRST 50
-#: entries of ``queries()``; with 77 registered, twenty-seven fall
+#: entries of ``queries()``; with 78 registered, twenty-eight fall
 #: outside it. Order the export so the operator classes with the least
 #: other coverage sit inside the gate: the streaming/multimodal/pipeline
-#: additions (q51-q77) take the slots of queries each subsumed by
+#: additions (q51-q78) take the slots of queries each subsumed by
 #: other green gates — q20/q44/q45 (set-ops by the golden suite,
 #: exact-dedup survivors by q27, the table-SQL pipeline by q40's API
 #: tests), the q02-q10 basics (filter/agg/distinct/having/sort/
@@ -3163,6 +3205,10 @@ _DEMOTED_TO_TAIL = (
     # q56 (embedding-LSH candidates + verify); q32's own recall gate
     # stays in-suite
     "q32_ann_lsh",
+    # q78's slot: the near-dup family keeps q28/q29/q63 (and the
+    # winnowing/embedding variants) in the gate; SimHash's own
+    # recall-gated oracle stays in-suite
+    "q30_simhash",
 )
 _PROMOTED = (
     "q51_streaming_sliding",
@@ -3192,6 +3238,7 @@ _PROMOTED = (
     "q75_prepare_corpus",
     "q76_encode_tokens",
     "q77_ann_pq",
+    "q78_knn_join",
 )
 
 

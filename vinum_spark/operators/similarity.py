@@ -17,7 +17,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -659,3 +659,90 @@ def pq_topk(
         .drop("__pq", "__adc")
     )
     return cosine_topk(cands, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_blocks: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched exact k-NN join: for EVERY query row, the ``k``
+    nearest corpus rows by cosine — the retrieval-augmentation /
+    cross-dataset-linking workload, where the "query" is a table of
+    millions of vectors, not one literal.
+
+    Returns ``(query_id, rank, vec_id, cosine)``, rank 1..k per query
+    (cosine desc, corpus id tiebreak).
+
+    Scale shape: corpus rows are hashed into ``n_blocks`` blocks ONCE;
+    each query row is replicated to every corpus block (n_blocks ×
+    query bytes — queries are the small side by assumption; flip the
+    arguments if not). Each (query-block, corpus-block) bucket computes
+    a BLAS matmul and emits only its LOCAL top-k per query, so the
+    global re-rank shuffles ``|Q| × n_blocks × k`` candidate rows —
+    bounded, never |Q|×|C|. No broadcast of either table, no
+    BroadcastNestedLoopJoin, no cartesian: the bucket meeting is an
+    equi-join-shaped grouped apply, the same plan family as
+    :func:`blocked_pair_cosine`.
+    """
+    import pandas as pd
+
+    if k < 1 or n_blocks < 1:
+        raise ValueError(f"k and n_blocks must be >= 1, got k={k} n_blocks={n_blocks}")
+    q_side = (
+        queries.select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .withColumn(
+            "__qgrp", F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks)).cast("int")
+        )
+        .withColumn("__cblk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .withColumn("__is_q", F.lit(1))
+    )
+    c_side = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .withColumn(
+            "__cblk", F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks)).cast("int")
+        )
+        .withColumn("__qgrp", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .withColumn("__is_q", F.lit(0))
+    )
+    tagged = q_side.unionByName(c_side)
+
+    out_schema = "query_id long, vec_id long, cosine double"
+
+    def _bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["__is_q"] == 1]
+        cs = pdf[pdf["__is_q"] == 0]
+        if qs.empty or cs.empty:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        qm = np.stack([np.asarray(v, dtype="float64") for v in qs["__v"]])
+        cm = np.stack([np.asarray(v, dtype="float64") for v in cs["__v"]])
+        qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+        sims = qn @ cn.T  # |q| x |c|
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(qs["__id"].to_numpy(), kk)
+        rows_c = cs["__id"].to_numpy()[idx.ravel()]
+        rows_s = np.take_along_axis(sims, idx, axis=1).ravel()
+        return pd.DataFrame({"query_id": rows_q, "vec_id": rows_c, "cosine": rows_s})
+
+    local = tagged.groupBy("__qgrp", "__cblk").applyInPandas(_bucket_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine"))
+    )
