@@ -547,3 +547,64 @@ def test_knn_join_rejects_bad_params(spark, vectors):
 
     with pytest.raises(ValueError, match="k and n_blocks"):
         knn_join(vectors, vectors, k=0)
+
+
+def test_pq_encode_null_and_wrong_length_yield_null(spark):
+    from vinum_spark.operators.similarity import pq_encode
+
+    rows = [
+        (0, [1.0] * 8),
+        (1, None),
+        (2, [1.0] * 5),  # wrong length
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["pq_code"] for r in pq_encode(df, dim=8, m=2, n_codes=4).collect()}
+    assert out[0] is not None and len(out[0]) == 2
+    assert out[1] is None and out[2] is None
+
+
+def test_pq_cosine_metric_ignores_vector_norms(spark):
+    # review regression: a same-direction vector with a huge norm must
+    # not be pruned by the ADC stage (cosine metric = direction only)
+    import numpy as np
+
+    from vinum_spark.operators.similarity import pq_topk, train_pq_codebooks
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(8)
+    rows = [(0, [float(x) for x in base])]
+    rows.append((1, [float(x * 1000.0) for x in base]))  # same direction, 1000x norm
+    for i in range(2, 40):
+        rows.append((i, [float(x) for x in rng.standard_normal(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = train_pq_codebooks(df, 8, m=2, n_codes=8, sample=64)
+    # tiny rerank pool: the big-norm twin must still be the found top-1
+    top = pq_topk(df.filter("vec_id <> 0"), rows[0][1], k=1, m=2, n_codes=8,
+                  rerank=3, codebooks=books).collect()
+    assert top[0]["vec_id"] == 1
+
+
+def test_knn_join_exact_tie_keeps_lower_id(spark):
+    # review regression: exact-duplicate corpus vectors tie on cosine;
+    # the local prune must keep the LOWER id (the global contract)
+    from vinum_spark.operators.similarity import knn_join
+
+    rows = [(100, [1.0, 0.0, 0.0, 0.0])]
+    dup = [0.5, 0.5, 0.0, 0.0]
+    corpus = [(7, dup), (3, dup)] + [(i, [0.0, 0.0, 1.0, float(i)]) for i in range(10, 14)]
+    q = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    got = [r["vec_id"] for r in knn_join(q, c, k=1, n_blocks=2).collect()]
+    assert got == [3]
+
+
+def test_knn_join_wrong_length_vector_dropped_not_crash(spark):
+    from vinum_spark.operators.similarity import knn_join
+
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    c = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [1.0, 0.1, 0.5])],  # second is wrong-length
+        "vec_id long, embedding array<float>",
+    )
+    got = [r["vec_id"] for r in knn_join(q, c, k=2, n_blocks=1).collect()]
+    assert got == [1]

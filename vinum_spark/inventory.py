@@ -3112,7 +3112,7 @@ def q77(spark, sf_dir):
     ), ranked AS (
       SELECT query_id, vec_id, cos,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, vec_id) AS rank
+                                ORDER BY round(cos, 6) DESC, vec_id) AS rank
       FROM scored
     )
     SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
@@ -3134,7 +3134,7 @@ def q77(spark, sf_dir):
 def q78(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.knn_join(
-        emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "vec_id"),
+        emb.filter(F.col("vec_id") % 50 == 0),
         emb.filter(F.col("vec_id") % 50 != 0),
         k=5,
     ).orderBy("query_id", "rank")

@@ -526,13 +526,18 @@ def train_pq_codebooks(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
     rows = (
-        df.filter(F.col(vec_col).isNotNull())
+        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
         .orderBy(F.col(id_col).asc())
         .limit(sample)
         .select(vec_col)
         .collect()
     )
+    if not rows:
+        raise ValueError(f"no non-null {dim}-dim vectors to train PQ codebooks on")
     mat = np.stack([np.asarray(r[0], dtype="float64") for r in rows])
+    # cosine is the search metric: quantize DIRECTIONS (unit sphere), so
+    # the ADC L2 ordering is rank-equivalent to cosine at query time
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     sub = dim // m
     rng = np.random.RandomState(seed)
     books = np.empty((m, n_codes, sub))
@@ -587,6 +592,8 @@ def pq_encode(
         out_codes = [None] * len(vals)
         if ok.any():
             mat = np.stack([np.asarray(x, dtype="float64") for x in vals[ok]])
+            # match training: encode unit directions (cosine metric)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             codes = np.empty((mat.shape[0], m), dtype="int32")
             for j in range(m):
                 s = mat[:, j * sub : (j + 1) * sub]
@@ -628,10 +635,13 @@ def pq_topk(
     from pyspark.sql.functions import pandas_udf
 
     q = np.asarray(list(query_vec), dtype="float64")
+    q = q / max(np.linalg.norm(q), 1e-12)  # unit direction, like the codes
     dim = q.shape[0]
     books = codebooks if codebooks is not None else _pq_codebooks(dim, m, n_codes, seed)
     sub = dim // m
-    # ADC table: squared L2 from each query subvector to every codeword
+    # ADC table: squared L2 from each query subvector to every codeword;
+    # on unit vectors ||q - x||^2 = 2 - 2 cos(q, x), so the ADC order IS
+    # the (approximate) cosine order — no norm-mismatch pruning
     table = np.stack(
         [((books[j] - q[j * sub : (j + 1) * sub]) ** 2).sum(axis=1) for j in range(m)]
     )  # m x n_codes
@@ -674,19 +684,24 @@ def knn_join(
     cross-dataset-linking workload, where the "query" is a table of
     millions of vectors, not one literal.
 
-    Returns ``(query_id, rank, vec_id, cosine)``, rank 1..k per query
-    (cosine desc, corpus id tiebreak).
+    Returns ``(query_id, rank, vec_id, cosine)``, rank 1..k per query.
+    Ranking follows :func:`cosine_topk`'s contract exactly: cosine
+    rounded to 6 decimals desc, corpus id tiebreak — deterministic
+    across partitionings and engines (ulp-level BLAS differences and
+    exact-duplicate corpus vectors cannot flip ranks).
 
-    Scale shape: corpus rows are hashed into ``n_blocks`` blocks ONCE;
-    each query row is replicated to every corpus block (n_blocks ×
-    query bytes — queries are the small side by assumption; flip the
-    arguments if not). Each (query-block, corpus-block) bucket computes
-    a BLAS matmul and emits only its LOCAL top-k per query, so the
-    global re-rank shuffles ``|Q| × n_blocks × k`` candidate rows —
-    bounded, never |Q|×|C|. No broadcast of either table, no
-    BroadcastNestedLoopJoin, no cartesian: the bucket meeting is an
-    equi-join-shaped grouped apply, the same plan family as
-    :func:`blocked_pair_cosine`.
+    Scale shape: corpus rows are hashed into ``n_blocks`` blocks ONCE
+    (the big side never replicates); each query row is replicated to
+    every block (n_blocks × query bytes — queries are the smaller side
+    by assumption; flip the arguments if not). Each block bucket holds
+    all queries + |C|/n_blocks corpus rows, computes one BLAS matmul,
+    and emits only its LOCAL top-k per query, so the global re-rank
+    shuffles ``|Q| × n_blocks × k`` candidate rows — bounded, never
+    |Q|×|C|. Pick ``n_blocks`` ≈ cluster cores (it is also the
+    parallelism). No broadcast of either table, no
+    BroadcastNestedLoopJoin, no cartesian. Wrong-length vectors are
+    dropped inside the kernel (never crash the batch), matching the
+    LSH/IVF/PQ null contracts.
     """
     import pandas as pd
 
@@ -698,9 +713,6 @@ def knn_join(
             F.col(vec_col).cast("array<double>").alias("__v"),
         )
         .filter(F.col("__v").isNotNull())
-        .withColumn(
-            "__qgrp", F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks)).cast("int")
-        )
         .withColumn("__cblk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
         .withColumn("__is_q", F.lit(1))
     )
@@ -713,7 +725,6 @@ def knn_join(
         .withColumn(
             "__cblk", F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks)).cast("int")
         )
-        .withColumn("__qgrp", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
         .withColumn("__is_q", F.lit(0))
     )
     tagged = q_side.unionByName(c_side)
@@ -721,6 +732,9 @@ def knn_join(
     out_schema = "query_id long, vec_id long, cosine double"
 
     def _bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        lens = pdf["__v"].map(len)
+        dim = int(lens.mode().iloc[0]) if len(lens) else 0
+        pdf = pdf[lens == dim]  # drop wrong-length rows, don't crash
         qs = pdf[pdf["__is_q"] == 1]
         cs = pdf[pdf["__is_q"] == 0]
         if qs.empty or cs.empty:
@@ -729,17 +743,24 @@ def knn_join(
         cm = np.stack([np.asarray(v, dtype="float64") for v in cs["__v"]])
         qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
         cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
-        sims = qn @ cn.T  # |q| x |c|
-        kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        sims = qn @ cn.T  # |q| x |c| raw cosines (output rounds these ONCE)
+        ids = cs["__id"].to_numpy()
+        # integer sort key over the 6dp-rounded cosine (cosine_topk's
+        # ranking contract) with id tiebreak — exact math, so local
+        # pruning can never drop the id-tiebroken winner
+        key = (np.round(sims, 6) * 1e6).astype("int64") * (1 << 40) - ids[None, :]
+        kk = min(k, key.shape[1])
+        idx = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
         rows_q = np.repeat(qs["__id"].to_numpy(), kk)
-        rows_c = cs["__id"].to_numpy()[idx.ravel()]
+        rows_c = ids[idx.ravel()]
         rows_s = np.take_along_axis(sims, idx, axis=1).ravel()
         return pd.DataFrame({"query_id": rows_q, "vec_id": rows_c, "cosine": rows_s})
 
-    local = tagged.groupBy("__qgrp", "__cblk").applyInPandas(_bucket_topk, out_schema)
+    local = tagged.groupBy("__cblk").applyInPandas(_bucket_topk, out_schema)
+    # rank on the 6dp key; the DISPLAYED cosine rounds the raw value
+    # once (ranking on 6dp then re-rounding to 4dp would double-round)
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
+        F.round("cosine", 6).desc(), F.col("vec_id").asc()
     )
     return (
         local.withColumn("rank", F.row_number().over(w))
