@@ -37,6 +37,8 @@ REPRESENTATIVES = [
     "q71_pack_sequences",         # running sum inside md5 shards
     "q74_mixture_sample",         # per-stratum quality window cut
     "q76_encode_tokens",          # ordered id reassembly
+    "q77_ann_pq",                 # sample-trained codebooks + ADC buckets
+    "q78_knn_join",               # block-bucket grouped apply + bounded re-rank
 ]
 
 
