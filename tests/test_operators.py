@@ -608,3 +608,17 @@ def test_knn_join_wrong_length_vector_dropped_not_crash(spark):
     )
     got = [r["vec_id"] for r in knn_join(q, c, k=2, n_blocks=1).collect()]
     assert got == [1]
+
+
+def test_ivfpq_recovers_close_neighbor(spark, vectors):
+    # the composed index must find the deliberately-near vector (id 1)
+    # for the id-0 query, like the IVF and LSH variants do
+    from vinum_spark.operators.similarity import ivfpq_topk, train_pq_codebooks
+
+    q = vectors.filter("vec_id = 0").select("embedding").collect()[0][0]
+    books = train_pq_codebooks(vectors, 8, m=2, n_codes=4, sample=64)
+    got = [r["vec_id"] for r in ivfpq_topk(
+        vectors.filter("vec_id <> 0"), q, k=1, n_cells=4, nprobe=4,
+        m=2, n_codes=4, rerank=4, codebooks=books,
+    ).collect()]
+    assert got == [1]

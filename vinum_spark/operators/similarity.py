@@ -767,3 +767,41 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 77,
+    codebooks: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """IVF-PQ: coarse cell pruning (:func:`ivf_index`) composed with the
+    PQ asymmetric-distance scan (:func:`pq_topk`) — the standard
+    billion-scale index layout (faiss ``IVFx,PQy``): the scan touches
+    only ``nprobe``/``n_cells`` of the corpus AND reads only the
+    ``m``-byte codes of those rows; the raw vectors surface solely for
+    the exact re-rank of the final ``rerank`` candidates.
+
+    At rest, store the corpus partitioned by ``ivf_cell`` with the code
+    column alongside — a probe then prunes partitions at the FILE level
+    and the ADC scan is code-column-only I/O.
+    """
+    q = np.asarray(list(query_vec), dtype="float64")
+    dim = q.shape[0]
+    centroids = _hyperplanes(dim, n_cells, seed=42)
+    centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probes = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    celled = ivf_index(df, dim, n_cells, vec_col=vec_col)
+    probed = celled.filter(F.col("ivf_cell").isin(probes)).drop("ivf_cell")
+    return pq_topk(
+        probed, query_vec, k=k, m=m, n_codes=n_codes, rerank=rerank,
+        vec_col=vec_col, id_col=id_col, seed=seed, codebooks=codebooks,
+    )
