@@ -519,3 +519,104 @@ def test_extract_features_silent_wav_unit_vector(spark):
     assert out["extractor"] == "wav-rms64"
     v = np.array(out["feature"])
     assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def _encode_gif(px, interlace: bool = False) -> bytes:
+    """Spec-valid GIF89a encoder for tests: 'uncompressed' LZW (literal
+    codes with a clear before every pair so the code width never grows),
+    256-entry palette built from the image's distinct colors."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    colors, inverse = np.unique(px.reshape(-1, 3), axis=0, return_inverse=True)
+    assert len(colors) <= 256
+    palette = np.zeros((256, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    indices = inverse.reshape(h, w)
+    if interlace:
+        rows = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            rows.extend(range(start, h, step))
+        indices = indices[rows]
+    mcs = 8  # 256-color table -> min code size 8, width 9
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    codes = []
+    flat = indices.ravel().tolist()
+    for i, v in enumerate(flat):
+        if i % 2 == 0:
+            codes.append(clear)  # keep dictionary (and width) fixed
+        codes.append(v)
+    codes.append(end)
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    gif = bytearray(b"GIF89a")
+    gif += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gif += bytes([0x80 | 0x07, 0x00, 0x00])  # GCT present, 256 entries
+    gif += palette.tobytes()
+    gif += bytes([0x2C]) + b"\x00\x00\x00\x00"
+    gif += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gif += bytes([0x40 if interlace else 0x00, mcs])
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += bytes([0x00, 0x3B])
+    return bytes(gif)
+
+
+def test_gif_pixels_roundtrip():
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _gif_pixels
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 255, (16, 12, 3), dtype=np.uint8)
+    got = _gif_pixels(_encode_gif(px))
+    assert got is not None and got.shape == (16, 12, 3)
+    assert (got == px).all()
+
+
+def test_gif_pixels_interlaced_roundtrip():
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _gif_pixels
+
+    rng = np.random.RandomState(6)
+    px = rng.randint(0, 255, (13, 9, 3), dtype=np.uint8)
+    got = _gif_pixels(_encode_gif(px, interlace=True))
+    assert got is not None and (got == px).all()
+
+
+def test_gif_pixels_rejects_garbage():
+    from vinum_spark.operators.multimodal import _gif_pixels
+
+    assert _gif_pixels(b"GIF89a" + b"\x00" * 6) is None
+    assert _gif_pixels(b"not a gif at all") is None
+
+
+def test_extract_features_real_gif(spark):
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import extract_features
+
+    rng = np.random.RandomState(8)
+    # GIF is palette-indexed: build from a 64-color palette
+    pal = rng.randint(0, 255, (64, 3), dtype=np.uint8)
+    base = pal[rng.randint(0, 64, (32, 32))]
+    near = base.copy(); near[:2, :2] = 0
+    df = spark.createDataFrame(
+        [(0, _encode_gif(base)), (1, _encode_gif(near))],
+        "asset_id long, content binary",
+    )
+    out = extract_features(df).toPandas().set_index("asset_id")
+    assert set(out.extractor) == {"gif-pool8"}
+    f0, f1 = np.array(out.loc[0].feature), np.array(out.loc[1].feature)
+    assert float(f0 @ f1) > 0.9  # near-identical frames stay close

@@ -17,11 +17,13 @@ IHDR / GIF LSD / JPEG SOF), WAV fmt-chunk audio params + duration, and
 MP4 mvhd/tkhd duration + display dims are parsed from container bytes.
 Sample/pixel-level decode is ALSO real where stdlib suffices: PCM16
 WAV (``decode_audio``: numpy ``frombuffer`` over the data chunk →
-RMS/peak/duration) and 8-bit non-interlaced PNG (``_png_pixels``:
-zlib + numpy scanline un-filtering → true pixels, feeding a REAL
-8×8 pooled-grayscale feature in ``extract_features``). Only work
-requiring external codec libraries (JPEG/GIF pixels, video frames,
-learned feature models) is STUBBED: when PIL is importable it is
+RMS/peak/duration), 8-bit non-interlaced PNG (``_png_pixels``:
+zlib + numpy scanline un-filtering), and GIF87a/89a first frames
+(``_gif_pixels``: pure-Python variable-width LZW + palette mapping +
+interlace reorder — GIF's compression is spec-complete without any
+codec library), both feeding the REAL 8×8 pooled-grayscale feature in
+``extract_features``. Only work requiring external codec libraries
+(JPEG pixels, video frames, learned feature models) is STUBBED: when PIL is importable it is
 used; otherwise a clearly-marked deterministic fake derives
 shapes/features from the bytes so the Spark-side plumbing — schemas,
 batch iteration, UDF signatures — is real and tested end-to-end.
@@ -247,6 +249,9 @@ def decode_images(
                 px = _png_pixels(data)
                 if px is not None:
                     return (px.shape[0], px.shape[1], px.shape[2], "png-zlib")
+                px = _gif_pixels(data)
+                if px is not None:
+                    return (px.shape[0], px.shape[1], px.shape[2], "gif-lzw")
             parsed = _header_dims(data)
             if parsed is not None:
                 return parsed
@@ -301,6 +306,124 @@ _PROBE_SCHEMA = T.StructType(
 )
 
 _PROBE_NULL = (None, None, None, None, None, None)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """Variable-width LZW decode (GIF flavor, LSB-first bit packing) —
+    pure Python, no codec library. Returns a list of palette indices,
+    or None on a malformed stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    next_code = end + 1
+    out = []
+    prev = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = dict(base)
+                next_code = end + 1
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    return None
+            elif code in table:
+                entry = table[code]
+                table[next_code] = table[prev] + (entry[0],)
+                next_code += 1
+            elif code == next_code:
+                entry = table[prev] + (table[prev][0],)
+                table[next_code] = entry
+                next_code += 1
+            else:
+                return None
+            out.extend(entry)
+            if len(out) > max_pixels:
+                return None
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            prev = code
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_pixels(data: bytes):
+    """REAL pixel decode for the FIRST frame of a GIF87a/89a — pure
+    Python LZW (GIF's compression is spec-complete without any codec
+    library) + palette mapping + interlace reordering. Returns an
+    (H, W, 3) uint8 array, or None for non-GIF / malformed content."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        return None
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = data[pos : pos + n]
+        pos += n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                return None
+            w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            flags = data[pos + 9]
+            pos += 10
+            ct = gct
+            if flags & 0x80:
+                n = 3 * (2 << (flags & 0x07))
+                ct = data[pos : pos + n]
+                pos += n
+            if ct is None or pos >= len(data) or w == 0 or h == 0:
+                return None
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                n = data[pos]
+                lzw += data[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            indices = _lzw_decode(bytes(lzw), mcs, w * h)
+            if indices is None or len(indices) < w * h:
+                return None
+            idx = np.asarray(indices[: w * h], dtype="int64").reshape(h, w)
+            if flags & 0x40:  # interlaced: rows arrive in 4 passes
+                ordered = np.empty_like(idx)
+                src_row = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for r in range(start, h, step):
+                        ordered[r] = idx[src_row]
+                        src_row += 1
+                idx = ordered
+            palette = np.frombuffer(ct, dtype="uint8").reshape(-1, 3)
+            if idx.max() >= palette.shape[0]:
+                return None
+            return palette[idx]
+        else:  # trailer (0x3B) or junk
+            return None
+    return None
 
 
 def _riff_chunks(data: bytes):
@@ -688,9 +811,11 @@ def extract_features(
             for data in pdf[content_col]:
                 data = bytes(data or b"")
                 px = _png_pixels(data)
+                if px is None:
+                    px = _gif_pixels(data)
                 if px is not None and px.shape[0] >= 8 and px.shape[1] >= 8:
                     feats.append(_pooled_gray_feature(px).tolist())
-                    kinds.append("png-pool8")
+                    kinds.append("png-pool8" if data[:4] == b"\x89PNG" else "gif-pool8")
                     continue
                 wav = _wav_pcm_samples(data)
                 if wav is not None and wav[0].size >= _FEATURE_DIM:
