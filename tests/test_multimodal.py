@@ -620,3 +620,160 @@ def test_extract_features_real_gif(spark):
     assert set(out.extractor) == {"gif-pool8"}
     f0, f1 = np.array(out.loc[0].feature), np.array(out.loc[1].feature)
     assert float(f0 @ f1) > 0.9  # near-identical frames stay close
+
+
+def _lzw_compress(indices, mcs):
+    """Reference greedy GIF-LZW compressor for tests: builds the
+    dictionary, grows code width, emits a clear only when the table
+    fills — exercising the decoder's dictionary-reference, KwKwK, and
+    width-growth branches that the 'uncompressed' encoder never hits."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = mcs + 1
+    codes = [clear]
+    buf = ()
+    out_bits = []
+    for v in indices:
+        cand = buf + (v,)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            codes.append(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = mcs + 1
+        buf = (v,)
+    if buf:
+        codes.append(table[buf])
+    codes.append(end)
+    # emission pass: write each code with the width THE DECODER will
+    # use, by simulating its state machine (no dictionary add happens
+    # for the first code after a clear — the off-by-one that matters)
+    acc = nbits = 0
+    width = mcs + 1
+    next_d = end + 1
+    first_after_clear = True
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            width = mcs + 1
+            next_d = end + 1
+            first_after_clear = True
+        elif c != end:
+            if first_after_clear:
+                first_after_clear = False
+            else:
+                next_d += 1
+                if next_d == (1 << width) and width < 12:
+                    width += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_pixels_real_compressed_stream_roundtrip():
+    """Decoder correctness on a COMPRESSED stream: repeated patterns
+    force dictionary references, KwKwK sequences, and width growth."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _gif_pixels
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 255, (16, 3), dtype=np.uint8)
+    # repetitive rows -> heavy dictionary reuse; 48x40 = 1920 indices
+    row = np.tile(np.array([0, 1, 2, 3, 3, 2, 1, 0], dtype=np.int64), 6)
+    indices = np.tile(row, (40, 1))
+    px = pal[indices]
+    h, w = indices.shape
+    mcs = 4  # 16-color palette
+    lzw = _lzw_compress(indices.ravel().tolist(), mcs)
+    gif = bytearray(b"GIF89a")
+    gif += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gif += bytes([0x80 | 0x03, 0x00, 0x00])  # GCT, 16 entries
+    gif += pal.tobytes()
+    gif += bytes([0x2C]) + b"\x00\x00\x00\x00"
+    gif += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gif += bytes([0x00, mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += bytes([0x00, 0x3B])
+    got = _gif_pixels(bytes(gif))
+    assert got is not None and (got == px).all()
+
+
+def test_gif_pixels_rejects_corrupt_min_code_size():
+    # review regression: a huge LZW min-code-size byte must fail fast,
+    # not build a 2^mcs dictionary
+    from vinum_spark.operators.multimodal import _gif_pixels
+
+    gif = bytearray(b"GIF89a")
+    gif += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    gif += bytes([0x80, 0x00, 0x00]) + bytes(6)  # tiny GCT (2 entries)
+    gif += bytes([0x2C]) + b"\x00\x00\x00\x00"
+    gif += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    gif += bytes([0x00, 24, 0x02, 0xAA, 0xBB, 0x00, 0x3B])  # mcs=24!
+    import time
+
+    t0 = time.perf_counter()
+    assert _gif_pixels(bytes(gif)) is None
+    assert time.perf_counter() - t0 < 0.5  # fail fast, no dict explosion
+
+
+def test_gif_pixels_rejects_bomb_dimensions():
+    from vinum_spark.operators.multimodal import _gif_pixels
+
+    gif = bytearray(b"GIF89a")
+    gif += (65535).to_bytes(2, "little") + (65535).to_bytes(2, "little")
+    gif += bytes([0x00, 0x00, 0x00])
+    gif += bytes([0x2C]) + b"\x00\x00\x00\x00"
+    gif += (65535).to_bytes(2, "little") + (65535).to_bytes(2, "little")
+    gif += bytes([0x00, 0x08, 0x01, 0x00, 0x00, 0x3B])
+    assert _gif_pixels(bytes(gif)) is None
+
+
+def test_gif_pixels_composites_subframe_onto_screen():
+    # review regression: a sub-rectangle first frame must place at its
+    # offset on the logical screen so dims match the header path
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _gif_pixels
+
+    pal = np.array([[10, 20, 30], [200, 100, 50]], dtype=np.uint8)
+    gif = bytearray(b"GIF89a")
+    gif += (8).to_bytes(2, "little") + (6).to_bytes(2, "little")  # screen 8x6
+    gif += bytes([0x80, 0x00, 0x00])  # GCT 2 entries, bg index 0
+    gif += pal.tobytes()
+    # 2x2 frame of color 1 at offset (3, 2)
+    gif += bytes([0x2C]) + (3).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    gif += (2).to_bytes(2, "little") + (2).to_bytes(2, "little") + bytes([0x00])
+    mcs = 2
+    # uncompressed: clear, 1, 1, clear, 1, 1, end at width 3, LSB-first
+    codes = [4, 1, 1, 4, 1, 1, 5]
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            data.append(acc & 0xFF); acc >>= 8; nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    gif += bytes([mcs, len(data)]) + data + bytes([0x00, 0x3B])
+    got = _gif_pixels(bytes(gif))
+    assert got is not None and got.shape == (6, 8, 3)
+    assert (got[2:4, 3:5] == pal[1]).all()      # frame at its offset
+    assert (got[0, 0] == pal[0]).all()           # background elsewhere

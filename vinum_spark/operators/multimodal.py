@@ -238,9 +238,11 @@ def decode_images(
     ~26 header bytes — a dimension-filter pass over 100 TB must NOT
     pay zlib decompression per asset, so the REAL PNG pixel decode
     (``decoder`` = ``png-zlib``; stdlib zlib + numpy un-filtering, see
-    ``_png_pixels``) is opt-in via ``pixels=True``, for callers that
-    want pixel-verified dims; ``extract_features`` always uses the
-    pixel path (it needs the actual image).
+    ``_png_pixels``) and the GIF first-frame decode (``decoder`` =
+    ``gif-lzw``; pure-Python LZW, composited onto the logical screen so
+    the dims match the header path) are opt-in via ``pixels=True``, for
+    callers that want pixel-verified dims; ``extract_features`` always
+    uses the pixel path (it needs the actual image).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -312,12 +314,17 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
     """Variable-width LZW decode (GIF flavor, LSB-first bit packing) —
     pure Python, no codec library. Returns a list of palette indices,
     or None on a malformed stream."""
+    if not 2 <= min_code_size <= 11:
+        # spec allows at most 8 (256-color palettes); anything larger is
+        # corrupt and would make the base-table/dict work explode
+        return None
     clear = 1 << min_code_size
     end = clear + 1
     width = min_code_size + 1
     base = {i: (i,) for i in range(clear)}
     table = dict(base)
-    next_code = end + 1
+    dirty = False  # rebuilt lazily: uncompressed-style GIFs clear every
+    next_code = end + 1  # few codes and must not pay a dict copy each time
     out = []
     prev = None
     acc = 0
@@ -330,7 +337,9 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
             acc >>= width
             nbits -= width
             if code == clear:
-                table = dict(base)
+                if dirty:
+                    table = dict(base)
+                    dirty = False
                 next_code = end + 1
                 width = min_code_size + 1
                 prev = None
@@ -341,14 +350,16 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
                 entry = table.get(code)
                 if entry is None:
                     return None
-            elif code in table:
+            elif code in table and code < next_code:
                 entry = table[code]
                 table[next_code] = table[prev] + (entry[0],)
                 next_code += 1
+                dirty = True
             elif code == next_code:
                 entry = table[prev] + (table[prev][0],)
                 table[next_code] = entry
                 next_code += 1
+                dirty = True
             else:
                 return None
             out.extend(entry)
@@ -370,7 +381,14 @@ def _gif_pixels(data: bytes):
     (H, W, 3) uint8 array, or None for non-GIF / malformed content."""
     if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
         return None
+    ls_w = int.from_bytes(data[6:8], "little")
+    ls_h = int.from_bytes(data[8:10], "little")
     packed = data[10]
+    bg_index = data[11]
+    # sanity bound BEFORE decoding: dims are attacker-controlled bytes
+    # and the LZW output buffer scales with them (64 MP covers any real image)
+    if ls_w * ls_h > 64 * 1024 * 1024 or ls_w == 0 or ls_h == 0:
+        return None
     pos = 13
     gct = None
     if packed & 0x80:
@@ -387,9 +405,13 @@ def _gif_pixels(data: bytes):
         elif b == 0x2C:  # image descriptor
             if pos + 10 > len(data):
                 return None
+            left = int.from_bytes(data[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(data[pos + 3 : pos + 5], "little")
             w = int.from_bytes(data[pos + 5 : pos + 7], "little")
             h = int.from_bytes(data[pos + 7 : pos + 9], "little")
             flags = data[pos + 9]
+            if w * h > 64 * 1024 * 1024:
+                return None
             pos += 10
             ct = gct
             if flags & 0x80:
@@ -420,7 +442,23 @@ def _gif_pixels(data: bytes):
             palette = np.frombuffer(ct, dtype="uint8").reshape(-1, 3)
             if idx.max() >= palette.shape[0]:
                 return None
-            return palette[idx]
+            frame = palette[idx]
+            if (left, top, w, h) == (0, 0, ls_w, ls_h):
+                return frame
+            # sub-rectangle frame: composite onto the logical screen at
+            # its offset (background = LSD bg color) so pixels=True dims
+            # agree with the header path for the same asset
+            bg = (
+                palette[bg_index]
+                if gct is not None and bg_index < len(gct) // 3
+                else np.zeros(3, dtype="uint8")
+            )
+            canvas = np.tile(bg, (ls_h, ls_w, 1)).astype("uint8")
+            ch = min(h, ls_h - top)
+            cw = min(w, ls_w - left)
+            if ch > 0 and cw > 0:
+                canvas[top : top + ch, left : left + cw] = frame[:ch, :cw]
+            return canvas
         else:  # trailer (0x3B) or junk
             return None
     return None
@@ -792,8 +830,9 @@ def extract_features(
 ) -> DataFrame:
     """Per-asset feature vector (array<float>) via mapInPandas.
 
-    REAL for decodable PNGs: 8×8 mean-pooled grayscale over the actual
-    pixels (``extractor='png-pool8'``). REAL for decodable PCM16 WAVs:
+    REAL for decodable PNGs and GIFs: 8×8 mean-pooled grayscale over
+    the actual pixels (``extractor='png-pool8'`` / ``'gif-pool8'``).
+    REAL for decodable PCM16 WAVs:
     the 64-window RMS loudness envelope of the actual samples, L2-
     normalized (``extractor='wav-rms64'``) — the classic codec-free
     audio fingerprint, enough for near-dup detection of re-encoded or

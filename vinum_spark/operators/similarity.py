@@ -223,6 +223,16 @@ def ivf_index(
     return df.withColumn(out, _cell(vec_col))
 
 
+def _probe_cells(q: np.ndarray, n_cells: int, nprobe: int, seed: int) -> list:
+    """The ``nprobe`` IVF cells whose centroids are nearest ``q`` —
+    shared by :func:`ivf_topk` and :func:`ivfpq_topk` so query-time
+    probes can never diverge from :func:`ivf_index`'s assignment."""
+    centroids = _hyperplanes(len(q), n_cells, seed)
+    centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    order = np.argsort(-(centroids @ q))
+    return [int(c) for c in order[:nprobe]]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -236,10 +246,7 @@ def ivf_topk(
     """Approximate NN via IVF: score only vectors in the ``nprobe`` cells
     whose centroids are nearest the query, then exact cosine top-k."""
     q = np.asarray(query_vec, dtype="float64")
-    centroids = _hyperplanes(len(q), n_cells, seed)
-    centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    order = np.argsort(-(centroids @ q))
-    probe_cells = [int(c) for c in order[:nprobe]]
+    probe_cells = _probe_cells(q, n_cells, nprobe, seed)
     indexed = ivf_index(df, len(q), n_cells, vec_col, seed=seed)
     candidates = indexed.filter(F.col("ivf_cell").isin(probe_cells))
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
@@ -781,6 +788,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 77,
+    cell_seed: int = 42,
     codebooks: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """IVF-PQ: coarse cell pruning (:func:`ivf_index`) composed with the
@@ -790,16 +798,18 @@ def ivfpq_topk(
     ``m``-byte codes of those rows; the raw vectors surface solely for
     the exact re-rank of the final ``rerank`` candidates.
 
+    ``seed`` seeds the PQ codebooks, ``cell_seed`` the IVF centroids —
+    pass the same ``cell_seed`` the at-rest corpus was
+    :func:`ivf_index`-partitioned with, or probes would miss its cells.
+
     At rest, store the corpus partitioned by ``ivf_cell`` with the code
     column alongside — a probe then prunes partitions at the FILE level
     and the ADC scan is code-column-only I/O.
     """
     q = np.asarray(list(query_vec), dtype="float64")
     dim = q.shape[0]
-    centroids = _hyperplanes(dim, n_cells, seed=42)
-    centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    probes = np.argsort(-(centroids @ q))[:nprobe].tolist()
-    celled = ivf_index(df, dim, n_cells, vec_col=vec_col)
+    probes = _probe_cells(q, n_cells, nprobe, cell_seed)
+    celled = ivf_index(df, dim, n_cells, vec_col=vec_col, seed=cell_seed)
     probed = celled.filter(F.col("ivf_cell").isin(probes)).drop("ivf_cell")
     return pq_topk(
         probed, query_vec, k=k, m=m, n_codes=n_codes, rerank=rerank,
