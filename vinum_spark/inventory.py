@@ -1735,7 +1735,14 @@ def q50(spark, sf_dir):
     SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M') AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(value), 4) AS avg_value
+           -- exact decimal sum -> ONE double division -> floor-based
+           -- rounding: identical IEEE inputs + pure floating-point ops,
+           -- so no engine-specific round() semantics can diverge (Spark
+           -- rounds the shortest decimal STRING of a double — half-up on
+           -- '33.38625' — while DuckDB rounds the true binary value,
+           -- 33.386249999..., down; observed on 6 of 8640 rows at sf0.1)
+           floor(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+                 * 10000 + 0.5) / 10000 AS avg_value
     FROM w
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -1769,7 +1776,13 @@ def q51(spark, sf_dir):
         F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
         "event_type",
         F.col("n").cast("bigint").alias("n"),
-        F.round("avg_value", 4).alias("avg_value"),
+        # floor-based round: F.round on doubles follows the shortest
+        # decimal string (Java BigDecimal.valueOf), which disagrees with
+        # engines that round the binary value on print-as-half cases —
+        # see the oracle's comment
+        (F.floor(F.col("avg_value") * 10000 + F.lit(0.5)) / 10000.0).alias(
+            "avg_value"
+        ),
     ).orderBy("window_start", "event_type")
 
 

@@ -184,15 +184,27 @@ def sliding_aggregate(
     watermark: str = "2 hours",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Sliding window average value per event_type."""
+    """Sliding window average value per event_type.
+
+    The average is computed as exact-DECIMAL sum / count: a plain
+    double ``avg`` is summation-order-dependent at the last ulp, and
+    with the 4x row replication of sliding windows enough groups land
+    exactly on a round-half boundary that engines disagree on the
+    rounded value (observed at sf0.1: 6 of 8640 rows). An exact decimal
+    sum is identical on every engine and partitioning, so one final
+    double division + round is deterministic everywhere.
+    """
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window, slide), "event_type")
-        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("__sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
-            "avg_value",
+            (F.col("__sum").cast("double") / F.col("n")).alias("avg_value"),
             "n",
         )
     )
