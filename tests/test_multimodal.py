@@ -777,3 +777,180 @@ def test_gif_pixels_composites_subframe_onto_screen():
     assert got is not None and got.shape == (6, 8, 3)
     assert (got[2:4, 3:5] == pal[1]).all()      # frame at its offset
     assert (got[0, 0] == pal[0]).all()           # background elsewhere
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG: spec-valid test encoder + decoder round-trip
+# ---------------------------------------------------------------------------
+
+
+def _encode_jpeg(px, qval=2):
+    """Baseline JPEG encoder for tests: 4:4:4, custom canonical Huffman
+    tables (fixed 9-bit codes for every used symbol — valid per spec
+    below 511 symbols), flat quant table. Lossy like any JPEG; qval=2
+    keeps round-trip error within a few counts. Pads to 8-multiples and
+    patches true dims into SOF (the decoder crops per spec)."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _JPEG_D, _JPEG_ZIGZAG
+
+    h0, w0, _ = px.shape
+    ph, pw = -(-h0 // 8) * 8, -(-w0 // 8) * 8
+    px = np.pad(px, ((0, ph - h0), (0, pw - w0), (0, 0)), mode="edge")
+    h, w, _ = px.shape
+    q = np.full(64, qval, dtype=np.int64)
+    p = px.astype(np.float64)
+    y = 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+    cb = 128.0 - 0.168735892 * p[..., 0] - 0.331264108 * p[..., 1] + 0.5 * p[..., 2]
+    cr = 128.0 + 0.5 * p[..., 0] - 0.418687589 * p[..., 1] - 0.081312411 * p[..., 2]
+    ycc = np.stack([y, cb, cr], axis=-1) - 128.0
+
+    def category(v):
+        a = abs(int(v))
+        return 0 if a == 0 else a.bit_length()
+
+    blocks = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for c in range(3):
+                blk = ycc[by*8:(by+1)*8, bx*8:(bx+1)*8, c]
+                coef = _JPEG_D @ blk @ _JPEG_D.T
+                blocks.append(np.round(coef.flatten()[_JPEG_ZIGZAG] / q[_JPEG_ZIGZAG]).astype(np.int64))
+
+    dc_syms, ac_syms, stream = set(), set(), []
+    prev_dc = [0, 0, 0]
+    for i, zz in enumerate(blocks):
+        c = i % 3
+        diff = int(zz[0]) - prev_dc[c]
+        prev_dc[c] = int(zz[0])
+        s = category(diff)
+        dc_syms.add(s)
+        stream.append(("dc", s, diff, s))
+        last_nz = max([k for k in range(1, 64) if zz[k] != 0], default=0)
+        run = 0
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                if run == 16:
+                    ac_syms.add(0xF0); stream.append(("ac", 0xF0, 0, 0)); run = 0
+                continue
+            s = category(v)
+            sym = (run << 4) | s
+            ac_syms.add(sym); stream.append(("ac", sym, v, s)); run = 0
+        if last_nz < 63:
+            ac_syms.add(0x00); stream.append(("ac", 0x00, 0, 0))
+
+    def table(symbols):
+        vals = sorted(symbols)
+        return vals, {v: i for i, v in enumerate(vals)}, [0]*8 + [len(vals)] + [0]*7
+
+    dc_vals, dc_code, dc_bits = table(dc_syms)
+    ac_vals, ac_code, ac_bits = table(ac_syms)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes(int(x) for x in q[_JPEG_ZIGZAG])
+    out += b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+    out += h0.to_bytes(2, "big") + w0.to_bytes(2, "big") + b"\x03"
+    for cid in (1, 2, 3):
+        out += bytes([cid, 0x11, 0x00])
+    for cls, vals, bits in ((0, dc_vals, dc_bits), (1, ac_vals, ac_bits)):
+        out += b"\xff\xc4" + (19 + len(vals)).to_bytes(2, "big")
+        out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + (12).to_bytes(2, "big") + b"\x03"
+    for cid in (1, 2, 3):
+        out += bytes([cid, 0x00])
+    out += b"\x00\x3f\x00"
+    acc = n = 0
+    ent = bytearray()
+    def emit(value, nbits):
+        nonlocal acc, n
+        for i in range(nbits - 1, -1, -1):
+            acc = (acc << 1) | ((value >> i) & 1)
+            n += 1
+            if n == 8:
+                ent.append(acc)
+                if acc == 0xFF:
+                    ent.append(0x00)
+                acc = 0; n = 0
+    for kind, sym, v, s in stream:
+        emit((dc_code if kind == "dc" else ac_code)[sym], 9)
+        if s:
+            emit(int(v) if v >= 0 else int(v) + (1 << s) - 1, s)
+    while n:
+        emit(1, 1)
+    out += ent + b"\xff\xd9"
+    return bytes(out)
+
+
+def _smooth_rgb(seed, h, w):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 255, (-(-h // 8), -(-w // 8), 3)).astype(float)
+    big = np.kron(base, np.ones((8, 8, 1)))[:h, :w]
+    return np.clip(big + rng.standard_normal((h, w, 3)) * 2, 0, 255).astype(np.uint8)
+
+
+def test_jpeg_pixels_roundtrip():
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _jpeg_pixels
+
+    px = _smooth_rgb(1, 32, 32)
+    dec = _jpeg_pixels(_encode_jpeg(px))
+    assert dec is not None and dec.shape == px.shape
+    err = np.abs(dec.astype(int) - px.astype(int))
+    assert err.max() <= 16 and err.mean() < 4  # lossy but close
+
+
+def test_jpeg_pixels_odd_dims_crop():
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _jpeg_pixels
+
+    px = _smooth_rgb(2, 20, 25)
+    dec = _jpeg_pixels(_encode_jpeg(px))
+    assert dec is not None and dec.shape == (20, 25, 3)
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 16
+
+
+def test_jpeg_pixels_rejects_unsupported_profiles():
+    from vinum_spark.operators.multimodal import _jpeg_pixels
+
+    assert _jpeg_pixels(b"\xff\xd8junk") is None
+    assert _jpeg_pixels(b"nope") is None
+    prog = b"\xff\xd8\xff\xc2" + (11).to_bytes(2, "big") + bytes(9)
+    assert _jpeg_pixels(prog) is None  # progressive
+    # dimension bomb: patch SOF dims huge
+    bomb = bytearray(_encode_jpeg(_smooth_rgb(3, 8, 8)))
+    i = bomb.find(b"\xff\xc0")
+    bomb[i+5:i+7] = (65535).to_bytes(2, "big")
+    bomb[i+7:i+9] = (65535).to_bytes(2, "big")
+    assert _jpeg_pixels(bytes(bomb)) is None
+
+
+def test_extract_features_real_jpeg(spark):
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import extract_features
+
+    base = _smooth_rgb(4, 32, 32)
+    near = base.copy(); near[:2, :2] = 0
+    df = spark.createDataFrame(
+        [(0, _encode_jpeg(base)), (1, _encode_jpeg(near))],
+        "asset_id long, content binary",
+    )
+    out = extract_features(df).toPandas().set_index("asset_id")
+    assert set(out.extractor) == {"jpeg-pool8"}
+    f0, f1 = np.array(out.loc[0].feature), np.array(out.loc[1].feature)
+    assert float(f0 @ f1) > 0.9
+
+
+def test_decode_images_jpeg_pixel_dims(spark):
+    from vinum_spark.operators.multimodal import decode_images
+
+    df = spark.createDataFrame(
+        [(0, _encode_jpeg(_smooth_rgb(5, 24, 17)))], "asset_id long, content binary"
+    )
+    out = decode_images(df, pixels=True).collect()[0]
+    assert (out["height"], out["width"], out["decoder"]) == (24, 17, "jpeg-huff")

@@ -15,15 +15,17 @@ Design (the 100 TB shape):
 Header-level metadata is REAL and codec-free: image dimensions (PNG
 IHDR / GIF LSD / JPEG SOF), WAV fmt-chunk audio params + duration, and
 MP4 mvhd/tkhd duration + display dims are parsed from container bytes.
-Sample/pixel-level decode is ALSO real where stdlib suffices: PCM16
+Sample/pixel-level decode is ALSO real where the SPEC suffices: PCM16
 WAV (``decode_audio``: numpy ``frombuffer`` over the data chunk →
 RMS/peak/duration), 8-bit non-interlaced PNG (``_png_pixels``:
 zlib + numpy scanline un-filtering), and GIF87a/89a first frames
 (``_gif_pixels``: pure-Python variable-width LZW + palette mapping +
 interlace reorder — GIF's compression is spec-complete without any
-codec library), both feeding the REAL 8×8 pooled-grayscale feature in
-``extract_features``. Only work requiring external codec libraries
-(JPEG pixels, video frames, learned feature models) is STUBBED: when PIL is importable it is
+codec library), and baseline JPEG (``_jpeg_pixels``: marker walk +
+declared Huffman tables + dequant/IDCT in numpy), all feeding the REAL
+8×8 pooled-grayscale feature in ``extract_features``. Only work
+requiring external codec libraries or models (progressive/subsampled
+JPEG, video frames, learned feature models) is STUBBED: when PIL is importable it is
 used; otherwise a clearly-marked deterministic fake derives
 shapes/features from the bytes so the Spark-side plumbing — schemas,
 batch iteration, UDF signatures — is real and tested end-to-end.
@@ -254,6 +256,9 @@ def decode_images(
                 px = _gif_pixels(data)
                 if px is not None:
                     return (px.shape[0], px.shape[1], px.shape[2], "gif-lzw")
+                px = _jpeg_pixels(data)
+                if px is not None:
+                    return (px.shape[0], px.shape[1], px.shape[2], "jpeg-huff")
             parsed = _header_dims(data)
             if parsed is not None:
                 return parsed
@@ -461,6 +466,247 @@ def _gif_pixels(data: bytes):
             return canvas
         else:  # trailer (0x3B) or junk
             return None
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG decode — pure Python/numpy, no codec library. Supports
+# the common web baseline profile: 8-bit, SOF0, 4:4:4 (or grayscale),
+# no restart markers; everything else returns None and falls back to
+# the header-dims / stub ladder. Like the GIF decoder, inputs are
+# untrusted corpus bytes: dimensions are capped before any block work.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+
+def _jpeg_dct_mat():
+    D = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            D[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return D
+
+
+_JPEG_D = _jpeg_dct_mat()
+
+
+class _JpegBits:
+    """MSB-first entropy-coded-segment reader with 0xFF00 unstuffing."""
+
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self):
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                return None
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1
+                else:
+                    return None  # a real marker ends the scan
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k):
+        v = 0
+        for _ in range(k):
+            b = self.bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+
+def _jpeg_build_huff(bits, vals):
+    table = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if vi >= len(vals):
+                return None
+            table[(length, code)] = vals[vi]
+            vi += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(br, table):
+    code = 0
+    for length in range(1, 17):
+        b = br.bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        if (length, code) in table:
+            return table[(length, code)]
+    return None
+
+
+def _jpeg_extend(v, s):
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_ycbcr_to_rgb(ycc):
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype("uint8")
+
+
+def _jpeg_pixels(data: bytes, max_pixels: int = 64 * 1024 * 1024):
+    """REAL pixel decode for baseline JPEG (SOF0, 8-bit, 4:4:4 or
+    grayscale, no restarts): marker walk -> declared Huffman/quant
+    tables -> MCU entropy decode -> dequant + inverse zigzag + IDCT ->
+    YCbCr→RGB. Returns (H, W, 3) uint8 or None for anything outside
+    the supported profile (progressive, subsampled, restart-interval,
+    corrupt, oversized)."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtables = {}
+    huff = {}
+    comps = None
+    h = w = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            return None
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    if p + 64 > len(body):
+                        return None
+                    qtables[tq] = np.array(list(body[p : p + 64]), dtype="int64")
+                    p += 64
+                else:
+                    if p + 128 > len(body):
+                        return None
+                    qtables[tq] = np.array(
+                        [int.from_bytes(body[p + 2 * i : p + 2 * i + 2], "big")
+                         for i in range(64)], dtype="int64")
+                    p += 128
+        elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                return None
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if body[0] != 8 or nc not in (1, 3) or h == 0 or w == 0 or h * w > max_pixels:
+                return None
+            comps = []
+            for i in range(nc):
+                if 9 + 3 * i > len(body):
+                    return None
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if (samp >> 4, samp & 0x0F) != (1, 1):
+                    return None  # 4:4:4 / grayscale only
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                t = _jpeg_build_huff(bits, vals)
+                if t is None:
+                    return None
+                huff[(tc, th)] = t
+                p += 17 + n
+        elif marker == 0xDD:
+            return None  # restart intervals unsupported
+        elif marker == 0xDA:  # SOS — decode and return
+            if comps is None or len(body) < 1 + 2 * len(comps):
+                return None
+            sel = {}
+            for i in range(body[0]):
+                cid, tbl = body[1 + 2 * i], body[2 + 2 * i]
+                sel[cid] = (tbl >> 4, tbl & 0x0F)
+            br = _JpegBits(data[pos + 2 + seglen :])
+            nby, nbx = -(-h // 8), -(-w // 8)
+            planes = [np.zeros((nby * 8, nbx * 8)) for _ in comps]
+            prev_dc = [0] * len(comps)
+            for by in range(nby):
+                for bx in range(nbx):
+                    for ci, (cid, tq) in enumerate(comps):
+                        dc_t, ac_t = sel.get(cid, (0, 0))
+                        dct = huff.get((0, dc_t))
+                        act = huff.get((1, ac_t))
+                        q = qtables.get(tq)
+                        if dct is None or act is None or q is None:
+                            return None
+                        s = _jpeg_huff_decode(br, dct)
+                        if s is None:
+                            return None
+                        diff = 0
+                        if s:
+                            v = br.bits(s)
+                            if v is None:
+                                return None
+                            diff = _jpeg_extend(v, s)
+                        prev_dc[ci] += diff
+                        zz = np.zeros(64, dtype="int64")
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_huff_decode(br, act)
+                            if sym is None:
+                                return None
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63 or size == 0:
+                                return None
+                            v = br.bits(size)
+                            if v is None:
+                                return None
+                            zz[k] = _jpeg_extend(v, size)
+                            k += 1
+                        coef = np.zeros(64)
+                        coef[_JPEG_ZIGZAG] = zz * q
+                        planes[ci][by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
+                            _JPEG_D.T @ coef.reshape(8, 8) @ _JPEG_D
+                        )
+            if len(comps) == 1:
+                gray = np.clip((planes[0] + 128.0).round(), 0, 255).astype("uint8")
+                return np.stack([gray] * 3, axis=-1)[:h, :w]
+            ycc = np.stack([p + 128.0 for p in planes], axis=-1)
+            return _jpeg_ycbcr_to_rgb(ycc)[:h, :w]
+        pos += 2 + seglen
     return None
 
 
@@ -830,8 +1076,9 @@ def extract_features(
 ) -> DataFrame:
     """Per-asset feature vector (array<float>) via mapInPandas.
 
-    REAL for decodable PNGs and GIFs: 8×8 mean-pooled grayscale over
-    the actual pixels (``extractor='png-pool8'`` / ``'gif-pool8'``).
+    REAL for decodable PNGs, GIFs, and baseline JPEGs: 8×8 mean-pooled
+    grayscale over the actual pixels (``extractor='png-pool8'`` /
+    ``'gif-pool8'`` / ``'jpeg-pool8'``).
     REAL for decodable PCM16 WAVs:
     the 64-window RMS loudness envelope of the actual samples, L2-
     normalized (``extractor='wav-rms64'``) — the classic codec-free
@@ -850,11 +1097,16 @@ def extract_features(
             for data in pdf[content_col]:
                 data = bytes(data or b"")
                 px = _png_pixels(data)
+                kind = "png-pool8"
                 if px is None:
                     px = _gif_pixels(data)
+                    kind = "gif-pool8"
+                if px is None:
+                    px = _jpeg_pixels(data)
+                    kind = "jpeg-pool8"
                 if px is not None and px.shape[0] >= 8 and px.shape[1] >= 8:
                     feats.append(_pooled_gray_feature(px).tolist())
-                    kinds.append("png-pool8" if data[:4] == b"\x89PNG" else "gif-pool8")
+                    kinds.append(kind)
                     continue
                 wav = _wav_pcm_samples(data)
                 if wav is not None and wav[0].size >= _FEATURE_DIM:
