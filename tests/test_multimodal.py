@@ -954,3 +954,52 @@ def test_decode_images_jpeg_pixel_dims(spark):
     )
     out = decode_images(df, pixels=True).collect()[0]
     assert (out["height"], out["width"], out["decoder"]) == (24, 17, "jpeg-huff")
+
+
+def test_jpeg_corrupt_sos_component_count_returns_none():
+    # review regression: SOS declaring more components than its segment
+    # holds must fail to None, not IndexError the task
+    from vinum_spark.operators.multimodal import _jpeg_pixels
+
+    good = bytearray(_encode_jpeg(_smooth_rgb(6, 8, 8)))
+    i = good.find(b"\xff\xda")
+    good[i + 4] = 255  # ns byte inside a 12-byte segment
+    assert _jpeg_pixels(bytes(good)) is None
+
+
+def test_gif_subframe_with_local_table_uses_global_bg():
+    # review regression: bg color must come from the GLOBAL table even
+    # when the frame carries a smaller LOCAL table (and a large global
+    # bg index must not IndexError into the local palette)
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _gif_pixels
+
+    gpal = np.zeros((256, 3), dtype=np.uint8)
+    gpal[100] = [9, 8, 7]  # background color at global index 100
+    lpal = np.array([[1, 1, 1], [250, 250, 250]], dtype=np.uint8)
+    gif = bytearray(b"GIF89a")
+    gif += (8).to_bytes(2, "little") + (6).to_bytes(2, "little")
+    gif += bytes([0x80 | 0x07, 100, 0x00])  # 256-entry GCT, bg=100
+    gif += gpal.tobytes()
+    # 2x2 sub-frame at (3,2) with a 2-entry LOCAL color table
+    gif += bytes([0x2C]) + (3).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    gif += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    gif += bytes([0x80])  # local table, 2 entries
+    gif += lpal.tobytes()
+    mcs = 2
+    codes = [4, 1, 1, 4, 1, 1, 5]
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            data.append(acc & 0xFF); acc >>= 8; nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    gif += bytes([mcs, len(data)]) + data + bytes([0x00, 0x3B])
+    got = _gif_pixels(bytes(gif))
+    assert got is not None and got.shape == (6, 8, 3)
+    assert (got[2:4, 3:5] == lpal[1]).all()   # frame uses local table
+    assert (got[0, 0] == gpal[100]).all()     # bg from GLOBAL table

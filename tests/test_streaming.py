@@ -284,3 +284,31 @@ def test_prepare_corpus_map_side_config_runs_on_readstream(spark, tmp_path):
     a = got[cols].sort_values("doc_id").reset_index(drop=True)
     b = batch[cols].sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_sliding_aggregate_null_values_average_like_f_avg(spark, tmp_path):
+    # review regression: the decimal-exact average must divide by the
+    # NON-NULL count (F.avg's contract), while n counts all rows
+    import os
+
+    import pandas as pd
+
+    from vinum_spark.streaming.windows import run_stream_to_memory, sliding_aggregate
+
+    src = str(tmp_path / "null_ev")
+    os.makedirs(src, exist_ok=True)
+    pdf = pd.DataFrame(
+        {
+            # microsecond unit: pandas defaults to ns, which Spark's
+            # schema-pinned stream reader rejects
+            "ts": pd.to_datetime(["2024-01-01 00:01:00"] * 2).astype("datetime64[us]"),
+            "event_type": ["click", "click"],
+            "value": [2.0, None],
+        }
+    )
+    pdf.to_parquet(src + "/p.parquet")
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(src)
+    run_stream_to_memory(sliding_aggregate(stream), "null_avg_out")
+    row = spark.table("null_avg_out").filter("event_type = 'click'").collect()[0]
+    assert row["avg_value"] == 2.0  # not 1.0 (sum/era-count)
+    assert row["n"] == 2

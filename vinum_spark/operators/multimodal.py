@@ -328,8 +328,8 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
     width = min_code_size + 1
     base = {i: (i,) for i in range(clear)}
     table = dict(base)
-    dirty = False  # rebuilt lazily: uncompressed-style GIFs clear every
-    next_code = end + 1  # few codes and must not pay a dict copy each time
+    added = []  # extension codes since the last clear: a clear deletes
+    next_code = end + 1  # just these, O(adds), never copies the base table
     out = []
     prev = None
     acc = 0
@@ -342,9 +342,9 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
             acc >>= width
             nbits -= width
             if code == clear:
-                if dirty:
-                    table = dict(base)
-                    dirty = False
+                for k in added:
+                    table.pop(k, None)
+                added.clear()
                 next_code = end + 1
                 width = min_code_size + 1
                 prev = None
@@ -358,13 +358,13 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
             elif code in table and code < next_code:
                 entry = table[code]
                 table[next_code] = table[prev] + (entry[0],)
+                added.append(next_code)
                 next_code += 1
-                dirty = True
             elif code == next_code:
                 entry = table[prev] + (table[prev][0],)
                 table[next_code] = entry
+                added.append(next_code)
                 next_code += 1
-                dirty = True
             else:
                 return None
             out.extend(entry)
@@ -380,6 +380,14 @@ _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
 def _gif_pixels(data: bytes):
+    """Guarded entry — see :func:`_jpeg_pixels`."""
+    try:
+        return _gif_pixels_unsafe(data)
+    except Exception:
+        return None
+
+
+def _gif_pixels_unsafe(data: bytes):
     """REAL pixel decode for the FIRST frame of a GIF87a/89a — pure
     Python LZW (GIF's compression is spec-complete without any codec
     library) + palette mapping + interlace reordering. Returns an
@@ -390,9 +398,10 @@ def _gif_pixels(data: bytes):
     ls_h = int.from_bytes(data[8:10], "little")
     packed = data[10]
     bg_index = data[11]
-    # sanity bound BEFORE decoding: dims are attacker-controlled bytes
-    # and the LZW output buffer scales with them (64 MP covers any real image)
-    if ls_w * ls_h > 64 * 1024 * 1024 or ls_w == 0 or ls_h == 0:
+    # sanity bound BEFORE decoding: dims are attacker-controlled bytes,
+    # and this is a PURE-PYTHON per-symbol decode — 4 MP (any normal web
+    # image) keeps worst-case legitimate decode in seconds, not hours
+    if ls_w * ls_h > 4 * 1024 * 1024 or ls_w == 0 or ls_h == 0:
         return None
     pos = 13
     gct = None
@@ -415,7 +424,7 @@ def _gif_pixels(data: bytes):
             w = int.from_bytes(data[pos + 5 : pos + 7], "little")
             h = int.from_bytes(data[pos + 7 : pos + 9], "little")
             flags = data[pos + 9]
-            if w * h > 64 * 1024 * 1024:
+            if w * h > 4 * 1024 * 1024:
                 return None
             pos += 10
             ct = gct
@@ -453,9 +462,16 @@ def _gif_pixels(data: bytes):
             # sub-rectangle frame: composite onto the logical screen at
             # its offset (background = LSD bg color) so pixels=True dims
             # agree with the header path for the same asset
+            # background color comes from the GLOBAL table per spec —
+            # `palette` may be a (smaller) local table for this frame
+            gpal = (
+                np.frombuffer(gct, dtype="uint8").reshape(-1, 3)
+                if gct is not None
+                else None
+            )
             bg = (
-                palette[bg_index]
-                if gct is not None and bg_index < len(gct) // 3
+                gpal[bg_index]
+                if gpal is not None and bg_index < gpal.shape[0]
                 else np.zeros(3, dtype="uint8")
             )
             canvas = np.tile(bg, (ls_h, ls_w, 1)).astype("uint8")
@@ -573,7 +589,17 @@ def _jpeg_ycbcr_to_rgb(ycc):
     return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype("uint8")
 
 
-def _jpeg_pixels(data: bytes, max_pixels: int = 64 * 1024 * 1024):
+def _jpeg_pixels(data: bytes, max_pixels: int = 4 * 1024 * 1024):
+    """Guarded entry: any unforeseen parse error on untrusted bytes is
+    a None, never a task-killing exception (explicit checks inside
+    remain the fast path)."""
+    try:
+        return _jpeg_pixels_unsafe(data, max_pixels)
+    except Exception:
+        return None
+
+
+def _jpeg_pixels_unsafe(data: bytes, max_pixels: int = 4 * 1024 * 1024):
     """REAL pixel decode for baseline JPEG (SOF0, 8-bit, 4:4:4 or
     grayscale, no restarts): marker walk -> declared Huffman/quant
     tables -> MCU entropy decode -> dequant + inverse zigzag + IDCT ->
@@ -618,6 +644,9 @@ def _jpeg_pixels(data: bytes, max_pixels: int = 64 * 1024 * 1024):
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
+            # max_pixels default 4 MP: the entropy decode is one Python
+            # call per BIT — a 64 MP "valid" image would stall a task
+            # for hours, the same denial class as a corrupt stream
             if body[0] != 8 or nc not in (1, 3) or h == 0 or w == 0 or h * w > max_pixels:
                 return None
             comps = []
@@ -646,7 +675,9 @@ def _jpeg_pixels(data: bytes, max_pixels: int = 64 * 1024 * 1024):
         elif marker == 0xDD:
             return None  # restart intervals unsupported
         elif marker == 0xDA:  # SOS — decode and return
-            if comps is None or len(body) < 1 + 2 * len(comps):
+            # bound by the SCAN's own declared count: a corrupt body[0]
+            # larger than the segment would read past it
+            if comps is None or len(body) < 1 or len(body) < 1 + 2 * body[0]:
                 return None
             sel = {}
             for i in range(body[0]):

@@ -192,19 +192,26 @@ def sliding_aggregate(
     exactly on a round-half boundary that engines disagree on the
     rounded value (observed at sf0.1: 6 of 8640 rows). An exact decimal
     sum is identical on every engine and partitioning, so one final
-    double division + round is deterministic everywhere.
+    double division + round is deterministic everywhere. Values beyond
+    decimal(28,6) (|x| >= 1e22, or more than 6 decimal places) are
+    quantized/NULLed by the cast — fine for event metrics; widen the
+    decimal for scientific ranges.
     """
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window, slide), "event_type")
         .agg(
             F.sum(F.col("value").cast("decimal(28,6)")).alias("__sum"),
+            # avg must divide by NON-NULL values (F.avg's contract; a
+            # count(*) denominator would silently deflate groups with
+            # NULL values), while n keeps the all-rows count
+            F.count("value").alias("__nn"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
-            (F.col("__sum").cast("double") / F.col("n")).alias("avg_value"),
+            (F.col("__sum").cast("double") / F.col("__nn")).alias("avg_value"),
             "n",
         )
     )
