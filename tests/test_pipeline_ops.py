@@ -6,7 +6,6 @@ the sf0.001 oracle gates in test_oracle_gates.py (q68-q73)."""
 
 from __future__ import annotations
 
-import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -482,7 +481,6 @@ def test_prepare_corpus_decontaminates(spark):
 
 def test_prepare_corpus_full_stack_runs(spark):
     """All stages on at once over markup-wrapped input."""
-    from pyspark.sql import functions as F
     from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
 
     rows = [

@@ -21,7 +21,7 @@ from __future__ import annotations
 import math
 import os
 import re
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import Column, DataFrame, Window

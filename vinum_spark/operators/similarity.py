@@ -14,7 +14,7 @@ matching partitions.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
