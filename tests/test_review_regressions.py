@@ -345,3 +345,107 @@ def test_decode_images_ladder_survives_undecodable_bytes(spark):
     out = decode_images(df).toPandas().set_index("asset_id")
     assert len(out) == 2
     assert (out["height"] > 0).all()
+
+
+# --------------------------------------------------------------------------
+# Round-7 advisor findings (fixed round 8)
+# --------------------------------------------------------------------------
+
+
+def test_knn_join_non_integral_id_raises(spark):
+    """String/float id columns must fail loudly, not silently cast to
+    NULL query_id/vec_id rows."""
+    from vinum_spark.operators.similarity import knn_join
+
+    good = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    bad = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        knn_join(bad, good, k=1)
+    with pytest.raises(TypeError, match="integral"):
+        knn_join(good, bad, k=1)
+
+
+def test_knn_join_block_invariant_with_huge_ids(spark):
+    """The local pruning key must rank exactly like the global F.round
+    window: same result for n_blocks=1 (no local pruning possible) and
+    n_blocks=4, including ids > 2^40 (which used to bleed into the
+    cosine bits of the combined sort key) and exact-duplicate corpus
+    vectors (6dp tie broken by id)."""
+    from vinum_spark.operators.similarity import knn_join
+
+    rng = np.random.default_rng(8)
+    base = 1 << 50
+    vecs = [[float(x) for x in rng.normal(size=6)] for _ in range(18)]
+    vecs[7] = list(vecs[3])  # exact duplicate → guaranteed 6dp tie
+    vecs[11] = list(vecs[3])
+    corpus = spark.createDataFrame(
+        [(base + i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(base + 1000 + i, [float(x) for x in rng.normal(size=6)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def rows(nb):
+        return sorted(
+            tuple(r)
+            for r in knn_join(queries, corpus, k=5, n_blocks=nb).collect()
+        )
+
+    assert rows(1) == rows(4)
+
+
+def test_sliding_aggregate_overflow_avg_consistent(spark):
+    """A value beyond decimal(28,6) NULLs inside the decimal sum; the
+    denominator must drop the same row, so avg over {1e23, 2.0, 4.0}
+    is 3.0 (clean exclusion), not 2.0 (deflated)."""
+    import datetime as dtm
+
+    from vinum_spark.streaming.windows import sliding_aggregate
+
+    t0 = dtm.datetime(2024, 1, 1, 0, 5)
+    df = spark.createDataFrame(
+        [(t0, "a", 1e23), (t0, "a", 2.0), (t0, "a", 4.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    out = sliding_aggregate(df, window="1 hour", slide="1 hour").toPandas()
+    row = out[out["event_type"] == "a"].iloc[0]
+    assert row["avg_value"] == pytest.approx(3.0)
+    assert row["n"] == 3  # n stays the all-rows count
+
+
+def test_compact_parquet_inplace_refused(spark, tmp_path):
+    """dst == src would delete the lazily-read source before the rewrite
+    executes; it must be refused up front with the files intact."""
+    from vinum_spark.io.bucketing import compact_parquet
+
+    p = str(tmp_path / "ds")
+    spark.range(10).write.parquet(p)
+    with pytest.raises(ValueError, match="in-place"):
+        compact_parquet(spark, p, p)
+    assert spark.read.parquet(p).count() == 10  # nothing was dropped
+
+
+def test_prepare_corpus_missing_quality_col_raises(spark):
+    """A custom mixture_quality_col absent from the frame (and not a
+    with_text_stats output) must raise a clear ValueError naming it,
+    not an unresolved-column AnalysisException deep in mixture_sample."""
+    from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "web")], "doc_id long, text string, source string"
+    )
+    cfg = CorpusConfig(
+        quality_filter=False,
+        dedup=False,
+        mixture_weights={"web": 1.0},
+        mixture_budget=10,
+        mixture_quality_col="no_such_score",
+    )
+    with pytest.raises(ValueError, match="no_such_score"):
+        prepare_corpus(df, cfg)

@@ -18,6 +18,7 @@ the bucketed key):
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Union
 
 from pyspark.sql import DataFrame
@@ -83,6 +84,16 @@ def compact_parquet(
     """
     if target_file_bytes < 1:
         raise ValueError(f"target_file_bytes must be >= 1, got {target_file_bytes}")
+    # the src read is lazy and dst is written with mode('overwrite'):
+    # dst == src would delete the source files before the read executes
+    # and lose the dataset, so in-place compaction is refused — compact
+    # into a sibling dir and swap
+    if os.path.abspath(dst) == os.path.abspath(src):
+        raise ValueError(
+            f"compact_parquet: dst must differ from src ({src!r}); in-place "
+            "compaction would drop the lazily-read source before the rewrite "
+            "runs. Write to a sibling path and rename."
+        )
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(src)

@@ -89,6 +89,10 @@ def _estimated_scan_partitions(df: DataFrame) -> Optional[int]:
     return total
 
 
+# (session id, analyzed-plan semanticHash) -> partition count; see _spread
+_SPREAD_PROBE_CACHE: dict = {}
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Ensure enough partitions for the CPU-heavy map stage that follows.
 
@@ -104,14 +108,24 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     (e.g. ``createDataFrame`` ingestion, which coalesces to 1 partition),
     remote stores we can't stat — fall back to an ``rdd.getNumPartitions``
     probe, which plans (but does not run) the query on the driver. The
-    slower probe is the price of never passing a single-partition frame
-    through to a CPU-bound stage.
+    probe is memoized per (session, analyzed-plan semanticHash) so a
+    frame reused across operators (e.g. minhash candidates + verify on
+    the same documents) pays for one planning pass, not one per call.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     est = _estimated_scan_partitions(df)
     if est is None:
         try:
-            est = df.rdd.getNumPartitions()
+            fp = (
+                id(df.sparkSession),
+                df._jdf.queryExecution().analyzed().semanticHash(),
+            )
+            est = _SPREAD_PROBE_CACHE.get(fp)
+            if est is None:
+                est = df.rdd.getNumPartitions()
+                if len(_SPREAD_PROBE_CACHE) >= 512:  # bound driver memory
+                    _SPREAD_PROBE_CACHE.clear()
+                _SPREAD_PROBE_CACHE[fp] = est
         except Exception:
             return df
     if est < max(target // 2, 2):

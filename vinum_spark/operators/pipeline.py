@@ -120,6 +120,17 @@ def prepare_corpus(df: DataFrame, config: Optional[CorpusConfig] = None) -> Data
             if "n_chars_calc" not in df.columns:
                 df = X.with_text_stats(df, col=text_col)
             length_col = length_col or "n_chars_calc"
+        # with_text_stats only adds its fixed stat columns — a custom
+        # mixture_quality_col it doesn't produce would otherwise surface
+        # as an unresolved-column AnalysisException deep inside
+        # mixture_sample's window; fail here with the missing name
+        if c.mixture_quality_col not in df.columns:
+            raise ValueError(
+                f"prepare_corpus: mixture_quality_col {c.mixture_quality_col!r} "
+                f"is not a column of the frame and is not produced by "
+                f"with_text_stats; add it upstream or pick one of "
+                f"{sorted(set(df.columns))}"
+            )
         df = S.mixture_sample(
             df,
             strata_col=c.mixture_strata_col,

@@ -714,6 +714,18 @@ def knn_join(
 
     if k < 1 or n_blocks < 1:
         raise ValueError(f"k and n_blocks must be >= 1, got k={k} n_blocks={n_blocks}")
+    # the long cast below is lossless only for integral id columns; a
+    # string/float id would silently become NULL query_id/vec_id rows,
+    # so fail loudly instead
+    from pyspark.sql import types as T
+
+    for side, frame in (("queries", queries), ("corpus", corpus)):
+        dt = frame.schema[id_col].dataType
+        if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            raise TypeError(
+                f"knn_join: {side}.{id_col} must be an integral type for the "
+                f"deterministic id tiebreak, got {dt.simpleString()}"
+            )
     q_side = (
         queries.select(
             F.col(id_col).cast("long").alias("__id"),
@@ -753,9 +765,20 @@ def knn_join(
         sims = qn @ cn.T  # |q| x |c| raw cosines (output rounds these ONCE)
         ids = cs["__id"].to_numpy()
         # integer sort key over the 6dp-rounded cosine (cosine_topk's
-        # ranking contract) with id tiebreak — exact math, so local
-        # pruning can never drop the id-tiebroken winner
-        key = (np.round(sims, 6) * 1e6).astype("int64") * (1 << 40) - ids[None, :]
+        # ranking contract) with id tiebreak, so local pruning can never
+        # drop the id-tiebroken winner. np.rint before the cast: a bare
+        # astype truncates toward zero, and ~1% of x*1e6 products land
+        # at k.999... in binary, which would collapse adjacent 6dp keys
+        # that F.round (half-up) ranks apart. The tiebreak uses the ids'
+        # RANK within the block (only relative order matters), which is
+        # < block size, so arbitrary 64-bit ids can't bleed into the
+        # cosine bits or overflow the combined key.
+        id_rank = np.empty(len(ids), dtype="int64")
+        id_rank[np.argsort(ids, kind="stable")] = np.arange(len(ids))
+        key = (
+            np.rint(np.round(sims, 6) * 1e6).astype("int64") * (1 << 40)
+            - id_rank[None, :]
+        )
         kk = min(k, key.shape[1])
         idx = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
         rows_q = np.repeat(qs["__id"].to_numpy(), kk)

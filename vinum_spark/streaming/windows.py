@@ -204,8 +204,12 @@ def sliding_aggregate(
             F.sum(F.col("value").cast("decimal(28,6)")).alias("__sum"),
             # avg must divide by NON-NULL values (F.avg's contract; a
             # count(*) denominator would silently deflate groups with
-            # NULL values), while n keeps the all-rows count
-            F.count("value").alias("__nn"),
+            # NULL values), while n keeps the all-rows count. Count the
+            # CAST column, not the raw one: a value beyond decimal(28,6)
+            # becomes NULL in __sum, so counting the raw column would
+            # deflate avg_value for such groups — numerator and
+            # denominator must drop the same rows
+            F.count(F.col("value").cast("decimal(28,6)")).alias("__nn"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
