@@ -8,10 +8,19 @@ Protocol (BASELINE.md): one shared session, Arrow on, AQE on; per query
 one untimed warm-up then median of 5 timed runs (raised from 3 in round
 3 — the round-2 run showed ±30% single-query wobble on q14/q18 with no
 code change on those paths); ``value`` = sum of per-query medians.
+
+``python bench.py --all`` benches EVERY ``queries()`` entry (median of
+3 — 78 queries would make 5 runs a >10-minute pass) so the tail
+operators (q44-q78) get per-round numbers, not just the one-off
+BASELINE.md anchors. Both modes append their record to
+``tools/bench_history.jsonl``; ``python tools/bench_diff.py --gate``
+then flags any query that drifted >1.5x above its best recorded anchor
+at the same scale factor.
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import statistics
@@ -19,6 +28,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HISTORY_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tools", "bench_history.jsonl"
+)
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -38,9 +51,20 @@ HEADLINE = [
 ]
 
 
+def _append_history(record: dict) -> None:
+    """Append one bench record to tools/bench_history.jsonl (best-effort:
+    a read-only checkout must not fail the bench)."""
+    try:
+        with open(HISTORY_PATH, "a") as f:
+            f.write(json.dumps(record) + "\n")
+    except OSError:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    bench_all = "--all" in sys.argv[1:]
 
     from vinum_spark.session import get_spark
     from vinum_spark.inventory import QUERIES
@@ -48,32 +72,53 @@ def main() -> None:
     spark = get_spark("vinum_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    names = list(QUERIES) if bench_all else HEADLINE
+    n_timed = 3 if bench_all else 5
+
     timings = {}
     raw_runs = {}
-    for name in HEADLINE:
+    for name in names:
         fn = QUERIES[name].fn
         # warm-up (codegen, file listing, broadcast build)
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
-        for _ in range(5):
+        for _ in range(n_timed):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
         raw_runs[name] = [round(r, 3) for r in runs]
+        if bench_all:
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
-                "metric": "headline_inventory_total_wall",
+                "metric": (
+                    "all_inventory_total_wall"
+                    if bench_all
+                    else "headline_inventory_total_wall"
+                ),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "runs": raw_runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
+    )
+    _append_history(
+        {
+            "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+            "mode": "all" if bench_all else "headline",
+            "sf": sf_val,
+            "total": total,
+            "queries": timings,
+        }
     )
 
 

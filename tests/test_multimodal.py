@@ -784,18 +784,25 @@ def test_gif_pixels_composites_subframe_onto_screen():
 # ---------------------------------------------------------------------------
 
 
-def _encode_jpeg(px, qval=2):
-    """Baseline JPEG encoder for tests: 4:4:4, custom canonical Huffman
-    tables (fixed 9-bit codes for every used symbol — valid per spec
-    below 511 symbols), flat quant table. Lossy like any JPEG; qval=2
-    keeps round-trip error within a few counts. Pads to 8-multiples and
-    patches true dims into SOF (the decoder crops per spec)."""
+def _encode_jpeg(px, qval=2, subsampling="444"):
+    """Baseline JPEG encoder for tests: 4:4:4 / 4:2:0 / 4:2:2, custom
+    canonical Huffman tables (fixed 9-bit codes for every used symbol —
+    valid per spec below 511 symbols), flat quant table. Lossy like any
+    JPEG; qval=2 keeps round-trip error within a few counts. Pads to
+    MCU multiples and patches true dims into SOF (the decoder crops per
+    spec). Subsampled chroma is 2x-block-averaged at encode (the
+    decoder upsamples nearest)."""
     import numpy as np
 
     from vinum_spark.operators.multimodal import _JPEG_D, _JPEG_ZIGZAG
 
+    samps = {"444": [(1, 1), (1, 1), (1, 1)],
+             "420": [(2, 2), (1, 1), (1, 1)],
+             "422": [(2, 1), (1, 1), (1, 1)]}[subsampling]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
     h0, w0, _ = px.shape
-    ph, pw = -(-h0 // 8) * 8, -(-w0 // 8) * 8
+    ph, pw = -(-h0 // (8 * vmax)) * 8 * vmax, -(-w0 // (8 * hmax)) * 8 * hmax
     px = np.pad(px, ((0, ph - h0), (0, pw - w0), (0, 0)), mode="edge")
     h, w, _ = px.shape
     q = np.full(64, qval, dtype=np.int64)
@@ -803,24 +810,38 @@ def _encode_jpeg(px, qval=2):
     y = 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
     cb = 128.0 - 0.168735892 * p[..., 0] - 0.331264108 * p[..., 1] + 0.5 * p[..., 2]
     cr = 128.0 + 0.5 * p[..., 0] - 0.418687589 * p[..., 1] - 0.081312411 * p[..., 2]
-    ycc = np.stack([y, cb, cr], axis=-1) - 128.0
+
+    def down(plane, hi, vi):
+        fy, fx = vmax // vi, hmax // hi
+        if fy == fx == 1:
+            return plane
+        return plane.reshape(h // fy, fy, w // fx, fx).mean(axis=(1, 3))
+
+    planes = [down(pl, hi, vi) - 128.0
+              for pl, (hi, vi) in zip((y, cb, cr), samps)]
 
     def category(v):
         a = abs(int(v))
         return 0 if a == 0 else a.bit_length()
 
+    # MCU-interleaved block order, matching the decoder's walk
     blocks = []
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for c in range(3):
-                blk = ycc[by*8:(by+1)*8, bx*8:(bx+1)*8, c]
-                coef = _JPEG_D @ blk @ _JPEG_D.T
-                blocks.append(np.round(coef.flatten()[_JPEG_ZIGZAG] / q[_JPEG_ZIGZAG]).astype(np.int64))
+    nmy, nmx = h // (8 * vmax), w // (8 * hmax)
+    for my in range(nmy):
+        for mx in range(nmx):
+            for c, (hi, vi) in enumerate(samps):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        r0, c0 = (my * vi + byi) * 8, (mx * hi + bxi) * 8
+                        blk = planes[c][r0:r0 + 8, c0:c0 + 8]
+                        coef = _JPEG_D @ blk @ _JPEG_D.T
+                        blocks.append((c, np.round(
+                            coef.flatten()[_JPEG_ZIGZAG] / q[_JPEG_ZIGZAG]
+                        ).astype(np.int64)))
 
     dc_syms, ac_syms, stream = set(), set(), []
     prev_dc = [0, 0, 0]
-    for i, zz in enumerate(blocks):
-        c = i % 3
+    for c, zz in blocks:
         diff = int(zz[0]) - prev_dc[c]
         prev_dc[c] = int(zz[0])
         s = category(diff)
@@ -851,8 +872,8 @@ def _encode_jpeg(px, qval=2):
     out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes(int(x) for x in q[_JPEG_ZIGZAG])
     out += b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
     out += h0.to_bytes(2, "big") + w0.to_bytes(2, "big") + b"\x03"
-    for cid in (1, 2, 3):
-        out += bytes([cid, 0x11, 0x00])
+    for cid, (hi, vi) in zip((1, 2, 3), samps):
+        out += bytes([cid, (hi << 4) | vi, 0x00])
     for cls, vals, bits in ((0, dc_vals, dc_bits), (1, ac_vals, ac_bits)):
         out += b"\xff\xc4" + (19 + len(vals)).to_bytes(2, "big")
         out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
@@ -912,6 +933,59 @@ def test_jpeg_pixels_odd_dims_crop():
     dec = _jpeg_pixels(_encode_jpeg(px))
     assert dec is not None and dec.shape == (20, 25, 3)
     assert np.abs(dec.astype(int) - px.astype(int)).max() <= 16
+
+
+def test_jpeg_pixels_roundtrip_420():
+    """4:2:0 — the dominant web-corpus layout: 2x2-subsampled chroma,
+    MCU-interleaved (4 Y blocks then Cb then Cr per 16x16 MCU)."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _jpeg_pixels
+
+    px = _smooth_rgb(4, 32, 48)
+    dec = _jpeg_pixels(_encode_jpeg(px, subsampling="420"))
+    assert dec is not None and dec.shape == px.shape
+    err = np.abs(dec.astype(int) - px.astype(int))
+    # chroma is block-averaged at encode and nearest-upsampled at
+    # decode, so the bound is looser than 4:4:4 but still tight on a
+    # block-smooth image
+    assert err.max() <= 24 and err.mean() < 5
+
+
+def test_jpeg_pixels_roundtrip_420_odd_dims_crop():
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _jpeg_pixels
+
+    px = _smooth_rgb(5, 21, 19)  # forces MCU padding on both axes
+    dec = _jpeg_pixels(_encode_jpeg(px, subsampling="420"))
+    assert dec is not None and dec.shape == (21, 19, 3)
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 24
+
+
+def test_jpeg_pixels_roundtrip_422():
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _jpeg_pixels
+
+    px = _smooth_rgb(6, 24, 40)
+    dec = _jpeg_pixels(_encode_jpeg(px, subsampling="422"))
+    assert dec is not None and dec.shape == px.shape
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 24
+
+
+def test_decode_images_420_fixture_uses_jpeg_huff(spark):
+    """A 4:2:0 fixture must now take the real pixel path (decoder
+    'jpeg-huff'), not fall back to header dims."""
+    from vinum_spark.operators.multimodal import decode_images
+
+    px = _smooth_rgb(7, 32, 32)
+    df = spark.createDataFrame(
+        [(0, _encode_jpeg(px, subsampling="420"))], "asset_id long, content binary"
+    )
+    out = decode_images(df, pixels=True).toPandas()
+    assert out.loc[0, "decoder"] == "jpeg-huff"
+    assert (out.loc[0, "height"], out.loc[0, "width"]) == (32, 32)
 
 
 def test_jpeg_pixels_rejects_unsupported_profiles():

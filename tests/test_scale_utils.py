@@ -149,3 +149,48 @@ def test_compact_parquet_splits_oversized_hive_partition(spark, tmp_path):
     files = glob.glob(f"{dst}/p=0/part-*")
     assert len(files) > 1  # the oversized partition was split
     assert spark.read.parquet(dst).count() == 60000
+
+
+# --------------------------------------------------------------------------
+# bench_history gate (round 8)
+# --------------------------------------------------------------------------
+
+
+def test_bench_gate_flags_injected_regression(tmp_path):
+    """The history gate must exit nonzero when a query drifts >1.5x above
+    its best recorded anchor, and stay clean otherwise."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_diff import gate
+
+    hist = tmp_path / "hist.jsonl"
+    anchor = {"ts": "t0", "mode": "anchor", "sf": 0.1,
+              "queries": {"q54": 4.0, "q60": 0.30, "q78": 0.66}}
+
+    # clean run: everything within 1.5x
+    ok_run = {"ts": "t1", "mode": "all", "sf": 0.1,
+              "queries": {"q54": 4.4, "q60": 0.41, "q78": 0.70}}
+    hist.write_text(json.dumps(anchor) + "\n" + json.dumps(ok_run) + "\n")
+    assert gate(history_path=str(hist)) == 0
+
+    # injected regression: q54 at 9s vs 4s anchor
+    bad_run = {"ts": "t2", "mode": "all", "sf": 0.1,
+               "queries": {"q54": 9.0, "q60": 0.31, "q78": 0.70}}
+    hist.write_text(json.dumps(anchor) + "\n" + json.dumps(bad_run) + "\n")
+    assert gate(history_path=str(hist)) == 1
+
+    # small-query jitter below the absolute floor must NOT trip: 0.30->0.52
+    # is 1.7x but only +0.22s
+    jit = {"ts": "t3", "mode": "all", "sf": 0.1,
+           "queries": {"q54": 4.1, "q60": 0.52, "q78": 0.70}}
+    hist.write_text(json.dumps(anchor) + "\n" + json.dumps(jit) + "\n")
+    assert gate(history_path=str(hist)) == 0
+
+    # mismatched sf records are ignored as anchors: every query counts as
+    # freshly anchored, so even the 9s q54 passes (no cross-sf comparison)
+    other_sf = {"ts": "t4", "mode": "all", "sf": 0.01,
+                "queries": {"q54": 0.5}}
+    hist.write_text(json.dumps(other_sf) + "\n" + json.dumps(bad_run) + "\n")
+    assert gate(history_path=str(hist)) == 0

@@ -1,13 +1,23 @@
-"""Cross-round bench regression report.
+"""Cross-round bench regression report + history gate.
 
-Reads every BENCH_r*.json at the repo root (driver-recorded, one per
-round) plus an optional fresh `python bench.py` line piped on stdin, and
-prints a per-query table of medians across rounds with the latest-vs-
-previous delta. Intended use each round: run after bench.py to spot real
-regressions vs the documented ±30% single-query wobble (BASELINE.md).
+Report mode — reads every BENCH_r*.json at the repo root (driver-recorded,
+one per round) plus an optional fresh `python bench.py` line piped on
+stdin, and prints a per-query table of medians across rounds with the
+latest-vs-previous delta:
 
     python tools/bench_diff.py
     python bench.py | python tools/bench_diff.py
+
+Gate mode — reads ``tools/bench_history.jsonl`` (bench.py appends a
+record per run; seeded with the round-7 anchors incl. the q54-q78 tail
+from BASELINE.md), compares the LATEST record's per-query medians
+against the best (minimum) value any OTHER same-sf record ever achieved,
+and exits nonzero when a query drifted more than ``--threshold`` (1.5x)
+above that anchor AND by more than ``--floor`` (0.25 s) absolute — the
+floor keeps 0.2 s queries, where scheduler jitter alone is 50%, from
+tripping the gate. Run it each round after ``python bench.py --all``:
+
+    python bench.py --all && python tools/bench_diff.py --gate
 """
 
 from __future__ import annotations
@@ -17,6 +27,54 @@ import json
 import os
 import re
 import sys
+
+HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_history.jsonl")
+
+
+def gate(threshold: float = 1.5, floor: float = 0.25,
+         history_path: str = HISTORY_PATH) -> int:
+    """Return a process exit code: 0 clean, 1 drift found, 2 unusable."""
+    try:
+        with open(history_path) as f:
+            records = [json.loads(l) for l in f if l.strip()]
+    except OSError:
+        print(f"gate: no history at {history_path}; run bench.py first")
+        return 2
+    if len(records) < 2:
+        print("gate: need >=2 history records (anchors + a fresh run)")
+        return 2
+    latest = records[-1]
+    sf = latest.get("sf")
+    best: dict[str, float] = {}
+    for rec in records[:-1]:
+        if rec.get("sf") != sf:
+            continue
+        for q, v in rec.get("queries", {}).items():
+            if isinstance(v, (int, float)) and (q not in best or v < best[q]):
+                best[q] = v
+    drifted = []
+    fresh = []
+    for q, v in latest.get("queries", {}).items():
+        if q not in best:
+            fresh.append(q)
+            continue
+        if v > best[q] * threshold and v - best[q] > floor:
+            drifted.append((q, best[q], v, v / best[q]))
+    for q in fresh:
+        print(f"gate: {q}: first record at sf={sf} "
+              f"({latest['queries'][q]:.3f}s) — now anchored")
+    if drifted:
+        for q, b, v, r in sorted(drifted, key=lambda t: -t[3]):
+            print(f"gate: DRIFT {q}: {v:.3f}s vs best anchor {b:.3f}s "
+                  f"({r:.2f}x > {threshold}x)")
+        print(f"gate: {len(drifted)} quer{'y' if len(drifted)==1 else 'ies'} "
+              f"regressed beyond {threshold}x (+{floor}s floor)")
+        return 1
+    n = len(latest.get("queries", {})) - len(fresh)
+    print(f"gate: clean — {n} queries within {threshold}x of best anchors "
+          f"at sf={sf}")
+    return 0
 
 
 def main() -> None:
@@ -83,4 +141,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--gate" in sys.argv[1:]:
+        def _flag(name: str, default: float) -> float:
+            for i, a in enumerate(sys.argv):
+                if a == name and i + 1 < len(sys.argv):
+                    return float(sys.argv[i + 1])
+            return default
+
+        sys.exit(gate(_flag("--threshold", 1.5), _flag("--floor", 0.25)))
     main()

@@ -600,12 +600,15 @@ def _jpeg_pixels(data: bytes, max_pixels: int = 4 * 1024 * 1024):
 
 
 def _jpeg_pixels_unsafe(data: bytes, max_pixels: int = 4 * 1024 * 1024):
-    """REAL pixel decode for baseline JPEG (SOF0, 8-bit, 4:4:4 or
-    grayscale, no restarts): marker walk -> declared Huffman/quant
-    tables -> MCU entropy decode -> dequant + inverse zigzag + IDCT ->
-    YCbCr→RGB. Returns (H, W, 3) uint8 or None for anything outside
-    the supported profile (progressive, subsampled, restart-interval,
-    corrupt, oversized)."""
+    """REAL pixel decode for baseline JPEG (SOF0, 8-bit, sampling
+    factors 1-2 — 4:4:4, 4:2:0, 4:2:2, 4:4:0, grayscale — no
+    restarts): marker walk -> declared Huffman/quant tables ->
+    MCU-interleaved entropy decode -> dequant + inverse zigzag + IDCT
+    -> chroma upsample (nearest) -> YCbCr→RGB. Returns (H, W, 3) uint8
+    or None for anything outside the supported profile (progressive,
+    restart-interval, sampling factors >2, corrupt, oversized).
+    4:2:0 is the dominant layout in web corpora, so the subsampled MCU
+    path is what makes the decoder useful on a real crawl."""
     if data[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -654,9 +657,15 @@ def _jpeg_pixels_unsafe(data: bytes, max_pixels: int = 4 * 1024 * 1024):
                 if 9 + 3 * i > len(body):
                     return None
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if (samp >> 4, samp & 0x0F) != (1, 1):
-                    return None  # 4:4:4 / grayscale only
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                if nc == 1:
+                    # single-component scans are non-interleaved: one
+                    # data unit per 8x8 tile regardless of declared
+                    # sampling factors (ITU-T T.81 A.2)
+                    hi = vi = 1
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    return None  # factors >2 are vanishingly rare; keep bounded
+                comps.append((cid, hi, vi, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline frame types
@@ -679,63 +688,92 @@ def _jpeg_pixels_unsafe(data: bytes, max_pixels: int = 4 * 1024 * 1024):
             # larger than the segment would read past it
             if comps is None or len(body) < 1 or len(body) < 1 + 2 * body[0]:
                 return None
+            if body[0] != len(comps):
+                return None  # partial (non-interleaved multi-comp) scans
             sel = {}
             for i in range(body[0]):
                 cid, tbl = body[1 + 2 * i], body[2 + 2 * i]
                 sel[cid] = (tbl >> 4, tbl & 0x0F)
+            if any(cid not in sel for cid, _, _, _ in comps):
+                return None
             br = _JpegBits(data[pos + 2 + seglen :])
-            nby, nbx = -(-h // 8), -(-w // 8)
-            planes = [np.zeros((nby * 8, nbx * 8)) for _ in comps]
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            # MCU grid covers the image in (8*hmax) x (8*vmax) tiles;
+            # component ci owns hi*vi blocks per MCU in raster order
+            nmy, nmx = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+            planes = [
+                np.zeros((nmy * 8 * vi, nmx * 8 * hi))
+                for _, hi, vi, _ in comps
+            ]
             prev_dc = [0] * len(comps)
-            for by in range(nby):
-                for bx in range(nbx):
-                    for ci, (cid, tq) in enumerate(comps):
-                        dc_t, ac_t = sel.get(cid, (0, 0))
-                        dct = huff.get((0, dc_t))
-                        act = huff.get((1, ac_t))
-                        q = qtables.get(tq)
-                        if dct is None or act is None or q is None:
-                            return None
-                        s = _jpeg_huff_decode(br, dct)
-                        if s is None:
-                            return None
-                        diff = 0
-                        if s:
-                            v = br.bits(s)
-                            if v is None:
-                                return None
-                            diff = _jpeg_extend(v, s)
-                        prev_dc[ci] += diff
-                        zz = np.zeros(64, dtype="int64")
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _jpeg_huff_decode(br, act)
-                            if sym is None:
-                                return None
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            run, size = sym >> 4, sym & 0x0F
-                            k += run
-                            if k > 63 or size == 0:
-                                return None
-                            v = br.bits(size)
-                            if v is None:
-                                return None
-                            zz[k] = _jpeg_extend(v, size)
-                            k += 1
-                        coef = np.zeros(64)
-                        coef[_JPEG_ZIGZAG] = zz * q
-                        planes[ci][by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
-                            _JPEG_D.T @ coef.reshape(8, 8) @ _JPEG_D
-                        )
+
+            def read_block(ci):
+                cid, _, _, tq = comps[ci]
+                dc_t, ac_t = sel[cid]
+                dct = huff.get((0, dc_t))
+                act = huff.get((1, ac_t))
+                q = qtables.get(tq)
+                if dct is None or act is None or q is None:
+                    return None
+                s = _jpeg_huff_decode(br, dct)
+                if s is None:
+                    return None
+                diff = 0
+                if s:
+                    v = br.bits(s)
+                    if v is None:
+                        return None
+                    diff = _jpeg_extend(v, s)
+                prev_dc[ci] += diff
+                zz = np.zeros(64, dtype="int64")
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = _jpeg_huff_decode(br, act)
+                    if sym is None:
+                        return None
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63 or size == 0:
+                        return None
+                    v = br.bits(size)
+                    if v is None:
+                        return None
+                    zz[k] = _jpeg_extend(v, size)
+                    k += 1
+                coef = np.zeros(64)
+                coef[_JPEG_ZIGZAG] = zz * q
+                return _JPEG_D.T @ coef.reshape(8, 8) @ _JPEG_D
+
+            for my in range(nmy):
+                for mx in range(nmx):
+                    for ci, (cid, hi, vi, tq) in enumerate(comps):
+                        for byi in range(vi):
+                            for bxi in range(hi):
+                                blk = read_block(ci)
+                                if blk is None:
+                                    return None
+                                r0 = (my * vi + byi) * 8
+                                c0 = (mx * hi + bxi) * 8
+                                planes[ci][r0 : r0 + 8, c0 : c0 + 8] = blk
             if len(comps) == 1:
                 gray = np.clip((planes[0] + 128.0).round(), 0, 255).astype("uint8")
                 return np.stack([gray] * 3, axis=-1)[:h, :w]
-            ycc = np.stack([p + 128.0 for p in planes], axis=-1)
+            # nearest-neighbor chroma upsample to the full MCU grid
+            full = []
+            for plane, (_, hi, vi, _) in zip(planes, comps):
+                if vi < vmax:
+                    plane = np.repeat(plane, vmax // vi, axis=0)
+                if hi < hmax:
+                    plane = np.repeat(plane, hmax // hi, axis=1)
+                full.append(plane)
+            ycc = np.stack([p + 128.0 for p in full], axis=-1)
             return _jpeg_ycbcr_to_rgb(ycc)[:h, :w]
         pos += 2 + seglen
     return None
