@@ -77,15 +77,21 @@ def main() -> None:
 
     timings = {}
     raw_runs = {}
+    errors = {}
     for name in names:
         fn = QUERIES[name].fn
-        # warm-up (codegen, file listing, broadcast build)
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        runs = []
-        for _ in range(n_timed):
-            t0 = time.perf_counter()
+        try:
+            # warm-up (codegen, file listing, broadcast build)
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            runs = []
+            for _ in range(n_timed):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # one broken query must not lose the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(statistics.median(runs), 3)
         raw_runs[name] = [round(r, 3) for r in runs]
         if bench_all:
@@ -106,6 +112,7 @@ def main() -> None:
                 "queries": timings,
                 "runs": raw_runs,
                 "sf": sf_val,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
@@ -118,6 +125,7 @@ def main() -> None:
             "sf": sf_val,
             "total": total,
             "queries": timings,
+            **({"errors": errors} if errors else {}),
         }
     )
 

@@ -1077,3 +1077,116 @@ def test_gif_subframe_with_local_table_uses_global_bg():
     assert got is not None and got.shape == (6, 8, 3)
     assert (got[2:4, 3:5] == lpal[1]).all()   # frame uses local table
     assert (got[0, 0] == gpal[100]).all()     # bg from GLOBAL table
+
+
+# ---------------------------------------------------------------------------
+# MP4 key-frame extraction (stbl sample-table walk) — round 8
+# ---------------------------------------------------------------------------
+
+_MP4_SIZES = [10, 12, 8, 14, 9, 11]
+
+
+def _bmff_box(btype: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def _mp4_with_samples(with_stss=True, co64=False) -> bytes:
+    """Minimal playable-shaped ISO-BMFF: ftyp + mdat (6 samples in 2
+    chunks: 4 then 2) + moov(trak(mdia(hdlr 'vide', minf(stbl(stsz,
+    stsc, stco|co64, [stss 1,4,6]))))). Sample i is filled with byte
+    0xA0+i so frame payloads are recognizable."""
+    ftyp = _bmff_box(b"ftyp", b"mp42" + b"\x00" * 4)
+    payloads = [bytes([0xA0 + i]) * n for i, n in enumerate(_MP4_SIZES)]
+    mdat = _bmff_box(b"mdat", b"".join(payloads))
+    base = len(ftyp) + 8  # first sample offset inside mdat
+    chunk_offsets = [base, base + sum(_MP4_SIZES[:4])]
+    stsz = _bmff_box(
+        b"stsz",
+        b"\x00" * 4 + (0).to_bytes(4, "big") + len(_MP4_SIZES).to_bytes(4, "big")
+        + b"".join(n.to_bytes(4, "big") for n in _MP4_SIZES),
+    )
+    stsc = _bmff_box(
+        b"stsc",
+        b"\x00" * 4 + (2).to_bytes(4, "big")
+        + b"".join(v.to_bytes(4, "big") for v in (1, 4, 1, 2, 2, 1)),
+    )
+    if co64:
+        stco = _bmff_box(
+            b"co64",
+            b"\x00" * 4 + (2).to_bytes(4, "big")
+            + b"".join(o.to_bytes(8, "big") for o in chunk_offsets),
+        )
+    else:
+        stco = _bmff_box(
+            b"stco",
+            b"\x00" * 4 + (2).to_bytes(4, "big")
+            + b"".join(o.to_bytes(4, "big") for o in chunk_offsets),
+        )
+    stbl_body = stsz + stsc + stco
+    if with_stss:
+        stbl_body += _bmff_box(
+            b"stss",
+            b"\x00" * 4 + (3).to_bytes(4, "big")
+            + b"".join(k.to_bytes(4, "big") for k in (1, 4, 6)),
+        )
+    minf = _bmff_box(b"minf", _bmff_box(b"stbl", stbl_body))
+    hdlr = _bmff_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    trak = _bmff_box(b"trak", _bmff_box(b"mdia", hdlr + minf))
+    return ftyp + mdat + _bmff_box(b"moov", trak)
+
+
+def test_mp4_keyframe_spans_sync_samples():
+    from vinum_spark.operators.multimodal import _mp4_keyframe_spans
+
+    data = _mp4_with_samples()
+    base = len(_bmff_box(b"ftyp", b"mp42" + b"\x00" * 4)) + 8
+    offs = [base]
+    for n in _MP4_SIZES[:-1]:
+        offs.append(offs[-1] + n)
+    want = [(offs[k - 1], offs[k - 1] + _MP4_SIZES[k - 1]) for k in (1, 4, 6)]
+    assert _mp4_keyframe_spans(data) == want
+    # each span slices exactly the sample's fill bytes
+    for (lo, hi), k in zip(want, (1, 4, 6)):
+        assert data[lo:hi] == bytes([0xA0 + k - 1]) * (hi - lo)
+
+
+def test_mp4_keyframe_spans_no_stss_all_sync():
+    """Absent stss = every sample is a sync sample (14496-12 §8.6.2)."""
+    from vinum_spark.operators.multimodal import _mp4_keyframe_spans
+
+    assert len(_mp4_keyframe_spans(_mp4_with_samples(with_stss=False))) == 6
+
+
+def test_mp4_keyframe_spans_co64():
+    from vinum_spark.operators.multimodal import _mp4_keyframe_spans
+
+    assert len(_mp4_keyframe_spans(_mp4_with_samples(co64=True))) == 3
+
+
+def test_mp4_keyframe_spans_rejects_offsets_past_eof():
+    """A truncated/hostile file whose chunk offsets run past EOF must
+    return None (degrade to stub), never invent frame bytes."""
+    from vinum_spark.operators.multimodal import _mp4_keyframe_spans
+
+    data = _mp4_with_samples()
+    assert _mp4_keyframe_spans(data[: len(data) - 40]) is None  # moov gone
+    # chop mdat short but keep moov: spans would run past EOF
+    full = _mp4_with_samples()
+    moov_at = full.rindex(b"moov") - 4
+    truncated = full[:30] + full[moov_at:]
+    assert _mp4_keyframe_spans(truncated) is None
+
+
+def test_sample_frames_mp4_real_keyframes(spark):
+    """sample_frames on an MP4 with sample tables must emit the real
+    sync-sample payloads with decoder='mp4-stbl' — the stub label is
+    gone for table-bearing MP4s."""
+    from vinum_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(0, _mp4_with_samples())], "asset_id long, content binary"
+    )
+    out = sample_frames(df, every_n=1).toPandas().sort_values("frame_idx")
+    assert out.decoder.tolist() == ["mp4-stbl"] * 3
+    assert [bytes(f)[:1] for f in out.frame] == [b"\xa0", b"\xa3", b"\xa5"]
+    assert [len(bytes(f)) for f in out.frame] == [10, 14, 11]

@@ -439,6 +439,64 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(edges, max_iterations=2)
 
 
+def test_connected_components_star_chain_of_60(spark):
+    """A 60-node chain: min-label needs 59 rounds (raises at
+    max_iterations=25); large-star/small-star converges in O(log^2 n)
+    rounds under the same budget — the VERDICT r7 escape hatch for
+    adversarial chain-shaped graphs."""
+    from vinum_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=25)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, max_iterations=25, algorithm="star"
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(60)}
+
+
+def test_connected_components_star_matches_default(spark):
+    """Both algorithms must produce identical labels on a mixed graph
+    (multiple components, duplicate + reversed edges, self-contained
+    pairs)."""
+    import random
+
+    from vinum_spark.operators import connected_components
+
+    rng = random.Random(8)
+    edges = [(i, i + 1) for i in range(0, 20, 2)]           # 10 pairs
+    edges += [(100 + rng.randrange(12), 100 + rng.randrange(12))
+              for _ in range(30)]                            # random blob
+    edges += [(b, a) for a, b in edges[:5]] + edges[:3]      # dupes/reversed
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    default = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    star = {
+        (r["node"], r["component"])
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert default == star
+
+
+def test_connected_components_bad_algorithm_raises(spark):
+    from vinum_spark.operators import connected_components
+
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="algorithm"):
+        connected_components(df, algorithm="magic")
+
+
 def test_dedup_clusters_groups_transitive_dups(docs):
     from vinum_spark.operators import dedup_clusters
 

@@ -312,3 +312,48 @@ def test_sliding_aggregate_null_values_average_like_f_avg(spark, tmp_path):
     row = spark.table("null_avg_out").filter("event_type = 'click'").collect()[0]
     assert row["avg_value"] == 2.0  # not 1.0 (sum/era-count)
     assert row["n"] == 2
+
+
+def test_drain_returns_with_final_watermark_emission_in_sink(spark, tmp_path):
+    """Pins _drain's finality contract (VERDICT r7 nit 1): its stop
+    condition is the first committed zero-input batch after batch 0,
+    which under availableNow is ALSO the batch that carries the final
+    watermark-commit emission for append mode. If _drain returned
+    before that batch committed, the last finalized window would be
+    missing from the sink.
+
+    One input file -> batch 0 consumes everything; the watermark only
+    advances AFTER batch 0, so window [10:00,11:00)'s append-mode row
+    can only be emitted in the trailing zero-input batch. It must be
+    present the moment run_stream_to_memory returns."""
+    from vinum_spark.streaming import stream_events, tumbling_counts
+    from vinum_spark.streaming.windows import run_stream_to_memory
+
+    src = str(tmp_path / "finality_events")
+    ddl_raw = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows = [
+        (1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:20:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 12:00:00", 1, "click", 1.0, "{}"),  # advances wm
+    ]
+    spark.createDataFrame(rows, ddl_raw).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = stream_events(spark, src)
+    agg = tumbling_counts(stream, window="1 hour", watermark="30 minutes")
+    run_stream_to_memory(agg, "finality_out", mode="append")
+    pdf = spark.table("finality_out").toPandas()
+    starts = pdf.window_start.astype(str).tolist()
+    # the finalized window arrived via the zero-input watermark-commit
+    # batch and is in the sink at drain-return
+    assert "2024-01-01 10:00:00" in starts
+    assert int(pdf.set_index(pdf.window_start.astype(str)).loc[
+        "2024-01-01 10:00:00"].n) == 2
+    # the still-open window [12:00,13:00) must NOT be there — proves we
+    # observed true append-mode finality, not a complete-mode snapshot
+    assert "2024-01-01 12:00:00" not in starts

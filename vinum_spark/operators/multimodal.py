@@ -22,10 +22,13 @@ zlib + numpy scanline un-filtering), and GIF87a/89a first frames
 (``_gif_pixels``: pure-Python variable-width LZW + palette mapping +
 interlace reorder — GIF's compression is spec-complete without any
 codec library), and baseline JPEG (``_jpeg_pixels``: marker walk +
-declared Huffman tables + dequant/IDCT in numpy), all feeding the REAL
-8×8 pooled-grayscale feature in ``extract_features``. Only work
-requiring external codec libraries or models (progressive/subsampled
-JPEG, video frames, learned feature models) is STUBBED: when PIL is importable it is
+declared Huffman tables + dequant/IDCT in numpy, 4:4:4/4:2:0/4:2:2
+MCU layouts), all feeding the REAL 8×8 pooled-grayscale feature in
+``extract_features``. MP4 KEY-FRAME extraction is real too
+(``_mp4_keyframe_spans``: stbl sample-table walk → sync-sample byte
+spans — no codec needed for offsets). Only work requiring external
+codec libraries or models (progressive JPEG, video frame PIXELS,
+learned feature models) is STUBBED: when PIL is importable it is
 used; otherwise a clearly-marked deterministic fake derives
 shapes/features from the bytes so the Spark-side plumbing — schemas,
 batch iteration, UDF signatures — is real and tested end-to-end.
@@ -1261,6 +1264,126 @@ def _gif_frame_spans(data: bytes, max_frames: int = 256):
     return spans
 
 
+def _mp4_spans_from_tables(data: bytes, tables: dict):
+    """Per-sample (start, end) byte spans from one trak's sample tables
+    (ISO/IEC 14496-12 §8.7): stsz sizes + stsc sample→chunk runs +
+    stco/co64 chunk offsets; stss then selects the sync samples.
+    Returns None on missing/inconsistent tables — untrusted corpus
+    bytes must degrade, never crash or invent offsets."""
+
+    def u32(o):
+        return int.from_bytes(data[o : o + 4], "big")
+
+    def u64(o):
+        return int.from_bytes(data[o : o + 8], "big")
+
+    if b"stsz" not in tables or b"stsc" not in tables or not (
+        b"stco" in tables or b"co64" in tables
+    ):
+        return None
+    ts, te = tables[b"stsz"]
+    if ts + 12 > te:
+        return None
+    fixed, count = u32(ts + 4), u32(ts + 8)
+    if count == 0 or count > (1 << 20):  # bound table work on hostile counts
+        return None
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        if ts + 12 + 4 * count > te:
+            return None
+        sizes = [u32(ts + 12 + 4 * i) for i in range(count)]
+    if b"stco" in tables:
+        cs, ce = tables[b"stco"]
+        n = u32(cs + 4)
+        if n == 0 or n > (1 << 20) or cs + 8 + 4 * n > ce:
+            return None
+        offsets = [u32(cs + 8 + 4 * i) for i in range(n)]
+    else:
+        cs, ce = tables[b"co64"]
+        n = u32(cs + 4)
+        if n == 0 or n > (1 << 20) or cs + 8 + 8 * n > ce:
+            return None
+        offsets = [u64(cs + 8 + 8 * i) for i in range(n)]
+    ss, se = tables[b"stsc"]
+    m = u32(ss + 4)
+    if m == 0 or m > (1 << 20) or ss + 8 + 12 * m > se:
+        return None
+    runs = [(u32(ss + 8 + 12 * j), u32(ss + 12 + 12 * j)) for j in range(m)]
+    spc = []  # samples-per-chunk, expanded over the chunk list
+    for j, (first, per) in enumerate(runs):
+        last = runs[j + 1][0] - 1 if j + 1 < len(runs) else len(offsets)
+        if first < 1 or first > last or last > len(offsets):
+            return None
+        spc.extend([per] * (last - first + 1))
+    if len(spc) != len(offsets):
+        return None
+    spans = []
+    si = 0
+    for ci, chunk_off in enumerate(offsets):
+        off = chunk_off
+        for _ in range(spc[ci]):
+            if si >= len(sizes):
+                return None  # stsc promises more samples than stsz has
+            spans.append((off, off + sizes[si]))
+            off += sizes[si]
+            si += 1
+    if si != len(sizes):
+        return None
+    if any(lo >= hi or hi > len(data) for lo, hi in spans):
+        return None  # offsets past EOF: truncated/hostile file
+    if b"stss" in tables:
+        ks, ke = tables[b"stss"]
+        kn = u32(ks + 4)
+        if kn > (1 << 20) or ks + 8 + 4 * kn > ke:
+            return None
+        keys = [u32(ks + 8 + 4 * i) for i in range(kn)]
+        spans = [spans[k - 1] for k in keys if 1 <= k <= len(spans)]
+    # no stss box = every sample is a sync sample (14496-12 §8.6.2)
+    return spans or None
+
+
+def _mp4_keyframe_spans(data: bytes, max_frames: int = 256):
+    """REAL key-frame extraction for ISO-BMFF (MP4) — pure byte
+    arithmetic over the moov/trak/mdia/minf/stbl sample tables, no
+    codec: key-frame BYTE SPANS need only stts-family table walks, the
+    same class as the mvhd/tkhd metadata parse above. Prefers the
+    ``vide`` handler trak; falls back to the first trak whose tables
+    parse. Returns a list of (start, end) spans or None."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    best = None
+    for btype, ps, pe in _iter_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ityp, is_, ie in _iter_boxes(data, ps, pe):
+            if ityp != b"trak":
+                continue
+            is_video = False
+            tables = {}
+            for mtyp, ms, me in _iter_boxes(data, is_, ie):
+                if mtyp != b"mdia":
+                    continue
+                for ntyp, ns, ne in _iter_boxes(data, ms, me):
+                    if ntyp == b"hdlr" and ns + 12 <= ne:
+                        is_video = data[ns + 8 : ns + 12] == b"vide"
+                    elif ntyp == b"minf":
+                        for styp, ss, se in _iter_boxes(data, ns, ne):
+                            if styp != b"stbl":
+                                continue
+                            for ttyp, t0, t1 in _iter_boxes(data, ss, se):
+                                if ttyp in (b"stsz", b"stco", b"co64",
+                                            b"stsc", b"stss"):
+                                    tables[ttyp] = (t0, t1)
+            spans = _mp4_spans_from_tables(data, tables)
+            if spans:
+                if is_video:
+                    return spans[:max_frames]
+                if best is None:
+                    best = spans[:max_frames]
+    return best
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int = 10,
@@ -1273,11 +1396,15 @@ def sample_frames(
     GIF inputs get REAL frame extraction: :func:`_gif_frame_spans`
     walks the block structure and every ``every_n``-th Image Descriptor
     is emitted as a standalone frame blob (``decoder='gif-blocks'``) —
-    pure byte arithmetic, no LZW decode, no codec library. Other
-    containers (MP4 etc. — codec libs absent here) keep the labeled
-    STUB path (``decoder='stub'``, byte-slices as 'frames'); a real
-    decoder raises the row count the same way, so partition sizing and
-    skew behavior stay faithful.
+    pure byte arithmetic, no LZW decode, no codec library. MP4 inputs
+    get REAL key-frame extraction the same way:
+    :func:`_mp4_keyframe_spans` walks the stbl sample tables
+    (stsz/stsc/stco/stss) and emits every ``every_n``-th sync sample's
+    byte span (``decoder='mp4-stbl'``) — the compressed key-frame
+    payloads a downstream codec stage would decode. Unrecognized
+    containers keep the labeled STUB path (``decoder='stub'``,
+    byte-slices as 'frames'); a real decoder raises the row count the
+    same way, so partition sizing and skew behavior stay faithful.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1286,6 +1413,10 @@ def sample_frames(
             for aid, data in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(data or b"")
                 spans = _gif_frame_spans(data)
+                dec = "gif-blocks"
+                if not spans:
+                    spans = _mp4_keyframe_spans(data)
+                    dec = "mp4-stbl"
                 if spans:
                     for i, (lo, hi) in enumerate(
                         spans[:: max(every_n, 1)][:32]
@@ -1293,7 +1424,7 @@ def sample_frames(
                         out_ids.append(int(aid))
                         out_idx.append(i)
                         out_frames.append(data[lo:hi])
-                        out_dec.append("gif-blocks")
+                        out_dec.append(dec)
                     continue
                 n_frames = max(len(data) // max(every_n, 1), 1)
                 for i in range(min(n_frames, 32)):
