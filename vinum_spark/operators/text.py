@@ -398,14 +398,21 @@ def winnowing_fingerprints(
     long = hashed.select(F.col(id_col), F.explode(fps).alias(out))
     if max_doc_freq is not None:
         # rows are distinct per (doc, fp) by construction, so count(*)
-        # IS the document frequency; one partial-aggregated shuffle
+        # IS the document frequency; one partial-aggregated shuffle.
+        # The df<=cap filter keeps MOST fingerprints, so `rare` is
+        # corpus-proportional — force a shuffle join: Catalyst's
+        # logical size estimate for an aggregate+filter can come out
+        # under the broadcast threshold, and the resulting broadcast
+        # build OOMs the driver at ~10x sf0.1 (observed; a real 100 TB
+        # corpus would be hopeless). Both sides hash-shuffle on the
+        # fingerprint they join on — the partition-parallel plan.
         rare = (
             long.groupBy(out)
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") <= max_doc_freq)
             .select(out)
         )
-        long = long.join(rare, out)
+        long = long.join(rare.hint("shuffle_hash"), out)
     return long
 
 

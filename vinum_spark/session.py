@@ -35,8 +35,18 @@ def get_spark(app_name: str = "vinum_spark") -> SparkSession:
     master = os.environ.get(
         "SPARK_GRAFT_MASTER", f"local[{cpus}]" if cpus else "local[*]"
     )
+    # In local mode the driver JVM hosts every executor thread, so
+    # spark.driver.memory IS the cluster memory — and Spark's default is
+    # 1g, which 32 concurrent tasks exhaust on any shuffle-heavy stage
+    # (observed: executor OOM -> context shutdown -> blockmgr deleted
+    # under running tasks at 10x sf0.1). 32g leaves room for several
+    # concurrent JVMs (pytest + bench) plus Arrow/pandas native memory
+    # on the 128 GiB harness. Applied at JVM launch; a real cluster sets
+    # it via spark-submit instead.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         # The reference's expression semantics are numpy's (permissive
         # casts, null on malformed input, wrapping arithmetic) — ANSI off
