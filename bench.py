@@ -21,8 +21,10 @@ at the same scale factor.
 from __future__ import annotations
 
 import datetime
+import glob
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -49,6 +51,22 @@ HEADLINE = [
     "q39_embedding_neardup_pairs",
     "q43_token_explode",
 ]
+
+
+def _current_round() -> str | None:
+    """Round label for history provenance: ``$SPARK_GRAFT_ROUND`` if set,
+    else inferred as (max committed BENCH_r{N}.json at the repo root) + 1
+    — during round N the driver has recorded artifacts up to N-1."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return env
+    root = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)", os.path.basename(p))
+        if m:
+            rounds.append(int(m.group(1)))
+    return f"r{max(rounds) + 1}" if rounds else None
 
 
 def _append_history(record: dict) -> None:
@@ -121,6 +139,7 @@ def main() -> None:
             "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
                 timespec="seconds"
             ),
+            "round": _current_round(),
             "mode": "all" if bench_all else "headline",
             "sf": sf_val,
             "total": total,

@@ -194,3 +194,34 @@ def test_bench_gate_flags_injected_regression(tmp_path):
                 "queries": {"q54": 0.5}}
     hist.write_text(json.dumps(other_sf) + "\n" + json.dumps(bad_run) + "\n")
     assert gate(history_path=str(hist)) == 0
+
+
+def test_bench_gate_median_anchor_resists_lucky_outlier(tmp_path):
+    """A single abnormally fast round must not permanently ratchet the
+    anchor down (the round-8 q23 false positive): the anchor is the
+    MEDIAN of history, so one 0.288s outlier among 0.36-0.38s rounds
+    leaves the bar at ~0.37s and a 0.55s noisy run stays under the
+    0.25s absolute floor."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_diff import gate
+
+    hist = tmp_path / "hist.jsonl"
+    rounds = [
+        {"ts": "t0", "round": "r5", "sf": 0.1, "queries": {"q23": 0.38}},
+        {"ts": "t1", "round": "r6", "sf": 0.1, "queries": {"q23": 0.36}},
+        {"ts": "t2", "round": "r7", "sf": 0.1, "queries": {"q23": 0.288}},
+        {"ts": "t3", "round": "r8", "sf": 0.1, "queries": {"q23": 0.55}},
+    ]
+    hist.write_text("".join(json.dumps(r) + "\n" for r in rounds))
+    # min-anchor would read 0.55 vs 0.288 = 1.91x +0.26s -> fail;
+    # median anchor 0.36 -> +0.19s under the floor -> clean
+    assert gate(history_path=str(hist)) == 0
+
+    # a genuine sustained regression still trips: 1.2s vs 0.36 median
+    rounds.append({"ts": "t4", "round": "r9", "sf": 0.1,
+                   "queries": {"q23": 1.2}})
+    hist.write_text("".join(json.dumps(r) + "\n" for r in rounds))
+    assert gate(history_path=str(hist)) == 1
