@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -1190,3 +1191,109 @@ def test_sample_frames_mp4_real_keyframes(spark):
     assert out.decoder.tolist() == ["mp4-stbl"] * 3
     assert [bytes(f)[:1] for f in out.frame] == [b"\xa0", b"\xa3", b"\xa5"]
     assert [len(bytes(f)) for f in out.frame] == [10, 14, 11]
+
+
+# --------------------------------------------------------------------------
+# MP3 frame-header walk (round 9)
+# --------------------------------------------------------------------------
+
+
+def _mp3_frames(n, kbps_idx=9, pad_every=None, id3v2=False, id3v1=False):
+    """Spec-built MPEG1 Layer III fixture: 44100 Hz joint-stereo frames
+    with valid 4-byte headers and zeroed payloads (the parser never
+    reads payload bytes). kbps_idx=9 -> 128 kbps; frame length
+    144*128000/44100 = 417 (+1 when padded)."""
+    out = bytearray()
+    if id3v2:
+        # 132-byte tag body, syncsafe size 0b1_0000100 = 132
+        out += b"ID3" + bytes([4, 0, 0, 0, 0, 1, 4]) + b"\x00" * 132
+    for k in range(n):
+        pad = 1 if (pad_every and k % pad_every == 0) else 0
+        out += bytes([0xFF, 0xFB, (kbps_idx << 4) | (pad << 1), 0x40])
+        out += b"\x00" * (144 * 128000 // 44100 + pad - 4)
+    if id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return bytes(out)
+
+
+def test_parse_mp3_exact_duration_and_vbr_padding():
+    from vinum_spark.operators.multimodal import _parse_mp3
+
+    ch, rate, samples, duration, kbps = _parse_mp3(_mp3_frames(38))
+    assert (ch, rate, samples) == (2, 44100, 38 * 1152)
+    assert duration == pytest.approx(38 * 1152 / 44100)
+    assert kbps == pytest.approx(128, rel=0.01)
+    # padded frames change per-frame length; the walk must still chain
+    _, _, samples2, _, _ = _parse_mp3(_mp3_frames(20, pad_every=3))
+    assert samples2 == 20 * 1152
+
+
+def test_parse_mp3_skips_id3_tags_and_rejects_garbage():
+    from vinum_spark.operators.multimodal import _parse_mp3
+
+    with_tags = _mp3_frames(10, id3v2=True, id3v1=True)
+    bare = _mp3_frames(10)
+    assert _parse_mp3(with_tags) == _parse_mp3(bare)
+    assert _parse_mp3(b"") is None
+    assert _parse_mp3(b"\xff" * 4096) is None  # sync but bitrate idx 15
+    assert _parse_mp3(b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f") is None
+    # a single false sync with no chaining second frame is rejected
+    assert _parse_mp3(b"\x00" * 64 + b"\xff\xfb\x90\x40" + b"\x01" * 8) is None
+
+
+def test_parse_mp3_mono_mpeg25():
+    """Version/layer/rate tables: MPEG2.5 Layer III mono 8 kbps 8000 Hz
+    -> 72-byte frames of 576 samples."""
+    from vinum_spark.operators.multimodal import _mp3_header, _parse_mp3
+
+    frame = bytes([0xFF, 0xE2, 0x18, 0xC0]) + b"\x00" * 68
+    assert _mp3_header(frame, 0) == (72, 576, 8000, 8, 1)
+    ch, rate, samples, duration, _ = _parse_mp3(frame * 25)
+    assert (ch, rate, samples) == (1, 8000, 25 * 576)
+    assert duration == pytest.approx(25 * 576 / 8000)
+
+
+def test_decode_audio_mp3_frame_stats(spark):
+    """decode_audio on MP3: TRUE channels/rate/samples/duration from the
+    header walk, NULL rms/peak (samples are never decoded), decoder
+    'mpeg-frames'; WAV in the same batch keeps its pcm16 path."""
+    from vinum_spark.operators.multimodal import decode_audio
+
+    df = spark.createDataFrame(
+        [(0, _mp3_frames(38, id3v2=True)), (1, _sine_wav()), (2, b"junk")],
+        "asset_id long, content binary",
+    )
+    out = decode_audio(df).toPandas().set_index("asset_id").sort_index()
+    mp3 = out.loc[0]
+    assert mp3["decoder"] == "mpeg-frames"
+    assert (mp3["n_channels"], mp3["sample_rate"]) == (2, 44100)
+    assert mp3["n_samples"] == 38 * 1152
+    assert mp3["duration_s"] == pytest.approx(38 * 1152 / 44100)
+    assert pd.isna(mp3["rms"]) and pd.isna(mp3["peak"])
+    assert out.loc[1, "decoder"] == "pcm16"
+    assert out.loc[2, "decoder"] == "stub"
+
+
+def test_probe_media_mp3(spark):
+    from vinum_spark.operators.multimodal import probe_media
+
+    df = spark.createDataFrame(
+        [(0, _mp3_frames(76))], "asset_id long, content binary"
+    )
+    row = probe_media(df).toPandas().iloc[0]
+    assert row["kind"] == "audio"
+    assert row["decoder"] == "mpeg-frames"
+    assert (row["channels"], row["sample_rate"]) == (2, 44100)
+    assert row["duration_s"] == pytest.approx(76 * 1152 / 44100)
+    assert pd.isna(row["bits_per_sample"])  # kbps is not a bit depth
+
+
+def test_attach_metadata_sniffs_tagless_mp3(spark):
+    from vinum_spark.operators.multimodal import attach_metadata
+
+    df = spark.createDataFrame(
+        [(0, _mp3_frames(2)), (1, _mp3_frames(2, id3v2=True))],
+        "asset_id long, content binary",
+    )
+    out = attach_metadata(df).select("asset_id", "meta.mime").toPandas()
+    assert out.mime.tolist() == ["audio/mpeg", "audio/mpeg"]

@@ -79,6 +79,11 @@ def attach_metadata(
         cond = prefix3 == magic[:6] if len(magic) == 6 else prefix == magic
         mime = F.when(cond, F.lit(m)).otherwise(mime)
     mime = F.when(mp4_marker == "66747970", F.lit("video/mp4")).otherwise(mime)
+    # tag-less MP3: 11-bit frame sync 0xFFE0 — hex prefix FFE*/FFF*
+    # (cannot collide with FFD8FF jpeg at the 3rd hex char)
+    mime = F.when(
+        F.substring(prefix, 1, 3).isin("FFE", "FFF"), F.lit("audio/mpeg")
+    ).otherwise(mime)
     digest = (
         F.sha1(c).alias("sha1")
         if hash_algo == "sha1"
@@ -835,6 +840,129 @@ def _parse_wav(data: bytes):
     )
 
 
+# ---------------------------------------------------------------------------
+# MPEG audio (MP3) — frame-header walk, public ISO/IEC 11172-3 layout.
+# Same pure-byte class as the MP4 stbl walker: no codec library, TRUE
+# duration/bitrate/channels from the 4-byte frame headers alone.
+
+#: bitrate tables in kbps, header index 1-14 (0=free, 15=invalid)
+_MP3_KBPS_V1 = {
+    3: (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2: (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    1: (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+}  # MPEG1, keyed by layer bits (3=Layer I, 2=II, 1=III)
+_MP3_KBPS_V2_L1 = (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+_MP3_KBPS_V2_L23 = (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+#: sample-rate tables, keyed by version bits (3=MPEG1, 2=MPEG2, 0=MPEG2.5)
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_header(data: bytes, i: int):
+    """Decode one MPEG audio frame header at byte offset ``i``. Returns
+    (frame_len_bytes, samples_per_frame, sample_rate, kbps, channels)
+    or None when the 4 bytes are not a valid header (bad sync, reserved
+    version/layer, free/invalid bitrate, reserved sample rate)."""
+    if i + 4 > len(data):
+        return None
+    h = int.from_bytes(data[i : i + 4], "big")
+    if h >> 21 != 0x7FF:  # 11-bit frame sync
+        return None
+    ver = (h >> 19) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer = (h >> 17) & 3  # 3=Layer I, 2=II, 1=III, 0=reserved
+    br_idx = (h >> 12) & 15
+    sr_idx = (h >> 10) & 3
+    pad = (h >> 9) & 1
+    mode = (h >> 6) & 3
+    if ver == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
+        return None
+    rate = _MP3_RATES[ver][sr_idx]
+    if ver == 3:
+        kbps = _MP3_KBPS_V1[layer][br_idx - 1]
+    else:
+        kbps = (_MP3_KBPS_V2_L1 if layer == 3 else _MP3_KBPS_V2_L23)[br_idx - 1]
+    if layer == 3:  # Layer I: 384 samples, slot = 4 bytes
+        samples = 384
+        flen = (12 * kbps * 1000 // rate + pad) * 4
+    elif layer == 2:  # Layer II: 1152 samples
+        samples = 1152
+        flen = 144 * kbps * 1000 // rate + pad
+    else:  # Layer III: MPEG1 1152, MPEG2/2.5 576
+        samples = 1152 if ver == 3 else 576
+        flen = (144 if ver == 3 else 72) * kbps * 1000 // rate + pad
+    if flen < 4:
+        return None
+    return flen, samples, rate, kbps, (1 if mode == 3 else 2)
+
+
+def _skip_id3v2(data: bytes) -> int:
+    """Byte offset past a leading ID3v2 tag (syncsafe 28-bit size,
+    +10-byte footer when flagged), 0 when no tag parses."""
+    if len(data) < 10 or data[:3] != b"ID3":
+        return 0
+    size = 0
+    for b in data[6:10]:
+        if b & 0x80:  # size bytes must be syncsafe
+            return 0
+        size = (size << 7) | b
+    off = 10 + size + (10 if data[5] & 0x10 else 0)
+    return min(off, len(data))
+
+
+def _parse_mp3(data: bytes):
+    """TRUE MP3 stats from a full frame-header walk: total samples /
+    sample rate gives exact duration even for VBR (no Xing header
+    needed), byte-weighted average bitrate, channel mode. A sync match
+    only counts when the header chains — the next frame boundary also
+    parses (or is end-of-data) — which rejects false 0xFF syncs in tag
+    padding. Returns (channels, rate, samples, duration_s, avg_kbps)
+    or None; hostile/truncated bytes degrade to None, never raise."""
+    start = None
+    i = _skip_id3v2(data)
+    scan_end = min(len(data), i + 65536)
+    while i < scan_end:
+        j = data.find(b"\xff", i, scan_end)
+        if j < 0:
+            return None
+        h = _mp3_header(data, j)
+        if h is not None:
+            # the first frame must be fully present, and chain: either
+            # data ends exactly at its boundary or a second header
+            # parses there — rejects false syncs in junk/tag padding
+            nxt = j + h[0]
+            if nxt <= len(data) and (
+                nxt == len(data) or _mp3_header(data, nxt) is not None
+            ):
+                start = j
+                break
+        i = j + 1
+    if start is None:
+        return None
+    n_frames = total_samples = total_bytes = 0
+    rate = channels = None
+    i = start
+    while True:
+        h = _mp3_header(data, i)
+        if h is None:  # ID3v1 tail / truncation / junk ends the walk
+            break
+        flen, samples, sr, _, ch = h
+        n_frames += 1
+        total_samples += samples
+        total_bytes += flen
+        if rate is None:
+            rate, channels = sr, ch
+        i += flen
+    if not n_frames or not rate:
+        return None
+    duration = total_samples / rate
+    avg_kbps = total_bytes * 8 / duration / 1000 if duration else 0.0
+    return channels, rate, total_samples, duration, avg_kbps
+
+
 def _wav_pcm_samples(data: bytes):
     """REAL sample decode for PCM WAV — no codec library: 16-bit PCM is
     a numpy ``frombuffer`` view over the data chunk. Returns
@@ -880,15 +1008,24 @@ def decode_audio(
 ) -> DataFrame:
     """Waveform statistics from REAL PCM decode (16-bit WAV): sample
     count, duration, RMS, peak — computed with numpy over the data
-    chunk, no codec library. Non-WAV / non-PCM16 content yields NULL
-    stats with ``decoder='stub'`` (never invented values). Arrow-batched
-    ``mapInPandas``; per-partition parallelism, memory bounded by the
-    Arrow batch size."""
+    chunk, no codec library. MP3 gets a frame-header walk
+    (``decoder='mpeg-frames'``): channels / rate / samples / duration
+    are TRUE values from the headers, while rms/peak stay NULL — the
+    samples are never decoded, and a NULL beats an invented amplitude.
+    Anything else yields NULL stats with ``decoder='stub'``.
+    Arrow-batched ``mapInPandas``; per-partition parallelism, memory
+    bounded by the Arrow batch size."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def stats(data):
-            parsed = _wav_pcm_samples(bytes(data or b""))
+            raw = bytes(data or b"")
+            parsed = _wav_pcm_samples(raw)
             if parsed is None:
+                mp3 = _parse_mp3(raw)
+                if mp3 is not None:
+                    ch, rate, samples, duration, _ = mp3
+                    return (ch, rate, samples, duration, None, None,
+                            "mpeg-frames")
                 return (None, None, None, None, None, None, "stub")
             samples, channels, rate = parsed
             n_frames = len(samples) // channels
@@ -985,11 +1122,14 @@ def probe_media(
     df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
 ) -> DataFrame:
     """Audio/video metadata per asset via Arrow-batched ``mapInPandas``:
-    WAV fmt-chunk (channels, sample rate, bit depth, duration) and MP4
-    mvhd/tkhd (duration, display dims) parsed from header BYTES — the
-    pretraining-filter inputs that need no codec library. Unrecognized
-    containers come back with ``decoder='stub'`` and NULL fields (never a
-    fake value: a filter on duration must not act on invented numbers).
+    WAV fmt-chunk (channels, sample rate, bit depth, duration), MP3
+    frame-header walk (channels, sample rate, exact duration incl. VBR,
+    with the byte-weighted average kbps in ``bits_per_sample``'s place
+    left NULL — it is not a bit depth) and MP4 mvhd/tkhd (duration,
+    display dims) parsed from header BYTES — the pretraining-filter
+    inputs that need no codec library. Unrecognized containers come
+    back with ``decoder='stub'`` and NULL fields (never a fake value:
+    a filter on duration must not act on invented numbers).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -998,6 +1138,11 @@ def probe_media(
             parsed = _parse_wav(data) or _parse_mp4(data)
             if parsed is not None:
                 return parsed
+            mp3 = _parse_mp3(data)
+            if mp3 is not None:
+                ch, rate, _, duration, _ = mp3
+                return ("audio", ch, rate, None, duration, None, None,
+                        "mpeg-frames")
             return ("unknown",) + _PROBE_NULL + ("stub",)
 
         for pdf in it:
