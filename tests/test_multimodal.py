@@ -1297,3 +1297,30 @@ def test_attach_metadata_sniffs_tagless_mp3(spark):
     )
     out = attach_metadata(df).select("asset_id", "meta.mime").toPandas()
     assert out.mime.tolist() == ["audio/mpeg", "audio/mpeg"]
+
+
+def test_progressive_jpeg_labeled_distinctly(spark):
+    """SOF2 (progressive) JPEGs fall back to header dims — the label
+    must say so ('jpeg-sof-progressive', not plain 'jpeg-sof') so a
+    corpus audit can count header-only images; baseline SOF0 keeps the
+    plain label."""
+    from vinum_spark.operators.multimodal import _header_dims, decode_images
+
+    prog = JPG.replace(b"\xff\xc0", b"\xff\xc2")
+    assert _header_dims(JPG)[3] == "jpeg-sof"
+    assert _header_dims(prog) == (80, 120, 3, "jpeg-sof-progressive")
+
+    df = spark.createDataFrame(
+        [(0, JPG), (1, prog)], "asset_id long, content binary"
+    )
+    out = (
+        decode_images(df, pixels=True)
+        .toPandas()
+        .set_index("asset_id")
+        .sort_index()
+    )
+    # neither fixture carries scan data, so both land on header dims;
+    # only the progressive one gets the distinct label
+    assert out.loc[0, "decoder"] == "jpeg-sof"
+    assert out.loc[1, "decoder"] == "jpeg-sof-progressive"
+    assert (out.loc[1, ["height", "width"]] == [80, 120]).all()

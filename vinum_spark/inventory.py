@@ -3153,6 +3153,35 @@ def q78(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+@_q(
+    "q79_ann_ivfpq",
+    f"""
+    SELECT CAST(10 AS BIGINT) AS k,
+           {_ANN_TOP1_SUBQ} AS ann_top1_id,
+           TRUE AS recall_ok
+    """,
+    "The COMPOSED IVF-PQ path (operators/similarity.py ivfpq_topk): "
+    "coarse cell pruning (nprobe=12 of 16, the q46 setting) over "
+    "vectors stored as 16 PQ sub-codes (the q77 setting), asymmetric-"
+    "distance scan of only the probed cells' codes + exact re-rank of "
+    "the best 200 — the faiss IVFx,PQy layout for billion-scale "
+    "corpora. q46 and q77 gate the components; this gates their "
+    "composition (cell filter must not starve the ADC scan, codebooks "
+    "trained corpus-wide must rank within probed cells): ANN top-1 "
+    "must equal the oracle's exact top-1 and recall@10 >= 0.7.",
+)
+def q79(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    books = S.train_pq_codebooks(emb, 64, m=16, n_codes=64)
+    ann = S.ivfpq_topk(
+        emb, q, k=10, n_cells=16, nprobe=12, m=16, n_codes=64,
+        rerank=200, codebooks=books,
+    )
+    exact = S.cosine_topk(emb, q, k=10)
+    return _ann_recall_gate(ann, exact, min_overlap=7)
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 78 registered, twenty-eight fall
 #: outside it. Order the export so the operator classes with the least

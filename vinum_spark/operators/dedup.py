@@ -715,11 +715,18 @@ def _cc_star(sym: DataFrame, max_iterations: int) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # fixed point: the canonical pair set stopped changing
-        if ss.exceptAll(e).isEmpty() and e.exceptAll(ss).isEmpty():
-            e = ss
-            break
+        # fixed point: the canonical pair set stopped changing — both
+        # sides are distinct sets, so the symmetric difference is the
+        # union of the two anti-joins, checked in ONE Spark job (was
+        # two exceptAll().isEmpty() jobs per round)
+        changed = not (
+            ss.join(e, ["u", "v"], "left_anti")
+            .unionByName(e.join(ss, ["u", "v"], "left_anti"))
+            .isEmpty()
+        )
         e = ss
+        if not changed:
+            break
     else:
         raise RuntimeError(
             f"connected_components(algorithm='star') did not converge in "

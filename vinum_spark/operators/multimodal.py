@@ -156,7 +156,12 @@ def _header_dims(data: bytes):
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h = int.from_bytes(data[i + 5 : i + 7], "big")
                 w = int.from_bytes(data[i + 7 : i + 9], "big")
-                return h, w, data[i + 9], "jpeg-sof"
+                # progressive scans (SOF2/6/10/14) never reach the pixel
+                # decoder — label them distinctly so a corpus audit can
+                # count how many images fell back to header-only dims
+                prog = marker in (0xC2, 0xC6, 0xCA, 0xCE)
+                label = "jpeg-sof-progressive" if prog else "jpeg-sof"
+                return h, w, data[i + 9], label
             i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
     return None
 
