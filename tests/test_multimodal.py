@@ -1324,3 +1324,68 @@ def test_progressive_jpeg_labeled_distinctly(spark):
     assert out.loc[0, "decoder"] == "jpeg-sof"
     assert out.loc[1, "decoder"] == "jpeg-sof-progressive"
     assert (out.loc[1, ["height", "width"]] == [80, 120]).all()
+
+
+# --------------------------------------------------------------------------
+# ADTS AAC frame-header walk (round 9)
+# --------------------------------------------------------------------------
+
+
+def _adts_frames(n, rate_idx=4, chan=2, flen=256, blocks=0):
+    """Spec-built ADTS fixture: MPEG-4 AAC-LC headers (no CRC), zeroed
+    payloads; rate_idx=4 -> 44100 Hz, each frame (blocks+1)*1024
+    samples."""
+    out = bytearray()
+    for _ in range(n):
+        b = bytearray(7)
+        b[0] = 0xFF
+        b[1] = 0xF1
+        b[2] = (1 << 6) | (rate_idx << 2) | (chan >> 2)
+        b[3] = ((chan & 3) << 6) | ((flen >> 11) & 3)
+        b[4] = (flen >> 3) & 0xFF
+        b[5] = ((flen & 7) << 5) | 0x1F
+        b[6] = 0xFC | blocks
+        out += bytes(b) + b"\x00" * (flen - 7)
+    return bytes(out)
+
+
+def test_parse_adts_exact_duration_and_blocks():
+    from vinum_spark.operators.multimodal import _adts_header, _parse_adts
+
+    assert _adts_header(_adts_frames(1), 0) == (256, 1024, 44100, 2)
+    ch, rate, samples, duration, kbps = _parse_adts(_adts_frames(43))
+    assert (ch, rate, samples) == (2, 44100, 43 * 1024)
+    assert duration == pytest.approx(43 * 1024 / 44100)
+    assert kbps == pytest.approx(256 * 8 * 43 / duration / 1000)
+    # number_of_raw_data_blocks doubles the samples per frame
+    _, _, s2, _, _ = _parse_adts(_adts_frames(5, blocks=1))
+    assert s2 == 5 * 2048
+    # channel_configuration 0 defers to an in-stream PCE: channels None
+    assert _parse_adts(_adts_frames(5, chan=0))[0] is None
+
+
+def test_adts_and_mp3_walks_are_mutually_exclusive():
+    """The layer bits discriminate: ADTS layer is 00, MPEG audio layer
+    is never 00 — each walker must reject the other's frames."""
+    from vinum_spark.operators.multimodal import _parse_adts, _parse_mp3
+
+    assert _parse_mp3(_adts_frames(10)) is None
+    assert _parse_adts(_mp3_frames(10)) is None
+    assert _parse_adts(b"") is None
+    assert _parse_adts(b"\xff" * 4096) is None
+
+
+def test_decode_audio_and_probe_adts(spark):
+    from vinum_spark.operators.multimodal import decode_audio, probe_media
+
+    df = spark.createDataFrame(
+        [(0, _adts_frames(43))], "asset_id long, content binary"
+    )
+    row = decode_audio(df).toPandas().iloc[0]
+    assert row["decoder"] == "adts-frames"
+    assert (row["n_channels"], row["sample_rate"]) == (2, 44100)
+    assert row["n_samples"] == 43 * 1024
+    assert pd.isna(row["rms"]) and pd.isna(row["peak"])
+    prow = probe_media(df).toPandas().iloc[0]
+    assert (prow["kind"], prow["decoder"]) == ("audio", "adts-frames")
+    assert prow["duration_s"] == pytest.approx(43 * 1024 / 44100)

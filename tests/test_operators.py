@@ -680,3 +680,96 @@ def test_ivfpq_recovers_close_neighbor(spark, vectors):
         m=2, n_codes=4, rerank=4, codebooks=books,
     ).collect()]
     assert got == [1]  # pruning (nprobe < n_cells) must keep the near twin
+
+
+def test_lsh_candidate_pairs_multi_signature(spark):
+    """n_planes > 63 splits across multiple signature columns (round 9:
+    the corpus-size knob — at 200k rows, 63-plane/9-bit settings put
+    ~390 random rows in every band bucket; see tools/scale_embeddings
+    .py). The multi-signature form must (a) accept 126 planes, (b) find
+    planted near-dups through 14-bit bands, and (c) stay a band/key
+    equi-join — no cartesian."""
+    from vinum_spark.operators import cosine_verify, lsh_candidate_pairs
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    planted = set()
+    for base_i in range(30):
+        base = rng.standard_normal(16)
+        a = vid
+        rows.append((vid, [float(x) for x in base])); vid += 1
+        if base_i < 8:
+            planted.add((a, vid))
+            rows.append((vid, [float(x) for x in base + 0.03 * rng.standard_normal(16)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cands = lsh_candidate_pairs(df, dim=16, n_planes=126, band_bits=14)
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_verify(df, cands, 0.9).collect()
+    }
+    assert got == planted
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_lsh_candidate_pairs_multi_signature_matches_single_below_cap(spark):
+    """<= 63 planes must be bit-identical to the pre-multi-signature
+    form: same seed, same band keys, same candidate set (pinned by
+    comparing against a manual single-signature reconstruction)."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators import lsh_candidate_pairs
+    from vinum_spark.operators.similarity import lsh_signature
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(df, dim=16, n_planes=16, band_bits=4).collect()
+    }
+    # manual reconstruction of the original single-long band join
+    signed = lsh_signature(df, 16, 16, "embedding", seed=42)
+    bucket = signed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("lsh_sig", b * 4)
+                        .bitwiseAND(F.lit(15))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.key")
+    a, b = bucket.alias("a"), bucket.alias("b")
+    want = {
+        (r.id_a, r.id_b)
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
+def test_lsh_candidate_pairs_band_validation(spark):
+    from vinum_spark.operators import lsh_candidate_pairs
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="band_bits"):
+        lsh_candidate_pairs(df, dim=16, n_planes=126, band_bits=64)
+    with pytest.raises(ValueError, match="no full band fits"):
+        lsh_candidate_pairs(df, dim=16, n_planes=8, band_bits=16)

@@ -1233,16 +1233,24 @@ def q34(spark, sf_dir):
     ORDER BY l_returnflag
     """,
     "Exact percentiles (linear interpolation; approx_percentile is the "
-    "100 TB substitute — single-pass sketch).",
+    "100 TB substitute — single-pass sketch). All three quantiles come "
+    "from ONE percentile(col, array(...)) aggregate: one value buffer "
+    "per group instead of three (measured 2.8x at sf0.1).",
 )
 def q35(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias(
+                "__ps"
+            )
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("__ps")[0], 4).alias("p50"),
+            F.round(F.col("__ps")[1], 4).alias("p90"),
+            F.round(F.col("__ps")[2], 4).alias("p99"),
         )
         .orderBy("l_returnflag")
     )

@@ -968,6 +968,81 @@ def _parse_mp3(data: bytes):
     return channels, rate, total_samples, duration, avg_kbps
 
 
+# ---------------------------------------------------------------------------
+# ADTS AAC — same frame-header-walk class as MP3 (public ISO/IEC 13818-7
+# / 14496-3 ADTS layout). An ADTS header has layer bits 00 where an MPEG
+# audio header has 01/10/11, so the two walks are mutually exclusive on
+# the same bytes.
+
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350)
+
+
+def _adts_header(data: bytes, i: int):
+    """Decode one ADTS frame header at offset ``i``. Returns
+    (frame_len_bytes, samples_per_frame, sample_rate, channels|None)
+    or None. ``channels`` is None for channel_configuration 0 (layout
+    deferred to an in-stream PCE the walk never parses)."""
+    if i + 7 > len(data):
+        return None
+    # 12-bit sync + layer must be 00 (the MP3/ADTS discriminator)
+    if data[i] != 0xFF or (data[i + 1] & 0xF6) != 0xF0:
+        return None
+    sfi = (data[i + 2] >> 2) & 0xF
+    if sfi >= len(_ADTS_RATES):
+        return None
+    chan = ((data[i + 2] & 1) << 2) | (data[i + 3] >> 6)
+    flen = ((data[i + 3] & 3) << 11) | (data[i + 4] << 3) | (data[i + 5] >> 5)
+    header_len = 7 if (data[i + 1] & 1) else 9  # CRC adds 2 bytes
+    if flen < header_len:
+        return None
+    blocks = (data[i + 6] & 3) + 1
+    return flen, 1024 * blocks, _ADTS_RATES[sfi], (chan or None)
+
+
+def _parse_adts(data: bytes):
+    """TRUE AAC stats from an ADTS frame walk (same contract as
+    :func:`_parse_mp3`): (channels|None, rate, samples, duration_s,
+    avg_kbps) or None; hostile bytes degrade to None."""
+    start = None
+    i = 0
+    scan_end = min(len(data), 65536)
+    while i < scan_end:
+        j = data.find(b"\xff", i, scan_end)
+        if j < 0:
+            return None
+        h = _adts_header(data, j)
+        if h is not None:
+            nxt = j + h[0]
+            if nxt <= len(data) and (
+                nxt == len(data) or _adts_header(data, nxt) is not None
+            ):
+                start = j
+                break
+        i = j + 1
+    if start is None:
+        return None
+    n_frames = total_samples = total_bytes = 0
+    rate = channels = None
+    i = start
+    while True:
+        h = _adts_header(data, i)
+        if h is None:
+            break
+        flen, samples, sr, ch = h
+        n_frames += 1
+        total_samples += samples
+        total_bytes += flen
+        if rate is None:
+            rate, channels = sr, ch
+        i += flen
+    if not n_frames or not rate:
+        return None
+    duration = total_samples / rate
+    avg_kbps = total_bytes * 8 / duration / 1000 if duration else 0.0
+    return channels, rate, total_samples, duration, avg_kbps
+
+
 def _wav_pcm_samples(data: bytes):
     """REAL sample decode for PCM WAV — no codec library: 16-bit PCM is
     a numpy ``frombuffer`` view over the data chunk. Returns
@@ -1026,11 +1101,15 @@ def decode_audio(
             raw = bytes(data or b"")
             parsed = _wav_pcm_samples(raw)
             if parsed is None:
-                mp3 = _parse_mp3(raw)
-                if mp3 is not None:
-                    ch, rate, samples, duration, _ = mp3
-                    return (ch, rate, samples, duration, None, None,
-                            "mpeg-frames")
+                for walker, label in (
+                    (_parse_mp3, "mpeg-frames"),
+                    (_parse_adts, "adts-frames"),
+                ):
+                    stats_ = walker(raw)
+                    if stats_ is not None:
+                        ch, rate, samples, duration, _ = stats_
+                        return (ch, rate, samples, duration, None, None,
+                                label)
                 return (None, None, None, None, None, None, "stub")
             samples, channels, rate = parsed
             n_frames = len(samples) // channels
@@ -1143,11 +1222,15 @@ def probe_media(
             parsed = _parse_wav(data) or _parse_mp4(data)
             if parsed is not None:
                 return parsed
-            mp3 = _parse_mp3(data)
-            if mp3 is not None:
-                ch, rate, _, duration, _ = mp3
-                return ("audio", ch, rate, None, duration, None, None,
-                        "mpeg-frames")
+            for walker, label in (
+                (_parse_mp3, "mpeg-frames"),
+                (_parse_adts, "adts-frames"),
+            ):
+                stats_ = walker(data)
+                if stats_ is not None:
+                    ch, rate, _, duration, _ = stats_
+                    return ("audio", ch, rate, None, duration, None, None,
+                            label)
             return ("unknown",) + _PROBE_NULL + ("stub",)
 
         for pdf in it:

@@ -388,8 +388,28 @@ def lsh_candidate_pairs(
     cosine thresholds (small angles) — use with
     :func:`cosine_verify` for near-dup detection (cos ≳ 0.7); for weak
     thresholds use :func:`blocked_pair_cosine` (see its docstring).
+
+    ``n_planes`` may exceed one long's 63-bit capacity: the planes are
+    split across ``ceil(n_planes/63)`` independent signature columns
+    (seed offset per column) and bands never straddle columns. This is
+    the corpus-size knob: bucket occupancy is ~corpus/2^band_bits PER
+    BAND, so at fixed recall, growing the corpus 10x needs ~3.3 more
+    band bits AND more bands to hold the per-band match probability —
+    i.e. more total planes. A 200k-row measured example
+    (tools/scale_embeddings.py): 63 planes / 9-bit bands put ~390
+    random rows in every bucket (~270M candidate pairs — random
+    collisions, not near-dups); 126 planes / 14-bit bands keep buckets
+    ~12 rows at the same ~0.99 planted recall. ≤63 planes is
+    bit-identical to the single-signature form.
     """
-    n_bands = n_planes // band_bits
+    if band_bits > 63:
+        raise ValueError(f"band_bits must be <= 63, got {band_bits}")
+    # split planes into <=63-bit signature columns; bands stay inside
+    # one column, so trailing bits that don't fill a band are unused
+    # (same as the single-column form)
+    groups = [63] * (n_planes // 63)
+    if n_planes % 63:
+        groups.append(n_planes % 63)
     mask = (1 << band_bits) - 1
     # signature + band explode are CPU-bound map work; a single-file
     # scan (or a union of two) serializes them on 1-2 cores. Same
@@ -398,22 +418,30 @@ def lsh_candidate_pairs(
     from vinum_spark.operators.dedup import _spread
 
     df = _spread(df, id_col)
-    signed = lsh_signature(df, dim, n_planes, vec_col, seed=seed)
+    signed = df
+    for g, planes_g in enumerate(groups):
+        signed = lsh_signature(
+            signed, dim, planes_g, vec_col, out=f"__lsh_sig{g}",
+            seed=seed + g * 7919,
+        )
+    band_structs = []
+    for g, planes_g in enumerate(groups):
+        for bnd in range(planes_g // band_bits):
+            band_structs.append(
+                F.struct(
+                    F.lit(len(band_structs)).alias("band"),
+                    F.shiftright(f"__lsh_sig{g}", bnd * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+            )
+    if not band_structs:
+        raise ValueError(
+            f"no full band fits: n_planes={n_planes} band_bits={band_bits}"
+        )
     bucket = signed.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band"),
-                        F.shiftright("lsh_sig", bnd * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
-                    for bnd in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.array(*band_structs)).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
     a, b = bucket.alias("a"), bucket.alias("b")
     return (
