@@ -1389,3 +1389,304 @@ def test_decode_audio_and_probe_adts(spark):
     prow = probe_media(df).toPandas().iloc[0]
     assert (prow["kind"], prow["decoder"]) == ("audio", "adts-frames")
     assert prow["duration_s"] == pytest.approx(43 * 1024 / 44100)
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG decode (round 9)
+# --------------------------------------------------------------------------
+
+
+def _encode_progressive_jpeg(px, qval=2, subsampling="444", dc_al=1, ac_al=1):
+    """Spec-built PROGRESSIVE JPEG encoder (T.81 G.1.2) for tests:
+    spectral selection (DC scan + per-component AC 1-63 scans) with
+    successive approximation (dc_al/ac_al high bits first, then refine
+    scans with correction bits, EOB-run codes, ZRL-with-buffered-bits).
+    Same flat quant / fixed 9-bit canonical Huffman trick as
+    _encode_jpeg, so for identical px/qval the final coefficients are
+    identical — decode must be pixel-identical to the baseline file."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _JPEG_D, _JPEG_ZIGZAG
+
+    samps = {"444": [(1, 1), (1, 1), (1, 1)],
+             "420": [(2, 2), (1, 1), (1, 1)]}[subsampling]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    h0, w0, _ = px.shape
+    ph, pw = -(-h0 // (8 * vmax)) * 8 * vmax, -(-w0 // (8 * hmax)) * 8 * hmax
+    px = np.pad(px, ((0, ph - h0), (0, pw - w0), (0, 0)), mode="edge")
+    h, w, _ = px.shape
+    q = np.full(64, qval, dtype=np.int64)
+    p = px.astype(np.float64)
+    y = 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+    cb = 128.0 - 0.168735892 * p[..., 0] - 0.331264108 * p[..., 1] + 0.5 * p[..., 2]
+    cr = 128.0 + 0.5 * p[..., 0] - 0.418687589 * p[..., 1] - 0.081312411 * p[..., 2]
+
+    def down(plane, hi, vi):
+        fy, fx = vmax // vi, hmax // hi
+        if fy == fx == 1:
+            return plane
+        return plane.reshape(h // fy, fy, w // fx, fx).mean(axis=(1, 3))
+
+    planes = [down(pl, hi, vi) - 128.0
+              for pl, (hi, vi) in zip((y, cb, cr), samps)]
+    # per-component zigzag blocks in raster order
+    comp_blocks = []
+    for c, (hi, vi) in enumerate(samps):
+        bh, bw = planes[c].shape[0] // 8, planes[c].shape[1] // 8
+        rows = []
+        for yb in range(bh):
+            row = []
+            for xb in range(bw):
+                blk = planes[c][yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                coefs = _JPEG_D @ blk @ _JPEG_D.T
+                row.append(np.round(
+                    coefs.flatten()[_JPEG_ZIGZAG] / q[_JPEG_ZIGZAG]
+                ).astype(np.int64))
+            rows.append(row)
+        comp_blocks.append((rows, bh, bw))
+
+    def category(v):
+        a = abs(int(v))
+        return 0 if a == 0 else a.bit_length()
+
+    # each scan = (header_bytes_fn, ops) where ops mix ('sym', s) and
+    # ('raw', value, nbits); symbols get per-scan 9-bit canonical codes
+    scans = []
+
+    # ---- DC scans (interleaved MCU order over all three components)
+    nmy, nmx = h // (8 * vmax), w // (8 * hmax)
+    mcu_dc = []
+    for my in range(nmy):
+        for mx in range(nmx):
+            for c, (hi, vi) in enumerate(samps):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        mcu_dc.append(
+                            (c, int(comp_blocks[c][0][my * vi + byi][mx * hi + bxi][0]))
+                        )
+    ops = []
+    prev = [0, 0, 0]
+    for c, dc in mcu_dc:
+        v = dc >> dc_al  # DC point transform is an arithmetic shift
+        diff = v - prev[c]
+        prev[c] = v
+        s = category(diff)
+        ops.append(("sym", s))
+        if s:
+            ops.append(("raw", diff if diff >= 0 else diff + (1 << s) - 1, s))
+    scans.append(("dc", None, 0, 0, 0, dc_al, ops))
+    for al in range(dc_al - 1, -1, -1):  # DC refine scans
+        ops = [("raw", (dc >> al) & 1, 1) for _, dc in mcu_dc]
+        scans.append(("dc", None, 0, 0, al + 1, al, ops))
+
+    # ---- AC scans, one component at a time, band 1..63
+    for c in range(3):
+        rows, bh, bw = comp_blocks[c]
+        blocks = [rows[yb][xb] for yb in range(bh) for xb in range(bw)]
+        # first scan at Al=ac_al, EOB-run accumulation
+        ops = []
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                ops.append(("sym", n << 4))
+                if n:
+                    ops.append(("raw", eobrun - (1 << n), n))
+                eobrun = 0
+
+        for zz in blocks:
+            sc = [
+                (1 if zz[k] >= 0 else -1) * (abs(int(zz[k])) >> ac_al)
+                for k in range(64)
+            ]
+            last_nz = max([k for k in range(1, 64) if sc[k] != 0], default=0)
+            if last_nz == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = sc[k]
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        ops.append(("sym", 0xF0))
+                        run = 0
+                    continue
+                s = category(v)
+                ops.append(("sym", (run << 4) | s))
+                ops.append(("raw", v if v >= 0 else v + (1 << s) - 1, s))
+                run = 0
+            if last_nz < 63:
+                eobrun += 1
+        flush_eob()
+        scans.append(("ac", c, 1, 63, 0, ac_al, ops))
+
+    for al in range(ac_al - 1, -1, -1):  # AC refine scans per component
+        for c in range(3):
+            rows, bh, bw = comp_blocks[c]
+            blocks = [rows[yb][xb] for yb in range(bh) for xb in range(bw)]
+            ops = []
+            eobrun = 0
+            be_bits = []  # corrections accumulated across the EOB run
+
+            def flush_eob():
+                nonlocal eobrun, be_bits
+                if eobrun:
+                    n = eobrun.bit_length() - 1
+                    ops.append(("sym", n << 4))
+                    if n:
+                        ops.append(("raw", eobrun - (1 << n), n))
+                    for b in be_bits:
+                        ops.append(("raw", b, 1))
+                    eobrun = 0
+                    be_bits = []
+
+            for zz in blocks:
+                ab = [abs(int(zz[k])) >> al for k in range(64)]
+                eob = 0
+                for k in range(1, 64):
+                    if ab[k] == 1:
+                        eob = k
+                r = 0
+                br_bits = []
+                for k in range(1, 64):
+                    if ab[k] == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        flush_eob()
+                        ops.append(("sym", 0xF0))
+                        r -= 16
+                        for b in br_bits:
+                            ops.append(("raw", b, 1))
+                        br_bits = []
+                    if ab[k] > 1:  # history-nonzero: buffered correction
+                        br_bits.append(ab[k] & 1)
+                        continue
+                    flush_eob()
+                    ops.append(("sym", (r << 4) | 1))
+                    ops.append(("raw", 1 if zz[k] >= 0 else 0, 1))
+                    for b in br_bits:
+                        ops.append(("raw", b, 1))
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    eobrun += 1
+                    be_bits.extend(br_bits)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+            scans.append(("ac", c, 1, 63, al + 1, al, ops))
+
+    # ---- serialize: headers, per-scan DHT (9-bit canonical) + SOS
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes(
+        int(x) for x in q[_JPEG_ZIGZAG]
+    )
+    out += b"\xff\xc2" + (17).to_bytes(2, "big") + b"\x08"
+    out += h0.to_bytes(2, "big") + w0.to_bytes(2, "big") + b"\x03"
+    for cid, (hi, vi) in zip((1, 2, 3), samps):
+        out += bytes([cid, (hi << 4) | vi, 0x00])
+    for kind, c, ss, se, ah, al, ops in scans:
+        syms = sorted({s for op, s, *_ in [(o[0], o[1]) for o in ops] if op == "sym"})
+        code = {v: i for i, v in enumerate(syms)}
+        needs_table = any(o[0] == "sym" for o in ops)
+        cls = 0 if kind == "dc" else 1
+        if needs_table:
+            out += b"\xff\xc4" + (19 + len(syms)).to_bytes(2, "big")
+            out += bytes([cls << 4]) + bytes([0] * 8 + [len(syms)] + [0] * 7)
+            out += bytes(syms)
+        if kind == "dc":
+            out += b"\xff\xda" + (12).to_bytes(2, "big") + b"\x03"
+            for cid in (1, 2, 3):
+                out += bytes([cid, 0x00])
+        else:
+            out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01"
+            out += bytes([c + 1, 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        acc = n = 0
+        ent = bytearray()
+
+        def emit(value, nbits):
+            nonlocal acc, n
+            for i in range(nbits - 1, -1, -1):
+                acc = (acc << 1) | ((value >> i) & 1)
+                n += 1
+                if n == 8:
+                    ent.append(acc)
+                    if acc == 0xFF:
+                        ent.append(0x00)
+                    acc = 0
+                    n = 0
+
+        for op in ops:
+            if op[0] == "sym":
+                emit(code[op[1]], 9)
+            else:
+                emit(int(op[1]) & ((1 << op[2]) - 1), op[2])
+        while n:
+            emit(1, 1)
+        out += ent
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_jpeg_pixels_match_baseline():
+    """The full progressive ladder — spectral selection + DC and AC
+    successive approximation (refine scans, EOB runs, ZRL with buffered
+    correction bits) — must reconstruct EXACTLY the pixels the baseline
+    encoding of the same data decodes to (entropy coding is lossless;
+    quant/DCT identical)."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _jpeg_pixels
+
+    px = _smooth_rgb(21, 24, 40)
+    want = _jpeg_pixels(_encode_jpeg(px))
+    assert want is not None
+    for dc_al, ac_al in ((0, 0), (1, 0), (0, 1), (1, 1), (2, 2)):
+        got = _jpeg_pixels(
+            _encode_progressive_jpeg(px, dc_al=dc_al, ac_al=ac_al)
+        )
+        assert got is not None, (dc_al, ac_al)
+        assert np.array_equal(got, want), (dc_al, ac_al)
+
+
+def test_progressive_jpeg_420_subsampled():
+    """Progressive + 4:2:0: interleaved DC scan over 2x2 luma blocks,
+    per-component AC scans on each component's own block raster."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _jpeg_pixels
+
+    px = _smooth_rgb(22, 32, 48)
+    want = _jpeg_pixels(_encode_jpeg(px, subsampling="420"))
+    got = _jpeg_pixels(
+        _encode_progressive_jpeg(px, subsampling="420", dc_al=1, ac_al=1)
+    )
+    assert want is not None and got is not None
+    assert np.array_equal(got, want)
+
+
+def test_progressive_jpeg_hostile_bytes_degrade_to_none():
+    from vinum_spark.operators.multimodal import (
+        _jpeg_pixels,
+        _jpeg_progressive_unsafe,
+    )
+
+    good = _encode_progressive_jpeg(_smooth_rgb(23, 16, 16))
+    assert _jpeg_pixels(good) is not None
+    # truncations at every stage must degrade, never raise
+    for cut in (2, 20, len(good) // 2, len(good) - 3):
+        assert _jpeg_pixels(good[:cut]) is None
+    # flip entropy bytes: either decodes-to-something or None, no raise
+    corrupt = bytearray(good)
+    corrupt[len(good) // 2] ^= 0x55
+    _jpeg_pixels(bytes(corrupt))
+    assert _jpeg_progressive_unsafe(b"\xff\xd8\xff\xd9", 4 << 20) is None

@@ -21,13 +21,15 @@ RMS/peak/duration), 8-bit non-interlaced PNG (``_png_pixels``:
 zlib + numpy scanline un-filtering), and GIF87a/89a first frames
 (``_gif_pixels``: pure-Python variable-width LZW + palette mapping +
 interlace reorder — GIF's compression is spec-complete without any
-codec library), and baseline JPEG (``_jpeg_pixels``: marker walk +
+codec library), and BOTH JPEG modes (``_jpeg_pixels``: marker walk +
 declared Huffman tables + dequant/IDCT in numpy, 4:4:4/4:2:0/4:2:2
-MCU layouts), all feeding the REAL 8×8 pooled-grayscale feature in
-``extract_features``. MP4 KEY-FRAME extraction is real too
-(``_mp4_keyframe_spans``: stbl sample-table walk → sync-sample byte
-spans — no codec needed for offsets). Only work requiring external
-codec libraries or models (progressive JPEG, video frame PIXELS,
+MCU layouts; ``_jpeg_progressive_unsafe``: multi-scan spectral
+selection + successive approximation per T.81 G.1.2), all feeding the
+REAL 8×8 pooled-grayscale feature in ``extract_features``. MP4
+KEY-FRAME extraction is real too (``_mp4_keyframe_spans``: stbl
+sample-table walk → sync-sample byte spans — no codec needed for
+offsets). Only work requiring external
+codec libraries or models (arithmetic-coded JPEG, video frame PIXELS,
 learned feature models) is STUBBED: when PIL is importable it is
 used; otherwise a clearly-marked deterministic fake derives
 shapes/features from the bytes so the Spark-side plumbing — schemas,
@@ -156,9 +158,11 @@ def _header_dims(data: bytes):
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h = int.from_bytes(data[i + 5 : i + 7], "big")
                 w = int.from_bytes(data[i + 7 : i + 9], "big")
-                # progressive scans (SOF2/6/10/14) never reach the pixel
-                # decoder — label them distinctly so a corpus audit can
-                # count how many images fell back to header-only dims
+                # Huffman progressive (SOF2) decodes for real now; the
+                # distinct label matters for the ones that still fall
+                # back to header-only dims (differential/arithmetic
+                # SOF6/10/14, or a failed/absent scan decode) so a
+                # corpus audit can count them
                 prog = marker in (0xC2, 0xC6, 0xCA, 0xCE)
                 label = "jpeg-sof-progressive" if prog else "jpeg-sof"
                 return h, w, data[i + 9], label
@@ -607,9 +611,345 @@ def _jpeg_pixels(data: bytes, max_pixels: int = 4 * 1024 * 1024):
     a None, never a task-killing exception (explicit checks inside
     remain the fast path)."""
     try:
-        return _jpeg_pixels_unsafe(data, max_pixels)
+        px = _jpeg_pixels_unsafe(data, max_pixels)
+        if px is not None:
+            return px
+        return _jpeg_progressive_unsafe(data, max_pixels)
     except Exception:
         return None
+
+
+def _jpeg_entropy_end(data: bytes, start: int) -> int:
+    """First byte offset at/after ``start`` holding a real marker (0xFF
+    followed by neither 0x00 stuffing nor 0xFF fill) — the end of an
+    entropy-coded segment."""
+    i = start
+    while i + 1 < len(data):
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if nxt == 0x00:
+                i += 2
+                continue
+            if nxt == 0xFF:
+                i += 1
+                continue
+            return i
+        i += 1
+    return len(data)
+
+
+def _jpeg_progressive_unsafe(data: bytes, max_pixels: int):
+    """REAL pixel decode for PROGRESSIVE JPEG (SOF2): multi-scan
+    spectral selection + successive approximation per ITU-T T.81 G.1.2
+    (DC first/refine, AC first/refine with EOB-run codes), accumulating
+    per-block coefficient arrays across scans, then the same dequant +
+    IDCT + upsample + YCbCr pipeline as the baseline path. Returns
+    (H, W, 3) uint8 or None outside the supported profile (8-bit, 1 or
+    3 components, sampling factors 1-2, no restart intervals)."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtables: dict = {}
+    huff: dict = {}
+    comps = None
+    h = w = None
+    coef = None  # per component: (blocks_y, blocks_x, 64) zigzag-order ints
+    geom = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    if p + 64 > len(body):
+                        return None
+                    qtables[tq] = np.array(list(body[p : p + 64]), dtype="int64")
+                    p += 64
+                else:
+                    if p + 128 > len(body):
+                        return None
+                    qtables[tq] = np.array(
+                        [int.from_bytes(body[p + 2 * i : p + 2 * i + 2], "big")
+                         for i in range(64)], dtype="int64")
+                    p += 128
+        elif marker == 0xC2:  # SOF2 progressive
+            if len(body) < 6:
+                return None
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if body[0] != 8 or nc not in (1, 3) or h == 0 or w == 0 or h * w > max_pixels:
+                return None
+            comps = []
+            for i in range(nc):
+                if 9 + 3 * i > len(body):
+                    return None
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                hi, vi = samp >> 4, samp & 0x0F
+                if nc == 1:
+                    hi = vi = 1
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    return None
+                comps.append((cid, hi, vi, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            nmy, nmx = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+            geom = (hmax, vmax, nmy, nmx)
+            coef = [
+                np.zeros((nmy * vi, nmx * hi, 64), dtype="int64")
+                for _, hi, vi, _ in comps
+            ]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # only SOF2 here; baseline took the other path
+        elif marker == 0xC4:
+            p = 0
+            while p + 17 <= len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                t = _jpeg_build_huff(bits, vals)
+                if t is None:
+                    return None
+                huff[(tc, th)] = t
+                p += 17 + n
+        elif marker == 0xDD:
+            return None  # restart intervals unsupported
+        elif marker == 0xDA:
+            if comps is None or len(body) < 4:
+                return None
+            ns = body[0]
+            if len(body) < 4 + 2 * ns or not 1 <= ns <= len(comps):
+                return None
+            scan = []  # (comp_index, dc_table, ac_table)
+            for i in range(ns):
+                cid, tbl = body[1 + 2 * i], body[2 + 2 * i]
+                ci = next(
+                    (k for k, c in enumerate(comps) if c[0] == cid), None
+                )
+                if ci is None:
+                    return None
+                scan.append((ci, tbl >> 4, tbl & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            scan_start = pos + 2 + seglen
+            scan_end = _jpeg_entropy_end(data, scan_start)
+            ok = _jpeg_progressive_scan(
+                data[scan_start:scan_end], comps, coef, geom, h, w,
+                huff, scan, ss, se, ah, al,
+            )
+            if not ok:
+                return None
+            pos = scan_end
+            continue
+        pos += 2 + seglen
+    if comps is None or coef is None:
+        return None
+    # dequant + IDCT every block, assemble planes, upsample, convert —
+    # identical back half to the baseline path
+    hmax, vmax, nmy, nmx = geom
+    planes = []
+    for (cid, hi, vi, tq), cf in zip(comps, coef):
+        q = qtables.get(tq)
+        if q is None:
+            return None
+        by, bx, _ = cf.shape
+        plane = np.zeros((by * 8, bx * 8))
+        dez = np.zeros(64)
+        for yb in range(by):
+            for xb in range(bx):
+                dez[_JPEG_ZIGZAG] = cf[yb, xb] * q
+                plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
+                    _JPEG_D.T @ dez.reshape(8, 8) @ _JPEG_D
+                )
+        planes.append(plane)
+    if len(comps) == 1:
+        gray = np.clip((planes[0] + 128.0).round(), 0, 255).astype("uint8")
+        return np.stack([gray] * 3, axis=-1)[:h, :w]
+    full = []
+    for plane, (_, hi, vi, _) in zip(planes, comps):
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        full.append(plane)
+    ycc = np.stack([p + 128.0 for p in full], axis=-1)
+    return _jpeg_ycbcr_to_rgb(ycc)[:h, :w]
+
+
+def _jpeg_progressive_scan(
+    entropy, comps, coef, geom, h, w, huff, scan, ss, se, ah, al
+):
+    """Decode ONE progressive scan into the coefficient store. Returns
+    False on any malformed input. Implements the four T.81 G.1.2 cases:
+    DC first / DC refine (Ss=Se=0, interleaving allowed) and AC first /
+    AC refine (single component, EOB-run codes)."""
+    hmax, vmax, nmy, nmx = geom
+    br = _JpegBits(entropy)
+    if ss == 0:
+        if se != 0:
+            return False
+        # DC scan: interleaved (MCU order, vi*hi blocks per comp per
+        # MCU) when ns > 1, else the single component's own block
+        # raster (one block per MCU — T.81 A.2)
+        prev_dc = [0] * len(scan)
+        tables = []
+        for ci, dc_t, _ in scan:
+            t = huff.get((0, dc_t))
+            if t is None and ah == 0:
+                return False
+            tables.append(t)
+
+        def dc_one(si, ci, yb, xb):
+            if ah == 0:
+                s = _jpeg_huff_decode(br, tables[si])
+                if s is None or s > 15:
+                    return False
+                diff = 0
+                if s:
+                    v = br.bits(s)
+                    if v is None:
+                        return False
+                    diff = _jpeg_extend(v, s)
+                prev_dc[si] += diff
+                coef[ci][yb, xb, 0] = prev_dc[si] << al
+            else:
+                b = br.bit()
+                if b is None:
+                    return False
+                if b:
+                    coef[ci][yb, xb, 0] |= 1 << al
+            return True
+
+        if len(scan) > 1:
+            for my in range(nmy):
+                for mx in range(nmx):
+                    for si, (ci, _, _) in enumerate(scan):
+                        _, hi, vi, _ = comps[ci]
+                        for byi in range(vi):
+                            for bxi in range(hi):
+                                if not dc_one(
+                                    si, ci, my * vi + byi, mx * hi + bxi
+                                ):
+                                    return False
+        else:
+            ci = scan[0][0]
+            _, hi, vi, _ = comps[ci]
+            comp_h = -(-(h * vi) // vmax)
+            comp_w = -(-(w * hi) // hmax)
+            by_n, bx_n = -(-comp_h // 8), -(-comp_w // 8)
+            for yb in range(by_n):
+                for xb in range(bx_n):
+                    if not dc_one(0, ci, yb, xb):
+                        return False
+        return True
+    # AC scan — exactly one component (T.81 B.2.3)
+    if len(scan) != 1 or se > 63 or ss > se:
+        return False
+    ci, _, ac_t = scan[0]
+    act = huff.get((1, ac_t))
+    if act is None:
+        return False
+    _, hi, vi, _ = comps[ci]
+    cw = -(-(w * hi) // hmax)
+    chh = -(-(h * vi) // vmax)
+    bx_n, by_n = -(-cw // 8), -(-chh // 8)
+    cf = coef[ci]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    for yb in range(by_n):
+        for xb in range(bx_n):
+            blk = cf[yb, xb]
+            if ah == 0:  # AC first
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _jpeg_huff_decode(br, act)
+                    if sym is None:
+                        return False
+                    r, s = sym >> 4, sym & 0x0F
+                    if s:
+                        k += r
+                        if k > se:
+                            return False
+                        v = br.bits(s)
+                        if v is None:
+                            return False
+                        blk[k] = _jpeg_extend(v, s) << al
+                        k += 1
+                    else:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                v = br.bits(r)
+                                if v is None:
+                                    return False
+                                eobrun += v
+                            break
+                        k += 16  # ZRL
+            else:  # AC refine (T.81 G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _jpeg_huff_decode(br, act)
+                        if sym is None:
+                            return False
+                        r, s = sym >> 4, sym & 0x0F
+                        newval = 0
+                        if s:
+                            if s != 1:
+                                return False
+                            b = br.bit()
+                            if b is None:
+                                return False
+                            newval = p1 if b else m1
+                        else:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    v = br.bits(r)
+                                    if v is None:
+                                        return False
+                                    eobrun += v
+                                break
+                            # r == 15: pass over 16 zero-history coeffs
+                        while k <= se:
+                            if blk[k] != 0:
+                                b = br.bit()
+                                if b is None:
+                                    return False
+                                if b and (blk[k] & p1) == 0:
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            b = br.bit()
+                            if b is None:
+                                return False
+                            if b and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return True
 
 
 def _jpeg_pixels_unsafe(data: bytes, max_pixels: int = 4 * 1024 * 1024):
@@ -618,8 +958,10 @@ def _jpeg_pixels_unsafe(data: bytes, max_pixels: int = 4 * 1024 * 1024):
     restarts): marker walk -> declared Huffman/quant tables ->
     MCU-interleaved entropy decode -> dequant + inverse zigzag + IDCT
     -> chroma upsample (nearest) -> YCbCr→RGB. Returns (H, W, 3) uint8
-    or None for anything outside the supported profile (progressive,
-    restart-interval, sampling factors >2, corrupt, oversized).
+    or None for anything outside the supported profile
+    (restart-interval, sampling factors >2, corrupt, oversized;
+    progressive SOF2 returns None HERE and the ``_jpeg_pixels`` entry
+    hands it to ``_jpeg_progressive_unsafe``).
     4:2:0 is the dominant layout in web corpora, so the subsampled MCU
     path is what makes the decoder useful on a real crawl."""
     if data[:2] != b"\xff\xd8":
