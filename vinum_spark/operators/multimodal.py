@@ -170,11 +170,20 @@ def _header_dims(data: bytes):
     return None
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def _png_pixels(data: bytes):
-    """REAL pixel decode for 8-bit non-interlaced PNG — stdlib zlib +
-    numpy scanline un-filtering, no codec library. Returns an
-    (H, W, C) uint8 array, or None for anything this decoder doesn't
-    cover (non-PNG, 16-bit, palette, interlaced, truncated)."""
+    """REAL pixel decode for 8-bit PNG, non-interlaced AND Adam7
+    interlaced — stdlib zlib + numpy scanline un-filtering (each Adam7
+    pass is its own filtered sub-image, scattered onto the x0::dx /
+    y0::dy grid). Returns an (H, W, C) uint8 array, or None for
+    anything this decoder doesn't cover (non-PNG, 16-bit, palette,
+    truncated)."""
     import zlib
 
     if len(data) < 33 or data[:8] != bytes(
@@ -183,6 +192,7 @@ def _png_pixels(data: bytes):
         return None
     pos, idat = 8, []
     h = w = channels = None
+    interlace = 0
     while pos + 8 <= len(data):
         clen = int.from_bytes(data[pos : pos + 4], "big")
         ctype = data[pos + 4 : pos + 8]
@@ -192,7 +202,7 @@ def _png_pixels(data: bytes):
             h = int.from_bytes(body[4:8], "big")
             bit_depth, color_type, _, _, interlace = body[8:13]
             channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-            if bit_depth != 8 or channels is None or interlace != 0:
+            if bit_depth != 8 or channels is None or interlace not in (0, 1):
                 return None
         elif ctype == b"IDAT":
             idat.append(body)
@@ -205,12 +215,42 @@ def _png_pixels(data: bytes):
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
+    if interlace == 0:
+        stride = w * channels
+        if len(raw) != (stride + 1) * h:
+            return None
+        sub = _png_unfilter(raw, 0, h, w, channels)
+        if sub is None:
+            return None
+        return sub.reshape(h, w, channels)
+    # Adam7: seven independently-filtered sub-images, in order
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _PNG_ADAM7:
+        pw = -(-(w - x0) // dx) if w > x0 else 0
+        ph = -(-(h - y0) // dy) if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        sub = _png_unfilter(raw, off, ph, pw, channels)
+        if sub is None:
+            return None
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        off += (pw * channels + 1) * ph
+    if off != len(raw):
+        return None
+    return out
+
+
+def _png_unfilter(raw: bytes, offset: int, h: int, w: int, channels: int):
+    """Un-filter ``h`` scanlines of ``w*channels`` bytes starting at
+    ``offset`` in the decompressed stream; returns (h, stride) uint8
+    or None on truncation/unknown filter."""
     stride = w * channels
-    if len(raw) != (stride + 1) * h:
+    if offset + (stride + 1) * h > len(raw):
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
-        base = y * (stride + 1)
+        base = offset + y * (stride + 1)
         f = raw[base]
         line = np.frombuffer(raw, np.uint8, stride, base + 1)
         prev = out[y - 1] if y else np.zeros(stride, np.uint8)
@@ -239,7 +279,7 @@ def _png_pixels(data: bytes):
         else:
             return None
         out[y] = cur
-    return out.reshape(h, w, channels)
+    return out
 
 
 def decode_images(
@@ -563,6 +603,25 @@ class _JpegBits:
                 return None
             v = (v << 1) | b
         return v
+
+    def restart(self):
+        """Discard to the byte boundary and consume one RSTn marker.
+        Returns n (0-7) or None when the next bytes are not a restart
+        marker (corrupt stream / lost sync)."""
+        self.n = 0
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1  # fill bytes
+        if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF:
+            return None
+        m = self.data[self.pos + 1]
+        if not 0xD0 <= m <= 0xD7:
+            return None
+        self.pos += 2
+        return m - 0xD0
 
 
 def _jpeg_build_huff(bits, vals):
@@ -954,14 +1013,16 @@ def _jpeg_progressive_scan(
 
 def _jpeg_pixels_unsafe(data: bytes, max_pixels: int = 4 * 1024 * 1024):
     """REAL pixel decode for baseline JPEG (SOF0, 8-bit, sampling
-    factors 1-2 — 4:4:4, 4:2:0, 4:2:2, 4:4:0, grayscale — no
-    restarts): marker walk -> declared Huffman/quant tables ->
-    MCU-interleaved entropy decode -> dequant + inverse zigzag + IDCT
-    -> chroma upsample (nearest) -> YCbCr→RGB. Returns (H, W, 3) uint8
-    or None for anything outside the supported profile
-    (restart-interval, sampling factors >2, corrupt, oversized;
-    progressive SOF2 returns None HERE and the ``_jpeg_pixels`` entry
-    hands it to ``_jpeg_progressive_unsafe``).
+    factors 1-2 — 4:4:4, 4:2:0, 4:2:2, 4:4:0, grayscale — incl.
+    DRI/RSTn restart intervals): marker walk -> declared Huffman/quant
+    tables -> MCU-interleaved entropy decode -> dequant + inverse
+    zigzag + IDCT -> chroma upsample (nearest) -> YCbCr→RGB. Returns
+    (H, W, 3) uint8 or None for anything outside the supported profile
+    (sampling factors >2, corrupt, oversized; progressive SOF2 returns
+    None HERE and the ``_jpeg_pixels`` entry hands it to
+    ``_jpeg_progressive_unsafe``, which keeps the header-dims fallback
+    for DRI — progressive restart streams are rare enough that the
+    honest label beats more state machinery).
     4:2:0 is the dominant layout in web corpora, so the subsampled MCU
     path is what makes the decoder useful on a real crawl."""
     if data[:2] != b"\xff\xd8":
@@ -971,6 +1032,7 @@ def _jpeg_pixels_unsafe(data: bytes, max_pixels: int = 4 * 1024 * 1024):
     huff = {}
     comps = None
     h = w = None
+    ri = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             return None
@@ -1036,8 +1098,10 @@ def _jpeg_pixels_unsafe(data: bytes, max_pixels: int = 4 * 1024 * 1024):
                     return None
                 huff[(tc, th)] = t
                 p += 17 + n
-        elif marker == 0xDD:
-            return None  # restart intervals unsupported
+        elif marker == 0xDD:  # DRI — restart every `ri` MCUs
+            if len(body) < 2:
+                return None
+            ri = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — decode and return
             # bound by the SCAN's own declared count: a corrupt body[0]
             # larger than the segment would read past it
@@ -1108,6 +1172,14 @@ def _jpeg_pixels_unsafe(data: bytes, max_pixels: int = 4 * 1024 * 1024):
 
             for my in range(nmy):
                 for mx in range(nmx):
+                    mcu_idx = my * nmx + mx
+                    if ri and mcu_idx and mcu_idx % ri == 0:
+                        # restart boundary: byte-align, consume RSTn
+                        # (indices cycle 0-7), reset DC predictors
+                        n_rst = br.restart()
+                        if n_rst != (mcu_idx // ri - 1) % 8:
+                            return None
+                        prev_dc[:] = [0] * len(comps)
                     for ci, (cid, hi, vi, tq) in enumerate(comps):
                         for byi in range(vi):
                             for bxi in range(hi):
@@ -1386,10 +1458,11 @@ def _parse_adts(data: bytes):
 
 
 def _wav_pcm_samples(data: bytes):
-    """REAL sample decode for PCM WAV — no codec library: 16-bit PCM is
-    a numpy ``frombuffer`` view over the data chunk. Returns
-    (float64 samples in [-1, 1], channels, sample_rate) or None for
-    non-RIFF / non-PCM / non-16-bit content."""
+    """REAL sample decode for PCM WAV — no codec library, every common
+    linear layout: unsigned 8-bit, 16/24/32-bit signed little-endian
+    (24-bit unpacked via a zero-padded byte view), and IEEE float32/
+    float64 (format 3). Returns (float64 samples in [-1, 1], channels,
+    sample_rate) or None for non-RIFF / non-linear-PCM content."""
     fmt = None
     payload = None
     for cid, off, csize in _riff_chunks(data):
@@ -1397,18 +1470,48 @@ def _wav_pcm_samples(data: bytes):
             fmt = _riff_fmt(data, off)
         elif cid == b"data":
             payload = data[off : off + csize]
-    if (
-        fmt is None
-        or payload is None
-        or fmt["format"] != 1  # PCM
-        or fmt["bits"] != 16
-        or not fmt["channels"]
-    ):
+    if fmt is None or payload is None or not fmt["channels"]:
         return None
-    raw = np.frombuffer(
-        payload[: len(payload) - (len(payload) % 2)], dtype="<i2"
-    )
-    return raw.astype("float64") / 32768.0, fmt["channels"], fmt["sample_rate"]
+    bits = fmt["bits"]
+    if fmt["format"] == 1:  # integer PCM
+        if bits == 16:
+            raw = np.frombuffer(
+                payload[: len(payload) - (len(payload) % 2)], dtype="<i2"
+            )
+            samples = raw.astype("float64") / 32768.0
+        elif bits == 8:  # 8-bit WAV is UNSIGNED with 128 midpoint
+            raw = np.frombuffer(payload, dtype="u1")
+            samples = (raw.astype("float64") - 128.0) / 128.0
+        elif bits == 24:  # packed 3-byte LE: widen to 4 and view as <i4
+            usable = len(payload) - (len(payload) % 3)
+            tri = np.frombuffer(payload[:usable], dtype="u1").reshape(-1, 3)
+            quad = np.zeros((tri.shape[0], 4), dtype="u1")
+            quad[:, 1:] = tri  # value << 8, sign carried by the top byte
+            raw = quad.view("<i4").ravel()
+            samples = raw.astype("float64") / 2147483648.0
+        elif bits == 32:
+            raw = np.frombuffer(
+                payload[: len(payload) - (len(payload) % 4)], dtype="<i4"
+            )
+            samples = raw.astype("float64") / 2147483648.0
+        else:
+            return None
+    elif fmt["format"] == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(
+                payload[: len(payload) - (len(payload) % 4)], dtype="<f4"
+            ).astype("float64")
+        elif bits == 64:
+            samples = np.frombuffer(
+                payload[: len(payload) - (len(payload) % 8)], dtype="<f8"
+            ).astype("float64")
+        else:
+            return None
+        samples = np.clip(samples, -1.0, 1.0)
+    else:
+        return None
+    label = f"pcm{bits}" if fmt["format"] == 1 else f"float{bits}"
+    return samples, fmt["channels"], fmt["sample_rate"], label
 
 
 _AUDIO_SCHEMA = T.StructType(
@@ -1428,9 +1531,11 @@ _AUDIO_SCHEMA = T.StructType(
 def decode_audio(
     df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
 ) -> DataFrame:
-    """Waveform statistics from REAL PCM decode (16-bit WAV): sample
-    count, duration, RMS, peak — computed with numpy over the data
-    chunk, no codec library. MP3 gets a frame-header walk
+    """Waveform statistics from REAL PCM decode (WAV: unsigned 8-bit,
+    16/24/32-bit signed, float32/64): sample count, duration, RMS,
+    peak — computed with numpy over the data chunk, no codec library;
+    ``decoder`` records the layout (``pcm16``, ``pcm24``, ``float32``,
+    ...). MP3 gets a frame-header walk
     (``decoder='mpeg-frames'``): channels / rate / samples / duration
     are TRUE values from the headers, while rms/peak stay NULL — the
     samples are never decoded, and a NULL beats an invented amplitude.
@@ -1453,7 +1558,7 @@ def decode_audio(
                         return (ch, rate, samples, duration, None, None,
                                 label)
                 return (None, None, None, None, None, None, "stub")
-            samples, channels, rate = parsed
+            samples, channels, rate, label = parsed
             n_frames = len(samples) // channels
             rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
             peak = float(np.max(np.abs(samples))) if len(samples) else 0.0
@@ -1464,7 +1569,7 @@ def decode_audio(
                 n_frames / rate if rate else None,
                 rms,
                 peak,
-                "pcm16",
+                label,
             )
 
         for pdf in it:
