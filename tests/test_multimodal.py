@@ -1932,3 +1932,106 @@ def test_png_adam7_truncated_is_none():
     short = zlib.compress(raw_ok[: len(raw_ok) // 2])
     bad = (good[:8] + ihdr_chunk + chunk(b"IDAT", short) + chunk(b"IEND", b""))
     assert _png_pixels(bad) is None
+
+
+# --------------------------------------------------------------------------
+# Palette + 16-bit PNG (round 9)
+# --------------------------------------------------------------------------
+
+
+def _png_chunks(ihdr_tail, body_chunks, h, w):
+    import binascii
+
+    def chunk(ctype, body):
+        return (len(body).to_bytes(4, "big") + ctype + body
+                + binascii.crc32(ctype + body).to_bytes(4, "big"))
+
+    out = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+    out += chunk(b"IHDR", w.to_bytes(4, "big") + h.to_bytes(4, "big") + ihdr_tail)
+    for ctype, body in body_chunks:
+        out += chunk(ctype, body)
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_palette_all_depths():
+    """1/2/4/8-bit palette PNGs: packed index rows bit-unpack to
+    palette lookups; out-of-range indices reject the file."""
+    import zlib
+
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _png_pixels
+
+    rng = np.random.RandomState(9)
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        pal = rng.randint(0, 256, (n, 3), dtype=np.uint8)
+        h, w = 6, 11
+        idx = rng.randint(0, n, (h, w), dtype=np.uint8)
+        rows = b""
+        for y in range(h):
+            bits = np.unpackbits(
+                idx[y][:, None] << (8 - depth), axis=1, count=depth
+            ).ravel() if depth < 8 else None
+            if depth == 8:
+                packed = idx[y].tobytes()
+            else:
+                padded = np.zeros((-(-w * depth // 8)) * 8, dtype=np.uint8)
+                padded[: w * depth] = bits
+                packed = np.packbits(padded).tobytes()
+            rows += b"\x00" + packed
+        png = _png_chunks(
+            bytes([depth, 3, 0, 0, 0]),
+            [(b"PLTE", pal.tobytes()), (b"IDAT", zlib.compress(rows))],
+            h, w,
+        )
+        got = _png_pixels(png)
+        assert got is not None, depth
+        assert np.array_equal(got, pal[idx]), depth
+    # index past the palette end must reject, not wrap
+    small_pal = pal[:3]
+    png = _png_chunks(
+        bytes([8, 3, 0, 0, 0]),
+        [(b"PLTE", small_pal.tobytes()), (b"IDAT", zlib.compress(rows))],
+        h, w,
+    )
+    assert _png_pixels(png) is None
+    # palette image without PLTE rejects
+    png = _png_chunks(bytes([8, 3, 0, 0, 0]),
+                      [(b"IDAT", zlib.compress(rows))], h, w)
+    assert _png_pixels(png) is None
+
+
+def test_png_16bit_high_byte():
+    """16-bit RGB decodes to the high-byte rendering, filters applied
+    at the byte level with bpp=6."""
+    import zlib
+
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _png_pixels
+
+    rng = np.random.RandomState(10)
+    h, w = 5, 7
+    px16 = rng.randint(0, 65536, (h, w, 3), dtype=np.uint16)
+    rows = b""
+    for y in range(h):
+        rows += b"\x00" + px16[y].astype(">u2").tobytes()
+    png = _png_chunks(bytes([16, 2, 0, 0, 0]),
+                      [(b"IDAT", zlib.compress(rows))], h, w)
+    got = _png_pixels(png)
+    assert got is not None
+    assert np.array_equal(got, (px16 >> 8).astype(np.uint8))
+    # Sub filter at byte level: encode row 1 with filter 1 (bpp=6)
+    raw2 = bytearray()
+    for y in range(h):
+        line = px16[y].astype(">u2").tobytes()
+        if y == 1:
+            arr = np.frombuffer(line, np.uint8).astype(np.int32)
+            prev_px = np.concatenate([np.zeros(6, np.int32), arr[:-6]])
+            raw2 += b"\x01" + bytes(((arr - prev_px) % 256).astype(np.uint8))
+        else:
+            raw2 += b"\x00" + line
+    png2 = _png_chunks(bytes([16, 2, 0, 0, 0]),
+                       [(b"IDAT", zlib.compress(bytes(raw2)))], h, w)
+    assert np.array_equal(_png_pixels(png2), (px16 >> 8).astype(np.uint8))

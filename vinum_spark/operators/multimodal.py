@@ -178,12 +178,14 @@ _PNG_ADAM7 = (
 
 
 def _png_pixels(data: bytes):
-    """REAL pixel decode for 8-bit PNG, non-interlaced AND Adam7
-    interlaced — stdlib zlib + numpy scanline un-filtering (each Adam7
-    pass is its own filtered sub-image, scattered onto the x0::dx /
-    y0::dy grid). Returns an (H, W, C) uint8 array, or None for
-    anything this decoder doesn't cover (non-PNG, 16-bit, palette,
-    truncated)."""
+    """REAL pixel decode for PNG — stdlib zlib + numpy scanline
+    un-filtering, no codec library. Covers: 8-bit gray/RGB/gray+alpha/
+    RGBA, PALETTE images (PLTE, 1/2/4/8-bit indices bit-unpacked per
+    row), 16-bit samples (high byte kept — the 8-bit rendering), each
+    both non-interlaced AND Adam7 interlaced (every pass is its own
+    filtered sub-image, scattered onto the x0::dx / y0::dy grid).
+    Returns an (H, W, C) uint8 array, or None for anything outside
+    that (non-PNG, truncated, missing PLTE, ...)."""
     import zlib
 
     if len(data) < 33 or data[:8] != bytes(
@@ -192,6 +194,9 @@ def _png_pixels(data: bytes):
         return None
     pos, idat = 8, []
     h = w = channels = None
+    bit_depth = 8
+    color_type = 0
+    palette = None
     interlace = 0
     while pos + 8 <= len(data):
         clen = int.from_bytes(data[pos : pos + 4], "big")
@@ -201,9 +206,19 @@ def _png_pixels(data: bytes):
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             bit_depth, color_type, _, _, interlace = body[8:13]
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-            if bit_depth != 8 or channels is None or interlace not in (0, 1):
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+            ok = (
+                channels is not None
+                and interlace in (0, 1)
+                and (
+                    (color_type == 3 and bit_depth in (1, 2, 4, 8))
+                    or (color_type != 3 and bit_depth in (8, 16))
+                )
+            )
+            if not ok:
                 return None
+        elif ctype == b"PLTE" and clen % 3 == 0:
+            palette = np.frombuffer(body, dtype="u1").reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -211,41 +226,71 @@ def _png_pixels(data: bytes):
         pos += 12 + clen  # len + type + crc
     if not idat or not h or not w:
         return None
+    if color_type == 3 and palette is None:
+        return None
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
+    bits_pp = bit_depth * channels
+    bpp = max(1, bits_pp // 8)
+
+    def rb(width):  # filtered row bytes for a given pixel width
+        return (width * bits_pp + 7) // 8
+
+    def to_pixels(rows, ph, pw):
+        """(ph, row_bytes) filtered bytes -> (ph, pw, out_ch) uint8."""
+        if color_type == 3:
+            if bit_depth == 8:
+                idx = rows[:, :pw]
+            else:
+                bits = np.unpackbits(rows, axis=1)
+                grouped = bits[:, : (bits.shape[1] // bit_depth) * bit_depth]
+                grouped = grouped.reshape(ph, -1, bit_depth)
+                weights = 1 << np.arange(bit_depth - 1, -1, -1)
+                idx = (grouped * weights).sum(axis=2)[:, :pw]
+            if idx.max(initial=0) >= len(palette):
+                return None
+            return palette[idx]
+        if bit_depth == 16:
+            arr = rows[:, : pw * channels * 2].reshape(ph, pw * channels, 2)
+            return arr[:, :, 0].reshape(ph, pw, channels)  # high byte
+        return rows[:, : pw * channels].reshape(ph, pw, channels)
+
+    out_ch = 3 if color_type == 3 else channels
     if interlace == 0:
-        stride = w * channels
-        if len(raw) != (stride + 1) * h:
+        if len(raw) != (rb(w) + 1) * h:
             return None
-        sub = _png_unfilter(raw, 0, h, w, channels)
+        sub = _png_unfilter(raw, 0, h, rb(w), bpp)
         if sub is None:
             return None
-        return sub.reshape(h, w, channels)
+        return to_pixels(sub, h, w)
     # Adam7: seven independently-filtered sub-images, in order
-    out = np.zeros((h, w, channels), dtype=np.uint8)
+    out = np.zeros((h, w, out_ch), dtype=np.uint8)
     off = 0
     for x0, y0, dx, dy in _PNG_ADAM7:
         pw = -(-(w - x0) // dx) if w > x0 else 0
         ph = -(-(h - y0) // dy) if h > y0 else 0
         if pw == 0 or ph == 0:
             continue
-        sub = _png_unfilter(raw, off, ph, pw, channels)
+        sub = _png_unfilter(raw, off, ph, rb(pw), bpp)
         if sub is None:
             return None
-        out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
-        off += (pw * channels + 1) * ph
+        px = to_pixels(sub, ph, pw)
+        if px is None:
+            return None
+        out[y0::dy, x0::dx] = px
+        off += (rb(pw) + 1) * ph
     if off != len(raw):
         return None
     return out
 
 
-def _png_unfilter(raw: bytes, offset: int, h: int, w: int, channels: int):
-    """Un-filter ``h`` scanlines of ``w*channels`` bytes starting at
-    ``offset`` in the decompressed stream; returns (h, stride) uint8
-    or None on truncation/unknown filter."""
-    stride = w * channels
+def _png_unfilter(raw: bytes, offset: int, h: int, stride: int, channels: int):
+    """Un-filter ``h`` scanlines of ``stride`` bytes starting at
+    ``offset`` in the decompressed stream; ``channels`` is the filter
+    byte distance (bpp — bytes per complete pixel, min 1). Returns
+    (h, stride) uint8 or None on truncation/unknown filter."""
     if offset + (stride + 1) * h > len(raw):
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -257,7 +302,9 @@ def _png_unfilter(raw: bytes, offset: int, h: int, w: int, channels: int):
         if f == 0:  # None
             cur = line.copy()
         elif f == 1:  # Sub: per-lane prefix sum mod 256
-            px = line.reshape(w, channels).astype(np.uint32)
+            if stride % channels:
+                return None
+            px = line.reshape(-1, channels).astype(np.uint32)
             cur = (np.cumsum(px, axis=0) % 256).astype(np.uint8).reshape(stride)
         elif f == 2:  # Up (uint8 addition wraps, as the spec requires)
             cur = line + prev
