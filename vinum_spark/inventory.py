@@ -1670,7 +1670,8 @@ def q49(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     stream = stream_events(spark, f"{sf_dir}/events.parquet", nanos_ts=True)
-    run_stream_to_memory(tumbling_counts(stream), "q49_out")
+    run_stream_to_memory(tumbling_counts(stream), "q49_out",
+                         state_partitions=8)
     out = spark.table("q49_out")
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:00").alias("hour"),
@@ -1716,6 +1717,7 @@ def q50(spark, sf_dir):
     run_stream_to_memory(
         session_aggregate(stream, gap="30 minutes"),
         "q50_out",
+        state_partitions=8,
     )
     out = spark.table("q50_out")
     return out.select(
@@ -1778,6 +1780,7 @@ def q51(spark, sf_dir):
     run_stream_to_memory(
         sliding_aggregate(stream, window="1 hour", slide="15 minutes"),
         "q51_out",
+        state_partitions=8,
     )
     out = spark.table("q51_out")
     return out.select(
@@ -1880,7 +1883,8 @@ def q53(spark, sf_dir):
     deduped = stream_distinct(
         doubled, group_col="user_id", key_cols=["event_id"]
     )
-    run_stream_to_memory(deduped, "q53_out", mode="append")
+    run_stream_to_memory(deduped, "q53_out", mode="append",
+                         state_partitions=8)
     return (
         spark.table("q53_out")
         .groupBy("event_type")
@@ -1980,7 +1984,8 @@ def q55(spark, sf_dir):
     joined = stream_interval_join(
         clicks, purchases, key="user_id", ts_col="ts", within="30 minutes"
     )
-    run_stream_to_memory(joined, "q55_out", mode="append")
+    run_stream_to_memory(joined, "q55_out", mode="append",
+                         state_partitions=8)
     return (
         spark.table("q55_out")
         .select(

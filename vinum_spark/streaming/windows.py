@@ -272,8 +272,18 @@ def run_stream_to_memory(
     table_name: str,
     mode: str = "complete",
     idle_timeout: float = 600.0,
+    state_partitions: Optional[int] = None,
 ) -> None:
     """Drain all available input into an in-memory sink (testing helper).
+
+    ``state_partitions``: number of shuffle/state-store partitions for
+    THIS query (``spark.sql.shuffle.partitions`` is captured at query
+    start and pinned for the query's lifetime; AQE never coalesces
+    stateful streams). State stores carry per-partition fixed cost —
+    checkpoint files, commit round-trips — so size to load: the sf0.1
+    gates run 8 (measured 3x wall on the stream-stream join vs the
+    batch default 32), a real high-rate deployment raises it. The
+    session conf is restored right after ``start()``.
 
     Termination contract: under ``ProcessingTimeTimeout`` Spark's
     stateful exec reports "should run another batch" unconditionally, so
@@ -290,14 +300,31 @@ def run_stream_to_memory(
     in the sink — stop there. Queries that self-terminate (non-stateful,
     or ``NoTimeout``) exit the poll via ``isActive`` instead.
     """
-    q = (
+    writer = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
         .outputMode(mode)
         .trigger(availableNow=True)
-        .start()
+    )
+    q = _start_with_state_partitions(
+        stream_df.sparkSession, writer, state_partitions
     )
     _drain(q, table_name, idle_timeout)
+
+
+def _start_with_state_partitions(spark, writer, state_partitions):
+    """Start a streaming writer under a temporarily-overridden
+    ``spark.sql.shuffle.partitions`` (the query pins the value at
+    start; the session conf is restored immediately after)."""
+    if state_partitions is None:
+        return writer.start()
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, str(state_partitions))
+    try:
+        return writer.start()
+    finally:
+        spark.conf.set(key, saved)
 
 
 def run_stream_to_parquet(
