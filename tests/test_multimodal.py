@@ -2035,3 +2035,99 @@ def test_png_16bit_high_byte():
     png2 = _png_chunks(bytes([16, 2, 0, 0, 0]),
                        [(b"IDAT", zlib.compress(bytes(raw2)))], h, w)
     assert np.array_equal(_png_pixels(png2), (px16 >> 8).astype(np.uint8))
+
+
+# --------------------------------------------------------------------------
+# FLAC STREAMINFO + Ogg page walk (round 9)
+# --------------------------------------------------------------------------
+
+
+def _flac_bytes(rate=44100, channels=2, bits=16, total=88200):
+    b = bytearray(34)
+    b[10] = (rate >> 12) & 0xFF
+    b[11] = (rate >> 4) & 0xFF
+    b[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1) | ((bits - 1) >> 4)
+    b[13] = (((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+    b[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(b)
+
+
+def _ogg_page(payload, granule, serial=7, htype=0):
+    segs = []
+    rest = len(payload)
+    while rest >= 255:
+        segs.append(255)
+        rest -= 255
+    segs.append(rest)
+    return (
+        b"OggS" + bytes([0, htype])
+        + granule.to_bytes(8, "little", signed=True)
+        + serial.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + bytes([len(segs)]) + bytes(segs) + payload
+    )
+
+
+def test_parse_flac_streaminfo():
+    from vinum_spark.operators.multimodal import _parse_flac, probe_media
+
+    assert _parse_flac(_flac_bytes()) == (2, 44100, 16, 88200)
+    assert _parse_flac(_flac_bytes(rate=96000, channels=6, bits=24,
+                                   total=7_000_000_000)) == (
+        6, 96000, 24, 7_000_000_000)  # >32-bit total uses the high nibble
+    assert _parse_flac(b"fLaC" + b"\x00" * 10) is None
+    assert _parse_flac(b"not flac") is None
+
+
+def test_parse_ogg_vorbis_and_opus():
+    from vinum_spark.operators.multimodal import _parse_ogg
+
+    vorbis_id = (b"\x01vorbis" + (0).to_bytes(4, "little")
+                 + bytes([2]) + (44100).to_bytes(4, "little") + b"\x00" * 14)
+    data = (
+        _ogg_page(vorbis_id, 0, htype=2)
+        + _ogg_page(b"\x05" * 300, 22050)
+        + _ogg_page(b"\x05" * 300, 88200, htype=4)
+    )
+    assert _parse_ogg(data) == (2, 44100, 88200, "vorbis")
+
+    opus_id = (b"OpusHead" + bytes([1, 1]) + (312).to_bytes(2, "little")
+               + (16000).to_bytes(4, "little") + b"\x00" * 3)
+    data = (
+        _ogg_page(opus_id, 0, htype=2)
+        + _ogg_page(b"\x05" * 100, 48000 + 312, htype=4)
+    )
+    # Opus granules run at 48 kHz regardless of input rate; pre-skip off
+    assert _parse_ogg(data) == (1, 48000, 48000, "opus")
+    assert _parse_ogg(b"OggS" + b"\x00" * 10) is None
+    assert _parse_ogg(b"junk") is None
+
+
+def test_probe_and_decode_audio_flac_ogg(spark):
+    from vinum_spark.operators.multimodal import (
+        attach_metadata,
+        decode_audio,
+        probe_media,
+    )
+
+    vorbis_id = (b"\x01vorbis" + (0).to_bytes(4, "little")
+                 + bytes([2]) + (8000).to_bytes(4, "little") + b"\x00" * 14)
+    ogg = _ogg_page(vorbis_id, 0, htype=2) + _ogg_page(b"\x05" * 50, 4000, htype=4)
+    df = spark.createDataFrame(
+        [(0, _flac_bytes(total=44100)), (1, ogg)],
+        "asset_id long, content binary",
+    )
+    probe = probe_media(df).toPandas().set_index("asset_id").sort_index()
+    assert probe.loc[0, "decoder"] == "flac-streaminfo"
+    assert probe.loc[0, "duration_s"] == pytest.approx(1.0)
+    assert probe.loc[0, "bits_per_sample"] == 16
+    assert probe.loc[1, "decoder"] == "ogg-vorbis"
+    assert probe.loc[1, "duration_s"] == pytest.approx(0.5)
+    aud = decode_audio(df).toPandas().set_index("asset_id").sort_index()
+    assert aud.loc[0, "decoder"] == "flac-streaminfo"
+    assert aud.loc[0, "n_samples"] == 44100
+    assert pd.isna(aud.loc[0, "rms"])  # samples never decoded
+    assert aud.loc[1, "decoder"] == "ogg-vorbis"
+    mimes = attach_metadata(df).select("meta.mime").toPandas().mime.tolist()
+    assert mimes == ["audio/flac", "audio/ogg"]

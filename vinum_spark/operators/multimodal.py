@@ -54,6 +54,8 @@ _MAGIC = {
     "47494638": "image/gif",
     "52494646": "audio/wav",  # RIFF (wav/avi; refined by codec stage)
     "494433": "audio/mpeg",
+    "664C6143": "audio/flac",  # fLaC
+    "4F676753": "audio/ogg",  # OggS (vorbis/opus; refined by probe)
     "66747970": "video/mp4",  # ftyp at offset 4; see below
 }
 
@@ -1429,6 +1431,79 @@ def _parse_mp3(data: bytes):
     return channels, rate, total_samples, duration, avg_kbps
 
 
+def _parse_flac(data: bytes):
+    """TRUE audio metadata from FLAC's mandatory first metadata block
+    (STREAMINFO, 34 bytes after the 4-byte block header): sample rate
+    (20 bits), channels (3 bits + 1), bits per sample (5 bits + 1),
+    total inter-channel samples (36 bits) — exact duration without
+    touching a single frame. Returns (channels, rate, bits, total) or
+    None."""
+    if len(data) < 42 or data[:4] != b"fLaC":
+        return None
+    # first metadata block header: 1 byte (last-flag + type), 3 bytes len
+    btype = data[4] & 0x7F
+    blen = int.from_bytes(data[5:8], "big")
+    if btype != 0 or blen < 34:  # STREAMINFO must be first (spec)
+        return None
+    b = data[8 : 8 + 34]
+    rate = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+    channels = ((b[12] >> 1) & 0x07) + 1
+    bits = (((b[12] & 1) << 4) | (b[13] >> 4)) + 1
+    total = ((b[13] & 0x0F) << 32) | int.from_bytes(b[14:18], "big")
+    if not rate:
+        return None
+    return channels, rate, bits, total
+
+
+def _parse_ogg(data: bytes):
+    """TRUE audio metadata from an Ogg page walk — pure page headers,
+    no codec: the BOS page's identification header gives the codec
+    (Vorbis ``\\x01vorbis`` / Opus ``OpusHead``), channel count, and
+    rate; the last page's granule position gives the exact total
+    samples (Opus granules run at 48 kHz minus the pre-skip). Returns
+    (channels, rate, samples, codec) or None. Follows the FIRST
+    logical stream only (multiplexed audio+video Ogg is out of
+    scope)."""
+    if data[:4] != b"OggS":
+        return None
+    pos = 0
+    rate = channels = codec = None
+    preskip = 0
+    last_granule = None
+    serial0 = None
+    while pos + 27 <= len(data):
+        if data[pos : pos + 4] != b"OggS" or data[pos + 4] != 0:
+            break  # lost sync / unknown version: keep what we have
+        nseg = data[pos + 26]
+        if pos + 27 + nseg > len(data):
+            break
+        payload_len = sum(data[pos + 27 : pos + 27 + nseg])
+        payload_start = pos + 27 + nseg
+        granule = int.from_bytes(data[pos + 6 : pos + 14], "little", signed=True)
+        serial = int.from_bytes(data[pos + 14 : pos + 18], "little")
+        if serial0 is None:
+            serial0 = serial
+        if serial == serial0:
+            if rate is None:
+                pl = data[payload_start : payload_start + payload_len]
+                if pl[:7] == b"\x01vorbis" and len(pl) >= 16:
+                    codec = "vorbis"
+                    channels = pl[11]
+                    rate = int.from_bytes(pl[12:16], "little")
+                elif pl[:8] == b"OpusHead" and len(pl) >= 14:
+                    codec = "opus"
+                    channels = pl[9]
+                    preskip = int.from_bytes(pl[10:12], "little")
+                    rate = 48000  # Opus granules always count at 48 kHz
+            if granule >= 0:  # -1 marks a continued-packet page
+                last_granule = granule
+        pos = payload_start + payload_len
+    if not rate or last_granule is None:
+        return None
+    samples = max(0, last_granule - (preskip if codec == "opus" else 0))
+    return channels, rate, samples, codec
+
+
 # ---------------------------------------------------------------------------
 # ADTS AAC — same frame-header-walk class as MP3 (public ISO/IEC 13818-7
 # / 14496-3 ADTS layout). An ADTS header has layer bits 00 where an MPEG
@@ -1604,6 +1679,17 @@ def decode_audio(
                         ch, rate, samples, duration, _ = stats_
                         return (ch, rate, samples, duration, None, None,
                                 label)
+                flac = _parse_flac(raw)
+                if flac is not None:
+                    ch, rate, _, total = flac
+                    return (ch, rate, total,
+                            total / rate if total else None, None, None,
+                            "flac-streaminfo")
+                ogg = _parse_ogg(raw)
+                if ogg is not None:
+                    ch, rate, samples, codec = ogg
+                    return (ch, rate, samples, samples / rate, None, None,
+                            f"ogg-{codec}")
                 return (None, None, None, None, None, None, "stub")
             samples, channels, rate, label = parsed
             n_frames = len(samples) // channels
@@ -1725,6 +1811,17 @@ def probe_media(
                     ch, rate, _, duration, _ = stats_
                     return ("audio", ch, rate, None, duration, None, None,
                             label)
+            flac = _parse_flac(data)
+            if flac is not None:
+                ch, rate, bits, total = flac
+                return ("audio", ch, rate, bits,
+                        total / rate if total else None, None, None,
+                        "flac-streaminfo")
+            ogg = _parse_ogg(data)
+            if ogg is not None:
+                ch, rate, samples, codec = ogg
+                return ("audio", ch, rate, None, samples / rate,
+                        None, None, f"ogg-{codec}")
             return ("unknown",) + _PROBE_NULL + ("stub",)
 
         for pdf in it:
