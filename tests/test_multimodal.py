@@ -2131,3 +2131,88 @@ def test_probe_and_decode_audio_flac_ogg(spark):
     assert aud.loc[1, "decoder"] == "ogg-vorbis"
     mimes = attach_metadata(df).select("meta.mime").toPandas().mime.tolist()
     assert mimes == ["audio/flac", "audio/ogg"]
+
+
+# --------------------------------------------------------------------------
+# AVI + WebM video metadata (round 9)
+# --------------------------------------------------------------------------
+
+
+def _avi_bytes(us_per_frame=33333, frames=300, w=640, h=360):
+    avih = bytearray(56)
+    avih[0:4] = us_per_frame.to_bytes(4, "little")
+    avih[16:20] = frames.to_bytes(4, "little")
+    avih[32:36] = w.to_bytes(4, "little")
+    avih[36:40] = h.to_bytes(4, "little")
+    hdrl = b"hdrl" + b"avih" + (56).to_bytes(4, "little") + bytes(avih)
+    body = b"AVI " + b"LIST" + len(hdrl).to_bytes(4, "little") + hdrl
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _ebml_el(eid_bytes, payload):
+    # 1-byte size form is enough for test payloads < 127
+    return eid_bytes + bytes([0x80 | len(payload)]) + payload
+
+
+def _webm_bytes(duration_units=5000.0, scale=None, w=1280, h=720):
+    import struct
+
+    info_body = b""
+    if scale is not None:
+        info_body += _ebml_el(bytes([0x2A, 0xD7, 0xB1]),
+                              scale.to_bytes(4, "big"))
+    info_body += _ebml_el(bytes([0x44, 0x89]),
+                          struct.pack(">f", duration_units))
+    info = _ebml_el(bytes([0x15, 0x49, 0xA9, 0x66]), info_body)
+    video = _ebml_el(bytes([0xE0]),
+                     _ebml_el(bytes([0xB0]), w.to_bytes(2, "big"))
+                     + _ebml_el(bytes([0xBA]), h.to_bytes(2, "big")))
+    track = _ebml_el(bytes([0xAE]), video)
+    tracks = _ebml_el(bytes([0x16, 0x54, 0xAE, 0x6B]), track)
+    seg_body = info + tracks
+    segment = (bytes([0x18, 0x53, 0x80, 0x67])
+               + bytes([0x80 | len(seg_body)]) + seg_body)
+    ebml_hdr = _ebml_el(bytes([0x1A, 0x45, 0xDF, 0xA3]), b"")
+    return ebml_hdr + segment
+
+
+def test_parse_avi_header():
+    from vinum_spark.operators.multimodal import _parse_avi
+
+    kind, _, _, _, dur, h, w, dec = _parse_avi(_avi_bytes())
+    assert (kind, dec) == ("video", "avi-avih")
+    assert (w, h) == (640, 360)
+    assert dur == pytest.approx(300 * 33333 / 1e6)
+    assert _parse_avi(b"RIFF\x10\x00\x00\x00WAVE" + b"\x00" * 30) is None
+    assert _parse_avi(b"junk") is None
+
+
+def test_parse_webm_info_and_tracks():
+    from vinum_spark.operators.multimodal import _parse_webm
+
+    # default timecode scale: 1 ms units -> 5000 units = 5 s
+    kind, _, _, _, dur, h, w, dec = _parse_webm(_webm_bytes())
+    assert (kind, dec) == ("video", "webm-ebml")
+    assert dur == pytest.approx(5.0)
+    assert (w, h) == (1280, 720)
+    # explicit 100 us scale -> 5000 units = 0.5 s
+    out = _parse_webm(_webm_bytes(scale=100_000))
+    assert out[4] == pytest.approx(0.5)
+    assert _parse_webm(b"\x1a\x45\xdf\xa3") is None  # header only
+    assert _parse_webm(b"nope") is None
+
+
+def test_probe_media_avi_webm_and_mime(spark):
+    from vinum_spark.operators.multimodal import attach_metadata, probe_media
+
+    df = spark.createDataFrame(
+        [(0, _avi_bytes()), (1, _webm_bytes())],
+        "asset_id long, content binary",
+    )
+    probe = probe_media(df).toPandas().set_index("asset_id").sort_index()
+    assert probe.loc[0, "decoder"] == "avi-avih"
+    assert (probe.loc[0, "width"], probe.loc[0, "height"]) == (640, 360)
+    assert probe.loc[1, "decoder"] == "webm-ebml"
+    assert probe.loc[1, "duration_s"] == pytest.approx(5.0)
+    mimes = attach_metadata(df).select("meta.mime").toPandas().mime.tolist()
+    assert mimes == ["video/x-msvideo", "video/webm"]

@@ -56,6 +56,7 @@ _MAGIC = {
     "494433": "audio/mpeg",
     "664C6143": "audio/flac",  # fLaC
     "4F676753": "audio/ogg",  # OggS (vorbis/opus; refined by probe)
+    "1A45DFA3": "video/webm",  # EBML (webm/matroska)
     "66747970": "video/mp4",  # ftyp at offset 4; see below
 }
 
@@ -83,6 +84,12 @@ def attach_metadata(
         cond = prefix3 == magic[:6] if len(magic) == 6 else prefix == magic
         mime = F.when(cond, F.lit(m)).otherwise(mime)
     mime = F.when(mp4_marker == "66747970", F.lit("video/mp4")).otherwise(mime)
+    # RIFF refinement: form type at offset 9 distinguishes AVI from WAV
+    riff_form = F.upper(F.hex(F.substring(c, 9, 4)))
+    mime = F.when(
+        (prefix == "52494646") & (riff_form == "41564920"),
+        F.lit("video/x-msvideo"),
+    ).otherwise(mime)
     # tag-less MP3: 11-bit frame sync 0xFFE0 — hex prefix FFE*/FFF*
     # (cannot collide with FFD8FF jpeg at the 3rd hex char)
     mime = F.when(
@@ -1255,20 +1262,49 @@ def _jpeg_pixels_unsafe(data: bytes, max_pixels: int = 4 * 1024 * 1024):
     return None
 
 
-def _riff_chunks(data: bytes):
-    """Walk a RIFF/WAVE container, yielding (chunk_id, payload_offset,
-    payload_size). Chunks are word-aligned: odd sizes pad one byte.
-    Yields nothing for non-RIFF/WAVE input — the single chunk walk
-    shared by header metadata (``_parse_wav``) and sample decode
-    (``_wav_pcm_samples``)."""
-    if len(data) < 36 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+def _riff_chunks(data: bytes, form: bytes = b"WAVE", start: int = 12,
+                 end: int = None):
+    """Walk a RIFF container of the given form type, yielding
+    (chunk_id, payload_offset, payload_size). Chunks are word-aligned:
+    odd sizes pad one byte. Yields nothing for non-matching input —
+    the single chunk walk shared by WAV metadata (``_parse_wav``),
+    sample decode (``_wav_pcm_samples``), and AVI (``_parse_avi``).
+    Pass ``start``/``end`` to walk the sub-chunks of a LIST payload."""
+    if start == 12 and (
+        len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != form
+    ):
         return
-    i = 12
-    while i + 8 <= len(data):
+    i = start
+    end = len(data) if end is None else min(end, len(data))
+    while i + 8 <= end:
         cid = data[i : i + 4]
         csize = int.from_bytes(data[i + 4 : i + 8], "little")
         yield cid, i + 8, csize
         i += 8 + csize + (csize & 1)
+
+
+def _parse_avi(data: bytes):
+    """TRUE video metadata from the AVI main header (``avih`` inside
+    ``LIST hdrl``): frame period (µs), total frames, display dims — no
+    codec. Returns the probe tuple or None."""
+    for cid, off, csize in _riff_chunks(data, form=b"AVI "):
+        if cid != b"LIST" or data[off : off + 4] != b"hdrl":
+            continue
+        for scid, soff, ssize in _riff_chunks(
+            data, start=off + 4, end=off + csize
+        ):
+            if scid != b"avih" or ssize < 40 or soff + 40 > len(data):
+                continue
+            us_per_frame = int.from_bytes(data[soff : soff + 4], "little")
+            total_frames = int.from_bytes(data[soff + 16 : soff + 20], "little")
+            width = int.from_bytes(data[soff + 32 : soff + 36], "little")
+            height = int.from_bytes(data[soff + 36 : soff + 40], "little")
+            duration = (
+                total_frames * us_per_frame / 1e6 if us_per_frame else None
+            )
+            return ("video", None, None, None, duration,
+                    height or None, width or None, "avi-avih")
+    return None
 
 
 def _riff_fmt(data: bytes, off: int):
@@ -1782,6 +1818,107 @@ def _parse_mp4(data: bytes):
     return ("video", None, None, None, duration, height, width, "mp4-mvhd")
 
 
+def _ebml_id(data: bytes, i: int):
+    """Read an EBML element ID (1-4 bytes, marker bits kept)."""
+    if i >= len(data):
+        return None
+    b0 = data[i]
+    for ln in range(1, 5):
+        if b0 & (0x80 >> (ln - 1)):
+            if i + ln > len(data):
+                return None
+            return int.from_bytes(data[i : i + ln], "big"), i + ln
+    return None
+
+
+def _ebml_size(data: bytes, i: int):
+    """Read an EBML size varint (1-8 bytes, marker stripped); all-ones
+    means unknown size (returned as None size)."""
+    if i >= len(data):
+        return None
+    b0 = data[i]
+    for ln in range(1, 9):
+        if b0 & (0x80 >> (ln - 1)):
+            if i + ln > len(data):
+                return None
+            v = int.from_bytes(data[i : i + ln], "big")
+            v -= (0x80 >> (ln - 1)) << (8 * (ln - 1))
+            if v == (1 << (7 * ln)) - 1:
+                return None, i + ln  # unknown size (streamed files)
+            return v, i + ln
+    return None
+
+
+def _ebml_walk(data: bytes, start: int, end: int):
+    """Yield (element_id, payload_start, payload_end) across a range;
+    unknown-size elements extend to the range end (only Segment and
+    Cluster may legally be unknown-size)."""
+    i = start
+    while i < end:
+        rid = _ebml_id(data, i)
+        if rid is None:
+            return
+        eid, i = rid
+        rsz = _ebml_size(data, i)
+        if rsz is None:
+            return
+        size, i = rsz
+        pe = end if size is None else min(i + size, end)
+        yield eid, i, pe
+        i = pe
+
+
+def _parse_webm(data: bytes):
+    """TRUE video metadata from the Matroska/WebM EBML tree — no
+    codec: Segment > Info gives TimecodeScale (default 1 ms) and
+    Duration (float, in timecode units); Segment > Tracks > TrackEntry
+    > Video gives PixelWidth/PixelHeight. Returns the probe tuple or
+    None. Bounded: only the known container path is descended."""
+    if data[:4] != bytes([0x1A, 0x45, 0xDF, 0xA3]):
+        return None
+    duration = None
+    width = height = None
+    for eid, ps, pe in _ebml_walk(data, 0, len(data)):
+        if eid != 0x18538067:  # Segment
+            continue
+        for sid, ss, se in _ebml_walk(data, ps, pe):
+            if sid == 0x1549A966:  # Info
+                scale = 1_000_000  # ns per timecode unit (spec default)
+                dur_units = None
+                for iid, is_, ie in _ebml_walk(data, ss, se):
+                    if iid == 0x2AD7B1:
+                        scale = int.from_bytes(data[is_:ie], "big")
+                    elif iid == 0x4489:
+                        n = ie - is_
+                        if n == 4:
+                            dur_units = float(
+                                np.frombuffer(data[is_:ie], ">f4")[0]
+                            )
+                        elif n == 8:
+                            dur_units = float(
+                                np.frombuffer(data[is_:ie], ">f8")[0]
+                            )
+                if dur_units is not None and scale:
+                    duration = dur_units * scale / 1e9
+            elif sid == 0x1654AE6B:  # Tracks
+                for tid, ts, te in _ebml_walk(data, ss, se):
+                    if tid != 0xAE:  # TrackEntry
+                        continue
+                    for vid, vs, ve in _ebml_walk(data, ts, te):
+                        if vid != 0xE0:  # Video settings
+                            continue
+                        for pid, pps, ppe in _ebml_walk(data, vs, ve):
+                            if pid == 0xB0:
+                                w = int.from_bytes(data[pps:ppe], "big")
+                                if width is None or w > width:
+                                    width = w
+                            elif pid == 0xBA:
+                                height = int.from_bytes(data[pps:ppe], "big")
+    if duration is None and width is None:
+        return None
+    return ("video", None, None, None, duration, height, width, "webm-ebml")
+
+
 def probe_media(
     df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
 ) -> DataFrame:
@@ -1799,7 +1936,10 @@ def probe_media(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def probe(data):
             data = bytes(data or b"")
-            parsed = _parse_wav(data) or _parse_mp4(data)
+            parsed = (
+                _parse_wav(data) or _parse_mp4(data)
+                or _parse_avi(data) or _parse_webm(data)
+            )
             if parsed is not None:
                 return parsed
             for walker, label in (
