@@ -2216,3 +2216,102 @@ def test_probe_media_avi_webm_and_mime(spark):
     assert probe.loc[1, "duration_s"] == pytest.approx(5.0)
     mimes = attach_metadata(df).select("meta.mime").toPandas().mime.tolist()
     assert mimes == ["video/x-msvideo", "video/webm"]
+
+
+# --------------------------------------------------------------------------
+# BMP / TIFF / WebP / HEIC header dims (round 9)
+# --------------------------------------------------------------------------
+
+
+def _bmp_bytes(w=320, h=200, bpp=24, topdown=False):
+    hdr = bytearray(54)
+    hdr[0:2] = b"BM"
+    hdr[14:18] = (40).to_bytes(4, "little")
+    hdr[18:22] = w.to_bytes(4, "little", signed=True)
+    hdr[22:26] = (-h if topdown else h).to_bytes(4, "little", signed=True)
+    hdr[28:30] = bpp.to_bytes(2, "little")
+    return bytes(hdr)
+
+
+def _tiff_bytes(w=640, h=480, spp=3, big_endian=False):
+    bo = "big" if big_endian else "little"
+    out = bytearray(b"MM\x00*" if big_endian else b"II*\x00")
+    out += (8).to_bytes(4, bo)
+
+    def entry(tag, typ, val):
+        e = tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + (1).to_bytes(4, bo)
+        if typ == 3:
+            e += val.to_bytes(2, bo) + b"\x00\x00"
+        else:
+            e += val.to_bytes(4, bo)
+        return e
+
+    out += (3).to_bytes(2, bo)
+    out += entry(256, 4, w) + entry(257, 3, h) + entry(277, 3, spp)
+    out += (0).to_bytes(4, bo)
+    return bytes(out)
+
+
+def _webp_bytes(kind="VP8X", w=1024, h=768):
+    if kind == "VP8X":
+        body = bytes(4) + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        chunk = b"VP8X" + len(body).to_bytes(4, "little") + body
+    elif kind == "VP8 ":
+        body = bytes(3) + b"\x9d\x01\x2a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        chunk = b"VP8 " + len(body).to_bytes(4, "little") + body
+    else:  # VP8L, alpha bit set
+        bits = (w - 1) | ((h - 1) << 14) | (1 << 28)
+        body = b"\x2f" + bits.to_bytes(4, "little")
+        chunk = b"VP8L" + len(body).to_bytes(4, "little") + body + b"\x00"
+    payload = b"WEBP" + chunk
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+
+def _heic_bytes(w=4032, h=3024, brand=b"heic"):
+    def box(btype, body):
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    ispe_big = box(b"ispe", bytes(4) + w.to_bytes(4, "big") + h.to_bytes(4, "big"))
+    ispe_thumb = box(b"ispe", bytes(4) + (160).to_bytes(4, "big") + (120).to_bytes(4, "big"))
+    ipco = box(b"ipco", ispe_thumb + ispe_big)
+    iprp = box(b"iprp", ipco)
+    meta = box(b"meta", bytes(4) + iprp)
+    ftyp = box(b"ftyp", brand + bytes(4))
+    return ftyp + meta
+
+
+def test_header_dims_new_containers():
+    from vinum_spark.operators.multimodal import _header_dims
+
+    assert _header_dims(_bmp_bytes()) == (200, 320, 3, "bmp-header")
+    assert _header_dims(_bmp_bytes(topdown=True)) == (200, 320, 3, "bmp-header")
+    assert _header_dims(_bmp_bytes(bpp=8)) == (200, 320, 1, "bmp-header")
+    assert _header_dims(_tiff_bytes()) == (480, 640, 3, "tiff-ifd")
+    assert _header_dims(_tiff_bytes(big_endian=True)) == (480, 640, 3, "tiff-ifd")
+    assert _header_dims(_webp_bytes("VP8X")) == (768, 1024, 3, "webp-vp8x")
+    assert _header_dims(_webp_bytes("VP8 ")) == (768, 1024, 3, "webp-vp8")
+    assert _header_dims(_webp_bytes("VP8L")) == (768, 1024, 4, "webp-vp8l")
+    # largest ispe wins (main image over thumbnail)
+    assert _header_dims(_heic_bytes()) == (3024, 4032, 3, "heic-ispe")
+    assert _header_dims(_heic_bytes(brand=b"avif")) == (3024, 4032, 3, "avif-ispe")
+    # hostile: truncation never raises
+    for fx in (_bmp_bytes(), _tiff_bytes(), _webp_bytes(), _heic_bytes()):
+        for cut in (3, 9, len(fx) // 2):
+            _header_dims(fx[:cut])
+
+
+def test_decode_images_and_mime_new_containers(spark):
+    from vinum_spark.operators.multimodal import attach_metadata, decode_images
+
+    df = spark.createDataFrame(
+        [(0, _bmp_bytes()), (1, _tiff_bytes()), (2, _webp_bytes("VP8L")),
+         (3, _heic_bytes()), (4, _heic_bytes(brand=b"avif"))],
+        "asset_id long, content binary",
+    )
+    out = decode_images(df).toPandas().set_index("asset_id").sort_index()
+    assert out.decoder.tolist() == [
+        "bmp-header", "tiff-ifd", "webp-vp8l", "heic-ispe", "avif-ispe"]
+    assert (out.loc[3, "height"], out.loc[3, "width"]) == (3024, 4032)
+    mimes = attach_metadata(df).select("meta.mime").toPandas().mime.tolist()
+    assert mimes == ["image/bmp", "image/tiff", "image/webp",
+                     "image/heic", "image/avif"]

@@ -52,11 +52,14 @@ _MAGIC = {
     "89504E47": "image/png",
     "FFD8FF": "image/jpeg",
     "47494638": "image/gif",
-    "52494646": "audio/wav",  # RIFF (wav/avi; refined by codec stage)
+    "52494646": "audio/wav",  # RIFF (wav/avi/webp; refined below)
     "494433": "audio/mpeg",
     "664C6143": "audio/flac",  # fLaC
     "4F676753": "audio/ogg",  # OggS (vorbis/opus; refined by probe)
     "1A45DFA3": "video/webm",  # EBML (webm/matroska)
+    "424D": "image/bmp",
+    "49492A00": "image/tiff",  # II little-endian
+    "4D4D002A": "image/tiff",  # MM big-endian
     "66747970": "video/mp4",  # ftyp at offset 4; see below
 }
 
@@ -77,18 +80,31 @@ def attach_metadata(
         raise ValueError("hash_algo must be 'sha1' or 'sha256'")
     c = F.col(content_col)
     prefix = F.upper(F.hex(F.substring(c, 1, 4)))
-    prefix3 = F.substring(prefix, 1, 6)
     mp4_marker = F.upper(F.hex(F.substring(c, 5, 4)))
     mime = F.lit("application/octet-stream")
     for magic, m in _MAGIC.items():
-        cond = prefix3 == magic[:6] if len(magic) == 6 else prefix == magic
+        cond = F.substring(prefix, 1, len(magic)) == magic
         mime = F.when(cond, F.lit(m)).otherwise(mime)
     mime = F.when(mp4_marker == "66747970", F.lit("video/mp4")).otherwise(mime)
-    # RIFF refinement: form type at offset 9 distinguishes AVI from WAV
-    riff_form = F.upper(F.hex(F.substring(c, 9, 4)))
+    # ISO-BMFF brand refinement: heif/avif stills share the ftyp layout
+    brand = F.upper(F.hex(F.substring(c, 9, 4)))
     mime = F.when(
-        (prefix == "52494646") & (riff_form == "41564920"),
+        (mp4_marker == "66747970")
+        & brand.isin("68656963", "68656978", "6D696631"),  # heic/heix/mif1
+        F.lit("image/heic"),
+    ).otherwise(mime)
+    mime = F.when(
+        (mp4_marker == "66747970") & brand.isin("61766966", "61766973"),
+        F.lit("image/avif"),  # avif/avis
+    ).otherwise(mime)
+    # RIFF refinement: form type at offset 9 picks AVI/WebP over WAV
+    mime = F.when(
+        (prefix == "52494646") & (brand == "41564920"),
         F.lit("video/x-msvideo"),
+    ).otherwise(mime)
+    mime = F.when(
+        (prefix == "52494646") & (brand == "57454250"),
+        F.lit("image/webp"),
     ).otherwise(mime)
     # tag-less MP3: 11-bit frame sync 0xFFE0 — hex prefix FFE*/FFF*
     # (cannot collide with FFD8FF jpeg at the 3rd hex char)
@@ -176,7 +192,110 @@ def _header_dims(data: bytes):
                 label = "jpeg-sof-progressive" if prog else "jpeg-sof"
                 return h, w, data[i + 9], label
             i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
+        return None
+    if data[:2] == b"BM" and len(data) >= 30:
+        # BITMAPINFOHEADER: i32 LE width/height (negative = top-down)
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        if w > 0 and h != 0:
+            return abs(h), w, 1 if bpp <= 8 else bpp // 8, "bmp-header"
+        return None
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff_dims(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return _webp_dims(data)
+    if data[4:8] == b"ftyp" and data[8:12] in (
+        b"heic", b"heix", b"mif1", b"avif", b"avis"
+    ):
+        return _heif_dims(data)
     return None
+
+
+def _tiff_dims(data: bytes):
+    """First-IFD ImageWidth/ImageLength/SamplesPerPixel (tags 256/257/
+    277); inline SHORT/LONG values only — enough for every baseline
+    TIFF. Respects the header's declared endianness."""
+    bo = "little" if data[:2] == b"II" else "big"
+    off = int.from_bytes(data[4:8], bo)
+    if off + 2 > len(data):
+        return None
+    n = int.from_bytes(data[off : off + 2], bo)
+    w = h = None
+    spp = 1
+    for k in range(n):
+        e = off + 2 + 12 * k
+        if e + 12 > len(data):
+            return None
+        tag = int.from_bytes(data[e : e + 2], bo)
+        typ = int.from_bytes(data[e + 2 : e + 4], bo)
+        if typ == 3:  # SHORT, inline, endian-positioned
+            val = int.from_bytes(data[e + 8 : e + 10], bo)
+        elif typ == 4:  # LONG, inline
+            val = int.from_bytes(data[e + 8 : e + 12], bo)
+        else:
+            continue
+        if tag == 256:
+            w = val
+        elif tag == 257:
+            h = val
+        elif tag == 277:
+            spp = val
+    if not w or not h:
+        return None
+    return h, w, spp, "tiff-ifd"
+
+
+def _webp_dims(data: bytes):
+    """WebP dims from whichever header the first image chunk carries:
+    VP8X canvas (3-byte minus-one fields), VP8 lossy key-frame header
+    (14-bit LE dims after the 0x9D012A sync), or VP8L (14-bit packed
+    minus-one)."""
+    for cid, off, csize in _riff_chunks(data, form=b"WEBP"):
+        if cid == b"VP8X" and csize >= 10:
+            w = int.from_bytes(data[off + 4 : off + 7], "little") + 1
+            h = int.from_bytes(data[off + 7 : off + 10], "little") + 1
+            return h, w, 3, "webp-vp8x"
+        if cid == b"VP8 " and csize >= 10:
+            if data[off + 3 : off + 6] != b"\x9d\x01\x2a":
+                return None
+            w = int.from_bytes(data[off + 6 : off + 8], "little") & 0x3FFF
+            h = int.from_bytes(data[off + 8 : off + 10], "little") & 0x3FFF
+            return h, w, 3, "webp-vp8"
+        if cid == b"VP8L" and csize >= 5:
+            if data[off] != 0x2F:
+                return None
+            bits = int.from_bytes(data[off + 1 : off + 5], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return h, w, 4 if (bits >> 28) & 1 else 3, "webp-vp8l"
+    return None
+
+
+def _heif_dims(data: bytes):
+    """HEIC/AVIF dims from the ispe property (meta > iprp > ipco >
+    ispe — meta is a FULL box: 4 version/flags bytes precede its
+    children). Multiple ispe boxes (thumbnails) -> take the largest."""
+    best = None
+    for btype, ps, pe in _iter_boxes(data, 0, len(data)):
+        if btype != b"meta":
+            continue
+        for m1, s1, e1 in _iter_boxes(data, ps + 4, pe):
+            if m1 != b"iprp":
+                continue
+            for m2, s2, e2 in _iter_boxes(data, s1, e1):
+                if m2 != b"ipco":
+                    continue
+                for m3, s3, e3 in _iter_boxes(data, s2, e2):
+                    if m3 == b"ispe" and s3 + 12 <= e3:
+                        w = int.from_bytes(data[s3 + 4 : s3 + 8], "big")
+                        h = int.from_bytes(data[s3 + 8 : s3 + 12], "big")
+                        if best is None or w * h > best[0] * best[1]:
+                            best = (w, h)
+    if best is None:
+        return None
+    label = "avif-ispe" if data[8:12] in (b"avif", b"avis") else "heic-ispe"
+    return best[1], best[0], 3, label
 
 
 #: Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
