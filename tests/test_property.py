@@ -179,3 +179,100 @@ def test_normalize_one_none_passthrough():
     from vinum_spark.operators.text import _normalize_one
 
     assert _normalize_one(None) is None
+
+
+# ---------------------------------------------------------------------------
+# Byte-parser hardening (round 9): every container/codec walker must
+# degrade to None on arbitrary hostile bytes — never raise. Random
+# bytes alone rarely get past magic checks, so each strategy also
+# mutates VALID fixtures (truncation, splice, bit flips) to reach the
+# deep parse paths.
+# ---------------------------------------------------------------------------
+
+
+def _multimodal_fixtures():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "test_multimodal.py")
+    spec = importlib.util.spec_from_file_location("_tm_fixtures", path)
+    tm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tm)
+    import numpy as np
+
+    px = tm._smooth_rgb(3, 16, 24)
+    arr = np.random.RandomState(4).randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    return [
+        tm._encode_jpeg(px),
+        tm._encode_jpeg(px, subsampling="420", restart_interval=2),
+        tm._encode_progressive_jpeg(px, dc_al=1, ac_al=1),
+        tm._png_rgb(arr),
+        tm._png_adam7(arr),
+        tm._encode_gif(np.random.RandomState(5).randint(0, 4, (8, 8, 3)).astype(np.uint8) * 60),
+        tm._mp3_frames(6, id3v2=True),
+        tm._adts_frames(6),
+        tm._flac_bytes(),
+        tm._sine_wav(),
+        tm._wav_bytes((b"\x00" * 64), 3, 1, 8000, 32),
+        tm._mp4_with_moov(),
+        tm._avi_bytes(),
+        tm._webm_bytes(),
+        tm._webp_bytes("VP8L"),
+        tm._heic_bytes(),
+        tm._bmp_bytes(),
+        tm._tiff_bytes(),
+        tm._ogg_page(b"\x01vorbis" + b"\x00" * 23, 0, htype=2),
+    ]
+
+
+_FIXTURES = _multimodal_fixtures()
+
+
+@st.composite
+def hostile_bytes(draw):
+    base = draw(st.sampled_from(_FIXTURES))
+    mode = draw(st.integers(0, 3))
+    if mode == 0:  # truncate
+        return base[: draw(st.integers(0, len(base)))]
+    if mode == 1:  # bit flips
+        b = bytearray(base)
+        for _ in range(draw(st.integers(1, 8))):
+            i = draw(st.integers(0, len(b) - 1))
+            b[i] ^= draw(st.integers(1, 255))
+        return bytes(b)
+    if mode == 2:  # splice two fixtures
+        other = draw(st.sampled_from(_FIXTURES))
+        cut = draw(st.integers(0, len(base)))
+        return base[:cut] + other[draw(st.integers(0, len(other))):]
+    return draw(st.binary(max_size=300))  # pure noise
+
+
+@given(hostile_bytes())
+@settings(max_examples=400, deadline=None)
+def test_all_byte_parsers_never_raise(data):
+    from vinum_spark.operators.multimodal import (
+        _gif_pixels,
+        _header_dims,
+        _jpeg_pixels,
+        _parse_adts,
+        _parse_avi,
+        _parse_flac,
+        _parse_mp3,
+        _parse_mp4,
+        _parse_ogg,
+        _parse_wav,
+        _parse_webm,
+        _png_pixels,
+        _wav_pcm_samples,
+    )
+
+    for fn in (
+        _png_pixels, _gif_pixels, _jpeg_pixels,  # already guarded entries
+        _parse_wav, _wav_pcm_samples, _parse_mp3, _parse_adts,
+        _parse_flac, _parse_ogg, _parse_mp4, _parse_avi, _parse_webm,
+    ):
+        fn(data)  # any exception fails the test
+    try:
+        _header_dims(data)
+    except IndexError:
+        raise AssertionError("_header_dims raised on hostile bytes")

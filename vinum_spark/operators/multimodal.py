@@ -252,18 +252,22 @@ def _webp_dims(data: bytes):
     (14-bit LE dims after the 0x9D012A sync), or VP8L (14-bit packed
     minus-one)."""
     for cid, off, csize in _riff_chunks(data, form=b"WEBP"):
+        # a declared size past EOF is a truncated/hostile file: reject
+        # rather than parse short reads into wrong dimensions
         if cid == b"VP8X" and csize >= 10:
+            if off + 10 > len(data):
+                return None
             w = int.from_bytes(data[off + 4 : off + 7], "little") + 1
             h = int.from_bytes(data[off + 7 : off + 10], "little") + 1
             return h, w, 3, "webp-vp8x"
         if cid == b"VP8 " and csize >= 10:
-            if data[off + 3 : off + 6] != b"\x9d\x01\x2a":
+            if off + 10 > len(data) or data[off + 3 : off + 6] != b"\x9d\x01\x2a":
                 return None
             w = int.from_bytes(data[off + 6 : off + 8], "little") & 0x3FFF
             h = int.from_bytes(data[off + 8 : off + 10], "little") & 0x3FFF
             return h, w, 3, "webp-vp8"
         if cid == b"VP8L" and csize >= 5:
-            if data[off] != 0x2F:
+            if off + 5 > len(data) or data[off] != 0x2F:
                 return None
             bits = int.from_bytes(data[off + 1 : off + 5], "little")
             w = (bits & 0x3FFF) + 1

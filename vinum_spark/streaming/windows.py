@@ -332,6 +332,7 @@ def run_stream_to_parquet(
     path: str,
     checkpoint: str,
     idle_timeout: float = 600.0,
+    state_partitions: Optional[int] = None,
 ) -> None:
     """Drain all available input into a parquet directory sink.
 
@@ -339,15 +340,17 @@ def run_stream_to_parquet(
     checkpointed file-sink commit log (restarting with the same
     ``checkpoint`` resumes instead of duplicating). Parquet sinks
     support append mode only — use windowed/watermarked transforms
-    whose finalized results append. Same bounded-drain contract as
-    ``run_stream_to_memory``.
+    whose finalized results append. Same bounded-drain and
+    ``state_partitions`` sizing contract as ``run_stream_to_memory``.
     """
-    q = (
+    writer = (
         stream_df.writeStream.format("parquet")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
+    )
+    q = _start_with_state_partitions(
+        stream_df.sparkSession, writer, state_partitions
     )
     _drain(q, path, idle_timeout)
