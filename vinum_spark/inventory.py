@@ -1813,11 +1813,37 @@ _PNG_MAGIC = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
     SELECT doc_id,
            octet_length(content) AS size_bytes,
            sha256(hex(content)) AS content_digest,
-           -- mirrors attach_metadata's FULL magic-byte ladder (same
-           -- precedence): ftyp-at-offset-4 > prefix magics; branches are
-           -- prefix-exclusive so order among them is immaterial
-           CASE WHEN substr(hex(content), 9, 8) = '66747970' THEN 'video/mp4'
+           -- mirrors attach_metadata's FULL magic-byte ladder in its
+           -- exact precedence (Spark wraps later `when`s around earlier
+           -- ones, so CASE order here is the REVERSE of the build
+           -- order there): refinements first, then the magic dict
+           -- reversed. The ASCII-plausible magics (BM, ID3, OggS,
+           -- fLaC, RIFF) can genuinely occur at the start of document
+           -- text, so a ladder edit that skips this mirror flips rows.
+           CASE WHEN substr(hex(content), 1, 3) IN ('FFF', 'FFE')
+                     THEN 'audio/mpeg'
+                WHEN substr(hex(content), 1, 8) = '52494646'
+                     AND substr(hex(content), 17, 8) = '57454250'
+                     THEN 'image/webp'
+                WHEN substr(hex(content), 1, 8) = '52494646'
+                     AND substr(hex(content), 17, 8) = '41564920'
+                     THEN 'video/x-msvideo'
+                WHEN substr(hex(content), 9, 8) = '66747970'
+                     AND substr(hex(content), 17, 8) IN
+                         ('61766966', '61766973')
+                     THEN 'image/avif'
+                WHEN substr(hex(content), 9, 8) = '66747970'
+                     AND substr(hex(content), 17, 8) IN
+                         ('68656963', '68656978', '6D696631')
+                     THEN 'image/heic'
+                WHEN substr(hex(content), 9, 8) = '66747970' THEN 'video/mp4'
                 WHEN substr(hex(content), 1, 8) = '66747970' THEN 'video/mp4'
+                WHEN substr(hex(content), 1, 8) = '4D4D002A' THEN 'image/tiff'
+                WHEN substr(hex(content), 1, 8) = '49492A00' THEN 'image/tiff'
+                WHEN substr(hex(content), 1, 4) = '424D'     THEN 'image/bmp'
+                WHEN substr(hex(content), 1, 8) = '1A45DFA3' THEN 'video/webm'
+                WHEN substr(hex(content), 1, 8) = '4F676753' THEN 'audio/ogg'
+                WHEN substr(hex(content), 1, 8) = '664C6143' THEN 'audio/flac'
                 WHEN substr(hex(content), 1, 6) = '494433'   THEN 'audio/mpeg'
                 WHEN substr(hex(content), 1, 8) = '52494646' THEN 'audio/wav'
                 WHEN substr(hex(content), 1, 8) = '47494638' THEN 'image/gif'

@@ -12,28 +12,35 @@ Design (the 100 TB shape):
   batches: Python cost is per-batch, parallelism is per-partition, and
   memory stays bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
-Header-level metadata is REAL and codec-free: image dimensions (PNG
-IHDR / GIF LSD / JPEG SOF), WAV fmt-chunk audio params + duration, and
-MP4 mvhd/tkhd duration + display dims are parsed from container bytes.
-Sample/pixel-level decode is ALSO real where the SPEC suffices: PCM16
-WAV (``decode_audio``: numpy ``frombuffer`` over the data chunk →
-RMS/peak/duration), 8-bit non-interlaced PNG (``_png_pixels``:
-zlib + numpy scanline un-filtering), and GIF87a/89a first frames
-(``_gif_pixels``: pure-Python variable-width LZW + palette mapping +
-interlace reorder — GIF's compression is spec-complete without any
-codec library), and BOTH JPEG modes (``_jpeg_pixels``: marker walk +
-declared Huffman tables + dequant/IDCT in numpy, 4:4:4/4:2:0/4:2:2
-MCU layouts; ``_jpeg_progressive_unsafe``: multi-scan spectral
+Header-level metadata is REAL and codec-free across the common web
+containers: image dimensions (PNG IHDR, GIF LSD, JPEG SOF, BMP, TIFF
+IFD, WebP VP8/VP8L/VP8X, HEIC/AVIF ispe), audio params + exact
+duration (WAV fmt, MP3 and ADTS-AAC frame-header walks, FLAC
+STREAMINFO, Ogg Vorbis/Opus page granules), and video duration +
+display dims (MP4 mvhd/tkhd, AVI avih, WebM/Matroska EBML) are all
+parsed from container bytes. Sample/pixel-level decode is ALSO real
+where the SPEC suffices: linear-PCM WAV in every common layout
+(``decode_audio``: u8/i16/i24/i32/f32/f64 → RMS/peak/duration), PNG
+in full (``_png_pixels``: zlib + numpy un-filtering; gray/RGB/alpha,
+palette at 1/2/4/8 bits, 16-bit high-byte, Adam7 interlace),
+GIF87a/89a first frames (``_gif_pixels``: pure-Python variable-width
+LZW + palette + interlace reorder), and BOTH JPEG modes
+(``_jpeg_pixels``: marker walk + declared Huffman tables +
+dequant/IDCT in numpy, 4:4:4/4:2:0/4:2:2 MCU layouts, DRI/RSTn
+restart streams; ``_jpeg_progressive_unsafe``: multi-scan spectral
 selection + successive approximation per T.81 G.1.2), all feeding the
 REAL 8×8 pooled-grayscale feature in ``extract_features``. MP4
 KEY-FRAME extraction is real too (``_mp4_keyframe_spans``: stbl
 sample-table walk → sync-sample byte spans — no codec needed for
-offsets). Only work requiring external
-codec libraries or models (arithmetic-coded JPEG, video frame PIXELS,
+offsets). Only work requiring external codec libraries or models
+(arithmetic-coded JPEG, compressed-audio SAMPLES, video frame PIXELS,
 learned feature models) is STUBBED: when PIL is importable it is
 used; otherwise a clearly-marked deterministic fake derives
 shapes/features from the bytes so the Spark-side plumbing — schemas,
 batch iteration, UDF signatures — is real and tested end-to-end.
+Every parser here holds a fuzz-pinned no-crash contract
+(tests/test_property.py): hostile bytes degrade to None/stub, never
+a task failure.
 """
 
 from __future__ import annotations
