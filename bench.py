@@ -10,8 +10,8 @@ one untimed warm-up then median of 5 timed runs (raised from 3 in round
 code change on those paths); ``value`` = sum of per-query medians.
 
 ``python bench.py --all`` benches EVERY ``queries()`` entry (median of
-3 — 79 queries would make 5 runs a >10-minute pass) so the tail
-operators (q44-q79) get per-round numbers, not just the one-off
+3 — 80 queries would make 5 runs a >10-minute pass) so the tail
+operators (q44-q80) get per-round numbers, not just the one-off
 BASELINE.md anchors. Both modes append their record to
 ``tools/bench_history.jsonl``; ``python tools/bench_diff.py --gate``
 then flags any query that drifted >1.5x above its best recorded anchor

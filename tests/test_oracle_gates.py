@@ -60,6 +60,8 @@ GATED = [
     "q78_knn_join",
     # round-9: the composed IVF-PQ path (components gated by q46/q77)
     "q79_ann_ivfpq",
+    # round-9: media-probe closed-form gate (FLAC/WAV/MP3 walks)
+    "q80_media_probe",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible

@@ -3225,6 +3225,101 @@ def q79(spark, sf_dir):
     return _ann_recall_gate(ann, exact, min_overlap=7)
 
 
+@_q(
+    "q80_media_probe",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'flac-streaminfo'
+                           WHEN 1 THEN 'wav-fmt'
+                           ELSE 'mpeg-frames' END AS decoder,
+           CAST(CASE doc_id % 3 WHEN 2 THEN 2
+                                ELSE 1 + doc_id % 2 END AS INT) AS channels,
+           CAST(CASE doc_id % 3 WHEN 2 THEN 44100
+                                ELSE 8000 + (doc_id % 5) * 4000
+                END AS INT) AS sample_rate,
+           -- NOT rounded: both engines divide the same small integers,
+           -- and IEEE correctly-rounded quotients of equal real values
+           -- are bit-identical — while round(x, 6) lands exactly on
+           -- half-boundaries for n*1152/44100 and splits half-up vs
+           -- half-even across engines
+           CASE doc_id % 3
+                WHEN 2 THEN (10 + doc_id % 20) * 1152.0 / 44100
+                ELSE (1000 + doc_id % 7000)
+                     / (8000.0 + (doc_id % 5) * 4000) END AS duration_s
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "Media probe under the oracle gate: per doc, Spark BUILDS a real "
+    "media file from doc_id-derived parameters (FLAC STREAMINFO / "
+    "PCM-WAV header / MPEG1-L3 frame run, rotating by doc_id%3, inside "
+    "an Arrow-batched mapInPandas) and probe_media must parse back the "
+    "exact channels/rate/duration — which the oracle computes in CLOSED "
+    "FORM from doc_id, so a builder/parser disagreement on any field "
+    "of any row hash-mismatches. Parsers are additionally pinned "
+    "against spec fixtures and fuzz (tests/test_multimodal.py, "
+    "test_property.py); this gate adds the distributed plumbing and "
+    "field-arithmetic parity at corpus scale.",
+)
+def q80(spark, sf_dir):
+    import pandas as pd
+
+    from vinum_spark.operators.multimodal import probe_media
+
+    def build(it):
+        def flac_bytes(rate, channels, total):
+            b = bytearray(34)
+            b[10] = (rate >> 12) & 0xFF
+            b[11] = (rate >> 4) & 0xFF
+            b[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1)
+            b[12] |= (16 - 1) >> 4
+            b[13] = (((16 - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+            b[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+            return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(b)
+
+        def wav_bytes(rate, channels, total):
+            size = total * channels * 2
+            byte_rate = rate * channels * 2
+            return (
+                b"RIFF" + (36 + size).to_bytes(4, "little") + b"WAVE"
+                + b"fmt " + (16).to_bytes(4, "little")
+                + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+                + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+                + (channels * 2).to_bytes(2, "little")
+                + (16).to_bytes(2, "little")
+                + b"data" + size.to_bytes(4, "little")  # headers only
+            )
+
+        def mp3_bytes(n_frames):
+            frame = bytes([0xFF, 0xFB, 0x90, 0x40])
+            frame += b"\x00" * (144 * 128000 // 44100 - 4)
+            return frame * n_frames
+
+        for pdf in it:
+            content = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 3 == 0:
+                    content.append(flac_bytes(
+                        8000 + (d % 5) * 4000, 1 + d % 2, 1000 + d % 7000))
+                elif d % 3 == 1:
+                    content.append(wav_bytes(
+                        8000 + (d % 5) * 4000, 1 + d % 2, 1000 + d % 7000))
+                else:
+                    content.append(mp3_bytes(10 + d % 20))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = d.mapInPandas(build, schema="doc_id long, content binary")
+    probe = probe_media(assets, id_col="doc_id")
+    return probe.select(
+        F.col("asset_id").cast("long").alias("doc_id"),
+        "decoder",
+        "channels",
+        "sample_rate",
+        "duration_s",
+    ).orderBy("doc_id")
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 78 registered, twenty-eight fall
 #: outside it. Order the export so the operator classes with the least
