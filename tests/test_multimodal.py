@@ -2315,3 +2315,112 @@ def test_decode_images_and_mime_new_containers(spark):
     mimes = attach_metadata(df).select("meta.mime").toPandas().mime.tolist()
     assert mimes == ["image/bmp", "image/tiff", "image/webp",
                      "image/heic", "image/avif"]
+
+
+# --------------------------------------------------------------------------
+# Uncompressed TIFF pixel decode (round 9)
+# --------------------------------------------------------------------------
+
+
+def _tiff_full(arr, big_endian=False, rows_per_strip=None, planar=1,
+               compression=1):
+    """Spec-built uncompressed chunky TIFF with real strip data; the
+    pixel array is split into strips of rows_per_strip rows."""
+    import numpy as np
+
+    h, w, spp = arr.shape
+    bo = "big" if big_endian else "little"
+    rps = rows_per_strip or h
+    strips = [arr[y : y + rps].tobytes() for y in range(0, h, rps)]
+    k = len(strips)
+    # layout: header(8) + IFD + value arrays + strip data
+    n_entries = 9
+    ifd_off = 8
+    ifd_len = 2 + n_entries * 12 + 4
+    arrays_off = ifd_off + ifd_len
+
+    def entry(tag, typ, values, inline_pad=True):
+        nonlocal extra, arrays_cursor
+        size = {3: 2, 4: 4}[typ]
+        e = tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+        e += len(values).to_bytes(4, bo)
+        if len(values) * size <= 4:
+            v = b"".join(x.to_bytes(size, bo) for x in values)
+            e += v + b"\x00" * (4 - len(v))
+        else:
+            e += arrays_cursor.to_bytes(4, bo)
+            extra += b"".join(x.to_bytes(size, bo) for x in values)
+            arrays_cursor += len(values) * size
+        return e
+
+    # strip offsets are filled after we know the data start; two passes
+    for offsets_known in (False, True):
+        extra = b""
+        arrays_cursor = arrays_off
+        entries = []
+        data_off = None
+        if offsets_known:
+            data_off = arrays_off + extra_len
+            cur = data_off
+            strip_offsets = []
+            for s in strips:
+                strip_offsets.append(cur)
+                cur += len(s)
+        else:
+            strip_offsets = [0] * k
+        entries.append(entry(256, 4, [w]))
+        entries.append(entry(257, 4, [h]))
+        entries.append(entry(258, 3, [8] * spp))
+        entries.append(entry(259, 3, [compression]))
+        entries.append(entry(262, 3, [2]))
+        entries.append(entry(273, 4, strip_offsets))
+        entries.append(entry(277, 3, [spp]))
+        entries.append(entry(279, 4, [len(s) for s in strips]))
+        entries.append(entry(284, 3, [planar]))
+        extra_len = len(extra)
+    hdr = (b"MM\x00*" if big_endian else b"II*\x00") + ifd_off.to_bytes(4, bo)
+    ifd = n_entries.to_bytes(2, bo) + b"".join(entries) + (0).to_bytes(4, bo)
+    return hdr + ifd + extra + b"".join(strips)
+
+
+def test_tiff_pixels_roundtrip():
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _tiff_pixels
+
+    rng = np.random.RandomState(12)
+    arr = rng.randint(0, 256, (10, 7, 3), dtype=np.uint8)
+    for be in (False, True):
+        got = _tiff_pixels(_tiff_full(arr, big_endian=be))
+        assert got is not None, be
+        assert np.array_equal(got, arr), be
+    # multi-strip (offsets/counts as pointed-to LONG arrays)
+    got = _tiff_pixels(_tiff_full(arr, rows_per_strip=3))
+    assert np.array_equal(got, arr)
+    # grayscale single-sample
+    gray = rng.randint(0, 256, (6, 9, 1), dtype=np.uint8)
+    assert np.array_equal(_tiff_pixels(_tiff_full(gray)), gray)
+    # unsupported: LZW compression / planar config -> None (header dims
+    # still work via _tiff_dims)
+    assert _tiff_pixels(_tiff_full(arr, compression=5)) is None
+    assert _tiff_pixels(_tiff_full(arr, planar=2)) is None
+    from vinum_spark.operators.multimodal import _header_dims
+    assert _header_dims(_tiff_full(arr, compression=5))[3] == "tiff-ifd"
+
+
+def test_decode_images_tiff_strips(spark):
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import decode_images, extract_features
+
+    rng = np.random.RandomState(13)
+    arr = rng.randint(0, 256, (16, 12, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, _tiff_full(arr, rows_per_strip=4))],
+        "asset_id long, content binary",
+    )
+    out = decode_images(df, pixels=True).toPandas().iloc[0]
+    assert out["decoder"] == "tiff-strips"
+    assert (out["height"], out["width"], out["channels"]) == (16, 12, 3)
+    feats = extract_features(df).toPandas().iloc[0]
+    assert feats["extractor"] == "tiff-pool8"

@@ -219,38 +219,93 @@ def _header_dims(data: bytes):
     return None
 
 
-def _tiff_dims(data: bytes):
-    """First-IFD ImageWidth/ImageLength/SamplesPerPixel (tags 256/257/
-    277); inline SHORT/LONG values only — enough for every baseline
-    TIFF. Respects the header's declared endianness."""
+def _tiff_ifd(data: bytes):
+    """First-IFD entries as {tag: [values]} (SHORT/LONG only, both
+    inline and pointed-to arrays), plus the byte order. Returns None
+    for non-TIFF / truncated headers."""
+    if data[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
     bo = "little" if data[:2] == b"II" else "big"
     off = int.from_bytes(data[4:8], bo)
     if off + 2 > len(data):
         return None
     n = int.from_bytes(data[off : off + 2], bo)
-    w = h = None
-    spp = 1
+    tags: dict = {}
     for k in range(n):
         e = off + 2 + 12 * k
         if e + 12 > len(data):
             return None
         tag = int.from_bytes(data[e : e + 2], bo)
         typ = int.from_bytes(data[e + 2 : e + 4], bo)
-        if typ == 3:  # SHORT, inline, endian-positioned
-            val = int.from_bytes(data[e + 8 : e + 10], bo)
-        elif typ == 4:  # LONG, inline
-            val = int.from_bytes(data[e + 8 : e + 12], bo)
-        else:
+        cnt = int.from_bytes(data[e + 4 : e + 8], bo)
+        size = {3: 2, 4: 4}.get(typ)
+        if size is None or cnt == 0 or cnt > 1_000_000:
             continue
-        if tag == 256:
-            w = val
-        elif tag == 257:
-            h = val
-        elif tag == 277:
-            spp = val
+        if cnt * size <= 4:
+            base = e + 8
+        else:
+            base = int.from_bytes(data[e + 8 : e + 12], bo)
+            if base + cnt * size > len(data):
+                continue
+        tags[tag] = [
+            int.from_bytes(data[base + i * size : base + (i + 1) * size], bo)
+            for i in range(cnt)
+        ]
+    return tags, bo
+
+
+def _tiff_dims(data: bytes):
+    """First-IFD ImageWidth/ImageLength/SamplesPerPixel (tags 256/257/
+    277). Respects the header's declared endianness."""
+    parsed = _tiff_ifd(data)
+    if parsed is None:
+        return None
+    tags, _ = parsed
+    w = tags.get(256, [None])[0]
+    h = tags.get(257, [None])[0]
+    spp = tags.get(277, [1])[0]
     if not w or not h:
         return None
     return h, w, spp, "tiff-ifd"
+
+
+def _tiff_pixels(data: bytes, max_pixels: int = 16 * 1024 * 1024):
+    """REAL pixel decode for UNCOMPRESSED 8-bit chunky TIFF (the
+    scanner/scientific baseline: Compression=1, PlanarConfig=1,
+    BitsPerSample all 8): strips located by StripOffsets/ByteCounts
+    (tags 273/279) are concatenated into the (H, W, SPP) array. Other
+    compressions (LZW/deflate/JPEG-in-TIFF) return None — header dims
+    still serve those."""
+    parsed = _tiff_ifd(data)
+    if parsed is None:
+        return None
+    tags, _ = parsed
+    w = tags.get(256, [0])[0]
+    h = tags.get(257, [0])[0]
+    spp = tags.get(277, [1])[0]
+    if not w or not h or not 1 <= spp <= 4 or w * h > max_pixels:
+        return None
+    if tags.get(259, [1])[0] != 1:  # Compression: uncompressed only
+        return None
+    if tags.get(284, [1])[0] != 1:  # PlanarConfiguration: chunky only
+        return None
+    if any(b != 8 for b in tags.get(258, [8])):
+        return None
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        return None
+    buf = bytearray()
+    need = h * w * spp
+    for o, c in zip(offsets, counts):
+        if o + c > len(data):
+            return None
+        buf += data[o : o + c]
+        if len(buf) >= need:
+            break
+    if len(buf) < need:
+        return None
+    return np.frombuffer(bytes(buf[:need]), dtype="u1").reshape(h, w, spp)
 
 
 def _webp_dims(data: bytes):
@@ -502,6 +557,10 @@ def decode_images(
                 px = _jpeg_pixels(data)
                 if px is not None:
                     return (px.shape[0], px.shape[1], px.shape[2], "jpeg-huff")
+                px = _tiff_pixels(data)
+                if px is not None:
+                    return (px.shape[0], px.shape[1], px.shape[2],
+                            "tiff-strips")
             parsed = _header_dims(data)
             if parsed is not None:
                 return parsed
@@ -2270,6 +2329,9 @@ def extract_features(
                 if px is None:
                     px = _jpeg_pixels(data)
                     kind = "jpeg-pool8"
+                if px is None:
+                    px = _tiff_pixels(data)
+                    kind = "tiff-pool8"
                 if px is not None and px.shape[0] >= 8 and px.shape[1] >= 8:
                     feats.append(_pooled_gray_feature(px).tolist())
                     kinds.append(kind)
