@@ -221,6 +221,8 @@ def _multimodal_fixtures():
         tm._heic_bytes(),
         tm._bmp_bytes(),
         tm._tiff_bytes(),
+        tm._tiff_full(np.random.RandomState(6).randint(
+            0, 256, (8, 6, 3), dtype=np.uint8), rows_per_strip=3),
         tm._ogg_page(b"\x01vorbis" + b"\x00" * 23, 0, htype=2),
     ]
 
@@ -263,6 +265,7 @@ def test_all_byte_parsers_never_raise(data):
         _parse_wav,
         _parse_webm,
         _png_pixels,
+        _tiff_pixels,
         _wav_pcm_samples,
     )
 
@@ -270,6 +273,7 @@ def test_all_byte_parsers_never_raise(data):
         _png_pixels, _gif_pixels, _jpeg_pixels,  # already guarded entries
         _parse_wav, _wav_pcm_samples, _parse_mp3, _parse_adts,
         _parse_flac, _parse_ogg, _parse_mp4, _parse_avi, _parse_webm,
+        _tiff_pixels,
     ):
         fn(data)  # any exception fails the test
     try:
