@@ -92,6 +92,10 @@ GATED = [
     "q26_lang_id",
     "q32_ann_lsh",
     "q30_simhash",
+    # round-10 rotation: demoted so q79/q80 get driver-recorded greens;
+    # their exact driver oracles run here instead
+    "q31_cosine_topk",
+    "q23_events_tumbling_window",
 ]
 
 

@@ -3321,7 +3321,7 @@ def q80(spark, sf_dir):
 
 
 #: The round driver's correctness gate records only the FIRST 50
-#: entries of ``queries()``; with 78 registered, twenty-eight fall
+#: entries of ``queries()``; with 80 registered, thirty fall
 #: outside it. Order the export so the operator classes with the least
 #: other coverage sit inside the gate: the streaming/multimodal/pipeline
 #: additions (q51-q78) take the slots of queries each subsumed by
@@ -3389,6 +3389,16 @@ _DEMOTED_TO_TAIL = (
     # winnowing/embedding variants) in the gate; SimHash's own
     # recall-gated oracle stays in-suite
     "q30_simhash",
+    # round-10 rotation (VERDICT r9 item 1): q79/q80 get driver-recorded
+    # greens. q79's slot: brute-force cosine top-k is subsumed in-gate by
+    # the exact q78 knn-join plus the ANN members q46/q56/q77 (and now
+    # q79 itself, whose re-rank IS brute-force cosine on the probed
+    # cells); q31's exact oracle moves in-suite.
+    "q31_cosine_topk",
+    # q80's slot: the batch tumbling-window twin — the gated streaming
+    # q49 hash-matches the SAME tumbling semantics against the oracle
+    # (the q24↔q50 session precedent); q23's exact oracle moves in-suite.
+    "q23_events_tumbling_window",
 )
 _PROMOTED = (
     "q51_streaming_sliding",
@@ -3419,6 +3429,8 @@ _PROMOTED = (
     "q76_encode_tokens",
     "q77_ann_pq",
     "q78_knn_join",
+    "q79_ann_ivfpq",
+    "q80_media_probe",
 )
 
 
