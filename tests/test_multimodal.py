@@ -1394,6 +1394,22 @@ def test_adts_and_mp3_walks_are_mutually_exclusive():
     assert _parse_adts(b"\xff" * 4096) is None
 
 
+def test_frame_walks_exclude_truncated_final_frame():
+    """A final frame whose header parses but whose body is cut off must
+    not count toward samples/duration/bitrate — stats for a file cut
+    mid-frame equal the stats of its complete-frame prefix."""
+    from vinum_spark.operators.multimodal import _parse_adts, _parse_mp3
+
+    full = _mp3_frames(12)
+    flen = len(full) // 12
+    cut = full[: 11 * flen + flen // 2]  # 11 whole frames + half a frame
+    assert _parse_mp3(cut) == _parse_mp3(full[: 11 * flen])
+
+    afull = _adts_frames(9)
+    acut = afull[: 8 * 256 + 100]  # 8 whole frames + truncated header+body
+    assert _parse_adts(acut) == _parse_adts(afull[: 8 * 256])
+
+
 def test_decode_audio_and_probe_adts(spark):
     from vinum_spark.operators.multimodal import decode_audio, probe_media
 
@@ -2233,6 +2249,18 @@ def _bmp_bytes(w=320, h=200, bpp=24, topdown=False):
     return bytes(hdr)
 
 
+def _bmp_core_bytes(w=320, h=200, bpp=24):
+    """OS/2 BITMAPCOREHEADER: 12-byte DIB header, u16 dims at 18/20."""
+    hdr = bytearray(26)
+    hdr[0:2] = b"BM"
+    hdr[14:18] = (12).to_bytes(4, "little")
+    hdr[18:20] = w.to_bytes(2, "little")
+    hdr[20:22] = h.to_bytes(2, "little")
+    hdr[22:24] = (1).to_bytes(2, "little")  # planes
+    hdr[24:26] = bpp.to_bytes(2, "little")
+    return bytes(hdr)
+
+
 def _tiff_bytes(w=640, h=480, spp=3, big_endian=False):
     bo = "big" if big_endian else "little"
     out = bytearray(b"MM\x00*" if big_endian else b"II*\x00")
@@ -2286,6 +2314,14 @@ def test_header_dims_new_containers():
     assert _header_dims(_bmp_bytes()) == (200, 320, 3, "bmp-header")
     assert _header_dims(_bmp_bytes(topdown=True)) == (200, 320, 3, "bmp-header")
     assert _header_dims(_bmp_bytes(bpp=8)) == (200, 320, 1, "bmp-header")
+    # OS/2 core header: u16 dims, not i32 — the i32 read would see
+    # width|height<<16 garbage; the DIB-size discriminator must catch it
+    assert _header_dims(_bmp_core_bytes()) == (200, 320, 3, "bmp-header")
+    assert _header_dims(_bmp_core_bytes(bpp=4)) == (200, 320, 1, "bmp-header")
+    # unknown DIB header sizes return None rather than garbage dims
+    bad = bytearray(_bmp_bytes())
+    bad[14:18] = (17).to_bytes(4, "little")
+    assert _header_dims(bytes(bad)) is None
     assert _header_dims(_tiff_bytes()) == (480, 640, 3, "tiff-ifd")
     assert _header_dims(_tiff_bytes(big_endian=True)) == (480, 640, 3, "tiff-ifd")
     assert _header_dims(_webp_bytes("VP8X")) == (768, 1024, 3, "webp-vp8x")

@@ -225,3 +225,27 @@ def test_bench_gate_median_anchor_resists_lucky_outlier(tmp_path):
                    "queries": {"q23": 1.2}})
     hist.write_text("".join(json.dumps(r) + "\n" for r in rounds))
     assert gate(history_path=str(hist)) == 1
+
+
+def test_bench_gate_sustained_regression_cannot_self_normalize(tmp_path):
+    """Round-10 fix (ADVICE r9): with a plain median-of-ALL-history
+    anchor, a persistent regression keeps appending regressed records
+    until they outnumber the healthy ones and the median creeps up to
+    the regression — drift invisible. The median-of-best-5 anchor keeps
+    the bar at the proven-healthy level: 4 healthy rounds + 5 regressed
+    rounds still reads the anchor as ~0.36s, and the latest regressed
+    run trips (plain all-history median would be 1.2s -> clean)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_diff import gate
+
+    hist = tmp_path / "hist.jsonl"
+    rounds = [
+        {"ts": f"t{i}", "round": f"r{i}", "sf": 0.1,
+         "queries": {"q23": v}}
+        for i, v in enumerate([0.38, 0.36, 0.35, 0.37, 1.2, 1.25, 1.2, 1.3, 1.2])
+    ]
+    hist.write_text("".join(json.dumps(r) + "\n" for r in rounds))
+    assert gate(history_path=str(hist)) == 1

@@ -11,9 +11,10 @@ latest-vs-previous delta:
 Gate mode — reads ``tools/bench_history.jsonl`` (bench.py appends a
 record per run; seeded with the round-7 anchors incl. the q54-q78 tail
 from BASELINE.md), compares the LATEST record's per-query medians
-against the MEDIAN of every OTHER same-sf record's value for that query,
-and exits nonzero when a query drifted more than ``--threshold`` (1.5x)
-above that anchor AND by more than ``--floor`` (0.25 s) absolute — the
+against the median of the BEST ``ANCHOR_BEST_N`` same-sf records for
+that query, and exits nonzero when a query drifted more than
+``--threshold`` (1.5x) above that anchor AND by more than ``--floor``
+(0.25 s) absolute — the
 floor keeps 0.2 s queries, where scheduler jitter alone is 50%, from
 tripping the gate. Run it each round after ``python bench.py --all``:
 
@@ -29,6 +30,15 @@ a 1.97x "regression" (reproduced at 0.285 s in round 9 — see
 BASELINE.md "q23 adjudication"). The median of history is robust to
 outliers on both sides; drift output still names the best record so
 the provenance of the fastest run is visible.
+
+Why median of the best N, not of ALL history (round-10 refinement): a
+plain median-of-history lets a SUSTAINED regression self-normalize —
+each regressed round appends a regressed record, and once those
+outnumber the healthy ones the median has crept up to the regression
+and the drift goes invisible. Anchoring on the median of the best
+``ANCHOR_BEST_N`` records keeps the bar where the engine has proven it
+can be (regressed records never enter the best-N set) while still
+absorbing a single lucky outlier (it is a median of N, not a min).
 """
 
 from __future__ import annotations
@@ -42,6 +52,12 @@ import sys
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_history.jsonl")
+
+#: Anchor = median of the best N same-sf records per query. N=5 rides
+#: out one lucky round (median, not min) without letting a sustained
+#: regression drag the anchor toward itself (slow records never make
+#: the best-5).
+ANCHOR_BEST_N = 5
 
 
 def gate(threshold: float = 1.5, floor: float = 0.25,
@@ -75,7 +91,9 @@ def gate(threshold: float = 1.5, floor: float = 0.25,
         if q not in hist:
             fresh.append(q)
             continue
-        anchor = statistics.median(x for x, _ in hist[q])
+        anchor = statistics.median(
+            sorted(x for x, _ in hist[q])[:ANCHOR_BEST_N]
+        )
         if v > anchor * threshold and v - anchor > floor:
             best_v, best_src = min(hist[q])
             drifted.append((q, anchor, len(hist[q]), best_v, best_src, v,
@@ -93,7 +111,7 @@ def gate(threshold: float = 1.5, floor: float = 0.25,
         return 1
     n = len(latest.get("queries", {})) - len(fresh)
     print(f"gate: clean — {n} queries within {threshold}x of median-of-"
-          f"history anchors at sf={sf}")
+          f"best-{ANCHOR_BEST_N} anchors at sf={sf}")
     return 0
 
 

@@ -200,13 +200,25 @@ def _header_dims(data: bytes):
                 return h, w, data[i + 9], label
             i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
         return None
-    if data[:2] == b"BM" and len(data) >= 30:
-        # BITMAPINFOHEADER: i32 LE width/height (negative = top-down)
-        w = int.from_bytes(data[18:22], "little", signed=True)
-        h = int.from_bytes(data[22:26], "little", signed=True)
-        bpp = int.from_bytes(data[28:30], "little")
-        if w > 0 and h != 0:
-            return abs(h), w, 1 if bpp <= 8 else bpp // 8, "bmp-header"
+    if data[:2] == b"BM" and len(data) >= 26:
+        # DIB header size at 14 discriminates the two layouts: the
+        # 12-byte BITMAPCOREHEADER (OS/2) packs u16 dims at 18/20;
+        # BITMAPINFOHEADER and its v2-v5 extensions (40/52/56/108/124)
+        # use i32 LE width/height (negative height = top-down)
+        dib = int.from_bytes(data[14:18], "little")
+        if dib == 12:
+            w = int.from_bytes(data[18:20], "little")
+            h = int.from_bytes(data[20:22], "little")
+            bpp = int.from_bytes(data[24:26], "little")
+            if w > 0 and h > 0:
+                return h, w, 1 if bpp <= 8 else bpp // 8, "bmp-header"
+            return None
+        if dib in (40, 52, 56, 64, 108, 124) and len(data) >= 30:
+            w = int.from_bytes(data[18:22], "little", signed=True)
+            h = int.from_bytes(data[22:26], "little", signed=True)
+            bpp = int.from_bytes(data[28:30], "little")
+            if w > 0 and h != 0:
+                return abs(h), w, 1 if bpp <= 8 else bpp // 8, "bmp-header"
         return None
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return _tiff_dims(data)
@@ -1643,6 +1655,8 @@ def _parse_mp3(data: bytes):
         if h is None:  # ID3v1 tail / truncation / junk ends the walk
             break
         flen, samples, sr, _, ch = h
+        if i + flen > len(data):  # truncated final frame: don't count it
+            break
         n_frames += 1
         total_samples += samples
         total_bytes += flen
@@ -1791,6 +1805,8 @@ def _parse_adts(data: bytes):
         if h is None:
             break
         flen, samples, sr, ch = h
+        if i + flen > len(data):  # truncated final frame: don't count it
+            break
         n_frames += 1
         total_samples += samples
         total_bytes += flen
