@@ -2358,19 +2358,104 @@ def test_decode_images_and_mime_new_containers(spark):
 # --------------------------------------------------------------------------
 
 
+def _packbits_encode(data):
+    """Spec-built PackBits encoder: repeat packets for runs of >=3
+    equal bytes, literal packets (<=128 bytes) otherwise."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data):
+    """Spec-built TIFF LZW encoder: MSB-first packing, Clear=256/
+    EOI=257, EARLY-CHANGE width bumps at (1<<width)-1, Clear emitted
+    when the table reaches 4094 codes."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    codes = [(256, 9)]
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        # the decoder's table lags one entry behind, so its EARLY-CHANGE
+        # check at (1<<width)-1 pairs with an encoder bump at (1<<width)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:
+            codes.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, cw in codes:
+        acc = (acc << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _tiff_full(arr, big_endian=False, rows_per_strip=None, planar=1,
-               compression=1):
-    """Spec-built uncompressed chunky TIFF with real strip data; the
-    pixel array is split into strips of rows_per_strip rows."""
+               compression=1, predictor=None):
+    """Spec-built chunky TIFF with real strip data; the pixel array is
+    split into strips of rows_per_strip rows, each strip independently
+    compressed per the compression tag (1=none, 5=LZW, 8=deflate,
+    32773=PackBits) after optional Predictor=2 differencing."""
+    import zlib
+
     import numpy as np
 
     h, w, spp = arr.shape
     bo = "big" if big_endian else "little"
     rps = rows_per_strip or h
-    strips = [arr[y : y + rps].tobytes() for y in range(0, h, rps)]
+    if predictor == 2:
+        diff = arr.astype(np.int16)
+        diff[:, 1:, :] -= arr[:, :-1, :].astype(np.int16)
+        arr = (diff % 256).astype(np.uint8)
+    raw_strips = [arr[y : y + rps].tobytes() for y in range(0, h, rps)]
+    enc = {
+        1: lambda s: s,
+        5: _tiff_lzw_encode,
+        8: zlib.compress,
+        32773: _packbits_encode,
+    }[compression]
+    strips = [enc(s) for s in raw_strips]
     k = len(strips)
     # layout: header(8) + IFD + value arrays + strip data
-    n_entries = 9
+    n_entries = 9 + (rows_per_strip is not None) + (predictor is not None)
     ifd_off = 8
     ifd_len = 2 + n_entries * 12 + 4
     arrays_off = ifd_off + ifd_len
@@ -2411,8 +2496,12 @@ def _tiff_full(arr, big_endian=False, rows_per_strip=None, planar=1,
         entries.append(entry(262, 3, [2]))
         entries.append(entry(273, 4, strip_offsets))
         entries.append(entry(277, 3, [spp]))
+        if rows_per_strip is not None:
+            entries.append(entry(278, 4, [rps]))
         entries.append(entry(279, 4, [len(s) for s in strips]))
         entries.append(entry(284, 3, [planar]))
+        if predictor is not None:
+            entries.append(entry(317, 3, [predictor]))
         extra_len = len(extra)
     hdr = (b"MM\x00*" if big_endian else b"II*\x00") + ifd_off.to_bytes(4, bo)
     ifd = n_entries.to_bytes(2, bo) + b"".join(entries) + (0).to_bytes(4, bo)
@@ -2436,12 +2525,86 @@ def test_tiff_pixels_roundtrip():
     # grayscale single-sample
     gray = rng.randint(0, 256, (6, 9, 1), dtype=np.uint8)
     assert np.array_equal(_tiff_pixels(_tiff_full(gray)), gray)
-    # unsupported: LZW compression / planar config -> None (header dims
-    # still work via _tiff_dims)
-    assert _tiff_pixels(_tiff_full(arr, compression=5)) is None
+    # unsupported: planar config -> None (header dims still work)
     assert _tiff_pixels(_tiff_full(arr, planar=2)) is None
     from vinum_spark.operators.multimodal import _header_dims
-    assert _header_dims(_tiff_full(arr, compression=5))[3] == "tiff-ifd"
+    assert _header_dims(_tiff_full(arr, planar=2))[3] == "tiff-ifd"
+
+
+def test_tiff_compressed_strips_roundtrip():
+    """PackBits / TIFF-LZW / Deflate strips vs the spec-built encoders,
+    pixel-exact, with and without Predictor=2 differencing, single- and
+    multi-strip, both endiannesses; each compression gets its own
+    decoder label."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import (
+        _tiff_pixels,
+        _tiff_pixels_labeled,
+    )
+
+    rng = np.random.RandomState(42)
+    # a gradient-plus-noise image: runs for PackBits, repeats for LZW
+    base = np.arange(0, 240, 2, dtype=np.uint8).reshape(1, -1, 1)
+    arr = np.broadcast_to(base, (40, 120, 1)).copy()
+    arr[10:20] = 7  # flat band -> PackBits repeat packets
+    rgb = np.repeat(arr, 3, axis=2).copy()
+    rgb[:, :, 1] = rng.randint(0, 256, (40, 120), dtype=np.uint8)
+
+    for comp, label in ((32773, "tiff-packbits"), (5, "tiff-lzw"),
+                        (8, "tiff-deflate")):
+        for img in (arr, rgb):
+            for kwargs in (
+                {},
+                {"rows_per_strip": 7},
+                {"predictor": 2},
+                {"rows_per_strip": 7, "predictor": 2},
+                {"big_endian": True},
+            ):
+                fx = _tiff_full(img, compression=comp, **kwargs)
+                got = _tiff_pixels_labeled(fx)
+                assert got is not None, (comp, kwargs)
+                px, lab = got
+                assert lab == label, (comp, kwargs)
+                assert np.array_equal(px, img), (comp, kwargs)
+
+    # LZW table growth across the early-change boundaries: enough
+    # distinct 2-grams to push past codes 511/1023 (width 10/11)
+    big = rng.randint(0, 256, (60, 90, 3), dtype=np.uint8)
+    fx = _tiff_full(big, compression=5, rows_per_strip=16)
+    assert np.array_equal(_tiff_pixels(fx), big)
+
+    # predictor on uncompressed strips is legal too
+    fx = _tiff_full(rgb, compression=1, predictor=2)
+    px, lab = _tiff_pixels_labeled(fx)
+    assert lab == "tiff-strips" and np.array_equal(px, rgb)
+
+    # corrupt compressed payloads degrade to None, never raise
+    fx = bytearray(_tiff_full(rgb, compression=8))
+    fx[-20:] = b"\x00" * 20
+    assert _tiff_pixels(bytes(fx)) is None
+
+
+def test_decode_images_compressed_tiff_labels(spark):
+    import numpy as np
+    import pandas as pd
+
+    from vinum_spark.operators.multimodal import decode_images
+
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (12, 9, 3), dtype=np.uint8)
+    df = spark.createDataFrame(pd.DataFrame({
+        "asset_id": [1, 2, 3],
+        "content": [_tiff_full(img, compression=c, predictor=2)
+                    for c in (32773, 5, 8)],
+    }))
+    rows = {r.asset_id: r for r in
+            decode_images(df, pixels=True).collect()}
+    assert rows[1].decoder == "tiff-packbits"
+    assert rows[2].decoder == "tiff-lzw"
+    assert rows[3].decoder == "tiff-deflate"
+    for r in rows.values():
+        assert (r.height, r.width, r.channels) == (12, 9, 3)
 
 
 def test_decode_images_tiff_strips(spark):

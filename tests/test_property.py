@@ -223,6 +223,13 @@ def _multimodal_fixtures():
         tm._tiff_bytes(),
         tm._tiff_full(np.random.RandomState(6).randint(
             0, 256, (8, 6, 3), dtype=np.uint8), rows_per_strip=3),
+        tm._tiff_full(np.random.RandomState(7).randint(
+            0, 256, (8, 6, 3), dtype=np.uint8), compression=5, predictor=2),
+        tm._tiff_full(np.random.RandomState(8).randint(
+            0, 256, (8, 6, 3), dtype=np.uint8), compression=32773,
+            rows_per_strip=3),
+        tm._tiff_full(np.random.RandomState(9).randint(
+            0, 256, (8, 6, 3), dtype=np.uint8), compression=8),
         tm._ogg_page(b"\x01vorbis" + b"\x00" * 23, 0, htype=2),
     ]
 

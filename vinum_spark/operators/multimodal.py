@@ -46,6 +46,7 @@ a task failure.
 from __future__ import annotations
 
 import hashlib
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -281,13 +282,112 @@ def _tiff_dims(data: bytes):
     return h, w, spp, "tiff-ifd"
 
 
-def _tiff_pixels(data: bytes, max_pixels: int = 16 * 1024 * 1024):
-    """REAL pixel decode for UNCOMPRESSED 8-bit chunky TIFF (the
-    scanner/scientific baseline: Compression=1, PlanarConfig=1,
-    BitsPerSample all 8): strips located by StripOffsets/ByteCounts
-    (tags 273/279) are concatenated into the (H, W, SPP) array. Other
-    compressions (LZW/deflate/JPEG-in-TIFF) return None — header dims
-    still serve those."""
+def _packbits_decode(data: bytes, max_bytes: int):
+    """Apple PackBits RLE (TIFF Compression=32773): control byte n in
+    0..127 copies n+1 literals, 129..255 repeats the next byte 257-n
+    times, 128 is a no-op. Returns bytes or None on truncation."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            j = i + c + 1
+            if j > n:
+                return None
+            out += data[i:j]
+            i = j
+        elif c > 128:
+            if i >= n:
+                return None
+            out += data[i : i + 1] * (257 - c)
+            i += 1
+        if len(out) > max_bytes:
+            return None
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, max_bytes: int):
+    """TIFF-variant LZW over the byte alphabet: MSB-first bit packing
+    (GIF packs LSB-first), Clear=256/EOI=257, and the spec's
+    EARLY-CHANGE rule — the code width bumps when the next free code
+    reaches (1<<width)-1, one code sooner than GIF's (1<<width). Same
+    base-table-plus-added-codes strategy as :func:`_lzw_decode` so a
+    Clear deletes only the extension codes. Returns bytes or None."""
+    CLEAR, EOI = 256, 257
+    width = 9
+    table = {i: bytes([i]) for i in range(256)}
+    added = []
+    next_code = 258
+    out = bytearray()
+    prev = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            acc &= (1 << nbits) - 1
+            if code == CLEAR:
+                for k in added:
+                    table.pop(k, None)
+                added.clear()
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    return None
+            elif code in table and code < next_code:
+                entry = table[code]
+                if next_code < 4096:
+                    table[next_code] = table[prev] + entry[:1]
+                    added.append(next_code)
+                    next_code += 1
+            elif code == next_code and next_code < 4096:
+                entry = table[prev] + table[prev][:1]
+                table[next_code] = entry
+                added.append(next_code)
+                next_code += 1
+            else:
+                return None
+            out += entry
+            if len(out) > max_bytes:
+                return None
+            if next_code == (1 << width) - 1 and width < 12:  # early change
+                width += 1
+            prev = code
+    return bytes(out)
+
+
+#: Compression tag (259) -> (per-strip decompressor, decoder label).
+#: 32946 is the old-style "Deflate" code some writers still emit.
+_TIFF_STRIP_CODECS = {
+    1: (None, "tiff-strips"),
+    5: (_tiff_lzw_decode, "tiff-lzw"),
+    8: (None, "tiff-deflate"),
+    32946: (None, "tiff-deflate"),
+    32773: (_packbits_decode, "tiff-packbits"),
+}
+
+
+def _tiff_pixels_labeled(data: bytes, max_pixels: int = 16 * 1024 * 1024):
+    """REAL pixel decode for 8-bit chunky TIFF — uncompressed plus the
+    three byte-oriented strip compressions (PackBits, TIFF-LZW with
+    early change, Deflate via stdlib zlib) and horizontal-differencing
+    Predictor=2. Strips located by StripOffsets/ByteCounts (tags
+    273/279) are decompressed independently (each strip is its own
+    codec stream per the spec) and concatenated into the (H, W, SPP)
+    array; the predictor accumulate runs on the full array since rows
+    never span strips. JPEG-in-TIFF and planar layouts return None —
+    header dims still serve those. Returns (array, decoder_label) or
+    None."""
     parsed = _tiff_ifd(data)
     if parsed is None:
         return None
@@ -297,7 +397,12 @@ def _tiff_pixels(data: bytes, max_pixels: int = 16 * 1024 * 1024):
     spp = tags.get(277, [1])[0]
     if not w or not h or not 1 <= spp <= 4 or w * h > max_pixels:
         return None
-    if tags.get(259, [1])[0] != 1:  # Compression: uncompressed only
+    codec = _TIFF_STRIP_CODECS.get(tags.get(259, [1])[0])
+    if codec is None:
+        return None
+    decomp, label = codec
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
         return None
     if tags.get(284, [1])[0] != 1:  # PlanarConfiguration: chunky only
         return None
@@ -307,17 +412,52 @@ def _tiff_pixels(data: bytes, max_pixels: int = 16 * 1024 * 1024):
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
         return None
+    # RowsPerStrip (278) defaults to "all rows"; for multi-strip files
+    # that omit it, infer an even split so each strip's expected byte
+    # count is known before decompressing
+    rps = tags.get(278, [0])[0] or -(-h // len(offsets))
+    if rps < 1:
+        return None
+    stride = w * spp
+    need = h * stride
     buf = bytearray()
-    need = h * w * spp
+    rows_done = 0
     for o, c in zip(offsets, counts):
         if o + c > len(data):
             return None
-        buf += data[o : o + c]
-        if len(buf) >= need:
+        rows_here = min(rps, h - rows_done)
+        if rows_here <= 0:
+            break
+        strip_need = rows_here * stride
+        raw = data[o : o + c]
+        if decomp is not None:
+            strip = decomp(raw, strip_need + stride)
+        elif label == "tiff-deflate":
+            try:
+                strip = zlib.decompress(raw)
+            except zlib.error:
+                return None
+        else:
+            strip = raw
+        if strip is None or len(strip) < strip_need:
+            return None
+        buf += strip[:strip_need]
+        rows_done += rows_here
+        if rows_done >= h:
             break
     if len(buf) < need:
         return None
-    return np.frombuffer(bytes(buf[:need]), dtype="u1").reshape(h, w, spp)
+    px = np.frombuffer(bytes(buf[:need]), dtype="u1").reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing, per row per sample
+        px = np.add.accumulate(px, axis=1, dtype=np.uint8)
+    return px, label
+
+
+def _tiff_pixels(data: bytes, max_pixels: int = 16 * 1024 * 1024):
+    """Back-compat entry: the pixel array alone (see
+    :func:`_tiff_pixels_labeled` for the decoder label)."""
+    r = _tiff_pixels_labeled(data, max_pixels)
+    return None if r is None else r[0]
 
 
 def _webp_dims(data: bytes):
@@ -569,10 +709,10 @@ def decode_images(
                 px = _jpeg_pixels(data)
                 if px is not None:
                     return (px.shape[0], px.shape[1], px.shape[2], "jpeg-huff")
-                px = _tiff_pixels(data)
-                if px is not None:
-                    return (px.shape[0], px.shape[1], px.shape[2],
-                            "tiff-strips")
+                labeled = _tiff_pixels_labeled(data)
+                if labeled is not None:
+                    px, tiff_label = labeled
+                    return (px.shape[0], px.shape[1], px.shape[2], tiff_label)
             parsed = _header_dims(data)
             if parsed is not None:
                 return parsed
