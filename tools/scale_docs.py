@@ -1,0 +1,146 @@
+"""10x/100x documents-corpus scale measurement for the pair-producing
+text operators (the committed companion to BASELINE.md's round-8 ad-hoc
+sf1 run, extended to 100x per VERDICT r9 item 5).
+
+No sf1+ documents exist, so the corpus is M copies of sf0.1's 5,000
+base docs built INSIDE Spark (a 500k-doc frame never touches the
+driver): copy 0 verbatim, copy k>0 with a deterministic salt on ~8% of
+words (pmod(xxhash64(word, copy), 12) == 0 rewrites the word to
+``word~k``) — copies stay ~92% shingle-identical, the same
+rampant-cross-copy-collision regime as the round-8 run.
+
+Measures, at M=10 (50k docs, the round-8 point) and M=100 (500k docs):
+
+- q54-shaped winnowing_shared_pairs (k=16, window=4, max_doc_freq=10,
+  min_shared=5): the round-8 10x point showed 123x output pairs in
+  7.7x wall (per-pair cost falling). At 100x the df<=10 rarity cap
+  becomes the star: fingerprints shared across ~100 near-identical
+  copies EXCEED the cap and drop, so candidate buckets stay bounded at
+  10 rows regardless of M — pair growth is capped by design, and wall
+  should fall back to ~linear in corpus size. A super-linear wall here
+  would mean some stage still scales with collisions, not candidates.
+- q68-shaped contaminated_docs (n=4) against a FIXED eval set (the
+  base corpus' doc_id%10==0 slice, 500 docs — benchmarks don't grow
+  with the training corpus, and a fixed eval keeps the broadcast side
+  constant-size by construction, the operator's 100 TB contract).
+  Hits and wall should both scale ~M.
+
+Usage:  python tools/scale_docs.py [--quick]
+  --quick: M=2 and M=10 only (smoke; the full run is M=10/100).
+Writes corpora under /tmp/docscale/ and prints one JSON line per M.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1/documents.parquet"
+OUT_DIR = "/tmp/docscale"
+
+
+def build_corpus(spark, m: int) -> str:
+    """M salted copies, built and written entirely executor-side."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(OUT_DIR, f"m{m}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    base = spark.read.parquet(BASE)
+    copies = spark.range(m).withColumnRenamed("id", "copy")
+    salted = (
+        base.crossJoin(copies)
+        .withColumn(
+            "text",
+            F.when(F.col("copy") == 0, F.col("text")).otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.when(
+                            F.pmod(F.xxhash64(w, F.col("copy")), F.lit(12))
+                            == 0,
+                            F.concat(
+                                w, F.lit("~"), F.col("copy").cast("string")
+                            ),
+                        ).otherwise(w),
+                    ),
+                    " ",
+                )
+            ),
+        )
+        .withColumn("doc_id", F.col("doc_id") + F.col("copy") * 10_000_000)
+        .drop("copy")
+    )
+    salted.repartition(max(4, m // 2)).write.mode("overwrite").parquet(path)
+    return path
+
+
+def timed(fn, n=3, warm=True):
+    if warm:
+        fn()
+    runs = []
+    rows = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        rows = fn()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 3), rows
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators import dedup as D
+    from vinum_spark.operators import text as X
+    from vinum_spark.session import get_spark
+
+    spark = get_spark("docscale")
+    spark.sparkContext.setLogLevel("ERROR")
+    ms = (2, 10) if "--quick" in sys.argv[1:] else (10, 100)
+
+    # fixed eval set: the BASE corpus' doc_id%10==0 slice (500 docs)
+    eval_df = (
+        spark.read.parquet(BASE).filter(F.col("doc_id") % 10 == 0).cache()
+    )
+    eval_df.count()
+
+    for m in ms:
+        path = build_corpus(spark, m)
+        corpus = spark.read.parquet(path)
+
+        def winnow():
+            return X.winnowing_shared_pairs(
+                corpus, col="text", id_col="doc_id", k=16, window=4,
+                max_doc_freq=10, min_shared=5,
+            ).count()
+
+        def decon():
+            # corpus slice mirrors q68: everything outside the eval ids
+            c = corpus.filter(F.col("doc_id") % 10_000_000 % 10 != 0)
+            return D.contaminated_docs(c, eval_df, n=4).count()
+
+        n = 3 if m <= 10 else 1
+        wall_w, pairs = timed(winnow, n=n, warm=m <= 10)
+        wall_d, hits = timed(decon, n=n, warm=m <= 10)
+        print(
+            json.dumps(
+                {
+                    "m": m,
+                    "docs": 5000 * m,
+                    "winnowing_wall_s": wall_w,
+                    "winnowing_pairs": int(pairs),
+                    "decontamination_wall_s": wall_d,
+                    "contaminated_docs": int(hits),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

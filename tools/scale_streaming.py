@@ -1,6 +1,6 @@
-"""10x events scale measurement for the Structured Streaming family
-(the streaming analogue of the documents/embeddings scale runs in
-BASELINE.md).
+"""10x/100x events scale measurement for the Structured Streaming
+family (the streaming analogue of the documents/embeddings scale runs
+in BASELINE.md).
 
 No sf1 events exist, so the corpus is M time-extended copies of
 sf0.1's 100k events: copy k keeps every row but shifts ts by
@@ -13,8 +13,10 @@ so the M=10 run executes 10 micro-batches whose watermark advances
 between batches and evicts window/join state — a single-batch run
 would hold the whole corpus in state and prove nothing.
 
-Measures, at M=1 and M=10, wall to a drained memory sink
-(state_partitions=8, the gate sizing):
+Measures, at M=1, M=10, and M=100 (100 micro-batches, 100 watermark
+advances — flat per-event cost over that many evictions is the
+strongest state-boundedness proof available on one host), wall to a
+drained memory sink (state_partitions=8, the gate sizing):
 
 - tumbling_counts: 1h windows, 2h watermark;
 - stream_interval_join: clicks x purchases within 30 min on user_id
@@ -71,14 +73,18 @@ def build_corpus(m: int) -> str:
     return path
 
 
-def timed(fn, n=3):
-    fn()
+def timed(fn, n=3, warm=True):
+    """Median wall of n runs (optional warmup) plus the rows the last
+    run produced — no extra execution just to count."""
+    if warm:
+        fn()
     runs = []
+    rows = None
     for _ in range(n):
         t0 = time.perf_counter()
-        fn()
+        rows = fn()
         runs.append(time.perf_counter() - t0)
-    return round(statistics.median(runs), 3)
+    return round(statistics.median(runs), 3), rows
 
 
 def main() -> None:
@@ -95,7 +101,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     seq = [0]
 
-    for m in (1, 10):
+    for m in (1, 10, 100):
         path = build_corpus(m)
 
         def tumbling():
@@ -127,10 +133,11 @@ def main() -> None:
             )
             return spark.table(name).count()
 
-        wall_t = timed(tumbling, n=3 if m == 1 else 2)
-        rows_t = tumbling()
-        wall_j = timed(ijoin, n=3 if m == 1 else 2)
-        rows_j = ijoin()
+        # M=100 runs ~50-120s each: session is warm from the smaller Ms,
+        # so skip the dedicated warmup and time a single drain
+        n = {1: 3, 10: 2}.get(m, 1)
+        wall_t, rows_t = timed(tumbling, n=n, warm=m < 100)
+        wall_j, rows_j = timed(ijoin, n=n, warm=m < 100)
         print(
             json.dumps(
                 {
