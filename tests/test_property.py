@@ -445,6 +445,7 @@ def _diff_query(draw):
     column naming stays out of scope (it has its own contract tests)."""
     if draw(st.booleans()):  # row-shape query
         n = draw(st.integers(1, 3))
+        distinct = draw(st.booleans())
         vin_items, duck_items = [], []
         for k in range(n):
             which = draw(st.integers(0, 2))
@@ -456,12 +457,38 @@ def _diff_query(draw):
                 ev, ed = draw(_diff_bool())
             vin_items.append(f"{ev} AS c{k}")
             duck_items.append(f"{ed} AS c{k}")
-        vin = "SELECT " + ", ".join(vin_items) + " FROM t"
-        duck = "SELECT " + ", ".join(duck_items) + " FROM t"
-        if draw(st.booleans()):
+        head = "SELECT DISTINCT " if distinct else "SELECT "
+        vin = head + ", ".join(vin_items) + " FROM t"
+        duck = head + ", ".join(duck_items) + " FROM t"
+        filt = draw(st.integers(0, 2))
+        if filt == 1:
             wv, wd = draw(_diff_bool())
             vin += f" WHERE {wv}"
             duck += f" WHERE {wd}"
+        elif filt == 2 and not distinct:
+            # the reference's HAVING-without-GROUP-BY quirk: a plain row
+            # filter (rewritten to WHERE); DuckDB's native HAVING would
+            # instead force single-group aggregation, so the oracle
+            # renders the REFERENCE semantics as WHERE
+            wv, wd = draw(_diff_bool())
+            vin += f" HAVING {wv}"
+            duck += f" WHERE {wd}"
+        if draw(st.booleans()):
+            # ORDER BY every item -> total order over the output multiset,
+            # so LIMIT keeps the same rows in both engines (ties are
+            # identical rows). The vinum side relies on the rewriter's
+            # implicit NULLS LAST; the oracle spells it out.
+            dirs = [draw(st.sampled_from(["ASC", "DESC"])) for _ in range(n)]
+            vin += " ORDER BY " + ", ".join(
+                f"c{k} {dirs[k]}" for k in range(n)
+            )
+            duck += " ORDER BY " + ", ".join(
+                f"c{k} {dirs[k]} NULLS LAST" for k in range(n)
+            )
+            if draw(st.booleans()):
+                lim = draw(st.integers(1, 12))
+                vin += f" LIMIT {lim}"
+                duck += f" LIMIT {lim}"
         return vin, duck
     # aggregate-shape query
     key = draw(st.sampled_from(["j", "s", "b", "i % 3"]))
@@ -487,6 +514,12 @@ def _diff_query(draw):
         duck += f" WHERE {wd}"
     vin += f" GROUP BY {key}"
     duck += f" GROUP BY {duck_key}"
+    if draw(st.booleans()):
+        agg_cond = draw(st.sampled_from(
+            ["count(*) > 2", "count(*) <= 4", "sum(j) > 10", "min(i) < 5"]
+        ))
+        vin += f" HAVING {agg_cond}"
+        duck += f" HAVING {agg_cond}"
     return vin, duck
 
 

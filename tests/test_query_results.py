@@ -27,6 +27,10 @@ BASIC = (
     ("trips", "select * from t", rows_to_columns_dict(TRIPS_ROWS, TRIPS_COLUMNS)),
     ("trips", "select 2+2 as sum from t", {"sum": (4,)}),
     ("trips", "select 2+2+2+1 as sum from t", {"sum": (7,)}),
+    # FROM-drop + ORDER BY: the stable-sort shim must not inject its
+    # row-id key into a OneRowRelation (found by the round-10
+    # cross-engine differential fuzz)
+    ("trips", "select 2+2 as sum from t order by sum", {"sum": (4,)}),
     ("trips", "select 1*2*3*4*5*6*7 as sum from t", {"sum": (5040,)}),
     ("trips", "select 2 as literal from t", {"literal": (2,)}),
     ("trips", "select tax+tip as res from t", {"res": (1.43, 7.34, 12.59, 6.69)}),

@@ -74,10 +74,16 @@ class Table:
         """
         spark = self._df.sparkSession
         rewritten, np_funcs = rewrite_sql(query, udf_names=registered_udf_names())
-        if _references_no_columns(query, self._df.columns):
+        from_dropped = _references_no_columns(query, self._df.columns)
+        if from_dropped:
             rewritten = _drop_top_level_from(rewritten)
         ensure_udfs_registered(spark, np_funcs)
-        view_df, rewritten = self._stabilized(query, rewritten)
+        if from_dropped:
+            # OneRowRelation: nothing to stabilize, and the row-id shim's
+            # sort key would be unresolvable without the table scan
+            view_df = self._df
+        else:
+            view_df, rewritten = self._stabilized(query, rewritten)
         view_df.createOrReplaceTempView("t")
         from_name = _from_table_name(query)
         if from_name and from_name.lower() != "t":
