@@ -8,7 +8,7 @@ Runs, in order, and exits nonzero on the first failing stage:
 2. ALL 80 ``queries()`` entries against their DuckDB oracles at the
    given scale factor (``tools/check_oracle.py`` — the same check the
    round driver applies to its 50-row subset, extended to every query,
-   including the 28 basics the driver record rotates out; see README
+   including the 30 entries the driver record rotates out; see README
    "driver-gate rotation");
 3. with ``--bench``: ``python bench.py --all`` at sf0.1 followed by the
    ``tools/bench_diff.py --gate`` drift check against the recorded

@@ -366,13 +366,31 @@ def _tiff_lzw_decode(data: bytes, max_bytes: int):
     return bytes(out)
 
 
+def _zlib_strip_decode(data: bytes, max_bytes: int):
+    """Deflate one strip with the output BOUNDED while inflating
+    (decompressobj max_length) — a hostile ratio bomb stops at
+    max_bytes+1 produced bytes instead of ballooning memory. Requires
+    the stream to END cleanly (obj.eof): a truncated or tail-corrupted
+    stream returns None rather than silently yielding its valid
+    prefix (plain zlib.decompress raises there; the bounded object
+    form only sets eof=False)."""
+    obj = zlib.decompressobj()
+    try:
+        out = obj.decompress(data, max_bytes + 1)
+    except zlib.error:
+        return None
+    if not obj.eof or len(out) > max_bytes:
+        return None
+    return out
+
+
 #: Compression tag (259) -> (per-strip decompressor, decoder label).
 #: 32946 is the old-style "Deflate" code some writers still emit.
 _TIFF_STRIP_CODECS = {
-    1: (None, "tiff-strips"),
+    1: (lambda data, max_bytes: data, "tiff-strips"),
     5: (_tiff_lzw_decode, "tiff-lzw"),
-    8: (None, "tiff-deflate"),
-    32946: (None, "tiff-deflate"),
+    8: (_zlib_strip_decode, "tiff-deflate"),
+    32946: (_zlib_strip_decode, "tiff-deflate"),
     32773: (_packbits_decode, "tiff-packbits"),
 }
 
@@ -429,16 +447,7 @@ def _tiff_pixels_labeled(data: bytes, max_pixels: int = 16 * 1024 * 1024):
         if rows_here <= 0:
             break
         strip_need = rows_here * stride
-        raw = data[o : o + c]
-        if decomp is not None:
-            strip = decomp(raw, strip_need + stride)
-        elif label == "tiff-deflate":
-            try:
-                strip = zlib.decompress(raw)
-            except zlib.error:
-                return None
-        else:
-            strip = raw
+        strip = decomp(data[o : o + c], strip_need + stride)
         if strip is None or len(strip) < strip_need:
             return None
         buf += strip[:strip_need]
