@@ -343,12 +343,27 @@ def _diff_num(draw, depth=2):
         lit = draw(st.integers(-5, 9))
         return f"({lit})" if lit < 0 else str(lit), \
                f"({lit})" if lit < 0 else str(lit), False
-    kind = draw(st.integers(0, 3))
+    kind = draw(st.integers(0, 4))
     av, ad, af = draw(_diff_num(depth=depth - 1))
     if kind == 0:
         op = draw(st.sampled_from(["+", "-", "*"]))
         bv, bd, bf = draw(_diff_num(depth=depth - 1))
         return f"({av} {op} {bv})", f"({ad} {op} {bd})", af or bf
+    if kind == 4:
+        sub = draw(st.integers(0, 2))
+        if sub == 0:  # np.* routes through the pandas-UDF machinery
+            fn, duck_fn = draw(st.sampled_from(
+                [("np.log", "ln"), ("np.sqrt", "sqrt")]
+            ))
+            # abs(e)+1 keeps the domain strictly positive in both engines
+            return (
+                f"{fn}((abs({av}) + 1))",
+                f"{duck_fn}((abs({ad}) + 1))",
+                True,
+            )
+        if sub == 1:
+            return f"length(s)", f"length(s)", False
+        return f"abs({av})", f"abs({ad})", af
     if kind == 1:  # np.mod divisor-sign quirk, nonzero literal divisor
         d = draw(st.sampled_from([2, 3, 5, 7, -2, -3, -5]))
         dv = f"({d})" if d < 0 else str(d)
