@@ -27,7 +27,8 @@ Output rows must scale ~M (same per-copy results, M disjoint time
 ranges); wall should scale ~linearly with input, NOT superlinearly —
 superlinear wall would mean state is accumulating across batches.
 
-Usage: python tools/scale_streaming.py
+Usage: python tools/scale_streaming.py [--quick]
+  --quick: M=1 and M=10 only (the full run adds M=100).
 Writes corpora under /tmp/evscale/ and prints one JSON line per M.
 """
 
@@ -101,7 +102,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     seq = [0]
 
-    for m in (1, 10, 100):
+    ms = (1, 10) if "--quick" in sys.argv[1:] else (1, 10, 100)
+    for m in ms:
         path = build_corpus(m)
 
         def tumbling():
