@@ -613,3 +613,123 @@ def test_rewriter_differential_vs_duckdb(_diff_engines, sql_pair):
             assert ok.all(), (vin_sql, duck_sql, c)
         else:
             assert (g[c] == w[c]).all(), (vin_sql, duck_sql, c)
+
+
+# ---------------------------------------------------------------------------
+# Multi-table differential fuzz: generated JOIN queries through
+# vinum_spark.sql (api/multi.py — the same pre-pass as Table.sql, over
+# named temp views) vs DuckDB over the identical two fixture frames.
+# Join semantics here are ANSI-shared, so the oracle text differs only
+# in the dialect quirks the single-table grammar already encodes.
+# ---------------------------------------------------------------------------
+
+
+def _diff_dim_pdf():
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    n = 9
+    return pd.DataFrame(
+        {
+            "j": np.arange(1, n + 1).astype("int64"),  # join key: 1..9
+            "v": rng.uniform(0, 10, n).round(3),
+            "name": [f"dim{k % 4}" for k in range(n)],
+        }
+    )
+
+
+@st.composite
+def _diff_join_query(draw):
+    """(vinum_sql, duck_sql) over tables f (fact, the fixture pdf) and
+    d (dim): equi-join on j, every output aliased."""
+    how = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    items_v, items_d = [], []
+    pick = draw(st.lists(st.sampled_from(
+        ["f.i", "f.j", "f.x", "d.v", "d.name"]), min_size=1, max_size=3))
+    for k, c in enumerate(pick):
+        items_v.append(f"{c} AS c{k}")
+        items_d.append(f"{c} AS c{k}")
+    vin = ("SELECT " + ", ".join(items_v)
+           + f" FROM f {how} d ON f.j = d.j")
+    duck = ("SELECT " + ", ".join(items_d)
+            + f" FROM f {how} d ON f.j = d.j")
+    if draw(st.booleans()):
+        wv, wd = draw(_diff_bool(depth=1))
+        # qualify the bare fixture columns for the two-table namespace
+        for bare, qual in (("i", "f.i"), ("j", "f.j"), ("x", "f.x"),
+                           ("s", "f.s"), ("b", "f.b")):
+            wv = wv.replace(f"({bare} ", f"({qual} ").replace(
+                f" {bare})", f" {qual})")
+            wd = wd.replace(f"({bare} ", f"({qual} ").replace(
+                f" {bare})", f" {qual})")
+        vin += f" WHERE {wv}"
+        duck += f" WHERE {wd}"
+    if draw(st.booleans()):
+        agg = draw(st.sampled_from(["count(*)", "sum(f.j)", "min(d.v)"]))
+        vin = (f"SELECT d.name AS k, {agg} AS a0 "
+               f"FROM f {how} d ON f.j = d.j GROUP BY d.name")
+        duck = vin
+    return vin, duck
+
+
+@pytest.fixture(scope="module")
+def _diff_join_engines(spark):
+    import duckdb
+
+    fact = _diff_fixture_pdf()
+    dim = _diff_dim_pdf()
+    sdf_f = spark.createDataFrame(fact).coalesce(1)
+    sdf_d = spark.createDataFrame(dim).coalesce(1)
+    con = duckdb.connect()
+    con.register("f", fact)
+    con.register("d", dim)
+    return sdf_f, sdf_d, con
+
+
+@given(_diff_join_query())
+@settings(max_examples=40, deadline=None)
+def test_multi_table_sql_differential_vs_duckdb(_diff_join_engines, sql_pair):
+    import numpy as np
+
+    import vinum_spark as vs
+
+    sdf_f, sdf_d, con = _diff_join_engines
+    vin_sql, duck_sql = sql_pair
+    got = vs.sql(vin_sql, f=sdf_f, d=sdf_d).to_pandas()
+    want = con.execute(duck_sql).df()
+    assert list(got.columns) == list(want.columns), (vin_sql, duck_sql)
+    cols = list(got.columns)
+
+    def canon(df):
+        out = df.copy()
+        for c in cols:
+            col = out[c]
+            if col.dtype.kind in "fiub":
+                out[c] = col.astype("float64")
+            elif col.dtype == object and all(
+                v is None
+                or isinstance(v, (bool, np.bool_))
+                or (isinstance(v, float) and v != v)
+                for v in col
+            ):
+                out[c] = col.map(
+                    lambda v: float("nan")
+                    if v is None or (isinstance(v, float) and v != v)
+                    else float(v)
+                ).astype("float64")
+            else:
+                out[c] = col.astype(str)
+        return out.sort_values(cols).reset_index(drop=True)
+
+    g, w = canon(got), canon(want)
+    assert g.shape == w.shape, (vin_sql, duck_sql, g.shape, w.shape)
+    for c in cols:
+        if g[c].dtype.kind == "f":
+            a, bvals = g[c].to_numpy(), w[c].to_numpy()
+            ok = (np.isnan(a) & np.isnan(bvals)) | np.isclose(
+                a, bvals, rtol=1e-9, atol=1e-9, equal_nan=True
+            )
+            assert ok.all(), (vin_sql, duck_sql, c)
+        else:
+            assert (g[c] == w[c]).all(), (vin_sql, duck_sql, c)
