@@ -2445,7 +2445,15 @@ def _tiff_full(arr, big_endian=False, rows_per_strip=None, planar=1,
         diff = arr.astype(np.int16)
         diff[:, 1:, :] -= arr[:, :-1, :].astype(np.int16)
         arr = (diff % 256).astype(np.uint8)
-    raw_strips = [arr[y : y + rps].tobytes() for y in range(0, h, rps)]
+    if planar == 2:
+        # plane-major: per sample plane, a full run of row strips
+        raw_strips = [
+            arr[y : y + rps, :, p].tobytes()
+            for p in range(spp)
+            for y in range(0, h, rps)
+        ]
+    else:
+        raw_strips = [arr[y : y + rps].tobytes() for y in range(0, h, rps)]
     enc = {
         1: lambda s: s,
         5: _tiff_lzw_encode,
@@ -2525,10 +2533,16 @@ def test_tiff_pixels_roundtrip():
     # grayscale single-sample
     gray = rng.randint(0, 256, (6, 9, 1), dtype=np.uint8)
     assert np.array_equal(_tiff_pixels(_tiff_full(gray)), gray)
-    # unsupported: planar config -> None (header dims still work)
-    assert _tiff_pixels(_tiff_full(arr, planar=2)) is None
+    # planar (plane-major) storage decodes too, with a distinct label
+    from vinum_spark.operators.multimodal import _tiff_pixels_labeled
+
+    got = _tiff_pixels_labeled(_tiff_full(arr, planar=2))
+    assert got is not None and got[1] == "tiff-strips-planar"
+    assert np.array_equal(got[0], arr)
+    # unknown planar values -> None (header dims still work)
+    assert _tiff_pixels(_tiff_full(arr, planar=3)) is None
     from vinum_spark.operators.multimodal import _header_dims
-    assert _header_dims(_tiff_full(arr, planar=2))[3] == "tiff-ifd"
+    assert _header_dims(_tiff_full(arr, planar=3))[3] == "tiff-ifd"
 
 
 def test_tiff_compressed_strips_roundtrip():
@@ -2578,6 +2592,19 @@ def test_tiff_compressed_strips_roundtrip():
     fx = _tiff_full(rgb, compression=1, predictor=2)
     px, lab = _tiff_pixels_labeled(fx)
     assert lab == "tiff-strips" and np.array_equal(px, rgb)
+
+    # planar (plane-major) x every compression x predictor x multi-strip
+    for comp, lab_want in ((1, "tiff-strips-planar"),
+                           (32773, "tiff-packbits-planar"),
+                           (5, "tiff-lzw-planar"),
+                           (8, "tiff-deflate-planar")):
+        for kwargs in ({}, {"rows_per_strip": 7}, {"predictor": 2},
+                       {"rows_per_strip": 7, "predictor": 2}):
+            fx = _tiff_full(rgb, compression=comp, planar=2, **kwargs)
+            got = _tiff_pixels_labeled(fx)
+            assert got is not None, (comp, kwargs)
+            px, lab = got
+            assert lab == lab_want and np.array_equal(px, rgb), (comp, kwargs)
 
     # corrupt compressed payloads degrade to None, never raise
     fx = bytearray(_tiff_full(rgb, compression=8))

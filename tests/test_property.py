@@ -231,6 +231,9 @@ def _multimodal_fixtures():
             rows_per_strip=3),
         tm._tiff_full(np.random.RandomState(9).randint(
             0, 256, (8, 6, 3), dtype=np.uint8), compression=8),
+        tm._tiff_full(np.random.RandomState(10).randint(
+            0, 256, (8, 6, 3), dtype=np.uint8), compression=5, planar=2,
+            rows_per_strip=3),
         tm._ogg_page(b"\x01vorbis" + b"\x00" * 23, 0, htype=2),
     ]
 

@@ -395,17 +395,44 @@ _TIFF_STRIP_CODECS = {
 }
 
 
+def _tiff_strip_rows(data, offsets, counts, decomp, rows_total, rps, stride):
+    """Decompress a strip sequence covering ``rows_total`` rows of
+    ``stride`` bytes each (strips of ``rps`` rows; the last may be
+    short). Returns the concatenated row bytes or None."""
+    need = rows_total * stride
+    buf = bytearray()
+    rows_done = 0
+    for o, c in zip(offsets, counts):
+        if o + c > len(data):
+            return None
+        rows_here = min(rps, rows_total - rows_done)
+        if rows_here <= 0:
+            break
+        strip_need = rows_here * stride
+        strip = decomp(data[o : o + c], strip_need + stride)
+        if strip is None or len(strip) < strip_need:
+            return None
+        buf += strip[:strip_need]
+        rows_done += rows_here
+        if rows_done >= rows_total:
+            break
+    return bytes(buf[:need]) if len(buf) >= need else None
+
+
 def _tiff_pixels_labeled(data: bytes, max_pixels: int = 16 * 1024 * 1024):
-    """REAL pixel decode for 8-bit chunky TIFF — uncompressed plus the
-    three byte-oriented strip compressions (PackBits, TIFF-LZW with
-    early change, Deflate via stdlib zlib) and horizontal-differencing
-    Predictor=2. Strips located by StripOffsets/ByteCounts (tags
-    273/279) are decompressed independently (each strip is its own
-    codec stream per the spec) and concatenated into the (H, W, SPP)
-    array; the predictor accumulate runs on the full array since rows
-    never span strips. JPEG-in-TIFF and planar layouts return None —
-    header dims still serve those. Returns (array, decoder_label) or
-    None."""
+    """REAL pixel decode for 8-bit TIFF — uncompressed plus the three
+    byte-oriented strip compressions (PackBits, TIFF-LZW with early
+    change, Deflate via stdlib zlib), horizontal-differencing
+    Predictor=2, and BOTH storage orders: chunky (PlanarConfiguration=1,
+    samples interleaved per row) and planar (=2, plane-major strip
+    sequence — StripsPerImage strips per sample plane, stacked last).
+    Strips located by StripOffsets/ByteCounts (tags 273/279) are
+    decompressed independently (each strip is its own codec stream per
+    the spec); the predictor accumulate runs on the assembled array
+    since rows never span strips (and in planar files differencing is
+    per plane, which the per-channel accumulate preserves).
+    JPEG-in-TIFF returns None — header dims still serve it. Returns
+    (array, decoder_label) or None."""
     parsed = _tiff_ifd(data)
     if parsed is None:
         return None
@@ -422,7 +449,8 @@ def _tiff_pixels_labeled(data: bytes, max_pixels: int = 16 * 1024 * 1024):
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
         return None
-    if tags.get(284, [1])[0] != 1:  # PlanarConfiguration: chunky only
+    planar = tags.get(284, [1])[0]
+    if planar not in (1, 2):
         return None
     if any(b != 8 for b in tags.get(258, [8])):
         return None
@@ -430,33 +458,39 @@ def _tiff_pixels_labeled(data: bytes, max_pixels: int = 16 * 1024 * 1024):
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
         return None
-    # RowsPerStrip (278) defaults to "all rows"; for multi-strip files
-    # that omit it, infer an even split so each strip's expected byte
-    # count is known before decompressing
-    rps = tags.get(278, [0])[0] or -(-h // len(offsets))
-    if rps < 1:
-        return None
-    stride = w * spp
-    need = h * stride
-    buf = bytearray()
-    rows_done = 0
-    for o, c in zip(offsets, counts):
-        if o + c > len(data):
+    if planar == 2 and spp > 1:
+        # plane-major: equal strip runs per plane; RowsPerStrip default
+        # "all rows" means one strip per plane
+        if len(offsets) % spp:
             return None
-        rows_here = min(rps, h - rows_done)
-        if rows_here <= 0:
-            break
-        strip_need = rows_here * stride
-        strip = decomp(data[o : o + c], strip_need + stride)
-        if strip is None or len(strip) < strip_need:
+        per_plane = len(offsets) // spp
+        rps = tags.get(278, [0])[0] or -(-h // per_plane)
+        if rps < 1:
             return None
-        buf += strip[:strip_need]
-        rows_done += rows_here
-        if rows_done >= h:
-            break
-    if len(buf) < need:
-        return None
-    px = np.frombuffer(bytes(buf[:need]), dtype="u1").reshape(h, w, spp)
+        planes = []
+        for p in range(spp):
+            rows = _tiff_strip_rows(
+                data, offsets[p * per_plane : (p + 1) * per_plane],
+                counts[p * per_plane : (p + 1) * per_plane],
+                decomp, h, rps, w,
+            )
+            if rows is None:
+                return None
+            planes.append(
+                np.frombuffer(rows, dtype="u1").reshape(h, w)
+            )
+        px = np.stack(planes, axis=2)
+        label += "-planar"
+    else:
+        rps = tags.get(278, [0])[0] or -(-h // len(offsets))
+        if rps < 1:
+            return None
+        rows = _tiff_strip_rows(
+            data, offsets, counts, decomp, h, rps, w * spp
+        )
+        if rows is None:
+            return None
+        px = np.frombuffer(rows, dtype="u1").reshape(h, w, spp)
     if predictor == 2:  # horizontal differencing, per row per sample
         px = np.add.accumulate(px, axis=1, dtype=np.uint8)
     return px, label
