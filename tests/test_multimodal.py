@@ -2429,11 +2429,13 @@ def _tiff_lzw_encode(data):
 
 
 def _tiff_full(arr, big_endian=False, rows_per_strip=None, planar=1,
-               compression=1, predictor=None):
-    """Spec-built chunky TIFF with real strip data; the pixel array is
-    split into strips of rows_per_strip rows, each strip independently
-    compressed per the compression tag (1=none, 5=LZW, 8=deflate,
-    32773=PackBits) after optional Predictor=2 differencing."""
+               compression=1, predictor=None, bits=8):
+    """Spec-built TIFF with real strip data; the pixel array is split
+    into strips of rows_per_strip rows (plane-major when planar=2),
+    each strip independently compressed per the compression tag
+    (1=none, 5=LZW, 8=deflate, 32773=PackBits) after optional
+    Predictor=2 differencing. bits=16 expects a uint16 array and
+    writes samples in the file's byte order."""
     import zlib
 
     import numpy as np
@@ -2442,9 +2444,11 @@ def _tiff_full(arr, big_endian=False, rows_per_strip=None, planar=1,
     bo = "big" if big_endian else "little"
     rps = rows_per_strip or h
     if predictor == 2:
-        diff = arr.astype(np.int16)
-        diff[:, 1:, :] -= arr[:, :-1, :].astype(np.int16)
-        arr = (diff % 256).astype(np.uint8)
+        diff = arr.astype(np.int32)
+        diff[:, 1:, :] -= arr[:, :-1, :].astype(np.int32)
+        arr = (diff % (1 << bits)).astype(np.uint8 if bits == 8 else np.uint16)
+    sample_dt = "u1" if bits == 8 else (">u2" if big_endian else "<u2")
+    arr = arr.astype(sample_dt)
     if planar == 2:
         # plane-major: per sample plane, a full run of row strips
         raw_strips = [
@@ -2499,7 +2503,7 @@ def _tiff_full(arr, big_endian=False, rows_per_strip=None, planar=1,
             strip_offsets = [0] * k
         entries.append(entry(256, 4, [w]))
         entries.append(entry(257, 4, [h]))
-        entries.append(entry(258, 3, [8] * spp))
+        entries.append(entry(258, 3, [bits] * spp))
         entries.append(entry(259, 3, [compression]))
         entries.append(entry(262, 3, [2]))
         entries.append(entry(273, 4, strip_offsets))
@@ -2605,6 +2609,22 @@ def test_tiff_compressed_strips_roundtrip():
             assert got is not None, (comp, kwargs)
             px, lab = got
             assert lab == lab_want and np.array_equal(px, rgb), (comp, kwargs)
+
+    # 16-bit samples: high byte kept (the PNG 16-bit contract), both
+    # endiannesses, compressed, planar, and predictor-at-sample-width
+    rng16 = np.random.RandomState(21)
+    deep = rng16.randint(0, 1 << 16, (14, 11, 3)).astype(np.uint16)
+    for kwargs in ({}, {"big_endian": True}, {"compression": 8},
+                   {"compression": 5, "predictor": 2},
+                   {"planar": 2, "compression": 32773},
+                   {"planar": 2, "predictor": 2, "rows_per_strip": 5}):
+        fx = _tiff_full(deep, bits=16, **kwargs)
+        got = _tiff_pixels_labeled(fx)
+        assert got is not None, kwargs
+        px, _ = got
+        assert np.array_equal(px, (deep >> 8).astype(np.uint8)), kwargs
+    # mixed / unsupported bit depths -> None
+    assert _tiff_pixels(_tiff_full(deep.astype(np.uint8), bits=4)) is None
 
     # corrupt compressed payloads degrade to None, never raise
     fx = bytearray(_tiff_full(rgb, compression=8))

@@ -234,6 +234,9 @@ def _multimodal_fixtures():
         tm._tiff_full(np.random.RandomState(10).randint(
             0, 256, (8, 6, 3), dtype=np.uint8), compression=5, planar=2,
             rows_per_strip=3),
+        tm._tiff_full(np.random.RandomState(11).randint(
+            0, 1 << 16, (8, 6, 3)).astype(np.uint16), bits=16,
+            compression=8, predictor=2),
         tm._ogg_page(b"\x01vorbis" + b"\x00" * 23, 0, htype=2),
     ]
 
@@ -370,9 +373,14 @@ def _diff_num(draw, depth=2):
     if kind == 1:  # np.mod divisor-sign quirk, nonzero literal divisor
         d = draw(st.sampled_from([2, 3, 5, 7, -2, -3, -5]))
         dv = f"({d})" if d < 0 else str(d)
+        # the oracle mirrors the rewriter's sign-conditional ADD, not a
+        # double-mod: ((a%b)+b)%b would re-round floats ((3.9+7)%7 !=
+        # 3.9 exactly) and diverge from np.mod on exact-equality tests
+        m = f"(({ad}) % {dv})"
         return (
             f"({av} % {dv})",
-            f"((({ad}) % {dv} + {dv}) % {dv})",
+            f"({m} + (CASE WHEN {m} <> 0 AND ({m} < 0) <> ({dv} < 0)"
+            f" THEN {dv} ELSE 0 END))",
             af,
         )
     if kind == 2:  # bitwise xor quirk (# -> ^ in Spark, xor() in DuckDB)
@@ -627,6 +635,29 @@ def test_rewriter_differential_vs_duckdb(_diff_engines, sql_pair):
 # ---------------------------------------------------------------------------
 
 
+def _qualify(expr: str) -> str:
+    """Token-level rewrite of the single-table grammar's bare fixture
+    columns to f.<name> — string replacement misses columns nested in
+    CASE/functions, and bare j is ambiguous across the joined tables."""
+    from vinum_spark.sqlprep.tokens import KIND_IDENT, render
+
+    toks = tokenize(expr)
+    out = []
+    for k, t in enumerate(toks):
+        if (
+            t.kind == KIND_IDENT
+            and t.text in ("i", "j", "x", "s", "b")
+            and (k == 0 or toks[k - 1].text != ".")
+            and (k + 1 >= len(toks) or toks[k + 1].text != ".")
+        ):
+            from vinum_spark.sqlprep.tokens import Token
+
+            out.append(Token(KIND_IDENT, "f"))
+            out.append(Token("op", "."))
+        out.append(t)
+    return render(out)
+
+
 def _diff_dim_pdf():
     import numpy as np
     import pandas as pd
@@ -659,15 +690,8 @@ def _diff_join_query(draw):
             + f" FROM f {how} d ON f.j = d.j")
     if draw(st.booleans()):
         wv, wd = draw(_diff_bool(depth=1))
-        # qualify the bare fixture columns for the two-table namespace
-        for bare, qual in (("i", "f.i"), ("j", "f.j"), ("x", "f.x"),
-                           ("s", "f.s"), ("b", "f.b")):
-            wv = wv.replace(f"({bare} ", f"({qual} ").replace(
-                f" {bare})", f" {qual})")
-            wd = wd.replace(f"({bare} ", f"({qual} ").replace(
-                f" {bare})", f" {qual})")
-        vin += f" WHERE {wv}"
-        duck += f" WHERE {wd}"
+        vin += f" WHERE {_qualify(wv)}"
+        duck += f" WHERE {_qualify(wd)}"
     if draw(st.booleans()):
         agg = draw(st.sampled_from(["count(*)", "sum(f.j)", "min(d.v)"]))
         vin = (f"SELECT d.name AS k, {agg} AS a0 "

@@ -436,7 +436,7 @@ def _tiff_pixels_labeled(data: bytes, max_pixels: int = 16 * 1024 * 1024):
     parsed = _tiff_ifd(data)
     if parsed is None:
         return None
-    tags, _ = parsed
+    tags, bo = parsed
     w = tags.get(256, [0])[0]
     h = tags.get(257, [0])[0]
     spp = tags.get(277, [1])[0]
@@ -452,7 +452,13 @@ def _tiff_pixels_labeled(data: bytes, max_pixels: int = 16 * 1024 * 1024):
     planar = tags.get(284, [1])[0]
     if planar not in (1, 2):
         return None
-    if any(b != 8 for b in tags.get(258, [8])):
+    bits = tags.get(258, [8])
+    if all(b == 8 for b in bits):
+        bpp = 1
+    elif all(b == 16 for b in bits):
+        bpp = 2  # high byte kept after assembly — the 8-bit rendering,
+        # same contract as the PNG 16-bit path
+    else:
         return None
     offsets = tags.get(273)
     counts = tags.get(279)
@@ -467,17 +473,20 @@ def _tiff_pixels_labeled(data: bytes, max_pixels: int = 16 * 1024 * 1024):
         rps = tags.get(278, [0])[0] or -(-h // per_plane)
         if rps < 1:
             return None
+        sample_dt = "u1" if bpp == 1 else (
+            "<u2" if bo == "little" else ">u2"
+        )
         planes = []
         for p in range(spp):
             rows = _tiff_strip_rows(
                 data, offsets[p * per_plane : (p + 1) * per_plane],
                 counts[p * per_plane : (p + 1) * per_plane],
-                decomp, h, rps, w,
+                decomp, h, rps, w * bpp,
             )
             if rows is None:
                 return None
             planes.append(
-                np.frombuffer(rows, dtype="u1").reshape(h, w)
+                np.frombuffer(rows, dtype=sample_dt).reshape(h, w)
             )
         px = np.stack(planes, axis=2)
         label += "-planar"
@@ -486,13 +495,22 @@ def _tiff_pixels_labeled(data: bytes, max_pixels: int = 16 * 1024 * 1024):
         if rps < 1:
             return None
         rows = _tiff_strip_rows(
-            data, offsets, counts, decomp, h, rps, w * spp
+            data, offsets, counts, decomp, h, rps, w * spp * bpp
         )
         if rows is None:
             return None
-        px = np.frombuffer(rows, dtype="u1").reshape(h, w, spp)
-    if predictor == 2:  # horizontal differencing, per row per sample
-        px = np.add.accumulate(px, axis=1, dtype=np.uint8)
+        sample_dt = "u1" if bpp == 1 else (
+            "<u2" if bo == "little" else ">u2"
+        )
+        px = np.frombuffer(rows, dtype=sample_dt).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing, per row per sample — at 16 bits the
+        # accumulate must run at sample width BEFORE the 8-bit rendering
+        px = np.add.accumulate(
+            px, axis=1, dtype=np.uint8 if bpp == 1 else np.uint16
+        )
+    if bpp == 2:
+        px = (px >> 8).astype(np.uint8)
     return px, label
 
 
