@@ -785,7 +785,8 @@ def test_gif_pixels_composites_subframe_onto_screen():
 # ---------------------------------------------------------------------------
 
 
-def _encode_jpeg(px, qval=2, subsampling="444", restart_interval=0):
+def _encode_jpeg(px, qval=2, subsampling="444", restart_interval=0,
+                 full_tables=False):
     """Baseline JPEG encoder for tests: 4:4:4 / 4:2:0 / 4:2:2, custom
     canonical Huffman tables (fixed 9-bit codes for every used symbol —
     valid per spec below 511 symbols), flat quant table. Lossy like any
@@ -872,6 +873,16 @@ def _encode_jpeg(px, qval=2, subsampling="444", restart_interval=0):
             ac_syms.add(sym); stream.append(("ac", sym, v, s)); run = 0
         if last_nz < 63:
             ac_syms.add(0x00); stream.append(("ac", 0x00, 0, 0))
+
+    if full_tables:
+        # content-INDEPENDENT tables over the whole baseline symbol
+        # alphabet (162 AC + 12 DC symbols fit fixed 9-bit codes): every
+        # image encodes with identical DHT segments — what a JPEG-in-
+        # TIFF writer needs to share one JPEGTables across all strips
+        dc_syms = set(range(12))
+        ac_syms = {0x00, 0xF0} | {
+            (run << 4) | size for run in range(16) for size in range(1, 11)
+        }
 
     def table(symbols):
         vals = sorted(symbols)
@@ -2630,6 +2641,157 @@ def test_tiff_compressed_strips_roundtrip():
     fx = bytearray(_tiff_full(rgb, compression=8))
     fx[-20:] = b"\x00" * 20
     assert _tiff_pixels(bytes(fx)) is None
+
+
+def _tiff_jpeg(px, rows_per_strip=None, shared_tables=False):
+    """Spec-built new-style JPEG-in-TIFF (Compression=7): each strip is
+    an _encode_jpeg stream of its row band; with shared_tables the
+    DQT/DHT segments move into a JPEGTables (347) abbreviated stream
+    and the strips keep only SOF/SOS."""
+    import numpy as np
+
+    h, w, spp = px.shape
+    rps = rows_per_strip or h
+    strips = [
+        _encode_jpeg(px[y : y + rps], full_tables=shared_tables)
+        for y in range(0, h, rps)
+    ]
+    tables_blob = None
+    if shared_tables:
+        def split(stream):
+            i, segs, rest = 2, bytearray(), bytearray(b"\xff\xd8")
+            while i + 4 <= len(stream):
+                if stream[i] != 0xFF:
+                    rest += stream[i:]
+                    break
+                marker = stream[i + 1]
+                if marker == 0xDA:  # SOS: entropy data follows to EOI
+                    rest += stream[i:]
+                    break
+                seg_len = int.from_bytes(stream[i + 2 : i + 4], "big")
+                seg = stream[i : i + 2 + seg_len]
+                if marker in (0xDB, 0xC4):  # DQT / DHT -> shared tables
+                    segs += seg
+                else:
+                    rest += seg
+                i += 2 + seg_len
+            return bytes(segs), bytes(rest)
+
+        all_segs = b""
+        abbreviated = []
+        for st_ in strips:
+            segs, rest = split(st_)
+            if not all_segs:
+                all_segs = segs
+            abbreviated.append(rest)
+        strips = abbreviated
+        tables_blob = b"\xff\xd8" + all_segs + b"\xff\xd9"
+
+    bo = "little"
+    n_entries = 8 + (rows_per_strip is not None) + (tables_blob is not None)
+    ifd_off = 8
+    ifd_len = 2 + n_entries * 12 + 4
+    arrays_off = ifd_off + ifd_len
+    extra_len = 0
+    for offsets_known in (False, True):
+        extra = b""
+        cursor = arrays_off
+
+        def entry(tag, typ, values, blob=None):
+            nonlocal extra, cursor
+            if blob is not None:  # type 7 UNDEFINED byte payload
+                e = tag.to_bytes(2, bo) + (7).to_bytes(2, bo)
+                e += len(blob).to_bytes(4, bo)
+                if len(blob) <= 4:
+                    e += blob + b"\x00" * (4 - len(blob))
+                else:
+                    e += cursor.to_bytes(4, bo)
+                    extra += blob
+                    cursor += len(blob)
+                return e
+            size = {3: 2, 4: 4}[typ]
+            e = tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+            e += len(values).to_bytes(4, bo)
+            if len(values) * size <= 4:
+                v = b"".join(int(x).to_bytes(size, bo) for x in values)
+                e += v + b"\x00" * (4 - len(v))
+            else:
+                e += cursor.to_bytes(4, bo)
+                extra += b"".join(int(x).to_bytes(size, bo) for x in values)
+                cursor += len(values) * size
+            return e
+
+        if offsets_known:
+            data_off = arrays_off + extra_len
+            offs = []
+            cur = data_off
+            for st_ in strips:
+                offs.append(cur)
+                cur += len(st_)
+        else:
+            offs = [0] * len(strips)
+        ents = [
+            entry(256, 4, [w]),
+            entry(257, 4, [h]),
+            entry(258, 3, [8] * spp),
+            entry(259, 3, [7]),
+            entry(262, 3, [6]),  # YCbCr
+            entry(273, 4, offs),
+            entry(277, 3, [spp]),
+        ]
+        if rows_per_strip is not None:
+            ents.append(entry(278, 4, [rps]))
+        ents.append(entry(279, 4, [len(st_) for st_ in strips]))
+        if tables_blob is not None:
+            ents.append(entry(347, 7, [], blob=tables_blob))
+        extra_len = len(extra)
+    hdr = b"II*\x00" + ifd_off.to_bytes(4, bo)
+    ifd = n_entries.to_bytes(2, bo) + b"".join(ents) + (0).to_bytes(4, bo)
+    return hdr + ifd + extra + b"".join(strips)
+
+
+def test_tiff_jpeg_strips():
+    """Compression=7: the TIFF path must produce EXACTLY what the plain
+    JPEG decoder produces for the same streams (single-strip,
+    MCU-unaligned multi-strip, and the shared-JPEGTables abbreviated
+    form whose per-strip streams carry no DQT/DHT)."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import (
+        _jpeg_pixels,
+        _tiff_pixels,
+        _tiff_pixels_labeled,
+    )
+
+    px = _smooth_rgb(7, 40, 24)
+
+    # single strip: identical to decoding the embedded JPEG directly
+    got = _tiff_pixels_labeled(_tiff_jpeg(px))
+    assert got is not None and got[1] == "tiff-jpeg"
+    assert np.array_equal(got[0], _jpeg_pixels(_encode_jpeg(px)))
+
+    # multi-strip with an MCU-unaligned last band (40 = 16+16+8)
+    want = np.concatenate(
+        [_jpeg_pixels(_encode_jpeg(px[y : y + 16])) for y in (0, 16, 32)],
+        axis=0,
+    )
+    got = _tiff_pixels_labeled(_tiff_jpeg(px, rows_per_strip=16))
+    assert got is not None and got[1] == "tiff-jpeg"
+    assert np.array_equal(got[0], want)
+
+    # shared JPEGTables: abbreviated strips decode identically
+    got = _tiff_pixels_labeled(
+        _tiff_jpeg(px, rows_per_strip=16, shared_tables=True)
+    )
+    assert got is not None and got[1] == "tiff-jpeg"
+    assert np.array_equal(got[0], want)
+
+    # an abbreviated strip WITHOUT its tables is undecodable -> None
+    no_tables = bytearray(_tiff_jpeg(px, shared_tables=True))
+    # zero out the JPEGTables tag id (347 -> 0) so the blob is ignored
+    idx = bytes(no_tables).find((347).to_bytes(2, "little"), 8)
+    no_tables[idx : idx + 2] = (0).to_bytes(2, "little")
+    assert _tiff_pixels(bytes(no_tables)) is None
 
 
 def test_decode_images_compressed_tiff_labels(spark):

@@ -237,6 +237,8 @@ def _multimodal_fixtures():
         tm._tiff_full(np.random.RandomState(11).randint(
             0, 1 << 16, (8, 6, 3)).astype(np.uint16), bits=16,
             compression=8, predictor=2),
+        tm._tiff_jpeg(tm._smooth_rgb(12, 16, 16), rows_per_strip=8,
+                      shared_tables=True),
         tm._ogg_page(b"\x01vorbis" + b"\x00" * 23, 0, htype=2),
     ]
 

@@ -395,6 +395,39 @@ _TIFF_STRIP_CODECS = {
 }
 
 
+def _jpeg_tables_segments(tables: bytes):
+    """Table segments (DQT/DHT/DAC) from a JPEGTables (tag 347)
+    abbreviated stream: SOI <segments> EOI. Returns the raw segment
+    bytes to splice after a strip's SOI, or None if malformed."""
+    if len(tables) < 4 or tables[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    out = bytearray()
+    while i + 4 <= len(tables):
+        if tables[i] != 0xFF:
+            return None
+        marker = tables[i + 1]
+        if marker == 0xD9:  # EOI
+            return bytes(out)
+        seg_len = int.from_bytes(tables[i + 2 : i + 4], "big")
+        if i + 2 + seg_len > len(tables):
+            return None
+        out += tables[i : i + 2 + seg_len]
+        i += 2 + seg_len
+    return bytes(out)
+
+
+def _tiff_jpeg_strip(strip: bytes, tables, max_pixels: int):
+    """Decode one new-style-JPEG strip: a complete JFIF stream, or an
+    abbreviated one whose DQT/DHT live in the shared JPEGTables —
+    spliced in right after SOI (tables always precede SOF/SOS)."""
+    if strip[:2] != b"\xff\xd8":
+        return None
+    if tables:
+        strip = b"\xff\xd8" + tables + strip[2:]
+    return _jpeg_pixels(strip, max_pixels)
+
+
 def _tiff_strip_rows(data, offsets, counts, decomp, rows_total, rps, stride):
     """Decompress a strip sequence covering ``rows_total`` rows of
     ``stride`` bytes each (strips of ``rps`` rows; the last may be
@@ -430,9 +463,10 @@ def _tiff_pixels_labeled(data: bytes, max_pixels: int = 16 * 1024 * 1024):
     decompressed independently (each strip is its own codec stream per
     the spec); the predictor accumulate runs on the assembled array
     since rows never span strips (and in planar files differencing is
-    per plane, which the per-channel accumulate preserves).
-    JPEG-in-TIFF returns None — header dims still serve it. Returns
-    (array, decoder_label) or None."""
+    per plane, which the per-channel accumulate preserves). New-style
+    JPEG-in-TIFF (Compression=7) routes each strip through the
+    in-house JPEG decoder, splicing shared JPEGTables (tag 347) after
+    each strip's SOI. Returns (array, decoder_label) or None."""
     parsed = _tiff_ifd(data)
     if parsed is None:
         return None
@@ -442,7 +476,10 @@ def _tiff_pixels_labeled(data: bytes, max_pixels: int = 16 * 1024 * 1024):
     spp = tags.get(277, [1])[0]
     if not w or not h or not 1 <= spp <= 4 or w * h > max_pixels:
         return None
-    codec = _TIFF_STRIP_CODECS.get(tags.get(259, [1])[0])
+    comp = tags.get(259, [1])[0]
+    if comp == 7:  # new-style JPEG-in-TIFF: strips are JFIF streams
+        return _tiff_jpeg_pixels(data, tags, w, h, spp, max_pixels)
+    codec = _TIFF_STRIP_CODECS.get(comp)
     if codec is None:
         return None
     decomp, label = codec
@@ -512,6 +549,76 @@ def _tiff_pixels_labeled(data: bytes, max_pixels: int = 16 * 1024 * 1024):
     if bpp == 2:
         px = (px >> 8).astype(np.uint8)
     return px, label
+
+
+def _tiff_tag_bytes(data: bytes, want_tag: int):
+    """Raw payload of a BYTE/UNDEFINED (type 1/7) first-IFD tag —
+    :func:`_tiff_ifd` only collects SHORT/LONG values, but JPEGTables
+    (347) carries an opaque byte stream. Returns bytes or None."""
+    if data[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    bo = "little" if data[:2] == b"II" else "big"
+    off = int.from_bytes(data[4:8], bo)
+    if off + 2 > len(data):
+        return None
+    n = int.from_bytes(data[off : off + 2], bo)
+    for k in range(n):
+        e = off + 2 + 12 * k
+        if e + 12 > len(data):
+            return None
+        tag = int.from_bytes(data[e : e + 2], bo)
+        typ = int.from_bytes(data[e + 2 : e + 4], bo)
+        cnt = int.from_bytes(data[e + 4 : e + 8], bo)
+        if tag != want_tag or typ not in (1, 7) or not 0 < cnt <= 1_000_000:
+            continue
+        base = e + 8 if cnt <= 4 else int.from_bytes(data[e + 8 : e + 12], bo)
+        if base + cnt > len(data):
+            return None
+        return data[base : base + cnt]
+    return None
+
+
+def _tiff_jpeg_pixels(data, tags, w, h, spp, max_pixels):
+    """Compression=7: each strip is its own JPEG stream (complete, or
+    abbreviated against the shared JPEGTables tag), decoded by the
+    in-house baseline/progressive JPEG decoder and stacked. Strips may
+    be MCU-padded taller than their row count; excess rows crop."""
+    if tags.get(284, [1])[0] != 1:  # planar JPEG out of scope
+        return None
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        return None
+    rps = tags.get(278, [0])[0] or -(-h // len(offsets))
+    if rps < 1:
+        return None
+    tables = _tiff_tag_bytes(data, 347)
+    if tables is not None:
+        tables = _jpeg_tables_segments(tables)
+        if tables is None:
+            return None
+    parts = []
+    rows_done = 0
+    for o, c in zip(offsets, counts):
+        if o + c > len(data):
+            return None
+        rows_here = min(rps, h - rows_done)
+        if rows_here <= 0:
+            break
+        px = _tiff_jpeg_strip(data[o : o + c], tables, max_pixels)
+        if px is None or px.shape[0] < rows_here or px.shape[1] != w:
+            return None
+        if px.ndim == 2:
+            px = px[:, :, None]
+        if px.shape[2] != spp:
+            return None
+        parts.append(px[:rows_here])
+        rows_done += rows_here
+        if rows_done >= h:
+            break
+    if rows_done < h:
+        return None
+    return np.concatenate(parts, axis=0), "tiff-jpeg"
 
 
 def _tiff_pixels(data: bytes, max_pixels: int = 16 * 1024 * 1024):
