@@ -2440,12 +2440,13 @@ def _tiff_lzw_encode(data):
 
 
 def _tiff_full(arr, big_endian=False, rows_per_strip=None, planar=1,
-               compression=1, predictor=None, bits=8):
-    """Spec-built TIFF with real strip data; the pixel array is split
-    into strips of rows_per_strip rows (plane-major when planar=2),
-    each strip independently compressed per the compression tag
-    (1=none, 5=LZW, 8=deflate, 32773=PackBits) after optional
-    Predictor=2 differencing. bits=16 expects a uint16 array and
+               compression=1, predictor=None, bits=8, tile=None):
+    """Spec-built TIFF with real strip OR tile data; strips are
+    rows_per_strip rows (plane-major when planar=2), tiles are
+    ``tile=(tw, tl)`` blocks (edge-padded, tags 322-325), each chunk
+    independently compressed per the compression tag (1=none, 5=LZW,
+    8=deflate, 32773=PackBits) after optional Predictor=2 differencing
+    (which restarts per tile row). bits=16 expects a uint16 array and
     writes samples in the file's byte order."""
     import zlib
 
@@ -2454,21 +2455,46 @@ def _tiff_full(arr, big_endian=False, rows_per_strip=None, planar=1,
     h, w, spp = arr.shape
     bo = "big" if big_endian else "little"
     rps = rows_per_strip or h
-    if predictor == 2:
-        diff = arr.astype(np.int32)
-        diff[:, 1:, :] -= arr[:, :-1, :].astype(np.int32)
-        arr = (diff % (1 << bits)).astype(np.uint8 if bits == 8 else np.uint16)
     sample_dt = "u1" if bits == 8 else (">u2" if big_endian else "<u2")
-    arr = arr.astype(sample_dt)
-    if planar == 2:
-        # plane-major: per sample plane, a full run of row strips
-        raw_strips = [
-            arr[y : y + rps, :, p].tobytes()
-            for p in range(spp)
-            for y in range(0, h, rps)
-        ]
+
+    def diff2(a):
+        d = a.astype(np.int32)
+        d[:, 1:, :] -= a[:, :-1, :].astype(np.int32)
+        return (d % (1 << bits)).astype(
+            np.uint8 if bits == 8 else np.uint16
+        )
+
+    if tile is not None:
+        tw, tl = tile
+        ph, pw = -(-h // tl) * tl, -(-w // tw) * tw
+        padded = np.pad(arr, ((0, ph - h), (0, pw - w), (0, 0)),
+                        mode="edge")
+        tiles = []
+        plane_list = range(spp) if planar == 2 and spp > 1 else [None]
+        for pl in plane_list:
+            for ty in range(0, ph, tl):
+                for tx in range(0, pw, tw):
+                    t = padded[ty : ty + tl, tx : tx + tw]
+                    t = t[:, :, pl : pl + 1] if pl is not None else t
+                    if predictor == 2:
+                        t = diff2(t)
+                    tiles.append(t.astype(sample_dt).tobytes())
+        raw_strips = tiles
     else:
-        raw_strips = [arr[y : y + rps].tobytes() for y in range(0, h, rps)]
+        if predictor == 2:
+            arr = diff2(arr)
+        arr = arr.astype(sample_dt)
+        if planar == 2:
+            # plane-major: per sample plane, a full run of row strips
+            raw_strips = [
+                arr[y : y + rps, :, p].tobytes()
+                for p in range(spp)
+                for y in range(0, h, rps)
+            ]
+        else:
+            raw_strips = [
+                arr[y : y + rps].tobytes() for y in range(0, h, rps)
+            ]
     enc = {
         1: lambda s: s,
         5: _tiff_lzw_encode,
@@ -2478,7 +2504,9 @@ def _tiff_full(arr, big_endian=False, rows_per_strip=None, planar=1,
     strips = [enc(s) for s in raw_strips]
     k = len(strips)
     # layout: header(8) + IFD + value arrays + strip data
-    n_entries = 9 + (rows_per_strip is not None) + (predictor is not None)
+    n_entries = 9 + (predictor is not None) + (
+        2 if tile is not None else (rows_per_strip is not None)
+    )
     ifd_off = 8
     ifd_len = 2 + n_entries * 12 + 4
     arrays_off = ifd_off + ifd_len
@@ -2517,11 +2545,17 @@ def _tiff_full(arr, big_endian=False, rows_per_strip=None, planar=1,
         entries.append(entry(258, 3, [bits] * spp))
         entries.append(entry(259, 3, [compression]))
         entries.append(entry(262, 3, [2]))
-        entries.append(entry(273, 4, strip_offsets))
+        if tile is not None:
+            entries.append(entry(322, 4, [tile[0]]))
+            entries.append(entry(323, 4, [tile[1]]))
+            entries.append(entry(324, 4, strip_offsets))
+            entries.append(entry(325, 4, [len(s) for s in strips]))
+        else:
+            entries.append(entry(273, 4, strip_offsets))
+            if rows_per_strip is not None:
+                entries.append(entry(278, 4, [rps]))
+            entries.append(entry(279, 4, [len(s) for s in strips]))
         entries.append(entry(277, 3, [spp]))
-        if rows_per_strip is not None:
-            entries.append(entry(278, 4, [rps]))
-        entries.append(entry(279, 4, [len(s) for s in strips]))
         entries.append(entry(284, 3, [planar]))
         if predictor is not None:
             entries.append(entry(317, 3, [predictor]))
@@ -2641,6 +2675,44 @@ def test_tiff_compressed_strips_roundtrip():
     fx = bytearray(_tiff_full(rgb, compression=8))
     fx[-20:] = b"\x00" * 20
     assert _tiff_pixels(bytes(fx)) is None
+
+
+def test_tiff_tiled_roundtrip():
+    """Tiled layout (tags 322-325): every compression x chunky/planar
+    x 8/16-bit x predictor (which restarts per tile row), edge tiles
+    cropped from their padded blocks."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _tiff_pixels_labeled
+
+    rng = np.random.RandomState(33)
+    rgb = rng.randint(0, 256, (40, 52, 3), dtype=np.uint8)  # 52 % 16 != 0
+    for comp, base in ((1, "tiff-strips"), (32773, "tiff-packbits"),
+                       (5, "tiff-lzw"), (8, "tiff-deflate")):
+        for kwargs, suffix in (
+            ({}, "-tiled"),
+            ({"predictor": 2}, "-tiled"),
+            ({"planar": 2}, "-planar-tiled"),
+            ({"planar": 2, "predictor": 2}, "-planar-tiled"),
+        ):
+            fx = _tiff_full(rgb, compression=comp, tile=(16, 16), **kwargs)
+            got = _tiff_pixels_labeled(fx)
+            assert got is not None, (comp, kwargs)
+            px, lab = got
+            assert lab == base + suffix, (comp, kwargs, lab)
+            assert np.array_equal(px, rgb), (comp, kwargs)
+    # 16-bit tiled: high byte kept, both endiannesses
+    deep = rng.randint(0, 1 << 16, (24, 33, 3)).astype(np.uint16)
+    for be in (False, True):
+        fx = _tiff_full(deep, bits=16, compression=8, tile=(16, 16),
+                        predictor=2, big_endian=be)
+        got = _tiff_pixels_labeled(fx)
+        assert got is not None, be
+        assert np.array_equal(got[0], (deep >> 8).astype(np.uint8)), be
+    # non-multiple-of-16 tile dims are invalid per spec -> None
+    from vinum_spark.operators.multimodal import _tiff_pixels
+
+    assert _tiff_pixels(_tiff_full(rgb, tile=(12, 16))) is None
 
 
 def _tiff_jpeg(px, rows_per_strip=None, shared_tables=False):

@@ -239,6 +239,9 @@ def _multimodal_fixtures():
             compression=8, predictor=2),
         tm._tiff_jpeg(tm._smooth_rgb(12, 16, 16), rows_per_strip=8,
                       shared_tables=True),
+        tm._tiff_full(np.random.RandomState(13).randint(
+            0, 256, (20, 20, 3), dtype=np.uint8), compression=5,
+            tile=(16, 16), predictor=2),
         tm._ogg_page(b"\x01vorbis" + b"\x00" * 23, 0, htype=2),
     ]
 

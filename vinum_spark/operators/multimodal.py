@@ -452,6 +452,60 @@ def _tiff_strip_rows(data, offsets, counts, decomp, rows_total, rps, stride):
     return bytes(buf[:need]) if len(buf) >= need else None
 
 
+def _tiff_tiled_pixels(data, tags, bo, w, h, spp, bpp, decomp, label,
+                       predictor, planar):
+    """Tiled TIFF (tags 322/323/324/325): the large-imagery layout —
+    every tile is a full TileLength x TileWidth block (edges padded by
+    the writer; we crop), its own codec stream, placed onto the output
+    grid. Predictor-2 differencing restarts per tile row, so the
+    accumulate runs per tile BEFORE placement. Planar files store each
+    plane's full tile grid consecutively."""
+    tw = tags.get(322, [0])[0]
+    tl = tags.get(323, [0])[0]
+    offsets = tags.get(324)
+    counts = tags.get(325)
+    if not tw or not tl or tw % 16 or tl % 16:
+        return None
+    if not offsets or not counts or len(offsets) != len(counts):
+        return None
+    across = -(-w // tw)
+    down = -(-h // tl)
+    per_plane = across * down
+    n_planes = spp if (planar == 2 and spp > 1) else 1
+    if len(offsets) != per_plane * n_planes:
+        return None
+    tile_ch = 1 if n_planes > 1 else spp
+    tile_bytes = tl * tw * tile_ch * bpp
+    sample_dt = "u1" if bpp == 1 else ("<u2" if bo == "little" else ">u2")
+    acc_dt = np.uint8 if bpp == 1 else np.uint16
+    out = np.zeros((h, w, spp), dtype=acc_dt)
+    for idx, (o, c) in enumerate(zip(offsets, counts)):
+        if o + c > len(data):
+            return None
+        buf = decomp(data[o : o + c], tile_bytes + tw * tile_ch * bpp)
+        if buf is None or len(buf) < tile_bytes:
+            return None
+        tile = np.frombuffer(
+            buf[:tile_bytes], dtype=sample_dt
+        ).reshape(tl, tw, tile_ch)
+        if predictor == 2:  # differencing restarts at each tile row
+            tile = np.add.accumulate(tile, axis=1, dtype=acc_dt)
+        plane = idx // per_plane
+        k = idx % per_plane
+        ty, tx = (k // across) * tl, (k % across) * tw
+        rows = min(tl, h - ty)
+        cols = min(tw, w - tx)
+        if rows <= 0 or cols <= 0:
+            return None
+        if n_planes > 1:
+            out[ty : ty + rows, tx : tx + cols, plane] = tile[:rows, :cols, 0]
+        else:
+            out[ty : ty + rows, tx : tx + cols, :] = tile[:rows, :cols, :]
+    if bpp == 2:
+        out = (out >> 8).astype(np.uint8)
+    return out, label + ("-planar" if n_planes > 1 else "") + "-tiled"
+
+
 def _tiff_pixels_labeled(data: bytes, max_pixels: int = 16 * 1024 * 1024):
     """REAL pixel decode for 8-bit TIFF — uncompressed plus the three
     byte-oriented strip compressions (PackBits, TIFF-LZW with early
@@ -497,6 +551,11 @@ def _tiff_pixels_labeled(data: bytes, max_pixels: int = 16 * 1024 * 1024):
         # same contract as the PNG 16-bit path
     else:
         return None
+    if 322 in tags and 324 in tags:  # tiled layout, not strips
+        return _tiff_tiled_pixels(
+            data, tags, bo, w, h, spp, bpp, decomp, label, predictor,
+            planar,
+        )
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
