@@ -211,6 +211,35 @@ def test_probe_media_unknown_is_honest_stub(spark):
         assert r["duration_s"] is None and r["sample_rate"] is None
 
 
+def test_probe_media_image_containers(spark):
+    """Image containers probe to kind='image' with header dims and a
+    channel count — never a pixel decode (the decoder label is the
+    header path's, not a pixel path's)."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import probe_media
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (20, 30, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (0, _bmp_bytes(w=320, h=200)),
+            (1, _tiff_full(img, compression=5)),
+            (2, _webp_bytes("VP8X", w=1024, h=768)),
+        ],
+        "asset_id long, content binary",
+    )
+    rows = {r["asset_id"]: r for r in probe_media(df).collect()}
+    assert rows[0]["kind"] == "image"
+    assert (rows[0]["width"], rows[0]["height"]) == (320, 200)
+    assert rows[0]["decoder"] == "bmp-header"
+    assert rows[0]["duration_s"] is None
+    # a compressed TIFF probes via the IFD, not a strip decode
+    assert (rows[1]["kind"], rows[1]["decoder"]) == ("image", "tiff-ifd")
+    assert (rows[1]["width"], rows[1]["height"]) == (30, 20)
+    assert (rows[2]["width"], rows[2]["height"]) == (1024, 768)
+
+
 def _sine_wav(freq=440.0, rate=8000, seconds=0.5, amp=0.5, channels=1):
     """Spec-built PCM16 WAV with a real sine payload."""
     import numpy as np

@@ -2498,9 +2498,12 @@ def probe_media(
     WAV fmt-chunk (channels, sample rate, bit depth, duration), MP3
     frame-header walk (channels, sample rate, exact duration incl. VBR,
     with the byte-weighted average kbps in ``bits_per_sample``'s place
-    left NULL — it is not a bit depth) and MP4 mvhd/tkhd (duration,
-    display dims) parsed from header BYTES — the pretraining-filter
-    inputs that need no codec library. Unrecognized containers come
+    left NULL — it is not a bit depth), MP4 mvhd/tkhd (duration,
+    display dims), and image containers (kind='image', dims + channel
+    count via the ~26-byte header parse — probing never decodes
+    pixels; use decode_images for that) parsed from header BYTES — the
+    pretraining-filter inputs that need no codec library.
+    Unrecognized containers come
     back with ``decoder='stub'`` and NULL fields (never a fake value:
     a filter on duration must not act on invented numbers).
     """
@@ -2534,6 +2537,10 @@ def probe_media(
                 ch, rate, samples, codec = ogg
                 return ("audio", ch, rate, None, samples / rate,
                         None, None, f"ogg-{codec}")
+            dims = _header_dims(data)
+            if dims is not None:  # image containers: dims from ~26
+                hh, ww, ch, label = dims  # header bytes, never a decode
+                return ("image", ch, None, None, None, hh, ww, label)
             return ("unknown",) + _PROBE_NULL + ("stub",)
 
         for pdf in it:
