@@ -330,6 +330,11 @@ def _diff_fixture_pdf():
     )
     x = pd.Series(rng.uniform(-4, 4, n))
     x[x.index % 5 == 2] = None
+    ts = pd.Series(
+        pd.to_datetime("2024-03-01 06:30:00")
+        + pd.to_timedelta(rng.randint(0, 96, n) * 7, unit="h")
+    )
+    ts[ts.index % 9 == 4] = None
     return pd.DataFrame(
         {
             "i": rng.randint(-5, 21, n).astype("int64"),
@@ -337,6 +342,7 @@ def _diff_fixture_pdf():
             "x": x,
             "s": s,
             "b": (rng.randint(0, 2, n) == 1),
+            "ts": ts,
         }
     )
 
@@ -404,6 +410,47 @@ def _diff_num(draw, depth=2):
     )
 
 
+_TIMEDELTA_DUCK = {"w": "WEEK", "d": "DAY", "h": "HOUR",
+                   "m": "MINUTE", "s": "SECOND"}
+
+
+@st.composite
+def _diff_time(draw, depth=1):
+    """(vinum_sql, duck_sql) datetime expression pair — the reference's
+    date()/datetime()/from_timestamp()/timedelta() templates vs their
+    DuckDB spellings (make_timestamp keeps the naive-timestamp type;
+    to_timestamp would come back TIMESTAMPTZ and never compare equal)."""
+    if depth == 0 or draw(st.integers(0, 2)) == 0:
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            return "ts", "ts"
+        if kind == 1:
+            d = draw(st.sampled_from(["2024-03-05", "2023-11-30"]))
+            return f"date('{d}')", f"CAST('{d}' AS DATE)"
+        if kind == 2:
+            t = draw(st.sampled_from(
+                ["2024-03-05 07:08:09", "2024-01-01 00:00:00"]))
+            return f"datetime('{t}')", f"CAST('{t}' AS TIMESTAMP)"
+        n = draw(st.integers(0, 2_000_000_000))
+        unit, mult = draw(st.sampled_from(
+            [("s", 1_000_000), ("ms", 1_000), ("us", 1)]))
+        return (
+            f"from_timestamp({n}, '{unit}')",
+            f"make_timestamp(CAST({n} AS BIGINT) * {mult})",
+        )
+    kind = draw(st.integers(0, 1))
+    ev, ed = draw(_diff_time(depth=depth - 1))
+    if kind == 0:  # truncate-to-day resolution quirk
+        return f"datetime({ev}, 'D')",                f"date_trunc('day', CAST({ed} AS TIMESTAMP))"
+    n = draw(st.integers(-72, 72))
+    u = draw(st.sampled_from(["w", "d", "h", "m", "s"]))
+    nn = f"({n})" if n < 0 else str(n)
+    return (
+        f"({ev} + timedelta({nn}, '{u}'))",
+        f"({ed} + INTERVAL {nn} {_TIMEDELTA_DUCK[u]})",
+    )
+
+
 @st.composite
 def _diff_str(draw, depth=1):
     """(vinum_sql, duck_sql) string expression pair."""
@@ -443,6 +490,10 @@ def _diff_bool(draw, depth=2):
             sfx = draw(st.sampled_from(["IS NULL", "IS NOT NULL"]))
             return f"({c} {sfx})", f"({c} {sfx})"
         if kind == 3:
+            if draw(st.booleans()):
+                tv, td = draw(_diff_time(depth=1))
+                # np.is_busday Mon-Fri == Spark WEEKDAY<=4 == isodow<=5
+                return f"is_busday({tv})", f"(isodow({td}) <= 5)"
             pat = draw(st.sampled_from(["'w1%'", "'%x2'", "'w_x%'", "'%'"]))
             return f"(s LIKE {pat})", f"(s LIKE {pat})"
         lits = sorted({draw(st.integers(-5, 20)) for _ in range(3)})
@@ -479,13 +530,15 @@ def _diff_query(draw):
         distinct = draw(st.booleans())
         vin_items, duck_items = [], []
         for k in range(n):
-            which = draw(st.integers(0, 2))
+            which = draw(st.integers(0, 3))
             if which == 0:
                 ev, ed, _ = draw(_diff_num())
             elif which == 1:
                 ev, ed = draw(_diff_str())
-            else:
+            elif which == 2:
                 ev, ed = draw(_diff_bool())
+            else:
+                ev, ed = draw(_diff_time())
             vin_items.append(f"{ev} AS c{k}")
             duck_items.append(f"{ed} AS c{k}")
         head = "SELECT DISTINCT " if distinct else "SELECT "
@@ -571,7 +624,7 @@ def _references_fixture_columns(sql):
     from vinum_spark.sqlprep.tokens import KIND_IDENT
 
     return any(
-        t.kind == KIND_IDENT and t.text in ("i", "j", "x", "s", "b")
+        t.kind == KIND_IDENT and t.text in ("i", "j", "x", "s", "b", "ts")
         for t in tokenize(sql)
     )
 
@@ -600,7 +653,7 @@ def test_rewriter_differential_vs_duckdb(_diff_engines, sql_pair):
             col = out[c]
             if col.dtype.kind in "fiub":
                 out[c] = col.astype("float64")
-            elif col.dtype == object and all(
+            elif col.dtype == object and len(col) and all(
                 v is None
                 or isinstance(v, (bool, np.bool_))
                 or (isinstance(v, float) and v != v)
@@ -608,14 +661,28 @@ def test_rewriter_differential_vs_duckdb(_diff_engines, sql_pair):
             ):
                 # nullable booleans come back as object columns with
                 # None (Spark) or nan (DuckDB) null markers —
-                # canonicalize both to float64/NaN
+                # canonicalize both to float64/NaN (all() over an EMPTY
+                # column must not route it here: the other engine's
+                # empty column may canon to str and type-mismatch)
                 out[c] = col.map(
                     lambda v: float("nan")
                     if v is None or (isinstance(v, float) and v != v)
                     else float(v)
                 ).astype("float64")
+            elif col.dtype.kind == "M":
+                out[c] = col.astype("datetime64[us]").astype(str)
             else:
-                out[c] = col.astype(str)
+                try:
+                    # date/timestamp columns arrive as datetime64 from
+                    # one engine and as date/Timestamp objects from the
+                    # other; a successful parse normalizes both
+                    out[c] = (
+                        pd.to_datetime(col)
+                        .astype("datetime64[us]")
+                        .astype(str)
+                    )
+                except (ValueError, TypeError):
+                    out[c] = col.astype(str)
         return out.sort_values(cols).reset_index(drop=True)
 
     g, w = canon(got), canon(want)
@@ -651,7 +718,7 @@ def _qualify(expr: str) -> str:
     for k, t in enumerate(toks):
         if (
             t.kind == KIND_IDENT
-            and t.text in ("i", "j", "x", "s", "b")
+            and t.text in ("i", "j", "x", "s", "b", "ts")
             and (k == 0 or toks[k - 1].text != ".")
             and (k + 1 >= len(toks) or toks[k + 1].text != ".")
         ):
@@ -739,7 +806,7 @@ def test_multi_table_sql_differential_vs_duckdb(_diff_join_engines, sql_pair):
             col = out[c]
             if col.dtype.kind in "fiub":
                 out[c] = col.astype("float64")
-            elif col.dtype == object and all(
+            elif col.dtype == object and len(col) and all(
                 v is None
                 or isinstance(v, (bool, np.bool_))
                 or (isinstance(v, float) and v != v)

@@ -595,6 +595,21 @@ DATETIME = (
         {"dtime": (d(2020, 10, 2, 19, 30, 30),)},
     ),
     ("trips_groupby", "select date('2020-10-06')", {"date": (dt.date(2020, 10, 6),)}),
+    # np.datetime64 arithmetic widens to the finer unit: a DATE plus a
+    # sub-day timedelta is a DATETIME (np.datetime64('2020-10-06') +
+    # np.timedelta64(90,'m') == 2020-10-06T01:30); Spark's native DATE +
+    # INTERVAL would silently stay a DATE — pinned after the round-10
+    # differential fuzz caught the divergence
+    (
+        "trips_groupby",
+        "select date('2020-10-06') + timedelta(90, 'm') as dtime",
+        {"dtime": (d(2020, 10, 6, 1, 30),)},
+    ),
+    (
+        "trips_groupby",
+        "select date('2020-10-06') - timedelta(1, 's') as dtime",
+        {"dtime": (d(2020, 10, 5, 23, 59, 59),)},
+    ),
     ("trips_groupby", "select date('2020-10')", {"date": (dt.date(2020, 10, 1),)}),
     ("trips_groupby", "select date('2020')", {"date": (dt.date(2020, 1, 1),)}),
     (

@@ -160,6 +160,7 @@ def rewrite_sql(
     tokens = _rewrite_xor(tokens)
     tokens = _rewrite_modulo(tokens)
     tokens = _rewrite_concat_operator(tokens)
+    tokens = _rewrite_timedelta_promotion(tokens)
     tokens = _rewrite_having_without_groupby(tokens)
     tokens = _rewrite_orderby_nulls_last(tokens)
     tokens = _rewrite_limit_comma(tokens)
@@ -466,6 +467,90 @@ def _rewrite_modulo(tokens: List[Token]) -> List[Token]:
             f"__vs_m.b, 0))[0]"
         )
         tokens = tokens[:lstart] + repl + tokens[rend + 1 :]
+
+
+_SUBDAY_TIMEDELTA_UNITS = ("h", "m", "s")
+
+
+def _rewrite_timedelta_promotion(tokens: List[Token]) -> List[Token]:
+    """``date_expr +/- timedelta(n, sub-day-unit)`` must promote to a
+    timestamp: numpy's datetime64 arithmetic widens the RESULT to the
+    finer granularity (np.datetime64('2024-03-05') + np.timedelta64(1,
+    'h') -> 2024-03-05T01), but Spark's DATE + INTERVAL HOUR stays a
+    DATE and silently drops the sub-day part (found by the round-10
+    cross-engine differential fuzz). CAST the non-timedelta operand to
+    TIMESTAMP when the unit is h/m/s (or the default 's'); day/week/
+    year additions keep numpy's date granularity, which Spark already
+    matches. The cast is a no-op on values that are already
+    timestamps."""
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if not (
+            t.kind == KIND_IDENT
+            and t.text.lower() == "timedelta"
+            and i + 1 < len(tokens)
+            and tokens[i + 1].text == "("
+        ):
+            i += 1
+            continue
+        close = match_paren(tokens, i + 1)
+        args = split_top_level(tokens[i + 2 : close])
+        unit = "s"  # the reference's default unit is seconds
+        if len(args) > 1 and args[1]:
+            unit = render(args[1]).strip().strip("'\"").lower()
+        if unit not in _SUBDAY_TIMEDELTA_UNITS:
+            i = close + 1
+            continue
+        # date_expr [+/- timedelta(...)]* +/- timedelta(sub-day) —
+        # walk LEFT past earlier timedelta terms to the chain's base
+        # operand and wrap THAT (wrapping a sibling interval would cast
+        # an interval to timestamp); a base already starting with CAST
+        # is one of our own wraps — don't double-wrap
+        if i > 0 and tokens[i - 1].text in ("+", "-"):
+            j = i - 1  # operator position
+            lstart = None
+            while j > 0:
+                cand = _is_primary_end(tokens, j - 1)
+                head = tokens[cand]
+                if (
+                    head.kind == KIND_IDENT
+                    and head.text.lower() == "timedelta"
+                ):
+                    if cand > 0 and tokens[cand - 1].text in ("+", "-"):
+                        j = cand - 1
+                        continue
+                    lstart = None  # chain starts at an interval: nothing
+                    break          # date-typed to promote
+                if head.kind == KIND_IDENT and head.upper() == "CAST":
+                    lstart = None  # already promoted by an earlier call
+                    break
+                lstart = cand
+                break
+            if lstart is not None:
+                wrapped = (
+                    tokenize("CAST(")
+                    + tokens[lstart:j]
+                    + tokenize("AS TIMESTAMP)")
+                )
+                tokens = tokens[:lstart] + wrapped + tokens[j:]
+                i = close + 1 + (len(wrapped) - (j - lstart))
+                continue
+            i = close + 1
+            continue
+        # timedelta(...) + date_expr — wrap the RIGHT primary
+        if close + 1 < len(tokens) and tokens[close + 1].text == "+":
+            rend = _grab_right_primary(tokens, close + 2)
+            wrapped = (
+                tokenize("CAST(")
+                + tokens[close + 2 : rend + 1]
+                + tokenize("AS TIMESTAMP)")
+            )
+            tokens = tokens[: close + 2] + wrapped + tokens[rend + 1 :]
+            i = close + 2 + len(wrapped)
+            continue
+        i = close + 1
+    return tokens
 
 
 def _rewrite_concat_operator(tokens: List[Token]) -> List[Token]:
