@@ -381,6 +381,26 @@ def _diff_num(draw, depth=2):
         if sub == 1:
             return f"length(s)", f"length(s)", False
         return f"abs({av})", f"abs({ad})", af
+    if kind == 3 and draw(st.booleans()):
+        sub = draw(st.integers(0, 2))
+        if sub == 0:
+            # to_int is a CAST(... AS BIGINT): numpy/Spark TRUNCATE
+            # toward zero, DuckDB CAST rounds half-even — the oracle
+            # must spell the truncation
+            return (
+                f"to_int({av})",
+                f"CAST(trunc({ad}) AS BIGINT)",
+                False,
+            )
+        if sub == 1:
+            return f"to_float({av})", f"CAST({ad} AS DOUBLE)", True
+        bv, bd, bf = draw(_diff_num(depth=0))
+        if af or bf:
+            return f"({av} + {bv})", f"({ad} + {bd})", True
+        op = draw(st.sampled_from(["&", "|"]))
+        if draw(st.integers(0, 3)) == 0:
+            return f"(~{av})", f"(~{ad})", False
+        return f"({av} {op} {bv})", f"({ad} {op} {bd})", False
     if kind == 1:  # np.mod divisor-sign quirk, nonzero literal divisor
         d = draw(st.sampled_from([2, 3, 5, 7, -2, -3, -5]))
         dv = f"({d})" if d < 0 else str(d)
