@@ -1772,8 +1772,10 @@ def test_progressive_jpeg_hostile_bytes_degrade_to_none():
 # --------------------------------------------------------------------------
 
 
-def _wav_bytes(payload, fmt_code, channels, rate, bits):
+def _wav_bytes(payload, fmt_code, channels, rate, bits, block_align=None):
     byte_rate = rate * channels * bits // 8
+    if block_align is None:
+        block_align = channels * bits // 8
     return (
         b"RIFF" + (36 + len(payload)).to_bytes(4, "little") + b"WAVE"
         + b"fmt " + (16).to_bytes(4, "little")
@@ -1781,7 +1783,7 @@ def _wav_bytes(payload, fmt_code, channels, rate, bits):
         + channels.to_bytes(2, "little")
         + rate.to_bytes(4, "little")
         + byte_rate.to_bytes(4, "little")
-        + (channels * bits // 8).to_bytes(2, "little")
+        + block_align.to_bytes(2, "little")
         + bits.to_bytes(2, "little")
         + b"data" + len(payload).to_bytes(4, "little")
         + payload
@@ -1829,9 +1831,9 @@ def test_wav_pcm_samples_all_depths():
     assert lf8 == "float64"
     assert np.abs(sf8 - wave).max() == 0.0
 
-    # unsupported layouts stay None (never a crash): 12-bit PCM, ALAW
+    # unsupported layouts stay None (never a crash): 12-bit PCM, MPEG WAV
     assert _wav_pcm_samples(_wav_bytes(b"\x00" * 24, 1, 1, 800, 12)) is None
-    assert _wav_pcm_samples(_wav_bytes(b"\x00" * 24, 6, 1, 800, 8)) is None
+    assert _wav_pcm_samples(_wav_bytes(b"\x00" * 24, 80, 1, 800, 16)) is None
 
 
 def test_decode_audio_float32_wav(spark):
@@ -1850,6 +1852,235 @@ def test_decode_audio_float32_wav(spark):
     assert row["n_samples"] == 4000
     assert row["rms"] == pytest.approx(0.25 / np.sqrt(2), rel=1e-3)
     assert row["peak"] == pytest.approx(0.25, rel=1e-3)
+
+
+_G711_SEG_ENDS = (0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF)
+
+
+def _mulaw_encode_scalar(x: int) -> int:
+    """Independent G.711 mu-law encoder (canonical segment-search form,
+    public-domain Sun g711.c lineage) — NOT the decode-table path under
+    test."""
+    sign = 0x80 if x < 0 else 0
+    if x < 0:
+        x = -x
+    x = min(x + 0x84, 0x7FFF)
+    seg = next(s for s, end in enumerate(_G711_SEG_ENDS) if x <= end)
+    return ~(sign | (seg << 4) | ((x >> (seg + 3)) & 0x0F)) & 0xFF
+
+
+def _alaw_encode_scalar(x: int) -> int:
+    """Independent G.711 A-law encoder (canonical 13-bit segment-search
+    form; sign bit SET means positive, even bits inverted via 0x55)."""
+    x >>= 3  # 16-bit -> 13-bit magnitude domain
+    if x >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        x = -x - 1
+    seg_ends = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+    seg = next((s for s, end in enumerate(seg_ends) if x <= end), 8)
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (x >> 1) & 0x0F if seg < 2 else (x >> seg) & 0x0F
+    return aval ^ mask
+
+
+def test_wav_g711_mulaw_alaw_decode():
+    """G.711 companded WAV decodes for real: encoding a sine with an
+    independent spec-built encoder and decoding through the table path
+    reconstructs the waveform within companding quantization error."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _wav_pcm_samples
+
+    t = np.linspace(0, 1, 800, endpoint=False)
+    wave = 0.5 * np.sin(2 * np.pi * 7 * t)
+    lin = (wave * 32767).astype(int)
+
+    mu = bytes(_mulaw_encode_scalar(int(v)) for v in lin)
+    smu, ch, rate, lmu = _wav_pcm_samples(_wav_bytes(mu, 7, 1, 800, 8))
+    assert (ch, rate, lmu) == (1, 800, "mulaw")
+    # top mu-law segment quantizes at 1024 linear units -> half-step tol
+    assert np.abs(smu - wave).max() < 520 / 32768.0
+
+    al = bytes(_alaw_encode_scalar(int(v)) for v in lin)
+    sal, _, _, lal = _wav_pcm_samples(_wav_bytes(al, 6, 1, 800, 8))
+    assert lal == "alaw"
+    assert np.abs(sal - wave).max() < 1040 / 32768.0
+
+    # sign symmetry of the table itself: code for -x mirrors +x
+    assert _wav_pcm_samples(_wav_bytes(mu, 7, 1, 800, 8))[0][0] == -(
+        _wav_pcm_samples(
+            _wav_bytes(
+                bytes(_mulaw_encode_scalar(-int(v)) for v in lin), 7, 1, 800, 8
+            )
+        )[0][0]
+    )
+
+
+def _ima_encode(samples, channels, block_align, return_recon=False):
+    """Independent spec-built IMA ADPCM encoder (mono or stereo):
+    4-byte per-channel block headers, low-nibble-first packing,
+    4-byte-word round-robin channel interleave. With ``return_recon``
+    also returns the encoder's own reconstructed sample sequence —
+    the decoder shares the recurrence, so decode must match it
+    EXACTLY."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _IMA_INDEX_ADJ, _IMA_STEPS
+
+    head = 4 * channels
+    spb = (block_align - head) * 2 // channels + 1  # samples per block
+    frames = np.asarray(samples, dtype=int).reshape(-1, channels)
+    out = bytearray()
+    recon = []
+    index = [0] * channels
+    for b0 in range(0, len(frames), spb):
+        blk = frames[b0 : b0 + spb]
+        if len(blk) < spb:
+            break  # encoder emits full blocks only
+        preds = [int(blk[0, c]) for c in range(channels)]
+        for c in range(channels):
+            out += int(preds[c]).to_bytes(2, "little", signed=True)
+            out += bytes([index[c], 0])
+        nibs = [[] for _ in range(channels)]
+        blk_recon = [[p] for p in preds]
+        for c in range(channels):
+            pred = preds[c]
+            for v in blk[1:, c]:
+                step = int(_IMA_STEPS[index[c]])
+                delta = int(v) - pred
+                nib = 0x8 if delta < 0 else 0
+                delta = abs(delta)
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = min(max(pred + (-diff if nib & 8 else diff), -32768),
+                           32767)
+                index[c] = min(max(index[c] + int(_IMA_INDEX_ADJ[nib & 7]),
+                                   0), 88)
+                nibs[c].append(nib)
+                blk_recon[c].append(pred)
+        recon.extend(
+            np.stack([np.asarray(r) for r in blk_recon], axis=1).ravel()
+        )
+        # pack: per channel 8 nibbles -> 4 bytes, words round-robin
+        words = [
+            bytes(
+                (nibs[c][i + 2 * j] | (nibs[c][i + 2 * j + 1] << 4))
+                for j in range(4)
+            )
+            for i in range(0, len(nibs[0]), 8)
+            for c in range(channels)
+        ]
+        out += b"".join(words)
+    if return_recon:
+        return bytes(out), np.asarray(recon, dtype="float64") / 32768.0
+    return bytes(out)
+
+
+def test_wav_ima_adpcm_mono_roundtrip():
+    """IMA ADPCM WAV decodes with the true predictor recurrence: a
+    spec-built encoder's output reconstructs the sine within the
+    adaptive step error."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _wav_pcm_samples
+
+    rate, block_align = 8000, 256  # 505 samples per mono block
+    t = np.linspace(0, 0.25, 2020, endpoint=False)
+    wave = 0.5 * np.sin(2 * np.pi * 50 * t)
+    lin = np.round(wave * 32767).astype(int)
+    payload, recon = _ima_encode(lin, 1, block_align, return_recon=True)
+    out = _wav_pcm_samples(_wav_bytes(payload, 0x11, 1, rate, 4, block_align))
+    assert out is not None
+    samples, ch, r, label = out
+    assert (ch, r, label) == (1, rate, "ima-adpcm")
+    assert len(samples) == 2020  # 4 full blocks x 505
+    # decoder shares the recurrence with the encoder: EXACT match
+    assert np.array_equal(samples, recon)
+    err = samples - wave
+    assert float(np.sqrt(np.mean(err**2))) < 0.01
+
+
+def test_wav_ima_adpcm_stereo_interleave(spark):
+    """Stereo IMA ADPCM: the 4-byte-word round-robin interleave must
+    land each channel's samples in the right interleaved slots, and
+    decode_audio reports frame counts (not raw sample counts)."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import (_wav_pcm_samples,
+                                                  decode_audio)
+
+    rate, block_align = 4000, 512  # (512-8)*2/2+1 = 505 frames/block
+    n = 505 * 2
+    t = np.arange(n) / rate
+    left = 0.5 * np.sin(2 * np.pi * 30 * t)
+    right = 0.2 * np.sin(2 * np.pi * 70 * t)
+    frames = np.round(
+        np.stack([left, right], axis=1) * 32767
+    ).astype(int)
+    payload, recon = _ima_encode(
+        frames.ravel(), 2, block_align, return_recon=True
+    )
+    samples, ch, r, label = _wav_pcm_samples(
+        _wav_bytes(payload, 0x11, 2, rate, 4, block_align)
+    )
+    assert (ch, r, label) == (2, rate, "ima-adpcm")
+    # decoder reproduces the encoder recurrence EXACTLY, interleave and
+    # all — any channel swap / word-order bug breaks this equality
+    assert np.array_equal(samples, recon)
+    dec = samples.reshape(-1, 2)
+    assert len(dec) == n
+    # past the onset transient the codec tracks the waveform closely
+    assert np.abs(dec[50:, 0] - left[50:]).max() < 0.05
+    assert np.abs(dec[50:, 1] - right[50:]).max() < 0.05
+    # the two channels must not be swapped: amplitude identifies them
+    assert np.abs(dec[:, 0]).max() > 2 * np.abs(dec[:, 1]).max()
+
+    df = spark.createDataFrame(
+        [(0, _wav_bytes(payload, 0x11, 2, rate, 4, block_align))],
+        "asset_id long, content binary",
+    )
+    row = decode_audio(df).toPandas().iloc[0]
+    assert row["decoder"] == "ima-adpcm"
+    assert row["n_channels"] == 2
+    assert row["n_samples"] == n
+    assert row["duration_s"] == pytest.approx(n / rate)
+
+
+def test_decode_audio_mulaw_stats(spark):
+    """decode_audio end-to-end on a mu-law telephone-style WAV: true
+    RMS/peak from the decoded companded samples."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import decode_audio
+
+    t = np.linspace(0, 0.5, 4000, endpoint=False)
+    lin = np.round(0.25 * np.sin(2 * np.pi * 440 * t) * 32767).astype(int)
+    mu = bytes(_mulaw_encode_scalar(int(v)) for v in lin)
+    df = spark.createDataFrame(
+        [(0, _wav_bytes(mu, 7, 1, 8000, 8))], "asset_id long, content binary"
+    )
+    row = decode_audio(df).toPandas().iloc[0]
+    assert row["decoder"] == "mulaw"
+    assert row["n_samples"] == 4000
+    assert row["rms"] == pytest.approx(0.25 / np.sqrt(2), rel=2e-2)
+    assert row["peak"] == pytest.approx(0.25, rel=2e-2)
 
 
 def test_jpeg_restart_interval_roundtrip():

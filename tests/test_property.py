@@ -243,6 +243,18 @@ def _multimodal_fixtures():
             0, 256, (20, 20, 3), dtype=np.uint8), compression=5,
             tile=(16, 16), predictor=2),
         tm._ogg_page(b"\x01vorbis" + b"\x00" * 23, 0, htype=2),
+        tm._wav_bytes(
+            bytes(tm._mulaw_encode_scalar(v) for v in range(-4000, 4000, 50)),
+            7, 1, 8000, 8),
+        tm._wav_bytes(
+            bytes(tm._alaw_encode_scalar(v) for v in range(-4000, 4000, 50)),
+            6, 1, 8000, 8),
+        tm._wav_bytes(
+            tm._ima_encode(
+                np.round(
+                    2000 * np.sin(np.arange(1010) / 9.0)
+                ).astype(int), 1, 256),
+            0x11, 1, 8000, 4, 256),
     ]
 
 

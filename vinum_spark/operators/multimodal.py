@@ -1882,6 +1882,7 @@ def _riff_fmt(data: bytes, off: int):
         "channels": int.from_bytes(data[off + 2 : off + 4], "little"),
         "sample_rate": int.from_bytes(data[off + 4 : off + 8], "little"),
         "byte_rate": int.from_bytes(data[off + 8 : off + 12], "little"),
+        "block_align": int.from_bytes(data[off + 12 : off + 14], "little"),
         "bits": int.from_bytes(data[off + 14 : off + 16], "little"),
     }
 
@@ -2187,12 +2188,128 @@ def _parse_adts(data: bytes):
     return channels, rate, total_samples, duration, avg_kbps
 
 
+def _g711_tables():
+    """Build the 256-entry G.711 mu-law / A-law decode tables from the
+    segment formulas (ITU-T G.711): sign + 3-bit exponent (segment) +
+    4-bit mantissa. Computed once, vectorized lookup thereafter."""
+    codes = np.arange(256, dtype=np.int64)
+    # mu-law: transmitted bytes are bit-inverted
+    u = codes ^ 0xFF
+    exp = (u >> 4) & 0x07
+    man = u & 0x0F
+    mu = (((man << 3) + 0x84) << exp) - 0x84
+    mu = np.where(u & 0x80, -mu, mu).astype("float64") / 32768.0
+    # A-law: even bits are inverted on the wire (XOR 0x55)
+    a = codes ^ 0x55
+    exp_a = (a >> 4) & 0x07
+    man_a = a & 0x0F
+    lin = np.where(
+        exp_a == 0,
+        (man_a << 4) + 8,
+        ((man_a << 4) + 0x108) << np.maximum(exp_a - 1, 0),
+    )
+    # A-law sign convention is inverted vs mu-law: set bit = positive
+    al = np.where(a & 0x80, lin, -lin).astype("float64") / 32768.0
+    return mu, al
+
+
+_G711_MULAW, _G711_ALAW = _g711_tables()
+
+#: IMA/DVI ADPCM step-size table (89 entries) and index-adjust table —
+#: public IMA ADPCM reference algorithm (also RFC 3551 app. and
+#: Microsoft WAVE_FORMAT_IMA_ADPCM docs).
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int64)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_decode_channel(pred: int, index: int, nibbles) -> list:
+    """Decode one channel's nibble stream with the IMA ADPCM recurrence.
+    Inherently sequential (each step's size depends on the previous
+    index); runs per-block so cost is bounded by the block size."""
+    out = []
+    index = min(max(index, 0), 88)
+    for nib in nibbles:
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        if nib & 8:
+            pred -= diff
+        else:
+            pred += diff
+        pred = min(max(pred, -32768), 32767)
+        index = min(max(index + int(_IMA_INDEX_ADJ[nib & 7]), 0), 88)
+        out.append(pred)
+    return out
+
+
+def _wav_ima_adpcm_samples(payload: bytes, channels: int, block_align: int,
+                           max_samples: int = 1 << 24):
+    """REAL IMA ADPCM (WAVE format 0x11) decode. Blocks are independent:
+    each starts with a 4-byte per-channel header (initial i16 predictor,
+    step index, reserved), then interleaves 4-byte words round-robin per
+    channel, 2 nibbles per byte low-first. Returns interleaved float64
+    samples in [-1, 1] (header sample included) or None."""
+    if channels < 1 or channels > 8:
+        return None
+    head = 4 * channels
+    if block_align <= head or block_align % 4:
+        return None
+    frames = []
+    for b0 in range(0, len(payload) - head + 1, block_align):
+        block = payload[b0 : b0 + block_align]
+        chans = []
+        for c in range(channels):
+            pred = int.from_bytes(
+                block[4 * c : 4 * c + 2], "little", signed=True
+            )
+            index = block[4 * c + 2]
+            if index > 88:
+                return None  # corrupt header: refuse, don't invent audio
+            chans.append([pred])
+            body = block[head:]
+            # words for channel c: every channels-th 4-byte group
+            nib_bytes = b"".join(
+                body[i : i + 4]
+                for i in range(4 * c, len(body) - 3, 4 * channels)
+            )
+            nibs = []
+            for byte in nib_bytes:
+                nibs.append(byte & 0x0F)
+                nibs.append(byte >> 4)
+            chans[c].extend(_ima_decode_channel(pred, index, nibs))
+        n = min(len(ch) for ch in chans)
+        arr = np.empty(n * channels, dtype="float64")
+        for c, ch in enumerate(chans):
+            arr[c::channels] = np.asarray(ch[:n], dtype="float64") / 32768.0
+        frames.append(arr)
+        if sum(len(f) for f in frames) > max_samples:
+            break
+    if not frames:
+        return None
+    return np.concatenate(frames)
+
+
 def _wav_pcm_samples(data: bytes):
     """REAL sample decode for PCM WAV — no codec library, every common
     linear layout: unsigned 8-bit, 16/24/32-bit signed little-endian
     (24-bit unpacked via a zero-padded byte view), and IEEE float32/
-    float64 (format 3). Returns (float64 samples in [-1, 1], channels,
-    sample_rate) or None for non-RIFF / non-linear-PCM content."""
+    float64 (format 3); plus the companded G.711 layouts (format 6
+    A-law, format 7 mu-law, table decode from the segment formulas) and
+    IMA ADPCM (format 0x11, true predictor recurrence). Returns
+    (float64 samples in [-1, 1], channels, sample_rate, label) or None
+    for non-RIFF / unrecognized-format content."""
     fmt = None
     payload = None
     for cid, off, csize in _riff_chunks(data):
@@ -2238,6 +2355,20 @@ def _wav_pcm_samples(data: bytes):
         else:
             return None
         samples = np.clip(samples, -1.0, 1.0)
+    elif fmt["format"] in (6, 7):  # G.711 A-law / mu-law, 8-bit codes
+        if bits not in (0, 8):
+            return None
+        table = _G711_ALAW if fmt["format"] == 6 else _G711_MULAW
+        samples = table[np.frombuffer(payload, dtype="u1")]
+        return (samples, fmt["channels"], fmt["sample_rate"],
+                "alaw" if fmt["format"] == 6 else "mulaw")
+    elif fmt["format"] == 0x11:  # IMA ADPCM
+        samples = _wav_ima_adpcm_samples(
+            payload, fmt["channels"], fmt["block_align"]
+        )
+        if samples is None:
+            return None
+        return samples, fmt["channels"], fmt["sample_rate"], "ima-adpcm"
     else:
         return None
     label = f"pcm{bits}" if fmt["format"] == 1 else f"float{bits}"
@@ -2262,9 +2393,10 @@ def decode_audio(
     df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
 ) -> DataFrame:
     """Waveform statistics from REAL PCM decode (WAV: unsigned 8-bit,
-    16/24/32-bit signed, float32/64): sample count, duration, RMS,
-    peak — computed with numpy over the data chunk, no codec library;
-    ``decoder`` records the layout (``pcm16``, ``pcm24``, ``float32``,
+    16/24/32-bit signed, float32/64, G.711 A-law/mu-law, IMA ADPCM):
+    sample count, duration, RMS, peak — computed with numpy over the
+    data chunk, no codec library; ``decoder`` records the layout
+    (``pcm16``, ``pcm24``, ``float32``, ``mulaw``, ``ima-adpcm``,
     ...). MP3 gets a frame-header walk
     (``decoder='mpeg-frames'``): channels / rate / samples / duration
     are TRUE values from the headers, while rms/peak stay NULL — the
