@@ -2356,6 +2356,305 @@ def _ogg_page(payload, granule, serial=7, htype=0):
     )
 
 
+class _FlacW:
+    """MSB-first bit writer for the spec-built FLAC encoder."""
+
+    def __init__(self):
+        self.bits = []
+
+    def w(self, val, k):
+        self.bits.extend((int(val) >> (k - 1 - i)) & 1 for i in range(k))
+
+    def signed(self, val, k):
+        self.w(int(val) & ((1 << k) - 1), k)
+
+    def unary(self, q):
+        self.bits.extend([0] * q + [1])
+
+    def align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def tobytes(self):
+        import numpy as np
+
+        self.align()
+        return np.packbits(np.array(self.bits, dtype=np.uint8)).tobytes()
+
+
+def _flac_rice_write(w, resid, param, escape=False, pbits=4):
+    esc = (1 << pbits) - 1
+    if escape:
+        w.w(esc, pbits)
+        raw = max(
+            (int(r).bit_length() + 1 for r in resid), default=1
+        )
+        w.w(raw, 5)
+        for r in resid:
+            w.signed(r, raw)
+        return
+    w.w(param, pbits)
+    for r in resid:
+        z = (int(r) << 1) ^ (int(r) >> 63)
+        w.unary(z >> param)
+        w.w(z & ((1 << param) - 1), param)
+
+
+def _flac_write_subframe(w, samples, bps, mode, lpc=None, wasted=0,
+                         escape=False, po=0):
+    """One subframe in the requested shape. ``samples`` are final
+    (already including any wasted-bit shift)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    w.w(0, 1)  # pad
+    ebps = bps - wasted
+    if mode == "constant":
+        w.w(0, 6)
+    elif mode == "verbatim":
+        w.w(1, 6)
+    elif mode.startswith("fixed"):
+        w.w(8 + int(mode[5]), 6)
+    elif mode == "lpc":
+        w.w(32 + len(lpc[0]) - 1, 6)
+    if wasted:
+        w.w(1, 1)
+        w.unary(wasted - 1)
+        s = s >> wasted
+    else:
+        w.w(0, 1)
+    if mode == "constant":
+        w.signed(s[0], ebps)
+        return
+    if mode == "verbatim":
+        for v in s:
+            w.signed(v, ebps)
+        return
+    if mode.startswith("fixed"):
+        order = int(mode[5])
+        for v in s[:order]:
+            w.signed(v, ebps)
+        resid = np.diff(s, n=order) if order else s
+    else:  # lpc
+        coefs, shift, prec = lpc
+        order = len(coefs)
+        for v in s[:order]:
+            w.signed(v, ebps)
+        w.w(prec - 1, 4)
+        w.signed(shift, 5)
+        for c in coefs:
+            w.signed(c, prec)
+        resid = [
+            int(s[i]) - (sum(c * int(s[i - 1 - j])
+                             for j, c in enumerate(coefs)) >> shift)
+            for i in range(order, len(s))
+        ]
+    # residual section: method 0 (4-bit params), partition order po
+    w.w(0, 2)
+    w.w(po, 4)
+    nparts = 1 << po
+    blocksize = len(s)
+    assert blocksize % nparts == 0
+    start = 0
+    for p in range(nparts):
+        cnt = blocksize // nparts - (order if p == 0 else 0)
+        part = list(resid[start : start + cnt])
+        start += cnt
+        zmax = max((abs(int(r)) * 2 for r in part), default=0)
+        param = max(0, zmax.bit_length() - 3)
+        if mode == "lpc" and lpc is None:
+            param = 0
+        _flac_rice_write(w, part, min(param, 14), escape=escape)
+        # LPC subframe header pieces were written above for lpc mode
+    return
+
+
+def _flac_encode(frames, rate=8000, bits=16, blocksize=192, mode="fixed2",
+                 stereo=None, lpc=None, wasted=0, escape=False, po=0):
+    """Independent spec-built FLAC encoder: STREAMINFO + fixed-blocking
+    frames (8-bit uncommon blocksize header), one subframe shape per
+    call. ``frames`` is (n,) mono or (n, 2) stereo int samples."""
+    import numpy as np
+
+    s = np.asarray(frames, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, channels = s.shape
+    out = bytearray(_flac_bytes(rate=rate, channels=channels, bits=bits,
+                                total=n))
+    idx = 0
+    for b0 in range(0, n, blocksize):
+        blk = s[b0 : b0 + blocksize]
+        w = _FlacW()
+        w.w(0x3FFE, 14)
+        w.w(0, 1)
+        w.w(0, 1)  # fixed blocking
+        w.w(6, 4)  # 8-bit uncommon blocksize follows
+        w.w(0, 4)  # rate from streaminfo
+        if stereo is None:
+            w.w(channels - 1, 4)
+        else:
+            w.w({"leftside": 8, "rightside": 9, "midside": 10}[stereo], 4)
+        w.w({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bits], 3)
+        w.w(0, 1)
+        assert idx < 128
+        w.w(idx, 8)  # UTF-8 coded frame number (single byte)
+        w.w(len(blk) - 1, 8)
+        w.w(0, 8)  # CRC-8 (decoder does not validate)
+        if stereo is None:
+            for c in range(channels):
+                _flac_write_subframe(w, blk[:, c], bits, mode, lpc=lpc,
+                                     wasted=wasted, escape=escape, po=po)
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if stereo == "leftside":
+                subs = [(left, bits), (side, bits + 1)]
+            elif stereo == "rightside":
+                subs = [(side, bits + 1), (right, bits)]
+            else:
+                subs = [((left + right) >> 1, bits), (side, bits + 1)]
+            for vals, w_bits in subs:
+                _flac_write_subframe(w, vals, w_bits, mode, lpc=lpc, po=po)
+        w.align()
+        w.w(0, 16)  # CRC-16 (decoder does not validate)
+        out += w.tobytes()
+        idx += 1
+    return bytes(out)
+
+
+def _flac_test_wave(n=500, bits=16, channels=1):
+    import numpy as np
+
+    amp = (1 << (bits - 2)) - 1
+    t = np.arange(n)
+    if channels == 1:
+        return np.round(amp * np.sin(t / 7.0)).astype(np.int64)
+    return np.round(
+        np.stack([amp * np.sin(t / 7.0), 0.4 * amp * np.sin(t / 3.0)],
+                 axis=1)
+    ).astype(np.int64)
+
+
+def test_flac_decode_verbatim_and_constant():
+    """Verbatim subframes reproduce samples EXACTLY; constant frames
+    decode to the constant."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _flac_pcm_samples
+
+    wave = _flac_test_wave(480)
+    out = _flac_pcm_samples(_flac_encode(wave, mode="verbatim"))
+    assert out is not None
+    samples, ch, rate, label = out
+    assert (ch, rate, label) == (1, 8000, "flac-pcm")
+    assert np.array_equal(np.round(samples * 32768).astype(np.int64), wave)
+
+    const = np.full(384, -1234, dtype=np.int64)
+    s2, _, _, _ = _flac_pcm_samples(_flac_encode(const, mode="constant"))
+    assert np.array_equal(np.round(s2 * 32768).astype(np.int64), const)
+
+
+def test_flac_decode_fixed_orders_exact():
+    """All five fixed predictor orders restore the signal EXACTLY (the
+    decoder inverts the k-th difference with iterated cumsums)."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _flac_pcm_samples
+
+    wave = _flac_test_wave(576)
+    for order in range(5):
+        out = _flac_pcm_samples(_flac_encode(wave, mode=f"fixed{order}"))
+        assert out is not None, f"order {order}"
+        dec = np.round(out[0] * 32768).astype(np.int64)
+        assert np.array_equal(dec, wave), f"order {order}"
+
+
+def test_flac_decode_lpc_exact():
+    """LPC subframes: integer predictor with quantized coefficients and
+    arithmetic shift must round-trip EXACTLY."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _flac_pcm_samples
+
+    wave = _flac_test_wave(384)
+    coefs, shift, prec = [1848, -871], 10, 12  # near 2cos(w), -1 shape
+    out = _flac_pcm_samples(
+        _flac_encode(wave, mode="lpc", lpc=(coefs, shift, prec))
+    )
+    assert out is not None
+    dec = np.round(out[0] * 32768).astype(np.int64)
+    assert np.array_equal(dec, wave)
+
+
+def test_flac_decode_stereo_decorrelation_exact():
+    """left/side, side/right and mid/side channel modes all reconstruct
+    both channels EXACTLY, including the side channel's extra bit."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _flac_pcm_samples
+
+    wave = _flac_test_wave(384, channels=2)
+    for stereo in ("leftside", "rightside", "midside"):
+        out = _flac_pcm_samples(
+            _flac_encode(wave, mode="fixed1", stereo=stereo)
+        )
+        assert out is not None, stereo
+        samples, ch, _, _ = out
+        assert ch == 2
+        dec = np.round(samples.reshape(-1, 2) * 32768).astype(np.int64)
+        assert np.array_equal(dec, wave), stereo
+
+
+def test_flac_decode_wasted_bits_escape_and_partitions():
+    """Wasted-bits subframes, escape (verbatim) residual partitions and
+    partition order > 0 all round-trip EXACTLY."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _flac_pcm_samples
+
+    wave = _flac_test_wave(384) & ~0x7  # 3 wasted (zero) low bits
+    dec = _flac_pcm_samples(_flac_encode(wave, mode="fixed2", wasted=3))
+    assert dec is not None
+    assert np.array_equal(np.round(dec[0] * 32768).astype(np.int64), wave)
+
+    wave2 = _flac_test_wave(384)
+    dec2 = _flac_pcm_samples(_flac_encode(wave2, mode="fixed1", escape=True))
+    assert dec2 is not None
+    assert np.array_equal(np.round(dec2[0] * 32768).astype(np.int64), wave2)
+
+    dec3 = _flac_pcm_samples(_flac_encode(wave2, mode="fixed1", po=2))
+    assert dec3 is not None
+    assert np.array_equal(np.round(dec3[0] * 32768).astype(np.int64), wave2)
+
+
+def test_decode_audio_flac_pcm_stats(spark):
+    """decode_audio on a frame-bearing FLAC: REAL decoded rms/peak with
+    decoder='flac-pcm'; a STREAMINFO-only FLAC still falls back to
+    header stats with NULL amplitude."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import decode_audio
+
+    n = 2000
+    wave = np.round(
+        0.25 * 32767 * np.sin(2 * np.pi * 440 * np.arange(n) / 8000)
+    ).astype(np.int64)
+    flac = _flac_encode(wave, rate=8000, mode="fixed2")
+    df = spark.createDataFrame(
+        [(0, flac), (1, _flac_bytes(total=44100))],
+        "asset_id long, content binary",
+    )
+    out = decode_audio(df).toPandas().set_index("asset_id").sort_index()
+    assert out.loc[0, "decoder"] == "flac-pcm"
+    assert out.loc[0, "n_samples"] == n
+    assert out.loc[0, "duration_s"] == pytest.approx(n / 8000)
+    assert out.loc[0, "rms"] == pytest.approx(0.25 / np.sqrt(2), rel=2e-2)
+    assert out.loc[0, "peak"] == pytest.approx(0.25, rel=2e-2)
+    assert out.loc[1, "decoder"] == "flac-streaminfo"
+    assert np.isnan(out.loc[1, "rms"])
+
+
 def test_parse_flac_streaminfo():
     from vinum_spark.operators.multimodal import _parse_flac, probe_media
 

@@ -249,6 +249,9 @@ def _multimodal_fixtures():
         tm._wav_bytes(
             bytes(tm._alaw_encode_scalar(v) for v in range(-4000, 4000, 50)),
             6, 1, 8000, 8),
+        tm._flac_encode(tm._flac_test_wave(384), mode="fixed2"),
+        tm._flac_encode(tm._flac_test_wave(384, channels=2), mode="fixed1",
+                        stereo="midside"),
         tm._wav_bytes(
             tm._ima_encode(
                 np.round(
@@ -289,6 +292,7 @@ def test_all_byte_parsers_never_raise(data):
         _jpeg_pixels,
         _parse_adts,
         _parse_avi,
+        _flac_pcm_samples,
         _parse_flac,
         _parse_mp3,
         _parse_mp4,
@@ -303,7 +307,8 @@ def test_all_byte_parsers_never_raise(data):
     for fn in (
         _png_pixels, _gif_pixels, _jpeg_pixels,  # already guarded entries
         _parse_wav, _wav_pcm_samples, _parse_mp3, _parse_adts,
-        _parse_flac, _parse_ogg, _parse_mp4, _parse_avi, _parse_webm,
+        _parse_flac, _flac_pcm_samples, _parse_ogg, _parse_mp4, _parse_avi,
+        _parse_webm,
         _tiff_pixels,
     ):
         fn(data)  # any exception fails the test
