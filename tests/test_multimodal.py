@@ -530,6 +530,31 @@ def test_extract_features_real_wav_rms_envelope(spark):
     assert cos(f[0], f[2]) < 0.85  # half-silent envelope is far
 
 
+def test_extract_features_flac_wav_twins_identical(spark):
+    """A FLAC and a WAV of the SAME recording land on the SAME
+    RMS-envelope vector (FLAC is lossless), under distinct extractor
+    labels — the near-dup property the feature exists for."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import extract_features
+
+    n = 4000
+    lin = np.round(
+        0.3 * 32767 * np.sin(2 * np.pi * 220 * np.arange(n) / 8000)
+    ).astype(np.int64)
+    wav = _wav_bytes(lin.astype("<i2").tobytes(), 1, 1, 8000, 16)
+    flac = _flac_encode(lin, rate=8000, mode="fixed2")
+    df = spark.createDataFrame(
+        [(0, wav), (1, flac)], "asset_id long, content binary"
+    )
+    out = {r["asset_id"]: r for r in extract_features(df).collect()}
+    assert out[0]["extractor"] == "wav-rms64"
+    assert out[1]["extractor"] == "flac-rms64"
+    assert np.array_equal(
+        np.array(out[0]["feature"]), np.array(out[1]["feature"])
+    )
+
+
 def test_extract_features_silent_wav_unit_vector(spark):
     # review regression: digital silence must not produce a zero vector
     import numpy as np

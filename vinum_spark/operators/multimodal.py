@@ -3095,11 +3095,13 @@ def extract_features(
     REAL for decodable PNGs, GIFs, and baseline JPEGs: 8×8 mean-pooled
     grayscale over the actual pixels (``extractor='png-pool8'`` /
     ``'gif-pool8'`` / ``'jpeg-pool8'``).
-    REAL for decodable PCM16 WAVs:
-    the 64-window RMS loudness envelope of the actual samples, L2-
-    normalized (``extractor='wav-rms64'``) — the classic codec-free
-    audio fingerprint, enough for near-dup detection of re-encoded or
-    trimmed copies. STUB elsewhere: sha-seeded unit vector,
+    REAL for decodable WAVs (every linear/G.711/ADPCM layout) and
+    FLACs: the 64-window RMS loudness envelope of the actual samples,
+    L2-normalized (``extractor='wav-rms64'`` / ``'flac-rms64'``) — the
+    classic codec-free audio fingerprint, enough for near-dup
+    detection of re-encoded or trimmed copies (and the FLAC/WAV twin
+    of the same recording lands on the SAME vector, since FLAC is
+    lossless). STUB elsewhere: sha-seeded unit vector,
     deterministic, clearly labeled (``extractor='stub'``) — a real
     model slots into the same batch loop. Either way the output feeds
     straight into ``operators.similarity`` (cosine top-k / LSH)
@@ -3128,9 +3130,13 @@ def extract_features(
                     kinds.append(kind)
                     continue
                 wav = _wav_pcm_samples(data)
+                akind = "wav-rms64"
+                if wav is None:
+                    wav = _flac_pcm_samples(data)
+                    akind = "flac-rms64"
                 if wav is not None and wav[0].size >= _FEATURE_DIM:
                     feats.append(_rms_envelope_feature(wav[0]).tolist())
-                    kinds.append("wav-rms64")
+                    kinds.append(akind)
                     continue
                 seed = int.from_bytes(hashlib.sha1(data).digest()[:4], "big")
                 v = np.random.RandomState(seed).standard_normal(_FEATURE_DIM)
