@@ -397,6 +397,11 @@ def _diff_num(draw, depth=2):
             )
         if sub == 1:
             return f"length(s)", f"length(s)", False
+        if draw(st.booleans()):
+            fn = draw(st.sampled_from(["floor", "ceil"]))
+            # both engines: float in, integral-valued result; cast the
+            # oracle to DOUBLE since DuckDB floor(int) stays int
+            return f"{fn}({av})", f"CAST({fn}({ad}) AS DOUBLE)", True
         return f"abs({av})", f"abs({ad})", af
     if kind == 3 and draw(st.booleans()):
         sub = draw(st.integers(0, 2))
@@ -622,8 +627,20 @@ def _diff_query(draw):
     for k, agg in enumerate(aggs):
         ev, ed, _ = draw(_diff_num(depth=1))
         if agg == "count" and draw(st.booleans()):
-            vin_items.append(f"count(*) AS a{k}")
-            duck_items.append(f"count(*) AS a{k}")
+            form = draw(st.integers(0, 2))
+            if form == 0:
+                vin_items.append(f"count(*) AS a{k}")
+                duck_items.append(f"count(*) AS a{k}")
+            elif form == 1:  # count(DISTINCT expr)
+                vin_items.append(f"count(DISTINCT {ev}) AS a{k}")
+                duck_items.append(f"count(DISTINCT {ed}) AS a{k}")
+            else:
+                vin_items.append(f"count(s) AS a{k}")
+                duck_items.append(f"count(s) AS a{k}")
+        elif agg in ("min", "max") and draw(st.booleans()):
+            sv, sd = draw(_diff_str(depth=1))
+            vin_items.append(f"{agg}({sv}) AS a{k}")
+            duck_items.append(f"{agg}({sd}) AS a{k}")
         else:
             vin_items.append(f"{agg}({ev}) AS a{k}")
             duck_items.append(f"{agg}({ed}) AS a{k}")
