@@ -2108,6 +2108,79 @@ def test_decode_audio_mulaw_stats(spark):
     assert row["peak"] == pytest.approx(0.25, rel=2e-2)
 
 
+def test_resample_audio_downsample_and_upsample(spark):
+    """resample_audio normalizes rates for REAL: an 8 kHz sine lands on
+    the 4 kHz grid as the directly-generated 4 kHz sine (within linear-
+    interp error), and upsampling doubles the frame count. Output is a
+    decodable PCM16 WAV that chains into decode_audio."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import decode_audio, resample_audio
+
+    n, rate = 4000, 8000
+    wave = 0.25 * np.sin(2 * np.pi * 440 * np.arange(n) / rate)
+    wav = _wav_bytes(
+        np.round(wave * 32767).astype("<i2").tobytes(), 1, 1, rate, 16
+    )
+    df = spark.createDataFrame(
+        [(0, wav), (1, b"not audio")], "asset_id long, content binary"
+    )
+    out = resample_audio(df, 4000).toPandas().set_index("asset_id")
+    assert out.loc[0, "resampler"] == "pcm16-linear"
+    assert out.loc[0, "sample_rate"] == 4000
+    assert out.loc[0, "n_samples"] == 2000
+    assert out.loc[1, "resampler"] == "stub"
+    assert bytes(out.loc[1, "content"]) == b"not audio"
+
+    from vinum_spark.operators.multimodal import _wav_pcm_samples
+
+    dec, ch, r, _ = _wav_pcm_samples(bytes(out.loc[0, "content"]))
+    want = 0.25 * np.sin(2 * np.pi * 440 * np.arange(2000) / 4000)
+    # linear interp on a 440 Hz tone sampled at 8 kHz: curvature error
+    # ~ amp*(2*pi*f/fs)^2/8 ~ 0.004, plus 16-bit quantization
+    assert np.abs(dec - want).max() < 0.01
+
+    up = resample_audio(df, 16000).toPandas().set_index("asset_id")
+    assert up.loc[0, "n_samples"] == 8000
+
+    # chains into decode_audio: uniform-rate corpus, true stats
+    chained = decode_audio(
+        resample_audio(df, 4000).select("asset_id", "content")
+    ).toPandas().set_index("asset_id")
+    assert chained.loc[0, "decoder"] == "pcm16"
+    assert chained.loc[0, "sample_rate"] == 4000
+    assert chained.loc[0, "rms"] == pytest.approx(0.25 / np.sqrt(2), rel=2e-2)
+
+
+def test_resample_audio_flac_and_stereo(spark):
+    """FLAC input resamples through the real bitstream decode (label
+    'flac-pcm-linear'); stereo interleave survives the per-channel
+    interpolation."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import (_wav_pcm_samples,
+                                                  resample_audio)
+
+    n, rate = 3840, 8000
+    t = np.arange(n) / rate
+    st = np.round(
+        np.stack(
+            [0.4 * 32767 * np.sin(2 * np.pi * 100 * t),
+             0.1 * 32767 * np.sin(2 * np.pi * 250 * t)], axis=1
+        )
+    ).astype(np.int64)
+    flac = _flac_encode(st, rate=rate, mode="fixed2", stereo="midside")
+    df = spark.createDataFrame([(0, flac)], "asset_id long, content binary")
+    out = resample_audio(df, 4000).toPandas().iloc[0]
+    assert out["resampler"] == "flac-pcm-linear"
+    dec, ch, r, _ = _wav_pcm_samples(bytes(out["content"]))
+    assert (ch, r) == (2, 4000)
+    pair = dec.reshape(-1, 2)
+    t2 = np.arange(n // 2) / 4000
+    assert np.abs(pair[:, 0] - 0.4 * np.sin(2 * np.pi * 100 * t2)).max() < 0.01
+    assert np.abs(pair[:, 1] - 0.1 * np.sin(2 * np.pi * 250 * t2)).max() < 0.01
+
+
 def test_jpeg_restart_interval_roundtrip():
     """DRI/RSTn streams (the camera-JPEG staple) must decode pixel-
     identically to the same data without restarts: byte-aligned RSTn

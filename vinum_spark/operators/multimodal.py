@@ -3055,6 +3055,86 @@ def resize_images(
     return df.mapInPandas(batches, schema=_RESIZE_SCHEMA)
 
 
+def _wav_encode_pcm16(samples: np.ndarray, channels: int, rate: int) -> bytes:
+    """Encode interleaved float64 samples in [-1, 1] as a PCM16 WAV."""
+    ints = np.clip(np.round(samples * 32768.0), -32768, 32767).astype("<i2")
+    payload = ints.tobytes()
+    return (
+        b"RIFF" + (36 + len(payload)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * 2).to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data" + len(payload).to_bytes(4, "little") + payload
+    )
+
+
+_RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("resampler", T.StringType()),
+    ]
+)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL audio resample to a uniform ``target_rate`` — the rate-
+    normalization stage a training corpus needs before batched feature
+    extraction. Decodable audio (every WAV layout incl. G.711/ADPCM,
+    frame-bearing FLAC) is decoded, linearly interpolated per channel
+    onto the target grid with ``np.interp``, and re-encoded as a PCM16
+    WAV (``resampler='<decoder>-linear'``, e.g. ``'flac-pcm-linear'``;
+    the output feeds every downstream WAV consumer). Undecodable
+    content passes through untouched with ``resampler='stub'`` — never
+    invented samples. Arrow-batched ``mapInPandas``, embarrassingly
+    parallel over assets, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(data):
+            data = bytes(data or b"")
+            dec = _wav_pcm_samples(data)
+            if dec is None:
+                dec = _flac_pcm_samples(data)
+            if dec is None:
+                return (data, None, None, "stub")
+            samples, channels, rate, label = dec
+            if not rate or channels < 1:
+                return (data, None, None, "stub")
+            frames = samples.size // channels
+            n_out = max(1, int(round(frames * target_rate / rate)))
+            x = np.arange(n_out, dtype="float64") * (rate / target_rate)
+            xp = np.arange(frames, dtype="float64")
+            out = np.empty(n_out * channels, dtype="float64")
+            for c in range(channels):
+                out[c::channels] = np.interp(x, xp, samples[c::channels])
+            return (
+                _wav_encode_pcm16(out, channels, target_rate),
+                n_out,
+                target_rate,
+                f"{label}-linear",
+            )
+
+        for pdf in it:
+            rows = [one(v) for v in pdf[content_col]]
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in _RESAMPLE_SCHEMA.fields[1:]]
+            )
+            out.insert(0, "asset_id", pdf[id_col].astype("int64").values)
+            yield out
+
+    return df.mapInPandas(batches, schema=_RESAMPLE_SCHEMA)
+
+
 def _pooled_gray_feature(px: np.ndarray) -> np.ndarray:
     """REAL 64-dim image feature: 8×8 block-averaged grayscale,
     mean-centered and L2-normalized (aHash-style). Perceptually
