@@ -62,6 +62,9 @@ GATED = [
     "q79_ann_ivfpq",
     # round-9: media-probe closed-form gate (FLAC/WAV/MP3 walks)
     "q80_media_probe",
+    # round-10: real-sample-decode closed-form gate (verbatim FLAC /
+    # IMA ADPCM / G.711 mu-law built in-query, decode_audio parity)
+    "q81_audio_decode",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible

@@ -10,14 +10,20 @@ parameters and written to parquet once per M:
   builders);
 - image assets are real multi-strip TIFFs with deterministic gradient
   pixels, rotating uncompressed / PackBits / Deflate strips by id%3
-  (the round-10 compressed-strip decoders).
+  (the round-10 compressed-strip decoders);
+- pcm assets are FULLY DECODABLE audio rotating frame-bearing FLAC
+  (fixed-order subframes + Rice residuals) / IMA ADPCM WAV / G.711
+  mu-law WAV by id%3 (~1.2-2k samples each), built with the spec-built
+  test encoders.
 
 Measures, at M=1 / M=10 / M=100 (5k / 50k / 500k assets per kind),
 median wall of a count()-drained pass on one warm session:
 
 - probe_media over the audio corpus (frame/header walks, metadata only);
 - decode_images(pixels=True) over the TIFF corpus (real strip
-  decompression + predictor + reshape per asset).
+  decompression + predictor + reshape per asset);
+- decode_audio over the pcm corpus (real bitstream/predictor/table
+  sample decode + RMS/peak per asset).
 
 Both pipelines are scan -> Arrow-batched mapInPandas with NO shuffle
 (the plan ends at the Python stage), so wall must scale ~M and
@@ -69,6 +75,44 @@ def _audio_bytes(d: int) -> bytes:
         )
     frame = bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * (144 * 128000 // 44100 - 4)
     return frame * (10 + d % 20)
+
+
+def _pcm_audio_bytes(d: int) -> bytes:
+    """Fully-decodable audio asset: frame-bearing FLAC / IMA ADPCM WAV /
+    G.711 mu-law WAV by id%3, deterministic sine content. Uses the
+    spec-built encoders that live with the round-trip tests (the same
+    encoders the decoders are pinned against)."""
+    import numpy as np
+
+    if "/root/repo/tests" not in sys.path:  # executor-side import path
+        sys.path.insert(0, "/root/repo/tests")
+    from test_multimodal import (_flac_encode, _ima_encode,
+                                 _mulaw_encode_scalar, _wav_bytes)
+
+    rate = 8000
+    n = 1200 + (d % 7) * 128
+    wave = np.round(
+        0.4 * 32767 * np.sin(2 * np.pi * (100 + d % 300)
+                             * np.arange(n) / rate)
+    ).astype(np.int64)
+    k = d % 3
+    if k == 0:
+        return _flac_encode(wave[: (n // 192) * 192], rate=rate,
+                            mode=f"fixed{1 + (d // 3) % 4}")
+    if k == 1:
+        return _wav_bytes(_ima_encode(wave, 1, 256), 0x11, 1, rate, 4, 256)
+    global _MU_TABLE
+    if _MU_TABLE is None:  # 64k scalar encodes once, table lookup after
+        _MU_TABLE = np.array(
+            [_mulaw_encode_scalar(v) for v in range(-32768, 32768)],
+            dtype=np.uint8,
+        )
+    return _wav_bytes(
+        _MU_TABLE[(wave + 32768).astype(np.int64)].tobytes(), 7, 1, rate, 8
+    )
+
+
+_MU_TABLE = None
 
 
 def _packbits_encode(data: bytes) -> bytes:
@@ -175,8 +219,9 @@ def build_corpus(spark, m: int) -> tuple[str, str]:
 
     audio_path = os.path.join(OUT_DIR, f"audio_m{m}")
     image_path = os.path.join(OUT_DIR, f"image_m{m}")
-    if os.path.exists(os.path.join(image_path, "_SUCCESS")):
-        return audio_path, image_path
+    pcm_path = os.path.join(OUT_DIR, f"pcm_m{m}")
+    if os.path.exists(os.path.join(pcm_path, "_SUCCESS")):
+        return audio_path, image_path, pcm_path
     base = spark.read.parquet(BASE).select("doc_id")
     copies = spark.range(m).withColumnRenamed("id", "copy")
     ids = base.crossJoin(copies).select(
@@ -197,13 +242,22 @@ def build_corpus(spark, m: int) -> tuple[str, str]:
                 "content": [_tiff_bytes(int(a)) for a in pdf["asset_id"]],
             })
 
+    def build_pcm(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "content": [_pcm_audio_bytes(int(a)) for a in pdf["asset_id"]],
+            })
+
     schema = "asset_id long, content binary"
     parts = max(8, 4 * m)
     ids.repartition(parts).mapInPandas(build_audio, schema=schema) \
         .write.mode("overwrite").parquet(audio_path)
     ids.repartition(parts).mapInPandas(build_image, schema=schema) \
         .write.mode("overwrite").parquet(image_path)
-    return audio_path, image_path
+    ids.repartition(parts).mapInPandas(build_pcm, schema=schema) \
+        .write.mode("overwrite").parquet(pcm_path)
+    return audio_path, image_path, pcm_path
 
 
 def timed(fn, n=3):
@@ -218,16 +272,20 @@ def timed(fn, n=3):
 
 
 def main() -> None:
-    from vinum_spark.operators.multimodal import decode_images, probe_media
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.multimodal import (decode_audio,
+                                                  decode_images, probe_media)
     from vinum_spark.session import get_spark
 
     spark = get_spark("mediascale")
     spark.sparkContext.setLogLevel("ERROR")
 
     for m in (1, 10, 100):
-        audio_path, image_path = build_corpus(spark, m)
+        audio_path, image_path, pcm_path = build_corpus(spark, m)
         audio = spark.read.parquet(audio_path)
         images = spark.read.parquet(image_path)
+        pcm = spark.read.parquet(pcm_path)
 
         def probe():
             df = probe_media(audio, id_col="asset_id")
@@ -237,9 +295,14 @@ def main() -> None:
             df = decode_images(images, pixels=True)
             return df.filter(df.decoder.startswith("tiff")).count()
 
+        def decode_pcm():
+            df = decode_audio(pcm)
+            return df.filter(F.col("rms").isNotNull()).count()
+
         n = {1: 3, 10: 2}.get(m, 2)
         wall_p, rows_p = timed(probe, n=n)
         wall_d, rows_d = timed(decode, n=n)
+        wall_a, rows_a = timed(decode_pcm, n=n)
         print(
             json.dumps(
                 {
@@ -249,6 +312,8 @@ def main() -> None:
                     "probe_parsed": int(rows_p),
                     "decode_wall_s": wall_d,
                     "decode_decoded": int(rows_d),
+                    "audio_wall_s": wall_a,
+                    "audio_decoded": int(rows_a),
                 }
             ),
             flush=True,

@@ -3320,9 +3320,175 @@ def q80(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_q(
+    "q81_audio_decode",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'flac-pcm'
+                           WHEN 1 THEN 'ima-adpcm'
+                           ELSE 'mulaw' END AS decoder,
+           CAST(1 AS INT) AS n_channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(CASE doc_id % 3
+                WHEN 1 THEN ((1200 + (doc_id % 7) * 128) // 505) * 505
+                ELSE 1200 + (doc_id % 7) * 128 END AS BIGINT) AS n_samples,
+           -- exact small-integer quotients: bit-identical across engines
+           CASE doc_id % 3
+                WHEN 1 THEN (((1200 + (doc_id % 7) * 128) // 505) * 505)
+                            / 8000.0
+                ELSE (1200 + (doc_id % 7) * 128) / 8000.0
+           END AS duration_s
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "REAL sample decode under the oracle gate (the q80 pattern, one "
+    "level deeper): per doc, Spark BUILDS a fully-decodable audio file "
+    "from doc_id-derived parameters — verbatim-subframe FLAC (every "
+    "field byte-aligned, so the builder is pure bytes), IMA ADPCM WAV "
+    "(true encode recurrence), or G.711 mu-law WAV, rotating by "
+    "doc_id%3 — and decode_audio must DECODE the samples back out, "
+    "reporting the exact count/rate/duration the oracle computes in "
+    "CLOSED FORM from doc_id. A builder/decoder disagreement on any "
+    "row hash-mismatches; sample-VALUE exactness is pinned separately "
+    "by the encoder round-trip tests (tests/test_multimodal.py).",
+)
+def q81(spark, sf_dir):
+    import pandas as pd
+
+    from vinum_spark.operators.multimodal import decode_audio
+
+    def build(it):
+        import numpy as np
+
+        RATE = 8000
+
+        def streaminfo(total):
+            b = bytearray(34)
+            b[10] = (RATE >> 12) & 0xFF
+            b[11] = (RATE >> 4) & 0xFF
+            b[12] = ((RATE & 0xF) << 4) | (15 >> 4)  # mono, 16-bit
+            b[13] = ((15 & 0xF) << 4) | ((total >> 32) & 0xF)
+            b[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+            return (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+                    + bytes(b))
+
+        def flac_verbatim(wave):
+            # mono 16-bit verbatim subframes: header fields, the
+            # subframe tag and the samples all land on byte boundaries
+            out = bytearray(streaminfo(len(wave)))
+            for i, b0 in enumerate(range(0, len(wave), 192)):
+                blk = wave[b0 : b0 + 192]
+                out += bytes([0xFF, 0xF8,  # sync + fixed blocking
+                              0x60,        # bs code 6 | rate from SI
+                              0x08,        # mono | bps 16
+                              i, len(blk) - 1, 0,  # frame#, bs-1, CRC-8
+                              0x02])       # subframe VERBATIM
+                out += np.asarray(blk, dtype=">i2").tobytes()
+                out += b"\x00\x00"  # frame CRC-16 (not validated)
+            return bytes(out)
+
+        _IDX = (-1, -1, -1, -1, 2, 4, 6, 8)
+        _STEPS = (
+            7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+            34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+            143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+            449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+            1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+            3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+            9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+            22385, 24623, 27086, 29794, 32767)
+
+        def ima_adpcm(wave):
+            # mono blocks of 505 samples (block_align 256); full blocks
+            # only, matching the closed-form (n // 505) * 505 count
+            out = bytearray()
+            index = 0
+            for b0 in range(0, (len(wave) // 505) * 505, 505):
+                blk = wave[b0 : b0 + 505]
+                pred = int(blk[0])
+                out += int(pred).to_bytes(2, "little", signed=True)
+                out += bytes([index, 0])
+                nibs = []
+                for v in blk[1:]:
+                    step = _STEPS[index]
+                    delta = int(v) - pred
+                    nib = 0x8 if delta < 0 else 0
+                    delta = abs(delta)
+                    if delta >= step:
+                        nib |= 4
+                        delta -= step
+                    if delta >= step >> 1:
+                        nib |= 2
+                        delta -= step >> 1
+                    if delta >= step >> 2:
+                        nib |= 1
+                    diff = step >> 3
+                    if nib & 4:
+                        diff += step
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 1:
+                        diff += step >> 2
+                    pred = min(max(pred + (-diff if nib & 8 else diff),
+                                   -32768), 32767)
+                    index = min(max(index + _IDX[nib & 7], 0), 88)
+                    nibs.append(nib)
+                out += bytes(
+                    nibs[i] | (nibs[i + 1] << 4)
+                    for i in range(0, len(nibs), 2)
+                )
+            return wav(bytes(out), 0x11, 4, 256)
+
+        def mulaw_byte(x):
+            sign = 0x80 if x < 0 else 0
+            x = min((-x if x < 0 else x) + 0x84, 0x7FFF)
+            seg = max(x.bit_length() - 8, 0)
+            return ~(sign | (seg << 4) | ((x >> (seg + 3)) & 0x0F)) & 0xFF
+
+        def wav(payload, fmt, bits, block_align):
+            return (
+                b"RIFF" + (36 + len(payload)).to_bytes(4, "little")
+                + b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
+                + fmt.to_bytes(2, "little") + (1).to_bytes(2, "little")
+                + RATE.to_bytes(4, "little")
+                + (RATE * bits // 8).to_bytes(4, "little")
+                + block_align.to_bytes(2, "little")
+                + bits.to_bytes(2, "little")
+                + b"data" + len(payload).to_bytes(4, "little") + payload
+            )
+
+        for pdf in it:
+            content = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 1200 + (d % 7) * 128
+                wave = np.round(
+                    9000.0 * np.sin((np.arange(n) + d) / 9.0)
+                ).astype(np.int64)
+                if d % 3 == 0:
+                    content.append(flac_verbatim(wave))
+                elif d % 3 == 1:
+                    content.append(ima_adpcm(wave))
+                else:
+                    content.append(wav(
+                        bytes(mulaw_byte(int(v)) for v in wave), 7, 8, 1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = d.mapInPandas(build, schema="doc_id long, content binary")
+    return decode_audio(assets, id_col="doc_id").select(
+        F.col("asset_id").cast("long").alias("doc_id"),
+        "decoder",
+        "n_channels",
+        "sample_rate",
+        "n_samples",
+        "duration_s",
+    ).orderBy("doc_id")
+
+
 #: The round driver's correctness gate records only the FIRST 50
-#: entries of ``queries()``; with 80 registered, thirty fall
-#: outside it. Order the export so the operator classes with the least
+#: entries of ``queries()``; with 81 registered, thirty-one fall
+#: outside it (q81 joins the tail by registration position). Order the export so the operator classes with the least
 #: other coverage sit inside the gate: the streaming/multimodal/pipeline
 #: additions (q51-q78) take the slots of queries each subsumed by
 #: other green gates — q20/q44/q45 (set-ops by the golden suite,
