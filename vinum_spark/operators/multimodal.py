@@ -2067,41 +2067,51 @@ class _FlacEof(Exception):
 
 
 class _FlacBits:
-    """MSB-first bit reader over a numpy unpacked-bit view. ``read`` is
-    O(1) numpy calls (packbits + shift), ``unary`` scans for the next
-    set bit in bounded chunks — the shapes Rice coding needs."""
+    """MSB-first bit reader tuned for Rice streams. ``read`` extracts k
+    bits from a byte window with one ``int.from_bytes`` (no numpy per
+    call); ``unary`` walks a precomputed sorted array of set-bit
+    positions with a monotone cursor — amortized O(total set bits) over
+    the whole stream, the dominant cost shape of Rice decoding."""
 
     def __init__(self, data: bytes, start_byte: int = 0):
-        self.b = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.data = data
+        self.ones = np.flatnonzero(
+            np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        )
+        self.oi = 0  # monotone cursor into self.ones
         self.i = start_byte * 8
-        self.n = len(self.b)
+        self.n = len(data) * 8
 
     def read(self, k: int) -> int:
-        j = self.i + k
+        i = self.i
+        j = i + k
         if j > self.n:
             raise _FlacEof
-        sl = self.b[self.i : j]
         self.i = j
         if k == 0:
             return 0
-        return int.from_bytes(np.packbits(sl).tobytes(), "big") >> (-k % 8)
+        b0 = i >> 3
+        nb = ((i & 7) + k + 7) >> 3
+        w = int.from_bytes(self.data[b0 : b0 + nb], "big")
+        return (w >> (nb * 8 - (i & 7) - k)) & ((1 << k) - 1)
 
     def read_signed(self, k: int) -> int:
         v = self.read(k)
         return v - (1 << k) if k and v >= (1 << (k - 1)) else v
 
     def unary(self) -> int:
-        j = self.i
-        while True:
-            if j >= self.n:
-                raise _FlacEof
-            nz = np.flatnonzero(self.b[j : j + 512])
-            if nz.size:
-                pos = j + int(nz[0])
-                q = pos - self.i
-                self.i = pos + 1
-                return q
-            j += 512
+        ones = self.ones
+        oi = self.oi
+        size = ones.size
+        i = self.i
+        while oi < size and ones[oi] < i:
+            oi += 1
+        if oi >= size:
+            raise _FlacEof
+        pos = int(ones[oi])
+        self.oi = oi + 1
+        self.i = pos + 1
+        return pos - i
 
     def align(self):
         self.i = (self.i + 7) & ~7
@@ -2229,6 +2239,8 @@ def _flac_pcm_samples(data: bytes, max_samples: int = 1 << 24):
     does not fully decode (callers fall back to STREAMINFO stats)."""
     info = _parse_flac(data)
     if info is None:
+        return None
+    if len(data) > (64 << 20):  # bound the upfront set-bit index build
         return None
     channels, rate, bits, total = info
     if total and total * channels > max_samples:
