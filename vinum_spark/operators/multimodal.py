@@ -2504,28 +2504,50 @@ _IMA_STEPS = np.array([
 _IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
 
 
+def _ima_tables():
+    """Bake the IMA recurrence into 89x16 lookup rows: signed delta per
+    (step index, nibble) and the next step index — the sequential loop
+    then does two list indexes, one clamp and one append per sample."""
+    deltas = []
+    nxt = []
+    for index in range(89):
+        step = int(_IMA_STEPS[index])
+        drow = []
+        nrow = []
+        for nib in range(16):
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            drow.append(-diff if nib & 8 else diff)
+            nrow.append(min(max(index + int(_IMA_INDEX_ADJ[nib & 7]), 0), 88))
+        deltas.append(drow)
+        nxt.append(nrow)
+    return deltas, nxt
+
+
+_IMA_DELTA, _IMA_NEXT = _ima_tables()
+
+
 def _ima_decode_channel(pred: int, index: int, nibbles) -> list:
     """Decode one channel's nibble stream with the IMA ADPCM recurrence.
     Inherently sequential (each step's size depends on the previous
-    index); runs per-block so cost is bounded by the block size."""
+    index); per-sample work is table lookups via _IMA_DELTA/_IMA_NEXT."""
     out = []
+    append = out.append
     index = min(max(index, 0), 88)
+    delta, nxt = _IMA_DELTA, _IMA_NEXT
     for nib in nibbles:
-        step = int(_IMA_STEPS[index])
-        diff = step >> 3
-        if nib & 1:
-            diff += step >> 2
-        if nib & 2:
-            diff += step >> 1
-        if nib & 4:
-            diff += step
-        if nib & 8:
-            pred -= diff
-        else:
-            pred += diff
-        pred = min(max(pred, -32768), 32767)
-        index = min(max(index + int(_IMA_INDEX_ADJ[nib & 7]), 0), 88)
-        out.append(pred)
+        pred += delta[index][nib]
+        if pred > 32767:
+            pred = 32767
+        elif pred < -32768:
+            pred = -32768
+        index = nxt[index][nib]
+        append(pred)
     return out
 
 
@@ -2559,11 +2581,13 @@ def _wav_ima_adpcm_samples(payload: bytes, channels: int, block_align: int,
                 body[i : i + 4]
                 for i in range(4 * c, len(body) - 3, 4 * channels)
             )
-            nibs = []
-            for byte in nib_bytes:
-                nibs.append(byte & 0x0F)
-                nibs.append(byte >> 4)
-            chans[c].extend(_ima_decode_channel(pred, index, nibs))
+            packed = np.frombuffer(nib_bytes, dtype=np.uint8)
+            nibs = np.empty(packed.size * 2, dtype=np.uint8)
+            nibs[0::2] = packed & 0x0F
+            nibs[1::2] = packed >> 4
+            chans[c].extend(
+                _ima_decode_channel(pred, index, nibs.tolist())
+            )
         n = min(len(ch) for ch in chans)
         arr = np.empty(n * channels, dtype="float64")
         for c, ch in enumerate(chans):
