@@ -485,6 +485,35 @@ def test_sample_frames_real_gif_block_walk(spark):
     assert all(bytes(f)[0] == 0x2C for f in frames.frame)
 
 
+def test_sample_frames_avi_movi_chunks(spark):
+    """AVI frame extraction: LIST movi walk yields exactly the video
+    ##dc/##db payloads (audio ##wb excluded, 'rec ' nesting included),
+    with decoder='avi-movi' and every_n sampling applied."""
+    from vinum_spark.operators.multimodal import (_avi_frame_spans,
+                                                  sample_frames)
+
+    vids = [bytes([i]) * (20 + i) for i in range(6)]
+    recs = [b"R1" * 8, b"R2" * 9]
+    avi = _avi_bytes(video_frames=vids, audio_chunks=[b"a" * 33],
+                     rec_frames=recs)
+    spans = _avi_frame_spans(avi)
+    assert [avi[lo:hi] for lo, hi in spans] == vids + recs
+
+    df = spark.createDataFrame([(0, avi)], "asset_id long, content binary")
+    frames = sample_frames(df, every_n=2).toPandas()
+    assert set(frames.decoder) == {"avi-movi"}
+    got = [bytes(f) for f in frames.sort_values("frame_idx").frame]
+    assert got == (vids + recs)[::2]
+
+    # headers-only AVI (no movi list): no real frames -> stub path
+    stub = sample_frames(
+        spark.createDataFrame([(0, _avi_bytes())],
+                              "asset_id long, content binary"),
+        every_n=10,
+    ).toPandas()
+    assert set(stub.decoder) == {"stub"}
+
+
 def test_sample_frames_truncated_gif_falls_back_to_stub(spark):
     from vinum_spark.operators.multimodal import sample_frames
 
@@ -2822,14 +2851,31 @@ def test_probe_and_decode_audio_flac_ogg(spark):
 # --------------------------------------------------------------------------
 
 
-def _avi_bytes(us_per_frame=33333, frames=300, w=640, h=360):
+def _avi_bytes(us_per_frame=33333, frames=300, w=640, h=360,
+               video_frames=(), audio_chunks=(), rec_frames=()):
+    def chunk(cid, payload):
+        return (cid + len(payload).to_bytes(4, "little") + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
     avih = bytearray(56)
     avih[0:4] = us_per_frame.to_bytes(4, "little")
     avih[16:20] = frames.to_bytes(4, "little")
     avih[32:36] = w.to_bytes(4, "little")
     avih[36:40] = h.to_bytes(4, "little")
-    hdrl = b"hdrl" + b"avih" + (56).to_bytes(4, "little") + bytes(avih)
+    hdrl = b"hdrl" + chunk(b"avih", bytes(avih))
     body = b"AVI " + b"LIST" + len(hdrl).to_bytes(4, "little") + hdrl
+    if video_frames or audio_chunks or rec_frames:
+        movi = b"movi"
+        for i, payload in enumerate(video_frames):
+            movi += chunk(b"00dc" if i % 2 == 0 else b"00db", payload)
+        for payload in audio_chunks:
+            movi += chunk(b"01wb", payload)
+        if rec_frames:
+            rec = b"rec "
+            for payload in rec_frames:
+                rec += chunk(b"00dc", payload)
+            movi += b"LIST" + (len(rec)).to_bytes(4, "little") + rec
+        body += b"LIST" + len(movi).to_bytes(4, "little") + movi
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 

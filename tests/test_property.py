@@ -217,6 +217,8 @@ def _multimodal_fixtures():
         tm._wav_bytes((b"\x00" * 64), 3, 1, 8000, 32),
         tm._mp4_with_moov(),
         tm._avi_bytes(),
+        tm._avi_bytes(video_frames=[b"F" * 24, b"G" * 17],
+                      audio_chunks=[b"a" * 9], rec_frames=[b"H" * 12]),
         tm._webm_bytes(),
         tm._webp_bytes("VP8L"),
         tm._heic_bytes(),
@@ -291,6 +293,7 @@ def test_all_byte_parsers_never_raise(data):
         _header_dims,
         _jpeg_pixels,
         _parse_adts,
+        _avi_frame_spans,
         _parse_avi,
         _flac_pcm_samples,
         _parse_flac,
@@ -308,7 +311,7 @@ def test_all_byte_parsers_never_raise(data):
         _png_pixels, _gif_pixels, _jpeg_pixels,  # already guarded entries
         _parse_wav, _wav_pcm_samples, _parse_mp3, _parse_adts,
         _parse_flac, _flac_pcm_samples, _parse_ogg, _parse_mp4, _parse_avi,
-        _parse_webm,
+        _avi_frame_spans, _parse_webm,
         _tiff_pixels,
     ):
         fn(data)  # any exception fails the test

@@ -3453,6 +3453,32 @@ def _mp4_keyframe_spans(data: bytes, max_frames: int = 256):
     return best
 
 
+def _avi_frame_spans(data: bytes, max_frames: int = 4096):
+    """REAL frame extraction for AVI — walk ``LIST movi`` and return
+    the (lo, hi) byte spans of the video-stream chunks (``##dc``
+    compressed / ``##db`` uncompressed, any stream number): the
+    compressed frame payloads a downstream codec stage would decode.
+    Pure byte arithmetic via the shared RIFF chunk walk; no codec."""
+    spans = []
+    for cid, off, csize in _riff_chunks(data, form=b"AVI "):
+        if cid != b"LIST" or data[off : off + 4] != b"movi":
+            continue
+        for scid, soff, ssize in _riff_chunks(
+            data, start=off + 4, end=off + csize
+        ):
+            if scid == b"LIST":  # 'rec ' grouping: one level of nesting
+                for rcid, roff, rsize in _riff_chunks(
+                    data, start=soff + 4, end=soff + ssize
+                ):
+                    if rcid[2:4] in (b"dc", b"db") and rcid[:2].isdigit():
+                        spans.append((roff, min(roff + rsize, len(data))))
+            elif scid[2:4] in (b"dc", b"db") and scid[:2].isdigit():
+                spans.append((soff, min(soff + ssize, len(data))))
+            if len(spans) >= max_frames:
+                return spans
+    return spans
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int = 10,
@@ -3470,7 +3496,9 @@ def sample_frames(
     :func:`_mp4_keyframe_spans` walks the stbl sample tables
     (stsz/stsc/stco/stss) and emits every ``every_n``-th sync sample's
     byte span (``decoder='mp4-stbl'``) — the compressed key-frame
-    payloads a downstream codec stage would decode. Unrecognized
+    payloads a downstream codec stage would decode. AVI inputs walk
+    ``LIST movi`` for the video-stream ``##dc``/``##db`` chunks the
+    same way (``decoder='avi-movi'``). Unrecognized
     containers keep the labeled STUB path (``decoder='stub'``,
     byte-slices as 'frames'); a real decoder raises the row count the
     same way, so partition sizing and skew behavior stay faithful.
@@ -3486,6 +3514,9 @@ def sample_frames(
                 if not spans:
                     spans = _mp4_keyframe_spans(data)
                     dec = "mp4-stbl"
+                if not spans:
+                    spans = _avi_frame_spans(data)
+                    dec = "avi-movi"
                 if spans:
                     for i, (lo, hi) in enumerate(
                         spans[:: max(every_n, 1)][:32]
