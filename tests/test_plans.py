@@ -70,6 +70,45 @@ def test_topk_fuses(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_media_decode_pipelines_shuffle_free(spark):
+    """The multimodal decode family's 100 TB story is 'embarrassingly
+    parallel over assets': scan -> Arrow-batched Python stage, with NO
+    Exchange anywhere in the plan. Pin that for the sample-decode gate
+    (q81 builds assets AND decodes them in one pipeline) and for the
+    operator surface (decode_audio / probe_media / resample_audio /
+    sample_frames over a parquet scan) — a shuffle creeping into any
+    of these would silently turn per-asset work into a repartition of
+    the full binary corpus."""
+    import vinum_spark.operators.multimodal as mm
+
+    plan = plan_of(spark, "q81_audio_decode", mode="simple")
+    body = plan.split("== Physical Plan ==")[-1]
+    # q81's ORDER BY adds one range Exchange ABOVE the decode; the scan
+    # -> build -> decode pipeline BELOW the Python stages must have
+    # none. Simple-mode plans print the tree top-down (sink first), so
+    # "below" = after the last MapInPandas line.
+    python_stage = body.rfind("MapInPandas")
+    assert python_stage != -1
+    assert "Exchange" not in body[python_stage:]
+    assert body.count("Exchange") == 1  # exactly the final sort
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "doc_id AS asset_id", "CAST(text AS BINARY) AS content"
+    )
+    for op in (
+        lambda d: mm.decode_audio(d),
+        lambda d: mm.probe_media(d),
+        lambda d: mm.resample_audio(d, 8000),
+        lambda d: mm.sample_frames(d, every_n=4),
+        lambda d: mm.extract_features(d),
+    ):
+        out = op(df)
+        text = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in text, text.split("\n")[0]
+
+
 def test_codegen_present(spark):
     # AQE's formatted mode hides codegen spans pre-execution; the codegen
     # explain mode lists the compiled subtrees.
