@@ -514,6 +514,30 @@ def test_sample_frames_avi_movi_chunks(spark):
     assert set(stub.decoder) == {"stub"}
 
 
+def test_sample_frames_webm_simpleblocks(spark):
+    """Matroska/WebM frame extraction: SimpleBlock payloads come back
+    exactly (track varint + timecode + flags stripped), BlockGroup >
+    Block works, laced blocks are skipped, and the headers-only file
+    still parses for metadata but yields no real frames."""
+    from vinum_spark.operators.multimodal import (_webm_frame_spans,
+                                                  sample_frames)
+
+    vids = [bytes([0x40 + i]) * (25 + i) for i in range(5)]
+    grouped = [b"G" * 40]
+    webm = _webm_bytes(frames=vids, laced_frames=[b"L" * 30],
+                       grouped_frames=grouped)
+    spans = _webm_frame_spans(webm)
+    assert [webm[lo:hi] for lo, hi in spans] == vids + grouped
+
+    df = spark.createDataFrame([(0, webm)], "asset_id long, content binary")
+    frames = sample_frames(df, every_n=2).toPandas()
+    assert set(frames.decoder) == {"webm-blocks"}
+    got = [bytes(f) for f in frames.sort_values("frame_idx").frame]
+    assert got == (vids + grouped)[::2]
+
+    assert _webm_frame_spans(_webm_bytes()) == []
+
+
 def test_sample_frames_truncated_gif_falls_back_to_stub(spark):
     from vinum_spark.operators.multimodal import sample_frames
 
@@ -2879,12 +2903,25 @@ def _avi_bytes(us_per_frame=33333, frames=300, w=640, h=360,
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def _ebml_size_bytes(n):
+    if n < 127:
+        return bytes([0x80 | n])
+    assert n < (1 << 14) - 1
+    return (0x4000 | n).to_bytes(2, "big")
+
+
 def _ebml_el(eid_bytes, payload):
-    # 1-byte size form is enough for test payloads < 127
-    return eid_bytes + bytes([0x80 | len(payload)]) + payload
+    return eid_bytes + _ebml_size_bytes(len(payload)) + payload
 
 
-def _webm_bytes(duration_units=5000.0, scale=None, w=1280, h=720):
+def _webm_block(payload, track=1, timecode=0, flags=0x80):
+    # SimpleBlock body: track varint (1-byte form) + i16 timecode + flags
+    return (bytes([0x80 | track]) + timecode.to_bytes(2, "big")
+            + bytes([flags]) + payload)
+
+
+def _webm_bytes(duration_units=5000.0, scale=None, w=1280, h=720,
+                frames=(), laced_frames=(), grouped_frames=()):
     import struct
 
     info_body = b""
@@ -2900,8 +2937,24 @@ def _webm_bytes(duration_units=5000.0, scale=None, w=1280, h=720):
     track = _ebml_el(bytes([0xAE]), video)
     tracks = _ebml_el(bytes([0x16, 0x54, 0xAE, 0x6B]), track)
     seg_body = info + tracks
+    if frames or laced_frames or grouped_frames:
+        cluster_body = b""
+        for t, payload in enumerate(frames):
+            cluster_body += _ebml_el(
+                bytes([0xA3]), _webm_block(payload, timecode=t)
+            )
+        for payload in laced_frames:  # EBML-laced: extractor must skip
+            cluster_body += _ebml_el(
+                bytes([0xA3]), _webm_block(payload, flags=0x86)
+            )
+        for payload in grouped_frames:  # BlockGroup > Block form
+            cluster_body += _ebml_el(
+                bytes([0xA0]),
+                _ebml_el(bytes([0xA1]), _webm_block(payload)),
+            )
+        seg_body += _ebml_el(bytes([0x1F, 0x43, 0xB6, 0x75]), cluster_body)
     segment = (bytes([0x18, 0x53, 0x80, 0x67])
-               + bytes([0x80 | len(seg_body)]) + seg_body)
+               + _ebml_size_bytes(len(seg_body)) + seg_body)
     ebml_hdr = _ebml_el(bytes([0x1A, 0x45, 0xDF, 0xA3]), b"")
     return ebml_hdr + segment
 

@@ -220,6 +220,8 @@ def _multimodal_fixtures():
         tm._avi_bytes(video_frames=[b"F" * 24, b"G" * 17],
                       audio_chunks=[b"a" * 9], rec_frames=[b"H" * 12]),
         tm._webm_bytes(),
+        tm._webm_bytes(frames=[b"V" * 20, b"W" * 31], laced_frames=[b"L" * 9],
+                       grouped_frames=[b"G" * 14]),
         tm._webp_bytes("VP8L"),
         tm._heic_bytes(),
         tm._bmp_bytes(),
@@ -294,6 +296,7 @@ def test_all_byte_parsers_never_raise(data):
         _jpeg_pixels,
         _parse_adts,
         _avi_frame_spans,
+        _webm_frame_spans,
         _parse_avi,
         _flac_pcm_samples,
         _parse_flac,
@@ -311,7 +314,7 @@ def test_all_byte_parsers_never_raise(data):
         _png_pixels, _gif_pixels, _jpeg_pixels,  # already guarded entries
         _parse_wav, _wav_pcm_samples, _parse_mp3, _parse_adts,
         _parse_flac, _flac_pcm_samples, _parse_ogg, _parse_mp4, _parse_avi,
-        _avi_frame_spans, _parse_webm,
+        _avi_frame_spans, _webm_frame_spans, _parse_webm,
         _tiff_pixels,
     ):
         fn(data)  # any exception fails the test

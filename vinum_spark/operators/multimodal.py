@@ -3453,6 +3453,47 @@ def _mp4_keyframe_spans(data: bytes, max_frames: int = 256):
     return best
 
 
+def _webm_frame_spans(data: bytes, max_frames: int = 4096):
+    """REAL frame extraction for Matroska/WebM — EBML walk of Segment >
+    Cluster > SimpleBlock (and BlockGroup > Block): returns (lo, hi)
+    spans of the codec frame payloads, i.e. the block body after the
+    track-number varint, the 2-byte relative timecode and the flags
+    byte. Laced blocks (flags & 0x06) are skipped rather than split —
+    emitting a concatenation as 'one frame' would be dishonest."""
+    if len(data) < 8 or not data.startswith(b"\x1a\x45\xdf\xa3"):
+        return []
+    spans = []
+    for eid, ps, pe in _ebml_walk(data, 0, len(data)):
+        if eid != 0x18538067:  # Segment
+            continue
+        for cid, cs, ce in _ebml_walk(data, ps, pe):
+            if cid != 0x1F43B675:  # Cluster
+                continue
+            for bid, bs, be in _ebml_walk(data, cs, ce):
+                blocks = []
+                if bid == 0xA3:  # SimpleBlock
+                    blocks.append((bs, be))
+                elif bid == 0xA0:  # BlockGroup > Block
+                    blocks.extend(
+                        (gs, ge)
+                        for gid, gs, ge in _ebml_walk(data, bs, be)
+                        if gid == 0xA1
+                    )
+                for lo, hi in blocks:
+                    tn = _ebml_size(data, lo)  # track number varint
+                    if tn is None or tn[0] is None:
+                        continue
+                    hdr_end = tn[1] + 3  # 2-byte timecode + flags
+                    if hdr_end > hi:
+                        continue
+                    if data[hdr_end - 1] & 0x06:  # laced: skip
+                        continue
+                    spans.append((hdr_end, hi))
+                    if len(spans) >= max_frames:
+                        return spans
+    return spans
+
+
 def _avi_frame_spans(data: bytes, max_frames: int = 4096):
     """REAL frame extraction for AVI — walk ``LIST movi`` and return
     the (lo, hi) byte spans of the video-stream chunks (``##dc``
@@ -3498,7 +3539,9 @@ def sample_frames(
     byte span (``decoder='mp4-stbl'``) — the compressed key-frame
     payloads a downstream codec stage would decode. AVI inputs walk
     ``LIST movi`` for the video-stream ``##dc``/``##db`` chunks the
-    same way (``decoder='avi-movi'``). Unrecognized
+    same way (``decoder='avi-movi'``), and Matroska/WebM inputs walk
+    Cluster SimpleBlocks/Blocks (``decoder='webm-blocks'``, laced
+    blocks skipped). Unrecognized
     containers keep the labeled STUB path (``decoder='stub'``,
     byte-slices as 'frames'); a real decoder raises the row count the
     same way, so partition sizing and skew behavior stay faithful.
@@ -3517,6 +3560,9 @@ def sample_frames(
                 if not spans:
                     spans = _avi_frame_spans(data)
                     dec = "avi-movi"
+                if not spans:
+                    spans = _webm_frame_spans(data)
+                    dec = "webm-blocks"
                 if spans:
                     for i, (lo, hi) in enumerate(
                         spans[:: max(every_n, 1)][:32]
