@@ -622,14 +622,20 @@ def _diff_query(draw):
                 vin += f" LIMIT {lim}"
                 duck += f" LIMIT {lim}"
         return vin, duck
-    # aggregate-shape query
-    key = draw(st.sampled_from(["j", "s", "b", "i % 3"]))
-    duck_key = "((i % 3 + 3) % 3)" if key == "i % 3" else key
+    # aggregate-shape query (one or two grouping keys)
+    keys = draw(st.lists(st.sampled_from(["j", "s", "b", "i % 3"]),
+                         min_size=1, max_size=2, unique=True))
+    duck_keys = [
+        "((i % 3 + 3) % 3)" if key == "i % 3" else key for key in keys
+    ]
+    key = ", ".join(keys)
+    duck_key = ", ".join(duck_keys)
     aggs = draw(
         st.lists(st.sampled_from(["sum", "count", "avg", "min", "max"]),
                  min_size=1, max_size=3)
     )
-    vin_items, duck_items = [f"{key} AS k"], [f"{duck_key} AS k"]
+    vin_items = [f"{k} AS k{n}" for n, k in enumerate(keys)]
+    duck_items = [f"{k} AS k{n}" for n, k in enumerate(duck_keys)]
     for k, agg in enumerate(aggs):
         ev, ed, _ = draw(_diff_num(depth=1))
         if agg == "count" and draw(st.booleans()):
