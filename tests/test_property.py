@@ -573,6 +573,31 @@ def _diff_bool(draw, depth=2):
 def _diff_query(draw):
     """(vinum_sql, duck_sql) full-SELECT pair, every item aliased so
     column naming stays out of scope (it has its own contract tests)."""
+    if draw(st.integers(0, 5)) == 0:  # set-operation shape
+        op = draw(st.sampled_from(["UNION", "UNION ALL"]))
+        branches_v, branches_d = [], []
+        for _ in range(2):
+            ev, ed, _ = draw(_diff_num(depth=1))
+            bv = f"SELECT {ev} AS c0 FROM t"
+            bd = f"SELECT {ed} AS c0 FROM t"
+            if draw(st.booleans()):
+                wv, wd = draw(_diff_bool(depth=1))
+                bv += f" WHERE {wv}"
+                bd += f" WHERE {wd}"
+            branches_v.append(bv)
+            branches_d.append(bd)
+        vin = f" {op} ".join(branches_v)
+        duck = f" {op} ".join(branches_d)
+        if draw(st.booleans()):
+            # total order over the single output column -> LIMIT-safe
+            d = draw(st.sampled_from(["ASC", "DESC"]))
+            vin += f" ORDER BY c0 {d}"
+            duck += f" ORDER BY c0 {d} NULLS LAST"
+            if op == "UNION" and draw(st.booleans()):
+                lim = draw(st.integers(1, 8))
+                vin += f" LIMIT {lim}"
+                duck += f" LIMIT {lim}"
+        return vin, duck
     if draw(st.booleans()):  # row-shape query
         n = draw(st.integers(1, 3))
         distinct = draw(st.booleans())

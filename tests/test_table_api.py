@@ -54,6 +54,24 @@ def test_sql_returns_lazy_table(trips):
     assert out.to_pandas()["id"].tolist() == [3, 4]
 
 
+def test_union_order_by_resolves(trips):
+    """Fuzz-found regression: a set operation combines branch
+    projections, so the stable-sort shim's hidden row-id tiebreaker
+    must NOT be appended to a top-level ORDER BY (it cannot resolve in
+    the union's output). UNION and UNION ALL both order cleanly."""
+    out = trips.sql_pd(
+        "select id % 4 as m from t union select id % 3 as m from t"
+        " order by m"
+    )
+    assert out["m"].tolist() == [0, 1, 2, 3]
+    out2 = trips.sql_pd(
+        "select id as a from t where id > 3"
+        " union all select id + 10 as a from t where id < 2"
+        " order by a desc"
+    )
+    assert out2["a"].tolist() == [11, 4]
+
+
 def test_from_clause_name_ignored(trips):
     # the reference queries the bound table whatever FROM says
     # (vinum/api/table.py:219-220)

@@ -108,7 +108,12 @@ class Table:
             for i, t in enumerate(tokens)
         )
         if not has_order or has_aggregate_call(tokens) or any(
-            t.is_kw("GROUP", "DISTINCT") for t in tokens
+            # set operations combine branch projections: the hidden
+            # row id does not survive into the result, so the ORDER BY
+            # tiebreaker would be unresolvable (fuzz-found, mirrors
+            # the FROM-dropped case above)
+            t.is_kw("GROUP", "DISTINCT", "UNION", "EXCEPT", "INTERSECT")
+            for t in tokens
         ):
             return self._df, rewritten
         from pyspark.sql import functions as F
