@@ -72,6 +72,27 @@ def test_union_order_by_resolves(trips):
     assert out2["a"].tolist() == [11, 4]
 
 
+def test_cte_and_derived_table_order_by_resolve(trips):
+    """Same fuzz-found class as the UNION case: CTEs and derived tables
+    re-project through their own SELECT lists, so the row-id tiebreaker
+    must not be appended there either. Scalar/IN subqueries in WHERE
+    keep stabilization (the outer FROM is still the base table)."""
+    cte = trips.sql_pd(
+        "WITH x AS (SELECT id + 1 AS v FROM t) SELECT v FROM x"
+        " ORDER BY v DESC"
+    )
+    assert cte["v"].tolist() == [5, 4, 3, 2]
+    der = trips.sql_pd(
+        "SELECT v FROM (SELECT id + 2 AS v FROM t) ORDER BY v"
+    )
+    assert der["v"].tolist() == [3, 4, 5, 6]
+    sub = trips.sql_pd(
+        "SELECT id FROM t WHERE id > (SELECT min(id) + 1 FROM t)"
+        " ORDER BY id"
+    )
+    assert sub["id"].tolist() == [3, 4]
+
+
 def test_from_clause_name_ignored(trips):
     # the reference queries the bound table whatever FROM says
     # (vinum/api/table.py:219-220)

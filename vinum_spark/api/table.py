@@ -108,12 +108,19 @@ class Table:
             for i, t in enumerate(tokens)
         )
         if not has_order or has_aggregate_call(tokens) or any(
-            # set operations combine branch projections: the hidden
-            # row id does not survive into the result, so the ORDER BY
-            # tiebreaker would be unresolvable (fuzz-found, mirrors
-            # the FROM-dropped case above)
-            t.is_kw("GROUP", "DISTINCT", "UNION", "EXCEPT", "INTERSECT")
-            for t in tokens
+            # set operations combine branch projections, and CTEs /
+            # derived tables re-project through their own SELECT lists:
+            # in all of these the hidden row id does not survive into
+            # the sorted relation, so the ORDER BY tiebreaker would be
+            # unresolvable (fuzz-found, mirrors the FROM-dropped case)
+            t.is_kw("GROUP", "DISTINCT", "UNION", "EXCEPT", "INTERSECT",
+                    "WITH")
+            or (
+                t.is_kw("FROM")
+                and i + 1 < len(tokens)
+                and tokens[i + 1].text == "("
+            )
+            for i, t in enumerate(tokens)
         ):
             return self._df, rewritten
         from pyspark.sql import functions as F
