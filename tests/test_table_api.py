@@ -93,6 +93,32 @@ def test_cte_and_derived_table_order_by_resolve(trips):
     assert sub["id"].tolist() == [3, 4]
 
 
+def test_order_by_shapes_with_set_ops_and_windows(trips):
+    """Probe matrix for the stable-sort shim's edges: SELECT * (the
+    hidden row id must not leak into the output), ordinal ORDER BY,
+    window functions, EXCEPT with a sort, and the MySQL LIMIT n,m form
+    over a set operation."""
+    star = trips.sql_pd("SELECT * FROM t ORDER BY id DESC LIMIT 2")
+    assert "__vinum_row_id" not in star.columns
+    assert star["id"].tolist() == [4, 3]
+    win = trips.sql_pd(
+        "SELECT id, row_number() OVER (ORDER BY id DESC) AS r FROM t"
+        " ORDER BY r"
+    )
+    assert win["id"].tolist() == [4, 3, 2, 1]
+    exc = trips.sql_pd(
+        "SELECT id FROM t EXCEPT SELECT id FROM t WHERE id > 2 ORDER BY id"
+    )
+    assert exc["id"].tolist() == [1, 2]
+    # reference doc/source/select.rst: `LIMIT limit, [offset]` — the
+    # FIRST number is the count (NOT the MySQL offset-first order)
+    lim = trips.sql_pd(
+        "SELECT id AS a FROM t UNION ALL SELECT id + 10 AS a FROM t"
+        " ORDER BY a LIMIT 3, 1"
+    )
+    assert lim["a"].tolist() == [2, 3, 4]
+
+
 def test_from_clause_name_ignored(trips):
     # the reference queries the bound table whatever FROM says
     # (vinum/api/table.py:219-220)
