@@ -83,14 +83,19 @@ def test_media_decode_pipelines_shuffle_free(spark):
 
     plan = plan_of(spark, "q81_audio_decode", mode="simple")
     body = plan.split("== Physical Plan ==")[-1]
-    # q81's ORDER BY adds one range Exchange ABOVE the decode; the scan
-    # -> build -> decode pipeline BELOW the Python stages must have
-    # none. Simple-mode plans print the tree top-down (sink first), so
-    # "below" = after the last MapInPandas line.
+    # q81 allows exactly two Exchanges: the final ORDER BY range sort
+    # ABOVE the decode, and the deliberate 8-byte-id repartition BELOW
+    # the build kernel (parallelizing the CPU-bound Python stage; the
+    # binary payloads themselves are never shuffled — both MapInPandas
+    # stages sit between the two Exchanges). Simple-mode plans print
+    # top-down, so the id repartition is the only Exchange after the
+    # last MapInPandas, and it must feed directly from the scan.
     python_stage = body.rfind("MapInPandas")
     assert python_stage != -1
-    assert "Exchange" not in body[python_stage:]
-    assert body.count("Exchange") == 1  # exactly the final sort
+    below = body[python_stage:]
+    assert below.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in below  # the id repartition
+    assert body.count("Exchange") == 2  # plus only the final sort
 
     df = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
         "doc_id AS asset_id", "CAST(text AS BINARY) AS content"
