@@ -514,6 +514,544 @@ def test_sample_frames_avi_movi_chunks(spark):
     assert set(stub.decoder) == {"stub"}
 
 
+class _Vp8lW:
+    """LSB-first bit writer for the spec-built VP8L encoder."""
+
+    def __init__(self):
+        self.bits = []
+
+    def w(self, val, k):
+        self.bits.extend((int(val) >> i) & 1 for i in range(k))
+
+    def code(self, c, ln):
+        # prefix-code bits are served MSB-first within the LSB stream
+        for j in range(ln - 1, -1, -1):
+            self.bits.append((c >> j) & 1)
+
+    def tobytes(self):
+        import numpy as np
+
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        arr = np.array(self.bits, dtype=np.uint8).reshape(-1, 8)
+        return bytes((arr << np.arange(8, dtype=np.uint8)).sum(axis=1)
+                     .astype(np.uint8).tobytes())
+
+
+def _vp8l_wrap(body_bits: "_Vp8lW", width: int, height: int) -> bytes:
+    head = _Vp8lW()
+    head.w(width - 1, 14)
+    head.w(height - 1, 14)
+    head.w(1, 1)  # alpha hint
+    head.w(0, 3)  # version
+    head.bits.extend(body_bits.bits)
+    body = b"\x2f" + head.tobytes()
+    chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP"
+            + chunk)
+
+
+def _vp8l_tree(w: "_Vp8lW", syms, alphabet_size: int):
+    """Write one prefix code; returns sym -> (code, nbits). Simple form
+    when possible (all syms < 256, n<=2), else the code-length-coded
+    form with ALL coded symbols sharing length L (so 2^L symbols)."""
+    syms = sorted(set(syms))
+    if len(syms) == 1 and syms[0] < 256:
+        w.w(1, 1)
+        w.w(0, 1)
+        if syms[0] <= 1:
+            w.w(0, 1)
+            w.w(syms[0], 1)
+        else:
+            w.w(1, 1)
+            w.w(syms[0], 8)
+        return {syms[0]: (0, 0)}
+    if len(syms) == 2 and syms[1] < 256:
+        w.w(1, 1)
+        w.w(1, 1)
+        if syms[0] <= 1:
+            w.w(0, 1)
+            w.w(syms[0], 1)
+        else:
+            w.w(1, 1)
+            w.w(syms[0], 8)
+        w.w(syms[1], 8)
+        return {syms[0]: (0, 1), syms[1]: (1, 1)}
+    # general form, equal length L so the code is complete; pad with
+    # unused symbols up to the next power of two
+    L = (len(syms) - 1).bit_length()
+    pad = 0
+    while len(syms) < (1 << L):
+        while pad in syms:
+            pad += 1
+        if pad >= alphabet_size:
+            raise AssertionError("no pad symbol available")
+        syms.append(pad)
+        pad += 1
+    syms = sorted(syms)
+    assert len(syms) == 1 << L and L <= 3, (len(syms), L)
+    num_codes = {1: 4, 2: 5, 3: 6}[L]
+    w.w(0, 1)
+    w.w(num_codes - 4, 4)
+    order = (17, 18, 0, 1, 2, 3)
+    coded_cl = {17, 18, 0, L}
+    for i in range(num_codes):
+        w.w(2 if order[i] in coded_cl else 0, 3)
+    # emitted cl-symbol count = runs + literals; use the max_symbol
+    # limit so no trailing zero-runs are needed
+    emits = []
+    i = 0
+    for s in syms:
+        gap = s - i
+        while gap >= 11:
+            run = min(gap, 138)
+            if gap - run in (1, 2):
+                run -= 3  # keep leftover expressible
+            emits.append((18, run - 11, 7))
+            gap -= run
+        while gap >= 3:
+            run = min(gap, 10)
+            if gap - run in (1, 2) and run > 3:
+                run -= gap - run
+            emits.append((17, run - 3, 3))
+            gap -= run
+        for _ in range(gap):
+            emits.append((0, None, 0))
+        emits.append((L, None, 0))
+        i = s + 1
+    n_emit = len(emits)
+    k = 0
+    while (2 + 2 * k) < 32 and n_emit - 2 >= (1 << (2 + 2 * k)):
+        k += 1
+    w.w(1, 1)
+    w.w(k, 3)
+    w.w(n_emit - 2, 2 + 2 * k)
+    cl_sorted = sorted(coded_cl)  # canonical: by symbol value
+    cl_codes = {s: (idx, 2) for idx, s in enumerate(cl_sorted)}
+    for sym, extra, ebits in emits:
+        c, ln = cl_codes[sym]
+        w.code(c, ln)
+        if ebits:
+            w.w(extra, ebits)
+    return {s: (idx, L) for idx, s in enumerate(syms)}
+
+
+def _vp8l_lz77_sym(value: int):
+    """Inverse of the decoder's prefix-coded LZ77 value: value ->
+    (symbol, extra_bits, extra_value)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    extra = v.bit_length() - 2
+    rest = v - (2 << extra)
+    return 2 + 2 * extra + (rest >> extra), extra, rest & ((1 << extra) - 1)
+
+
+def _vp8l_emit_stream(w, tokens):
+    """Trees + token emission shared by the main image and transform
+    sub-images (cache/meta bits are written by the caller)."""
+    greens, reds, blues, alphas, dists = set(), set(), set(), set(), set()
+    for tok in tokens:
+        if tok[0] == "lit":
+            px = tok[1]
+            greens.add((px >> 8) & 0xFF)
+            reds.add((px >> 16) & 0xFF)
+            blues.add(px & 0xFF)
+            alphas.add((px >> 24) & 0xFF)
+        elif tok[0] == "copy":
+            ls, _, _ = _vp8l_lz77_sym(tok[1])
+            greens.add(256 + ls)
+            ds, _, _ = _vp8l_lz77_sym(tok[2])
+            dists.add(ds)
+        else:
+            greens.add(256 + 24 + tok[1])
+    if not reds:
+        reds = {0}
+    if not blues:
+        blues = {0}
+    if not alphas:
+        alphas = {0xFF}
+    if not dists:
+        dists = {0}
+    g_map = _vp8l_tree(w, greens, 256 + 24)
+    r_map = _vp8l_tree(w, reds, 256)
+    b_map = _vp8l_tree(w, blues, 256)
+    a_map = _vp8l_tree(w, alphas, 256)
+    d_map = _vp8l_tree(w, dists, 40)
+    for tok in tokens:
+        if tok[0] == "lit":
+            px = tok[1]
+            w.code(*g_map[(px >> 8) & 0xFF])
+            w.code(*r_map[(px >> 16) & 0xFF])
+            w.code(*b_map[px & 0xFF])
+            w.code(*a_map[(px >> 24) & 0xFF])
+        elif tok[0] == "copy":
+            ls, le, lv = _vp8l_lz77_sym(tok[1])
+            w.code(*g_map[256 + ls])
+            w.w(lv, le)
+            ds, de, dv = _vp8l_lz77_sym(tok[2])
+            w.code(*d_map[ds])
+            w.w(dv, de)
+        else:
+            w.code(*g_map[256 + 24 + tok[1]])
+
+
+def _vp8l_encode(tokens, width, height, transforms=()):
+    """Spec-built VP8L encoder (no color cache — the cache test builds
+    its own stream). ``tokens`` is the literal/copy stream of the
+    (transformed) image: ('lit', argb) or ('copy', length, dist_code).
+    ``transforms`` is a list of callables emitting transform bits."""
+    w = _Vp8lW()
+    for tfn in transforms:
+        w.w(1, 1)  # transform present
+        tfn(w)
+    w.w(0, 1)  # no more transforms
+    w.w(0, 1)  # no color cache
+    w.w(0, 1)  # no meta prefix codes
+    _vp8l_emit_stream(w, tokens)
+    return _vp8l_wrap(w, width, height)
+
+
+def _tf_subtract_green(w):
+    w.w(2, 2)
+
+
+def _tf_predictor(mode, tile_bits=9):
+    def f(w):
+        w.w(0, 2)
+        w.w(tile_bits - 2, 3)
+        w.w(0, 1)  # tile sub-image: no color cache
+        _vp8l_emit_stream(w, [("lit", mode << 8)])  # mode in green
+
+    return f
+
+
+def _tf_color(g2r, g2b, r2b, tile_bits=9):
+    def f(w):
+        w.w(1, 2)
+        w.w(tile_bits - 2, 3)
+        w.w(0, 1)
+        _vp8l_emit_stream(w, [("lit", (r2b << 16) | (g2b << 8) | g2r)])
+
+    return f
+
+
+def _tf_palette(entries):
+    def f(w):
+        w.w(3, 2)
+        w.w(len(entries) - 1, 8)
+        w.w(0, 1)  # palette sub-image: no color cache
+        deltas = [entries[0]]
+        for i in range(1, len(entries)):
+            a, b = entries[i - 1], entries[i]
+            deltas.append(
+                (((b >> 24) - (a >> 24)) & 0xFF) << 24
+                | ((((b >> 16) & 0xFF) - ((a >> 16) & 0xFF)) & 0xFF) << 16
+                | ((((b >> 8) & 0xFF) - ((a >> 8) & 0xFF)) & 0xFF) << 8
+                | (((b & 0xFF) - (a & 0xFF)) & 0xFF)
+            )
+        _vp8l_emit_stream(w, [("lit", d) for d in deltas])
+
+    return f
+
+
+def test_vp8l_two_color_literals():
+    """Minimal VP8L: two-color literal image through simple prefix
+    codes round-trips to the exact RGBA pixels."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _webp_pixels
+
+    A = 0xFF2060B0
+    B = 0xFF90E517
+    w_, h_ = 9, 5
+    pattern = [(A if (x + y) % 2 else B) for y in range(h_)
+               for x in range(w_)]
+    data = _vp8l_encode([("lit", p) for p in pattern], w_, h_)
+    px = _webp_pixels(data)
+    assert px is not None and px.shape == (h_, w_, 4)
+    flat = (
+        px[..., 3].astype(np.uint32) << 24
+        | px[..., 0].astype(np.uint32) << 16
+        | px[..., 1].astype(np.uint32) << 8
+        | px[..., 2].astype(np.uint32)
+    ).ravel()
+    assert flat.tolist() == pattern
+
+
+def test_vp8l_lz77_and_cl_coded_tree():
+    """LZ77 copies (left and row-above distances through the neighbor
+    map) with a code-length-coded green tree round-trip exactly."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _webp_pixels
+
+    A = 0xFF123456
+    w_, h_ = 10, 4
+    # row 0: A then 9 copies of left (dist map idx 2 -> (1,0) -> dist 1)
+    # rows 1-3: copy the 30 pixels from the row above (map idx 1 ->
+    # (0,1) -> dist w)
+    toks = [("lit", A), ("copy", 9, 2), ("copy", 30, 1)]
+    data = _vp8l_encode(toks, w_, h_)
+    px = _webp_pixels(data)
+    assert px is not None and px.shape == (h_, w_, 4)
+    assert (px[..., 0] == 0x12).all()
+    assert (px[..., 1] == 0x34).all()
+    assert (px[..., 2] == 0x56).all()
+
+
+def test_vp8l_color_cache():
+    """Color-cache references (green symbols past 256+24) resolve to
+    the hashed recent pixels."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _webp_pixels
+
+    cache_bits = 4
+    A = 0xFF102030
+    B = 0xFF405060
+
+    def idx(px):
+        return ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    assert idx(A) != idx(B)
+    w_, h_ = 4, 2
+    toks = [("lit", A), ("lit", B), ("cache", idx(A)), ("cache", idx(B))] * 2
+    body = _Vp8lW()
+    body.w(0, 1)  # no more transforms (none present)
+    body.w(1, 1)  # color cache present
+    body.w(cache_bits, 4)
+    body.w(0, 1)  # no meta prefix codes
+    greens = sorted({(A >> 8) & 0xFF, (B >> 8) & 0xFF,
+                     256 + 24 + idx(A), 256 + 24 + idx(B)})
+    g_map = _vp8l_tree(body, greens, 256 + 24 + (1 << cache_bits))
+    r_map = _vp8l_tree(body, sorted({(A >> 16) & 0xFF, (B >> 16) & 0xFF}),
+                       256)
+    b_map = _vp8l_tree(body, sorted({A & 0xFF, B & 0xFF}), 256)
+    a_map = _vp8l_tree(body, {0xFF}, 256)
+    _vp8l_tree(body, {0}, 40)
+    for tok in toks:
+        if tok[0] == "lit":
+            p = tok[1]
+            body.code(*g_map[(p >> 8) & 0xFF])
+            body.code(*r_map[(p >> 16) & 0xFF])
+            body.code(*b_map[p & 0xFF])
+            body.code(*a_map[0xFF])
+        else:
+            body.code(*g_map[256 + 24 + tok[1]])
+    data = _vp8l_wrap(body, w_, h_)
+    px = _webp_pixels(data)
+    assert px is not None
+    flat = (
+        px[..., 3].astype(np.uint32) << 24
+        | px[..., 0].astype(np.uint32) << 16
+        | px[..., 1].astype(np.uint32) << 8
+        | px[..., 2].astype(np.uint32)
+    ).ravel().tolist()
+    assert flat == [A, B, A, B, A, B, A, B]
+
+
+def _rgba_flat(px):
+    import numpy as np
+
+    return (
+        px[..., 3].astype(np.uint32) << 24
+        | px[..., 0].astype(np.uint32) << 16
+        | px[..., 1].astype(np.uint32) << 8
+        | px[..., 2].astype(np.uint32)
+    ).ravel().tolist()
+
+
+def test_vp8l_subtract_green_transform():
+    from vinum_spark.operators.multimodal import _webp_pixels
+
+    A = 0xFF5A9C3D
+    B = 0xFFC81F77
+    w_, h_ = 6, 4
+    want = [(A if x % 2 else B) for y in range(h_) for x in range(w_)]
+
+    def sub_green(p):
+        g = (p >> 8) & 0xFF
+        r = (((p >> 16) & 0xFF) - g) & 0xFF
+        b = ((p & 0xFF) - g) & 0xFF
+        return (p & 0xFF00FF00) | (r << 16) | b
+
+    data = _vp8l_encode(
+        [("lit", sub_green(p)) for p in want], w_, h_,
+        transforms=[_tf_subtract_green],
+    )
+    px = _webp_pixels(data)
+    assert px is not None
+    assert _rgba_flat(px) == want
+
+
+def test_vp8l_predictor_transform():
+    """Left-predictor residual stream reconstructs the horizontal
+    gradient exactly (border rules: black at origin, Left on row 0,
+    Top on column 0)."""
+    from vinum_spark.operators.multimodal import _webp_pixels
+
+    w_, h_ = 8, 5
+    step_r, step_g, step_b = 3, 5, 7
+    row = [
+        0xFF000000
+        | ((step_r * (x + 1) & 0xFF) << 16)
+        | ((step_g * (x + 1) & 0xFF) << 8)
+        | (step_b * (x + 1) & 0xFF)
+        for x in range(w_)
+    ]
+    want = row * h_
+    # residuals vs mode-1 (Left): (0,0) vs black pred -> first pixel
+    # values (incl. alpha 0xff - 0xff = 0); row 0 x>0 -> step; col 0
+    # y>0 vs Top -> 0; interior vs Left -> step
+    step_px = (step_r << 16) | (step_g << 8) | step_b
+    resid = []
+    for y in range(h_):
+        for x in range(w_):
+            if x == 0 and y == 0:
+                resid.append(step_px)  # first pixel == step values
+            elif x == 0:
+                resid.append(0)
+            else:
+                resid.append(step_px)
+    data = _vp8l_encode(
+        [("lit", p) for p in resid], w_, h_,
+        transforms=[_tf_predictor(mode=1)],
+    )
+    px = _webp_pixels(data)
+    assert px is not None
+    assert _rgba_flat(px) == want
+
+
+def test_vp8l_color_transform():
+    """Cross-color transform: the decoder adds the per-tile deltas
+    back (g2r on red; g2b then r2b on blue)."""
+    from vinum_spark.operators.multimodal import _webp_pixels
+
+    g2r, g2b, r2b = 0x30, 0xE8, 0x11  # mixed signs as int8
+    w_, h_ = 5, 3
+
+    def delta(t, c):
+        if t >= 128:
+            t -= 256
+        if c >= 128:
+            c -= 256
+        return (t * c) >> 5
+
+    want = [0xFF64C832] * (w_ * h_)  # constant image
+    g = 0xC8
+    r_t = (0x64 - delta(g2r, g)) & 0xFF
+    b_t = (0x32 - delta(g2b, g) - delta(r2b, 0x64)) & 0xFF
+    token = 0xFF000000 | (r_t << 16) | (g << 8) | b_t
+    data = _vp8l_encode(
+        [("lit", token)] * (w_ * h_), w_, h_,
+        transforms=[_tf_color(g2r, g2b, r2b)],
+    )
+    px = _webp_pixels(data)
+    assert px is not None
+    assert _rgba_flat(px) == want
+
+
+def test_vp8l_palette_bundled_and_wide():
+    """Color-indexing: a 2-entry palette exercises 8-pixels-per-byte
+    bundling; a 32-entry palette exercises the unbundled index path
+    and delta-coded palette reconstruction."""
+    from vinum_spark.operators.multimodal import _webp_pixels
+
+    # 2 colors, width 16 -> bundled width 2 bytes/row
+    A, B = 0xFF112233, 0xFFAABBCC
+    w_, h_ = 16, 3
+    bits_rows = [[(x + y) % 2 for x in range(w_)] for y in range(h_)]
+    want = [(B if v else A) for row in bits_rows for v in row]
+    packed_tokens = []
+    for row in bits_rows:
+        for b0 in range(0, w_, 8):
+            byte = sum(row[b0 + k] << k for k in range(8))
+            packed_tokens.append(("lit", byte << 8))
+    data = _vp8l_encode(
+        packed_tokens, w_, h_, transforms=[_tf_palette([A, B])]
+    )
+    px = _webp_pixels(data)
+    assert px is not None
+    assert _rgba_flat(px) == want
+
+    # 32 entries (no bundling), 8 distinct indices used -> L3 tree
+    pal = [(0xFF000000 | (0x010203 * (i + 1)) & 0xFFFFFF) | 0xFF000000
+           for i in range(32)]
+    w2, h2 = 8, 4
+    idxs = [(3 * x + y) % 8 * 4 for y in range(h2) for x in range(w2)]
+    want2 = [pal[i] for i in idxs]
+    data2 = _vp8l_encode(
+        [("lit", i << 8) for i in idxs], w2, h2,
+        transforms=[_tf_palette(pal)],
+    )
+    px2 = _webp_pixels(data2)
+    assert px2 is not None
+    assert _rgba_flat(px2) == want2
+
+
+def test_vp8l_meta_prefix_groups():
+    """Meta prefix codes: two tile groups with disjoint literal trees,
+    selected by the (r<<8)|g of the huffman image."""
+    from vinum_spark.operators.multimodal import _webp_pixels
+
+    A, B = 0xFF204060, 0xFF90B0D0
+    w_, h_ = 16, 2
+    prefix_bits = 3  # tiles of 8 -> 2x1 huffman image
+    want = [(A if x < 8 else B) for y in range(h_) for x in range(w_)]
+    w = _Vp8lW()
+    w.w(0, 1)  # no transforms
+    w.w(0, 1)  # no color cache
+    w.w(1, 1)  # meta prefix present
+    w.w(prefix_bits - 2, 3)
+    # huffman image (2x1): group ids 0 and 1 in (r<<8)|g
+    w.w(0, 1)  # sub-image: no color cache
+    _vp8l_emit_stream(w, [("lit", 0 << 8), ("lit", 1 << 8)])
+    # group 0 trees (A only), group 1 trees (B only)
+    for color in (A, B):
+        g_map = _vp8l_tree(w, {(color >> 8) & 0xFF}, 256 + 24)
+        r_map = _vp8l_tree(w, {(color >> 16) & 0xFF}, 256)
+        b_map = _vp8l_tree(w, {color & 0xFF}, 256)
+        a_map = _vp8l_tree(w, {0xFF}, 256)
+        _vp8l_tree(w, {0}, 40)
+    # all codes are 0-bit constants -> pixel stream needs no bits at
+    # all, but emit in order anyway (zero-length writes)
+    data = _vp8l_wrap(w, w_, h_)
+    px = _webp_pixels(data)
+    assert px is not None
+    assert _rgba_flat(px) == want
+
+
+def test_vp8l_decode_images_and_features(spark):
+    """decode_images(pixels=True) reports webp-vp8l with pixel-exact
+    dims; extract_features pools the decoded pixels (webp-pool8); a
+    header-dims-only lossy WebP stays on the header path."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import (decode_images,
+                                                  extract_features)
+
+    A, B = 0xFF336699, 0xFFCC9933
+    w_, h_ = 12, 9
+    pattern = [(A if (x // 3 + y // 3) % 2 else B)
+               for y in range(h_) for x in range(w_)]
+    vp8l = _vp8l_encode([("lit", p) for p in pattern], w_, h_)
+    df = spark.createDataFrame(
+        [(0, vp8l), (1, _webp_bytes("VP8L"))],
+        "asset_id long, content binary",
+    )
+    out = decode_images(df, pixels=True).toPandas().set_index("asset_id")
+    assert out.loc[0, "decoder"] == "webp-vp8l-pixels"
+    assert (out.loc[0, "height"], out.loc[0, "width"]) == (h_, w_)
+    assert out.loc[1, "decoder"] == "webp-vp8l"  # header-dims fallback
+    feats = {r["asset_id"]: r for r in extract_features(df).collect()}
+    assert feats[0]["extractor"] == "webp-pool8"
+    v = np.array(feats[0]["feature"])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
 def test_sample_frames_webm_simpleblocks(spark):
     """Matroska/WebM frame extraction: SimpleBlock payloads come back
     exactly (track varint + timecode + flags stripped), BlockGroup >

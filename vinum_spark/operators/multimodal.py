@@ -717,6 +717,493 @@ def _webp_dims(data: bytes):
     return None
 
 
+class _Vp8lEof(Exception):
+    """Internal: ran off the end of / hit invalid VP8L bitstream."""
+
+
+class _Vp8lBits:
+    """LSB-first bit reader (VP8L convention, opposite of FLAC): k bits
+    are extracted from a little-endian byte window with one
+    ``int.from_bytes`` per call."""
+
+    def __init__(self, data: bytes, start_byte: int = 0):
+        self.data = data
+        self.i = start_byte * 8
+        self.n = len(data) * 8
+
+    def read(self, k: int) -> int:
+        if k == 0:
+            return 0
+        i = self.i
+        if i + k > self.n:
+            raise _Vp8lEof
+        b0 = i >> 3
+        nb = ((i & 7) + k + 7) >> 3
+        w = int.from_bytes(self.data[b0 : b0 + nb], "little")
+        self.i = i + k
+        return (w >> (i & 7)) & ((1 << k) - 1)
+
+
+def _vp8l_code(lengths):
+    """Canonical prefix code from code lengths (DEFLATE-style canonical
+    assignment; VP8L serves code bits most-significant-first within the
+    LSB-first stream, which equals looking up the accumulated bits as
+    read). Returns ('const', sym) for a 0-bit single-symbol code or a
+    dict keyed by (nbits, bits-as-read)."""
+    max_len = 0
+    syms = []
+    for s, ln in enumerate(lengths):
+        if ln:
+            syms.append(s)
+            if ln > max_len:
+                max_len = ln
+    if not syms:
+        raise _Vp8lEof
+    if len(syms) == 1:
+        return ("const", syms[0])
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    # Kraft check: over-subscribed or incomplete codes are invalid
+    total = 0
+    for ln in range(1, max_len + 1):
+        total += bl_count[ln] << (max_len - ln)
+    if total != (1 << max_len):
+        raise _Vp8lEof
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    table = {}
+    for s, ln in enumerate(lengths):
+        if not ln:
+            continue
+        c = next_code[ln]
+        next_code[ln] += 1
+        rev = int(format(c, f"0{ln}b")[::-1], 2)
+        table[(ln, rev)] = s
+    return table
+
+
+def _vp8l_sym(br, code):
+    if isinstance(code, tuple):  # ('const', sym): 0-bit code
+        return code[1]
+    acc = 0
+    get = code.get
+    read = br.read
+    for depth in range(1, 16):
+        acc |= read(1) << (depth - 1)
+        s = get((depth, acc))
+        if s is not None:
+            return s
+    raise _Vp8lEof
+
+
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                  13, 14, 15)
+
+
+def _vp8l_read_code(br, alphabet_size):
+    """One prefix code: the 'simple' 1/2-symbol form or the
+    code-length-coded general form (spec §6.2)."""
+    if br.read(1):  # simple
+        num = br.read(1) + 1
+        sym0 = br.read(8 if br.read(1) else 1)
+        if num == 1:
+            if sym0 >= alphabet_size:
+                raise _Vp8lEof
+            return ("const", sym0)
+        sym1 = br.read(8)
+        if sym0 == sym1 or max(sym0, sym1) >= alphabet_size:
+            raise _Vp8lEof
+        lengths = [0] * alphabet_size
+        lengths[sym0] = lengths[sym1] = 1
+        return _vp8l_code(lengths)
+    num_codes = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl_code = _vp8l_code(cl_lengths)
+    if br.read(1):  # limited number of coded symbols
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8
+    i = 0
+    while i < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        s = _vp8l_sym(br, cl_code)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if i < alphabet_size:
+                    lengths[i] = prev
+                    i += 1
+        elif s == 17:
+            i += 3 + br.read(3)
+        else:
+            i += 11 + br.read(7)
+    return _vp8l_code(lengths)
+
+
+def _vp8l_distance_map():
+    """The 120-entry close-neighbor distance map (spec §4.2.2),
+    generated from its ordering rule: candidates (dx, dy) in the 8-
+    neighborhood window, sorted by squared distance, then larger dy
+    first, then positive dx before negative (validated against the
+    spec's published table prefix)."""
+    cands = []
+    for dy in range(9):
+        for dx in range(-8, 9):
+            if dy == 0 and dx <= 0:
+                continue
+            if dy == 0 or abs(dx) <= 8:
+                cands.append((dx, dy))
+    cands.sort(key=lambda p: (p[0] ** 2 + p[1] ** 2, -p[1],
+                              0 if p[0] > 0 else 1, abs(p[0])))
+    return cands[:120]
+
+
+_VP8L_DIST_MAP = _vp8l_distance_map()
+
+
+def _vp8l_lz77(br, sym):
+    """LZ77 prefix-coded value (spec §4.2.1): 24 symbols covering
+    lengths/distance codes with extra bits."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_entropy_image(br, w, h, is_main, max_pixels):
+    """One entropy-coded ARGB image (spec §5): optional color cache,
+    optional meta prefix groups (main image only), 5 prefix codes per
+    group, literal / LZ77 / cache-ref pixel stream. Returns a flat
+    list of ARGB ints, row-major."""
+    if w <= 0 or h <= 0 or w * h > max_pixels:
+        raise _Vp8lEof
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise _Vp8lEof
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    groups_img = None
+    prefix_bits = 0
+    n_groups = 1
+    if is_main and br.read(1):  # meta prefix codes
+        prefix_bits = br.read(3) + 2
+        gw = (w + (1 << prefix_bits) - 1) >> prefix_bits
+        gh = (h + (1 << prefix_bits) - 1) >> prefix_bits
+        groups_img = _vp8l_entropy_image(br, gw, gh, False, max_pixels)
+        n_groups = max(((p >> 8) & 0xFFFF) for p in groups_img) + 1
+    cache_syms = (1 << cache_bits) if cache_bits else 0
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _vp8l_read_code(br, 256 + 24 + cache_syms),  # green
+            _vp8l_read_code(br, 256),                    # red
+            _vp8l_read_code(br, 256),                    # blue
+            _vp8l_read_code(br, 256),                    # alpha
+            _vp8l_read_code(br, 40),                     # distance
+        ))
+    n = w * h
+    out = [0] * n
+    pos = 0
+    shift = 32 - cache_bits if cache_bits else 0
+    gw = ((w + (1 << prefix_bits) - 1) >> prefix_bits) if groups_img else 0
+    while pos < n:
+        if groups_img is not None:
+            gp = groups_img[
+                ((pos // w) >> prefix_bits) * gw + ((pos % w) >> prefix_bits)
+            ]
+            g_code, r_code, b_code, a_code, d_code = groups[
+                (gp >> 8) & 0xFFFF
+            ]
+        else:
+            g_code, r_code, b_code, a_code, d_code = groups[0]
+        s = _vp8l_sym(br, g_code)
+        if s < 256:
+            red = _vp8l_sym(br, r_code)      # spec channel order:
+            blue = _vp8l_sym(br, b_code)     # green, red, blue, alpha
+            alpha = _vp8l_sym(br, a_code)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            pos += 1
+            if cache_bits:
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
+        elif s < 256 + 24:
+            length = _vp8l_lz77(br, s - 256)
+            dist_code = _vp8l_lz77(br, _vp8l_sym(br, d_code))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = max(dy * w + dx, 1)
+            if dist > pos or pos + length > n:
+                raise _Vp8lEof
+            for _ in range(length):
+                px = out[pos - dist]
+                out[pos] = px
+                pos += 1
+                if cache_bits:
+                    cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
+        else:
+            idx = s - 256 - 24
+            if not cache_bits or idx >= len(cache):
+                raise _Vp8lEof
+            out[pos] = cache[idx]
+            pos += 1
+    return out
+
+
+def _vp8l_avg2(a, b):
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_clamp_add_sub_full(a, b, c):
+    out = 0
+    for sh in (0, 8, 16, 24):
+        v = ((a >> sh) & 0xFF) + ((b >> sh) & 0xFF) - ((c >> sh) & 0xFF)
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _vp8l_clamp_add_sub_half(a, b, c):
+    out = 0
+    for sh in (0, 8, 16, 24):
+        ave = (((a >> sh) & 0xFF) + ((b >> sh) & 0xFF)) >> 1
+        v = ave + (ave - ((c >> sh) & 0xFF)) // 2
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _vp8l_select(left, top, topleft):
+    p_l = p_t = 0
+    for sh in (0, 8, 16, 24):
+        pred = ((left >> sh) & 0xFF) + ((top >> sh) & 0xFF) - (
+            (topleft >> sh) & 0xFF
+        )
+        p_l += abs(pred - ((left >> sh) & 0xFF))
+        p_t += abs(pred - ((top >> sh) & 0xFF))
+    return left if p_l <= p_t else top
+
+
+def _vp8l_apply_predictor(px, w, h, modes, tile_bits):
+    """Inverse predictor transform (spec §4.1): residuals in ``px`` are
+    promoted to pixels in place, per-channel mod-256 adds."""
+    tw = (w + (1 << tile_bits) - 1) >> tile_bits
+    add = lambda a, b: (  # noqa: E731 - per-channel mod-256 add
+        (((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00)
+        | (((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF)
+    )
+    for y in range(h):
+        row = y * w
+        for x in range(w):
+            pos = row + x
+            if y == 0 and x == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = px[pos - 1]
+            elif x == 0:
+                pred = px[pos - w]
+            else:
+                mode = (modes[(y >> tile_bits) * tw + (x >> tile_bits)]
+                        >> 8) & 0xFF
+                left = px[pos - 1]
+                top = px[pos - w]
+                tl = px[pos - w - 1]
+                tr = px[pos - w + 1]  # x==w-1: first pixel of this row
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = left
+                elif mode == 2:
+                    pred = top
+                elif mode == 3:
+                    pred = tr
+                elif mode == 4:
+                    pred = tl
+                elif mode == 5:
+                    pred = _vp8l_avg2(_vp8l_avg2(left, tr), top)
+                elif mode == 6:
+                    pred = _vp8l_avg2(left, tl)
+                elif mode == 7:
+                    pred = _vp8l_avg2(left, top)
+                elif mode == 8:
+                    pred = _vp8l_avg2(tl, top)
+                elif mode == 9:
+                    pred = _vp8l_avg2(top, tr)
+                elif mode == 10:
+                    pred = _vp8l_avg2(_vp8l_avg2(left, tl),
+                                      _vp8l_avg2(top, tr))
+                elif mode == 11:
+                    pred = _vp8l_select(left, top, tl)
+                elif mode == 12:
+                    pred = _vp8l_clamp_add_sub_full(left, top, tl)
+                elif mode == 13:
+                    pred = _vp8l_clamp_add_sub_half(left, top, tl)
+                else:
+                    raise _Vp8lEof
+            px[pos] = add(px[pos], pred)
+
+
+def _vp8l_delta(t, c):
+    """Color-transform delta: (int8(t) * int8(c)) >> 5 (spec §4.1)."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _vp8l_apply_color_transform(px, w, h, elements, tile_bits):
+    tw = (w + (1 << tile_bits) - 1) >> tile_bits
+    for y in range(h):
+        row = y * w
+        for x in range(w):
+            pos = row + x
+            el = elements[(y >> tile_bits) * tw + (x >> tile_bits)]
+            g2r = el & 0xFF
+            g2b = (el >> 8) & 0xFF
+            r2b = (el >> 16) & 0xFF
+            p = px[pos]
+            g = (p >> 8) & 0xFF
+            r = ((p >> 16) & 0xFF) + _vp8l_delta(g2r, g)
+            r &= 0xFF
+            b = (p & 0xFF) + _vp8l_delta(g2b, g)
+            b = (b + _vp8l_delta(r2b, r)) & 0xFF
+            px[pos] = (p & 0xFF00FF00) | (r << 16) | b
+
+
+def _vp8l_pixels_unsafe(data: bytes, max_pixels: int):
+    """REAL WebP-lossless (VP8L) pixel decode — the full public
+    bitstream (RFC 9649 / WebP lossless spec): LSB-first bit reader,
+    simple + code-length-coded canonical prefix codes, optional meta
+    prefix groups and color cache, LZ77 with the 120-entry close-
+    neighbor distance map, and all four inverse transforms (predictor,
+    color, subtract-green, color-indexing incl. sub-byte pixel
+    bundling). Returns (h, w, 4) uint8 RGBA."""
+    payload = None
+    for cid, off, csize in _riff_chunks(data, form=b"WEBP"):
+        if cid == b"VP8L":
+            payload = data[off : off + csize]
+            break
+    if payload is None or len(payload) < 5 or payload[0] != 0x2F:
+        return None
+    br = _Vp8lBits(payload, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:  # version must be 0
+        return None
+    if w * h > max_pixels:
+        return None
+    transforms = []
+    seen = set()
+    img_w = w
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:  # each transform may appear once
+            raise _Vp8lEof
+        seen.add(ttype)
+        if ttype in (0, 1):  # predictor / color
+            tile_bits = br.read(3) + 2
+            tw = (img_w + (1 << tile_bits) - 1) >> tile_bits
+            th = (h + (1 << tile_bits) - 1) >> tile_bits
+            tiles = _vp8l_entropy_image(br, tw, th, False, max_pixels)
+            transforms.append((ttype, tile_bits, tiles))
+        elif ttype == 2:  # subtract green
+            transforms.append((2, None, None))
+        else:  # color indexing
+            pal_size = br.read(8) + 1
+            pal = _vp8l_entropy_image(br, pal_size, 1, False, max_pixels)
+            for i in range(1, pal_size):  # palette is delta-coded
+                a = pal[i - 1]
+                d = pal[i]
+                pal[i] = (
+                    (((a >> 24) + (d >> 24)) & 0xFF) << 24
+                    | ((((a >> 16) & 0xFF) + ((d >> 16) & 0xFF)) & 0xFF)
+                    << 16
+                    | ((((a >> 8) & 0xFF) + ((d >> 8) & 0xFF)) & 0xFF) << 8
+                    | (((a & 0xFF) + (d & 0xFF)) & 0xFF)
+                )
+            if pal_size <= 2:
+                width_bits = 3
+            elif pal_size <= 4:
+                width_bits = 2
+            elif pal_size <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            transforms.append((3, width_bits, pal))
+            img_w = (img_w + (1 << width_bits) - 1) >> width_bits
+    px = _vp8l_entropy_image(br, img_w, h, True, max_pixels)
+    for ttype, arg, tdata in reversed(transforms):
+        if ttype == 3:  # color indexing (+ bundle unpack)
+            width_bits, pal = arg, tdata
+            if width_bits:
+                per = 1 << width_bits
+                bits = 8 >> width_bits
+                mask = (1 << bits) - 1
+                wide = []
+                for y in range(h):
+                    row = px[y * img_w : (y + 1) * img_w]
+                    line = []
+                    for p in row:
+                        g = (p >> 8) & 0xFF
+                        for k in range(per):
+                            line.append((g >> (k * bits)) & mask)
+                    wide.extend(line[:w])
+                idxs = wide
+            else:
+                idxs = [(p >> 8) & 0xFF for p in px]
+            px = [pal[i] if i < len(pal) else 0 for i in idxs]
+            img_w = w
+        elif ttype == 2:  # add green back
+            for i, p in enumerate(px):
+                g = (p >> 8) & 0xFF
+                r = (((p >> 16) & 0xFF) + g) & 0xFF
+                b = ((p & 0xFF) + g) & 0xFF
+                px[i] = (p & 0xFF00FF00) | (r << 16) | b
+        elif ttype == 1:
+            _vp8l_apply_color_transform(px, w, h, tdata, arg)
+        else:
+            _vp8l_apply_predictor(px, w, h, tdata, arg)
+    if len(px) != w * h:
+        return None
+    arr = np.array(px, dtype=np.uint32).reshape(h, w)
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    out[..., 0] = (arr >> 16) & 0xFF  # R
+    out[..., 1] = (arr >> 8) & 0xFF   # G
+    out[..., 2] = arr & 0xFF          # B
+    out[..., 3] = (arr >> 24) & 0xFF  # A
+    return out
+
+
+def _webp_pixels(data: bytes, max_pixels: int = 4 * 1024 * 1024):
+    """Guarded VP8L decode: returns (h, w, 4) uint8 RGBA or None (lossy
+    VP8/VP8X stay header-only BY DESIGN — their payloads are transform-
+    codec bitstreams)."""
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None
+    try:
+        return _vp8l_pixels_unsafe(data, max_pixels)
+    except (_Vp8lEof, IndexError, ValueError, MemoryError):
+        return None
+
+
 def _heif_dims(data: bytes):
     """HEIC/AVIF dims from the ispe property (meta > iprp > ipco >
     ispe — meta is a FULL box: 4 version/flags bytes precede its
@@ -917,11 +1404,13 @@ def decode_images(
     ~26 header bytes — a dimension-filter pass over 100 TB must NOT
     pay zlib decompression per asset, so the REAL PNG pixel decode
     (``decoder`` = ``png-zlib``; stdlib zlib + numpy un-filtering, see
-    ``_png_pixels``) and the GIF first-frame decode (``decoder`` =
+    ``_png_pixels``), the GIF first-frame decode (``decoder`` =
     ``gif-lzw``; pure-Python LZW, composited onto the logical screen so
-    the dims match the header path) are opt-in via ``pixels=True``, for
-    callers that want pixel-verified dims; ``extract_features`` always
-    uses the pixel path (it needs the actual image).
+    the dims match the header path), JPEG/TIFF, and the WebP-lossless
+    decode (``decoder`` = ``webp-vp8l-pixels``, see ``_webp_pixels``; lossy
+    VP8 stays header-only BY DESIGN) are opt-in via ``pixels=True``,
+    for callers that want pixel-verified dims; ``extract_features``
+    always uses the pixel path (it needs the actual image).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -940,6 +1429,10 @@ def decode_images(
                 if labeled is not None:
                     px, tiff_label = labeled
                     return (px.shape[0], px.shape[1], px.shape[2], tiff_label)
+                px = _webp_pixels(data)
+                if px is not None:
+                    return (px.shape[0], px.shape[1], px.shape[2],
+                            "webp-vp8l-pixels")
             parsed = _header_dims(data)
             if parsed is not None:
                 return parsed
@@ -3241,6 +3734,9 @@ def extract_features(
                 if px is None:
                     px = _tiff_pixels(data)
                     kind = "tiff-pool8"
+                if px is None:
+                    px = _webp_pixels(data)
+                    kind = "webp-pool8"
                 if px is not None and px.shape[0] >= 8 and px.shape[1] >= 8:
                     feats.append(_pooled_gray_feature(px).tolist())
                     kinds.append(kind)
