@@ -649,9 +649,52 @@ def _vp8l_lz77_sym(value: int):
     return 2 + 2 * extra + (rest >> extra), extra, rest & ((1 << extra) - 1)
 
 
-def _vp8l_emit_stream(w, tokens):
+def _vp8l_byte_tree(w, alphabet_size):
+    """The trivial complete code: all 256 byte symbols at length 8
+    (Kraft-complete), written through the code-length-code machinery —
+    lets the encoder emit ARBITRARY images. Returns sym -> (code, 8)."""
+    w.w(0, 1)  # not simple
+    order = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8)
+    w.w(len(order) - 4, 4)
+    for v in order:
+        w.w(2 if v in (17, 18, 0, 8) else 0, 3)
+    # one cl symbol '8' repeated via 16-run? simpler: emit '8' 256x is
+    # wasteful; use sym 16 (repeat previous)? cl code here covers
+    # {0, 8, 17, 18}: emit 8 then... 16 not coded, so emit 256 '8's.
+    emits = [(8, None, 0)] * 256
+    n_emit = len(emits)
+    k = 0
+    while (2 + 2 * k) < 32 and n_emit - 2 >= (1 << (2 + 2 * k)):
+        k += 1
+    w.w(1, 1)
+    w.w(k, 3)
+    w.w(n_emit - 2, 2 + 2 * k)
+    cl_sorted = sorted((0, 8, 17, 18))
+    cl_codes = {s: (idx, 2) for idx, s in enumerate(cl_sorted)}
+    for sym, _, _ in emits:
+        c, ln = cl_codes[sym]
+        w.code(c, ln)
+    return {s: (s, 8) for s in range(256)}
+
+
+def _vp8l_emit_stream(w, tokens, full_byte=False):
     """Trees + token emission shared by the main image and transform
-    sub-images (cache/meta bits are written by the caller)."""
+    sub-images (cache/meta bits are written by the caller). With
+    ``full_byte`` every channel uses the trivial 8-bit tree, so any
+    literal image encodes."""
+    if full_byte:
+        g_map = _vp8l_byte_tree(w, 256 + 24)
+        r_map = _vp8l_byte_tree(w, 256)
+        b_map = _vp8l_byte_tree(w, 256)
+        a_map = _vp8l_byte_tree(w, 256)
+        _vp8l_tree(w, {0}, 40)
+        for tok in tokens:
+            px = tok[1]
+            w.code(*g_map[(px >> 8) & 0xFF])
+            w.code(*r_map[(px >> 16) & 0xFF])
+            w.code(*b_map[px & 0xFF])
+            w.code(*a_map[(px >> 24) & 0xFF])
+        return
     greens, reds, blues, alphas, dists = set(), set(), set(), set(), set()
     for tok in tokens:
         if tok[0] == "lit":
@@ -698,7 +741,7 @@ def _vp8l_emit_stream(w, tokens):
             w.code(*g_map[256 + 24 + tok[1]])
 
 
-def _vp8l_encode(tokens, width, height, transforms=()):
+def _vp8l_encode(tokens, width, height, transforms=(), full_byte=False):
     """Spec-built VP8L encoder (no color cache — the cache test builds
     its own stream). ``tokens`` is the literal/copy stream of the
     (transformed) image: ('lit', argb) or ('copy', length, dist_code).
@@ -710,7 +753,7 @@ def _vp8l_encode(tokens, width, height, transforms=()):
     w.w(0, 1)  # no more transforms
     w.w(0, 1)  # no color cache
     w.w(0, 1)  # no meta prefix codes
-    _vp8l_emit_stream(w, tokens)
+    _vp8l_emit_stream(w, tokens, full_byte=full_byte)
     return _vp8l_wrap(w, width, height)
 
 
@@ -723,7 +766,10 @@ def _tf_predictor(mode, tile_bits=9):
         w.w(0, 2)
         w.w(tile_bits - 2, 3)
         w.w(0, 1)  # tile sub-image: no color cache
-        _vp8l_emit_stream(w, [("lit", mode << 8)])  # mode in green
+        modes = mode if isinstance(mode, (list, tuple)) else [mode]
+        _vp8l_emit_stream(
+            w, [("lit", m << 8) for m in modes], full_byte=len(modes) > 1
+        )
 
     return f
 
@@ -1022,6 +1068,142 @@ def test_vp8l_meta_prefix_groups():
     px = _webp_pixels(data)
     assert px is not None
     assert _rgba_flat(px) == want
+
+
+def _vp8l_forward_predict(img, w_, h_, modes, tile_bits):
+    """Forward predictor: residuals = px - pred per channel mod 256,
+    mirroring the spec's border rules and all 14 modes (independent
+    transcription used to drive the decoder's inverse)."""
+
+    def chans(p):
+        return [(p >> s) & 0xFF for s in (24, 16, 8, 0)]
+
+    def pack(c):
+        return (c[0] << 24) | (c[1] << 16) | (c[2] << 8) | c[3]
+
+    def avg2(a, b):
+        return pack([(x + y) >> 1 for x, y in zip(chans(a), chans(b))])
+
+    def clamp(v):
+        return max(0, min(255, v))
+
+    tw = (w_ + (1 << tile_bits) - 1) >> tile_bits
+    out = []
+    for y in range(h_):
+        for x in range(w_):
+            pos = y * w_ + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = img[pos - 1]
+            elif x == 0:
+                pred = img[pos - w_]
+            else:
+                mode = modes[(y >> tile_bits) * tw + (x >> tile_bits)]
+                L = img[pos - 1]
+                T = img[pos - w_]
+                TL = img[pos - w_ - 1]
+                TR = img[pos - w_ + 1]
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = avg2(avg2(L, TR), T)
+                elif mode == 6:
+                    pred = avg2(L, TL)
+                elif mode == 7:
+                    pred = avg2(L, T)
+                elif mode == 8:
+                    pred = avg2(TL, T)
+                elif mode == 9:
+                    pred = avg2(T, TR)
+                elif mode == 10:
+                    pred = avg2(avg2(L, TL), avg2(T, TR))
+                elif mode == 11:
+                    pl = sum(
+                        abs(clamp(lc + tc - tlc) - lc)
+                        for lc, tc, tlc in zip(chans(L), chans(T), chans(TL))
+                    )
+                    pt = sum(
+                        abs(clamp(lc + tc - tlc) - tc)
+                        for lc, tc, tlc in zip(chans(L), chans(T), chans(TL))
+                    )
+                    pred = L if pl <= pt else T
+                elif mode == 12:
+                    pred = pack([
+                        clamp(lc + tc - tlc)
+                        for lc, tc, tlc in zip(chans(L), chans(T), chans(TL))
+                    ])
+                else:
+                    pred = pack([
+                        clamp(((lc + tc) >> 1)
+                              + (((lc + tc) >> 1) - tlc) // 2)
+                        for lc, tc, tlc in zip(chans(L), chans(T), chans(TL))
+                    ])
+            out.append(pack([
+                (pc - qc) & 0xFF for pc, qc in zip(chans(img[pos]),
+                                                   chans(pred))
+            ]))
+    return out
+
+
+def test_vp8l_all_predictor_modes_random_images():
+    """Every predictor mode 0-13 round-trips a RANDOM image exactly
+    (via the full-byte trees), including the Select and
+    ClampAddSubtract arithmetic — the hardest inverse-transform code."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _webp_pixels
+
+    rng = np.random.RandomState(77)
+    w_, h_ = 11, 7
+    for mode in range(14):
+        img = [
+            0xFF000000 | int(v)
+            for v in rng.randint(0, 1 << 24, w_ * h_, dtype=np.int64)
+        ]
+        resid = _vp8l_forward_predict(img, w_, h_, [mode], 9)
+        data = _vp8l_encode(
+            [("lit", p) for p in resid], w_, h_,
+            transforms=[_tf_predictor(mode)], full_byte=True,
+        )
+        px = _webp_pixels(data)
+        assert px is not None, f"mode {mode}"
+        assert _rgba_flat(px) == img, f"mode {mode}"
+
+
+def test_vp8l_multi_tile_predictors():
+    """Per-tile predictor modes: a 4-pixel tile grid with a different
+    mode in every tile round-trips a random image exactly."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _webp_pixels
+
+    rng = np.random.RandomState(99)
+    w_, h_, tile_bits = 14, 9, 2
+    tw = (w_ + 3) >> 2
+    th = (h_ + 3) >> 2
+    modes = [int(m) for m in rng.randint(0, 14, tw * th)]
+    img = [
+        0xFF000000 | int(v)
+        for v in rng.randint(0, 1 << 24, w_ * h_, dtype=np.int64)
+    ]
+    resid = _vp8l_forward_predict(img, w_, h_, modes, tile_bits)
+    data = _vp8l_encode(
+        [("lit", p) for p in resid], w_, h_,
+        transforms=[_tf_predictor(modes, tile_bits=tile_bits)],
+        full_byte=True,
+    )
+    px = _webp_pixels(data)
+    assert px is not None
+    assert _rgba_flat(px) == img
 
 
 def test_vp8l_decode_images_and_features(spark):
