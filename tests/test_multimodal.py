@@ -774,12 +774,16 @@ def _tf_predictor(mode, tile_bits=9):
     return f
 
 
-def _tf_color(g2r, g2b, r2b, tile_bits=9):
+def _tf_color(g2r, g2b=None, r2b=None, tile_bits=9):
+    elements = (g2r if isinstance(g2r, (list, tuple))
+                else [(r2b << 16) | (g2b << 8) | g2r])
+
     def f(w):
         w.w(1, 2)
         w.w(tile_bits - 2, 3)
         w.w(0, 1)
-        _vp8l_emit_stream(w, [("lit", (r2b << 16) | (g2b << 8) | g2r)])
+        _vp8l_emit_stream(w, [("lit", el) for el in elements],
+                          full_byte=len(elements) > 1)
 
     return f
 
@@ -1199,6 +1203,52 @@ def test_vp8l_multi_tile_predictors():
     data = _vp8l_encode(
         [("lit", p) for p in resid], w_, h_,
         transforms=[_tf_predictor(modes, tile_bits=tile_bits)],
+        full_byte=True,
+    )
+    px = _webp_pixels(data)
+    assert px is not None
+    assert _rgba_flat(px) == img
+
+
+def test_vp8l_multi_tile_color_transform_random():
+    """Per-tile cross-color elements over a random image: the forward
+    transform (subtract deltas; r2b applied against the ORIGINAL red)
+    inverts exactly through the decoder."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _webp_pixels
+
+    rng = np.random.RandomState(41)
+    w_, h_, tile_bits = 10, 6, 2
+    tw = (w_ + 3) >> 2
+    th = (h_ + 3) >> 2
+    elements = [int(v) for v in rng.randint(0, 1 << 24, tw * th)]
+    img = [
+        0xFF000000 | int(v)
+        for v in rng.randint(0, 1 << 24, w_ * h_, dtype=np.int64)
+    ]
+
+    def delta(t, c):
+        if t >= 128:
+            t -= 256
+        if c >= 128:
+            c -= 256
+        return (t * c) >> 5
+
+    toks = []
+    for pos, p in enumerate(img):
+        y, x = divmod(pos, w_)
+        el = elements[(y >> tile_bits) * tw + (x >> tile_bits)]
+        g2r, g2b, r2b = el & 0xFF, (el >> 8) & 0xFF, (el >> 16) & 0xFF
+        g = (p >> 8) & 0xFF
+        r = (p >> 16) & 0xFF
+        b = p & 0xFF
+        r_t = (r - delta(g2r, g)) & 0xFF
+        b_t = (b - delta(g2b, g) - delta(r2b, r)) & 0xFF
+        toks.append(("lit", (p & 0xFF00FF00) | (r_t << 16) | b_t))
+    data = _vp8l_encode(
+        toks, w_, h_,
+        transforms=[_tf_color(elements, tile_bits=tile_bits)],
         full_byte=True,
     )
     px = _webp_pixels(data)
