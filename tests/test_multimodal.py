@@ -1256,6 +1256,47 @@ def test_vp8l_multi_tile_color_transform_random():
     assert _rgba_flat(px) == img
 
 
+def test_vp8l_combined_transforms_and_long_distance():
+    """Two stacked transforms invert in reverse read order (stream
+    lists [subtract-green, predictor]; decoder applies predictor⁻¹
+    then add-green), and a plain >120 distance code copies across
+    rows."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _webp_pixels
+
+    rng = np.random.RandomState(5)
+    w_, h_ = 9, 6
+    img = [
+        0xFF000000 | int(v)
+        for v in rng.randint(0, 1 << 24, w_ * h_, dtype=np.int64)
+    ]
+
+    def sub_green(p):
+        g = (p >> 8) & 0xFF
+        r = (((p >> 16) & 0xFF) - g) & 0xFF
+        b = ((p & 0xFF) - g) & 0xFF
+        return (p & 0xFF00FF00) | (r << 16) | b
+
+    stage1 = [sub_green(p) for p in img]
+    resid = _vp8l_forward_predict(stage1, w_, h_, [2], 9)  # mode Top
+    data = _vp8l_encode(
+        [("lit", p) for p in resid], w_, h_,
+        transforms=[_tf_subtract_green, _tf_predictor(2)],
+        full_byte=True,
+    )
+    px = _webp_pixels(data)
+    assert px is not None
+    assert _rgba_flat(px) == img
+
+    # plain distance: dist_code 123 -> dist 3 (beyond the 120-map)
+    A, B, C = 0xFF101010, 0xFF202020, 0xFF303030
+    toks = [("lit", A), ("lit", B), ("lit", C), ("copy", 9, 123)]
+    px2 = _webp_pixels(_vp8l_encode(toks, 4, 3))
+    assert px2 is not None
+    assert _rgba_flat(px2) == [A, B, C] * 4
+
+
 def test_vp8l_decode_images_and_features(spark):
     """decode_images(pixels=True) reports webp-vp8l with pixel-exact
     dims; extract_features pools the decoded pixels (webp-pool8); a
