@@ -3494,7 +3494,7 @@ def q81(spark, sf_dir):
 
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 81 registered, thirty-one fall
-#: outside it (q81 joins the tail by registration position). Order the export so the operator classes with the least
+#: outside it (q81 promoted into q62's slot in the third wave). Order the export so the operator classes with the least
 #: other coverage sit inside the gate: the streaming/multimodal/pipeline
 #: additions (q51-q78) take the slots of queries each subsumed by
 #: other green gates — q20/q44/q45 (set-ops by the golden suite,
@@ -3571,6 +3571,12 @@ _DEMOTED_TO_TAIL = (
     # q49 hash-matches the SAME tumbling semantics against the oracle
     # (the q24↔q50 session precedent); q23's exact oracle moves in-suite.
     "q23_events_tumbling_window",
+    # q81's slot (round-10 third wave): the real sample-decode family
+    # gets a driver-recorded green. q62's md5-shard assignment is the
+    # same md5-threshold machinery the gate keeps via q59 (stratified
+    # sample), q66 (group top-n) and q71 (packing shards); its exact
+    # oracle moves in-suite.
+    "q62_deterministic_shard",
 )
 _PROMOTED = (
     "q51_streaming_sliding",
@@ -3603,12 +3609,24 @@ _PROMOTED = (
     "q78_knn_join",
     "q79_ann_ivfpq",
     "q80_media_probe",
+    "q81_audio_decode",
 )
 
 
 def _gate_order() -> List[str]:
     swap = dict(zip(_DEMOTED_TO_TAIL, _PROMOTED))
-    out = [swap.get(n, n) for n in QUERIES if n not in _PROMOTED]
+
+    def resolve(n: str) -> str:
+        # follow swap chains: demoting a PREVIOUSLY-PROMOTED query
+        # (q62 -> q81 in the round-10 third wave) re-targets the slot
+        # its own promotion occupied
+        seen = set()
+        while n in swap and n not in seen:
+            seen.add(n)
+            n = swap[n]
+        return n
+
+    out = [resolve(n) for n in QUERIES if n not in _PROMOTED]
     out.extend(_DEMOTED_TO_TAIL)
     return out
 
