@@ -428,6 +428,37 @@ def test_extract_features_uniform_dims_mixed_corpus(spark):
     assert out.loc[2].extractor == "stub"
 
 
+def test_resize_images_mixed_formats(spark):
+    """resize_images over a mixed corpus: GIF, TIFF and WebP-lossless
+    inputs all resize through their real decoders and come back as
+    PNGs that decode to exactly the target dims."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _png_pixels, resize_images
+
+    arr = np.random.RandomState(3).randint(0, 4, (10, 12, 3)).astype(
+        np.uint8) * 80
+    gif = _encode_gif(arr)
+    tiff = _tiff_full(np.random.RandomState(4).randint(
+        0, 256, (9, 11, 3), dtype=np.uint8), compression=8)
+    A, B = 0xFF336699, 0xFFCC9933
+    webp = _vp8l_encode(
+        [("lit", (A if (x + y) % 2 else B))
+         for y in range(9) for x in range(12)], 12, 9)
+    df = spark.createDataFrame(
+        [(0, gif), (1, tiff), (2, webp), (3, b"junk")],
+        "asset_id long, content binary",
+    )
+    out = resize_images(df, 6, 6).toPandas().set_index("asset_id")
+    assert out.loc[0, "resizer"] == "gif-nn"
+    assert out.loc[1, "resizer"] == "tiff-nn"
+    assert out.loc[2, "resizer"] == "webp-nn"
+    assert out.loc[3, "resizer"] == "stub"
+    for aid in (0, 1, 2):
+        px = _png_pixels(bytes(out.loc[aid, "content"]))
+        assert px is not None and px.shape[:2] == (6, 6)
+
+
 def test_resize_images_real_roundtrip(spark):
     """resize_images: decodable PNG -> real nearest-neighbor resample ->
     re-encoded PNG that decodes back to exactly the target shape with

@@ -3556,11 +3556,13 @@ def resize_images(
     content_col: str = "content",
     id_col: str = "asset_id",
 ) -> DataFrame:
-    """REAL image resize for decodable PNGs — no codec library:
-    ``_png_pixels`` decode → nearest-neighbor numpy resample →
-    ``_png_encode`` re-encode (``resizer='png-nn'``; the output decodes
-    back to exactly (height, width)). Undecodable content passes
-    through untouched with ``resizer='stub'`` — never invented pixels.
+    """REAL image resize for every decodable format — no codec
+    library: pixel decode (PNG / GIF / JPEG / TIFF / WebP-lossless,
+    the same ladder as ``decode_images(pixels=True)``) →
+    nearest-neighbor numpy resample → ``_png_encode`` re-encode
+    (``resizer='<fmt>-nn'``, output always PNG; it decodes back to
+    exactly (height, width)). Undecodable content passes through
+    untouched with ``resizer='stub'`` — never invented pixels.
     Arrow-batched ``mapInPandas``, the same 100 TB shape as the other
     decode stages."""
 
@@ -3568,10 +3570,23 @@ def resize_images(
         def one(data):
             data = bytes(data or b"")
             px = _png_pixels(data)
+            fmt = "png"
+            if px is None:
+                px = _gif_pixels(data)
+                fmt = "gif"
+            if px is None:
+                px = _jpeg_pixels(data)
+                fmt = "jpeg"
+            if px is None:
+                px = _tiff_pixels(data)
+                fmt = "tiff"
+            if px is None:
+                px = _webp_pixels(data)
+                fmt = "webp"
             if px is None:
                 return (data, None, None, "stub")
             small = np.ascontiguousarray(_resize_nearest(px, height, width))
-            return (_png_encode(small), height, width, "png-nn")
+            return (_png_encode(small), height, width, f"{fmt}-nn")
 
         for pdf in it:
             rows = [one(x) for x in pdf[content_col]]
