@@ -14,7 +14,9 @@ parameters and written to parquet once per M:
 - pcm assets are FULLY DECODABLE audio rotating frame-bearing FLAC
   (fixed-order subframes + Rice residuals) / IMA ADPCM WAV / G.711
   mu-law WAV by id%3 (~1.2-2k samples each), built with the spec-built
-  test encoders.
+  test encoders;
+- webp assets are FULLY DECODABLE VP8L (WebP-lossless) two-color
+  images, built with the spec-built test encoder.
 
 Measures, at M=1 / M=10 / M=100 (5k / 50k / 500k assets per kind),
 median wall of a count()-drained pass on one warm session:
@@ -23,9 +25,11 @@ median wall of a count()-drained pass on one warm session:
 - decode_images(pixels=True) over the TIFF corpus (real strip
   decompression + predictor + reshape per asset);
 - decode_audio over the pcm corpus (real bitstream/predictor/table
-  sample decode + RMS/peak per asset).
+  sample decode + RMS/peak per asset);
+- decode_images(pixels=True) over the webp corpus (full VP8L
+  prefix-code pixel decode per asset).
 
-Both pipelines are scan -> Arrow-batched mapInPandas with NO shuffle
+All four pipelines are scan -> Arrow-batched mapInPandas with NO shuffle
 (the plan ends at the Python stage), so wall must scale ~M and
 per-asset cost must stay flat — the multimodal family's 100 TB story
 is exactly "embarrassingly parallel over assets"; any cross-asset
@@ -113,6 +117,25 @@ def _pcm_audio_bytes(d: int) -> bytes:
 
 
 _MU_TABLE = None
+
+
+def _webp_asset_bytes(d: int) -> bytes:
+    """Fully-decodable VP8L asset: a 24x16 two-color checkerboard with
+    id-derived colors, encoded with the spec-built test encoder
+    (simple prefix codes)."""
+    if "/root/repo/tests" not in sys.path:  # executor-side import path
+        sys.path.insert(0, "/root/repo/tests")
+    from test_multimodal import _vp8l_encode
+
+    a = 0xFF000000 | ((d * 2654435761) & 0xFFFFFF)
+    b = 0xFF000000 | ((~d * 40503) & 0xFFFFFF)
+    if a == b:
+        b ^= 0x010101
+    w, h = 24, 16
+    return _vp8l_encode(
+        [("lit", a if (x + y) % 2 else b)
+         for y in range(h) for x in range(w)], w, h,
+    )
 
 
 def _packbits_encode(data: bytes) -> bytes:
@@ -220,8 +243,9 @@ def build_corpus(spark, m: int) -> tuple[str, str]:
     audio_path = os.path.join(OUT_DIR, f"audio_m{m}")
     image_path = os.path.join(OUT_DIR, f"image_m{m}")
     pcm_path = os.path.join(OUT_DIR, f"pcm_m{m}")
-    if os.path.exists(os.path.join(pcm_path, "_SUCCESS")):
-        return audio_path, image_path, pcm_path
+    webp_path = os.path.join(OUT_DIR, f"webp_m{m}")
+    if os.path.exists(os.path.join(webp_path, "_SUCCESS")):
+        return audio_path, image_path, pcm_path, webp_path
     base = spark.read.parquet(BASE).select("doc_id")
     copies = spark.range(m).withColumnRenamed("id", "copy")
     ids = base.crossJoin(copies).select(
@@ -257,7 +281,18 @@ def build_corpus(spark, m: int) -> tuple[str, str]:
         .write.mode("overwrite").parquet(image_path)
     ids.repartition(parts).mapInPandas(build_pcm, schema=schema) \
         .write.mode("overwrite").parquet(pcm_path)
-    return audio_path, image_path, pcm_path
+
+    def build_webp(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "content": [_webp_asset_bytes(int(a))
+                            for a in pdf["asset_id"]],
+            })
+
+    ids.repartition(parts).mapInPandas(build_webp, schema=schema) \
+        .write.mode("overwrite").parquet(webp_path)
+    return audio_path, image_path, pcm_path, webp_path
 
 
 def timed(fn, n=3):
@@ -282,10 +317,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     for m in (1, 10, 100):
-        audio_path, image_path, pcm_path = build_corpus(spark, m)
+        audio_path, image_path, pcm_path, webp_path = build_corpus(spark, m)
         audio = spark.read.parquet(audio_path)
         images = spark.read.parquet(image_path)
         pcm = spark.read.parquet(pcm_path)
+        webps = spark.read.parquet(webp_path)
 
         def probe():
             df = probe_media(audio, id_col="asset_id")
@@ -299,10 +335,15 @@ def main() -> None:
             df = decode_audio(pcm)
             return df.filter(F.col("rms").isNotNull()).count()
 
+        def decode_webp():
+            df = decode_images(webps, pixels=True)
+            return df.filter(df.decoder == "webp-vp8l-pixels").count()
+
         n = {1: 3, 10: 2}.get(m, 2)
         wall_p, rows_p = timed(probe, n=n)
         wall_d, rows_d = timed(decode, n=n)
         wall_a, rows_a = timed(decode_pcm, n=n)
+        wall_w, rows_w = timed(decode_webp, n=n)
         print(
             json.dumps(
                 {
@@ -314,6 +355,8 @@ def main() -> None:
                     "decode_decoded": int(rows_d),
                     "audio_wall_s": wall_a,
                     "audio_decoded": int(rows_a),
+                    "webp_wall_s": wall_w,
+                    "webp_decoded": int(rows_w),
                 }
             ),
             flush=True,
