@@ -39,6 +39,7 @@ REPRESENTATIVES = [
     "q76_encode_tokens",          # ordered id reassembly
     "q77_ann_pq",                 # sample-trained codebooks + ADC buckets
     "q78_knn_join",               # block-bucket grouped apply + bounded re-rank
+    "q81_audio_decode",           # build+decode kernels across odd splits
 ]
 
 
