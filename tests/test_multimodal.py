@@ -569,11 +569,12 @@ class _Vp8lW:
                      .astype(np.uint8).tobytes())
 
 
-def _vp8l_wrap(body_bits: "_Vp8lW", width: int, height: int) -> bytes:
+def _vp8l_wrap(body_bits: "_Vp8lW", width: int, height: int,
+               alpha_hint: int = 1) -> bytes:
     head = _Vp8lW()
     head.w(width - 1, 14)
     head.w(height - 1, 14)
-    head.w(1, 1)  # alpha hint
+    head.w(alpha_hint, 1)
     head.w(0, 3)  # version
     head.bits.extend(body_bits.bits)
     body = b"\x2f" + head.tobytes()
@@ -1326,6 +1327,25 @@ def test_vp8l_combined_transforms_and_long_distance():
     px2 = _webp_pixels(_vp8l_encode(toks, 4, 3))
     assert px2 is not None
     assert _rgba_flat(px2) == [A, B, C] * 4
+
+
+def test_vp8l_no_alpha_hint_three_channels():
+    """A VP8L stream whose header declares no alpha decodes to a
+    3-channel array — the channel count then matches the header-dims
+    path for the same file."""
+    from vinum_spark.operators.multimodal import (_header_dims,
+                                                  _webp_pixels)
+
+    w = _Vp8lW()
+    w.w(0, 1)
+    w.w(0, 1)
+    w.w(0, 1)
+    _vp8l_emit_stream(w, [("lit", 0xFF336699)] * 12)
+    data = _vp8l_wrap(w, 4, 3, alpha_hint=0)
+    px = _webp_pixels(data)
+    assert px is not None and px.shape == (3, 4, 3)
+    hdr = _header_dims(data)
+    assert hdr is not None and hdr[:3] == (3, 4, 3)
 
 
 def test_vp8l_decode_images_and_features(spark):

@@ -1105,7 +1105,7 @@ def _vp8l_pixels_unsafe(data: bytes, max_pixels: int):
     br = _Vp8lBits(payload, 1)
     w = br.read(14) + 1
     h = br.read(14) + 1
-    br.read(1)  # alpha hint
+    alpha_hint = br.read(1)
     if br.read(3) != 0:  # version must be 0
         return None
     if w * h > max_pixels:
@@ -1189,6 +1189,8 @@ def _vp8l_pixels_unsafe(data: bytes, max_pixels: int):
     out[..., 1] = (arr >> 8) & 0xFF   # G
     out[..., 2] = arr & 0xFF          # B
     out[..., 3] = (arr >> 24) & 0xFF  # A
+    if not alpha_hint:  # container declares no alpha: 3-channel, so
+        return np.ascontiguousarray(out[..., :3])  # dims match headers
     return out
 
 
