@@ -1329,6 +1329,34 @@ def test_vp8l_combined_transforms_and_long_distance():
     assert _rgba_flat(px2) == [A, B, C] * 4
 
 
+def test_vp8l_predictor_after_palette_uses_bundled_width():
+    """Exotic-but-legal transform order [color-indexing, predictor]:
+    the predictor was applied to the BUNDLED image, so its inverse
+    must run at the bundled width before the palette unbundles."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _webp_pixels
+
+    A, B = 0xFF112233, 0xFFAABBCC
+    w_, h_ = 16, 4  # bundled: 2 bytes per row (width_bits 3)
+    bits_rows = [[(x + y) % 2 for x in range(w_)] for y in range(h_)]
+    want = [(B if v else A) for row in bits_rows for v in row]
+    bw = w_ // 8
+    packed = [
+        sum(row[b0 + k] << k for k in range(8)) << 8
+        for row in bits_rows for b0 in range(0, w_, 8)
+    ]
+    resid = _vp8l_forward_predict(packed, bw, h_, [1], 9)
+    data = _vp8l_encode(
+        [("lit", p) for p in resid], w_, h_,
+        transforms=[_tf_palette([A, B]), _tf_predictor(1)],
+        full_byte=True,
+    )
+    px = _webp_pixels(data)
+    assert px is not None
+    assert _rgba_flat(px) == want
+
+
 def test_vp8l_no_alpha_hint_three_channels():
     """A VP8L stream whose header declares no alpha decodes to a
     3-channel array — the channel count then matches the header-dims

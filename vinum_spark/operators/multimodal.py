@@ -1123,9 +1123,12 @@ def _vp8l_pixels_unsafe(data: bytes, max_pixels: int):
             tw = (img_w + (1 << tile_bits) - 1) >> tile_bits
             th = (h + (1 << tile_bits) - 1) >> tile_bits
             tiles = _vp8l_entropy_image(br, tw, th, False, max_pixels)
-            transforms.append((ttype, tile_bits, tiles))
+            # img_w at READ time is the width of the image state this
+            # transform was applied to (bundled when listed after a
+            # color-indexing transform) — its inverse must use it too
+            transforms.append((ttype, tile_bits, tiles, img_w))
         elif ttype == 2:  # subtract green
-            transforms.append((2, None, None))
+            transforms.append((2, None, None, img_w))
         else:  # color indexing
             pal_size = br.read(8) + 1
             pal = _vp8l_entropy_image(br, pal_size, 1, False, max_pixels)
@@ -1147,10 +1150,10 @@ def _vp8l_pixels_unsafe(data: bytes, max_pixels: int):
                 width_bits = 1
             else:
                 width_bits = 0
-            transforms.append((3, width_bits, pal))
+            transforms.append((3, width_bits, pal, img_w))
             img_w = (img_w + (1 << width_bits) - 1) >> width_bits
     px = _vp8l_entropy_image(br, img_w, h, True, max_pixels)
-    for ttype, arg, tdata in reversed(transforms):
+    for ttype, arg, tdata, t_w in reversed(transforms):
         if ttype == 3:  # color indexing (+ bundle unpack)
             width_bits, pal = arg, tdata
             if width_bits:
@@ -1178,9 +1181,9 @@ def _vp8l_pixels_unsafe(data: bytes, max_pixels: int):
                 b = ((p & 0xFF) + g) & 0xFF
                 px[i] = (p & 0xFF00FF00) | (r << 16) | b
         elif ttype == 1:
-            _vp8l_apply_color_transform(px, w, h, tdata, arg)
+            _vp8l_apply_color_transform(px, t_w, h, tdata, arg)
         else:
-            _vp8l_apply_predictor(px, w, h, tdata, arg)
+            _vp8l_apply_predictor(px, t_w, h, tdata, arg)
     if len(px) != w * h:
         return None
     arr = np.array(px, dtype=np.uint32).reshape(h, w)
