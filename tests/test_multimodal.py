@@ -3095,6 +3095,18 @@ def test_resample_audio_downsample_and_upsample(spark):
     assert chained.loc[0, "rms"] == pytest.approx(0.25 / np.sqrt(2), rel=2e-2)
 
 
+def test_resample_audio_empty_wav_is_stub(spark):
+    """A decodable WAV with ZERO samples must pass through as stub
+    (review-found: np.interp raises on an empty sample-point array)."""
+    from vinum_spark.operators.multimodal import resample_audio
+
+    empty = _wav_bytes(b"", 1, 1, 8000, 16)
+    df = spark.createDataFrame([(0, empty)], "asset_id long, content binary")
+    out = resample_audio(df, 4000).toPandas().iloc[0]
+    assert out["resampler"] == "stub"
+    assert bytes(out["content"]) == empty
+
+
 def test_resample_audio_flac_and_stereo(spark):
     """FLAC input resamples through the real bitstream decode (label
     'flac-pcm-linear'); stereo interleave survives the per-channel

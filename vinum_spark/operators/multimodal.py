@@ -3660,6 +3660,8 @@ def resample_audio(
             if not rate or channels < 1:
                 return (data, None, None, "stub")
             frames = samples.size // channels
+            if frames == 0:  # decodable but empty: nothing to resample
+                return (data, None, None, "stub")
             n_out = max(1, int(round(frames * target_rate / rate)))
             x = np.arange(n_out, dtype="float64") * (rate / target_rate)
             xp = np.arange(frames, dtype="float64")
