@@ -1163,24 +1163,32 @@ def _vp8l_forward_predict(img, w_, h_, modes, tile_bits):
                 elif mode == 10:
                     pred = avg2(avg2(L, TL), avg2(T, TR))
                 elif mode == 11:
+                    # spec Select: UNCLAMPED estimate, ties -> top
                     pl = sum(
-                        abs(clamp(lc + tc - tlc) - lc)
+                        abs((lc + tc - tlc) - lc)
                         for lc, tc, tlc in zip(chans(L), chans(T), chans(TL))
                     )
                     pt = sum(
-                        abs(clamp(lc + tc - tlc) - tc)
+                        abs((lc + tc - tlc) - tc)
                         for lc, tc, tlc in zip(chans(L), chans(T), chans(TL))
                     )
-                    pred = L if pl <= pt else T
+                    pred = L if pl < pt else T
                 elif mode == 12:
                     pred = pack([
                         clamp(lc + tc - tlc)
                         for lc, tc, tlc in zip(chans(L), chans(T), chans(TL))
                     ])
                 else:
+                    # libwebp AddSubtractComponentHalf: C trunc-to-zero
+                    # division of (ave - TL), then Clip255
+                    def _half13(lc, tc, tlc):
+                        ave = (lc + tc) >> 1
+                        d = ave - tlc
+                        h = abs(d) >> 1
+                        return clamp(ave + (h if d >= 0 else -h))
+
                     pred = pack([
-                        clamp(((lc + tc) >> 1)
-                              + (((lc + tc) >> 1) - tlc) // 2)
+                        _half13(lc, tc, tlc)
                         for lc, tc, tlc in zip(chans(L), chans(T), chans(TL))
                     ])
             out.append(pack([
@@ -1213,6 +1221,79 @@ def test_vp8l_all_predictor_modes_random_images():
         px = _webp_pixels(data)
         assert px is not None, f"mode {mode}"
         assert _rgba_flat(px) == img, f"mode {mode}"
+
+
+def test_vp8l_predictor13_trunc_division_known_answer():
+    """Known-answer vector for ClampAddSubtractHalf (mode 13) computed
+    BY HAND from the libwebp arithmetic (`a + (a - b) / 2`, C division
+    truncating toward zero).  Chosen so (ave - TL) is odd and negative
+    on the green channel: floor division would predict 8, libwebp
+    predicts 9 — a decoder using Python `//` fails this pin even
+    though it round-trips its own floor-based encoder."""
+    from vinum_spark.operators.multimodal import _webp_pixels
+
+    # 2x2 image; only (1,1) exercises mode 13.
+    # (0,0)=ARGB FF000A0A  (1,0)=FF000B0B  (0,1)=FF000D0D
+    # L=(0,1): g=13 b=13; T=(1,0): g=11 b=11; TL=(0,0): g=10 b=10
+    # g: ave=(13+11)>>1=12, d=12-10=2,  pred=12+1=13
+    # pick values to force a NEGATIVE odd d on blue instead:
+    # use TL blue=15: d=12-15=-3 -> trunc -1 -> pred 11; floor -> 10
+    img = [0xFF000A0F, 0xFF000B0B, 0xFF000D0D, 0]  # TL, T, L, target
+    # target true pixel: blue 200, green 7
+    target = 0xFF0007C8
+    # residual = target - pred (mod 256) per channel
+    # green: ave=(13+11)>>1=12, d=12-10=2, pred=12+1=13; r=(7-13)&255=250
+    # blue:  ave=(13+11)>>1=12, d=12-15=-3, trunc(-3/2)=-1, pred=11;
+    #        r=(200-11)&255=189
+    # alpha: ave=255, d=0, pred=255; r=0.  red: pred=0; r=0
+    img[3] = target
+    resid = [
+        0x00000A0F,              # (0,0): pred 0xFF000000 -> r = px-pred
+        0,                       # (1,0): filled below
+        0,                       # (0,1): filled below
+        0,                       # (1,1): filled below
+    ]
+    # recompute (1,0): px FF000B0B - left FF000A0F per channel mod 256:
+    resid[1] = (0x00 << 24) | (0x00 << 16) | (0x01 << 8) | ((0x0B - 0x0F) & 0xFF)
+    # (0,1): px FF000D0D - top FF000A0F:
+    resid[2] = (0x00 << 24) | (0x00 << 16) | (0x03 << 8) | ((0x0D - 0x0F) & 0xFF)
+    resid[3] = (0x00 << 24) | (0x00 << 16) | (250 << 8) | 189
+    data = _vp8l_encode(
+        [("lit", p) for p in resid], 2, 2,
+        transforms=[_tf_predictor(13)], full_byte=True,
+    )
+    px = _webp_pixels(data)
+    assert px is not None
+    assert _rgba_flat(px) == img
+
+
+def test_vp8l_select_tie_goes_to_top_known_answer():
+    """Known-answer vector for Select (mode 11) tie-breaking: when
+    pL == pT with L != T the spec returns TOP (`if (pL < pT) return L;
+    else return T`), not left."""
+    from vinum_spark.operators.multimodal import _webp_pixels
+
+    # TL=FF000000, T=FF000004, L=FF000002:
+    # estimate=L+T-TL -> blue 6; |6-L|=4, |6-T|=2 -> pT < pL -> top.
+    # For a TIE: TL blue=3 -> est=3; |3-2|=1 vs |3-4|=1 -> tie -> TOP.
+    img = [0xFF000003, 0xFF000004, 0xFF000002, 0]
+    target_resid_blue = 0x10  # arbitrary
+    # pred at (1,1) must be TOP (blue 4): pixel = 4 + 0x10 = 0x14
+    expect = 0xFF000014
+    img[3] = expect
+    resid = [
+        0x00000003,                  # (0,0): pred FF000000
+        (0x01) & 0xFF,               # (1,0): px-left = 4-3 = 1 (blue)
+        ((0x02 - 0x03) & 0xFF),      # (0,1): px-top = 2-3 = -1
+        target_resid_blue,
+    ]
+    data = _vp8l_encode(
+        [("lit", p) for p in resid], 2, 2,
+        transforms=[_tf_predictor(11)], full_byte=True,
+    )
+    px = _webp_pixels(data)
+    assert px is not None
+    assert _rgba_flat(px) == img
 
 
 def test_vp8l_multi_tile_predictors():
@@ -1426,6 +1507,18 @@ def test_sample_frames_webm_simpleblocks(spark):
     assert got == (vids + grouped)[::2]
 
     assert _webm_frame_spans(_webm_bytes()) == []
+
+
+def test_webm_track_127_blocks_not_skipped():
+    """Track number 127 encodes as the 1-byte varint 0xFF — the
+    all-ones pattern is a plain value here, not the element-size
+    unknown sentinel, so its blocks must still be extracted."""
+    from vinum_spark.operators.multimodal import _webm_frame_spans
+
+    vids = [b"frame-a" * 4, b"frame-b" * 4]
+    webm = _webm_bytes(frames=vids, block_track=127)
+    spans = _webm_frame_spans(webm)
+    assert [webm[lo:hi] for lo, hi in spans] == vids
 
 
 def test_sample_frames_truncated_gif_falls_back_to_stub(spark):
@@ -3823,7 +3916,8 @@ def _webm_block(payload, track=1, timecode=0, flags=0x80):
 
 
 def _webm_bytes(duration_units=5000.0, scale=None, w=1280, h=720,
-                frames=(), laced_frames=(), grouped_frames=()):
+                frames=(), laced_frames=(), grouped_frames=(),
+                block_track=1):
     import struct
 
     info_body = b""
@@ -3843,7 +3937,8 @@ def _webm_bytes(duration_units=5000.0, scale=None, w=1280, h=720,
         cluster_body = b""
         for t, payload in enumerate(frames):
             cluster_body += _ebml_el(
-                bytes([0xA3]), _webm_block(payload, timecode=t)
+                bytes([0xA3]),
+                _webm_block(payload, track=block_track, timecode=t),
             )
         for payload in laced_frames:  # EBML-laced: extractor must skip
             cluster_body += _ebml_el(

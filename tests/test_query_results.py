@@ -610,6 +610,34 @@ DATETIME = (
         "select date('2020-10-06') - timedelta(1, 's') as dtime",
         {"dtime": (d(2020, 10, 5, 23, 59, 59),)},
     ),
+    # user-written CAST(... AS DATE) still promotes (r10 advice: the
+    # already-promoted check must look at the cast TARGET, not any CAST)
+    (
+        "trips_groupby",
+        "select cast(date('2020-10-06') as date) + timedelta(2, 'h')"
+        " as dtime",
+        {"dtime": (d(2020, 10, 6, 2, 0),)},
+    ),
+    # sub-second units: np.datetime64('2020-10-06') +
+    # np.timedelta64(1500,'ms') == 2020-10-06T00:00:01.500
+    (
+        "trips_groupby",
+        "select date('2020-10-06') + timedelta(1500, 'ms') as dtime",
+        {"dtime": (d(2020, 10, 6, 0, 0, 1, 500000),)},
+    ),
+    (
+        "trips_groupby",
+        "select date('2020-10-06') + timedelta(250, 'us') as dtime",
+        {"dtime": (d(2020, 10, 6, 0, 0, 0, 250),)},
+    ),
+    # ns rounds (half-up via the interval's DECIMAL(18,6) seconds) to
+    # Spark's microsecond timestamp precision — numpy keeps exact ns,
+    # Spark cannot represent it (documented bound)
+    (
+        "trips_groupby",
+        "select date('2020-10-06') + timedelta(1500, 'ns') as dtime",
+        {"dtime": (d(2020, 10, 6, 0, 0, 0, 2),)},
+    ),
     ("trips_groupby", "select date('2020-10')", {"date": (dt.date(2020, 10, 1),)}),
     ("trips_groupby", "select date('2020')", {"date": (dt.date(2020, 1, 1),)}),
     (

@@ -981,15 +981,22 @@ def _vp8l_clamp_add_sub_full(a, b, c):
 
 
 def _vp8l_clamp_add_sub_half(a, b, c):
+    # libwebp AddSubtractComponentHalf: a + (a - b) / 2 with C integer
+    # division (truncation toward zero, NOT Python floor) — for odd
+    # negative (ave - c) the two differ by one.
     out = 0
     for sh in (0, 8, 16, 24):
         ave = (((a >> sh) & 0xFF) + ((b >> sh) & 0xFF)) >> 1
-        v = ave + (ave - ((c >> sh) & 0xFF)) // 2
+        d = ave - ((c >> sh) & 0xFF)
+        half = abs(d) >> 1
+        v = ave + (half if d >= 0 else -half)
         out |= max(0, min(255, v)) << sh
     return out
 
 
 def _vp8l_select(left, top, topleft):
+    # Spec §4.1 Select: Manhattan distance of L and T to the unclamped
+    # estimate L+T-TL; ties go to TOP (`if (pL < pT) return L; else T`).
     p_l = p_t = 0
     for sh in (0, 8, 16, 24):
         pred = ((left >> sh) & 0xFF) + ((top >> sh) & 0xFF) - (
@@ -997,7 +1004,7 @@ def _vp8l_select(left, top, topleft):
         )
         p_l += abs(pred - ((left >> sh) & 0xFF))
         p_t += abs(pred - ((top >> sh) & 0xFF))
-    return left if p_l <= p_t else top
+    return left if p_l < p_t else top
 
 
 def _vp8l_apply_predictor(px, w, h, modes, tile_bits):
@@ -3338,6 +3345,23 @@ def _ebml_id(data: bytes, i: int):
     return None
 
 
+def _ebml_vint(data: bytes, i: int):
+    """Read a plain EBML varint (1-8 bytes, marker stripped) with NO
+    unknown-size sentinel — block track numbers use this form, where
+    the all-ones pattern is just a value (track 127 encodes as 0xFF)."""
+    if i >= len(data):
+        return None
+    b0 = data[i]
+    for ln in range(1, 9):
+        if b0 & (0x80 >> (ln - 1)):
+            if i + ln > len(data):
+                return None
+            v = int.from_bytes(data[i : i + ln], "big")
+            v -= (0x80 >> (ln - 1)) << (8 * (ln - 1))
+            return v, i + ln
+    return None
+
+
 def _ebml_size(data: bytes, i: int):
     """Read an EBML size varint (1-8 bytes, marker stripped); all-ones
     means unknown size (returned as None size)."""
@@ -3998,8 +4022,10 @@ def _webm_frame_spans(data: bytes, max_frames: int = 4096):
                         if gid == 0xA1
                     )
                 for lo, hi in blocks:
-                    tn = _ebml_size(data, lo)  # track number varint
-                    if tn is None or tn[0] is None:
+                    # plain varint, no unknown-size sentinel: track 127
+                    # encodes as 0xFF and must not be skipped
+                    tn = _ebml_vint(data, lo)
+                    if tn is None:
                         continue
                     hdr_end = tn[1] + 3  # 2-byte timecode + flags
                     if hdr_end > hi:

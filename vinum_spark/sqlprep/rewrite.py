@@ -84,6 +84,12 @@ _TIMEDELTA_UNIT = {
     "m": "0,0,0,0,0,({n}),0",
     "s": "0,0,0,0,0,0,({n})",
     "y": "({n}),0,0,0,0,0,0",
+    # sub-second units ride the fractional-seconds slot (DECIMAL(18,6)):
+    # exact for ms/us; ns truncates to Spark's microsecond timestamp
+    # precision (numpy keeps ns, Spark cannot represent it)
+    "ms": "0,0,0,0,0,0,(({n})/1000.0)",
+    "us": "0,0,0,0,0,0,(({n})/1000000.0)",
+    "ns": "0,0,0,0,0,0,(({n})/1000000000.0)",
 }
 
 
@@ -469,7 +475,7 @@ def _rewrite_modulo(tokens: List[Token]) -> List[Token]:
         tokens = tokens[:lstart] + repl + tokens[rend + 1 :]
 
 
-_SUBDAY_TIMEDELTA_UNITS = ("h", "m", "s")
+_SUBDAY_TIMEDELTA_UNITS = ("h", "m", "s", "ms", "us", "ns")
 
 
 def _rewrite_timedelta_promotion(tokens: List[Token]) -> List[Token]:
@@ -479,7 +485,8 @@ def _rewrite_timedelta_promotion(tokens: List[Token]) -> List[Token]:
     'h') -> 2024-03-05T01), but Spark's DATE + INTERVAL HOUR stays a
     DATE and silently drops the sub-day part (found by the round-10
     cross-engine differential fuzz). CAST the non-timedelta operand to
-    TIMESTAMP when the unit is h/m/s (or the default 's'); day/week/
+    TIMESTAMP when the unit is sub-day (h/m/s/ms/us/ns, or the default
+    's'); day/week/
     year additions keep numpy's date granularity, which Spark already
     matches. The cast is a no-op on values that are already
     timestamps."""
@@ -523,7 +530,20 @@ def _rewrite_timedelta_promotion(tokens: List[Token]) -> List[Token]:
                     lstart = None  # chain starts at an interval: nothing
                     break          # date-typed to promote
                 if head.kind == KIND_IDENT and head.upper() == "CAST":
-                    lstart = None  # already promoted by an earlier call
+                    # Only a CAST whose TARGET is TIMESTAMP is one of
+                    # our own promotion wraps (or user code that needs
+                    # no promotion). A user-written CAST(x AS DATE)
+                    # still needs wrapping — skipping it would silently
+                    # drop the sub-day part, the exact numpy divergence
+                    # this pass exists to fix.
+                    if (
+                        j - 2 >= 0
+                        and tokens[j - 1].text == ")"
+                        and tokens[j - 2].upper() == "TIMESTAMP"
+                    ):
+                        lstart = None  # already timestamp-typed
+                    else:
+                        lstart = cand  # wrap the whole CAST primary
                     break
                 lstart = cand
                 break
