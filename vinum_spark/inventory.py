@@ -467,14 +467,16 @@ def q12(spark, sf_dir):
     GROUP BY p.p_brand
     ORDER BY p.p_brand
     """,
-    "Fact-to-dim join: dim side explicitly broadcast — no shuffle of "
-    "lineitem at any scale while part fits executor memory.",
+    "Fact-to-dim join: NO broadcast hint — Catalyst/AQE broadcasts the "
+    "filtered dim while it fits autoBroadcastJoinThreshold (no lineitem "
+    "shuffle), and falls back to shuffled join at a scale where a forced "
+    "broadcast would OOM the executors. Plan-pinned at sf0.1.",
 )
 def q13(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .orderBy("p_brand")
@@ -495,8 +497,11 @@ def q13(spark, sf_dir):
     GROUP BY n.n_name
     ORDER BY revenue DESC, n.n_name
     """,
-    "TPC-H Q5-style multiway join: Catalyst broadcast-joins every dim; "
-    "only orders↔lineitem shuffles (co-partitioned on orderkey).",
+    "TPC-H Q5-style multiway join: NO broadcast hints — customer is "
+    "row-count-proportional, so a forced broadcast OOMs at 100×; AQE "
+    "broadcasts each side only while it fits the threshold and otherwise "
+    "shuffle-joins on the key. Only orders↔lineitem must shuffle "
+    "(co-partitioned on orderkey).",
 )
 def q14(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
@@ -506,9 +511,9 @@ def q14(spark, sf_dir):
     r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(
