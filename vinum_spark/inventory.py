@@ -3539,33 +3539,42 @@ _DEMOTED_TO_TAIL = (
     # percentile disagreement (q35) has its own in-suite approx-vs-exact
     # agreement gate; null semantics (q41) are hash-pinned by the golden
     # NULLS block; regex (q42) is the machinery of gated q58/q61; the
-    # UDF family keeps q40 vectorized (q48 grouped-agg joins it in the
-    # tail).
+    # UDF family rotates in r11: q40 vectorized steps out so q48
+    # grouped-agg (stale since r6) gets a driver check — one
+    # Arrow-batched UDF stays gated either way.
     "q11_case_when",
     "q12_conditional_agg",
     "q16_semi_join",
     "q35_percentiles",
     "q41_null_semantics",
     "q42_regex_strings",
-    "q48_grouped_agg_udf",
+    "q40_vectorized_udf",
     # q74's slot: pivot lowers to the same conditional-aggregation shape
     # q12 pins (and q12's exact oracle, like this one's, runs in-suite)
     "q37_pivot",
-    # q75's slot: the batch session-window twin — the gated streaming
-    # q50 hash-matches the SAME session semantics against the oracle
-    "q24_events_sessionize",
-    # q76's slot: lang-ID's machinery (scored CASE cascade over regexp
-    # counts) is exactly what the gated q58 quality rules exercise;
-    # its exact oracle stays in-suite
-    "q26_lang_id",
-    # q77's slot: the sign-LSH ANN class keeps its in-gate coverage via
-    # q56 (embedding-LSH candidates + verify); q32's own recall gate
-    # stays in-suite
-    "q32_ann_lsh",
-    # q78's slot: the near-dup family keeps q28/q29/q63 (and the
-    # winnowing/embedding variants) in the gate; SimHash's own
-    # recall-gated oracle stays in-suite
-    "q30_simhash",
+    # Round-11 rotation (VERDICT r10 item 2): q24/q26/q32/q30/q48 last
+    # saw a driver check in r6 — rotate them back in by demoting five
+    # family-redundant gate members in their slots (every demoted
+    # query's exact oracle keeps running in-suite via check_oracle and
+    # the pytest gates).
+    # q75's slot: sliding windows are tumbling windows with overlap —
+    # the gated streaming q49 (tumbling) + q50 (session) keep the
+    # watermark/window machinery in-gate; q51's oracle stays in-suite.
+    # (This re-promotes q24 batch sessionization, stale since r6.)
+    "q51_streaming_sliding",
+    # q76's slot: q25's single-projection text stats are the same
+    # signal machinery the gated q58 quality rules, q60 length buckets
+    # and q64 repetition compute. (Re-promotes q26 lang-ID.)
+    "q25_text_stats",
+    # q77's slot: plain IVF's cell-probe machinery is contained in the
+    # gated q79 IVF-PQ (probe + ADC + re-rank) and q77 PQ; q46's oracle
+    # stays in-suite. (Re-promotes q32 sign-LSH ANN with its recall
+    # gate.)
+    "q46_ann_ivf",
+    # q78's slot: the near-dup family keeps q29 minhash-LSH, q63
+    # clusters and q72 incremental in the gate; n-gram Jaccard's exact
+    # oracle stays in-suite. (Re-promotes q30 SimHash.)
+    "q28_ngram_jaccard",
     # round-10 rotation (VERDICT r9 item 1): q79/q80 get driver-recorded
     # greens. q79's slot: brute-force cosine top-k is subsumed in-gate by
     # the exact q78 knn-join plus the ANN members q46/q56/q77 (and now
