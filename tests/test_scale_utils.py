@@ -116,6 +116,49 @@ def test_compact_parquet_partitioned_layout(spark, tmp_path):
     assert sorted(r["p"] for r in out.select("p").distinct().collect()) == [0, 1, 2]
 
 
+def test_compact_parquet_high_cardinality_partitions(spark, tmp_path):
+    """1000 hive partitions must plan and run in bounded time: the
+    per-partition file-count frame is broadcast-JOINED on the key, not
+    inlined as a 1000-branch literal when-chain (which explodes plan
+    size and driver memory at real partition cardinalities)."""
+    import time
+
+    from vinum_spark.io.bucketing import compact_parquet
+    from pyspark.sql import functions as F
+
+    src, dst = str(tmp_path / "hsrc"), str(tmp_path / "hdst")
+    df = spark.range(20000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("p")
+    )
+    df.write.partitionBy("p").parquet(src)
+    t0 = time.monotonic()
+    compact_parquet(spark, src, dst, target_file_bytes=64 * 1024 * 1024,
+                    partition_cols="p")
+    assert time.monotonic() - t0 < 120
+    out = spark.read.parquet(dst)
+    assert out.count() == 20000
+    assert out.select("p").distinct().count() == 1000
+
+
+def test_compact_parquet_null_partition_values(spark, tmp_path):
+    """NULL partition values keep their rows through the key join (the
+    join uses eqNullSafe, matching the old literal chain's semantics)."""
+    from vinum_spark.io.bucketing import compact_parquet
+    from pyspark.sql import functions as F
+
+    src, dst = str(tmp_path / "nsrc"), str(tmp_path / "ndst")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.lit("a")).alias("p"),
+    )
+    df.write.partitionBy("p").parquet(src)
+    compact_parquet(spark, src, dst, target_file_bytes=64 * 1024 * 1024,
+                    partition_cols="p")
+    out = spark.read.parquet(dst)
+    assert out.count() == 100
+    assert out.filter(F.col("p").isNull()).count() == 50
+
+
 def test_compact_parquet_rejects_bad_target(spark, tmp_path):
     from vinum_spark.io.bucketing import compact_parquet
 

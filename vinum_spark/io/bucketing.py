@@ -107,30 +107,50 @@ def compact_parquet(
         # hive partition regardless of size (a 20 GB skewed partition ->
         # one 20 GB file from one task). Apportion the global file count
         # to partitions by row share (bytes/rows assumed uniform within a
-        # dataset) and salt the shuffle key so each partition splits into
-        # ~its own file count. The groupBy is bounded by the number of
-        # hive partitions, not rows.
-        rows = {tuple(r[c] for c in cols): r["count"]
-                for r in df.groupBy(*cols).count().collect()}
-        total_rows = max(1, sum(rows.values()))
-        per_part = {
-            k: max(1, round(n_files * v / total_rows)) for k, v in rows.items()
-        }
-        k_expr = F.lit(1)
-        for key, k in per_part.items():
-            cond = F.lit(True)
-            for c, val in zip(cols, key):
-                cond = cond & (F.col(c).eqNullSafe(F.lit(val)))
-            k_expr = F.when(cond, F.lit(k)).otherwise(k_expr)
-        n_files = sum(per_part.values())
-        (
-            df.withColumn("__salt", F.floor(F.rand(42) * k_expr).cast("int"))
-            .repartition(n_files, *cols, F.col("__salt"))
-            .drop("__salt")
-            .write.mode("overwrite")
-            .partitionBy(*cols)
-            .parquet(dst)
+        # dataset, half-up rounding) and salt the shuffle key so each
+        # partition splits into ~its own file count. The per-partition
+        # frame is JOINED back on the key, never inlined as literals: a
+        # collected when-chain is fine at dozens of partitions but blows
+        # up plan size and driver memory at thousands. The two .first()
+        # calls below each fetch a single aggregate row (bounded).
+        counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__rows"))
+        total_rows = max(
+            1, int(counts.agg(F.sum("__rows").alias("t")).first()["t"] or 0)
         )
+        kdf = counts.select(
+            *cols,
+            F.greatest(
+                F.lit(1),
+                F.round(
+                    F.lit(float(n_files)) * F.col("__rows") / F.lit(float(total_rows))
+                ).cast("int"),
+            ).alias("__k"),
+        ).persist()
+        try:
+            n_files = int(kdf.agg(F.sum("__k").alias("s")).first()["s"])
+            right = kdf
+            for c in cols:
+                right = right.withColumnRenamed(c, f"__p_{c}")
+            cond = None
+            for c in cols:
+                e = df[c].eqNullSafe(F.col(f"__p_{c}"))
+                cond = e if cond is None else cond & e
+            (
+                df.join(F.broadcast(right), cond, "left")
+                .withColumn(
+                    "__salt",
+                    F.floor(
+                        F.rand(42) * F.coalesce(F.col("__k"), F.lit(1))
+                    ).cast("int"),
+                )
+                .repartition(n_files, *cols, F.col("__salt"))
+                .drop("__salt", "__k", *[f"__p_{c}" for c in cols])
+                .write.mode("overwrite")
+                .partitionBy(*cols)
+                .parquet(dst)
+            )
+        finally:
+            kdf.unpersist()
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(dst)
     return n_files
