@@ -99,6 +99,7 @@ GATED = [
     # their exact driver oracles run here instead
     "q31_cosine_topk",
     "q23_events_tumbling_window",
+    "q83_image_neardup",
 ]
 
 

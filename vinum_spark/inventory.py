@@ -3497,9 +3497,103 @@ def q81(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_q(
+    "q83_image_neardup",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS id_a,
+           CAST(doc_id + 100000 AS BIGINT) AS id_b
+    FROM documents
+    WHERE doc_id % 4 = 0
+    ORDER BY id_a
+    """,
+    "Image near-dup under the oracle gate — the decode -> feature -> "
+    "LSH -> exact-verify chain end-to-end (VERDICT r10 item 6). Per "
+    "doc, Spark BUILDS a real 16x16 grayscale PNG whose 8x8 pooled "
+    "pattern is a doc_id-unranked 3-subset of the 64 cells (combinadic "
+    "-> injective for any corpus up to C(64,3)=41664 docs), and for "
+    "doc_id%4==0 a deterministically-perturbed twin (+/-2 per-cell "
+    "jitter) at id+100000. extract_features must DECODE the pixels "
+    "(png-pool8, no stub), hyperplane LSH must bucket the twins "
+    "together, and exact cosine verify at 0.95 must keep EXACTLY the "
+    "planted pairs: twins land at cos ~0.999 while any two distinct "
+    "patterns share at most 2 of 3 hot cells (cos <= ~2/3), so both a "
+    "recall miss and a precision leak hash-mismatch the closed-form "
+    "oracle. Pixel decode itself is round-trip-pinned in "
+    "tests/test_multimodal.py; this gate adds the distributed "
+    "image-dedup plumbing at corpus scale.",
+)
+def q83(spark, sf_dir):
+    import pandas as pd
+
+    from vinum_spark.operators.multimodal import _png_encode
+    from vinum_spark.operators.multimodal import extract_features
+    from vinum_spark.operators.similarity import (
+        cosine_verify,
+        lsh_candidate_pairs,
+    )
+
+    def build(it):
+        import numpy as np
+
+        def unrank3(k):
+            # combinadic: k -> unique {a < b < c} ⊂ [0, 64)
+            c = 2
+            while (c + 1) * c * (c - 1) // 6 <= k:
+                c += 1
+            k -= c * (c - 1) * (c - 2) // 6
+            b = 1
+            while (b + 1) * b // 2 <= k:
+                b += 1
+            k -= b * (b - 1) // 2
+            return k, b, c
+
+        def cells_to_png(values):
+            # 8x8 cell values -> 16x16 gray PNG (2x2 px per pooled cell)
+            img = np.repeat(
+                np.repeat(values.reshape(8, 8), 2, axis=0), 2, axis=1
+            ).astype("uint8")
+            return _png_encode(img[:, :, None])
+
+        for pdf in it:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                cells = np.full(64, 10, dtype="int64")
+                for hot in unrank3(d % 41664):
+                    cells[hot] = 245
+                ids.append(d)
+                blobs.append(cells_to_png(cells))
+                if d % 4 == 0:
+                    jitter = (d * 31 + np.arange(64)) % 5 - 2
+                    ids.append(d + 100000)
+                    blobs.append(cells_to_png(cells + jitter))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    # same spread-before-Python-kernel pattern as q81: shuffle the tiny
+    # id column so the build+decode parallelizes, never the payloads
+    d = _t(spark, sf_dir, "documents").select("doc_id").repartition(64)
+    assets = d.mapInPandas(build, schema="doc_id long, content binary")
+    feats = extract_features(assets, id_col="doc_id").select(
+        F.col("asset_id").alias("vec_id"),
+        F.col("feature").alias("embedding"),
+    )
+    pairs = lsh_candidate_pairs(
+        feats, dim=64, n_planes=32, band_bits=4
+    )
+    return (
+        cosine_verify(feats, pairs, threshold=0.95, dim=64)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+        .orderBy("id_a")
+    )
+
+
 #: The round driver's correctness gate records only the FIRST 50
-#: entries of ``queries()``; with 81 registered, thirty-one fall
-#: outside it (q81 promoted into q62's slot in the third wave). Order the export so the operator classes with the least
+#: entries of ``queries()``; with 82 registered, thirty-two fall
+#: outside it (q81 promoted into q62's slot in the r10 third wave,
+#: q83 into q43's in r11). Order the export so the operator classes with the least
 #: other coverage sit inside the gate: the streaming/multimodal/pipeline
 #: additions (q51-q78) take the slots of queries each subsumed by
 #: other green gates — q20/q44/q45 (set-ops by the golden suite,
@@ -3591,6 +3685,11 @@ _DEMOTED_TO_TAIL = (
     # sample), q66 (group top-n) and q71 (packing shards); its exact
     # oracle moves in-suite.
     "q62_deterministic_shard",
+    # q83's slot (round 11): the image near-dup chain gets a
+    # driver-recorded green. q43's explode+count token machinery is
+    # exactly the first stage of the gated q67 vocab top-k and q76
+    # token encoding; its exact oracle moves in-suite.
+    "q43_token_explode",
 )
 _PROMOTED = (
     "q51_streaming_sliding",
@@ -3624,6 +3723,7 @@ _PROMOTED = (
     "q79_ann_ivfpq",
     "q80_media_probe",
     "q81_audio_decode",
+    "q83_image_neardup",
 )
 
 
