@@ -256,7 +256,7 @@ _MONO_VQ = (np.array(_MONO_MULTS, dtype=np.float64).reshape(16, 4)
             * 0.25 - 2.0)
 
 
-def _mono_setup_packet():
+def _mono_setup_packet(rtype=1):
     w = _VW()
     w.w(1, 8)  # 2 codebooks
     _write_codebook(w, 1, [1])  # book0: classbook, single entry
@@ -276,7 +276,7 @@ def _mono_setup_packet():
     w.w(64, 8)  # extra X points (amplitude 0 -> excluded from render)
     w.w(192, 8)
     w.w(0, 6)  # 1 residue
-    w.w(1, 16)  # residue type 1
+    w.w(rtype, 16)  # residue type (1 default; 0 shares packet shape)
     w.w(0, 24)  # begin
     w.w(128, 24)  # end
     w.w(7, 24)  # psize 8
@@ -484,3 +484,437 @@ def test_fuzz_random_bytes():
         blob = rng.bytes(rng.randint(1, 400))
         assert vorbis_pcm_samples(b"OggS" + blob) is None or True
         assert vorbis_pcm_samples(blob) is None or True
+
+
+# ---------------------------------------------------------------------------
+# Residue type 0 (same packet bytes as type 1, different placement)
+
+
+def test_mono_residue_type0():
+    # identical setup except residue type 0: per partition the book's
+    # dim-4 vectors scatter with stride step = psize/dim = 2
+    packets = [_ident_packet(1, 8000, 8, 8), _comment_packet(),
+               _mono_setup_packet(rtype=0)]
+    blocks = []
+    for s in range(5):
+        pkt, _, ypair = _mono_audio_packet(s)
+        packets.append(pkt)
+        # recompute expected placement for type 0
+        entries = [(s * 31 + t * 5 + 3) % 16 for t in range(32)]
+        resid = np.zeros(128)
+        t = 0
+        for pc in range(16):
+            for half in range(2):
+                e = entries[t]
+                t += 1
+                resid[pc * 8 + half : pc * 8 + half + 8 : 2] += _MONO_VQ[e]
+        blocks.append((resid, ypair))
+    data = _ogg_stream(packets, 128 * 4)
+    acc = np.zeros(128 * 6)
+    win = _vorbis_window(256, 0, 128, 128, 128)
+    for t, (resid, (y0, y1)) in enumerate(blocks):
+        spectrum = resid * _mono_floor_curve(y0, y1)
+        acc[128 * t : 128 * t + 256] += _imdct_direct(spectrum, 256) * win
+    out = vorbis_pcm_samples(data)
+    assert out is not None and out[3] == "vorbis-pcm"
+    assert np.allclose(out[0], acc[128 : 128 * 5], atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Stereo, block switching, coupling, rich floors (configuration B)
+
+_B_RNG = 128  # floor range at multiplier 2
+_B_XS = [0, 128, 16, 32, 48, 64, 96]
+_B_L1 = [2, 2, 3, 3, 3, 4, 5, 5]  # pass-0 book, Kraft sum exactly 1
+_B_COMB = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 12]  # slow-path book
+_B_MULTS2 = [(j * 5 + 1) % 8 for j in range(52)]
+_B_MB_LENS = [1, 2, 3, 3]
+
+
+def _b_vq1():
+    """Book 1 value table: lookup type 1, l1v=2, mults [0,2],
+    minv=-1, delta=1, sequence_p folds into a cumsum."""
+    mults = np.array([0.0, 2.0])
+    vq = np.zeros((8, 2))
+    for e in range(8):
+        vq[e, 0] = mults[e % 2] - 1.0
+        vq[e, 1] = mults[(e // 2) % 2] - 1.0
+    return np.cumsum(vq, axis=1)
+
+
+def _b_vq2():
+    return (np.array(_B_MULTS2, dtype=np.float64).reshape(13, 4)
+            * 0.25 - 0.75)
+
+
+_B_VQ1 = _b_vq1()
+_B_VQ2 = _b_vq2()
+
+
+def _b_setup_packet():
+    w = _VW()
+    w.w(5, 8)  # 6 codebooks
+    _write_codebook(w, 2, [2, 2, 2, 2])  # 0: residue classbook
+    _write_codebook(w, 2, _B_L1, lookup=1, minv=-1.0, delta=1.0,
+                    value_bits=2, seq=1, mults=[0, 2])  # 1: pass-0 VQ
+    _write_codebook(w, 4, _B_COMB, lookup=2, minv=-0.75, delta=0.25,
+                    value_bits=3, mults=_B_MULTS2)  # 2: pass-1 VQ
+    _write_codebook(w, 1, _B_MB_LENS)  # 3: floor masterbook
+    _write_codebook(w, 1, [7] * 128)  # 4: floor subbook A
+    _write_codebook(w, 1, [6] * 64)  # 5: floor subbook B
+    w.w(0, 6)
+    w.w(0, 16)  # 1 time transform
+    w.w(0, 6)  # 1 floor
+    w.w(1, 16)  # type 1
+    w.w(2, 5)  # 2 partitions
+    w.w(0, 4)  # partition 0 -> class 0
+    w.w(1, 4)  # partition 1 -> class 1
+    # class 0: dims 2, no subclasses, subbook A
+    w.w(1, 3)
+    w.w(0, 2)
+    w.w(5, 8)  # book 4 (written +1)
+    # class 1: dims 3, 1 subclass bit, masterbook 3, subbooks A/B
+    w.w(2, 3)
+    w.w(1, 2)
+    w.w(3, 8)
+    w.w(5, 8)
+    w.w(6, 8)
+    w.w(1, 2)  # multiplier 2
+    w.w(7, 4)  # rangebits 7 -> xs [0, 128]
+    for x in _B_XS[2:]:
+        w.w(x, 7)
+    w.w(0, 6)  # 1 residue
+    w.w(2, 16)  # type 2
+    w.w(0, 24)  # begin
+    w.w(1024, 24)  # end
+    w.w(15, 24)  # psize 16
+    w.w(1, 6)  # 2 classifications
+    w.w(0, 8)  # classbook 0
+    w.w(1, 3)
+    w.w(0, 1)  # class 0 cascade: pass 0
+    w.w(3, 3)
+    w.w(0, 1)  # class 1 cascade: passes 0,1
+    w.w(1, 8)  # class 0 pass-0 book = 1 (raw index, no +1 here)
+    w.w(1, 8), w.w(2, 8)  # class 1 pass-0/1 books = 1, 2
+    w.w(0, 6)  # 1 mapping
+    w.w(0, 16)
+    w.w(0, 1)  # 1 submap
+    w.w(1, 1)  # coupling present
+    w.w(0, 8)  # 1 step
+    w.w(0, 1)  # magnitude channel 0
+    w.w(1, 1)  # angle channel 1
+    w.w(0, 2)  # reserved
+    w.w(0, 8)
+    w.w(0, 8)
+    w.w(0, 8)  # submap: floor 0, residue 0
+    w.w(1, 6)  # 2 modes
+    w.w(0, 1)
+    w.w(0, 16)
+    w.w(0, 16)
+    w.w(0, 8)  # mode 0: short
+    w.w(1, 1)
+    w.w(0, 16)
+    w.w(0, 16)
+    w.w(0, 8)  # mode 1: long
+    w.w(1, 1)  # framing
+    return b"\x05vorbis" + w.bytes()
+
+
+def _render_point_naive(x0, y0, x1, y1, x):
+    dy = y1 - y0
+    adx = x1 - x0
+    off = abs(dy) * (x - x0) // adx
+    return y0 - off if dy < 0 else y0 + off
+
+
+def _floor_vals_from_finals(xs, finals):
+    """Invert the spec's floor1 amplitude synthesis: desired final_Y
+    -> transmitted vals, exercising both the parity and the >=room
+    escape encodings. Forward-checks every point."""
+    vals = [finals[0], finals[1]]
+    step2 = [True, True] + [False] * (len(xs) - 2)
+    for i in range(2, len(xs)):
+        lo = hi = None
+        for j in range(i):
+            if xs[j] < xs[i] and (lo is None or xs[j] > xs[lo]):
+                lo = j
+            if xs[j] > xs[i] and (hi is None or xs[j] < xs[hi]):
+                hi = j
+        pred = _render_point_naive(xs[lo], finals[lo], xs[hi], finals[hi],
+                                   xs[i])
+        want = finals[i]
+        highroom = _B_RNG - pred
+        lowroom = pred
+        room = 2 * min(highroom, lowroom)
+        diff = want - pred
+        if diff == 0:
+            val = 0
+        elif diff > 0:
+            val = 2 * diff if 2 * diff < room else (
+                diff + lowroom if highroom > lowroom else None)
+        else:
+            v = 2 * (-diff) - 1
+            val = v if v < room else (
+                pred + highroom - 1 - want if highroom <= lowroom else None)
+        assert val is not None, (i, pred, want)
+        # forward check (decoder synthesis logic)
+        if val:
+            if val >= room:
+                dec = (val - lowroom + pred if highroom > lowroom
+                       else pred - val + highroom - 1)
+            elif val & 1:
+                dec = pred - ((val + 1) >> 1)
+            else:
+                dec = pred + (val >> 1)
+            assert dec == want, (i, val, dec, want)
+            step2[i] = step2[lo] = step2[hi] = True
+        else:
+            assert pred == want
+        vals.append(val)
+    return vals, step2
+
+
+def _floor_curve_naive(xs, finals, step2, mult, n2):
+    pts = sorted((xs[i], finals[i] * mult)
+                 for i in range(len(xs)) if step2[i])
+    yv = np.zeros(n2, dtype=np.int64)
+    x0, y0 = pts[0]
+    for x1, y1 in pts[1:]:
+        for x, y in _render_line_naive(x0, y0, x1, y1, n2).items():
+            yv[x] = y
+        x0, y0 = x1, y1
+    if x0 < n2:
+        yv[x0:] = y0
+    return 10.0 ** ((np.clip(yv, 0, 255) - 255) * (7.0 / 256.0))
+
+
+_B_CODES_MB = None
+_B_CODES_1 = None
+_B_CODES_2 = None
+
+
+def _b_codes():
+    global _B_CODES_MB, _B_CODES_1, _B_CODES_2
+    if _B_CODES_MB is None:
+        _B_CODES_MB = _assign_codewords(_B_MB_LENS)
+        _B_CODES_1 = _assign_codewords(_B_L1)
+        _B_CODES_2 = _assign_codewords(_B_COMB)
+    return _B_CODES_MB, _B_CODES_1, _B_CODES_2
+
+
+def _b_encode_floor(w, finals):
+    """Encode one channel's floor; returns (vals, step2)."""
+    mb_codes, _, _ = _b_codes()
+    vals, step2 = _floor_vals_from_finals(_B_XS, finals)
+    w.w(1, 1)  # nonzero
+    w.w(finals[0], 7)
+    w.w(finals[1], 7)
+    # partition 0 (class 0, no subclasses): dims 2 from subbook A
+    assert vals[2] < 128 and vals[3] < 128
+    w.code(vals[2], 7)
+    w.code(vals[3], 7)
+    # partition 1 (class 1, 1 subclass bit): pick a masterbook cval
+    # whose subbook choice fits every val (book B holds only 64)
+    for cval in range(4):
+        ok = all(
+            vals[4 + d] < (64 if (cval >> d) & 1 else 128)
+            for d in range(3)
+        )
+        if ok:
+            break
+    assert ok
+    w.code(*mb_codes[cval])
+    for d in range(3):
+        if (cval >> d) & 1:
+            w.code(vals[4 + d], 6)
+        else:
+            w.code(vals[4 + d], 7)
+    return vals, step2
+
+
+def _b_audio_packet(mode, prev_flag, next_flag, floors, seed):
+    """One config-B audio packet. floors: per channel, a finals list
+    or None (floor unused). Returns (bytes, per-channel curves or
+    None, pre-coupling interleaved residue)."""
+    _, codes1, codes2 = _b_codes()
+    n = 1024 if mode else 256
+    n2 = n // 2
+    w = _VW()
+    w.w(0, 1)
+    w.w(mode, 1)
+    if mode:
+        w.w(prev_flag, 1)
+        w.w(next_flag, 1)
+    curves = []
+    for finals in floors:
+        if finals is None:
+            w.w(0, 1)  # floor unused
+            curves.append(None)
+        else:
+            vals, step2 = _b_encode_floor(w, finals)
+            curves.append(_floor_curve_naive(_B_XS, finals, step2, 2, n2))
+    # residue type 2: one interleaved vector of length 2*n2, clamped
+    # by end=1024; psize 16, classbook dim 2
+    total = min(1024, 2 * n2)
+    parts = total // 16
+    cls = [(seed + pc) % 2 for pc in range(parts)]
+    inter = np.zeros(2 * n2)
+    # pass 0: classwords interleaved with the first-pass codewords
+    t = 0
+    for pc0 in range(0, parts, 2):
+        cw = cls[pc0] * 2 + (cls[pc0 + 1] if pc0 + 1 < parts else 0)
+        w.code(cw, 2)  # classbook: equal lengths, code == entry
+        for pc in (pc0, pc0 + 1):
+            if pc >= parts:
+                break
+            for i in range(8):  # psize/dim = 16/2
+                e = (seed * 7 + pc * 3 + i + t) % 8
+                t += 1
+                w.code(*codes1[e])
+                inter[pc * 16 + i * 2 : pc * 16 + i * 2 + 2] += _B_VQ1[e]
+    # pass 1: only class-1 partitions, book 2 (dim 4)
+    for pc in range(parts):
+        if cls[pc] != 1:
+            continue
+        for i in range(4):
+            e = (seed * 5 + pc + i) % 13
+            w.code(*codes2[e])
+            inter[pc * 16 + i * 4 : pc * 16 + i * 4 + 4] += _B_VQ2[e]
+    return w.bytes(), curves, inter
+
+
+def _b_finals(seed):
+    """Pseudo-random but always-encodable final_Y choices, covering
+    the escape branches on some seeds."""
+    base = [10 + (seed * 13) % 100, 20 + (seed * 29) % 100]
+    rest = [(seed * 7 + k * 37 + 11) % _B_RNG for k in range(5)]
+    if seed % 3 == 0:
+        base = [10, 120]
+        rest[0] = 100  # positive >=room escape at x=16 (pred 23)
+    return base + rest
+
+
+def _b_geometry(n, blockflag, prev_flag, next_flag, bs0=256):
+    if blockflag and not prev_flag:
+        ls, lsz = n // 4 - bs0 // 4, bs0 // 2
+    else:
+        ls, lsz = 0, n // 2
+    if blockflag and not next_flag:
+        rs, rsz = 3 * n // 4 - bs0 // 4, bs0 // 2
+    else:
+        rs, rsz = n // 2, n // 2
+    return ls, lsz, rs, rsz
+
+
+def _couple_naive(M, A):
+    m2 = M.copy()
+    a2 = A.copy()
+    for i in range(len(M)):
+        m, a = M[i], A[i]
+        if m > 0:
+            if a > 0:
+                m2[i], a2[i] = m, m - a
+            else:
+                a2[i], m2[i] = m, m + a
+        else:
+            if a > 0:
+                m2[i], a2[i] = m, m + a
+            else:
+                a2[i], m2[i] = m, m - a
+    return m2, a2
+
+
+def _b_stream_and_expected(plan):
+    """plan: list of (mode, floors_spec) where floors_spec is a pair
+    of 'use'/None markers; returns (ogg bytes, expected (2, total))."""
+    packets = [_ident_packet(2, 16000, 8, 10), _comment_packet(),
+               _b_setup_packet()]
+    # window flags describe the true neighbors
+    blocks = []
+    for t, (mode, fspec) in enumerate(plan):
+        prev_flag = plan[t - 1][0] if t > 0 else 0
+        next_flag = plan[t + 1][0] if t + 1 < len(plan) else 0
+        floors = [
+            _b_finals(t * 2 + c) if use else None
+            for c, use in enumerate(fspec)
+        ]
+        pkt, curves, inter = _b_audio_packet(mode, prev_flag, next_flag,
+                                             floors, seed=t + 1)
+        packets.append(pkt)
+        blocks.append((mode, prev_flag, next_flag, curves, inter))
+    # expected OLA with naive scalar components; origin biased by bs1
+    # because a long block after a short first block starts early
+    acc = np.zeros((2, 1024 * (len(plan) + 4)))
+    offset = 1024
+    prev_rs_abs = None
+    emit_start = None
+    for mode, prev_flag, next_flag, curves, inter in blocks:
+        n = 1024 if mode else 256
+        n2 = n // 2
+        ls, lsz, rs, rsz = _b_geometry(n, mode, prev_flag, next_flag)
+        win = _vorbis_window(n, ls, lsz, rs, rsz)
+        M, A = _couple_naive(inter[0::2], inter[1::2])
+        if prev_rs_abs is not None:
+            offset = prev_rs_abs - ls
+        if emit_start is None:
+            emit_start = offset + rs
+        for c, resid in enumerate((M, A)):
+            if curves[c] is None:
+                continue
+            spectrum = resid * curves[c]
+            acc[c, offset : offset + n] += _imdct_direct(spectrum, n) * win
+        prev_rs_abs = offset + rs
+    total = prev_rs_abs - emit_start
+    expected = acc[:, emit_start : emit_start + total]
+    data = _ogg_stream(packets, total)
+    return data, expected
+
+
+def test_stereo_coupled_blockswitch_roundtrip():
+    plan = [
+        (0, (1, 1)),
+        (0, (1, 1)),
+        (1, (1, 1)),  # long, prev short, next long
+        (1, (1, 1)),  # long, prev long, next short
+        (0, (1, 0)),  # channel-1 floor unused (coupling still decodes)
+        (1, (1, 1)),  # long with short on both sides
+        (0, (1, 1)),
+        (0, (1, 1)),
+    ]
+    data, expected = _b_stream_and_expected(plan)
+    out = vorbis_pcm_samples(data)
+    assert out is not None
+    samples, ch, rate, label = out
+    assert (ch, rate, label) == (2, 16000, "vorbis-pcm")
+    n = expected.shape[1]
+    assert samples.shape == (2 * n,)
+    got = np.stack([samples[0::2], samples[1::2]])
+    assert np.allclose(got, expected, atol=1e-8)
+    assert float(np.abs(expected).max()) > 1e-4
+
+
+def test_stereo_long_after_first_short_exact():
+    # the long block's window starts BEFORE the stream's first sample
+    # (negative unbiased offset) — pin the biased-origin lap math
+    plan = [(0, (1, 1)), (1, (1, 1)), (0, (1, 1))]
+    data, expected = _b_stream_and_expected(plan)
+    out = vorbis_pcm_samples(data)
+    assert out is not None
+    got = np.stack([out[0][0::2], out[0][1::2]])
+    assert got.shape == expected.shape
+    assert np.allclose(got, expected, atol=1e-8)
+
+
+def test_stereo_fuzz_never_raises():
+    plan = [(0, (1, 1)), (1, (1, 1)), (0, (1, 1))]
+    data, _ = _b_stream_and_expected(plan)
+    rng = np.random.RandomState(23)
+    for _ in range(120):
+        buf = bytearray(data)
+        for _ in range(rng.randint(1, 8)):
+            buf[rng.randint(len(buf))] = rng.randint(256)
+        r = vorbis_pcm_samples(bytes(buf))
+        assert r is None or np.isfinite(r[0]).all()
+    for cut in range(0, len(data), 11):
+        r = vorbis_pcm_samples(data[:cut])
+        assert r is None or np.isfinite(r[0]).all()

@@ -875,7 +875,11 @@ def _decode(data: bytes, max_samples: int):
     cap = max_samples // ch
     acc = None
     acc_len = 0
-    offset = 0  # absolute sample index of current block start
+    # bias the origin by bs1: a long block right after a short first
+    # block legally starts BEFORE the first block's first sample
+    # (offset = prev_right_start - left_start goes negative by up to
+    # ~bs1/4), and a negative offset would wrap the numpy slice
+    offset = bs1  # absolute sample index of current block start
     emit_start = None
     finish = 0
     prev_right_start = None  # absolute
