@@ -318,13 +318,14 @@ def test_all_byte_parsers_never_raise(data):
         _wav_pcm_samples,
         _webp_pixels,
     )
+    from vinum_spark.operators.vorbis import vorbis_pcm_samples
 
     for fn in (
         _png_pixels, _gif_pixels, _jpeg_pixels,  # already guarded entries
         _parse_wav, _wav_pcm_samples, _parse_mp3, _parse_adts,
         _parse_flac, _flac_pcm_samples, _parse_ogg, _parse_mp4, _parse_avi,
         _avi_frame_spans, _webm_frame_spans, _parse_webm,
-        _tiff_pixels, _webp_pixels,
+        _tiff_pixels, _webp_pixels, vorbis_pcm_samples,
     ):
         fn(data)  # any exception fails the test
     try:

@@ -918,3 +918,60 @@ def test_stereo_fuzz_never_raises():
     for cut in range(0, len(data), 11):
         r = vorbis_pcm_samples(data[:cut])
         assert r is None or np.isfinite(r[0]).all()
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: decode_audio / resample_audio / extract_features
+
+
+def test_spark_decode_audio_vorbis(spark):
+    data, expected, rate = _mono_stream(n_packets=6)
+    sdata, sexp = _b_stream_and_expected([(0, (1, 1)), (0, (1, 1)),
+                                          (1, (1, 1)), (0, (1, 1))])
+    from vinum_spark.operators.multimodal import decode_audio
+
+    df = spark.createDataFrame(
+        [(1, bytearray(data)), (2, bytearray(sdata)),
+         (3, bytearray(b"OggS" + b"\x00" * 40))],
+        "asset_id long, content binary",
+    )
+    rows = {r["asset_id"]: r for r in decode_audio(df).collect()}
+    r1 = rows[1]
+    assert r1["decoder"] == "vorbis-pcm"
+    assert r1["n_channels"] == 1 and r1["sample_rate"] == rate
+    assert r1["n_samples"] == len(expected)
+    assert r1["duration_s"] == pytest.approx(len(expected) / rate)
+    assert r1["rms"] == pytest.approx(
+        float(np.sqrt(np.mean(expected**2))), rel=1e-9)
+    assert r1["peak"] == pytest.approx(float(np.abs(expected).max()),
+                                       rel=1e-9)
+    r2 = rows[2]
+    assert r2["decoder"] == "vorbis-pcm"
+    assert r2["n_channels"] == 2 and r2["sample_rate"] == 16000
+    assert r2["n_samples"] == sexp.shape[1]
+    # garbage Ogg degrades to stub (not even header stats parse)
+    assert rows[3]["rms"] is None
+
+
+def test_spark_resample_audio_vorbis(spark):
+    data, expected, rate = _mono_stream(n_packets=6)
+    from vinum_spark.operators.multimodal import resample_audio
+
+    df = spark.createDataFrame([(1, bytearray(data))],
+                               "asset_id long, content binary")
+    row = resample_audio(df, target_rate=4000).collect()[0]
+    assert row["resampler"] == "vorbis-pcm-linear"
+    assert row["n_samples"] == int(round(len(expected) * 4000 / rate))
+
+
+def test_spark_extract_features_vorbis(spark):
+    # long enough for the 64-dim RMS envelope: 8 packets = 896 samples
+    data, _, _ = _mono_stream(n_packets=8)
+    from vinum_spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame([(1, bytearray(data))],
+                               "asset_id long, content binary")
+    row = extract_features(df).collect()[0]
+    assert row["extractor"] == "vorbis-rms64"
+    v = np.array(row["feature"])
+    assert v.shape == (64,) and np.isfinite(v).all()

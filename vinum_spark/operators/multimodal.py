@@ -55,6 +55,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from vinum_spark.operators.vorbis import vorbis_pcm_samples as _vorbis_pcm_samples
+
 # magic-byte prefixes → mime, sniffed JVM-side via hex(substring(...))
 _MAGIC = {
     "89504E47": "image/png",
@@ -3205,7 +3207,12 @@ def decode_audio(
     subframes, Rice residuals, stereo decorrelation;
     ``decoder='flac-pcm'``), falling back to exact STREAMINFO stats
     (``decoder='flac-streaminfo'``, NULL rms/peak) when the frames
-    don't fully decode. MP3 gets a frame-header walk
+    don't fully decode. Ogg Vorbis gets a REAL sample decode as well
+    (in-stream Huffman codebooks, floor1, residues, coupling, IMDCT —
+    ``decoder='vorbis-pcm'``, see operators/vorbis.py), falling back
+    to the exact Ogg page-granule stats (``decoder='ogg-vorbis'``,
+    NULL rms/peak) for streams the decoder declines (floor0, chained).
+    MP3 gets a frame-header walk
     (``decoder='mpeg-frames'``): channels / rate / samples / duration
     are TRUE values from the headers, while rms/peak stay NULL — the
     samples are never decoded, and a NULL beats an invented amplitude.
@@ -3219,6 +3226,8 @@ def decode_audio(
             parsed = _wav_pcm_samples(raw)
             if parsed is None:
                 parsed = _flac_pcm_samples(raw)
+            if parsed is None and raw[:4] == b"OggS":
+                parsed = _vorbis_pcm_samples(raw)
             if parsed is None:
                 for walker, label in (
                     (_parse_mp3, "mpeg-frames"),
@@ -3664,7 +3673,8 @@ def resample_audio(
     """REAL audio resample to a uniform ``target_rate`` — the rate-
     normalization stage a training corpus needs before batched feature
     extraction. Decodable audio (every WAV layout incl. G.711/ADPCM,
-    frame-bearing FLAC) is decoded, linearly interpolated per channel
+    frame-bearing FLAC, Ogg Vorbis) is decoded, linearly interpolated
+    per channel
     onto the target grid with ``np.interp``, and re-encoded as a PCM16
     WAV (``resampler='<decoder>-linear'``, e.g. ``'flac-pcm-linear'``;
     the output feeds every downstream WAV consumer). Undecodable
@@ -3678,6 +3688,8 @@ def resample_audio(
             dec = _wav_pcm_samples(data)
             if dec is None:
                 dec = _flac_pcm_samples(data)
+            if dec is None and data[:4] == b"OggS":
+                dec = _vorbis_pcm_samples(data)
             if dec is None:
                 return (data, None, None, "stub")
             samples, channels, rate, label = dec
@@ -3792,6 +3804,9 @@ def extract_features(
                 if wav is None:
                     wav = _flac_pcm_samples(data)
                     akind = "flac-rms64"
+                if wav is None and data[:4] == b"OggS":
+                    wav = _vorbis_pcm_samples(data)
+                    akind = "vorbis-rms64"
                 if wav is not None and wav[0].size >= _FEATURE_DIM:
                     feats.append(_rms_envelope_feature(wav[0]).tolist())
                     kinds.append(akind)
