@@ -65,6 +65,9 @@ GATED = [
     # round-10: real-sample-decode closed-form gate (verbatim FLAC /
     # IMA ADPCM / G.711 mu-law built in-query, decode_audio parity)
     "q81_audio_decode",
+    # round-11: Vorbis sample-decode closed-form gate (full Ogg stream
+    # built in-query by the inline encoder, decode_audio parity)
+    "q84_vorbis_decode",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible
@@ -100,6 +103,9 @@ GATED = [
     "q31_cosine_topk",
     "q23_events_tumbling_window",
     "q83_image_neardup",
+    # round-11 rotation: demoted so q84 gets a driver-recorded green;
+    # its exact driver oracle runs here instead
+    "q52_multimodal_metadata",
 ]
 
 

@@ -3590,6 +3590,160 @@ def q83(spark, sf_dir):
     )
 
 
+
+@_q(
+    "q84_vorbis_decode",
+    """
+    SELECT doc_id,
+           'vorbis-pcm' AS decoder,
+           CAST(1 AS INT) AS n_channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(128 * (4 + doc_id % 5) AS BIGINT) AS n_samples,
+           -- exact small-integer quotients: bit-identical across engines
+           (128 * (4 + doc_id % 5)) / 8000.0 AS duration_s
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "REAL lossy-codec sample decode under the oracle gate (the q81 "
+    "pattern, one codec deeper): per doc, Spark BUILDS a complete Ogg "
+    "Vorbis stream from doc_id-derived parameters with a compact "
+    "inline encoder (in-stream codebooks, sloped floor1, residue "
+    "type 1, 256-sample blocks) and decode_audio must DECODE the "
+    "samples back out through the full Huffman/floor/residue/IMDCT "
+    "path, reporting the exact count/rate/duration the oracle computes "
+    "in CLOSED FORM from doc_id. Sample-VALUE exactness is pinned "
+    "separately by the independent-expectation round-trips in "
+    "tests/test_vorbis.py. Vorbis (not MP3) is the lossy codec this "
+    "engine decodes because its codebooks ship inside the stream: "
+    "everything is algorithmic, nothing depends on reciting ISO "
+    "Huffman tables that cannot be verified offline.",
+)
+def q84(spark, sf_dir):
+    import pandas as pd
+
+    from vinum_spark.operators.multimodal import decode_audio
+
+    def build(it):
+        RATE = 8000
+
+        class W:  # LSB-first Vorbis bitpacker
+            def __init__(self):
+                self.buf = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def w(self, v, k):
+                self.acc |= (int(v) & ((1 << k) - 1)) << self.n
+                self.n += k
+                while self.n >= 8:
+                    self.buf.append(self.acc & 0xFF)
+                    self.acc >>= 8
+                    self.n -= 8
+
+            def done(self):
+                return bytes(self.buf) + (
+                    bytes([self.acc]) if self.n else b"")
+
+        def page(chunks, granule, seq, htype):
+            lac = bytearray()
+            body = bytearray()
+            for p in chunks:
+                q, r = divmod(len(p), 255)
+                lac += b"\xff" * q
+                lac.append(r)
+                body += p
+            # CRC left zero: the decoder's page walk is liberal (the
+            # spec-built test encoder writes real CRCs)
+            return (b"OggS\x00" + bytes([htype])
+                    + int(granule).to_bytes(8, "little")
+                    + (0x7653).to_bytes(4, "little")
+                    + int(seq).to_bytes(4, "little")
+                    + b"\x00\x00\x00\x00"
+                    + bytes([len(lac)]) + bytes(lac) + bytes(body))
+
+        def f32(mant, exp, neg=False):  # Vorbis packed float
+            return (0x80000000 if neg else 0) | (exp << 21) | mant
+
+        w = W()
+        w.w(0, 32), w.w(1, 8), w.w(RATE, 32), w.w(0, 96)
+        w.w(8, 4), w.w(8, 4), w.w(1, 1)  # blocksizes 256/256
+        ident = b"\x01vorbis" + w.done()
+        w = W()
+        w.w(0, 32), w.w(0, 32), w.w(1, 1)  # empty vendor, 0 comments
+        comment = b"\x03vorbis" + w.done()
+        w = W()
+        w.w(1, 8)  # 2 codebooks
+        w.w(0x564342, 24), w.w(1, 16), w.w(1, 24)  # book0: classbook
+        w.w(0, 1), w.w(0, 1), w.w(0, 5), w.w(0, 4)  # 1 entry, len 1
+        w.w(0x564342, 24), w.w(4, 16), w.w(16, 24)  # book1: dim 4 x 16
+        w.w(0, 1), w.w(0, 1)
+        for _ in range(16):
+            w.w(3, 5)  # all lengths 4 -> canonical code == entry
+        w.w(2, 4)  # VQ lookup type 2
+        w.w(f32(1, 789, True), 32)  # minv -2.0
+        w.w(f32(1, 786), 32)  # delta 0.25
+        w.w(3, 4), w.w(0, 1)
+        for j in range(64):
+            w.w((7 * j + 3) % 16, 4)
+        w.w(0, 6), w.w(0, 16)  # 1 time transform
+        w.w(0, 6), w.w(1, 16)  # 1 floor, type 1
+        w.w(1, 5), w.w(0, 4)  # 1 partition -> class 0
+        w.w(1, 3), w.w(0, 2), w.w(0, 8)  # dims 2, no subs, unused book
+        w.w(0, 2), w.w(8, 4)  # multiplier 1, rangebits 8
+        w.w(64, 8), w.w(192, 8)  # silent X points
+        w.w(0, 6), w.w(1, 16)  # 1 residue, type 1
+        w.w(0, 24), w.w(128, 24), w.w(7, 24)  # begin/end/psize 8
+        w.w(0, 6), w.w(0, 8)  # 1 classification, classbook 0
+        w.w(1, 3), w.w(0, 1), w.w(1, 8)  # pass-0 cascade -> book 1
+        w.w(0, 6), w.w(0, 16), w.w(0, 1), w.w(0, 1), w.w(0, 2)
+        w.w(0, 8), w.w(0, 8), w.w(0, 8)  # 1 mapping, submap 0/0
+        w.w(0, 6), w.w(0, 1), w.w(0, 16), w.w(0, 16), w.w(0, 8)
+        w.w(1, 1)  # 1 mode (short) + framing
+        setup = b"\x05vorbis" + w.done()
+
+        def audio(seed):
+            w = W()
+            w.w(0, 1)  # audio packet (no mode bits: single mode)
+            w.w(1, 1)  # floor nonzero
+            w.w(140 + seed % 30, 8)  # sloped floor line
+            w.w(80 + (seed * 7) % 50, 8)
+            for t in range(16):
+                w.w(0, 1)  # classword (single-entry classbook)
+                for h in range(2):
+                    e = (seed * 31 + (t * 2 + h) * 5 + 3) % 16
+                    for i in range(3, -1, -1):  # MSB-first codeword
+                        w.w((e >> i) & 1, 1)
+            return w.done()
+
+        for pdf in it:
+            content = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n_pkts = 5 + d % 5  # n_samples = 128 * (4 + d % 5)
+                pages = [
+                    page([ident], 0, 0, 0x02),
+                    page([comment, setup], 0, 1, 0),
+                    page([audio(d * 7 + s) for s in range(n_pkts)],
+                         128 * (n_pkts - 1), 2, 0x04),
+                ]
+                content.append(b"".join(pages))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": content})
+
+    # spread-before-Python-kernel (the q81 pattern): shuffle the tiny
+    # id column so encode+decode parallelize, never the binary payloads
+    d = _t(spark, sf_dir, "documents").select("doc_id").repartition(64)
+    assets = d.mapInPandas(build, schema="doc_id long, content binary")
+    return decode_audio(assets, id_col="doc_id").select(
+        F.col("asset_id").cast("long").alias("doc_id"),
+        "decoder",
+        "n_channels",
+        "sample_rate",
+        "n_samples",
+        "duration_s",
+    ).orderBy("doc_id")
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 82 registered, thirty-two fall
 #: outside it (q81 promoted into q62's slot in the r10 third wave,
@@ -3690,6 +3844,11 @@ _DEMOTED_TO_TAIL = (
     # exactly the first stage of the gated q67 vocab top-k and q76
     # token encoding; its exact oracle moves in-suite.
     "q43_token_explode",
+    # q84's slot (round 11): the Vorbis sample-decode gate. q52's
+    # magic-ladder metadata projection is the same header-walk family
+    # the gate keeps via q80 (probe) and the decode gates q81/q83/q84;
+    # its exact oracle moves in-suite.
+    "q52_multimodal_metadata",
 )
 _PROMOTED = (
     "q51_streaming_sliding",
@@ -3724,6 +3883,7 @@ _PROMOTED = (
     "q80_media_probe",
     "q81_audio_decode",
     "q83_image_neardup",
+    "q84_vorbis_decode",
 )
 
 

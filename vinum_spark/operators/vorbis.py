@@ -562,30 +562,26 @@ def _render_point(x0, y0, x1, y1, x):
 def _render_line(x0, y0, x1, y1, v):
     """spec §9.2.7 — integer Bresenham into v[x0:x1]. `base` uses C
     truncation-toward-zero division (same pitfall as VP8L predictor
-    13: Python floor division would be off by one for negative dy)."""
+    13: Python floor division would be off by one for negative dy).
+    Vectorized via the exact closed form of the error recurrence:
+    after s steps the accumulated error has overflowed exactly
+    floor(ady*s/adx) times, so y(s) = y0 + base*s + d*(ady*s//adx)
+    with d = +/-1 the overflow step direction (scalar-loop-equivalent,
+    pinned against the naive per-pixel render in tests/test_vorbis)."""
     dy = y1 - y0
     adx = x1 - x0
     base = abs(dy) // adx
+    d = 1
     if dy < 0:
         base = -base
-        sy = base - 1
-    else:
-        sy = base + 1
+        d = -1
     ady = abs(dy) - abs(base) * adx
-    x1 = min(x1, len(v))
+    lim = min(x1, len(v))
     if x0 < len(v):
         v[x0] = y0
-    err = 0
-    y = y0
-    for x in range(x0 + 1, x1):
-        err += ady
-        if err >= adx:
-            err -= adx
-            y += sy
-        else:
-            y += base
-        v[x] = y
-    return y
+    if lim - x0 > 1:
+        s = np.arange(1, lim - x0)
+        v[x0 + 1 : lim] = y0 + base * s + d * ((ady * s) // adx)
 
 
 def _floor1_curve(fl: _Floor1, ys, n2: int) -> np.ndarray:
