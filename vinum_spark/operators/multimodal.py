@@ -1208,8 +1208,11 @@ def _vp8l_pixels_unsafe(data: bytes, max_pixels: int):
 
 def _webp_pixels(data: bytes, max_pixels: int = 4 * 1024 * 1024):
     """Guarded VP8L decode: returns (h, w, 4) uint8 RGBA or None (lossy
-    VP8/VP8X stay header-only BY DESIGN — their payloads are transform-
-    codec bitstreams)."""
+    VP8/VP8X stay PERMANENTLY header-only BY DESIGN — bit-exact VP8
+    intra decode needs the spec's boolean-coder probability tables and
+    loop filter, and a partial decode would feed plausible-but-wrong
+    pixels into dedup features; see README's media-decode boundary
+    table)."""
     if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         return None
     try:
