@@ -975,3 +975,40 @@ def test_spark_extract_features_vorbis(spark):
     assert row["extractor"] == "vorbis-rms64"
     v = np.array(row["feature"])
     assert v.shape == (64,) and np.isfinite(v).all()
+
+
+def test_floor0_stream_falls_back_to_header_stats():
+    # legacy LSP floors are parsed for sync but not synthesized: the
+    # decoder declines the stream and decode_audio's caller falls back
+    # to the exact Ogg page-granule stats
+    w = _VW()
+    w.w(0, 8)  # 1 codebook
+    _write_codebook(w, 1, [1])
+    w.w(0, 6)
+    w.w(0, 16)  # time
+    w.w(0, 6)
+    w.w(0, 16)  # floor type 0
+    w.w(8, 8)  # order
+    w.w(8000, 16)  # rate
+    w.w(128, 16)  # bark_map_size
+    w.w(6, 6)  # amp_bits
+    w.w(100, 8)  # amp_offset
+    w.w(0, 4)  # 1 book
+    w.w(0, 8)  # book 0
+    w.w(0, 6)
+    w.w(0, 16)  # residue type 0
+    w.w(0, 24), w.w(128, 24), w.w(7, 24), w.w(0, 6), w.w(0, 8)
+    w.w(0, 3), w.w(0, 1)  # empty cascade
+    w.w(0, 6), w.w(0, 16), w.w(0, 1), w.w(0, 1), w.w(0, 2)
+    w.w(0, 8), w.w(0, 8), w.w(0, 8)  # mapping
+    w.w(0, 6), w.w(0, 1), w.w(0, 16), w.w(0, 16), w.w(0, 8)
+    w.w(1, 1)
+    setup = b"\x05vorbis" + w.bytes()
+    packets = [_ident_packet(1, 8000, 8, 8), _comment_packet(), setup,
+               b"\x00" * 8]
+    data = _ogg_stream(packets, 640)
+    assert vorbis_pcm_samples(data) is None
+    from vinum_spark.operators.multimodal import _parse_ogg
+
+    ch, rate, samples, codec = _parse_ogg(data)
+    assert (ch, rate, samples, codec) == (1, 8000, 640, "vorbis")
