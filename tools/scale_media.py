@@ -138,6 +138,24 @@ def _webp_asset_bytes(d: int) -> bytes:
     )
 
 
+def _vorbis_asset_bytes(d: int) -> bytes:
+    """Fully-decodable Ogg Vorbis asset (the q84 shape): mono 8 kHz,
+    256-sample blocks, 5-9 audio packets, built with the spec-built
+    test encoder the decoder round-trips are pinned against."""
+    if "/root/repo/tests" not in sys.path:  # executor-side import path
+        sys.path.insert(0, "/root/repo/tests")
+    from test_vorbis import (_comment_packet, _ident_packet,
+                             _mono_audio_packet, _mono_setup_packet,
+                             _ogg_stream)
+
+    n_pkts = 5 + d % 5
+    packets = [_ident_packet(1, 8000, 8, 8), _comment_packet(),
+               _mono_setup_packet()]
+    for s_ in range(n_pkts):
+        packets.append(_mono_audio_packet(d * 7 + s_)[0])
+    return _ogg_stream(packets, 128 * (n_pkts - 1))
+
+
 def _packbits_encode(data: bytes) -> bytes:
     out = bytearray()
     i, n = 0, len(data)
@@ -244,8 +262,9 @@ def build_corpus(spark, m: int) -> tuple[str, str]:
     image_path = os.path.join(OUT_DIR, f"image_m{m}")
     pcm_path = os.path.join(OUT_DIR, f"pcm_m{m}")
     webp_path = os.path.join(OUT_DIR, f"webp_m{m}")
-    if os.path.exists(os.path.join(webp_path, "_SUCCESS")):
-        return audio_path, image_path, pcm_path, webp_path
+    vorbis_path = os.path.join(OUT_DIR, f"vorbis_m{m}")
+    if os.path.exists(os.path.join(vorbis_path, "_SUCCESS")):
+        return audio_path, image_path, pcm_path, webp_path, vorbis_path
     base = spark.read.parquet(BASE).select("doc_id")
     copies = spark.range(m).withColumnRenamed("id", "copy")
     ids = base.crossJoin(copies).select(
@@ -292,7 +311,18 @@ def build_corpus(spark, m: int) -> tuple[str, str]:
 
     ids.repartition(parts).mapInPandas(build_webp, schema=schema) \
         .write.mode("overwrite").parquet(webp_path)
-    return audio_path, image_path, pcm_path, webp_path
+
+    def build_vorbis(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "content": [_vorbis_asset_bytes(int(a))
+                            for a in pdf["asset_id"]],
+            })
+
+    ids.repartition(parts).mapInPandas(build_vorbis, schema=schema) \
+        .write.mode("overwrite").parquet(vorbis_path)
+    return audio_path, image_path, pcm_path, webp_path, vorbis_path
 
 
 def timed(fn, n=3):
@@ -317,11 +347,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     for m in (1, 10, 100):
-        audio_path, image_path, pcm_path, webp_path = build_corpus(spark, m)
+        (audio_path, image_path, pcm_path, webp_path,
+         vorbis_path) = build_corpus(spark, m)
         audio = spark.read.parquet(audio_path)
         images = spark.read.parquet(image_path)
         pcm = spark.read.parquet(pcm_path)
         webps = spark.read.parquet(webp_path)
+        vorbis = spark.read.parquet(vorbis_path)
 
         def probe():
             df = probe_media(audio, id_col="asset_id")
@@ -339,11 +371,16 @@ def main() -> None:
             df = decode_images(webps, pixels=True)
             return df.filter(df.decoder == "webp-vp8l-pixels").count()
 
+        def decode_vorbis():
+            df = decode_audio(vorbis)
+            return df.filter(df.decoder == "vorbis-pcm").count()
+
         n = {1: 3, 10: 2}.get(m, 2)
         wall_p, rows_p = timed(probe, n=n)
         wall_d, rows_d = timed(decode, n=n)
         wall_a, rows_a = timed(decode_pcm, n=n)
         wall_w, rows_w = timed(decode_webp, n=n)
+        wall_v, rows_v = timed(decode_vorbis, n=n)
         print(
             json.dumps(
                 {
@@ -357,6 +394,8 @@ def main() -> None:
                     "audio_decoded": int(rows_a),
                     "webp_wall_s": wall_w,
                     "webp_decoded": int(rows_w),
+                    "vorbis_wall_s": wall_v,
+                    "vorbis_decoded": int(rows_v),
                 }
             ),
             flush=True,
