@@ -40,6 +40,7 @@ REPRESENTATIVES = [
     "q77_ann_pq",                 # sample-trained codebooks + ADC buckets
     "q78_knn_join",               # block-bucket grouped apply + bounded re-rank
     "q81_audio_decode",           # build+decode kernels across odd splits
+    "q84_vorbis_decode",          # Ogg encode+full-decode across odd splits
 ]
 
 
