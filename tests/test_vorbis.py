@@ -1012,3 +1012,27 @@ def test_floor0_stream_falls_back_to_header_stats():
 
     ch, rate, samples, codec = _parse_ogg(data)
     assert (ch, rate, samples, codec) == (1, 8000, 640, "vorbis")
+
+
+def test_muxed_ogg_vorbis_after_video_bos():
+    # grouped (multiplexed) Ogg: a non-Vorbis BOS page (e.g. Theora)
+    # precedes the Vorbis BOS per RFC 3533; the walk must lock onto
+    # the Vorbis serial, not the first serial seen
+    data, expected, rate = _mono_stream()
+    packets, _ = _ogg_packets(data)
+    alien_bos = _ogg_page([(b"\x80theora" + b"\x00" * 30, True)], 0,
+                          0xBEEF, 0, 0x02)
+    alien_data = _ogg_page([(b"\x00" * 50, True)], 99, 0xBEEF, 1, 0x04)
+    pages = [
+        alien_bos,
+        _ogg_page([(packets[0], True)], 0, 7, 0, 0x02),
+        _ogg_page([(packets[1], True), (packets[2], True)], 0, 7, 1, 0),
+        alien_data,
+        _ogg_page([(p, True) for p in packets[3:]],
+                  128 * (len(packets) - 4), 7, 2, 0x04),
+    ]
+    out = vorbis_pcm_samples(b"".join(pages))
+    assert out is not None
+    samples, ch, got_rate, label = out
+    assert (ch, got_rate, label) == (1, rate, "vorbis-pcm")
+    assert np.allclose(samples, expected, atol=1e-8)

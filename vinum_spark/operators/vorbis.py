@@ -785,10 +785,15 @@ def _window_geometry(n, blockflag, prev_flag, next_flag, bs0):
 
 
 def _ogg_packets(data: bytes, max_pages: int = 1 << 20):
-    """Reassemble the packets of the FIRST logical stream (lacing
-    values, continued packets, BOS/EOS) per RFC 3533. Page CRCs are
-    not verified (liberal acceptance — same stance as the header
-    walker). Returns (packets, last_granule)."""
+    """Reassemble the packets of the FIRST VORBIS logical stream
+    (lacing values, continued packets, BOS/EOS) per RFC 3533. In a
+    multiplexed group (audio+video) all BOS pages come first, so the
+    walk locks onto the first BOS page whose packet starts with the
+    Vorbis identification signature, falling back to the first serial
+    seen when no BOS is Vorbis-tagged (degenerate headerless input —
+    the header parse then rejects it). Page CRCs are not verified
+    (liberal acceptance — same stance as the header walker). Returns
+    (packets, last_granule)."""
     if data[:4] != b"OggS":
         raise _VorbisError("not an Ogg stream")
     packets = []
@@ -810,6 +815,12 @@ def _ogg_packets(data: bytes, max_pages: int = 1 << 20):
             break
         body = pos + 27 + nseg
         if serial0 is None:
+            if (htype & 0x02) and data[body : body + 7] != b"\x01vorbis":
+                # a BOS page of some OTHER codec in the mux group:
+                # skip the whole stream-start page, keep scanning
+                pos = body + sum(seg_table)
+                pages += 1
+                continue
             serial0 = serial
         mine = serial == serial0
         if mine and not (htype & 0x01):
