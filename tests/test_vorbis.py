@@ -1036,3 +1036,25 @@ def test_muxed_ogg_vorbis_after_video_bos():
     samples, ch, got_rate, label = out
     assert (ch, got_rate, label) == (1, rate, "vorbis-pcm")
     assert np.allclose(samples, expected, atol=1e-8)
+
+
+def test_randomized_plans_roundtrip_exact():
+    # randomized block sequences and floor/residue content through the
+    # config-B encoder: every combination of window transitions the
+    # plan generator emits must round-trip against the independent
+    # expectation (regression net for lap-geometry combinations not
+    # hand-enumerated above)
+    rng = np.random.RandomState(1234)
+    for trial in range(6):
+        n_blocks = int(rng.randint(3, 9))
+        plan = []
+        for t in range(n_blocks):
+            mode = int(rng.randint(2))
+            fspec = (1, int(rng.randint(2)))
+            plan.append((mode, fspec))
+        data, expected = _b_stream_and_expected(plan)
+        out = vorbis_pcm_samples(data)
+        assert out is not None, plan
+        got = np.stack([out[0][0::2], out[0][1::2]])
+        assert got.shape == expected.shape, plan
+        assert np.allclose(got, expected, atol=1e-8), plan
