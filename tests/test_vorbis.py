@@ -1058,3 +1058,159 @@ def test_randomized_plans_roundtrip_exact():
         got = np.stack([out[0][0::2], out[0][1::2]])
         assert got.shape == expected.shape, plan
         assert np.allclose(got, expected, atol=1e-8), plan
+
+
+# ---------------------------------------------------------------------------
+# Vorbis inside Matroska/WebM (A_VORBIS track, all three lacing modes)
+
+
+def _ebml_size_enc(n, ln=None):
+    if ln is None:
+        ln = 1
+        while n >= (1 << (7 * ln)) - 1:
+            ln += 1
+    v = n + ((0x80 >> (ln - 1)) << (8 * (ln - 1)))
+    return v.to_bytes(ln, "big")
+
+
+def _ebml_el(eid: bytes, payload: bytes) -> bytes:
+    return eid + _ebml_size_enc(len(payload)) + payload
+
+
+def _xiph_lace_private(packets):
+    out = bytearray([len(packets) - 1])
+    for p in packets[:-1]:
+        n = len(p)
+        out += b"\xff" * (n // 255) + bytes([n % 255])
+    for p in packets:
+        out += p
+    return bytes(out)
+
+
+def _simple_block(track, payloads, lacing):
+    body = bytearray([0x80 | track, 0, 0])  # 1-byte track vint + timecode
+    if lacing is None:
+        assert len(payloads) == 1
+        body.append(0x80)
+        body += payloads[0]
+    elif lacing == "xiph":
+        body.append(0x80 | 0x02)
+        body.append(len(payloads) - 1)
+        for p in payloads[:-1]:
+            n = len(p)
+            body += b"\xff" * (n // 255) + bytes([n % 255])
+        for p in payloads:
+            body += p
+    elif lacing == "fixed":
+        assert len({len(p) for p in payloads}) == 1
+        body.append(0x80 | 0x04)
+        body.append(len(payloads) - 1)
+        for p in payloads:
+            body += p
+    else:  # ebml lacing: first size plain, then signed deltas
+        body.append(0x80 | 0x06)
+        body.append(len(payloads) - 1)
+        body += _ebml_size_enc(len(payloads[0]))
+        prev = len(payloads[0])
+        for p in payloads[1:-1]:
+            delta = len(p) - prev
+            prev = len(p)
+            u = delta + ((1 << 6) - 1)
+            assert 0 <= u < 127
+            body += bytes([0x80 | u])
+        for p in payloads:
+            body += p
+    return _ebml_el(b"\xa3", bytes(body))
+
+
+def _webm_vorbis_file(n_packets=8):
+    """A two-track WebM: track 1 A_VORBIS (the mono test stream's
+    packets spread over all three lacing modes + unlaced), track 2 a
+    V_VP8 video decoy whose blocks must be ignored. Returns
+    (file bytes, expected PCM)."""
+    headers = [_ident_packet(1, 8000, 8, 8), _comment_packet(),
+               _mono_setup_packet()]
+    audio = []
+    blocks_sem = []
+    for s in range(n_packets):
+        pkt, resid, ypair = _mono_audio_packet(s)
+        audio.append(pkt)
+        blocks_sem.append((resid, ypair))
+    track1 = _ebml_el(b"\xae", b"".join([
+        _ebml_el(b"\xd7", b"\x01"),
+        _ebml_el(b"\x86", b"A_VORBIS"),
+        _ebml_el(b"\x63\xa2", _xiph_lace_private(headers)),
+    ]))
+    track2 = _ebml_el(b"\xae", b"".join([
+        _ebml_el(b"\xd7", b"\x02"),
+        _ebml_el(b"\x86", b"V_VP8"),
+    ]))
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", track1 + track2)
+    decoy = _simple_block(2, [b"\x9d\x01\x2a" + b"\x00" * 20], None)
+    cluster1 = _ebml_el(b"\x1f\x43\xb6\x75", b"".join([
+        _ebml_el(b"\xe7", b"\x00"),  # Timecode
+        decoy,
+        _simple_block(1, [audio[0]], None),
+        _simple_block(1, audio[1:4], "xiph"),
+    ]))
+    # BlockGroup-wrapped Block with fixed lacing (all packets 21 bytes)
+    bg = _ebml_el(b"\xa0", _simple_block(1, audio[4:6], "fixed")
+                  .replace(b"\xa3", b"\xa1", 1))
+    cluster2 = _ebml_el(b"\x1f\x43\xb6\x75", b"".join([
+        _ebml_el(b"\xe7", b"\x40"),
+        bg,
+        decoy,
+        _simple_block(1, audio[6:8], "ebml"),
+    ]))
+    segment = _ebml_el(b"\x18\x53\x80\x67", tracks + cluster1 + cluster2)
+    ebml_hdr = _ebml_el(b"\x1a\x45\xdf\xa3",
+                        _ebml_el(b"\x42\x82", b"webm"))
+    data = ebml_hdr + segment
+    # expected: same OLA as the Ogg mono stream, full lapped output
+    acc = np.zeros(128 * (n_packets + 1))
+    win = _vorbis_window(256, 0, 128, 128, 128)
+    for t, (resid, (y0, y1)) in enumerate(blocks_sem):
+        spectrum = resid * _mono_floor_curve(y0, y1)
+        acc[128 * t : 128 * t + 256] += _imdct_direct(spectrum, 256) * win
+    return data, acc[128 : 128 * n_packets]
+
+
+def test_webm_vorbis_decode_exact():
+    from vinum_spark.operators.multimodal import _webm_vorbis_pcm
+
+    data, expected = _webm_vorbis_file()
+    out = _webm_vorbis_pcm(data)
+    assert out is not None
+    samples, ch, rate, label = out
+    assert (ch, rate, label) == (1, 8000, "webm-vorbis-pcm")
+    assert samples.shape == expected.shape
+    assert np.allclose(samples, expected, atol=1e-8)
+
+
+def test_webm_vorbis_fuzz_never_raises():
+    from vinum_spark.operators.multimodal import _webm_vorbis_pcm
+
+    data, _ = _webm_vorbis_file()
+    rng = np.random.RandomState(77)
+    for _ in range(120):
+        buf = bytearray(data)
+        for _ in range(rng.randint(1, 8)):
+            buf[rng.randint(len(buf))] = rng.randint(256)
+        r = _webm_vorbis_pcm(bytes(buf))
+        assert r is None or np.isfinite(r[0]).all()
+    for cut in range(0, len(data), 13):
+        r = _webm_vorbis_pcm(data[:cut])
+        assert r is None or np.isfinite(r[0]).all()
+
+
+def test_spark_decode_audio_webm_vorbis(spark):
+    from vinum_spark.operators.multimodal import decode_audio
+
+    data, expected = _webm_vorbis_file()
+    df = spark.createDataFrame([(1, bytearray(data))],
+                               "asset_id long, content binary")
+    row = decode_audio(df).collect()[0]
+    assert row["decoder"] == "webm-vorbis-pcm"
+    assert row["n_samples"] == len(expected)
+    assert row["rms"] == pytest.approx(
+        float(np.sqrt(np.mean(expected**2))), rel=1e-9)

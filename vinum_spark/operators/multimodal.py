@@ -55,7 +55,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from vinum_spark.operators.vorbis import vorbis_pcm_samples as _vorbis_pcm_samples
+from vinum_spark.operators.vorbis import (
+    vorbis_packets_pcm as _vorbis_packets_pcm,
+    vorbis_pcm_samples as _vorbis_pcm_samples,
+)
 
 # magic-byte prefixes → mime, sniffed JVM-side via hex(substring(...))
 _MAGIC = {
@@ -3215,6 +3218,9 @@ def decode_audio(
     ``decoder='vorbis-pcm'``, see operators/vorbis.py), falling back
     to the exact Ogg page-granule stats (``decoder='ogg-vorbis'``,
     NULL rms/peak) for streams the decoder declines (floor0, chained).
+    Vorbis audio inside Matroska/WebM decodes too
+    (``decoder='webm-vorbis-pcm'``: A_VORBIS CodecPrivate headers +
+    laced Cluster blocks through the same packet decoder).
     MP3 gets a frame-header walk
     (``decoder='mpeg-frames'``): channels / rate / samples / duration
     are TRUE values from the headers, while rms/peak stay NULL — the
@@ -3231,6 +3237,8 @@ def decode_audio(
                 parsed = _flac_pcm_samples(raw)
             if parsed is None and raw[:4] == b"OggS":
                 parsed = _vorbis_pcm_samples(raw)
+            if parsed is None and raw[:4] == b"\x1a\x45\xdf\xa3":
+                parsed = _webm_vorbis_pcm(raw)
             if parsed is None:
                 for walker, label in (
                     (_parse_mp3, "mpeg-frames"),
@@ -3409,6 +3417,177 @@ def _ebml_walk(data: bytes, start: int, end: int):
         pe = end if size is None else min(i + size, end)
         yield eid, i, pe
         i = pe
+
+
+def _ebml_svint(data: bytes, i: int):
+    """Signed EBML varint (EBML-lacing size deltas): the plain varint
+    minus 2^(7*len-1) - 1."""
+    r = _ebml_vint(data, i)
+    if r is None:
+        return None
+    v, j = r
+    ln = j - i
+    return v - ((1 << (7 * ln - 1)) - 1), j
+
+
+def _xiph_private_packets(priv: bytes):
+    """Split a Matroska CodecPrivate in Xiph lacing form: count-1
+    byte, then 255-run sizes for all but the last packet, remainder is
+    the last. A_VORBIS carries exactly the three Vorbis headers."""
+    if not priv:
+        return None
+    count = priv[0] + 1
+    off = 1
+    sizes = []
+    for _ in range(count - 1):
+        sz = 0
+        while off < len(priv):
+            b = priv[off]
+            off += 1
+            sz += b
+            if b < 255:
+                break
+        else:
+            return None
+        sizes.append(sz)
+    packets = []
+    for sz in sizes:
+        if off + sz > len(priv):
+            return None
+        packets.append(priv[off : off + sz])
+        off += sz
+    packets.append(priv[off:])
+    return packets
+
+
+def _mkv_block_packets(data: bytes, lo: int, hi: int, track: int):
+    """Frame payloads of one Matroska block for the given track:
+    handles no lacing, Xiph, fixed-size and EBML lacing (audio blocks
+    are commonly laced). Returns a list of bytes (empty when the block
+    belongs to another track or is malformed)."""
+    tv = _ebml_vint(data, lo)
+    if tv is None:
+        return []
+    tn, off = tv
+    if tn != track:
+        return []
+    off += 2  # relative timecode
+    if off >= hi:
+        return []
+    flags = data[off]
+    off += 1
+    lace = flags & 0x06
+    if lace == 0:
+        return [data[off:hi]]
+    if off >= hi:
+        return []
+    count = data[off] + 1
+    off += 1
+    sizes = []
+    if lace == 0x02:  # Xiph
+        for _ in range(count - 1):
+            sz = 0
+            while off < hi:
+                b = data[off]
+                off += 1
+                sz += b
+                if b < 255:
+                    break
+            else:
+                return []
+            sizes.append(sz)
+    elif lace == 0x04:  # fixed-size
+        rem = hi - off
+        if count == 0 or rem % count:
+            return []
+        sizes = [rem // count] * (count - 1)
+    else:  # EBML lacing: first size plain, then signed deltas
+        fv = _ebml_vint(data, off)
+        if fv is None:
+            return []
+        sz, off = fv
+        sizes.append(sz)
+        for _ in range(count - 2):
+            dv = _ebml_svint(data, off)
+            if dv is None:
+                return []
+            delta, off = dv
+            sz += delta
+            if sz < 0:
+                return []
+            sizes.append(sz)
+    out = []
+    for sz in sizes:
+        if off + sz > hi:
+            return []
+        out.append(data[off : off + sz])
+        off += sz
+    out.append(data[off:hi])  # last frame: the remainder
+    return out
+
+
+def _webm_vorbis_pcm(data: bytes, max_samples: int = 1 << 24):
+    """REAL sample decode for Vorbis audio inside Matroska/WebM: find
+    the A_VORBIS TrackEntry, split its CodecPrivate (Xiph lacing) into
+    the three Vorbis headers, collect that track's block frames across
+    Clusters (all three lacing modes), and run the shared Vorbis
+    packet decoder. Returns (samples, channels, rate,
+    'webm-vorbis-pcm') or None (callers fall back to the EBML video
+    header walk)."""
+    if len(data) < 8 or not data.startswith(b"\x1a\x45\xdf\xa3"):
+        return None
+    track = None
+    priv = None
+    segments = []
+    for eid, ps, pe in _ebml_walk(data, 0, len(data)):
+        if eid != 0x18538067:  # Segment
+            continue
+        segments.append((ps, pe))
+        for sid, ss, se in _ebml_walk(data, ps, pe):
+            if sid != 0x1654AE6B:  # Tracks
+                continue
+            for tid, ts, te in _ebml_walk(data, ss, se):
+                if tid != 0xAE:  # TrackEntry
+                    continue
+                tn = cid = cp = None
+                for fid, fs, fe in _ebml_walk(data, ts, te):
+                    if fid == 0xD7:
+                        tn = int.from_bytes(data[fs:fe], "big")
+                    elif fid == 0x86:
+                        cid = data[fs:fe]
+                    elif fid == 0x63A2:
+                        cp = data[fs:fe]
+                if cid == b"A_VORBIS" and tn is not None and cp:
+                    track, priv = tn, cp
+                    break
+            if track is not None:
+                break
+        if track is not None:
+            break
+    if track is None:
+        return None
+    headers = _xiph_private_packets(priv)
+    if headers is None or len(headers) != 3:
+        return None
+    packets = list(headers)
+    for ps, pe in segments:
+        for cid_, cs, ce in _ebml_walk(data, ps, pe):
+            if cid_ != 0x1F43B675:  # Cluster
+                continue
+            for bid, bs, be in _ebml_walk(data, cs, ce):
+                if bid == 0xA3:  # SimpleBlock
+                    packets.extend(_mkv_block_packets(data, bs, be, track))
+                elif bid == 0xA0:  # BlockGroup > Block
+                    for gid, gs, ge in _ebml_walk(data, bs, be):
+                        if gid == 0xA1:
+                            packets.extend(
+                                _mkv_block_packets(data, gs, ge, track)
+                            )
+    out = _vorbis_packets_pcm(packets, max_samples=max_samples)
+    if out is None:
+        return None
+    samples, ch, rate, _ = out
+    return samples, ch, rate, "webm-vorbis-pcm"
 
 
 def _parse_webm(data: bytes):
@@ -3693,6 +3872,8 @@ def resample_audio(
                 dec = _flac_pcm_samples(data)
             if dec is None and data[:4] == b"OggS":
                 dec = _vorbis_pcm_samples(data)
+            if dec is None and data[:4] == b"\x1a\x45\xdf\xa3":
+                dec = _webm_vorbis_pcm(data)
             if dec is None:
                 return (data, None, None, "stub")
             samples, channels, rate, label = dec
@@ -3810,6 +3991,9 @@ def extract_features(
                 if wav is None and data[:4] == b"OggS":
                     wav = _vorbis_pcm_samples(data)
                     akind = "vorbis-rms64"
+                if wav is None and data[:4] == b"\x1a\x45\xdf\xa3":
+                    wav = _webm_vorbis_pcm(data)
+                    akind = "webm-vorbis-rms64"
                 if wav is not None and wav[0].size >= _FEATURE_DIM:
                     feats.append(_rms_envelope_feature(wav[0]).tolist())
                     kinds.append(akind)

@@ -45,7 +45,7 @@ from functools import lru_cache
 
 import numpy as np
 
-__all__ = ["vorbis_pcm_samples"]
+__all__ = ["vorbis_pcm_samples", "vorbis_packets_pcm"]
 
 
 class _VorbisError(Exception):
@@ -849,21 +849,38 @@ def _ogg_packets(data: bytes, max_pages: int = 1 << 20):
 
 
 def vorbis_pcm_samples(data: bytes, max_samples: int = 1 << 24):
-    """REAL Vorbis sample decode. Returns (interleaved float64
-    samples, channels, rate, 'vorbis-pcm') or None when the stream is
-    not fully decodable (callers fall back to Ogg header stats)."""
+    """REAL Vorbis sample decode of an Ogg stream. Returns
+    (interleaved float64 samples, channels, rate, 'vorbis-pcm') or
+    None when the stream is not fully decodable (callers fall back to
+    Ogg header stats)."""
     try:
-        return _decode(data, max_samples)
+        if len(data) > (64 << 20):
+            return None
+        packets, last_granule = _ogg_packets(data)
+        return _decode_packets(packets, last_granule, max_samples)
     except (_VorbisError, _Eop):
         return None
     except Exception:  # hostile bytes must degrade, never raise
         return None
 
 
-def _decode(data: bytes, max_samples: int):
-    if len(data) > (64 << 20):
+def vorbis_packets_pcm(packets, granule=None, max_samples: int = 1 << 24):
+    """REAL Vorbis sample decode from an already-demuxed packet list
+    (3 header packets + audio packets) — the entry point for Vorbis in
+    non-Ogg containers (Matroska/WebM ``A_VORBIS`` tracks, whose
+    CodecPrivate carries the three headers Xiph-laced). ``granule``
+    optionally caps the emitted sample count the way the final Ogg
+    page granule does; Matroska has no equivalent, so WebM callers
+    leave it None and get the full lapped output."""
+    try:
+        return _decode_packets(list(packets), granule, max_samples)
+    except (_VorbisError, _Eop):
         return None
-    packets, last_granule = _ogg_packets(data)
+    except Exception:  # hostile bytes must degrade, never raise
+        return None
+
+
+def _decode_packets(packets, last_granule, max_samples: int):
     if len(packets) < 3:
         return None
     s = _parse_ident(packets[0])
