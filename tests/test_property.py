@@ -319,6 +319,7 @@ def test_all_byte_parsers_never_raise(data):
         _webp_pixels,
     )
     from vinum_spark.operators.vorbis import vorbis_pcm_samples
+    from vinum_spark.operators.multimodal import _webm_vorbis_pcm
 
     for fn in (
         _png_pixels, _gif_pixels, _jpeg_pixels,  # already guarded entries
@@ -326,6 +327,7 @@ def test_all_byte_parsers_never_raise(data):
         _parse_flac, _flac_pcm_samples, _parse_ogg, _parse_mp4, _parse_avi,
         _avi_frame_spans, _webm_frame_spans, _parse_webm,
         _tiff_pixels, _webp_pixels, vorbis_pcm_samples,
+        _webm_vorbis_pcm,
     ):
         fn(data)  # any exception fails the test
     try:

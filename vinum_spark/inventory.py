@@ -3595,7 +3595,8 @@ def q83(spark, sf_dir):
     "q84_vorbis_decode",
     """
     SELECT doc_id,
-           'vorbis-pcm' AS decoder,
+           CASE WHEN doc_id % 2 = 0 THEN 'vorbis-pcm'
+                ELSE 'webm-vorbis-pcm' END AS decoder,
            CAST(1 AS INT) AS n_channels,
            CAST(8000 AS INT) AS sample_rate,
            CAST(128 * (4 + doc_id % 5) AS BIGINT) AS n_samples,
@@ -3605,13 +3606,17 @@ def q83(spark, sf_dir):
     ORDER BY doc_id
     """,
     "REAL lossy-codec sample decode under the oracle gate (the q81 "
-    "pattern, one codec deeper): per doc, Spark BUILDS a complete Ogg "
+    "pattern, one codec deeper): per doc, Spark BUILDS a complete "
     "Vorbis stream from doc_id-derived parameters with a compact "
     "inline encoder (in-stream codebooks, sloped floor1, residue "
-    "type 1, 256-sample blocks) and decode_audio must DECODE the "
-    "samples back out through the full Huffman/floor/residue/IMDCT "
-    "path, reporting the exact count/rate/duration the oracle computes "
-    "in CLOSED FORM from doc_id. Sample-VALUE exactness is pinned "
+    "type 1, 256-sample blocks) — muxed into Ogg for even doc_ids and "
+    "into a Matroska/WebM A_VORBIS track (Xiph-laced CodecPrivate + "
+    "SimpleBlocks) for odd ones — and decode_audio must DECODE the "
+    "samples back out through the full demux/Huffman/floor/residue/"
+    "IMDCT path, reporting the exact count/rate/duration the oracle "
+    "computes in CLOSED FORM from doc_id (the WebM path has no "
+    "granule; its full lapped output equals the Ogg granule by "
+    "construction). Sample-VALUE exactness is pinned "
     "separately by the independent-expectation round-trips in "
     "tests/test_vorbis.py. Vorbis (not MP3) is the lossy codec this "
     "engine decodes because its codebooks ship inside the stream: "
@@ -3715,18 +3720,50 @@ def q84(spark, sf_dir):
                         w.w((e >> i) & 1, 1)
             return w.done()
 
+        def ebml(eid, payload):
+            n = len(payload)
+            ln = 1
+            while n >= (1 << (7 * ln)) - 1:
+                ln += 1
+            size = (n + ((0x80 >> (ln - 1)) << (8 * (ln - 1))))
+            return eid + size.to_bytes(ln, "big") + payload
+
+        def webm(pkts):
+            priv = bytearray([2])  # Xiph-laced CodecPrivate: 3 headers
+            for h in (ident, comment):
+                priv += b"\xff" * (len(h) // 255)
+                priv.append(len(h) % 255)
+            priv += ident + comment + setup
+            track = ebml(b"\xae", b"".join([
+                ebml(b"\xd7", b"\x01"),
+                ebml(b"\x86", b"A_VORBIS"),
+                ebml(b"\x63\xa2", bytes(priv)),
+            ]))
+            blocks = b"".join(
+                ebml(b"\xa3", b"\x81\x00\x00\x80" + p) for p in pkts
+            )
+            segment = ebml(b"\x18\x53\x80\x67",
+                           ebml(b"\x16\x54\xae\x6b", track)
+                           + ebml(b"\x1f\x43\xb6\x75",
+                                  ebml(b"\xe7", b"\x00") + blocks))
+            return ebml(b"\x1a\x45\xdf\xa3",
+                        ebml(b"\x42\x82", b"webm")) + segment
+
         for pdf in it:
             content = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 n_pkts = 5 + d % 5  # n_samples = 128 * (4 + d % 5)
-                pages = [
-                    page([ident], 0, 0, 0x02),
-                    page([comment, setup], 0, 1, 0),
-                    page([audio(d * 7 + s) for s in range(n_pkts)],
-                         128 * (n_pkts - 1), 2, 0x04),
-                ]
-                content.append(b"".join(pages))
+                pkts = [audio(d * 7 + s) for s in range(n_pkts)]
+                if d % 2 == 0:
+                    pages = [
+                        page([ident], 0, 0, 0x02),
+                        page([comment, setup], 0, 1, 0),
+                        page(pkts, 128 * (n_pkts - 1), 2, 0x04),
+                    ]
+                    content.append(b"".join(pages))
+                else:
+                    content.append(webm(pkts))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "content": content})
 
