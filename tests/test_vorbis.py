@@ -1214,3 +1214,47 @@ def test_spark_decode_audio_webm_vorbis(spark):
     assert row["n_samples"] == len(expected)
     assert row["rms"] == pytest.approx(
         float(np.sqrt(np.mean(expected**2))), rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Chained Ogg streams
+
+
+def test_chained_streams_concatenate():
+    d1, e1, _ = _mono_stream(n_packets=5)
+    # second chain: different serial, different content, same params
+    packets = [_ident_packet(1, 8000, 8, 8), _comment_packet(),
+               _mono_setup_packet()]
+    blocks = []
+    for s in range(7, 11):
+        pkt, resid, ypair = _mono_audio_packet(s)
+        packets.append(pkt)
+        blocks.append((resid, ypair))
+    d2 = _ogg_stream(packets, 128 * 3, serial=0x9999)
+    acc = np.zeros(128 * 6)
+    win = _vorbis_window(256, 0, 128, 128, 128)
+    for t, (resid, (y0, y1)) in enumerate(blocks):
+        spectrum = resid * _mono_floor_curve(y0, y1)
+        acc[128 * t : 128 * t + 256] += _imdct_direct(spectrum, 256) * win
+    e2 = acc[128 : 128 * 4]
+    out = vorbis_pcm_samples(d1 + d2)
+    assert out is not None
+    assert out[0].shape == (len(e1) + len(e2),)
+    assert np.allclose(out[0], np.concatenate([e1, e2]), atol=1e-8)
+
+
+def test_chained_rate_change_stops_at_boundary():
+    d1, e1, _ = _mono_stream(n_packets=5)
+    d2, _, _ = _mono_stream(n_packets=4, rate=16000)
+    out = vorbis_pcm_samples(d1 + d2)
+    assert out is not None
+    assert out[2] == 8000
+    assert np.allclose(out[0], e1, atol=1e-8)
+
+
+def test_chained_garbage_tail_keeps_prefix():
+    d1, e1, _ = _mono_stream(n_packets=5)
+    junk = _ogg_page([(b"\x01vorbis" + b"\x7f" * 40, True)], 0, 5, 0, 0x02)
+    out = vorbis_pcm_samples(d1 + junk)
+    assert out is not None
+    assert np.allclose(out[0], e1, atol=1e-8)

@@ -28,8 +28,10 @@ Scope boundaries (all degrade to ``None`` so callers fall back to the
 exact Ogg header stats, never to invented samples):
 - floor type 0 (legacy LSP floors, unused by every known encoder since
   ~2001) is parsed for stream sync but not synthesized;
-- only the first logical stream of a multiplexed/chained Ogg is
-  decoded (same contract as ``_parse_ogg``);
+- in a multiplexed group the Vorbis stream is selected by its BOS
+  signature (other codecs' pages are skipped); CHAINED streams decode
+  chain-by-chain and concatenate while channels/rate match, stopping
+  honestly at a parameter change;
 - streams whose decoded size would exceed ``max_samples`` fall back to
   header stats (same bound as the FLAC decoder).
 
@@ -784,23 +786,24 @@ def _window_geometry(n, blockflag, prev_flag, next_flag, bs0):
 # Ogg framing
 
 
-def _ogg_packets(data: bytes, max_pages: int = 1 << 20):
-    """Reassemble the packets of the FIRST VORBIS logical stream
-    (lacing values, continued packets, BOS/EOS) per RFC 3533. In a
-    multiplexed group (audio+video) all BOS pages come first, so the
-    walk locks onto the first BOS page whose packet starts with the
-    Vorbis identification signature, falling back to the first serial
-    seen when no BOS is Vorbis-tagged (degenerate headerless input —
-    the header parse then rejects it). Page CRCs are not verified
+def _ogg_chain(data: bytes, start: int, max_pages: int, first: bool):
+    """Reassemble the packets of ONE Vorbis logical stream starting at
+    byte ``start`` (lacing values, continued packets, BOS/EOS) per
+    RFC 3533. In a multiplexed group (audio+video) all BOS pages come
+    first, so the walk locks onto the first BOS page whose packet
+    starts with the Vorbis identification signature; non-Vorbis pages
+    (other codecs' BOS, their data pages) are skipped. ``first``
+    preserves the degenerate fallback for headerless input: the very
+    first page's serial is accepted even without a Vorbis BOS (the
+    header parse then rejects garbage). Page CRCs are not verified
     (liberal acceptance — same stance as the header walker). Returns
-    (packets, last_granule)."""
-    if data[:4] != b"OggS":
-        raise _VorbisError("not an Ogg stream")
+    (packets, last_granule, end_pos) with end_pos just past this
+    chain's EOS page (the scan cursor for the next chain)."""
     packets = []
     partial = bytearray()
     serial0 = None
     last_granule = None
-    pos = 0
+    pos = start
     pages = 0
     while pos + 27 <= len(data) and pages < max_pages:
         if data[pos : pos + 4] != b"OggS" or data[pos + 4] != 0:
@@ -815,9 +818,16 @@ def _ogg_packets(data: bytes, max_pages: int = 1 << 20):
             break
         body = pos + 27 + nseg
         if serial0 is None:
-            if (htype & 0x02) and data[body : body + 7] != b"\x01vorbis":
-                # a BOS page of some OTHER codec in the mux group:
-                # skip the whole stream-start page, keep scanning
+            is_bos = bool(htype & 0x02)
+            is_vorbis_bos = is_bos and (
+                data[body : body + 7] == b"\x01vorbis")
+            # degenerate fallback: a headerless FIRST page (no BOS at
+            # all) is accepted so the header parse can reject it; a
+            # non-Vorbis BOS is always skipped (mux groups)
+            degenerate = first and pos == start and not is_bos
+            if not (is_vorbis_bos or degenerate):
+                # another codec's page (its BOS, or its data pages
+                # trailing a previous chain): skip, keep scanning
                 pos = body + sum(seg_table)
                 pages += 1
                 continue
@@ -841,6 +851,15 @@ def _ogg_packets(data: bytes, max_pages: int = 1 << 20):
         pages += 1
         if mine and (htype & 0x04):
             break
+    return packets, last_granule, pos
+
+
+def _ogg_packets(data: bytes, max_pages: int = 1 << 20):
+    """First Vorbis chain of an Ogg stream (the single-chain entry the
+    tests and header walkers use). Returns (packets, last_granule)."""
+    if data[:4] != b"OggS":
+        raise _VorbisError("not an Ogg stream")
+    packets, last_granule, _ = _ogg_chain(data, 0, max_pages, True)
     return packets, last_granule
 
 
@@ -849,15 +868,51 @@ def _ogg_packets(data: bytes, max_pages: int = 1 << 20):
 
 
 def vorbis_pcm_samples(data: bytes, max_samples: int = 1 << 24):
-    """REAL Vorbis sample decode of an Ogg stream. Returns
+    """REAL Vorbis sample decode of an Ogg stream, including CHAINED
+    streams (sequential logical streams in one file — webradio dumps,
+    concatenated encodes): every chain decodes with its own setup
+    header, and chains whose channel count and rate match the first
+    are concatenated; a parameter-changing chain ends the decode at
+    that boundary (honest prefix, never resampled glue). Returns
     (interleaved float64 samples, channels, rate, 'vorbis-pcm') or
-    None when the stream is not fully decodable (callers fall back to
-    Ogg header stats)."""
+    None when the first chain is not fully decodable (callers fall
+    back to Ogg header stats)."""
     try:
         if len(data) > (64 << 20):
             return None
-        packets, last_granule = _ogg_packets(data)
-        return _decode_packets(packets, last_granule, max_samples)
+        if data[:4] != b"OggS":
+            return None
+        pos = 0
+        first = True
+        out = None
+        parts = []
+        budget = max_samples
+        while pos + 27 <= len(data):
+            packets, last_granule, pos = _ogg_chain(
+                data, pos, 1 << 20, first)
+            if not packets:
+                break
+            try:
+                dec = _decode_packets(packets, last_granule, budget)
+            except (_VorbisError, _Eop):
+                dec = None
+            if dec is None:
+                if first:
+                    return None
+                break  # later chain undecodable: keep the prefix
+            if first:
+                out = dec
+                parts.append(dec[0])
+            else:
+                if dec[1] != out[1] or dec[2] != out[2]:
+                    break  # parameter change: stop at the boundary
+                parts.append(dec[0])
+            budget -= len(parts[-1])
+            first = False
+        if out is None:
+            return None
+        samples = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        return samples, out[1], out[2], "vorbis-pcm"
     except (_VorbisError, _Eop):
         return None
     except Exception:  # hostile bytes must degrade, never raise
