@@ -3217,7 +3217,9 @@ def decode_audio(
     (in-stream Huffman codebooks, floor1, residues, coupling, IMDCT —
     ``decoder='vorbis-pcm'``, see operators/vorbis.py), falling back
     to the exact Ogg page-granule stats (``decoder='ogg-vorbis'``,
-    NULL rms/peak) for streams the decoder declines (floor0, chained).
+    NULL rms/peak) for streams the decoder declines (legacy floor0);
+    chained and multiplexed Ogg decode too (chains concatenate while
+    channels/rate match).
     Vorbis audio inside Matroska/WebM decodes too
     (``decoder='webm-vorbis-pcm'``: A_VORBIS CodecPrivate headers +
     laced Cluster blocks through the same packet decoder).
