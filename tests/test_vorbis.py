@@ -1258,3 +1258,30 @@ def test_chained_garbage_tail_keeps_prefix():
     out = vorbis_pcm_samples(d1 + junk)
     assert out is not None
     assert np.allclose(out[0], e1, atol=1e-8)
+
+
+def test_parse_webm_audio_only_reports_audio_kind():
+    import struct
+
+    from vinum_spark.operators.multimodal import _parse_webm
+
+    headers = [_ident_packet(1, 8000, 8, 8), _comment_packet(),
+               _mono_setup_packet()]
+    audio_el = _ebml_el(b"\xe1", b"".join([
+        _ebml_el(b"\xb5", struct.pack(">f", 8000.0)),
+        _ebml_el(b"\x9f", b"\x01"),
+    ]))
+    track = _ebml_el(b"\xae", b"".join([
+        _ebml_el(b"\xd7", b"\x01"),
+        _ebml_el(b"\x86", b"A_VORBIS"),
+        _ebml_el(b"\x63\xa2", _xiph_lace_private(headers)),
+        audio_el,
+    ]))
+    segment = _ebml_el(b"\x18\x53\x80\x67",
+                       _ebml_el(b"\x16\x54\xae\x6b", track))
+    data = _ebml_el(b"\x1a\x45\xdf\xa3",
+                    _ebml_el(b"\x42\x82", b"webm")) + segment
+    kind, ch, rate, _, _, h, w, label = _parse_webm(data)
+    assert (kind, ch, rate, label) == ("audio", 1, 8000,
+                                       "webm-ebml-audio")
+    assert h is None and w is None

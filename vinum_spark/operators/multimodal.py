@@ -3593,15 +3593,19 @@ def _webm_vorbis_pcm(data: bytes, max_samples: int = 1 << 24):
 
 
 def _parse_webm(data: bytes):
-    """TRUE video metadata from the Matroska/WebM EBML tree — no
-    codec: Segment > Info gives TimecodeScale (default 1 ms) and
-    Duration (float, in timecode units); Segment > Tracks > TrackEntry
-    > Video gives PixelWidth/PixelHeight. Returns the probe tuple or
-    None. Bounded: only the known container path is descended."""
+    """TRUE metadata from the Matroska/WebM EBML tree — no codec:
+    Segment > Info gives TimecodeScale (default 1 ms) and Duration
+    (float, in timecode units); Segment > Tracks > TrackEntry > Video
+    gives PixelWidth/PixelHeight, > Audio gives SamplingFrequency and
+    Channels. Files with an audio track and no video dims (audio rips)
+    report kind='audio' with the true rate/channels. Returns the probe
+    tuple or None. Bounded: only the known container path is
+    descended."""
     if data[:4] != bytes([0x1A, 0x45, 0xDF, 0xA3]):
         return None
     duration = None
     width = height = None
+    a_rate = a_ch = None
     for eid, ps, pe in _ebml_walk(data, 0, len(data)):
         if eid != 0x18538067:  # Segment
             continue
@@ -3629,17 +3633,35 @@ def _parse_webm(data: bytes):
                     if tid != 0xAE:  # TrackEntry
                         continue
                     for vid, vs, ve in _ebml_walk(data, ts, te):
-                        if vid != 0xE0:  # Video settings
-                            continue
-                        for pid, pps, ppe in _ebml_walk(data, vs, ve):
-                            if pid == 0xB0:
-                                w = int.from_bytes(data[pps:ppe], "big")
-                                if width is None or w > width:
-                                    width = w
-                            elif pid == 0xBA:
-                                height = int.from_bytes(data[pps:ppe], "big")
-    if duration is None and width is None:
+                        if vid == 0xE0:  # Video settings
+                            for pid, pps, ppe in _ebml_walk(data, vs, ve):
+                                if pid == 0xB0:
+                                    w = int.from_bytes(data[pps:ppe], "big")
+                                    if width is None or w > width:
+                                        width = w
+                                elif pid == 0xBA:
+                                    height = int.from_bytes(
+                                        data[pps:ppe], "big")
+                        elif vid == 0xE1:  # Audio settings
+                            # spec defaults: 8 kHz mono
+                            a_rate = a_rate or 8000.0
+                            a_ch = a_ch or 1
+                            for aid, is_, ie in _ebml_walk(data, vs, ve):
+                                if aid == 0xB5 and ie - is_ in (4, 8):
+                                    a_rate = float(np.frombuffer(
+                                        data[is_:ie],
+                                        ">f4" if ie - is_ == 4 else ">f8",
+                                    )[0])
+                                elif aid == 0x9F:
+                                    a_ch = int.from_bytes(data[is_:ie],
+                                                          "big")
+    if duration is None and width is None and a_rate is None:
         return None
+    if width is None and a_rate is not None:
+        # audio-only Matroska (common for audio rips): report the
+        # TRUE track parameters, not a dim-less "video"
+        return ("audio", a_ch, int(round(a_rate)), None, duration, None,
+                None, "webm-ebml-audio")
     return ("video", None, None, None, duration, height, width, "webm-ebml")
 
 
