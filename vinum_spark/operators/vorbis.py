@@ -264,8 +264,10 @@ class _Codebook:
             raise _VorbisError("reserved lookup type")
 
     def _build_fast(self):
-        fe = np.full(1 << _FAST_BITS, -1, dtype=np.int32)
-        fl = np.zeros(1 << _FAST_BITS, dtype=np.int32)
+        # plain Python lists: scalar indexing is ~5x cheaper than
+        # numpy item access in the per-codeword hot loop
+        fe = [-1] * (1 << _FAST_BITS)
+        fl = [0] * (1 << _FAST_BITS)
         self.slow = {}
         for e, (code, l) in self.codes.items():
             if l <= _FAST_BITS:
@@ -295,11 +297,11 @@ class _Codebook:
         raw = bits.peek(_FAST_BITS)
         e = self.fast_entry[raw]
         if e >= 0:
-            l = int(self.fast_len[raw])
+            l = self.fast_len[raw]
             if bits.remaining() < l:
                 raise _Eop
             bits.skip(l)
-            return int(e)
+            return e
         code = 0
         for ln in range(1, 33):
             code = (code << 1) | bits.read(1)
@@ -389,7 +391,7 @@ class _Floor1:
 
 class _Residue:
     __slots__ = ("rtype", "begin", "end", "psize", "classifications",
-                 "classbook", "books")
+                 "classbook", "books", "active_passes")
 
     def __init__(self, bits, rtype, n_books):
         self.rtype = rtype
@@ -417,6 +419,12 @@ class _Residue:
                 else:
                     row.append(None)
             self.books.append(row)
+        # pass 0 always runs (it carries the classwords); later passes
+        # with no book in ANY class decode nothing and are skipped
+        self.active_passes = tuple(
+            p for p in range(8)
+            if p == 0 or any(row[p] is not None for row in self.books)
+        )
 
 
 class _Mapping:
@@ -682,7 +690,7 @@ def _residue_partitions(b, res, books, vecs, dnd, actual_size):
     ch = len(vecs)
     classes = [[0] * (parts + cwords) for _ in range(ch)]
     try:
-        for p in range(8):
+        for p in res.active_passes:
             pc = 0
             while pc < parts:
                 if p == 0:
@@ -708,16 +716,32 @@ def _residue_partitions(b, res, books, vecs, dnd, actual_size):
                         off = begin + pc * psize
                         v = vecs[j]
                         dim = book.dim
+                        dec = book.decode
+                        # decode the partition's codewords first, then
+                        # apply ONE gathered add — tiny per-codeword
+                        # slice adds dominate the profile otherwise
                         if res.rtype == 0:
                             step = psize // dim
-                            for s in range(step):
-                                vt = book.vq[book.decode(b)]
-                                v[off + s : off + s + dim * step : step] += vt
+                            entries = [dec(b) for _ in range(step)]
+                            # value i of codeword s lands at off+s+i*step
+                            v[off : off + dim * step] += (
+                                book.vq[entries].T.ravel())
                         else:  # types 1 and 2 lay values sequentially
-                            i = 0
+                            entries = [dec(b)
+                                       for _ in range(psize // dim)]
+                            n_fill = len(entries) * dim
+                            v[off : off + n_fill] += (
+                                book.vq[entries].ravel())
+                            # dim not dividing psize: the straddling
+                            # vector writes its FULL dim past the
+                            # partition limit (spec pseudocode),
+                            # clipped only at the vector end
+                            i = n_fill
                             while i < psize:
-                                vt = book.vq[book.decode(b)]
-                                v[off + i : off + i + dim] += vt
+                                vt = book.vq[dec(b)]
+                                k = min(dim, len(v) - (off + i))
+                                if k > 0:
+                                    v[off + i : off + i + k] += vt[:k]
                                 i += dim
                     pc += 1
     except _Eop:
