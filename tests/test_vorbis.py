@@ -1285,3 +1285,32 @@ def test_parse_webm_audio_only_reports_audio_kind():
     assert (kind, ch, rate, label) == ("audio", 1, 8000,
                                        "webm-ebml-audio")
     assert h is None and w is None
+
+
+def test_streaming_decode_audio_vorbis(spark, tmp_path):
+    # media decode composes with Structured Streaming: the same
+    # mapInPandas plan runs over readStream (the streaming-ingest shape
+    # a training-corpus pipeline uses for continuously arriving assets)
+    from vinum_spark.operators.multimodal import decode_audio
+
+    data, expected, rate = _mono_stream()
+    src = str(tmp_path / "assets")
+    spark.createDataFrame(
+        [(1, bytearray(data)), (2, bytearray(b"not audio"))],
+        "asset_id long, content binary",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "asset_id long, content binary").parquet(src)
+    q = (
+        decode_audio(stream)
+        .writeStream.format("memory")
+        .queryName("vorbis_stream_decode")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["asset_id"]: r
+            for r in spark.sql("SELECT * FROM vorbis_stream_decode").collect()}
+    assert rows[1]["decoder"] == "vorbis-pcm"
+    assert rows[1]["n_samples"] == len(expected)
+    assert rows[2]["decoder"] == "stub"
