@@ -68,6 +68,9 @@ GATED = [
     # round-11: Vorbis sample-decode closed-form gate (full Ogg stream
     # built in-query by the inline encoder, decode_audio parity)
     "q84_vorbis_decode",
+    # round-11: audio near-dup chain (decode -> RMS envelope -> LSH ->
+    # verify over planted twins; the q83 image chain's audio analogue)
+    "q85_audio_neardup",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible

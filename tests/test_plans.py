@@ -120,6 +120,14 @@ def test_media_decode_pipelines_shuffle_free(spark):
     assert "RoundRobinPartitioning" in below  # the id repartition
     assert body.count("Exchange") == 2  # plus only the final sort
 
+    # q84 (Vorbis mux/demux gate) pins the identical shape
+    plan84 = plan_of(spark, "q84_vorbis_decode", mode="simple")
+    body84 = plan84.split("== Physical Plan ==")[-1]
+    python_stage = body84.rfind("MapInPandas")
+    assert python_stage != -1
+    assert body84[python_stage:].count("Exchange") == 1
+    assert body84.count("Exchange") == 2
+
     df = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
         "doc_id AS asset_id", "CAST(text AS BINARY) AS content"
     )

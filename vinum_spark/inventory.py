@@ -3781,6 +3781,106 @@ def q84(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+
+@_q(
+    "q85_audio_neardup",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS id_a,
+           CAST(doc_id + 100000 AS BIGINT) AS id_b
+    FROM documents
+    WHERE doc_id % 4 = 0
+    ORDER BY id_a
+    """,
+    "Audio near-dup under the oracle gate — the q83 image chain's "
+    "audio twin: decode -> RMS-envelope feature -> hyperplane LSH -> "
+    "exact cosine verify, end-to-end. Per doc, Spark BUILDS a real "
+    "PCM16 WAV of 64 equal windows whose loudness pattern is a "
+    "doc_id-unranked 3-subset of the 64 windows (the q83 combinadic, "
+    "injective to C(64,3)=41664 docs: 3 loud windows, 61 quiet), and "
+    "for doc_id%4==0 a gain-jittered twin at id+100000. "
+    "extract_features must DECODE the samples (wav-rms64, no stub), "
+    "LSH must bucket the twins, and exact cosine verify at 0.95 must "
+    "keep EXACTLY the planted pairs: twins land at cos ~0.999 while "
+    "any two distinct patterns share at most 2 of 3 loud windows "
+    "(cos <= ~0.73 for the L2-normalized all-positive envelopes), so "
+    "both a recall miss and a precision leak hash-mismatch the "
+    "closed-form oracle.",
+)
+def q85(spark, sf_dir):
+    import pandas as pd
+
+    from vinum_spark.operators.multimodal import extract_features
+    from vinum_spark.operators.similarity import (
+        cosine_verify,
+        lsh_candidate_pairs,
+    )
+
+    def build(it):
+        import numpy as np
+
+        RATE = 8000
+        WIN = 64  # samples per window; sine period 16 divides it
+
+        def unrank3(k):
+            # combinadic: k -> unique {a < b < c} subset of [0, 64)
+            c = 2
+            while (c + 1) * c * (c - 1) // 6 <= k:
+                c += 1
+            k -= c * (c - 1) * (c - 2) // 6
+            b = 1
+            while (b + 1) * b // 2 <= k:
+                b += 1
+            return (k - b * (b - 1) // 2, b, c)
+
+        tone = np.sin(2 * np.pi * np.arange(WIN) / 16.0)
+
+        def wav_pcm16(amps):
+            wave = np.concatenate([(a * 29000.0) * tone for a in amps])
+            payload = np.round(wave).astype("<i2").tobytes()
+            return (
+                b"RIFF" + (36 + len(payload)).to_bytes(4, "little")
+                + b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
+                + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                + RATE.to_bytes(4, "little")
+                + (RATE * 2).to_bytes(4, "little")
+                + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+                + b"data" + len(payload).to_bytes(4, "little") + payload
+            )
+
+        for pdf in it:
+            ids = []
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                amps = np.full(64, 0.05)
+                for hot in unrank3(d % 41664):
+                    amps[hot] = 0.8
+                ids.append(d)
+                blobs.append(wav_pcm16(amps))
+                if d % 4 == 0:
+                    jitter = 1.0 + ((d * 13 + np.arange(64)) % 5 - 2) * 0.01
+                    ids.append(d + 100000)
+                    blobs.append(wav_pcm16(amps * jitter))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    # spread-before-Python-kernel (the q81/q83 pattern)
+    d = _t(spark, sf_dir, "documents").select("doc_id").repartition(64)
+    assets = d.mapInPandas(build, schema="doc_id long, content binary")
+    feats = extract_features(assets, id_col="doc_id").select(
+        F.col("asset_id").alias("vec_id"),
+        F.col("feature").alias("embedding"),
+    )
+    pairs = lsh_candidate_pairs(feats, dim=64, n_planes=32, band_bits=4)
+    return (
+        cosine_verify(feats, pairs, threshold=0.95, dim=64)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+        .orderBy("id_a")
+    )
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 82 registered, thirty-two fall
 #: outside it (q81 promoted into q62's slot in the r10 third wave,
