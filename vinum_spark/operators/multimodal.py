@@ -3540,11 +3540,11 @@ def _webm_vorbis_pcm(data: bytes, max_samples: int = 1 << 24):
         return None
     track = None
     priv = None
-    segments = []
+    segment = None  # blocks come only from the segment that declared
+    # the track: a later chained Segment has its own numbering
     for eid, ps, pe in _ebml_walk(data, 0, len(data)):
         if eid != 0x18538067:  # Segment
             continue
-        segments.append((ps, pe))
         for sid, ss, se in _ebml_walk(data, ps, pe):
             if sid != 0x1654AE6B:  # Tracks
                 continue
@@ -3560,7 +3560,7 @@ def _webm_vorbis_pcm(data: bytes, max_samples: int = 1 << 24):
                     elif fid == 0x63A2:
                         cp = data[fs:fe]
                 if cid == b"A_VORBIS" and tn is not None and cp:
-                    track, priv = tn, cp
+                    track, priv, segment = tn, cp, (ps, pe)
                     break
             if track is not None:
                 break
@@ -3572,7 +3572,7 @@ def _webm_vorbis_pcm(data: bytes, max_samples: int = 1 << 24):
     if headers is None or len(headers) != 3:
         return None
     packets = list(headers)
-    for ps, pe in segments:
+    for ps, pe in (segment,):
         for cid_, cs, ce in _ebml_walk(data, ps, pe):
             if cid_ != 0x1F43B675:  # Cluster
                 continue
