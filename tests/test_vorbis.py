@@ -482,8 +482,27 @@ def test_fuzz_random_bytes():
     rng = np.random.RandomState(5)
     for _ in range(60):
         blob = rng.bytes(rng.randint(1, 400))
-        assert vorbis_pcm_samples(b"OggS" + blob) is None or True
-        assert vorbis_pcm_samples(blob) is None or True
+        for payload in (b"OggS" + blob, blob):
+            r = vorbis_pcm_samples(payload)
+            assert r is None or np.isfinite(r[0]).all()
+
+
+def test_hostile_dim0_lookup_codebook_returns_none():
+    # a setup header declaring a VQ codebook with dimensions=0 used to
+    # spin _lookup1_values forever (code-review confirmed hang): the
+    # parse must reject it and the decode degrade to None
+    w = _VW()
+    w.w(0, 8)  # 1 codebook
+    w.w(0x564342, 24)
+    w.w(0, 16)  # dim 0
+    w.w(1, 24)  # 1 entry
+    w.w(0, 1), w.w(0, 1), w.w(0, 5)  # unordered, len 1
+    w.w(1, 4)  # lookup type 1 -> _lookup1_values(1, 0)
+    w.w(0, 32), w.w(0, 32), w.w(0, 4), w.w(0, 1)
+    setup = b"\x05vorbis" + w.bytes()
+    packets = [_ident_packet(1, 8000, 8, 8), _comment_packet(), setup,
+               b"\x00" * 4]
+    assert vorbis_pcm_samples(_ogg_stream(packets, 128)) is None
 
 
 # ---------------------------------------------------------------------------

@@ -3882,7 +3882,7 @@ def q85(spark, sf_dir):
 
 
 #: The round driver's correctness gate records only the FIRST 50
-#: entries of ``queries()``; with 82 registered, thirty-two fall
+#: entries of ``queries()``; with 84 registered, thirty-four fall
 #: outside it (q81 promoted into q62's slot in the r10 third wave,
 #: q83 into q43's in r11). Order the export so the operator classes with the least
 #: other coverage sit inside the gate: the streaming/multimodal/pipeline

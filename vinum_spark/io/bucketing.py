@@ -113,7 +113,13 @@ def compact_parquet(
         # collected when-chain is fine at dozens of partitions but blows
         # up plan size and driver memory at thousands. The two .first()
         # calls below each fetch a single aggregate row (bounded).
-        counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__rows"))
+        # persist the (tiny, partition-cardinality-bounded) counts
+        # frame FIRST: total_rows and the __k aggregate below both
+        # derive from it, and without the persist each would re-run
+        # the full-source groupBy scan+shuffle
+        counts = df.groupBy(*cols).agg(
+            F.count(F.lit(1)).alias("__rows")
+        ).persist()
         total_rows = max(
             1, int(counts.agg(F.sum("__rows").alias("t")).first()["t"] or 0)
         )
@@ -125,7 +131,7 @@ def compact_parquet(
                     F.lit(float(n_files)) * F.col("__rows") / F.lit(float(total_rows))
                 ).cast("int"),
             ).alias("__k"),
-        ).persist()
+        )
         try:
             n_files = int(kdf.agg(F.sum("__k").alias("s")).first()["s"])
             right = kdf
@@ -150,7 +156,7 @@ def compact_parquet(
                 .parquet(dst)
             )
         finally:
-            kdf.unpersist()
+            counts.unpersist()
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(dst)
     return n_files

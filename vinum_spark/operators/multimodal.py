@@ -3572,19 +3572,19 @@ def _webm_vorbis_pcm(data: bytes, max_samples: int = 1 << 24):
     if headers is None or len(headers) != 3:
         return None
     packets = list(headers)
-    for ps, pe in (segment,):
-        for cid_, cs, ce in _ebml_walk(data, ps, pe):
-            if cid_ != 0x1F43B675:  # Cluster
-                continue
-            for bid, bs, be in _ebml_walk(data, cs, ce):
-                if bid == 0xA3:  # SimpleBlock
-                    packets.extend(_mkv_block_packets(data, bs, be, track))
-                elif bid == 0xA0:  # BlockGroup > Block
-                    for gid, gs, ge in _ebml_walk(data, bs, be):
-                        if gid == 0xA1:
-                            packets.extend(
-                                _mkv_block_packets(data, gs, ge, track)
-                            )
+    ps, pe = segment
+    for cid_, cs, ce in _ebml_walk(data, ps, pe):
+        if cid_ != 0x1F43B675:  # Cluster
+            continue
+        for bid, bs, be in _ebml_walk(data, cs, ce):
+            if bid == 0xA3:  # SimpleBlock
+                packets.extend(_mkv_block_packets(data, bs, be, track))
+            elif bid == 0xA0:  # BlockGroup > Block
+                for gid, gs, ge in _ebml_walk(data, bs, be):
+                    if gid == 0xA1:
+                        packets.extend(
+                            _mkv_block_packets(data, gs, ge, track)
+                        )
     out = _vorbis_packets_pcm(packets, max_samples=max_samples)
     if out is None:
         return None
@@ -3648,10 +3648,14 @@ def _parse_webm(data: bytes):
                             a_ch = a_ch or 1
                             for aid, is_, ie in _ebml_walk(data, vs, ve):
                                 if aid == 0xB5 and ie - is_ in (4, 8):
-                                    a_rate = float(np.frombuffer(
+                                    r = float(np.frombuffer(
                                         data[is_:ie],
                                         ">f4" if ie - is_ == 4 else ">f8",
                                     )[0])
+                                    # hostile NaN/inf bytes must not
+                                    # reach int(round(...)) below
+                                    if 0 < r < 1e7:
+                                        a_rate = r
                                 elif aid == 0x9F:
                                     a_ch = int.from_bytes(data[is_:ie],
                                                           "big")

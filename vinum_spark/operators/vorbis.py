@@ -82,8 +82,12 @@ def _float32_unpack(x: int) -> float:
 
 
 def _lookup1_values(entries: int, dim: int) -> int:
-    """Largest v with v**dim <= entries (spec §9.2.3)."""
-    v = int(entries ** (1.0 / dim)) if dim else 0
+    """Largest v with v**dim <= entries (spec §9.2.3). dim < 1 is
+    rejected before the search: (v+1)**0 == 1 <= entries for every v,
+    so a hostile dim-0 header would otherwise spin this loop forever."""
+    if dim < 1:
+        raise _VorbisError("lookup codebook with zero dimension")
+    v = int(entries ** (1.0 / dim))
     while (v + 1) ** dim <= entries:
         v += 1
     while v > 0 and v**dim > entries:
@@ -228,6 +232,8 @@ class _Codebook:
         if lookup == 0:
             self.vq = None
         elif lookup in (1, 2):
+            if self.dim < 1:
+                raise _VorbisError("VQ codebook with zero dimension")
             minv = _float32_unpack(bits.read(32))
             delta = _float32_unpack(bits.read(32))
             value_bits = bits.read(4) + 1

@@ -85,8 +85,9 @@ _TIMEDELTA_UNIT = {
     "s": "0,0,0,0,0,0,({n})",
     "y": "({n}),0,0,0,0,0,0",
     # sub-second units ride the fractional-seconds slot (DECIMAL(18,6)):
-    # exact for ms/us; ns truncates to Spark's microsecond timestamp
-    # precision (numpy keeps ns, Spark cannot represent it)
+    # exact for ms/us; ns ROUNDS half-up to Spark's microsecond
+    # timestamp precision via the DECIMAL cast (1500 ns -> 2 us,
+    # pinned in test_query_results; numpy keeps ns, Spark cannot)
     "ms": "0,0,0,0,0,0,(({n})/1000.0)",
     "us": "0,0,0,0,0,0,(({n})/1000000.0)",
     "ns": "0,0,0,0,0,0,(({n})/1000000000.0)",
