@@ -1333,3 +1333,64 @@ def test_streaming_decode_audio_vorbis(spark, tmp_path):
     assert rows[1]["decoder"] == "vorbis-pcm"
     assert rows[1]["n_samples"] == len(expected)
     assert rows[2]["decoder"] == "stub"
+
+
+def test_mkv_lacing_roundtrip_random_sizes():
+    # random frame sizes including >255 (multi-byte Xiph runs) and the
+    # EBML signed-delta encoding across wide jumps: every lacing mode
+    # must split back to exactly the packed frames
+    from vinum_spark.operators.multimodal import (_mkv_block_packets,
+                                                  _xiph_private_packets)
+
+    rng = np.random.RandomState(42)
+    for trial in range(40):
+        n = int(rng.randint(1, 7))
+        frames = [bytes(rng.bytes(int(rng.randint(0, 700))))
+                  for _ in range(n)]
+        # xiph lacing (any sizes)
+        body = bytearray([0x81, 0, 0, 0x82, n - 1])
+        for f in frames[:-1]:
+            sz = len(f)
+            body += b"\xff" * (sz // 255) + bytes([sz % 255])
+        for f in frames:
+            body += f
+        got = _mkv_block_packets(bytes(body), 0, len(body), 1)
+        assert got == frames, ("xiph", trial)
+        # fixed lacing (equal sizes)
+        eq = [frames[0]] * n
+        body = bytearray([0x81, 0, 0, 0x84, n - 1]) + b"".join(eq)
+        got = _mkv_block_packets(bytes(body), 0, len(body), 1)
+        assert got == eq, ("fixed", trial)
+        # ebml lacing: deltas must fit the 1-byte signed vint the
+        # helper under test reads via _ebml_svint (any length); encode
+        # each delta minimally
+        body = bytearray([0x81, 0, 0, 0x86, n - 1])
+        prev = len(frames[0])
+        if n > 1:  # a single laced frame writes no size fields
+            ln = 1
+            while prev >= (1 << (7 * ln)) - 1:
+                ln += 1
+            body += (prev + ((0x80 >> (ln - 1)) << (8 * (ln - 1)))
+                     ).to_bytes(ln, "big")
+        for f in frames[1:-1]:
+            delta = len(f) - prev
+            prev = len(f)
+            ln = 1
+            while not (-(1 << (7 * ln - 1)) + 1 <= delta
+                       <= (1 << (7 * ln - 1)) - 1):
+                ln += 1
+            u = delta + (1 << (7 * ln - 1)) - 1
+            body += (u + ((0x80 >> (ln - 1)) << (8 * (ln - 1)))).to_bytes(
+                ln, "big")
+        for f in frames:
+            body += f
+        got = _mkv_block_packets(bytes(body), 0, len(body), 1)
+        assert got == frames, ("ebml", trial)
+        # CodecPrivate xiph split with >255-byte headers
+        priv = bytearray([n - 1])
+        for f in frames[:-1]:
+            sz = len(f)
+            priv += b"\xff" * (sz // 255) + bytes([sz % 255])
+        for f in frames:
+            priv += f
+        assert _xiph_private_packets(bytes(priv)) == frames, trial

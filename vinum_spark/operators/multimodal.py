@@ -3503,7 +3503,8 @@ def _mkv_block_packets(data: bytes, lo: int, hi: int, track: int):
         if count == 0 or rem % count:
             return []
         sizes = [rem // count] * (count - 1)
-    else:  # EBML lacing: first size plain, then signed deltas
+    elif count > 1:  # EBML lacing: first size plain, then signed
+        # deltas; a single laced frame writes NO size fields at all
         fv = _ebml_vint(data, off)
         if fv is None:
             return []
