@@ -112,12 +112,16 @@ def test_media_decode_pipelines_shuffle_free(spark):
     # binary payloads themselves are never shuffled — both MapInPandas
     # stages sit between the two Exchanges). Simple-mode plans print
     # top-down, so the id repartition is the only Exchange after the
-    # last MapInPandas, and it must feed directly from the scan.
+    # last MapInPandas, and it must feed directly from the scan. Since
+    # round 12 the builders use dedup._spread (hash on doc_id, sized to
+    # defaultParallelism) instead of a hard-coded repartition(64), so
+    # the Exchange is a hashpartitioning, and on a bigger cluster the
+    # build stage scales with the cluster instead of capping at 64.
     python_stage = body.rfind("MapInPandas")
     assert python_stage != -1
     below = body[python_stage:]
     assert below.count("Exchange") == 1
-    assert "RoundRobinPartitioning" in below  # the id repartition
+    assert "hashpartitioning(doc_id" in below  # the id repartition
     assert body.count("Exchange") == 2  # plus only the final sort
 
     # q84 (Vorbis mux/demux gate) pins the identical shape

@@ -3485,7 +3485,7 @@ def q81(spark, sf_dir):
     # the 100 TB pattern for expensive per-row stages over narrow
     # inputs — shuffle the tiny key column, never the binary payloads
     # (measured: 12.8 s -> ~2 s at sf0.1 on local[32]).
-    d = _t(spark, sf_dir, "documents").select("doc_id").repartition(64)
+    d = D._spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     assets = d.mapInPandas(build, schema="doc_id long, content binary")
     return decode_audio(assets, id_col="doc_id").select(
         F.col("asset_id").cast("long").alias("doc_id"),
@@ -3571,7 +3571,7 @@ def q83(spark, sf_dir):
 
     # same spread-before-Python-kernel pattern as q81: shuffle the tiny
     # id column so the build+decode parallelizes, never the payloads
-    d = _t(spark, sf_dir, "documents").select("doc_id").repartition(64)
+    d = D._spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     assets = d.mapInPandas(build, schema="doc_id long, content binary")
     feats = extract_features(assets, id_col="doc_id").select(
         F.col("asset_id").alias("vec_id"),
@@ -3769,7 +3769,7 @@ def q84(spark, sf_dir):
 
     # spread-before-Python-kernel (the q81 pattern): shuffle the tiny
     # id column so encode+decode parallelize, never the binary payloads
-    d = _t(spark, sf_dir, "documents").select("doc_id").repartition(64)
+    d = D._spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     assets = d.mapInPandas(build, schema="doc_id long, content binary")
     return decode_audio(assets, id_col="doc_id").select(
         F.col("asset_id").cast("long").alias("doc_id"),
@@ -3864,7 +3864,7 @@ def q85(spark, sf_dir):
             yield pd.DataFrame({"doc_id": ids, "content": blobs})
 
     # spread-before-Python-kernel (the q81/q83 pattern)
-    d = _t(spark, sf_dir, "documents").select("doc_id").repartition(64)
+    d = D._spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     assets = d.mapInPandas(build, schema="doc_id long, content binary")
     feats = extract_features(assets, id_col="doc_id").select(
         F.col("asset_id").alias("vec_id"),
@@ -3986,6 +3986,14 @@ _DEMOTED_TO_TAIL = (
     # the gate keeps via q80 (probe) and the decode gates q81/q83/q84;
     # its exact oracle moves in-suite.
     "q52_multimodal_metadata",
+    # q85's slot (round 12): the audio near-dup chain gets its
+    # first-ever driver-recorded green (judge-r11 verified at sf0.01
+    # but added after the r11 window was captured). q30's SimHash
+    # candidate machinery is redundantly pinned in-window by the
+    # near-dup family q29 (minhash-LSH), q63 (clusters), q72
+    # (incremental) and q83 (image chain); its recall-gate oracle
+    # moves in-suite.
+    "q30_simhash",
 )
 _PROMOTED = (
     "q51_streaming_sliding",
@@ -4021,6 +4029,7 @@ _PROMOTED = (
     "q81_audio_decode",
     "q83_image_neardup",
     "q84_vorbis_decode",
+    "q85_audio_neardup",
 )
 
 
