@@ -1394,3 +1394,192 @@ def test_mkv_lacing_roundtrip_random_sizes():
         for f in frames:
             priv += f
         assert _xiph_private_packets(bytes(priv)) == frames, trial
+
+
+# ---------------------------------------------------------------------------
+# Hostile-input parse budget (resource-exhaustion guard)
+
+
+class _BitWriter:
+    """LSB-first bit packer matching the Vorbis packet bit order."""
+
+    def __init__(self):
+        self.bits = []
+
+    def w(self, v, n):
+        for i in range(n):
+            self.bits.append((v >> i) & 1)
+
+    def bytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _ilog(x):
+    n = 0
+    while x > 0:
+        n += 1
+        x >>= 1
+    return n
+
+
+def _huge_ordered_book_bits(bw, entries=1 << 18):
+    """~12 bytes that declare a COMPLETE 2^18-entry codebook via the
+    ordered-length mode (all lengths 18 in one run) — the cheapest
+    bytes-to-CPU amplifier in the codec."""
+    bw.w(0x564342, 24)
+    bw.w(1, 16)  # dim
+    bw.w(entries, 24)
+    bw.w(1, 1)  # ordered
+    bw.w(18 - 1, 5)  # cur_len = 18 (complete tree at 2^18 leaves)
+    bw.w(entries, _ilog(entries))  # one run covering every entry
+    bw.w(0, 4)  # lookup type 0
+
+
+def test_codebook_entry_budget_bounds_setup_header():
+    """A crafted setup header may declare up to 256 maximal books from
+    a few KB; the per-decode _ParseBudget must stop it after ~1s of
+    work (2^20 entries), not grind through ~70s / GBs of tables."""
+    import time
+
+    import vinum_spark.operators.vorbis as V
+
+    bw = _BitWriter()
+    bw.w(255, 8)  # 256 codebooks
+    for _ in range(8):  # 8 are plenty: budget dies at book 5
+        _huge_ordered_book_bits(bw)
+    pkt = b"\x05vorbis" + bw.bytes()
+    s = V._Setup()
+    t0 = time.time()
+    with pytest.raises(V._VorbisError):
+        V._parse_setup(pkt, s)
+    assert time.time() - t0 < 10.0
+
+
+def test_chained_headers_share_one_parse_budget():
+    """Chaining many logical streams must NOT reset the codebook parse
+    budget: vorbis_pcm_samples creates ONE _ParseBudget for all
+    chains, so a file with dozens of crafted setup headers degrades
+    fast instead of multiplying the per-header cost."""
+    import time
+
+    import vinum_spark.operators.vorbis as V
+
+    calls = []
+    orig = V._Codebook.__init__
+
+    def spy(self, bits, budget=None):
+        calls.append(budget)
+        return orig(self, bits, budget)
+
+    # build one hostile chain: BOS ident page, comment+setup page with
+    # a huge book, repeated with distinct serials (chained layout)
+    def page(serial, seq, typ, granule, segs):
+        body = b"".join(segs)
+        lacing = b""
+        for s_ in segs:
+            n = len(s_)
+            lacing += b"\xff" * (n // 255) + bytes([n % 255])
+        hdr = (
+            b"OggS\x00" + bytes([typ])
+            + granule.to_bytes(8, "little", signed=True)
+            + serial.to_bytes(4, "little")
+            + seq.to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"  # zero CRC: page scan is structural
+            + bytes([len(lacing)])
+            + lacing
+        )
+        return hdr + body
+
+    ident = bytearray(b"\x01vorbis")
+    bwi = _BitWriter()
+    bwi.w(0, 32)  # version
+    bwi.w(1, 8)  # channels
+    bwi.w(8000, 32)  # rate
+    bwi.w(0, 32), bwi.w(0, 32), bwi.w(0, 32)
+    bwi.w(6, 4), bwi.w(6, 4)  # blocksizes 64/64
+    bwi.w(1, 1)
+    ident += bwi.bytes()
+    comment = b"\x03vorbis" + b"\x00" * 8
+    bws = _BitWriter()
+    bws.w(0, 8)  # 1 codebook
+    _huge_ordered_book_bits(bws)
+    setup = b"\x05vorbis" + bws.bytes()
+
+    chains = b""
+    for k in range(12):
+        serial = 1000 + k
+        chains += page(serial, 0, 2, 0, [bytes(ident)])
+        chains += page(serial, 1, 0, 0, [comment, setup])
+        chains += page(serial, 2, 4, 0, [b"\x00"])  # EOS, empty-ish pkt
+
+    V._Codebook.__init__ = spy
+    try:
+        t0 = time.time()
+        out = vorbis_pcm_samples(chains)
+        dt = time.time() - t0
+    finally:
+        V._Codebook.__init__ = orig
+    assert out is None  # first chain has no decodable audio
+    assert dt < 15.0
+    # every codebook parse across every chain saw the SAME budget
+    budgets = {id(b) for b in calls if b is not None}
+    assert len(budgets) <= 1
+    assert None not in calls
+
+
+def test_unordered_codebook_exceeds_packet_fast_fail():
+    """Unordered mode needs >=5 bits per entry (1 if sparse): a book
+    declaring 2^18 entries inside a 20-byte packet is rejected up
+    front, before the per-entry read loop."""
+    import vinum_spark.operators.vorbis as V
+
+    bw = _BitWriter()
+    bw.w(0x564342, 24)
+    bw.w(1, 16)
+    bw.w(1 << 18, 24)
+    bw.w(0, 1)  # unordered
+    bw.w(0, 1)  # non-sparse
+    bw.w(0, 40)  # a few filler bits, nowhere near 5*2^18
+    with pytest.raises(V._VorbisError, match="exceeds packet"):
+        V._Codebook(V._Bits(bw.bytes()))
+
+
+def test_vq_cell_budget_is_cumulative():
+    """Type-2 VQ tables are budgeted across the whole decode: many
+    books each under the 2^22 per-book cap must still trip the
+    cumulative 2^23 cell budget."""
+    import vinum_spark.operators.vorbis as V
+
+    def vq_book_bits(bw):
+        # 4 entries x dim 2, lookup type 2 -> 8 cells, tiny but real
+        bw.w(0x564342, 24)
+        bw.w(2, 16)
+        bw.w(4, 24)
+        bw.w(0, 1)  # unordered
+        bw.w(0, 1)  # non-sparse
+        for _ in range(4):
+            bw.w(1, 5)  # length 2 each -> complete tree
+        bw.w(2, 4)  # lookup type 2
+        bw.w(0, 32)  # minv
+        bw.w(0x38800000 >> 0, 32)  # delta (some float)
+        bw.w(0, 4)  # value_bits = 1
+        bw.w(0, 1)  # no sequence
+        for _ in range(8):
+            bw.w(0, 1)
+
+    budget = V._ParseBudget()
+    budget.vq_cells_left = 20  # room for two 8-cell books, not three
+    bw = _BitWriter()
+    for _ in range(3):
+        vq_book_bits(bw)
+    bits = V._Bits(bw.bytes())
+    V._Codebook(bits, budget)
+    V._Codebook(bits, budget)
+    with pytest.raises(V._VorbisError, match="budget"):
+        V._Codebook(bits, budget)

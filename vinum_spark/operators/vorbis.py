@@ -187,6 +187,46 @@ def _assign_codewords(lengths):
 _FAST_BITS = 10
 
 
+class _ParseBudget:
+    """Cumulative header-parse resource budget for ONE decode call.
+
+    Hostile-input guard: the ordered-length codebook mode lets ~12
+    bytes declare a complete 2^18-entry book (measured ~0.3 s CPU and
+    tens of MB to build the code tables on this host), the setup
+    header allows 256 books, and a chained Ogg file can carry
+    thousands of setup headers — so per-book caps alone leave a
+    few-KB crafted file able to burn minutes of CPU and GBs of RAM
+    per asset inside executors (decode_audio feeds untrusted corpus
+    bytes here). One ``_ParseBudget`` is created per top-level decode
+    (``vorbis_pcm_samples`` / ``vorbis_packets_pcm``) and charged by
+    every codebook across every chain's setup header BEFORE the
+    expensive build, bounding total parse work per asset to ~1 s CPU
+    regardless of how the stream is crafted. Real headers total well
+    under 2^15 entries, so the caps carry ~30x headroom; a legit
+    many-chain file that somehow exhausts the pool degrades to the
+    honest-prefix semantics chained decode already has.
+    """
+
+    __slots__ = ("entries_left", "vq_cells_left")
+
+    _ENTRIES = 1 << 20
+    _VQ_CELLS = 1 << 23
+
+    def __init__(self):
+        self.entries_left = self._ENTRIES
+        self.vq_cells_left = self._VQ_CELLS
+
+    def charge_entries(self, n: int) -> None:
+        self.entries_left -= n
+        if self.entries_left < 0:
+            raise _VorbisError("codebook entry budget exceeded")
+
+    def charge_vq_cells(self, n: int) -> None:
+        self.vq_cells_left -= n
+        if self.vq_cells_left < 0:
+            raise _VorbisError("VQ table budget exceeded")
+
+
 class _Codebook:
     """One in-stream codebook: Huffman decode (two-level accelerated:
     a 2^10 primary table over raw stream bits, dict walk for longer
@@ -197,16 +237,26 @@ class _Codebook:
     __slots__ = ("dim", "entries", "codes", "fast_entry", "fast_len",
                  "vq", "single", "slow")
 
-    def __init__(self, bits: _Bits):
+    def __init__(self, bits: _Bits, budget: "_ParseBudget | None" = None):
+        if budget is None:
+            budget = _ParseBudget()
         if bits.read(24) != 0x564342:
             raise _VorbisError("bad codebook sync")
         self.dim = bits.read(16)
         self.entries = bits.read(24)
         if self.entries > (1 << 18) or self.dim > (1 << 10):
             raise _VorbisError("codebook too large")
+        budget.charge_entries(self.entries)
         lengths = [None] * self.entries
         if not bits.read(1):  # unordered
             sparse = bits.read(1)
+            # fast-fail: each entry consumes >=1 bit (sparse flag) or
+            # exactly 5 bits (non-sparse), so a book whose declared
+            # entry count exceeds what the remaining packet bits can
+            # describe is rejected before the allocation, not after
+            # grinding through it to an _Eop
+            if bits.remaining() < self.entries * (1 if sparse else 5):
+                raise _VorbisError("codebook exceeds packet")
             for e in range(self.entries):
                 if not sparse or bits.read(1):
                     lengths[e] = bits.read(5) + 1
@@ -217,8 +267,7 @@ class _Codebook:
                 num = bits.read(_ilog(self.entries - cur))
                 if cur + num > self.entries or cur_len > 32:
                     raise _VorbisError("ordered lengths overflow")
-                for e in range(cur, cur + num):
-                    lengths[e] = cur_len
+                lengths[cur : cur + num] = [cur_len] * num
                 cur += num
                 cur_len += 1
         self.codes = _assign_codewords(lengths)
@@ -245,6 +294,7 @@ class _Codebook:
                 )
                 if self.entries * self.dim > (1 << 22):
                     raise _VorbisError("VQ table too large")
+                budget.charge_vq_cells(self.entries * self.dim)
                 idiv = (l1v ** np.arange(self.dim, dtype=np.uint64)).astype(
                     np.int64
                 )
@@ -259,6 +309,7 @@ class _Codebook:
                 count = self.entries * self.dim
                 if count > (1 << 22):
                     raise _VorbisError("VQ table too large")
+                budget.charge_vq_cells(count)
                 mults = np.array(
                     [bits.read(value_bits) for _ in range(count)],
                     dtype=np.float64,
@@ -497,12 +548,16 @@ def _parse_ident(pkt: bytes) -> _Setup:
     return s
 
 
-def _parse_setup(pkt: bytes, s: _Setup) -> None:
+def _parse_setup(
+    pkt: bytes, s: _Setup, budget: "_ParseBudget | None" = None
+) -> None:
     if pkt[:7] != b"\x05vorbis":
         raise _VorbisError("bad setup header")
+    if budget is None:
+        budget = _ParseBudget()
     b = _Bits(pkt[7:])
     try:
-        s.codebooks = [_Codebook(b) for _ in range(b.read(8) + 1)]
+        s.codebooks = [_Codebook(b, budget) for _ in range(b.read(8) + 1)]
         nb = len(s.codebooks)
         for _ in range(b.read(6) + 1):  # time domain transforms
             if b.read(16) != 0:
@@ -632,7 +687,11 @@ def _floor1_curve(fl: _Floor1, ys, n2: int) -> np.ndarray:
                 final[i] = pred + (val >> 1)
         else:
             final[i] = pred
-        final[i] = min(max(final[i], 0), rng - 1)
+        # NO range clamp here: spec §7.2.4 and libvorbis/stb_vorbis
+        # carry out-of-range final_Y values into later _render_point
+        # predictions unclamped; the render pass's np.clip(yv, 0, 255)
+        # is the only clip, matching reference decoders bit-for-bit on
+        # streams where val >= room pushes a point out of range
     # step 2: render along sorted X
     yv = np.zeros(n2, dtype=np.int64)
     order = fl.sort_order
@@ -917,13 +976,18 @@ def vorbis_pcm_samples(data: bytes, max_samples: int = 1 << 24):
         out = None
         parts = []
         budget = max_samples
+        # ONE parse budget across ALL chains: a crafted file cannot
+        # multiply the per-header codebook cost by chaining thousands
+        # of setup headers (see _ParseBudget)
+        parse_budget = _ParseBudget()
         while pos + 27 <= len(data):
             packets, last_granule, pos = _ogg_chain(
                 data, pos, 1 << 20, first)
             if not packets:
                 break
             try:
-                dec = _decode_packets(packets, last_granule, budget)
+                dec = _decode_packets(
+                    packets, last_granule, budget, parse_budget)
             except (_VorbisError, _Eop):
                 dec = None
             if dec is None:
@@ -965,13 +1029,16 @@ def vorbis_packets_pcm(packets, granule=None, max_samples: int = 1 << 24):
         return None
 
 
-def _decode_packets(packets, last_granule, max_samples: int):
+def _decode_packets(
+    packets, last_granule, max_samples: int,
+    budget: "_ParseBudget | None" = None,
+):
     if len(packets) < 3:
         return None
     s = _parse_ident(packets[0])
     if packets[1][:7] != b"\x03vorbis":
         return None
-    _parse_setup(packets[2], s)
+    _parse_setup(packets[2], s, budget)
     if 0 in s.floor_types:
         # legacy LSP floors: parsed for sync, not synthesized
         return None
