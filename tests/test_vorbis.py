@@ -14,6 +14,20 @@ import math
 
 import numpy as np
 import pytest
+from vinum_spark.operators.media_synth import (  # shared spec-built encoder
+    _MONO_MULTS,
+    _MONO_VQ,
+    _VW,
+    _comment_packet,
+    _f32_pack,
+    _ident_packet,
+    _mono_audio_packet,
+    _mono_setup_packet,
+    _ogg_crc,
+    _ogg_page,
+    _ogg_stream,
+    _write_codebook,
+)
 
 from vinum_spark.operators.vorbis import (
     _INVERSE_DB,
@@ -93,241 +107,6 @@ def test_imdct_matches_direct_cosine():
 
 # ---------------------------------------------------------------------------
 # Encoder: bit writer, Ogg paging, setup/audio packet construction
-
-
-class _VW:
-    """LSB-first bit writer (Vorbis bitpacking convention)."""
-
-    def __init__(self):
-        self.buf = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def w(self, val, k):
-        self.acc |= (int(val) & ((1 << k) - 1)) << self.n
-        self.n += k
-        while self.n >= 8:
-            self.buf.append(self.acc & 0xFF)
-            self.acc >>= 8
-            self.n -= 8
-
-    def code(self, code, length):
-        """Huffman codeword: MSB of the canonical code goes first."""
-        for i in range(length - 1, -1, -1):
-            self.w((code >> i) & 1, 1)
-
-    def bytes(self):
-        out = bytes(self.buf)
-        if self.n:
-            out += bytes([self.acc & 0xFF])
-        return out
-
-
-def _f32_pack(x: float) -> int:
-    if x == 0.0:
-        return 0
-    sign = 0
-    if x < 0:
-        sign = 0x80000000
-        x = -x
-    f, e = math.frexp(x)  # x = f * 2**e, f in [0.5, 1)
-    mant = int(round(f * (1 << 21)))
-    assert mant <= 0x1FFFFF
-    return sign | ((e - 21 + 788) << 21) | mant
-
-
-_CRC_TBL = []
-for _i in range(256):
-    _r = _i << 24
-    for _ in range(8):
-        _r = ((_r << 1) ^ 0x04C11DB7) if (_r & 0x80000000) else (_r << 1)
-    _CRC_TBL.append(_r & 0xFFFFFFFF)
-
-
-def _ogg_crc(data: bytes) -> int:
-    r = 0
-    for b in data:
-        r = ((r << 8) & 0xFFFFFFFF) ^ _CRC_TBL[((r >> 24) & 0xFF) ^ b]
-    return r
-
-
-def _ogg_page(packet_chunks, granule, serial, seq, htype):
-    """One page: packet_chunks is a list of (bytes, complete) where
-    complete=False means the packet continues on the next page."""
-    lacing = bytearray()
-    body = bytearray()
-    for data, complete in packet_chunks:
-        q, r = divmod(len(data), 255)
-        lacing += b"\xff" * q
-        if complete:
-            lacing.append(r)
-        else:
-            assert r == 0, "continued chunk must be a multiple of 255"
-        body += data
-    assert len(lacing) <= 255
-    hdr = bytearray(b"OggS\x00")
-    hdr.append(htype)
-    hdr += int(granule).to_bytes(8, "little", signed=True)
-    hdr += int(serial).to_bytes(4, "little")
-    hdr += int(seq).to_bytes(4, "little")
-    hdr += b"\x00\x00\x00\x00"  # CRC placeholder
-    hdr.append(len(lacing))
-    hdr += lacing
-    page = bytes(hdr) + bytes(body)
-    crc = _ogg_crc(page)
-    return page[:22] + crc.to_bytes(4, "little") + page[26:]
-
-
-def _ogg_stream(packets, granule, serial=0x1234, audio_page_split=None):
-    """Standard layout: BOS page [ident], page [comment, setup], then
-    audio packets. audio_page_split forces a page break after that many
-    audio packets (continued-packet paging is exercised separately)."""
-    pages = [
-        _ogg_page([(packets[0], True)], 0, serial, 0, 0x02),
-        _ogg_page([(packets[1], True), (packets[2], True)], 0, serial, 1, 0),
-    ]
-    audio = packets[3:]
-    groups = (
-        [audio]
-        if audio_page_split is None
-        else [audio[:audio_page_split], audio[audio_page_split:]]
-    )
-    seq = 2
-    for gi, grp in enumerate(groups):
-        last = gi == len(groups) - 1
-        pages.append(
-            _ogg_page(
-                [(p, True) for p in grp],
-                granule if last else -1,
-                serial,
-                seq,
-                0x04 if last else 0,
-            )
-        )
-        seq += 1
-    return b"".join(pages)
-
-
-def _ident_packet(channels, rate, log_bs0, log_bs1):
-    w = _VW()
-    w.w(0, 32)
-    w.w(channels, 8)
-    w.w(rate, 32)
-    w.w(0, 32), w.w(0, 32), w.w(0, 32)
-    w.w(log_bs0, 4)
-    w.w(log_bs1, 4)
-    w.w(1, 1)
-    return b"\x01vorbis" + w.bytes()
-
-
-def _comment_packet(vendor=b"test"):
-    w = _VW()
-    w.w(len(vendor), 32)
-    for b in vendor:
-        w.w(b, 8)
-    w.w(0, 32)  # zero user comments
-    w.w(1, 1)
-    return b"\x03vorbis" + w.bytes()
-
-
-def _write_codebook(w, dim, lengths, lookup=0, minv=0.0, delta=0.0,
-                    value_bits=0, seq=0, mults=()):
-    w.w(0x564342, 24)
-    w.w(dim, 16)
-    w.w(len(lengths), 24)
-    w.w(0, 1)  # unordered
-    w.w(0, 1)  # not sparse
-    for l in lengths:
-        w.w(l - 1, 5)
-    w.w(lookup, 4)
-    if lookup:
-        w.w(_f32_pack(minv), 32)
-        w.w(_f32_pack(delta), 32)
-        w.w(value_bits - 1, 4)
-        w.w(seq, 1)
-        for m in mults:
-            w.w(m, value_bits)
-
-
-# --- mono configuration (one book pass, flat floor, residue type 1) -------
-
-_MONO_MULTS = [(7 * j + 3) % 16 for j in range(64)]
-_MONO_VQ = (np.array(_MONO_MULTS, dtype=np.float64).reshape(16, 4)
-            * 0.25 - 2.0)
-
-
-def _mono_setup_packet(rtype=1):
-    w = _VW()
-    w.w(1, 8)  # 2 codebooks
-    _write_codebook(w, 1, [1])  # book0: classbook, single entry
-    _write_codebook(w, 4, [4] * 16, lookup=2, minv=-2.0, delta=0.25,
-                    value_bits=4, mults=_MONO_MULTS)
-    w.w(0, 6)  # 1 time transform
-    w.w(0, 16)
-    w.w(0, 6)  # 1 floor
-    w.w(1, 16)  # floor type 1
-    w.w(1, 5)  # 1 partition
-    w.w(0, 4)  # partition class 0
-    w.w(1, 3)  # class 0 dims = 2
-    w.w(0, 2)  # class 0 subs = 0
-    w.w(0, 8)  # subbook: unused (0 -> None)
-    w.w(0, 2)  # multiplier 1
-    w.w(8, 4)  # rangebits 8 -> xs [0, 256]
-    w.w(64, 8)  # extra X points (amplitude 0 -> excluded from render)
-    w.w(192, 8)
-    w.w(0, 6)  # 1 residue
-    w.w(rtype, 16)  # residue type (1 default; 0 shares packet shape)
-    w.w(0, 24)  # begin
-    w.w(128, 24)  # end
-    w.w(7, 24)  # psize 8
-    w.w(0, 6)  # 1 classification
-    w.w(0, 8)  # classbook 0
-    w.w(1, 3)  # cascade low bits: pass 0 set
-    w.w(0, 1)  # no high bits
-    w.w(1, 8)  # pass-0 book = 1
-    w.w(0, 6)  # 1 mapping
-    w.w(0, 16)  # type 0
-    w.w(0, 1)  # 1 submap
-    w.w(0, 1)  # no coupling
-    w.w(0, 2)  # reserved
-    w.w(0, 8)  # time config (unused)
-    w.w(0, 8)  # floor 0
-    w.w(0, 8)  # residue 0
-    w.w(0, 6)  # 1 mode
-    w.w(0, 1)  # blockflag 0
-    w.w(0, 16)
-    w.w(0, 16)
-    w.w(0, 8)  # mapping 0
-    w.w(1, 1)  # framing
-    return b"\x05vorbis" + w.bytes()
-
-
-def _mono_audio_packet(seed):
-    """One mono audio packet; returns (bytes, resid_vector, (y0, y1)).
-    The floor is SLOPED (y0 != y1) and its X span (256) exceeds n2
-    (128), so the Bresenham render's slope must come from the full
-    x-extent, not a clamped one."""
-    y0 = 140 + (seed % 30)
-    y1 = 80 + (seed * 7) % 50
-    entries = [(seed * 31 + t * 5 + 3) % 16 for t in range(32)]
-    w = _VW()
-    w.w(0, 1)  # audio packet
-    # floor channel 0: nonzero, y0, y1 (8 bits each at range 256)
-    w.w(1, 1)
-    w.w(y0, 8)
-    w.w(y1, 8)
-    # residue: 16 partitions x (1 classword bit + 2 book-1 codewords)
-    t = 0
-    resid = np.zeros(128)
-    for pc in range(16):
-        w.w(0, 1)  # single-entry classbook: value ignored, 1 bit long
-        for half in range(2):
-            e = entries[t]
-            t += 1
-            w.code(e, 4)  # equal-length book: code == entry
-            off = pc * 8 + half * 4
-            resid[off : off + 4] += _MONO_VQ[e]
-    return w.bytes(), resid, (y0, y1)
 
 
 def _vorbis_window(n, left_start, left_size, right_start, right_size):

@@ -84,14 +84,12 @@ def _audio_bytes(d: int) -> bytes:
 def _pcm_audio_bytes(d: int) -> bytes:
     """Fully-decodable audio asset: frame-bearing FLAC / IMA ADPCM WAV /
     G.711 mu-law WAV by id%3, deterministic sine content. Uses the
-    spec-built encoders that live with the round-trip tests (the same
-    encoders the decoders are pinned against)."""
+    shared spec-built encoders in vinum_spark.operators.media_synth
+    (the same encoders the decoder round-trip tests pin against)."""
     import numpy as np
 
-    if "/root/repo/tests" not in sys.path:  # executor-side import path
-        sys.path.insert(0, "/root/repo/tests")
-    from test_multimodal import (_flac_encode, _ima_encode,
-                                 _mulaw_encode_scalar, _wav_bytes)
+    from vinum_spark.operators.media_synth import (
+        _flac_encode, _ima_encode, _mulaw_encode_scalar, _wav_bytes)
 
     rate = 8000
     n = 1200 + (d % 7) * 128
@@ -123,9 +121,7 @@ def _webp_asset_bytes(d: int) -> bytes:
     """Fully-decodable VP8L asset: a 24x16 two-color checkerboard with
     id-derived colors, encoded with the spec-built test encoder
     (simple prefix codes)."""
-    if "/root/repo/tests" not in sys.path:  # executor-side import path
-        sys.path.insert(0, "/root/repo/tests")
-    from test_multimodal import _vp8l_encode
+    from vinum_spark.operators.media_synth import _vp8l_encode
 
     a = 0xFF000000 | ((d * 2654435761) & 0xFFFFFF)
     b = 0xFF000000 | ((~d * 40503) & 0xFFFFFF)
@@ -140,13 +136,11 @@ def _webp_asset_bytes(d: int) -> bytes:
 
 def _vorbis_asset_bytes(d: int) -> bytes:
     """Fully-decodable Ogg Vorbis asset (the q84 shape): mono 8 kHz,
-    256-sample blocks, 5-9 audio packets, built with the spec-built
-    test encoder the decoder round-trips are pinned against."""
-    if "/root/repo/tests" not in sys.path:  # executor-side import path
-        sys.path.insert(0, "/root/repo/tests")
-    from test_vorbis import (_comment_packet, _ident_packet,
-                             _mono_audio_packet, _mono_setup_packet,
-                             _ogg_stream)
+    256-sample blocks, 5-9 audio packets, built with the shared
+    spec-built encoder the decoder round-trips are pinned against."""
+    from vinum_spark.operators.media_synth import (
+        _comment_packet, _ident_packet, _mono_audio_packet,
+        _mono_setup_packet, _ogg_stream)
 
     n_pkts = 5 + d % 5
     packets = [_ident_packet(1, 8000, 8, 8), _comment_packet(),
