@@ -4085,3 +4085,76 @@ def test_decode_images_tiff_strips(spark):
     assert (out["height"], out["width"], out["channels"]) == (16, 12, 3)
     feats = extract_features(df).toPandas().iloc[0]
     assert feats["extractor"] == "tiff-pool8"
+
+
+# ---------------------------------------------------------------------------
+# BMP raster decode (uncompressed BI_RGB)
+
+
+def test_bmp_pixels_roundtrip_24_32_palette():
+    import numpy as np
+
+    from vinum_spark.operators.media_synth import _bmp_bytes
+    from vinum_spark.operators.multimodal import _bmp_pixels
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    for top_down in (False, True):
+        px = _bmp_pixels(_bmp_bytes(img, 24, top_down=top_down))
+        assert px is not None and np.array_equal(px, img), top_down
+    img4 = rng.randint(0, 256, (4, 3, 4), dtype=np.uint8)
+    assert np.array_equal(_bmp_pixels(_bmp_bytes(img4, 32)), img4)
+    pal = [(250, 10, 30), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    idx = rng.randint(0, 4, (6, 9))
+    px = _bmp_pixels(_bmp_bytes(idx, 8, palette=pal))
+    assert np.array_equal(px, np.array(pal, np.uint8)[idx])
+
+
+def test_bmp_compressed_or_truncated_falls_back_to_header():
+    import numpy as np
+
+    from vinum_spark.operators.media_synth import _bmp_bytes
+    from vinum_spark.operators.multimodal import _bmp_pixels, _header_dims
+
+    img = np.zeros((3, 5, 3), np.uint8)
+    rle = bytearray(_bmp_bytes(img, 24))
+    rle[30] = 1  # compression = BI_RLE8: pixel path declines
+    assert _bmp_pixels(bytes(rle)) is None
+    assert _header_dims(bytes(rle)) == (3, 5, 3, "bmp-header")
+    trunc = _bmp_bytes(img, 24)[:-8]  # raster shorter than declared
+    assert _bmp_pixels(trunc) is None
+    assert _header_dims(trunc) == (3, 5, 3, "bmp-header")
+
+
+def test_bmp_png_twins_identical_pixels_and_features(spark):
+    """The SAME image encoded as BMP and as PNG must decode to
+    identical pixels and identical pool8 features — the cross-format
+    invariant the near-dup chain relies on."""
+    import numpy as np
+
+    from vinum_spark.operators.media_synth import _bmp_bytes
+    from vinum_spark.operators.multimodal import (
+        _bmp_pixels,
+        _png_pixels,
+        decode_images,
+        extract_features,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    bmp, png = _bmp_bytes(img, 24), _png_rgb(img)
+    assert np.array_equal(_bmp_pixels(bmp), _png_pixels(png))
+
+    df = spark.createDataFrame(
+        [(0, bytearray(bmp)), (1, bytearray(png))],
+        "asset_id long, content binary",
+    )
+    dec = decode_images(df, pixels=True).toPandas().set_index("asset_id")
+    assert dec.loc[0, "decoder"] == "bmp-raster"
+    assert dec.loc[1, "decoder"] == "png-zlib"
+    assert (dec.loc[0, ["height", "width"]] == [16, 16]).all()
+
+    feats = extract_features(df).toPandas().set_index("asset_id")
+    assert feats.loc[0, "extractor"] == "bmp-pool8"
+    assert feats.loc[1, "extractor"] == "png-pool8"
+    assert np.allclose(feats.loc[0, "feature"], feats.loc[1, "feature"])

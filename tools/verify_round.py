@@ -5,10 +5,10 @@
 Runs, in order, and exits nonzero on the first failing stage:
 
 1. the full pytest suite (``python -m pytest tests/ -x -q``);
-2. ALL 80 ``queries()`` entries against their DuckDB oracles at the
+2. ALL 84 ``queries()`` entries against their DuckDB oracles at the
    given scale factor (``tools/check_oracle.py`` — the same check the
    round driver applies to its 50-row subset, extended to every query,
-   including the 30 entries the driver record rotates out; see README
+   including the 34 entries the driver record rotates out; see README
    "driver-gate rotation");
 3. with ``--bench``: ``python bench.py --all`` at sf0.1 followed by the
    ``tools/bench_diff.py --gate`` drift check against the recorded
@@ -38,7 +38,7 @@ def main() -> None:
     if "--sf-dir" in args:
         sf_dir = args[args.index("--sf-dir") + 1]
     run("tests", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
-    run("oracles (all 81)", [sys.executable, "tools/check_oracle.py", sf_dir])
+    run("oracles (all 84)", [sys.executable, "tools/check_oracle.py", sf_dir])
     if "--bench" in args:
         run("bench --all", [sys.executable, "bench.py", "--all"])
         run("bench gate", [sys.executable, "tools/bench_diff.py", "--gate"])

@@ -881,3 +881,48 @@ def _mono_audio_packet(seed):
             off = pc * 8 + half * 4
             resid[off : off + 4] += _MONO_VQ[e]
     return w.bytes(), resid, (y0, y1)
+
+
+# ---------------------------------------------------------------------------
+# BMP encoder (uncompressed BI_RGB)
+
+
+def _bmp_bytes(arr, bpp=24, top_down=False, palette=None):
+    """Uncompressed BMP (BITMAPINFOHEADER, BI_RGB). ``arr`` is a
+    (h, w) palette-index array when ``bpp == 8`` (with ``palette`` a
+    list of (r, g, b)), a (h, w, 3) RGB array for 24-bit, or a
+    (h, w, 4) RGBA array for 32-bit. Rows are padded to 4 bytes and
+    written bottom-up unless ``top_down``."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    stride = (w * bpp // 8 + 3) & ~3
+    pal_bytes = b""
+    if bpp == 8:
+        rows = a
+        pal_bytes = b"".join(
+            bytes([b_, g_, r_, 0]) for r_, g_, b_ in palette
+        )
+    elif bpp == 24:
+        rows = a[:, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+    else:
+        rows = a[:, :, [2, 1, 0, 3]].reshape(h, w * 4)  # RGBA -> BGRA
+    raster = bytearray()
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        row = bytes(rows[y])
+        raster += row + b"\x00" * (stride - len(row))
+    off = 14 + 40 + len(pal_bytes)
+    hdr = (
+        b"BM" + (off + len(raster)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00" + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h if top_down else h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(raster).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (len(palette) if palette else 0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    return hdr + pal_bytes + bytes(raster)

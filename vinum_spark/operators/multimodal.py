@@ -1257,6 +1257,62 @@ _PNG_ADAM7 = (
 )
 
 
+def _bmp_pixels(data: bytes, max_pixels: int = 4 * 1024 * 1024):
+    """REAL raster decode for uncompressed BMP (BITMAPINFOHEADER
+    family, BI_RGB): 8-bit palette, 24-bit BGR and 32-bit BGRA rows,
+    4-byte row stride, bottom-up (positive height) or top-down
+    (negative height) order. Returns (h, w, 3|4) uint8 RGB(A), or
+    None for compressed (RLE/bitfields), OS/2-core, or exotic depths —
+    those fall back to the true-dims header path, never invented
+    pixels. Palette images decode to their RGB colors, so the pixel
+    path reports 3 channels where the header path counts 1 storage
+    byte per pixel (the GIF pixel/header split behaves the same way).
+    """
+    if data[:2] != b"BM" or len(data) < 54:
+        return None
+    try:
+        off = int.from_bytes(data[10:14], "little")
+        dib = int.from_bytes(data[14:18], "little")
+        if dib not in (40, 52, 56, 64, 108, 124):
+            return None
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        planes = int.from_bytes(data[26:28], "little")
+        bpp = int.from_bytes(data[28:30], "little")
+        comp = int.from_bytes(data[30:34], "little")
+        if w <= 0 or h == 0 or planes != 1 or comp != 0:
+            return None
+        top_down = h < 0
+        h_abs = abs(h)
+        if w * h_abs > max_pixels or bpp not in (8, 24, 32):
+            return None
+        stride = (w * bpp // 8 + 3) & ~3
+        if off + stride * h_abs > len(data):
+            return None
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h_abs, offset=off
+        ).reshape(h_abs, stride)
+        if bpp == 8:
+            n_colors = int.from_bytes(data[46:50], "little") or 256
+            pal = np.frombuffer(
+                data, dtype=np.uint8, count=n_colors * 4, offset=14 + dib
+            ).reshape(-1, 4)
+            if n_colors < 256:
+                pal = np.vstack(
+                    [pal, np.zeros((256 - n_colors, 4), np.uint8)]
+                )
+            px = pal[rows[:, :w]][:, :, [2, 1, 0]]  # BGRX quads -> RGB
+        elif bpp == 24:
+            px = rows[:, : w * 3].reshape(h_abs, w, 3)[:, :, ::-1]
+        else:
+            px = rows[:, : w * 4].reshape(h_abs, w, 4)[:, :, [2, 1, 0, 3]]
+        if not top_down:
+            px = px[::-1]
+        return np.ascontiguousarray(px)
+    except Exception:
+        return None
+
+
 def _png_pixels(data: bytes):
     """REAL pixel decode for PNG — stdlib zlib + numpy scanline
     un-filtering, no codec library. Covers: 8-bit gray/RGB/gray+alpha/
@@ -1426,9 +1482,11 @@ def decode_images(
     (``decoder`` = ``png-zlib``; stdlib zlib + numpy un-filtering, see
     ``_png_pixels``), the GIF first-frame decode (``decoder`` =
     ``gif-lzw``; pure-Python LZW, composited onto the logical screen so
-    the dims match the header path), JPEG/TIFF, and the WebP-lossless
+    the dims match the header path), JPEG/TIFF, the WebP-lossless
     decode (``decoder`` = ``webp-vp8l-pixels``, see ``_webp_pixels``; lossy
-    VP8 stays header-only BY DESIGN) are opt-in via ``pixels=True``,
+    VP8 stays header-only BY DESIGN), and the uncompressed-BMP raster
+    decode (``decoder`` = ``bmp-raster``, see ``_bmp_pixels``) are
+    opt-in via ``pixels=True``,
     for callers that want pixel-verified dims; ``extract_features``
     always uses the pixel path (it needs the actual image).
     """
@@ -1453,6 +1511,10 @@ def decode_images(
                 if px is not None:
                     return (px.shape[0], px.shape[1], px.shape[2],
                             "webp-vp8l-pixels")
+                px = _bmp_pixels(data)
+                if px is not None:
+                    return (px.shape[0], px.shape[1], px.shape[2],
+                            "bmp-raster")
             parsed = _header_dims(data)
             if parsed is not None:
                 return parsed
@@ -3833,6 +3895,9 @@ def resize_images(
                 px = _webp_pixels(data)
                 fmt = "webp"
             if px is None:
+                px = _bmp_pixels(data)
+                fmt = "bmp"
+            if px is None:
                 return (data, None, None, "stub")
             small = np.ascontiguousarray(_resize_nearest(px, height, width))
             return (_png_encode(small), height, width, f"{fmt}-nn")
@@ -4008,6 +4073,9 @@ def extract_features(
                 if px is None:
                     px = _webp_pixels(data)
                     kind = "webp-pool8"
+                if px is None:
+                    px = _bmp_pixels(data)
+                    kind = "bmp-pool8"
                 if px is not None and px.shape[0] >= 8 and px.shape[1] >= 8:
                     feats.append(_pooled_gray_feature(px).tolist())
                     kinds.append(kind)
