@@ -296,3 +296,76 @@ def test_bm25_topk_fuses(spark):
     # q73: the top-10 must be a TakeOrderedAndProject, never a full sort
     plan = plan_of(spark, "q73_bm25_search")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """q86's 100x hazard, pinned end-to-end: ~86% of events collapse
+    onto cust_key 0, so one shuffle partition carries the bulk of the
+    sort-merge join input. At 100 TB that partition is thousands of
+    map blocks, and AQE's skew-join rule splits it into advisory-sized
+    slices at runtime. Emulate the two scale conditions local test
+    data lacks — many mappers (the sf0.01 parquet is one row group, so
+    a skewed reduce partition would have nothing to split below one
+    map block: repartition(16) stands in for the thousands of input
+    splits a real corpus scans as) and partition sizes above the skew
+    thresholds (lowered to KB) — then pin SortMergeJoin(skew=true) +
+     'AQEShuffleRead skewed' in the executed adaptive plan. Broadcast
+    is disabled because at this scale BOTH sides outgrow the driver;
+    under the driver's default session q86 instead broadcasts the dim
+    side (no shuffle to skew), which test_dim_join_broadcasts pins for
+    the join family."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        sf = "/root/testdata/sf0.01"
+        e = (
+            spark.read.parquet(f"{sf}/events.parquet")
+            .repartition(16)
+            .select(
+                F.when(F.col("user_id") % 7 == 0, F.col("user_id"))
+                .otherwise(F.lit(0))
+                .alias("cust_key"),
+                "event_type",
+            )
+        )
+        o = spark.read.parquet(f"{sf}/orders.parquet").select(
+            "o_custkey", "o_totalprice"
+        )
+        df = (
+            e.join(o, e.cust_key == o.o_custkey)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+        )
+        rows = {r["event_type"]: r["n"] for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead skewed" in plan
+        # results must be the plain-join answer, split or not: compare
+        # against the same query under the session's default config
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+        from vinum_spark.inventory import QUERIES
+
+        want = {
+            r["event_type"]: r["n"]
+            for r in QUERIES["q86_skew_join_aqe"].fn(spark, sf).collect()
+        }
+        assert rows == want and len(rows) == 5
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)

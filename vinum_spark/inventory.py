@@ -3881,6 +3881,52 @@ def q85(spark, sf_dir):
     )
 
 
+@_q(
+    "q86_skew_join_aqe",
+    """
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o.o_totalprice), 2) AS sum_price
+    FROM (SELECT CASE WHEN user_id % 7 = 0 THEN user_id ELSE 0 END
+                   AS cust_key,
+                 event_type
+          FROM events) e
+    JOIN orders o ON o.o_custkey = e.cust_key
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    "Planted-skew JOIN harness (the join-shaped twin of q57's salted "
+    "agg): ~86% of events collapse onto cust_key 0 (every user_id not "
+    "divisible by 7), so the shuffle partition holding key 0 carries "
+    "the bulk of the sort-merge join input — the canonical hot-key "
+    "join hazard at 100 TB. The operator fix is NOT hand-salting: "
+    "AQE's skew-join split (on in vinum_spark.session) divides the "
+    "oversized partition into advisory-sized slices at runtime; "
+    "tests/test_plans.py::test_aqe_splits_planted_skew_join lowers "
+    "the skew thresholds to test scale, disables broadcast, and pins "
+    "SortMergeJoin(skew=true) in the executed adaptive plan. Under "
+    "the driver's default session the small dim side broadcasts "
+    "instead (no shuffle to skew) — both endpoints of the 100x story.",
+)
+def q86(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 7 == 0, F.col("user_id"))
+        .otherwise(F.lit(0))
+        .alias("cust_key"),
+        "event_type",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        e.join(o, e.cust_key == o.o_custkey)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("event_type")
+    )
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 84 registered, thirty-four fall
 #: outside it (q81 promoted into q62's slot in the r10 third wave,
