@@ -4432,3 +4432,116 @@ def sample_frames(
             )
 
     return df.mapInPandas(batches, schema=_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# DCT perceptual hash (pHash)
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+_DCT32 = None  # 32-point DCT-II basis, built on first use per worker
+
+
+def _phash64(px: np.ndarray):
+    """64-bit DCT perceptual hash of a decoded image (the pHash family,
+    imagehash-compatible construction): BT.601 luma -> nearest-neighbor
+    resize to 32x32 -> 2D DCT-II -> 8x8 low-frequency block -> each bit
+    is coefficient > block median (DC included, as imagehash does).
+
+    Robust where the 8x8 mean-pool feature is brittle: re-encodes
+    across formats and nearest-preserving resizes leave the low-band
+    spectrum (and so the hash) intact, while pool8 cells smear under
+    resampling. Returns a SIGNED 64-bit int (bit i of the hash is bit
+    i of the value; values >= 2^63 wrap negative) for storage in a
+    Spark LongType; compare with XOR + bit_count, never arithmetic.
+    """
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(32)[:, None]
+        n = np.arange(32)[None, :]
+        _DCT32 = np.cos(np.pi * (2 * n + 1) * k / 64)
+    if px.ndim == 3:
+        if px.shape[2] >= 3:
+            g = (
+                0.299 * px[:, :, 0].astype(np.float64)
+                + 0.587 * px[:, :, 1]
+                + 0.114 * px[:, :, 2]
+            )
+        else:
+            g = px[:, :, 0].astype(np.float64)
+    else:
+        g = px.astype(np.float64)
+    if g.shape[0] < 1 or g.shape[1] < 1:
+        return None
+    ys = np.arange(32) * g.shape[0] // 32
+    xs = np.arange(32) * g.shape[1] // 32
+    small = g[np.ix_(ys, xs)]
+    block = (_DCT32 @ small @ _DCT32.T)[:8, :8].ravel()
+    bits = block > np.median(block)
+    val = 0
+    for i in range(64):
+        if bits[i]:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def phash_images(
+    df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
+) -> DataFrame:
+    """Per-asset 64-bit perceptual hash via Arrow-batched mapInPandas —
+    the image near-dup fingerprint that survives re-encode + resize
+    combos (see ``_phash64``). Same decode ladder as
+    ``decode_images(pixels=True)``: PNG/GIF/JPEG/TIFF/WebP-VP8L/BMP
+    pixels for real (``decoder='<fmt>-phash64'``), honest NULL hash
+    with ``decoder='stub'`` otherwise — a NULL never enters LSH
+    banding. Shuffle-free: scan -> Python stage, the same 100 TB shape
+    as the other decode operators. Pairs with
+    ``similarity.phash_candidate_pairs`` (banded hamming LSH) +
+    ``similarity.hamming_verify`` the way ``extract_features`` pairs
+    with hyperplane LSH + cosine verify.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            kinds = []
+            for data in pdf[content_col]:
+                data = bytes(data or b"")
+                px = _png_pixels(data)
+                kind = "png-phash64"
+                if px is None:
+                    px = _gif_pixels(data)
+                    kind = "gif-phash64"
+                if px is None:
+                    px = _jpeg_pixels(data)
+                    kind = "jpeg-phash64"
+                if px is None:
+                    px = _tiff_pixels(data)
+                    kind = "tiff-phash64"
+                if px is None:
+                    px = _webp_pixels(data)
+                    kind = "webp-phash64"
+                if px is None:
+                    px = _bmp_pixels(data)
+                    kind = "bmp-phash64"
+                h = _phash64(px) if px is not None else None
+                hashes.append(h)
+                kinds.append(kind if h is not None else "stub")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "decoder": kinds,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=_PHASH_SCHEMA)

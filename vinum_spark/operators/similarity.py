@@ -866,3 +866,85 @@ def ivfpq_topk(
         probed, query_vec, k=k, m=m, n_codes=n_codes, rerank=rerank,
         vec_col=vec_col, id_col=id_col, seed=seed, codebooks=codebooks,
     )
+
+
+def phash_candidate_pairs(
+    df: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "asset_id",
+    n_bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded hamming LSH over a 64-bit
+    perceptual hash (``multimodal.phash_images``) — the bit-exact
+    analogue of minhash banding: split the hash into ``n_bands``
+    equal-width bands, bucket-join on (band, bits). DETERMINISTIC
+    recall guarantee by pigeonhole: a pair at hamming distance d < n_bands
+    shares at least one untouched band, so every pair inside the
+    verify threshold (``hamming_verify`` with max_dist < n_bands) is
+    guaranteed a candidate — no probabilistic recall argument needed.
+    Bucket occupancy is ~corpus/2^(64/n_bands) per band, so candidates
+    stay bounded (never corpus^2); NULL hashes (undecodable assets)
+    are excluded up front.
+    """
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1 if band_bits < 64 else -1
+    from vinum_spark.operators.dedup import _spread
+
+    base = _spread(
+        df.filter(F.col(hash_col).isNotNull()).select(id_col, hash_col),
+        id_col,
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(hash_col), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    bucket = base.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+    a, b = bucket.alias("a"), bucket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def hamming_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    max_dist: int,
+    hash_col: str = "phash",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Exact hamming distance for a GIVEN candidate pair set — two
+    equi-joins plus one codegen'd ``bit_count(a XOR b)`` per candidate;
+    linear in candidates. Returns (id_a, id_b, hamming) where
+    hamming <= ``max_dist``."""
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    )
+    a = base.select(F.col("__id").alias("id_a"), F.col("__h").alias("__h_a"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__h").alias("__h_b"))
+    dist = F.bit_count(F.col("__h_a").bitwiseXOR(F.col("__h_b")))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__d", dist)
+        .filter(F.col("__d") <= max_dist)
+        .select("id_a", "id_b", F.col("__d").cast("int").alias("hamming"))
+    )
