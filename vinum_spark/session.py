@@ -66,6 +66,17 @@ def get_spark(app_name: str = "vinum_spark") -> SparkSession:
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
+        # Executor-side Python workers must import vinum_spark: in
+        # local[N] they share the driver's sys.path, but under
+        # local-cluster[...] (separate executor JVMs — the
+        # multi-executor validation harness) the workers start from the
+        # worker env alone. Point them at the package root; a real
+        # cluster deployment ships the package as a wheel/zip via
+        # --py-files instead, and this path is simply absent there.
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
     )
     if master:
         builder = builder.master(master)
