@@ -4240,3 +4240,52 @@ def test_phash_images_labels_and_stub(spark):
     assert out.loc[1, "decoder"] == "bmp-phash64"
     assert out.loc[0, "phash"] == out.loc[1, "phash"]
     assert out.loc[2, "decoder"] == "stub" and pd.isna(out.loc[2, "phash"])
+
+
+def test_png_zlib_bomb_and_huge_dims_bounded():
+    """PNG was the one pixel decoder with an unbounded inflate: a
+    few-KB IDAT can declare a ~1000:1 zlib ratio bomb, and IHDR dims
+    are attacker bytes. Both must fail fast (bounded decompressobj at
+    the exact filtered-stream size + max_pixels cap), in ~0 time,
+    without ballooning executor memory."""
+    import binascii
+    import time
+    import zlib
+
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _png_encode, _png_pixels
+
+    def chunk(t, b):
+        return (
+            len(b).to_bytes(4, "big") + t + b
+            + binascii.crc32(t + b).to_bytes(4, "big")
+        )
+
+    sig = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+
+    # ratio bomb: ~100 KB of IDAT that inflates to 100 MB, dims 30x20
+    bomb = zlib.compress(b"\x00" * (100 * 1024 * 1024), 9)
+    ihdr = (
+        (30).to_bytes(4, "big") + (20).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    png = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    t0 = time.time()
+    assert _png_pixels(png) is None
+    assert time.time() - t0 < 1.0
+
+    # huge declared dims (60000x60000 = 3.6 G pixels)
+    ihdr2 = (
+        (60000).to_bytes(4, "big") + (60000).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    png2 = (
+        sig + chunk(b"IHDR", ihdr2)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 100)) + chunk(b"IEND", b"")
+    )
+    assert _png_pixels(png2) is None
+
+    # valid streams (both interlace modes) still round-trip exactly
+    img = np.random.RandomState(3).randint(0, 256, (20, 30, 3), np.uint8)
+    assert np.array_equal(_png_pixels(_png_encode(img)), img)

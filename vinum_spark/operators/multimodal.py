@@ -1313,7 +1313,7 @@ def _bmp_pixels(data: bytes, max_pixels: int = 4 * 1024 * 1024):
         return None
 
 
-def _png_pixels(data: bytes):
+def _png_pixels(data: bytes, max_pixels: int = 16 * 1024 * 1024):
     """REAL pixel decode for PNG — stdlib zlib + numpy scanline
     un-filtering, no codec library. Covers: 8-bit gray/RGB/gray+alpha/
     RGBA, PALETTE images (PLTE, 1/2/4/8-bit indices bit-unpacked per
@@ -1321,7 +1321,16 @@ def _png_pixels(data: bytes):
     both non-interlaced AND Adam7 interlaced (every pass is its own
     filtered sub-image, scattered onto the x0::dx / y0::dy grid).
     Returns an (H, W, C) uint8 array, or None for anything outside
-    that (non-PNG, truncated, missing PLTE, ...)."""
+    that (non-PNG, truncated, missing PLTE, ...).
+
+    Hostile-input bounds (the executors feed untrusted corpus bytes
+    here): declared dimensions cap at ``max_pixels``, and the IDAT
+    inflate is BOUNDED at the exact filtered-stream size those
+    dimensions imply (``_zlib_strip_decode``) — a few-KB zlib ratio
+    bomb stops at that bound instead of ballooning executor memory.
+    The bound rejects nothing a valid stream could need: the decode
+    below already requires the decompressed length to EQUAL the
+    expected size."""
     import zlib
 
     if len(data) < 33 or data[:8] != bytes(
@@ -1364,15 +1373,26 @@ def _png_pixels(data: bytes):
         return None
     if color_type == 3 and palette is None:
         return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
+    if w * h > max_pixels:
         return None
     bits_pp = bit_depth * channels
     bpp = max(1, bits_pp // 8)
 
     def rb(width):  # filtered row bytes for a given pixel width
         return (width * bits_pp + 7) // 8
+
+    if interlace == 0:
+        expect = (rb(w) + 1) * h
+    else:
+        expect = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw and ph:
+                expect += (rb(pw) + 1) * ph
+    raw = _zlib_strip_decode(b"".join(idat), expect)
+    if raw is None:
+        return None
 
     def to_pixels(rows, ph, pw):
         """(ph, row_bytes) filtered bytes -> (ph, pw, out_ch) uint8."""
