@@ -334,7 +334,8 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from vinum_spark.operators.multimodal import (decode_audio,
-                                                  decode_images, probe_media)
+                                                  decode_images,
+                                                  phash_images, probe_media)
     from vinum_spark.session import get_spark
 
     spark = get_spark("mediascale")
@@ -369,12 +370,20 @@ def main() -> None:
             df = decode_audio(vorbis)
             return df.filter(df.decoder == "vorbis-pcm").count()
 
+        def phash_webp():
+            # round-12 pipeline: full VP8L pixel decode PLUS the 32x32
+            # DCT hash per asset, over the same webp corpus — the q87
+            # operator's scale measurement
+            df = phash_images(webps)
+            return df.filter(df.decoder == "webp-phash64").count()
+
         n = {1: 3, 10: 2}.get(m, 2)
         wall_p, rows_p = timed(probe, n=n)
         wall_d, rows_d = timed(decode, n=n)
         wall_a, rows_a = timed(decode_pcm, n=n)
         wall_w, rows_w = timed(decode_webp, n=n)
         wall_v, rows_v = timed(decode_vorbis, n=n)
+        wall_h, rows_h = timed(phash_webp, n=n)
         print(
             json.dumps(
                 {
@@ -390,6 +399,8 @@ def main() -> None:
                     "webp_decoded": int(rows_w),
                     "vorbis_wall_s": wall_v,
                     "vorbis_decoded": int(rows_v),
+                    "phash_wall_s": wall_h,
+                    "phash_hashed": int(rows_h),
                 }
             ),
             flush=True,
