@@ -6,6 +6,7 @@ import pandas as pd
 import pytest
 from vinum_spark.operators.media_synth import (  # shared spec-built encoders
     _FlacW,
+    _bmp_bytes,
     _G711_SEG_ENDS,
     _Vp8lW,
     _alaw_encode_scalar,
@@ -246,7 +247,7 @@ def test_probe_media_image_containers(spark):
     img = rng.randint(0, 256, (20, 30, 3), dtype=np.uint8)
     df = spark.createDataFrame(
         [
-            (0, _bmp_bytes(w=320, h=200)),
+            (0, _bmp_header_bytes(w=320, h=200)),
             (1, _tiff_full(img, compression=5)),
             (2, _webp_bytes("VP8X", w=1024, h=768)),
         ],
@@ -3431,7 +3432,7 @@ def test_probe_media_avi_webm_and_mime(spark):
 # --------------------------------------------------------------------------
 
 
-def _bmp_bytes(w=320, h=200, bpp=24, topdown=False):
+def _bmp_header_bytes(w=320, h=200, bpp=24, topdown=False):
     hdr = bytearray(54)
     hdr[0:2] = b"BM"
     hdr[14:18] = (40).to_bytes(4, "little")
@@ -3503,15 +3504,15 @@ def _heic_bytes(w=4032, h=3024, brand=b"heic"):
 def test_header_dims_new_containers():
     from vinum_spark.operators.multimodal import _header_dims
 
-    assert _header_dims(_bmp_bytes()) == (200, 320, 3, "bmp-header")
-    assert _header_dims(_bmp_bytes(topdown=True)) == (200, 320, 3, "bmp-header")
-    assert _header_dims(_bmp_bytes(bpp=8)) == (200, 320, 1, "bmp-header")
+    assert _header_dims(_bmp_header_bytes()) == (200, 320, 3, "bmp-header")
+    assert _header_dims(_bmp_header_bytes(topdown=True)) == (200, 320, 3, "bmp-header")
+    assert _header_dims(_bmp_header_bytes(bpp=8)) == (200, 320, 1, "bmp-header")
     # OS/2 core header: u16 dims, not i32 — the i32 read would see
     # width|height<<16 garbage; the DIB-size discriminator must catch it
     assert _header_dims(_bmp_core_bytes()) == (200, 320, 3, "bmp-header")
     assert _header_dims(_bmp_core_bytes(bpp=4)) == (200, 320, 1, "bmp-header")
     # unknown DIB header sizes return None rather than garbage dims
-    bad = bytearray(_bmp_bytes())
+    bad = bytearray(_bmp_header_bytes())
     bad[14:18] = (17).to_bytes(4, "little")
     assert _header_dims(bytes(bad)) is None
     assert _header_dims(_tiff_bytes()) == (480, 640, 3, "tiff-ifd")
@@ -3523,7 +3524,7 @@ def test_header_dims_new_containers():
     assert _header_dims(_heic_bytes()) == (3024, 4032, 3, "heic-ispe")
     assert _header_dims(_heic_bytes(brand=b"avif")) == (3024, 4032, 3, "avif-ispe")
     # hostile: truncation never raises
-    for fx in (_bmp_bytes(), _tiff_bytes(), _webp_bytes(), _heic_bytes()):
+    for fx in (_bmp_header_bytes(), _tiff_bytes(), _webp_bytes(), _heic_bytes()):
         for cut in (3, 9, len(fx) // 2):
             _header_dims(fx[:cut])
 
@@ -3532,7 +3533,7 @@ def test_decode_images_and_mime_new_containers(spark):
     from vinum_spark.operators.multimodal import attach_metadata, decode_images
 
     df = spark.createDataFrame(
-        [(0, _bmp_bytes()), (1, _tiff_bytes()), (2, _webp_bytes("VP8L")),
+        [(0, _bmp_header_bytes()), (1, _tiff_bytes()), (2, _webp_bytes("VP8L")),
          (3, _heic_bytes()), (4, _heic_bytes(brand=b"avif"))],
         "asset_id long, content binary",
     )

@@ -223,6 +223,9 @@ def _multimodal_fixtures():
         tm._webm_bytes(frames=[b"V" * 20, b"W" * 31], laced_frames=[b"L" * 9],
                        grouped_frames=[b"G" * 14]),
         tm._webp_bytes("VP8L"),
+        tm._bmp_bytes(arr, 24),
+        tm._bmp_bytes(np.random.RandomState(6).randint(0, 3, (6, 9)),
+                      8, palette=[(255, 0, 0), (0, 255, 0), (0, 0, 255)]),
         tm._vp8l_encode(
             [("lit", (0xFF000000 | (x * 37 % 2 * 0x204060)))
              for x in range(24)], 6, 4),
@@ -232,7 +235,7 @@ def _multimodal_fixtures():
             [("lit", b << 8) for b in (0x55, 0xAA, 0x55, 0xAA, 0x55, 0xAA)],
             16, 3, transforms=[tm._tf_palette([0xFF112233, 0xFFAABBCC])]),
         tm._heic_bytes(),
-        tm._bmp_bytes(),
+        tm._bmp_header_bytes(),
         tm._tiff_bytes(),
         tm._tiff_full(np.random.RandomState(6).randint(
             0, 256, (8, 6, 3), dtype=np.uint8), rows_per_strip=3),
@@ -313,6 +316,7 @@ def test_all_byte_parsers_never_raise(data):
         _parse_ogg,
         _parse_wav,
         _parse_webm,
+        _bmp_pixels,
         _png_pixels,
         _tiff_pixels,
         _wav_pcm_samples,
@@ -326,7 +330,7 @@ def test_all_byte_parsers_never_raise(data):
         _parse_wav, _wav_pcm_samples, _parse_mp3, _parse_adts,
         _parse_flac, _flac_pcm_samples, _parse_ogg, _parse_mp4, _parse_avi,
         _avi_frame_spans, _webm_frame_spans, _parse_webm,
-        _tiff_pixels, _webp_pixels, vorbis_pcm_samples,
+        _tiff_pixels, _webp_pixels, _bmp_pixels, vorbis_pcm_samples,
         _webm_vorbis_pcm,
     ):
         fn(data)  # any exception fails the test
