@@ -4290,3 +4290,33 @@ def test_png_zlib_bomb_and_huge_dims_bounded():
     # valid streams (both interlace modes) still round-trip exactly
     img = np.random.RandomState(3).randint(0, 256, (20, 30, 3), np.uint8)
     assert np.array_equal(_png_pixels(_png_encode(img)), img)
+
+
+def test_phash_band_pair_keys_guarantee_and_occupancy(spark):
+    """bands_per_key=2 (the >100k-corpus knob): distance <= n_bands-2
+    still ALWAYS yields a candidate (two intact bands form a shared
+    pair key), and the 16-bit keys shrink buckets ~256x vs single
+    bands — the difference between ~n/256 and ~n/65536 rows per
+    bucket at 500k assets."""
+    from vinum_spark.operators.similarity import (
+        hamming_verify,
+        phash_candidate_pairs,
+    )
+
+    base = 0x0123456789ABCDEF
+    twin6 = base
+    for b in range(6):  # damage 6 of 8 bands: d=6 = n_bands-2
+        twin6 ^= 1 << (8 * b + 5)
+    far = base
+    for b in range(7):  # damage 7 of 8 bands: <2 intact, no pair key
+        far ^= 1 << (8 * b + 1)
+    to_signed = lambda v: v - (1 << 64) if v >= 1 << 63 else v
+    df = spark.createDataFrame(
+        [(1, to_signed(base)), (2, to_signed(twin6)), (3, to_signed(far))],
+        "asset_id long, phash long",
+    )
+    pairs = phash_candidate_pairs(df, bands_per_key=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got
+    v = hamming_verify(df, pairs, max_dist=6).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in v} == {(1, 2, 6)}

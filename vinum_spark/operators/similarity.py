@@ -873,6 +873,7 @@ def phash_candidate_pairs(
     hash_col: str = "phash",
     id_col: str = "asset_id",
     n_bands: int = 8,
+    bands_per_key: int = 1,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded hamming LSH over a 64-bit
     perceptual hash (``multimodal.phash_images``) — the bit-exact
@@ -882,12 +883,26 @@ def phash_candidate_pairs(
     shares at least one untouched band, so every pair inside the
     verify threshold (``hamming_verify`` with max_dist < n_bands) is
     guaranteed a candidate — no probabilistic recall argument needed.
-    Bucket occupancy is ~corpus/2^(64/n_bands) per band, so candidates
-    stay bounded (never corpus^2); NULL hashes (undecodable assets)
-    are excluded up front.
+    NULL hashes (undecodable assets) are excluded up front.
+
+    ``bands_per_key`` is the corpus-size knob. Bucket occupancy is
+    ~corpus/2^(bands_per_key * 64/n_bands) and pair enumeration is
+    quadratic WITHIN a bucket, so single-band 8-bit keys
+    (``bands_per_key=1``) hold ~corpus/256 rows each — fine to ~50k
+    assets, quadratic blowup past that. ``bands_per_key=2`` keys every
+    row by all C(n_bands, 2) ordered band PAIRS (16-bit keys at the
+    default 8 bands): occupancy drops to ~corpus/65536 at 28x the
+    explode, and the pigeonhole guarantee holds for d <= n_bands - 2
+    (distance d damages at most d bands, leaving >= 2 intact bands
+    that form one shared pair key — d <= 6 at the defaults, still
+    above ``hamming_verify``'s typical max_dist of 4). Use 2 for
+    corpora past ~100k assets; the same trade continues (3 bands per
+    key, d <= n_bands - 3) if ever needed.
     """
     if 64 % n_bands:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if bands_per_key not in (1, 2):
+        raise ValueError(f"bands_per_key must be 1 or 2, got {bands_per_key}")
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1 if band_bits < 64 else -1
     from vinum_spark.operators.dedup import _spread
@@ -896,15 +911,29 @@ def phash_candidate_pairs(
         df.filter(F.col(hash_col).isNotNull()).select(id_col, hash_col),
         id_col,
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
+
+    def band_key(b):
+        return (
             F.shiftrightunsigned(F.col(hash_col), b * band_bits)
             .bitwiseAND(F.lit(mask))
-            .alias("key"),
         )
-        for b in range(n_bands)
-    ]
+
+    if bands_per_key == 1:
+        band_structs = [
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
+            for b in range(n_bands)
+        ]
+    else:
+        band_structs = [
+            F.struct(
+                F.lit(i * n_bands + j).alias("band"),
+                F.shiftleft(band_key(i), band_bits)
+                .bitwiseOR(band_key(j))
+                .alias("key"),
+            )
+            for i in range(n_bands)
+            for j in range(i + 1, n_bands)
+        ]
     bucket = base.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, "bk.band", "bk.key")
