@@ -638,3 +638,65 @@ def test_encode_tokens_keeps_zero_token_docs(spark):
     for i in (1, 2, 3):
         assert out[i]["token_ids"] == [] and out[i]["seq_len"] == 0
         assert out[i]["n_oov"] == 0
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (round 12)
+
+
+def test_learn_bpe_merges_hand_computed(spark):
+    """Tiny corpus with hand-computed merges: 'low low low lower
+    newest newest' — pair counts weighted by word frequency, arg-max
+    by (count DESC, lexical), greedy application. First merges are
+    (l,o)=4 ... verified by hand below."""
+    from vinum_spark.operators.text import learn_bpe_merges
+
+    df = spark.createDataFrame(
+        [("low low low lower newest newest",)], "text string"
+    )
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in learn_bpe_merges(df, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    # vocab: low x3, lower x1, newest x2
+    # iter1: (l,o)=4, (o,w)=4, (e,w)=2... arg-max ties (l,o)/(o,w) at 4
+    #        -> lexical: (l,o). apply: lo w / lo w e r / n e w e s t
+    # iter2: (lo,w)=4 wins. -> low / low e r / n e w e s t
+    # iter3: (e,s)=2, (e,w)=2, (n,e)=2, (s,t)=2, (low,e)=1, (e,r)=1
+    #        -> lexical: (e,s). -> low / low e r / n e w es t
+    # iter4: (e,w)=2, (es,t)=2, (n,e)=2 -> (e,w). -> n ew es t
+    assert got == [
+        (1, "l", "o", 4),
+        (2, "lo", "w", 4),
+        (3, "e", "s", 2),
+        (4, "e", "w", 2),
+    ]
+
+
+def test_learn_bpe_merges_greedy_chain(spark):
+    """'aaaa' + merge (a,a) must apply greedily left-to-right:
+    ['aa','aa'], so iteration 2 counts the (aa,aa) pair — the chain
+    case where a naive every-match rule diverges from reference BPE."""
+    from vinum_spark.operators.text import learn_bpe_merges
+
+    df = spark.createDataFrame([("aaaa aaaa b",)], "text string")
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in learn_bpe_merges(df, n_merges=2).orderBy("merge_rank").collect()
+    ]
+    # vocab: aaaa x2, b x1. iter1: (a,a)=6 (three adjacent pairs x2
+    # words). apply greedy -> ['aa','aa'] x2. iter2: (aa,aa)=2.
+    assert got == [(1, "a", "a", 6), (2, "aa", "aa", 2)]
+
+
+def test_learn_bpe_merges_guards(spark):
+    import pytest as _pytest
+
+    from vinum_spark.operators.text import learn_bpe_merges
+
+    df = spark.createDataFrame([("abc",)], "text string")
+    with _pytest.raises(ValueError, match="token_pattern"):
+        learn_bpe_merges(df, token_pattern="[a']+")
+    # early stop: single-char words only -> no pairs -> empty result
+    single = spark.createDataFrame([("a b c a",)], "text string")
+    assert learn_bpe_merges(single, n_merges=3).count() == 0

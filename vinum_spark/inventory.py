@@ -4016,6 +4016,91 @@ def q87(spark, sf_dir):
     )
 
 
+def _q88_oracle(n_merges: int = 8) -> str:
+    """Programmatically-built DuckDB twin of ``learn_bpe_merges``: one
+    MATERIALIZED CTE block per merge iteration (plain CTEs inline and
+    re-expand the chain exponentially — the parquet scan would reopen
+    thousands of times by stage 8). The greedy merge application uses
+    the islands+parity window formulation: positions matching the best
+    pair form runs of consecutive i; left-to-right greedy keeps the
+    even offsets within each run (identical to the Spark side's
+    ``aggregate`` fold — 'aaaa' + (a,a) -> ['aa','aa'])."""
+    ctes = [
+        """vocab0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq, string_split(word, '') AS sym
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents)
+  GROUP BY word)"""
+    ]
+    outs = []
+    for k in range(1, n_merges + 1):
+        p = f"vocab{k - 1}"
+        ctes.append(f"""tok{k} AS MATERIALIZED (
+  SELECT word, freq,
+         unnest(range(1, len(sym) + 1)) AS i,
+         unnest(sym) AS t
+  FROM {p})""")
+        ctes.append(f"""pair{k} AS MATERIALIZED (
+  SELECT word, freq, i, t,
+         lead(t) OVER (PARTITION BY word ORDER BY i) AS nxt
+  FROM tok{k})""")
+        ctes.append(f"""best{k} AS MATERIALIZED (
+  SELECT t AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS c
+  FROM pair{k} WHERE nxt IS NOT NULL
+  GROUP BY t, nxt ORDER BY c DESC, a, b LIMIT 1)""")
+        ctes.append(f"""m{k} AS MATERIALIZED (
+  SELECT p.word, p.freq, p.i, p.t, p.nxt,
+         (p.t = b.a AND p.nxt = b.b) AS m
+  FROM pair{k} p CROSS JOIN best{k} b)""")
+        ctes.append(f"""sel{k} AS MATERIALIZED (
+  SELECT word, i,
+         (i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0 AS sel
+  FROM (SELECT word, i,
+               i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+        FROM m{k} WHERE m))""")
+        ctes.append(f"""vocab{k} AS MATERIALIZED (
+  SELECT m.word, m.freq,
+         list(CASE WHEN coalesce(s.sel, false) THEN m.t || m.nxt
+              ELSE m.t END ORDER BY m.i) AS sym
+  FROM m{k} m
+  LEFT JOIN sel{k} s  ON s.word = m.word AND s.i = m.i
+  LEFT JOIN sel{k} sp ON sp.word = m.word AND sp.i = m.i - 1
+  WHERE NOT coalesce(sp.sel, false)
+  GROUP BY m.word, m.freq)""")
+        outs.append(
+            f"SELECT {k} AS merge_rank, a AS lhs, b AS rhs,"
+            f" c AS pair_count FROM best{k}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(outs) + "\nORDER BY merge_rank"
+    )
+
+
+@_q(
+    "q88_bpe_merges",
+    _q88_oracle(),
+    "Distributed BPE tokenizer training under the oracle gate "
+    "(operators/text.py learn_bpe_merges, Sennrich et al. 2016): 8 "
+    "merge iterations over the corpus word-frequency dictionary — "
+    "pair counts weighted by word freq, arg-max by (count DESC, pair "
+    "lexical), exact left-to-right greedy application. The corpus is "
+    "touched ONCE (the word groupBy); every iteration runs on the "
+    "vocab table (~types, not tokens) with a shuffle-free aggregate-"
+    "HOF merge, so the 100 TB cost is one corpus shuffle + 8 cheap "
+    "vocab passes. DuckDB recomputes the identical 8 stages as "
+    "materialized CTEs with an islands+parity window encoding of the "
+    "same greedy rule, so any divergence in counting, tie-breaks, or "
+    "merge application (the 'aaaa' chain case) hash-mismatches.",
+)
+def q88(spark, sf_dir):
+    from vinum_spark.operators.text import learn_bpe_merges
+
+    return learn_bpe_merges(
+        _t(spark, sf_dir, "documents"), n_merges=8
+    ).orderBy("merge_rank")
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 84 registered, thirty-four fall
 #: outside it (q81 promoted into q62's slot in the r10 third wave,

@@ -862,3 +862,115 @@ def encode_tokens(
             raise ValueError(f"max_len must be >= 1, got {max_len}")
         out = out.withColumn("token_ids", F.slice("token_ids", 1, max_len))
     return out
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    token_pattern: str = "[a-z]+",
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    ``n_merges`` byte-pair merges from corpus word frequencies. Returns
+    (merge_rank, lhs, rhs, pair_count) — the merge table a tokenizer
+    ships with, in learned order.
+
+    Algorithm (exactly the reference BPE formulation):
+    1. word-frequency dictionary: one ``groupBy(word)`` over the
+       lowercased ``token_pattern`` words — the ONLY corpus-sized
+       shuffle. Every later step runs on the vocabulary table, which
+       is orders of magnitude smaller than the corpus (~10-100M types
+       for 100 TB of web text — still distributed, never collected).
+    2. per merge: count adjacent symbol pairs weighted by word
+       frequency (vocab-sized shuffle), take the arg-max pair (count
+       DESC, then lexical — a bounded ``limit(1).collect()`` of ONE
+       row per iteration, the documented driver action), and apply it
+       with the exact left-to-right GREEDY rule ('aaaa' + (a,a) ->
+       ['aa','aa']) as a shuffle-FREE ``aggregate`` higher-order
+       function over each word's symbol array — no Python UDF, no
+       per-row lambda cost outside codegen.
+    3. the vocabulary is re-persisted per iteration (and the previous
+       iteration unpersisted) so the k-th arg-max does not recompute
+       the whole merge chain from the scan.
+
+    Tokens are restricted to the ``token_pattern`` alphabet; the merge
+    literals embedded in the HOF expression are validated against it,
+    so no corpus content reaches SQL text unescaped.
+    """
+    import re as _re
+
+    if _re.search(r"['\\]", token_pattern):
+        raise ValueError(f"token_pattern unsafe for a SQL literal: {token_pattern!r}")
+    doc_words = df.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)")
+        ).alias("word")
+    )
+    vocab = (
+        doc_words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn("sym", F.split("word", ""))
+    )
+    merges: list = []
+    cached = vocab.persist()
+    cached.count()
+    try:
+        for k in range(1, n_merges + 1):
+            best = (
+                cached.select(
+                    "freq",
+                    F.explode(
+                        F.arrays_zip(
+                            F.expr("slice(sym, 1, size(sym) - 1)"),
+                            F.expr("slice(sym, 2, size(sym) - 1)"),
+                        )
+                    ).alias("pr"),
+                )
+                .select(
+                    F.col("pr.0").alias("a"), F.col("pr.1").alias("b"), "freq"
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("freq").cast("long").alias("c"))
+                .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break  # vocabulary fully merged (single-symbol words only)
+            a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
+            # the merge literals are embedded in the HOF expression
+            # below: reject anything that could escape a SQL string
+            # (impossible for the default [a-z]+ alphabet; guards
+            # custom token_pattern values)
+            if _re.search(r"['\\\s]", a + b):
+                raise ValueError(
+                    f"merge tokens unsafe for SQL literals: {a!r}, {b!r}"
+                )
+            merges.append((k, a, b, int(c)))
+            merged = F.expr(
+                f"""
+                aggregate(
+                  sequence(1, size(sym)),
+                  struct(CAST(array() AS array<string>) AS res, false AS skip),
+                  (acc, i) -> CASE
+                    WHEN acc.skip THEN struct(acc.res AS res, false AS skip)
+                    WHEN i < size(sym) AND element_at(sym, i) = '{a}'
+                         AND element_at(sym, i + 1) = '{b}'
+                      THEN struct(concat(acc.res, array('{a}{b}')) AS res,
+                                  true AS skip)
+                    ELSE struct(concat(acc.res, array(element_at(sym, i))) AS res,
+                                false AS skip)
+                  END,
+                  acc -> acc.res)
+                """
+            )
+            nxt = cached.withColumn("sym", merged).persist()
+            nxt.count()
+            cached.unpersist()
+            cached = nxt
+    finally:
+        cached.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
