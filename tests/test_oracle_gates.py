@@ -71,6 +71,11 @@ GATED = [
     # round-11: audio near-dup chain (decode -> RMS envelope -> LSH ->
     # verify over planted twins; the q83 image chain's audio analogue)
     "q85_audio_neardup",
+    # round-12 additions sit first in the tail (outside the driver's
+    # 50-row window) until a future rotation promotes them
+    "q86_skew_join_aqe",
+    "q87_image_phash_neardup",
+    "q88_bpe_merges",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible
