@@ -76,6 +76,7 @@ GATED = [
     "q86_skew_join_aqe",
     "q87_image_phash_neardup",
     "q88_bpe_merges",
+    "q89_bpe_tokenize",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible

@@ -700,3 +700,27 @@ def test_learn_bpe_merges_guards(spark):
     # early stop: single-char words only -> no pairs -> empty result
     single = spark.createDataFrame([("a b c a",)], "text string")
     assert learn_bpe_merges(single, n_merges=3).count() == 0
+
+
+def test_bpe_tokenize_matches_learned_merges(spark):
+    """Applying the learned table reproduces the learner's own merged
+    symbols: 'low' -> ['low'], 'lower' -> ['low','e','r'], 'newest'
+    -> ['n','ew','es','t'] with the 4 merges from the hand-computed
+    corpus; empty/no-word docs keep a row with zero tokens."""
+    from vinum_spark.operators.text import bpe_tokenize, learn_bpe_merges
+
+    corpus = spark.createDataFrame(
+        [(1, "low low low lower newest newest")], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(corpus, n_merges=4)
+    docs = spark.createDataFrame(
+        [(1, "low lower newest"), (2, "... 123 ..."), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_tokenize(docs, merges).collect()
+    }
+    assert out[1] == (["low", "low", "e", "r", "n", "ew", "es", "t"], 8)
+    assert out[2] == ([], 0)
+    assert out[3] == ([], 0)

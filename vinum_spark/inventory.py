@@ -4101,6 +4101,65 @@ def q88(spark, sf_dir):
     ).orderBy("merge_rank")
 
 
+def _q89_oracle() -> str:
+    """q88's 8-stage chain extended three CTEs: tokenize every document
+    by joining its words (with ordinality) to the final merged
+    vocabulary and flattening in reading order — the oracle twin of
+    ``bpe_tokenize``'s vocab-join design."""
+    base = _q88_oracle(8)
+    # drop the merge-table SELECTs; keep the WITH vocab0..vocab8 CTEs
+    chain = base.split("\nSELECT 1 AS merge_rank")[0]
+    return (
+        chain
+        + """,
+docw AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(range(1, len(ws) + 1)) AS wi,
+         unnest(ws) AS word
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        FROM documents)),
+tokd AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(sum(len(v.sym)) AS BIGINT) AS n_tokens,
+         md5(array_to_string(flatten(list(v.sym ORDER BY d.wi)), ' '))
+           AS tok_md5
+  FROM docw d JOIN vocab8 v ON v.word = d.word
+  GROUP BY d.doc_id)
+SELECT doc.doc_id,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(t.tok_md5, md5('')) AS tok_md5
+FROM documents doc LEFT JOIN tokd t ON t.doc_id = doc.doc_id
+ORDER BY doc.doc_id"""
+    )
+
+
+@_q(
+    "q89_bpe_tokenize",
+    _q89_oracle(),
+    "Full-corpus BPE tokenization with the q88-learned merge table "
+    "(operators/text.py bpe_tokenize): the per-word rank-loop merge "
+    "runs in an Arrow-batched pandas UDF over the DISTINCT-WORD "
+    "vocabulary only (the documented Python carve-out — per-item "
+    "sequential merging), and the corpus pays one explode + one "
+    "word equi-join + one ordered reassembly. The oracle re-runs "
+    "q88's 8 merge stages in DuckDB and tokenizes by joining words "
+    "to the final merged vocabulary — so the pandas rank-loop apply "
+    "must agree byte-for-byte (md5 of the space-joined token "
+    "sequence per document) with the SQL windows' greedy merges.",
+)
+def q89(spark, sf_dir):
+    from vinum_spark.operators.text import bpe_tokenize, learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=8)
+    toks = bpe_tokenize(docs, merges, id_col="doc_id")
+    return toks.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "tokens")).alias("tok_md5"),
+    ).orderBy("doc_id")
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 84 registered, thirty-four fall
 #: outside it (q81 promoted into q62's slot in the r10 third wave,

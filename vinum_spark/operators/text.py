@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -973,4 +974,103 @@ def learn_bpe_merges(
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_pattern: str = "[a-z]+",
+) -> DataFrame:
+    """Tokenize a corpus with a learned BPE merge table
+    (:func:`learn_bpe_merges`). Returns (id, tokens array<string>,
+    n_tokens) with tokens in reading order.
+
+    100 TB shape: the per-word merge loop (inherently sequential per
+    item — the documented Python carve-out) runs over the DISTINCT
+    word vocabulary, not the corpus: O(types x merges-in-word), via an
+    Arrow-batched pandas UDF. The corpus itself pays one explode +
+    one equi-join on the word (AQE broadcasts the tokenized vocab
+    when it fits) + one per-doc reassembly — no Python touches
+    corpus-sized data. ``merges_df`` is collected to the driver: a
+    merge table is bounded by construction (vocab-sized, typically
+    8-64k rows).
+
+    Merge application follows reference BPE: repeatedly merge the
+    LOWEST-RANK adjacent pair present, each application left-to-right
+    greedy — byte-identical to applying the merges in learned order,
+    and to the learner's own greedy rule ('aaaa' + (a,a) ->
+    ['aa','aa']).
+    """
+    import re as _re
+
+    if _re.search(r"['\\]", token_pattern):
+        raise ValueError(f"token_pattern unsafe for a SQL literal: {token_pattern!r}")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def apply_bpe(col: pd.Series) -> pd.Series:
+        out = []
+        for w in col:
+            syms = list(w)
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                a, b = merges[best]
+                res, i = [], 0
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            out.append(syms)
+        return pd.Series(out)
+
+    words_expr = f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
+    vocab_tok = (
+        df.select(F.explode(F.expr(words_expr)).alias("word"))
+        .distinct()
+        .withColumn("__toks", apply_bpe("word"))
+    )
+    doc_words = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(words_expr)).alias("__wi", "word"),
+    )
+    per_doc = (
+        doc_words.join(vocab_tok, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.expr("transform(array_sort(collect_list(struct(__wi, __toks)))," 
+                       " s -> s.__toks)")
+            ).alias("tokens")
+        )
+    )
+    toks = F.coalesce("tokens", F.array().cast("array<string>"))
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            toks.alias("tokens"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+        )
     )
