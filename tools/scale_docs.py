@@ -124,9 +124,17 @@ def main() -> None:
             c = corpus.filter(F.col("doc_id") % 10_000_000 % 10 != 0)
             return D.contaminated_docs(c, eval_df, n=4).count()
 
+        def bpe():
+            # round-12: BPE training — one corpus-sized word shuffle,
+            # then 8 vocab-table iterations; the [a-z]+ alphabet
+            # collapses the '~k' salts back to base words, so vocab
+            # stays ~constant while the corpus scan scales with M
+            return X.learn_bpe_merges(corpus, n_merges=8).count()
+
         n = 3 if m <= 10 else 1
         wall_w, pairs = timed(winnow, n=n, warm=m <= 10)
         wall_d, hits = timed(decon, n=n, warm=m <= 10)
+        wall_b, n_merges = timed(bpe, n=n, warm=m <= 10)
         print(
             json.dumps(
                 {
@@ -136,6 +144,8 @@ def main() -> None:
                     "winnowing_pairs": int(pairs),
                     "decontamination_wall_s": wall_d,
                     "contaminated_docs": int(hits),
+                    "bpe_wall_s": wall_b,
+                    "bpe_merges": int(n_merges),
                 }
             ),
             flush=True,
