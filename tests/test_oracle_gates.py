@@ -71,8 +71,9 @@ GATED = [
     # round-11: audio near-dup chain (decode -> RMS envelope -> LSH ->
     # verify over planted twins; the q83 image chain's audio analogue)
     "q85_audio_neardup",
-    # round-12 additions sit first in the tail (outside the driver's
-    # 50-row window) until a future rotation promotes them
+    # round-13: q86-q89 rotated into the driver window, but their gates
+    # are engine-designed (AQE skew pins, banded hamming LSH, greedy
+    # merge parity) so the in-suite oracle run stays
     "q86_skew_join_aqe",
     "q87_image_phash_neardup",
     "q88_bpe_merges",
@@ -115,6 +116,11 @@ GATED = [
     # round-11 rotation: demoted so q84 gets a driver-recorded green;
     # its exact driver oracle runs here instead
     "q52_multimodal_metadata",
+    # round-13 rotation: demoted so q86-q89 get driver-recorded greens;
+    # their exact driver oracles run here instead (q24 already above)
+    "q34_json_extract",
+    "q17_scalar_subquery",
+    "q49_streaming_tumbling",
 ]
 
 

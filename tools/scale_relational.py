@@ -43,7 +43,11 @@ SHIFTS = {
     "customer": {"c_custkey": 15_000},
     "part": {"p_partkey": 20_000},
     "supplier": {"s_suppkey": 1_000},
-    "events": {"event_id": 100_000, "user_id": 1_500},
+    # user_id is custkey-domain (q86 joins events.user_id = o_custkey),
+    # so it must shift by the o_custkey stride or copies 1-9's user_ids
+    # would land inside copy-0's custkey range and join cross-copy; the
+    # resulting id gaps are harmless for the group-by queries
+    "events": {"event_id": 100_000, "user_id": 15_000},
 }
 COPY_AS_IS = ["nation", "region"]
 

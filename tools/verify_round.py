@@ -5,10 +5,11 @@
 Runs, in order, and exits nonzero on the first failing stage:
 
 1. the full pytest suite (``python -m pytest tests/ -x -q``);
-2. ALL 84 ``queries()`` entries against their DuckDB oracles at the
-   given scale factor (``tools/check_oracle.py`` — the same check the
-   round driver applies to its 50-row subset, extended to every query,
-   including the 34 entries the driver record rotates out; see README
+2. EVERY ``queries()`` entry (``len(queries())`` — 90+ and growing)
+   against its DuckDB oracle at the given scale factor
+   (``tools/check_oracle.py`` — the same check the round driver
+   applies to its 50-row subset, extended to every query, including
+   the entries the driver record rotates out; see README
    "driver-gate rotation");
 3. with ``--bench``: ``python bench.py --all`` at sf0.1 followed by the
    ``tools/bench_diff.py --gate`` drift check against the recorded

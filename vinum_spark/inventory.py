@@ -3986,6 +3986,17 @@ def q87(spark, sf_dir):
             return np.clip(np.round(img), 0, 255).astype("uint8")
 
         for pdf in it:
+            # the twin scheme (twin id = doc_id + 100000; oracle WHERE
+            # doc_id % 4 = 0) requires every real doc_id to sit below
+            # the offset — a collision would double-hash assets and
+            # silently desynchronize from the fixed SQL oracle. Safe at
+            # every current SF (max doc_id 4999 at sf0.1); fail loudly
+            # if a future scale bump breaks the invariant.
+            if len(pdf) and int(pdf["doc_id"].max()) >= 100000:
+                raise ValueError(
+                    "q87 twin-id scheme requires max(doc_id) < 100000; "
+                    f"got {int(pdf['doc_id'].max())}"
+                )
             ids, blobs = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
@@ -4273,6 +4284,25 @@ _DEMOTED_TO_TAIL = (
     # (incremental) and q83 (image chain); its recall-gate oracle
     # moves in-suite.
     "q30_simhash",
+    # Round-13 rotation (VERDICT r12 item 1): q86-q89 were added after
+    # the r12 window was captured and are the only gated queries with
+    # no driver CORRECTNESS row ever. Four family-redundant members
+    # step out (exact oracles keep running in-suite via
+    # tests/test_oracle_gates + tools/check_oracle.py):
+    # q86's slot: q34 JSON extraction is the projection machinery of
+    # the gated q58/q61-class regex/text projections.
+    # q87's slot: q24 batch sessionization hash-matches the same
+    # session semantics the gated streaming q50 pins (q23<->q49
+    # precedent for the tumbling twin).
+    # q88's slot: q17 scalar subquery keeps its join family in-gate
+    # via q13 (broadcast), q14 (multiway) and q33 (as-of).
+    # q89's slot: q49 tumbling steps out; q50 session + q53 stateful
+    # dedup + q55 interval join keep streaming watermark/window
+    # machinery in-gate (sliding q51 already runs its oracle in-suite).
+    "q34_json_extract",
+    "q24_events_sessionize",
+    "q17_scalar_subquery",
+    "q49_streaming_tumbling",
 )
 _PROMOTED = (
     "q51_streaming_sliding",
@@ -4309,6 +4339,10 @@ _PROMOTED = (
     "q83_image_neardup",
     "q84_vorbis_decode",
     "q85_audio_neardup",
+    "q86_skew_join_aqe",
+    "q87_image_phash_neardup",
+    "q88_bpe_merges",
+    "q89_bpe_tokenize",
 )
 
 

@@ -1000,9 +1000,14 @@ def bpe_tokenize(
 
     Merge application follows reference BPE: repeatedly merge the
     LOWEST-RANK adjacent pair present, each application left-to-right
-    greedy — byte-identical to applying the merges in learned order,
-    and to the learner's own greedy rule ('aaaa' + (a,a) ->
-    ['aa','aa']).
+    greedy. For merge tables produced by :func:`learn_bpe_merges` this
+    is byte-identical to applying the merges in learned order (every
+    pair's operands existed at learn time), and to the learner's own
+    greedy rule ('aaaa' + (a,a) -> ['aa','aa']). Precondition on an
+    arbitrary user-supplied ``merges_df``: if a later merge creates a
+    pair that an EARLIER rank consumes, the lowest-rank-present loop
+    applies that earlier merge where strict in-learned-order
+    application would not — supply tables in true learned order.
     """
     import re as _re
 

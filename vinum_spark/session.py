@@ -66,18 +66,21 @@ def get_spark(app_name: str = "vinum_spark") -> SparkSession:
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
-        # Executor-side Python workers must import vinum_spark: in
-        # local[N] they share the driver's sys.path, but under
-        # local-cluster[...] (separate executor JVMs — the
-        # multi-executor validation harness) the workers start from the
-        # worker env alone. Point them at the package root; a real
-        # cluster deployment ships the package as a wheel/zip via
-        # --py-files instead, and this path is simply absent there.
-        .config(
+    )
+    # Executor-side Python workers must import vinum_spark: in local[N]
+    # they share the driver's sys.path, but under local-cluster[...]
+    # (separate executor JVMs — the multi-executor validation harness)
+    # the workers start from the worker env alone. Point them at the
+    # package root — but ONLY for local/local-cluster masters: builder
+    # config takes precedence over spark-submit --conf, so setting it
+    # unconditionally would clobber a user-supplied executor PYTHONPATH
+    # on a real cluster (where the package ships as a wheel/zip via
+    # --py-files and this driver-local path means nothing on workers).
+    if master.startswith("local"):  # local[N] and local-cluster[...]
+        builder = builder.config(
             "spark.executorEnv.PYTHONPATH",
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
-    )
     if master:
         builder = builder.master(master)
     return builder.getOrCreate()
