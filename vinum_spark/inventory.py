@@ -4027,7 +4027,31 @@ def q87(spark, sf_dir):
     )
 
 
-def _q88_oracle(n_merges: int = 8) -> str:
+#: DuckDB twin of operators/text.py's byte-symbol mapping: UTF-8 bytes
+#: via hex(encode(..)), each byte -> chr(256 + b). Verified char-equal
+#: to Python's ``byte_syms`` and Spark's ``_byte_sym_sql``.
+_DUCK_BYTE_SYM = """list_transform(range(1, octet_length(encode(word)) + 1), i ->
+     chr(CAST(256 + 16*(strpos('0123456789ABCDEF', substr(hex(encode(word)), 2*i-1, 1)) - 1)
+             + (strpos('0123456789ABCDEF', substr(hex(encode(word)), 2*i, 1)) - 1) AS INTEGER)))"""
+
+#: Deterministic digit + non-ASCII augmentation for the byte-level BPE
+#: gates (the synthetic documents corpus is pure lowercase ASCII):
+#: mixed-case Latin-1, Greek, CJK, punctuation and per-doc digits —
+#: identical literals on the Spark side (q90/q91 below).
+_BPE_AUG_SQL = (
+    "text || ' Naïve' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' δεδομένα:数据#' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _q88_oracle(
+    n_merges: int = 8,
+    words_from: str = (
+        "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word"
+        " FROM documents"
+    ),
+    sym_expr: str = "string_split(word, '')",
+) -> str:
     """Programmatically-built DuckDB twin of ``learn_bpe_merges``: one
     MATERIALIZED CTE block per merge iteration (plain CTEs inline and
     re-expand the chain exponentially — the parquet scan would reopen
@@ -4035,12 +4059,14 @@ def _q88_oracle(n_merges: int = 8) -> str:
     the islands+parity window formulation: positions matching the best
     pair form runs of consecutive i; left-to-right greedy keeps the
     even offsets within each run (identical to the Spark side's
-    ``aggregate`` fold — 'aaaa' + (a,a) -> ['aa','aa'])."""
+    ``aggregate`` fold — 'aaaa' + (a,a) -> ['aa','aa']).
+    ``words_from``/``sym_expr`` parameterize the alphabet: the defaults
+    are char mode; the byte-level gates pass a no-lowercase extraction
+    and the ``_DUCK_BYTE_SYM`` mapping."""
     ctes = [
-        """vocab0 AS MATERIALIZED (
-  SELECT word, CAST(count(*) AS BIGINT) AS freq, string_split(word, '') AS sym
-  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-        FROM documents)
+        f"""vocab0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq, {sym_expr} AS sym
+  FROM ({words_from})
   GROUP BY word)"""
     ]
     outs = []
@@ -4107,28 +4133,41 @@ def _q88_oracle(n_merges: int = 8) -> str:
 def q88(spark, sf_dir):
     from vinum_spark.operators.text import learn_bpe_merges
 
+    # collect_cap=0 pins the DISTRIBUTED merge loop under the oracle
+    # (the unbounded-vocabulary path); the driver-local fast path is
+    # gated separately by q90 (byte mode, default cap) and pinned
+    # equal to this loop in tests/test_pipeline_ops.py.
     return learn_bpe_merges(
-        _t(spark, sf_dir, "documents"), n_merges=8
+        _t(spark, sf_dir, "documents"), n_merges=8, collect_cap=0
     ).orderBy("merge_rank")
 
 
-def _q89_oracle() -> str:
+def _q89_oracle(
+    base: str | None = None,
+    doc_ws_sql: str = (
+        "SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws"
+        " FROM documents"
+    ),
+    final_sql: str | None = None,
+) -> str:
     """q88's 8-stage chain extended three CTEs: tokenize every document
     by joining its words (with ordinality) to the final merged
     vocabulary and flattening in reading order — the oracle twin of
-    ``bpe_tokenize``'s vocab-join design."""
-    base = _q88_oracle(8)
+    ``bpe_tokenize``'s vocab-join design. ``base``/``doc_ws_sql``
+    parameterize the alphabet (defaults: q88's char mode; q91 passes
+    the byte-level chain + a no-lowercase extraction)."""
+    if base is None:
+        base = _q88_oracle(8)
     # drop the merge-table SELECTs; keep the WITH vocab0..vocab8 CTEs
     chain = base.split("\nSELECT 1 AS merge_rank")[0]
     return (
         chain
-        + """,
+        + f""",
 docw AS MATERIALIZED (
   SELECT doc_id,
          unnest(range(1, len(ws) + 1)) AS wi,
          unnest(ws) AS word
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
-        FROM documents)),
+  FROM ({doc_ws_sql})),
 tokd AS MATERIALIZED (
   SELECT d.doc_id,
          CAST(sum(len(v.sym)) AS BIGINT) AS n_tokens,
@@ -4136,11 +4175,15 @@ tokd AS MATERIALIZED (
            AS tok_md5
   FROM docw d JOIN vocab8 v ON v.word = d.word
   GROUP BY d.doc_id)
-SELECT doc.doc_id,
+"""
+        + (
+            final_sql
+            or """SELECT doc.doc_id,
        CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
        coalesce(t.tok_md5, md5('')) AS tok_md5
 FROM documents doc LEFT JOIN tokd t ON t.doc_id = doc.doc_id
 ORDER BY doc.doc_id"""
+        )
     )
 
 
@@ -4169,6 +4212,165 @@ def q89(spark, sf_dir):
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", "tokens")).alias("tok_md5"),
     ).orderBy("doc_id")
+
+
+def _bpe_aug(docs):
+    """Spark twin of ``_BPE_AUG_SQL``: append mixed-case Latin-1,
+    Greek, CJK, punctuation and per-doc digits to every document, so
+    the byte-level gates train on text the char-mode ``[a-z]+``
+    alphabet cannot represent."""
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" Naïve"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" δεδομένα:数据#"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+
+
+_BPE_BYTE_WORDS_FROM = (
+    f"SELECT unnest(regexp_extract_all({_BPE_AUG_SQL}, '[^ ]+')) AS word"
+    " FROM documents"
+)
+
+
+@_q(
+    "q90_bpe_byte_merges",
+    _q88_oracle(
+        8, words_from=_BPE_BYTE_WORDS_FROM, sym_expr=_DUCK_BYTE_SYM
+    ),
+    "BYTE-LEVEL BPE training (VERDICT r12 item 2 — the real-tokenizer "
+    "alphabet): the corpus is augmented in-query with mixed-case "
+    "Latin-1, Greek, CJK, punctuation and digits (identical literals "
+    "on both engines), words are split on '[^ ]+' with NO lowercasing, "
+    "and each word's UTF-8 bytes map through the fixed chr(0x100+b) "
+    "symbol alphabet (GPT-2's bytes_to_unicode idea; every merge "
+    "symbol SQL-literal-safe by construction). Spark does the mapping "
+    "JVM-side (hex + 256-entry array literal, codegen); DuckDB "
+    "recomputes it with the same hex walk, then runs the identical "
+    "8-stage islands+parity merge chain — so a divergence anywhere in "
+    "byte mapping, multi-byte splitting, case handling, counting, or "
+    "greedy application hash-mismatches. This gate ALSO pins the "
+    "driver-local fast path (default collect_cap): the classic "
+    "in-memory merge loop over the collected word-frequency "
+    "dictionary must reproduce the distributed loop's table exactly "
+    "(equality also pinned directly in tests/test_pipeline_ops.py).",
+)
+def q90(spark, sf_dir):
+    from vinum_spark.operators.text import learn_bpe_merges
+
+    docs = _bpe_aug(_t(spark, sf_dir, "documents"))
+    return learn_bpe_merges(
+        docs, n_merges=8, byte_level=True, token_pattern="[^ ]+"
+    ).orderBy("merge_rank")
+
+
+@_q(
+    "q91_bpe_byte_tokenize",
+    _q89_oracle(
+        base=_q88_oracle(
+            8, words_from=_BPE_BYTE_WORDS_FROM, sym_expr=_DUCK_BYTE_SYM
+        ),
+        doc_ws_sql=(
+            f"SELECT doc_id, regexp_extract_all({_BPE_AUG_SQL}, '[^ ]+') AS ws"
+            " FROM documents"
+        ),
+    ),
+    "Full-corpus BYTE-LEVEL BPE tokenization with the q90-learned "
+    "table: the pandas rank-loop seeds each DISTINCT word from the "
+    "chr(0x100+b) byte alphabet (multi-byte UTF-8 chars split into "
+    "per-byte symbols, exactly like a production byte-level "
+    "tokenizer), the corpus pays one explode + one word equi-join + "
+    "ordered reassembly, and the md5-of-sequence oracle re-derives "
+    "the same tokens from DuckDB's hex-walk byte mapping plus the "
+    "8-stage SQL merge chain.",
+)
+def q91(spark, sf_dir):
+    from vinum_spark.operators.text import bpe_tokenize, learn_bpe_merges
+
+    docs = _bpe_aug(_t(spark, sf_dir, "documents"))
+    merges = learn_bpe_merges(
+        docs, n_merges=8, byte_level=True, token_pattern="[^ ]+"
+    )
+    toks = bpe_tokenize(
+        docs, merges, id_col="doc_id", byte_level=True, token_pattern="[^ ]+"
+    )
+    return toks.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "tokens")).alias("tok_md5"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "q92_tokenizer_pipeline",
+    _q89_oracle(
+        base=_q88_oracle(
+            8, words_from=_BPE_BYTE_WORDS_FROM, sym_expr=_DUCK_BYTE_SYM
+        ),
+        doc_ws_sql=(
+            f"SELECT doc_id, regexp_extract_all({_BPE_AUG_SQL}, '[^ ]+') AS ws"
+            " FROM documents"
+        ),
+        final_sql="""sharded AS (
+  SELECT doc.doc_id, CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substring(md5(concat_ws(chr(31),
+             CAST(doc.doc_id AS VARCHAR), '0')), 1, 8))::UBIGINT % 8 AS INT) AS shard,
+         md5(concat_ws(chr(31), CAST(doc.doc_id AS VARCHAR), '0')) AS rk
+  FROM documents doc LEFT JOIN tokd t ON t.doc_id = doc.doc_id),
+packed AS (
+  SELECT shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY rk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_pos
+  FROM sharded)
+SELECT shard, CAST(floor(seq_pos / 512.0) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_len
+FROM packed
+GROUP BY shard, seq_id
+ORDER BY shard, seq_id""",
+    ).replace(
+        # final_sql opens with another CTE, so the tokd CTE needs a
+        # trailing comma instead of starting the final SELECT directly
+        "GROUP BY d.doc_id)\nsharded AS",
+        "GROUP BY d.doc_id),\nsharded AS",
+    ),
+    "END-TO-END tokenizer pipeline (VERDICT r12 item 5 — the actual "
+    "training-data tokenization deliverable): learn_bpe_merges "
+    "(byte-level, driver-local fast path) -> bpe_tokenize (byte-level "
+    "corpus tokenization) -> pack_sequences (budget-512 striping of "
+    "n_tokens into 8 md5 shards), verified per packed training "
+    "sequence by doc count + token sum. The oracle recomputes the "
+    "WHOLE chain in DuckDB: hex-walk byte mapping, 8 merge stages, "
+    "vocab-join tokenization, then the q71-style windowed packing — "
+    "one composed SQL program, so any drift in ANY stage (merge "
+    "table, token counts, shard hash, running-sum packing) "
+    "mismatches. Composition pattern of q65/q75, extended to the "
+    "tokenizer family.",
+)
+def q92(spark, sf_dir):
+    from vinum_spark.operators.sampling import pack_sequences
+    from vinum_spark.operators.text import bpe_tokenize, learn_bpe_merges
+
+    docs = _bpe_aug(_t(spark, sf_dir, "documents"))
+    merges = learn_bpe_merges(
+        docs, n_merges=8, byte_level=True, token_pattern="[^ ]+"
+    )
+    toks = bpe_tokenize(
+        docs, merges, id_col="doc_id", byte_level=True, token_pattern="[^ ]+"
+    )
+    return (
+        pack_sequences(toks, "n_tokens", "doc_id", budget=512, n_shards=8)
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("seq_len"),
+        )
+        .orderBy("shard", "seq_id")
+    )
 
 
 #: The round driver's correctness gate records only the FIRST 50

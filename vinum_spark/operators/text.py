@@ -865,11 +865,94 @@ def encode_tokens(
     return out
 
 
+#: Byte-level symbol alphabet: byte b <-> chr(0x100 + b), a fixed
+#: 256-char bijection into Latin Extended (GPT-2's bytes_to_unicode
+#: idea, simplified: one contiguous range instead of a pieced-together
+#: printable set). Every mapped char is printable, non-quote,
+#: non-backslash, non-whitespace — so byte-mode merge symbols are
+#: always SQL-literal-safe BY CONSTRUCTION, and the mapping is a
+#: one-liner in any engine (chr(256 + byte)), which is what lets the
+#: DuckDB oracle recompute it exactly.
+_BYTE_SYM_BASE = 0x100
+
+
+def byte_syms(word: str) -> list:
+    """Map a string's UTF-8 bytes to the byte-level symbol alphabet."""
+    return [chr(_BYTE_SYM_BASE + b) for b in word.encode("utf-8")]
+
+
+def _byte_sym_sql(col: str) -> str:
+    """SQL expression mapping string column ``col`` to its byte-level
+    symbol array, entirely JVM-side (codegen): hex the UTF-8 bytes,
+    then look each byte up in an embedded 256-char array literal
+    (Spark's ``char()`` wraps at 256, so a direct chr() is unusable).
+    Empty strings need an explicit guard: Spark's ``sequence(1, 0)``
+    is the DESCENDING sequence [1, 0], not empty.
+    """
+    lookup = "array(" + ",".join(
+        "'" + chr(_BYTE_SYM_BASE + b) + "'" for b in range(256)
+    ) + ")"
+    h = f"hex(encode({col}, 'UTF-8'))"
+    return (
+        f"if(length({h}) = 0, array(), "
+        f"transform(sequence(1, length({h}) DIV 2), i -> "
+        f"element_at({lookup}, "
+        f"CAST(conv(substr({h}, 2*i-1, 2), 16, 10) AS INT) + 1)))"
+    )
+
+
+def _greedy_merge(syms: list, a: str, b: str) -> list:
+    """Left-to-right greedy single-merge application — the Python twin
+    of the distributed ``aggregate`` HOF ('aaaa' + (a,a) -> ['aa','aa'])."""
+    res, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            res.append(a + b)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return res
+
+
+def _learn_bpe_local(
+    vocab: list, n_merges: int
+) -> list:
+    """Classic in-memory BPE training loop over a collected
+    word-frequency dictionary (the production shape for bounded
+    vocabularies — a 32k-merge table is learned in seconds once the
+    types fit the driver). Semantics are EXACTLY the distributed
+    loop's: pair counts weighted by word freq over every adjacent
+    position, arg-max by (count DESC, lhs ASC, rhs ASC) — UTF-8 byte
+    order equals code-point order, so Python string comparison agrees
+    with Spark/DuckDB binary collation — and left-to-right greedy
+    application. ``vocab`` is a list of (symbol_list, freq)."""
+    from collections import Counter
+
+    merges = []
+    words = [(list(s), int(f)) for s, f in vocab]
+    for k in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((k, a, b, int(c)))
+        words = [
+            (_greedy_merge(s, a, b) if len(s) > 1 else s, f) for s, f in words
+        ]
+    return merges
+
+
 def learn_bpe_merges(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
     token_pattern: str = "[a-z]+",
+    byte_level: bool = False,
+    collect_cap: int = 5_000_000,
 ) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
     ``n_merges`` byte-pair merges from corpus word frequencies. Returns
@@ -894,27 +977,70 @@ def learn_bpe_merges(
        iteration unpersisted) so the k-th arg-max does not recompute
        the whole merge chain from the scan.
 
-    Tokens are restricted to the ``token_pattern`` alphabet; the merge
-    literals embedded in the HOF expression are validated against it,
-    so no corpus content reaches SQL text unescaped.
+    Alphabets. Char mode (default): tokens are restricted to the
+    ``token_pattern`` alphabet and the merge literals embedded in the
+    HOF expression are validated against it, so no corpus content
+    reaches SQL text unescaped. Byte mode (``byte_level=True``,
+    GPT-2-style): text is NOT lowercased, ``token_pattern`` may match
+    arbitrary UTF-8 (it is passed as a Column literal, never embedded
+    in SQL text), and each word's UTF-8 bytes are mapped through the
+    fixed ``chr(0x100 + b)`` alphabet — so digits, punctuation, and
+    all non-Latin scripts train correctly, and every merge symbol is
+    SQL-literal-safe by construction.
+
+    Driver-local fast path: a production tokenizer learns 32k-64k
+    merges, and the distributed loop costs ~3 Spark jobs per merge —
+    driver-bound regardless of cluster size. When the word-frequency
+    dictionary fits ``collect_cap`` types (default 5M — a few hundred
+    MB of driver memory; the corpus itself is never collected), the
+    merge table is learned with the classic in-memory loop over the
+    collected dictionary, in exactly the distributed semantics
+    (equality pinned in tests/test_pipeline_ops.py). Pass
+    ``collect_cap=0`` to force the distributed loop for unbounded
+    vocabularies.
     """
     import re as _re
 
-    if _re.search(r"['\\]", token_pattern):
-        raise ValueError(f"token_pattern unsafe for a SQL literal: {token_pattern!r}")
-    doc_words = df.select(
-        F.explode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)")
-        ).alias("word")
-    )
+    if byte_level:
+        doc_words = df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(token_pattern), F.lit(0)
+                )
+            ).alias("word")
+        )
+        sym_col = F.expr(_byte_sym_sql("word"))
+    else:
+        if _re.search(r"['\\]", token_pattern):
+            raise ValueError(
+                f"token_pattern unsafe for a SQL literal: {token_pattern!r}"
+            )
+        doc_words = df.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
+                )
+            ).alias("word")
+        )
+        sym_col = F.split("word", "")
     vocab = (
         doc_words.groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .withColumn("sym", F.split("word", ""))
+        .withColumn("sym", sym_col)
     )
+    spark = df.sparkSession
     merges: list = []
     cached = vocab.persist()
-    cached.count()
+    n_types = cached.count()
+    if collect_cap and n_types <= collect_cap:
+        try:
+            local = [(r["sym"], r["freq"]) for r in cached.select("sym", "freq").collect()]
+        finally:
+            cached.unpersist()
+        merges = _learn_bpe_local(local, n_merges)
+        return spark.createDataFrame(
+            merges, "merge_rank int, lhs string, rhs string, pair_count long"
+        )
     try:
         for k in range(1, n_merges + 1):
             best = (
@@ -971,7 +1097,6 @@ def learn_bpe_merges(
             cached = nxt
     finally:
         cached.unpersist()
-    spark = df.sparkSession
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
     )
@@ -983,6 +1108,7 @@ def bpe_tokenize(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_pattern: str = "[a-z]+",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Tokenize a corpus with a learned BPE merge table
     (:func:`learn_bpe_merges`). Returns (id, tokens array<string>,
@@ -1008,10 +1134,15 @@ def bpe_tokenize(
     pair that an EARLIER rank consumes, the lowest-rank-present loop
     applies that earlier merge where strict in-learned-order
     application would not — supply tables in true learned order.
+
+    ``byte_level=True`` tokenizes in :func:`learn_bpe_merges`'s byte
+    mode: no lowercasing, arbitrary ``token_pattern`` (passed as a
+    Column literal), words seeded from the ``chr(0x100 + b)``
+    byte-symbol alphabet — pair with a byte-level merge table.
     """
     import re as _re
 
-    if _re.search(r"['\\]", token_pattern):
+    if not byte_level and _re.search(r"['\\]", token_pattern):
         raise ValueError(f"token_pattern unsafe for a SQL literal: {token_pattern!r}")
     merges = [
         (r["lhs"], r["rhs"])
@@ -1023,7 +1154,7 @@ def bpe_tokenize(
     def apply_bpe(col: pd.Series) -> pd.Series:
         out = []
         for w in col:
-            syms = list(w)
+            syms = byte_syms(w) if byte_level else list(w)
             while len(syms) > 1:
                 best = None
                 for i in range(len(syms) - 1):
@@ -1049,15 +1180,22 @@ def bpe_tokenize(
             out.append(syms)
         return pd.Series(out)
 
-    words_expr = f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
+    if byte_level:
+        words_col = F.regexp_extract_all(
+            F.col(text_col), F.lit(token_pattern), F.lit(0)
+        )
+    else:
+        words_col = F.expr(
+            f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
+        )
     vocab_tok = (
-        df.select(F.explode(F.expr(words_expr)).alias("word"))
+        df.select(F.explode(words_col).alias("word"))
         .distinct()
         .withColumn("__toks", apply_bpe("word"))
     )
     doc_words = df.select(
         F.col(id_col),
-        F.posexplode(F.expr(words_expr)).alias("__wi", "word"),
+        F.posexplode(words_col).alias("__wi", "word"),
     )
     per_doc = (
         doc_words.join(vocab_tok, "word")
