@@ -4320,3 +4320,55 @@ def test_phash_band_pair_keys_guarantee_and_occupancy(spark):
     assert (1, 2) in got and (1, 3) not in got
     v = hamming_verify(df, pairs, max_dist=6).collect()
     assert {(r["id_a"], r["id_b"], r["hamming"]) for r in v} == {(1, 2, 6)}
+
+
+def test_phash_bands_per_key_auto_rule():
+    """VERDICT r12 item 4: the auto-selection rule pins the documented
+    occupancy cliff — single bands to 50k hashed assets (BASELINE.md's
+    50k single-band run blew up to 38.6M candidates), pair keys past."""
+    from vinum_spark.operators.similarity import (
+        _PHASH_SINGLE_BAND_MAX,
+        phash_bands_per_key,
+    )
+
+    assert _PHASH_SINGLE_BAND_MAX == 50_000
+    assert phash_bands_per_key(0) == 1
+    assert phash_bands_per_key(50_000) == 1
+    assert phash_bands_per_key(50_001) == 2
+    assert phash_bands_per_key(500_000) == 2
+
+
+def test_phash_candidate_pairs_auto_matches_explicit(spark):
+    """Default (auto) bands_per_key on a small corpus counts the
+    hashed rows, picks single bands, and returns EXACTLY the explicit
+    bands_per_key=1 candidate set; NULL hashes are excluded before the
+    count (so they can't tip the threshold)."""
+    from vinum_spark.operators.similarity import phash_candidate_pairs
+
+    rs = __import__("numpy").random.RandomState(7)
+    to_signed = lambda v: int(v - (1 << 64)) if v >= 1 << 63 else int(v)
+    rows = []
+    for i in range(200):
+        h = int(rs.randint(0, 1 << 32)) << 32 | int(rs.randint(0, 1 << 32))
+        rows.append((i, to_signed(h)))
+        if i % 10 == 0:  # plant a distance-1 twin
+            rows.append((i + 1000, to_signed(h ^ 1)))
+    rows.append((9999, None))
+    df = spark.createDataFrame(rows, "asset_id long, phash long")
+    auto = {(r["id_a"], r["id_b"])
+            for r in phash_candidate_pairs(df).collect()}
+    exp1 = {(r["id_a"], r["id_b"])
+            for r in phash_candidate_pairs(df, bands_per_key=1).collect()}
+    assert auto == exp1
+    for i in range(0, 200, 10):  # every planted twin is a candidate
+        assert (i, i + 1000) in auto
+
+
+def test_phash_candidate_pairs_rejects_bad_knob(spark):
+    import pytest
+
+    from vinum_spark.operators.similarity import phash_candidate_pairs
+
+    df = spark.createDataFrame([(1, 5)], "asset_id long, phash long")
+    with pytest.raises(ValueError, match="bands_per_key"):
+        phash_candidate_pairs(df, bands_per_key=3)

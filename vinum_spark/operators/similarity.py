@@ -868,12 +868,26 @@ def ivfpq_topk(
     )
 
 
+#: Corpus-size threshold for single-band pHash LSH keys: at the default
+#: 8 bands, 8-bit keys hold ~corpus/256 rows each and in-bucket pair
+#: enumeration is quadratic — BASELINE.md's occupancy table measured a
+#: 50k-asset corpus blowing up to 38.6M candidates single-band vs 0.5M
+#: with pair keys. Auto-selection switches to pair keys past this.
+_PHASH_SINGLE_BAND_MAX = 50_000
+
+
+def phash_bands_per_key(n_rows: int) -> int:
+    """The ``bands_per_key`` auto-selection rule: single bands up to
+    ``_PHASH_SINGLE_BAND_MAX`` hashed assets, band PAIRS past it."""
+    return 1 if n_rows <= _PHASH_SINGLE_BAND_MAX else 2
+
+
 def phash_candidate_pairs(
     df: DataFrame,
     hash_col: str = "phash",
     id_col: str = "asset_id",
     n_bands: int = 8,
-    bands_per_key: int = 1,
+    bands_per_key: Optional[int] = None,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded hamming LSH over a 64-bit
     perceptual hash (``multimodal.phash_images``) — the bit-exact
@@ -895,13 +909,22 @@ def phash_candidate_pairs(
     explode, and the pigeonhole guarantee holds for d <= n_bands - 2
     (distance d damages at most d bands, leaving >= 2 intact bands
     that form one shared pair key — d <= 6 at the defaults, still
-    above ``hamming_verify``'s typical max_dist of 4). Use 2 for
-    corpora past ~100k assets; the same trade continues (3 bands per
-    key, d <= n_bands - 3) if ever needed.
+    above ``hamming_verify``'s typical max_dist of 4). The same trade
+    continues (3 bands per key, d <= n_bands - 3) if ever needed.
+
+    DEFAULT (``bands_per_key=None``) auto-selects from a corpus count
+    (:func:`phash_bands_per_key`: single bands to 50k hashed assets,
+    pair keys past — the documented occupancy cliff), removing the
+    foot-gun of running a 500k corpus on single-band keys. The count
+    requires materializing the (id, hash) projection, so auto mode
+    persists it (~16 B/row — 8 MB per 500k assets) and builds the
+    banded self-join from the cached copy; an upstream decode
+    (``phash_images`` is a Python stage) therefore runs ONCE, not
+    twice. Pass an explicit 1 or 2 to skip the count and the cache.
     """
     if 64 % n_bands:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
-    if bands_per_key not in (1, 2):
+    if bands_per_key not in (None, 1, 2):
         raise ValueError(f"bands_per_key must be 1 or 2, got {bands_per_key}")
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1 if band_bits < 64 else -1
@@ -911,6 +934,9 @@ def phash_candidate_pairs(
         df.filter(F.col(hash_col).isNotNull()).select(id_col, hash_col),
         id_col,
     )
+    if bands_per_key is None:
+        base = base.persist()
+        bands_per_key = phash_bands_per_key(base.count())
 
     def band_key(b):
         return (
