@@ -27,8 +27,13 @@ Output rows must scale ~M (same per-copy results, M disjoint time
 ranges); wall should scale ~linearly with input, NOT superlinearly —
 superlinear wall would mean state is accumulating across batches.
 
-Usage: python tools/scale_streaming.py [--quick]
+Usage: python tools/scale_streaming.py [--quick] [--rocksdb]
   --quick: M=1 and M=10 only (the full run adds M=100).
+  --rocksdb: run every drain under the RocksDB state-store provider
+    (``state_store='rocksdb'``) — the production knob once stream
+    state outgrows executor heap. Row counts must match the default
+    provider's runs exactly; wall overhead is the RocksDB
+    changelog/snapshot commit cost.
 Writes corpora under /tmp/evscale/ and prints one JSON line per M.
 """
 
@@ -101,6 +106,7 @@ def main() -> None:
     spark = get_spark("evscale")
     spark.sparkContext.setLogLevel("ERROR")
     seq = [0]
+    store = "rocksdb" if "--rocksdb" in sys.argv[1:] else None
 
     ms = (1, 10) if "--quick" in sys.argv[1:] else (1, 10, 100)
     for m in ms:
@@ -113,7 +119,8 @@ def main() -> None:
                 spark, path, max_files_per_trigger=FILES_PER_COPY
             )
             run_stream_to_memory(
-                tumbling_counts(stream), name, state_partitions=8
+                tumbling_counts(stream), name, state_partitions=8,
+                state_store=store,
             )
             return spark.table(name).count()
 
@@ -131,7 +138,8 @@ def main() -> None:
                 within="30 minutes",
             )
             run_stream_to_memory(
-                joined, name, mode="append", state_partitions=8
+                joined, name, mode="append", state_partitions=8,
+                state_store=store,
             )
             return spark.table(name).count()
 
@@ -144,6 +152,7 @@ def main() -> None:
             json.dumps(
                 {
                     "m": m,
+                    "state_store": store or "default",
                     "micro_batches": m,
                     "tumbling_wall_s": wall_t,
                     "tumbling_rows": int(rows_t),

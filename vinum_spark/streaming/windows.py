@@ -273,6 +273,7 @@ def run_stream_to_memory(
     mode: str = "complete",
     idle_timeout: float = 600.0,
     state_partitions: Optional[int] = None,
+    state_store: Optional[str] = None,
 ) -> None:
     """Drain all available input into an in-memory sink (testing helper).
 
@@ -284,6 +285,15 @@ def run_stream_to_memory(
     gates run 8 (measured 3x wall on the stream-stream join vs the
     batch default 32), a real high-rate deployment raises it. The
     session conf is restored right after ``start()``.
+
+    ``state_store``: state-store provider for THIS query — ``None``
+    keeps the session default (Spark's HDFS-backed in-memory map),
+    ``"rocksdb"`` selects the bundled ``RocksDBStateStoreProvider``,
+    the production knob once stream state outgrows executor heap
+    (state lives off-heap in RocksDB with changelog/snapshot files in
+    the checkpoint; spills instead of OOMing). Results are
+    provider-independent — parity is pinned in
+    tests/test_streaming.py and measured at scale in BASELINE.md.
 
     Termination contract: under ``ProcessingTimeTimeout`` Spark's
     stateful exec reports "should run another batch" unconditionally, so
@@ -307,24 +317,58 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
     )
     q = _start_with_state_partitions(
-        stream_df.sparkSession, writer, state_partitions
+        stream_df.sparkSession, writer, state_partitions, state_store
     )
     _drain(q, table_name, idle_timeout)
 
 
-def _start_with_state_partitions(spark, writer, state_partitions):
-    """Start a streaming writer under a temporarily-overridden
-    ``spark.sql.shuffle.partitions`` (the query pins the value at
-    start; the session conf is restored immediately after)."""
-    if state_partitions is None:
+#: providerClass values for ``state_store`` (None = session default).
+_STATE_STORE_PROVIDERS = {
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+}
+
+
+def _start_with_state_partitions(
+    spark, writer, state_partitions, state_store=None
+):
+    """Start a streaming writer under temporarily-overridden
+    per-query state confs (``spark.sql.shuffle.partitions`` and/or
+    ``spark.sql.streaming.stateStore.providerClass`` — both are pinned
+    by the query at start; the session conf is restored immediately
+    after)."""
+    overrides = {}
+    if state_partitions is not None:
+        overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
+    if state_store is not None:
+        try:
+            provider = _STATE_STORE_PROVIDERS[state_store]
+        except KeyError:
+            raise ValueError(
+                f"state_store must be one of "
+                f"{sorted(_STATE_STORE_PROVIDERS)} or None, "
+                f"got {state_store!r}"
+            ) from None
+        overrides["spark.sql.streaming.stateStore.providerClass"] = provider
+    if not overrides:
         return writer.start()
-    key = "spark.sql.shuffle.partitions"
-    saved = spark.conf.get(key)
-    spark.conf.set(key, str(state_partitions))
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
     try:
         return writer.start()
     finally:
-        spark.conf.set(key, saved)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def run_stream_to_parquet(
@@ -333,6 +377,7 @@ def run_stream_to_parquet(
     checkpoint: str,
     idle_timeout: float = 600.0,
     state_partitions: Optional[int] = None,
+    state_store: Optional[str] = None,
 ) -> None:
     """Drain all available input into a parquet directory sink.
 
@@ -340,8 +385,9 @@ def run_stream_to_parquet(
     checkpointed file-sink commit log (restarting with the same
     ``checkpoint`` resumes instead of duplicating). Parquet sinks
     support append mode only — use windowed/watermarked transforms
-    whose finalized results append. Same bounded-drain and
-    ``state_partitions`` sizing contract as ``run_stream_to_memory``.
+    whose finalized results append. Same bounded-drain,
+    ``state_partitions``, and ``state_store`` contract as
+    ``run_stream_to_memory``.
     """
     writer = (
         stream_df.writeStream.format("parquet")
@@ -351,6 +397,6 @@ def run_stream_to_parquet(
         .trigger(availableNow=True)
     )
     q = _start_with_state_partitions(
-        stream_df.sparkSession, writer, state_partitions
+        stream_df.sparkSession, writer, state_partitions, state_store
     )
     _drain(q, path, idle_timeout)
