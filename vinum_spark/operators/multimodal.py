@@ -2815,9 +2815,16 @@ def _flac_subframe(br: "_FlacBits", blocksize: int, bps: int):
         coefs = [br.read_signed(prec) for _ in range(order)]
         resid = _flac_residual(br, blocksize, order)
         hist = list(warm)
+        # wrap each sample into int64 two's complement: conforming
+        # streams never leave the range, but a HOSTILE lpc frame can
+        # feed its own predictions back until Python's bignums outgrow
+        # np.int64 (found by the never-raise fuzz suite) — a fixed-
+        # width C decoder would wrap, so wrap.
+        u64, i63 = (1 << 64) - 1, 1 << 63
         for r in resid:
             pred = sum(c * h for c, h in zip(coefs, reversed(hist[-order:])))
-            hist.append((pred >> shift) + r)
+            v = ((pred >> shift) + r) & u64
+            hist.append(v - (1 << 64) if v >= i63 else v)
         samples = np.asarray(hist, dtype=np.int64)
     else:
         raise _FlacEof  # reserved subframe type
