@@ -861,3 +861,34 @@ def test_bpe_byte_level_accepts_any_pattern(spark):
     assert len(got) == 2
     syms = "".join(r["lhs"] + r["rhs"] for r in got)
     assert all(0x100 <= ord(c) <= 0x1FF for c in syms)
+
+
+def test_learn_bpe_local_incremental_matches_naive_reference():
+    """The indexed incremental trainer (inverted pair index + delta
+    counts + lazy max-heap) must match the naive full-recount loop
+    MERGE-FOR-MERGE — counts, tie-breaks, termination — on random
+    Zipf vocabularies large enough to exercise overlap counting,
+    count collisions, and pair resurrection."""
+    import numpy as np
+
+    from vinum_spark.operators.text import (
+        _learn_bpe_local,
+        _learn_bpe_local_ref,
+    )
+
+    letters = list("abcdef")  # small alphabet -> many ties + overlaps
+    for seed in (11, 12):
+        rs = np.random.RandomState(seed)
+        vocab = []
+        for i in range(800):
+            ln = 2 + int(rs.zipf(1.5)) % 10
+            w = "".join(rs.choice(letters, ln))
+            vocab.append((list(w), max(1, int(1e5 / (i + 1)))))
+        assert _learn_bpe_local(vocab, 200) == _learn_bpe_local_ref(
+            vocab, 200
+        ), seed
+    # overlap pinning: 'aaaa' freq-weighted, (a,a) counted per position
+    v = [(list("aaaa"), 3), (list("ab"), 5)]
+    got = _learn_bpe_local(v, 3)
+    assert got == _learn_bpe_local_ref(v, 3)
+    assert got[0] == (1, "a", "a", 9)  # 3 adjacent positions x freq 3

@@ -915,18 +915,12 @@ def _greedy_merge(syms: list, a: str, b: str) -> list:
     return res
 
 
-def _learn_bpe_local(
-    vocab: list, n_merges: int
-) -> list:
-    """Classic in-memory BPE training loop over a collected
-    word-frequency dictionary (the production shape for bounded
-    vocabularies — a 32k-merge table is learned in seconds once the
-    types fit the driver). Semantics are EXACTLY the distributed
-    loop's: pair counts weighted by word freq over every adjacent
-    position, arg-max by (count DESC, lhs ASC, rhs ASC) — UTF-8 byte
-    order equals code-point order, so Python string comparison agrees
-    with Spark/DuckDB binary collation — and left-to-right greedy
-    application. ``vocab`` is a list of (symbol_list, freq)."""
+def _learn_bpe_local_ref(vocab: list, n_merges: int) -> list:
+    """Reference (naive) in-memory BPE loop: full pair recount + full
+    vocabulary rescan per merge — O(n_merges x total positions), kept
+    ONLY as the differential-test twin of :func:`_learn_bpe_local`
+    (same semantics, unmistakably correct, ~300 ms/merge at 50k
+    types where the indexed loop runs ~1 ms/merge)."""
     from collections import Counter
 
     merges = []
@@ -943,6 +937,85 @@ def _learn_bpe_local(
         words = [
             (_greedy_merge(s, a, b) if len(s) > 1 else s, f) for s, f in words
         ]
+    return merges
+
+
+def _learn_bpe_local(vocab: list, n_merges: int) -> list:
+    """Classic in-memory BPE training loop over a collected
+    word-frequency dictionary (the production shape for bounded
+    vocabularies), in the INDEXED incremental formulation every real
+    tokenizer trainer uses (Sennrich's learn_bpe.py, HF tokenizers):
+
+    - a pair->word-index inverted index, so applying merge k touches
+      only the words that actually contain the pair (the naive loop
+      rescans the whole vocabulary — ~300 ms/merge at 50k types);
+    - per-word DELTA updates to the pair-count table (old adjacent
+      pair multiset vs new — exact under overlap counting, because the
+      word's full multiset is recomputed, not patched positionally);
+    - arg-max via a lazy max-heap keyed (-count, lhs, rhs): every
+      count change pushes a fresh entry, pops discard entries whose
+      count no longer matches the live table. The heap ordering IS the
+      distributed loop's tie-break (count DESC, lhs ASC, rhs ASC) —
+      UTF-8 byte order equals code-point order, so Python string
+      comparison agrees with Spark/DuckDB binary collation.
+
+    Semantics are EXACTLY the distributed loop's and the naive
+    reference's (:func:`_learn_bpe_local_ref`, differential-pinned in
+    tests): pair counts weighted by word freq over every adjacent
+    position, left-to-right greedy application. ``vocab`` is a list of
+    (symbol_list, freq). 32k merges over a 50k-type vocabulary run in
+    ~30 s (vs ~3 h naive); see BASELINE.md for the measured curve.
+    """
+    import heapq
+    from collections import Counter
+
+    words = [[list(s), int(f)] for s, f in vocab]
+    pair_counts: Counter = Counter()
+    pair_words: dict = {}
+    for idx, (syms, f) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += f
+            pair_words.setdefault(p, set()).add(idx)
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges = []
+    for k in range(1, n_merges + 1):
+        while heap:  # discard stale entries (count changed since push)
+            negc, a, b = heap[0]
+            if pair_counts.get((a, b), 0) == -negc:
+                break
+            heapq.heappop(heap)
+        if not heap:
+            break
+        negc, a, b = heapq.heappop(heap)
+        merges.append((k, a, b, -negc))
+        changed: Counter = Counter()
+        for idx in pair_words.pop((a, b), ()):
+            syms, f = words[idx]
+            old = Counter(zip(syms, syms[1:]))
+            new_syms = _greedy_merge(syms, a, b)
+            new = Counter(zip(new_syms, new_syms[1:]))
+            words[idx][0] = new_syms
+            for p in old.keys() | new.keys():
+                d = new[p] - old[p]
+                if d:
+                    changed[p] += d * f
+                if new[p] == 0:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(idx)
+                elif old[p] == 0:
+                    pair_words.setdefault(p, set()).add(idx)
+        # greedy application leaves no adjacent (a, b) anywhere
+        del pair_counts[(a, b)]
+        changed.pop((a, b), None)
+        for p, d in changed.items():
+            nc = pair_counts.get(p, 0) + d
+            if nc > 0:
+                pair_counts[p] = nc
+                heapq.heappush(heap, (-nc, p[0], p[1]))
+            else:
+                pair_counts.pop(p, None)
     return merges
 
 
