@@ -93,6 +93,22 @@ def main() -> None:
     names = list(QUERIES) if bench_all else HEADLINE
     n_timed = 3 if bench_all else 5
 
+    # JVM-wide warm-up: whichever query runs FIRST absorbs the
+    # whole-stage-codegen compiler, parquet vectorized-reader, and
+    # noop-sink class loading in its timed runs otherwise — observed
+    # on q01 (always first): timed medians of 0.9 s on a fresh JVM
+    # vs 0.55 s steady-state, with raw runs still decaying through
+    # run 5. Three untimed passes of the first query (plus its own
+    # per-query warm-up below) put its timed runs on the same
+    # mid-session footing every other query already enjoys.
+    for _ in range(3):
+        try:
+            QUERIES[names[0]].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            break  # the per-query loop will record the error
+
     timings = {}
     raw_runs = {}
     errors = {}

@@ -84,6 +84,7 @@ GATED = [
     "q90_bpe_byte_merges",
     "q91_bpe_byte_tokenize",
     "q92_tokenizer_pipeline",
+    "q93_bpe_token_ids",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible

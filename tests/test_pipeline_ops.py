@@ -892,3 +892,45 @@ def test_learn_bpe_local_incremental_matches_naive_reference():
     got = _learn_bpe_local(v, 3)
     assert got == _learn_bpe_local_ref(v, 3)
     assert got[0] == (1, "a", "a", 9)  # 3 adjacent positions x freq 3
+
+
+def test_bpe_vocab_and_encode_ids(spark):
+    """GPT-2 vocab layout: ids 0-255 = base byte symbols, merge rank k
+    mints id 255+k, size exactly 256+n_merges; encode_ids is lossless
+    (no OOV by construction) and unmapping the id sequence through the
+    vocab reproduces the exact UTF-8 bytes of the document's words."""
+    from vinum_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_tokenize,
+        bpe_vocab,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Hello WORLD 123"), (2, "naïve café δίκτυο"), (3, None)],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe_merges(
+        docs, n_merges=5, byte_level=True, token_pattern="[^ ]+"
+    )
+    vocab = {r["token"]: r["token_id"] for r in bpe_vocab(merges).collect()}
+    assert len(vocab) == 256 + 5
+    assert vocab["š"] == ord("a")  # chr(0x100 + 0x61)
+    assert sorted(vocab.values()) == list(range(256 + 5))
+
+    toks = bpe_tokenize(
+        docs, merges, id_col="doc_id", byte_level=True, token_pattern="[^ ]+"
+    )
+    enc = {
+        r["doc_id"]: (r["token_ids"], r["n_tokens"])
+        for r in bpe_encode_ids(toks, merges).collect()
+    }
+    inv = {v: k for k, v in vocab.items()}
+    for doc_id, text in [(1, "Hello WORLD 123"), (2, "naïve café δίκτυο")]:
+        ids, n = enc[doc_id]
+        assert n == len(ids) > 0
+        back = bytes(
+            ord(c) - 0x100 for i in ids for c in inv[i]
+        ).decode("utf-8")
+        assert back == text.replace(" ", "")
+    assert enc[3] == ([], 0)

@@ -128,13 +128,29 @@ def main() -> None:
             # round-12: BPE training — one corpus-sized word shuffle,
             # then 8 vocab-table iterations; the [a-z]+ alphabet
             # collapses the '~k' salts back to base words, so vocab
-            # stays ~constant while the corpus scan scales with M
-            return X.learn_bpe_merges(corpus, n_merges=8).count()
+            # stays ~constant while the corpus scan scales with M.
+            # collect_cap=0 pins the DISTRIBUTED loop (the r12 row's
+            # semantics) — the default fast path would collect the
+            # vocab and skip the per-merge Spark jobs entirely.
+            return X.learn_bpe_merges(
+                corpus, n_merges=8, collect_cap=0
+            ).count()
+
+        def tokenize():
+            # round-13: full-corpus tokenization with a fast-path-
+            # trained table — the end-to-end q89/q91 shape. Python
+            # rank-loop cost scales with DISTINCT words (~constant
+            # here); the corpus pays explode + word equi-join +
+            # ordered reassembly, so wall should scale ~M.
+            merges = X.learn_bpe_merges(corpus, n_merges=8)
+            toks = X.bpe_tokenize(corpus, merges, id_col="doc_id")
+            return toks.agg(F.sum("n_tokens")).collect()[0][0]
 
         n = 3 if m <= 10 else 1
         wall_w, pairs = timed(winnow, n=n, warm=m <= 10)
         wall_d, hits = timed(decon, n=n, warm=m <= 10)
         wall_b, n_merges = timed(bpe, n=n, warm=m <= 10)
+        wall_t, n_tokens = timed(tokenize, n=n, warm=m <= 10)
         print(
             json.dumps(
                 {
@@ -146,6 +162,8 @@ def main() -> None:
                     "contaminated_docs": int(hits),
                     "bpe_wall_s": wall_b,
                     "bpe_merges": int(n_merges),
+                    "tokenize_wall_s": wall_t,
+                    "tokens": int(n_tokens),
                 }
             ),
             flush=True,

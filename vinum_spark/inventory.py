@@ -4373,6 +4373,95 @@ def q92(spark, sf_dir):
     )
 
 
+#: q93's id-mapping tail: ids 0-255 for the 256 base byte symbols
+#: (chr(256 + b) in DuckDB = the chr(0x100 + b) alphabet), merge rank
+#: k mints lhs||rhs with id 255 + k straight from the chain's best{k}
+#: CTEs — the GPT-2 vocab layout bpe_vocab implements.
+_Q93_FINAL_SQL = (
+    """vtok AS MATERIALIZED (
+  SELECT word, unnest(range(1, len(sym) + 1)) AS si, unnest(sym) AS tok
+  FROM vocab8),
+ids AS MATERIALIZED (
+  SELECT chr(CAST(256 + r AS INT)) AS tok, CAST(r AS INT) AS tid
+  FROM range(256) t(r)
+"""
+    + "".join(
+        f"  UNION ALL SELECT a || b, CAST({255 + k} AS INT) FROM best{k}\n"
+        for k in range(1, 9)
+    )
+    + """),
+vids AS MATERIALIZED (
+  SELECT v.word,
+         string_agg(CAST(i.tid AS VARCHAR), ' ' ORDER BY v.si) AS idstr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM vtok v JOIN ids i ON i.tok = v.tok
+  GROUP BY v.word),
+tokid AS MATERIALIZED (
+  SELECT d.doc_id, CAST(sum(vids.n) AS BIGINT) AS n_tokens,
+         md5(string_agg(vids.idstr, ' ' ORDER BY d.wi)) AS ids_md5
+  FROM docw d JOIN vids ON vids.word = d.word
+  GROUP BY d.doc_id)
+SELECT doc.doc_id,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(t.ids_md5, md5('')) AS ids_md5
+FROM documents doc LEFT JOIN tokid t ON t.doc_id = doc.doc_id
+ORDER BY doc.doc_id"""
+)
+
+
+@_q(
+    "q93_bpe_token_ids",
+    _q89_oracle(
+        base=_q88_oracle(
+            8, words_from=_BPE_BYTE_WORDS_FROM, sym_expr=_DUCK_BYTE_SYM
+        ),
+        doc_ws_sql=(
+            f"SELECT doc_id, regexp_extract_all({_BPE_AUG_SQL}, '[^ ]+') AS ws"
+            " FROM documents"
+        ),
+        final_sql=_Q93_FINAL_SQL,
+    ).replace(
+        # final_sql opens with another CTE (same patch as q92)
+        "GROUP BY d.doc_id)\nvtok AS",
+        "GROUP BY d.doc_id),\nvtok AS",
+    ),
+    "TOKEN-ID encoding of the byte-level BPE corpus (bpe_vocab + "
+    "bpe_encode_ids): the GPT-2 vocab layout — ids 0-255 are the 256 "
+    "base byte symbols, merge rank k mints id 255+k, vocab size "
+    "exactly 256+n_merges with NO unknown token (any UTF-8 input "
+    "decomposes into base bytes, so the inner vocab join is lossless "
+    "by construction). The corpus pays one posexplode + a broadcast "
+    "join against the 264-row vocabulary + ordered reassembly; the "
+    "md5-of-id-sequence oracle re-derives every id in SQL from the "
+    "chain's own best{k} merge CTEs, so a drift in id assignment, "
+    "token order, or vocab coverage hash-mismatches.",
+)
+def q93(spark, sf_dir):
+    from vinum_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_tokenize,
+        learn_bpe_merges,
+    )
+
+    docs = _bpe_aug(_t(spark, sf_dir, "documents"))
+    merges = learn_bpe_merges(
+        docs, n_merges=8, byte_level=True, token_pattern="[^ ]+"
+    )
+    toks = bpe_tokenize(
+        docs, merges, id_col="doc_id", byte_level=True, token_pattern="[^ ]+"
+    )
+    enc = bpe_encode_ids(toks, merges, id_col="doc_id")
+    return enc.select(
+        "doc_id",
+        F.col("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.expr("transform(token_ids, i -> CAST(i AS STRING))")
+            )
+        ).alias("ids_md5"),
+    ).orderBy("doc_id")
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 84 registered, thirty-four fall
 #: outside it (q81 promoted into q62's slot in the r10 third wave,

@@ -1290,3 +1290,72 @@ def bpe_tokenize(
             F.size(toks).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def bpe_vocab(merges_df: DataFrame) -> DataFrame:
+    """Token-id vocabulary from a BYTE-LEVEL learned merge table, in
+    the GPT-2 layout every production tokenizer ships: ids 0-255 are
+    the 256 base byte symbols (``chr(0x100 + b)`` maps byte b to id
+    b), and merge rank k mints token ``lhs || rhs`` with id 255 + k —
+    vocab size is exactly 256 + n_merges, no unknown token needed
+    (any UTF-8 input decomposes into base bytes). Byte mode only:
+    char-mode tables have no fixed base alphabet to assign stable ids
+    over. Returns (token string, token_id int), one row per vocab
+    entry — 256 + n_merges rows, always broadcastable.
+    """
+    spark = merges_df.sparkSession
+    base = spark.range(256).select(
+        F.expr(
+            "element_at(array("
+            + ",".join(f"'{chr(_BYTE_SYM_BASE + b)}'" for b in range(256))
+            + "), CAST(id AS INT) + 1)"
+        ).alias("token"),
+        F.col("id").cast("int").alias("token_id"),
+    )
+    merged = merges_df.select(
+        F.concat("lhs", "rhs").alias("token"),
+        (F.col("merge_rank") + 255).cast("int").alias("token_id"),
+    )
+    return base.unionByName(merged)
+
+
+def bpe_encode_ids(
+    tokens_df: DataFrame,
+    merges_df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Map a tokenized corpus (``bpe_tokenize`` byte-mode output:
+    id, tokens array<string>) to token-ID sequences with the
+    :func:`bpe_vocab` table — the actual array<int> a training
+    pipeline feeds the model. The join side is the vocabulary
+    (256 + n_merges rows, broadcast by AQE); the corpus pays one
+    posexplode + equi-join + ordered reassembly, the same 100 TB
+    shape as ``bpe_tokenize`` itself. Every token is in-vocab by
+    construction (byte-level has no OOV), so the inner join is
+    lossless; empty docs keep empty sequences. Returns (id,
+    token_ids array<int>, n_tokens long).
+    """
+    vocab = bpe_vocab(merges_df)
+    exploded = tokens_df.select(
+        F.col(id_col), F.posexplode("tokens").alias("__ti", "token")
+    )
+    per_doc = (
+        exploded.join(F.broadcast(vocab), "token")
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__ti, token_id))),"
+                " s -> s.token_id)"
+            ).alias("token_ids")
+        )
+    )
+    ids = F.coalesce("token_ids", F.array().cast("array<int>"))
+    return (
+        tokens_df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            ids.alias("token_ids"),
+            F.size(ids).cast("bigint").alias("n_tokens"),
+        )
+    )
