@@ -4463,9 +4463,10 @@ def q93(spark, sf_dir):
 
 
 #: The round driver's correctness gate records only the FIRST 50
-#: entries of ``queries()``; with 84 registered, thirty-four fall
+#: entries of ``queries()``; with 92 registered, forty-two fall
 #: outside it (q81 promoted into q62's slot in the r10 third wave,
-#: q83 into q43's in r11). Order the export so the operator classes with the least
+#: q83 into q43's in r11; q86-q89 into q34/q24/q17/q49's in r13).
+#: Order the export so the operator classes with the least
 #: other coverage sit inside the gate: the streaming/multimodal/pipeline
 #: additions (q51-q78) take the slots of queries each subsumed by
 #: other green gates — q20/q44/q45 (set-ops by the golden suite,
