@@ -4372,3 +4372,37 @@ def test_phash_candidate_pairs_rejects_bad_knob(spark):
     df = spark.createDataFrame([(1, 5)], "asset_id long, phash long")
     with pytest.raises(ValueError, match="bands_per_key"):
         phash_candidate_pairs(df, bands_per_key=3)
+
+
+def test_float_wav_nan_payload_sanitized():
+    """A float32 WAV whose payload encodes NaN/inf bit patterns must
+    decode to FINITE samples in [-1, 1] (NaN -> 0, inf -> the clip
+    rails) — corrupt floats must not leak NaN into envelope/RMS
+    stats. Signaling-NaN patterns also must not warn on the cast."""
+    import struct
+    import warnings
+
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import _wav_pcm_samples
+
+    vals = np.array(
+        [0.5, float("nan"), float("inf"), -float("inf"), -0.25],
+        dtype="<f4",
+    )
+    payload = vals.tobytes() + struct.pack("<I", 0x7F800001)  # sNaN
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = _wav_pcm_samples(wav)
+    assert out is not None
+    samples = out[0]
+    assert np.isfinite(samples).all()
+    assert samples.min() >= -1.0 and samples.max() <= 1.0
+    assert samples[0] == np.float32(0.5) and samples[1] == 0.0
+    assert samples[2] == 1.0 and samples[3] == -1.0

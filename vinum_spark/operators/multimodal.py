@@ -3245,17 +3245,22 @@ def _wav_pcm_samples(data: bytes):
         else:
             return None
     elif fmt["format"] == 3:  # IEEE float
+        # hostile payloads can encode NaN/inf bit patterns (signaling
+        # NaNs even warn on the f4->f8 cast); sanitize so corrupt
+        # samples can't leak NaN into downstream envelope/RMS stats —
+        # NaN -> 0, +/-inf -> the [-1, 1] clip rails
         if bits == 32:
-            samples = np.frombuffer(
-                payload[: len(payload) - (len(payload) % 4)], dtype="<f4"
-            ).astype("float64")
+            with np.errstate(invalid="ignore"):
+                samples = np.frombuffer(
+                    payload[: len(payload) - (len(payload) % 4)], dtype="<f4"
+                ).astype("float64")
         elif bits == 64:
             samples = np.frombuffer(
                 payload[: len(payload) - (len(payload) % 8)], dtype="<f8"
             ).astype("float64")
         else:
             return None
-        samples = np.clip(samples, -1.0, 1.0)
+        samples = np.clip(np.nan_to_num(samples, nan=0.0), -1.0, 1.0)
     elif fmt["format"] in (6, 7):  # G.711 A-law / mu-law, 8-bit codes
         if bits not in (0, 8):
             return None
