@@ -1164,8 +1164,18 @@ def learn_bpe_merges(
                   acc -> acc.res)
                 """
             )
-            nxt = cached.withColumn("sym", merged).persist()
-            nxt.count()
+            # localCheckpoint, not persist: persist caches the DATA but
+            # the logical plan still accumulates one giant aggregate-HOF
+            # expression per iteration, and by merge ~60 the driver dies
+            # generating the plan tree (java.lang.OutOfMemoryError in
+            # generateTreeString — observed on the 89-merge exhaustion
+            # run). The eager checkpoint materializes the same data AND
+            # cuts the lineage, so the plan stays one-expression deep at
+            # every k. Old checkpoint blocks are vocab-sized and evicted
+            # LRU; the fast path handles production merge counts anyway.
+            nxt = cached.withColumn("sym", merged).localCheckpoint(
+                eager=True
+            )
             cached.unpersist()
             cached = nxt
     finally:
