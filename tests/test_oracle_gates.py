@@ -78,9 +78,10 @@ GATED = [
     "q87_image_phash_neardup",
     "q88_bpe_merges",
     "q89_bpe_tokenize",
-    # round-13 additions sit first in the tail (outside the driver's
-    # 50-row window) until a future rotation promotes them: byte-level
-    # BPE training/tokenization + the composed tokenizer pipeline
+    # round-13 additions (byte-level BPE training/tokenization, the
+    # composed tokenizer pipeline, token-id encoding) — rotated into
+    # the driver window in the round-13 second rotation; the in-suite
+    # oracle run stays
     "q90_bpe_byte_merges",
     "q91_bpe_byte_tokenize",
     "q92_tokenizer_pipeline",
@@ -128,6 +129,9 @@ GATED = [
     "q34_json_extract",
     "q17_scalar_subquery",
     "q49_streaming_tumbling",
+    # round-13 second rotation: demoted so q90-q93 get driver rows
+    # this round; exact driver oracles run here instead
+    "q39_embedding_neardup_pairs",
 ]
 
 

@@ -4595,6 +4595,25 @@ _DEMOTED_TO_TAIL = (
     "q24_events_sessionize",
     "q17_scalar_subquery",
     "q49_streaming_tumbling",
+    # Round-13 second rotation (same round, ahead of the verdict): the
+    # round-13 additions q90-q93 get driver rows THIS round instead of
+    # waiting a cycle (the q85/q86-q89 pattern, applied eagerly — all
+    # four verified green at sf0.01 by the full in-session sweep).
+    # q90's slot: q26 lang-ID is the CASE-cascade machinery of the
+    # gated q58 quality rules (the exact rationale of its r7-r10
+    # tail stint; it has held a driver row since r11).
+    # q91's slot: q32 sign-LSH ANN steps back out — the ANN family
+    # keeps FOUR gated members (q56 LSH candidates+verify, q77 PQ,
+    # q78 exact knn, q79 IVF-PQ); its recall gate stays in-suite.
+    # q92's slot: q39 exact all-pairs runs the same block-grid BLAS
+    # applyInPandas path as the gated q78 knn_join.
+    # q93's slot: q74 quality-weighted mixing is the md5-threshold
+    # sampling machinery the gate keeps via q59 (stratified), q60
+    # (buckets), q66 (group top-n) and q71 (packing shards).
+    "q26_lang_id",
+    "q32_ann_lsh",
+    "q39_embedding_neardup_pairs",
+    "q74_mixture_sample",
 )
 _PROMOTED = (
     "q51_streaming_sliding",
@@ -4635,6 +4654,10 @@ _PROMOTED = (
     "q87_image_phash_neardup",
     "q88_bpe_merges",
     "q89_bpe_tokenize",
+    "q90_bpe_byte_merges",
+    "q91_bpe_byte_tokenize",
+    "q92_tokenizer_pipeline",
+    "q93_bpe_token_ids",
 )
 
 
