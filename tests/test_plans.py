@@ -369,3 +369,30 @@ def test_aqe_splits_planted_skew_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name", ["q89_bpe_tokenize", "q91_bpe_byte_tokenize", "q93_bpe_token_ids"]
+)
+def test_bpe_tokenize_python_is_vocab_sized_and_broadcast(spark, name):
+    """The tokenizer family's 100 TB contract, pinned in the plan: the
+    pandas rank-loop (ArrowEvalPython) consumes the DISTINCT-word
+    aggregate (its direct child is the distinct HashAggregate — Python
+    never sees corpus-sized data), and its output feeds a
+    BroadcastExchange, so the corpus-side join is a BroadcastHashJoin,
+    never a sort-merge of the exploded corpus against Python output."""
+    import re
+
+    tree = plan_of(spark, name).split("\n\n")[0]
+    sites = list(re.finditer(r"ArrowEvalPython \(\d+\)", tree))
+    assert sites, "expected the rank-loop Python stage in the plan"
+    for m in sites:
+        after = tree[m.end(): m.end() + 200]
+        assert re.match(r"\n[\s:+|-]*HashAggregate", after), (
+            "Python stage must consume the distinct-word aggregate"
+        )
+        before = tree[max(0, m.start() - 250): m.start()]
+        assert "BroadcastExchange" in before, (
+            "Python output must broadcast into the corpus join"
+        )
+    assert "BroadcastHashJoin" in tree
