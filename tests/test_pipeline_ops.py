@@ -934,3 +934,74 @@ def test_bpe_vocab_and_encode_ids(spark):
         ).decode("utf-8")
         assert back == text.replace(" ", "")
     assert enc[3] == ([], 0)
+
+
+def test_bpe_tokenize_map_side_equals_batch(spark):
+    """The streaming-capable pure-projection tokenizer must produce
+    EXACTLY the batch vocab-join operator's tokens, in both alphabets
+    (same Spark-side word extraction, same rank-loop semantics)."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.text import (
+        bpe_tokenize,
+        bpe_tokenize_map_side,
+        learn_bpe_merges,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for kw in (
+        {},
+        {"byte_level": True, "token_pattern": "[^ ]+"},
+    ):
+        merges = learn_bpe_merges(docs, n_merges=8, **kw)
+        want = {
+            r["doc_id"]: (r["tokens"], r["n_tokens"])
+            for r in bpe_tokenize(docs, merges, **kw).collect()
+        }
+        got = {
+            r["doc_id"]: (r["tokens"], r["n_tokens"])
+            for r in bpe_tokenize_map_side(docs, merges, **kw).collect()
+        }
+        assert got == want and len(got) > 0
+
+
+def test_bpe_tokenize_map_side_runs_on_readstream(spark, tmp_path):
+    """Pure projection -> streamable: tokenizing a readStream corpus
+    micro-batch-by-micro-batch lands the same rows the batch path
+    computes (the prepare_corpus map-side streaming contract extended
+    to the tokenizer)."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.text import (
+        bpe_tokenize_map_side,
+        learn_bpe_merges,
+    )
+    from vinum_spark.streaming.windows import run_stream_to_memory
+
+    src = str(tmp_path / "docs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    merges = learn_bpe_merges(docs, n_merges=8)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = bpe_tokenize_map_side(stream, merges).select(
+        "doc_id", F.md5(F.concat_ws(" ", "tokens")).alias("tok_md5"),
+        "n_tokens",
+    )
+    assert out.isStreaming
+    run_stream_to_memory(out, "bpe_stream_out", mode="append")
+    got = spark.table("bpe_stream_out").orderBy("doc_id").toPandas()
+
+    want = (
+        bpe_tokenize_map_side(spark.read.parquet(src), merges)
+        .select(
+            "doc_id", F.md5(F.concat_ws(" ", "tokens")).alias("tok_md5"),
+            "n_tokens",
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert len(got) == len(want) > 0
+    assert got.values.tolist() == want.values.tolist()

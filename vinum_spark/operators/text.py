@@ -1369,3 +1369,81 @@ def bpe_encode_ids(
             F.size(ids).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def bpe_tokenize_map_side(
+    df: DataFrame,
+    merges_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_pattern: str = "[a-z]+",
+    byte_level: bool = False,
+) -> DataFrame:
+    """:func:`bpe_tokenize` as a PURE PROJECTION — no distinct, no
+    join, no shuffle — so it runs on ``readStream`` (streaming corpus
+    ingestion: tokenize micro-batches as they land) and composes with
+    the other map-side stages ``prepare_corpus`` already streams.
+
+    Trade vs :func:`bpe_tokenize`: the batch operator's rank loop runs
+    once per DISTINCT word corpus-wide; here it runs once per distinct
+    word PER EXECUTOR (a process-lifetime cache inside the UDF — the
+    natural-language word distribution is Zipfian, so the cache hit
+    rate approaches the corpus dedup ratio after the first batches).
+    Word extraction stays in Spark (the identical ``regexp_extract_all``
+    expression), so tokens are EXACTLY ``bpe_tokenize``'s — equality is
+    pinned in tests. ``merges_df`` is collected (vocab-bounded), the
+    same contract as the batch operator. Same output schema:
+    (id, tokens array<string>, n_tokens).
+    """
+    import re as _re
+
+    if not byte_level and _re.search(r"['\\]", token_pattern):
+        raise ValueError(f"token_pattern unsafe for a SQL literal: {token_pattern!r}")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    cache: dict = {}
+
+    def word_toks(w: str) -> list:
+        hit = cache.get(w)
+        if hit is not None:
+            return hit
+        syms = byte_syms(w) if byte_level else list(w)
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            syms = _greedy_merge(syms, *merges[best])
+        if len(cache) < 1_000_000:  # bound executor memory
+            cache[w] = syms
+        return syms
+
+    @F.pandas_udf("array<string>")
+    def tokenize_words(col: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [t for w in (ws if ws is not None else []) for t in word_toks(w)]
+                for ws in col
+            ]
+        )
+
+    if byte_level:
+        words_col = F.regexp_extract_all(
+            F.col(text_col), F.lit(token_pattern), F.lit(0)
+        )
+    else:
+        words_col = F.expr(
+            f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
+        )
+    toks = tokenize_words(words_col)
+    return df.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
