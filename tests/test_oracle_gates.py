@@ -86,6 +86,10 @@ GATED = [
     "q91_bpe_byte_tokenize",
     "q92_tokenizer_pipeline",
     "q93_bpe_token_ids",
+    # round-13 third wave: byte-level training under the production
+    # (RE2-safe GPT-2) pre-tokenizer — sits first in the tail until a
+    # future rotation
+    "q94_bpe_gpt2_pretokenize",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible

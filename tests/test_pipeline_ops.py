@@ -1005,3 +1005,40 @@ def test_bpe_tokenize_map_side_runs_on_readstream(spark, tmp_path):
     )
     assert len(got) == len(want) > 0
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_gpt2ish_pattern_cross_engine_and_semantics(spark):
+    """GPT2ISH_SPLIT_PATTERN must (a) split identically in Spark (Java
+    regex) and DuckDB (RE2) — the oracle twin's precondition — and (b)
+    behave like GPT-2 on the cases the docstring claims: contractions
+    split off, single spaces attach to the following word, digit and
+    punctuation runs separate."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.text import GPT2ISH_SPLIT_PATTERN as PAT
+
+    texts = [
+        "It's 2026: naïve café—δίκτυο 数据!!  trailing  spaces ",
+        "a'b don't we'll I've they're x'd",
+        "multi   space\ttab\nnewline",
+        "",
+    ]
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            "SELECT regexp_extract_all(?, ?)", [t, PAT]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r[0]
+        for r in df.select(
+            F.regexp_extract_all("text", F.lit(PAT), F.lit(0))
+        ).collect()
+    ]
+    assert got == duck
+    assert got[1] == ["a", "'", "b", " don", "'t", " we", "'ll",
+                      " I", "'ve", " they", "'re", " x", "'d"]
+    assert got[0][:4] == ["It", "'s", " 2026", ":"]

@@ -4462,8 +4462,49 @@ def q93(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: q94: the production pre-tokenizer, in its RE2-safe variant (GPT-2's
+#: split regex minus the trailing-whitespace lookahead — RE2/DuckDB
+#: supports no lookaround; divergence documented on the constant).
+#: The apostrophe in the pattern doubles for the SQL literal.
+_GPT2ISH_WORDS_FROM = (
+    "SELECT unnest(regexp_extract_all(" + _BPE_AUG_SQL + ", "
+    "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"
+    ")) AS word FROM documents"
+)
+
+
+@_q(
+    "q94_bpe_gpt2_pretokenize",
+    _q88_oracle(
+        8, words_from=_GPT2ISH_WORDS_FROM, sym_expr=_DUCK_BYTE_SYM
+    ),
+    "Byte-level BPE training under the PRODUCTION pre-tokenizer "
+    "(GPT2ISH_SPLIT_PATTERN — GPT-2's split regex in its RE2-safe "
+    "lookahead-free variant): contractions split off ('s/'t/'re/...), "
+    "single spaces attach to the following word (' ?\\p{L}+' before "
+    "'\\s+'), digit runs and punctuation runs tokenize separately, "
+    "and whitespace runs survive as tokens whose space bytes map "
+    "through the same chr(0x100+b) alphabet. Both engines run the "
+    "IDENTICAL regex (Java and RE2 agree on leftmost-first "
+    "alternation and \\p classes — no lookaround used), then the "
+    "8-stage merge chain; a divergence in splitting, space "
+    "attachment, byte mapping, or greedy merging hash-mismatches.",
+)
+def q94(spark, sf_dir):
+    from vinum_spark.operators.text import (
+        GPT2ISH_SPLIT_PATTERN,
+        learn_bpe_merges,
+    )
+
+    docs = _bpe_aug(_t(spark, sf_dir, "documents"))
+    return learn_bpe_merges(
+        docs, n_merges=8, byte_level=True,
+        token_pattern=GPT2ISH_SPLIT_PATTERN,
+    ).orderBy("merge_rank")
+
+
 #: The round driver's correctness gate records only the FIRST 50
-#: entries of ``queries()``; with 92 registered, forty-two fall
+#: entries of ``queries()``; with 93 registered, forty-three fall
 #: outside it (q81 promoted into q62's slot in the r10 third wave,
 #: q83 into q43's in r11; q86-q89 into q34/q24/q17/q49's in r13).
 #: Order the export so the operator classes with the least

@@ -875,6 +875,21 @@ def encode_tokens(
 #: DuckDB oracle recompute it exactly.
 _BYTE_SYM_BASE = 0x100
 
+#: Production pre-tokenizer for byte-level BPE: GPT-2's split regex,
+#: minus its trailing-whitespace negative lookahead — RE2 (DuckDB's
+#: engine, and the oracle twin's) supports no lookaround, and Java
+#: (Spark's engine) agrees with RE2 on everything else here
+#: (leftmost-first alternation, \p{L}/\p{N} classes). Divergence from
+#: true GPT-2: in a run of 2+ spaces before a word, GPT-2 attaches the
+#: LAST space to the word and emits the rest as a whitespace token;
+#: this variant emits the whole run as one whitespace token. Single
+#: spaces between words attach to the following word exactly like
+#: GPT-2 (' ?\p{L}+' is tried before '\s+'). Cross-engine agreement
+#: is pinned in tests and by the q94 oracle gate.
+GPT2ISH_SPLIT_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
 
 def byte_syms(word: str) -> list:
     """Map a string's UTF-8 bytes to the byte-level symbol alphabet."""
