@@ -1042,3 +1042,36 @@ def test_gpt2ish_pattern_cross_engine_and_semantics(spark):
     assert got[1] == ["a", "'", "b", " don", "'t", " we", "'ll",
                       " I", "'ve", " they", "'re", " x", "'d"]
     assert got[0][:4] == ["It", "'s", " 2026", ":"]
+
+
+def test_bpe_tokenize_map_side_emit_ids_equals_encode_ids(spark):
+    """emit_ids=True must produce exactly bpe_encode_ids' id sequences
+    (same GPT-2 vocab layout), stay a pure projection, and reject char
+    mode (no fixed base alphabet to assign ids over)."""
+    from vinum_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_tokenize,
+        bpe_tokenize_map_side,
+        learn_bpe_merges,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = {"byte_level": True, "token_pattern": "[^ ]+"}
+    merges = learn_bpe_merges(docs, n_merges=8, **kw)
+    want = {
+        r["doc_id"]: (r["token_ids"], r["n_tokens"])
+        for r in bpe_encode_ids(
+            bpe_tokenize(docs, merges, **kw), merges
+        ).collect()
+    }
+    got_df = bpe_tokenize_map_side(docs, merges, emit_ids=True, **kw)
+    got = {
+        r["doc_id"]: (r["token_ids"], r["n_tokens"])
+        for r in got_df.collect()
+    }
+    assert got == want and len(got) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="byte_level"):
+        bpe_tokenize_map_side(docs, merges, emit_ids=True)

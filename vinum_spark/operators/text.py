@@ -1393,6 +1393,7 @@ def bpe_tokenize_map_side(
     id_col: str = "doc_id",
     token_pattern: str = "[a-z]+",
     byte_level: bool = False,
+    emit_ids: bool = False,
 ) -> DataFrame:
     """:func:`bpe_tokenize` as a PURE PROJECTION — no distinct, no
     join, no shuffle — so it runs on ``readStream`` (streaming corpus
@@ -1408,16 +1409,27 @@ def bpe_tokenize_map_side(
     expression), so tokens are EXACTLY ``bpe_tokenize``'s — equality is
     pinned in tests. ``merges_df`` is collected (vocab-bounded), the
     same contract as the batch operator. Same output schema:
-    (id, tokens array<string>, n_tokens).
+    (id, tokens array<string>, n_tokens); ``emit_ids=True`` (byte mode
+    only) adds ``token_ids array<int>`` in the :func:`bpe_vocab`
+    GPT-2 layout — equal to :func:`bpe_encode_ids` but computed in the
+    same projection (the id of base symbol b is b, of merge k is
+    255 + k; no join needed), so a streaming ingestion pipeline can
+    land model-ready id sequences directly.
     """
     import re as _re
 
     if not byte_level and _re.search(r"['\\]", token_pattern):
         raise ValueError(f"token_pattern unsafe for a SQL literal: {token_pattern!r}")
+    if emit_ids and not byte_level:
+        raise ValueError("emit_ids requires byte_level=True (bpe_vocab layout)")
     merges = [
         (r["lhs"], r["rhs"])
         for r in merges_df.orderBy("merge_rank").collect()
     ]
+    tok_id = {
+        **{chr(_BYTE_SYM_BASE + b): b for b in range(256)},
+        **{a + b: 256 + k for k, (a, b) in enumerate(merges)},
+    }
     ranks = {pair: i for i, pair in enumerate(merges)}
     cache: dict = {}
 
@@ -1457,8 +1469,19 @@ def bpe_tokenize_map_side(
             f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
         )
     toks = tokenize_words(words_col)
-    return df.select(
+    out = df.select(
         F.col(id_col),
         toks.alias("tokens"),
         F.size(toks).cast("bigint").alias("n_tokens"),
     )
+    if emit_ids:
+        # every token is in-vocab by construction (byte-level has no
+        # OOV), so the dict lookup is total; a pandas UDF over the
+        # collected vocab keeps this a pure projection (streams fine)
+        # without embedding a 256+n_merges map literal in the plan
+        @F.pandas_udf("array<int>")
+        def ids_of(col: pd.Series) -> pd.Series:
+            return pd.Series([[tok_id[t] for t in ts] for ts in col])
+
+        out = out.withColumn("token_ids", ids_of("tokens"))
+    return out
