@@ -1075,3 +1075,39 @@ def test_bpe_tokenize_map_side_emit_ids_equals_encode_ids(spark):
 
     with pytest.raises(ValueError, match="byte_level"):
         bpe_tokenize_map_side(docs, merges, emit_ids=True)
+
+
+def test_prepare_corpus_tokenize_stage(spark):
+    """tokenize_with adds the tokenizer as the pipeline's final stage —
+    a pure projection (no extra shuffle, no join-back), byte-level
+    under the production GPT-2-ish pre-tokenizer by default, with
+    model-ready token_ids — and equals applying the standalone
+    operator after the untokenized pipeline."""
+    from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
+    from vinum_spark.operators.text import (
+        GPT2ISH_SPLIT_PATTERN,
+        bpe_tokenize_map_side,
+        learn_bpe_merges,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = learn_bpe_merges(
+        docs, n_merges=8, byte_level=True,
+        token_pattern=GPT2ISH_SPLIT_PATTERN,
+    )
+    base_cfg = CorpusConfig(quality_filter=True, dedup=True, n_shards=8)
+    tok_cfg = CorpusConfig(
+        quality_filter=True, dedup=True, n_shards=8, tokenize_with=merges
+    )
+    got = prepare_corpus(docs, tok_cfg)
+    assert {"tokens", "n_tokens", "token_ids", "shard"} <= set(got.columns)
+    want = bpe_tokenize_map_side(
+        prepare_corpus(docs, base_cfg), merges,
+        token_pattern=GPT2ISH_SPLIT_PATTERN, byte_level=True,
+        emit_ids=True,
+    )
+    g = {r["doc_id"]: (r["token_ids"], r["n_tokens"], r["shard"])
+         for r in got.collect()}
+    w = {r["doc_id"]: (r["token_ids"], r["n_tokens"], r["shard"])
+         for r in want.collect()}
+    assert g == w and len(g) > 0

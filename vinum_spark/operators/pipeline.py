@@ -49,6 +49,15 @@ class CorpusConfig:
     mixture_length_col: Optional[str] = None  # default: computed token stats
     n_shards: Optional[int] = None
     shard_seed: str = "0"
+    #: a learn_bpe_merges table enables the tokenize stage (map-side:
+    #: bpe_tokenize_map_side, a pure projection — the pipeline's
+    #: streaming composability is preserved); byte mode with the
+    #: production RE2-safe GPT-2 pre-tokenizer by default, and
+    #: tokenize_emit_ids adds the model-ready token_ids column
+    tokenize_with: Optional[DataFrame] = None
+    tokenize_byte_level: bool = True
+    tokenize_pattern: Optional[str] = None  # default: GPT2ISH (byte mode)
+    tokenize_emit_ids: bool = True
 
 
 def prepare_corpus(df: DataFrame, config: Optional[CorpusConfig] = None) -> DataFrame:
@@ -60,8 +69,9 @@ def prepare_corpus(df: DataFrame, config: Optional[CorpusConfig] = None) -> Data
     Stage order is the canonical pipeline order (Dolma / DataTrove /
     CCNet all agree on the shape): extract → normalize → per-doc
     quality → cross-doc boilerplate → exact dedup → decontaminate →
-    mix → shard. Each stage is exactly the standalone operator — no
-    pipeline-specific variants to drift from the gated semantics.
+    mix → shard → tokenize. Each stage is exactly the standalone
+    operator — no pipeline-specific variants to drift from the gated
+    semantics.
     """
     c = config if config is not None else CorpusConfig()
     text_col = c.text_col
@@ -142,4 +152,21 @@ def prepare_corpus(df: DataFrame, config: Optional[CorpusConfig] = None) -> Data
         )
     if c.n_shards:
         df = S.with_shard(df, c.id_col, c.n_shards, seed=c.shard_seed)
+    if c.tokenize_with is not None:
+        pattern = c.tokenize_pattern
+        if pattern is None:
+            pattern = (
+                X.GPT2ISH_SPLIT_PATTERN if c.tokenize_byte_level else "[a-z]+"
+            )
+        # a pure projection that keeps every pipeline column — no
+        # join-back, no shuffle; the chain stays streamable map-side
+        df = X.bpe_tokenize_map_side(
+            df,
+            c.tokenize_with,
+            text_col=text_col,
+            id_col=c.id_col,
+            token_pattern=pattern,
+            byte_level=c.tokenize_byte_level,
+            emit_ids=c.tokenize_emit_ids and c.tokenize_byte_level,
+        )
     return df

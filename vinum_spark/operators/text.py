@@ -1408,8 +1408,10 @@ def bpe_tokenize_map_side(
     Word extraction stays in Spark (the identical ``regexp_extract_all``
     expression), so tokens are EXACTLY ``bpe_tokenize``'s — equality is
     pinned in tests. ``merges_df`` is collected (vocab-bounded), the
-    same contract as the batch operator. Same output schema:
-    (id, tokens array<string>, n_tokens); ``emit_ids=True`` (byte mode
+    same contract as the batch operator. Being a projection, the
+    output keeps EVERY input column (unlike the batch operator's
+    3-column frame) and appends tokens array<string> + n_tokens, so
+    pipeline composition needs no join-back; ``emit_ids=True`` (byte mode
     only) adds ``token_ids array<int>`` in the :func:`bpe_vocab`
     GPT-2 layout — equal to :func:`bpe_encode_ids` but computed in the
     same projection (the id of base symbol b is b, of merge k is
@@ -1470,7 +1472,7 @@ def bpe_tokenize_map_side(
         )
     toks = tokenize_words(words_col)
     out = df.select(
-        F.col(id_col),
+        "*",
         toks.alias("tokens"),
         F.size(toks).cast("bigint").alias("n_tokens"),
     )
