@@ -90,6 +90,9 @@ GATED = [
     # (RE2-safe GPT-2) pre-tokenizer — sits first in the tail until a
     # future rotation
     "q94_bpe_gpt2_pretokenize",
+    # round-13 fourth wave: the tokenizing prepare_corpus chain (q75's
+    # survivor pipeline + byte merge chain + id mapping) as one gate
+    "q95_pipeline_tokenized",
     # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
     # driver's 50-row record, so their EXACT driver oracles run here —
     # no query is ever both driver-invisible and suite-invisible

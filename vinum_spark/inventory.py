@@ -4503,8 +4503,143 @@ def q94(spark, sf_dir):
     ).orderBy("merge_rank")
 
 
+def _q95_oracle() -> str:
+    """The tokenizing prepare_corpus chain as ONE SQL program: q75's
+    survivor chain (quality -> exact dedup -> decontamination ->
+    shard) spliced with the q88 byte-level merge chain (trained on the
+    FULL documents table, matching the Spark side) and the q93 id
+    mapping, aggregated per shard. Any drift in any stage — the
+    pipeline wiring, the merge table, token counts, id assignment, or
+    shard hashing — mismatches the per-shard ids_hash."""
+    chain75 = _q75_oracle()
+    cut = chain75.rindex("SELECT CAST(")
+    chain75 = chain75[:cut].rstrip().rstrip(")") + ")"
+    base88 = _q88_oracle(
+        8,
+        words_from=(
+            "SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS word"
+            " FROM documents"
+        ),
+        sym_expr=_DUCK_BYTE_SYM,
+    )
+    ctes88 = base88.split("\nSELECT 1 AS merge_rank")[0]
+    assert ctes88.startswith("WITH ")
+    ctes88 = ctes88[len("WITH "):]
+    ids_union = "".join(
+        f"  UNION ALL SELECT a || b, CAST({255 + k} AS INT) FROM best{k}\n"
+        for k in range(1, 9)
+    )
+    return (
+        chain75
+        + ",\n"
+        + ctes88
+        + f""",
+docw AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(range(1, len(ws) + 1)) AS wi,
+         unnest(ws) AS word
+  FROM (SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ws
+        FROM clean)),
+vtok AS MATERIALIZED (
+  SELECT word, unnest(range(1, len(sym) + 1)) AS si, unnest(sym) AS tok
+  FROM vocab8),
+ids AS MATERIALIZED (
+  SELECT chr(CAST(256 + r AS INT)) AS tok, CAST(r AS INT) AS tid
+  FROM range(256) t(r)
+{ids_union}),
+vids AS MATERIALIZED (
+  SELECT v.word,
+         string_agg(CAST(i.tid AS VARCHAR), ' ' ORDER BY v.si) AS idstr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM vtok v JOIN ids i ON i.tok = v.tok
+  GROUP BY v.word),
+tokid AS MATERIALIZED (
+  SELECT d.doc_id, CAST(sum(vids.n) AS BIGINT) AS n_tokens,
+         md5(string_agg(vids.idstr, ' ' ORDER BY d.wi)) AS ids_md5
+  FROM docw d JOIN vids ON vids.word = d.word
+  GROUP BY d.doc_id),
+pershard AS (
+  SELECT c.doc_id,
+         CAST(('0x' || substring(md5(concat_ws(chr(31),
+             CAST(c.doc_id AS VARCHAR), '0')), 1, 8))::UBIGINT % 4 AS INT)
+           AS shard,
+         CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+         coalesce(t.ids_md5, md5('')) AS ids_md5
+  FROM clean c LEFT JOIN tokid t ON t.doc_id = c.doc_id)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+       md5(string_agg(ids_md5, ' ' ORDER BY doc_id)) AS ids_hash
+FROM pershard GROUP BY shard ORDER BY shard"""
+    )
+
+
+@_q(
+    "q95_pipeline_tokenized",
+    _q95_oracle(),
+    "The FULL training-data deliverable as one gated call: "
+    "prepare_corpus with tokenize_with — quality rules -> exact dedup "
+    "-> decontamination (4-grams vs the doc_id%10=0 eval slice) -> "
+    "4-way md5 shard -> byte-level BPE tokenization with model-ready "
+    "token_ids (merges trained on the full documents table, '[^ ]+' "
+    "pre-tokenization) — verified per shard by doc count, token sum, "
+    "and an md5-of-ordered-per-doc-id-hashes. The oracle recomputes "
+    "the ENTIRE composition in DuckDB: q75's survivor chain spliced "
+    "with the 8-stage byte merge chain and the GPT-2-layout id "
+    "mapping, so a drift anywhere in the pipeline wiring or any "
+    "stage's semantics mismatches.",
+)
+def q95(spark, sf_dir):
+    from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
+    from vinum_spark.operators.text import learn_bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(
+        d, n_merges=8, byte_level=True, token_pattern="[^ ]+"
+    )
+    out = prepare_corpus(
+        d.filter(F.col("doc_id") % 10 != 0),
+        CorpusConfig(
+            quality_filter=True,
+            dedup=True,
+            decontaminate_against=d.filter(F.col("doc_id") % 10 == 0),
+            decontaminate_ngram=4,
+            n_shards=4,
+            tokenize_with=merges,
+            tokenize_byte_level=True,
+            tokenize_pattern="[^ ]+",
+        ),
+    )
+    per = out.select(
+        "shard",
+        "doc_id",
+        F.col("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.expr("transform(token_ids, i -> CAST(i AS STRING))")
+            )
+        ).alias("ids_md5"),
+    )
+    return (
+        per.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tok_sum"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(doc_id, ids_md5))), s -> s.ids_md5)"
+                    ),
+                )
+            ).alias("ids_hash"),
+        )
+        .orderBy("shard")
+    )
+
+
 #: The round driver's correctness gate records only the FIRST 50
-#: entries of ``queries()``; with 93 registered, forty-three fall
+#: entries of ``queries()``; with 94 registered, forty-four fall
 #: outside it (q81 promoted into q62's slot in the r10 third wave,
 #: q83 into q43's in r11; q86-q89 into q34/q24/q17/q49's in r13).
 #: Order the export so the operator classes with the least
