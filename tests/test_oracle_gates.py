@@ -17,7 +17,7 @@ from vinum_spark.inventory import QUERIES, oracle_sql
 
 SF_DIR = "/root/testdata/sf0.001"
 
-GATED = [
+_GATED_RAW = [
     "q29_minhash_lsh_dedup",
     "q30_simhash",
     "q32_ann_lsh",
@@ -139,7 +139,16 @@ GATED = [
     # round-13 second rotation: demoted so q90-q93 get driver rows
     # this round; exact driver oracles run here instead
     "q39_embedding_neardup_pairs",
+    # round-13 third rotation: demoted so q94/q95 get driver rows too
+    # (q64's signal machinery pinned by gated q58/q70; q76's vocab-id
+    # mapping by gated q93/q67); exact driver oracles run here instead
+    "q64_repetition_signals",
+    "q76_encode_tokens",
 ]
+
+# entries may appear under several rationale comments (engine-designed
+# gate AND demoted-tail); run each exactly once
+GATED = list(dict.fromkeys(_GATED_RAW))
 
 
 @pytest.fixture(scope="module")

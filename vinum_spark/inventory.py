@@ -4790,6 +4790,19 @@ _DEMOTED_TO_TAIL = (
     "q32_ann_lsh",
     "q39_embedding_neardup_pairs",
     "q74_mixture_sample",
+    # Round-13 third rotation: q94 (production pre-tokenizer) and q95
+    # (tokenizing prepare_corpus chain) complete the goal that NO
+    # gated query lacks a driver row — both green in the in-session
+    # 94-query sweep at sf0.01.
+    # q94's slot: q64 repetition signals are the same per-doc
+    # text-signal machinery the gate keeps via q58 (quality rules)
+    # and q70 (LM score); its exact oracle stays in-suite.
+    # q95's slot: q76 encode_tokens' frequency-vocab id mapping is
+    # pinned in-gate by q93 (BPE token-id encoding, the same
+    # posexplode+vocab-join+reassembly shape) and q67 (vocab top-k,
+    # the same frequency ranking); its exact oracle stays in-suite.
+    "q64_repetition_signals",
+    "q76_encode_tokens",
 )
 _PROMOTED = (
     "q51_streaming_sliding",
@@ -4834,6 +4847,8 @@ _PROMOTED = (
     "q91_bpe_byte_tokenize",
     "q92_tokenizer_pipeline",
     "q93_bpe_token_ids",
+    "q94_bpe_gpt2_pretokenize",
+    "q95_pipeline_tokenized",
 )
 
 
