@@ -4465,11 +4465,14 @@ def q93(spark, sf_dir):
 #: q94: the production pre-tokenizer, in its RE2-safe variant (GPT-2's
 #: split regex minus the trailing-whitespace lookahead — RE2/DuckDB
 #: supports no lookaround; divergence documented on the constant).
-#: The apostrophe in the pattern doubles for the SQL literal.
+#: Derived from the Spark-side constant — the two engines receive the
+#: IDENTICAL pattern text by construction (apostrophes doubled for the
+#: SQL literal; backslash sequences pass through a single-quoted
+#: DuckDB literal unprocessed, exactly as F.lit passes them to Java).
 _GPT2ISH_WORDS_FROM = (
-    "SELECT unnest(regexp_extract_all(" + _BPE_AUG_SQL + ", "
-    "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"
-    ")) AS word FROM documents"
+    "SELECT unnest(regexp_extract_all(" + _BPE_AUG_SQL + ", '"
+    + X.GPT2ISH_SPLIT_PATTERN.replace("'", "''")
+    + "')) AS word FROM documents"
 )
 
 

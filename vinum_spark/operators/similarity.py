@@ -915,12 +915,18 @@ def phash_candidate_pairs(
     DEFAULT (``bands_per_key=None``) auto-selects from a corpus count
     (:func:`phash_bands_per_key`: single bands to 50k hashed assets,
     pair keys past — the documented occupancy cliff), removing the
-    foot-gun of running a 500k corpus on single-band keys. The count
-    requires materializing the (id, hash) projection, so auto mode
-    persists it (~16 B/row — 8 MB per 500k assets) and builds the
-    banded self-join from the cached copy; an upstream decode
-    (``phash_images`` is a Python stage) therefore runs ONCE, not
-    twice. Pass an explicit 1 or 2 to skip the count and the cache.
+    foot-gun of running a 500k corpus on single-band keys. Auto mode
+    is EAGER: picking the knob needs the count, so this call runs a
+    Spark job at call time instead of deferring all work to the first
+    action on the returned frame. The (id, hash) projection
+    (~16 B/row — 8 MB per 500k assets) is materialized ONCE via
+    ``localCheckpoint`` and the banded self-join reads the
+    checkpointed copy, so an upstream decode (``phash_images`` is a
+    Python stage) does not run twice; checkpoint blocks are
+    reference-tracked and evicted when the frame is garbage-collected,
+    so repeated auto-mode calls do not accumulate cached blocks for
+    the application lifetime. Pass an explicit 1 or 2 to skip the
+    count (the call stays fully lazy, nothing is materialized).
     """
     if 64 % n_bands:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
@@ -935,7 +941,11 @@ def phash_candidate_pairs(
         id_col,
     )
     if bands_per_key is None:
-        base = base.persist()
+        # localCheckpoint, not persist: persist's cached blocks live
+        # until an explicit unpersist (which no one can issue for a
+        # frame that only exists inside this call), while checkpoint
+        # blocks are GC-tracked — dropped when `base` is collected
+        base = base.localCheckpoint(eager=True)
         bands_per_key = phash_bands_per_key(base.count())
 
     def band_key(b):

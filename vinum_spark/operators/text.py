@@ -875,20 +875,116 @@ def encode_tokens(
 #: DuckDB oracle recompute it exactly.
 _BYTE_SYM_BASE = 0x100
 
+#: Whitespace, spelled out: Java's \s includes U+000B (vertical tab)
+#: while RE2's does not, so any \s-based split pattern tokenizes
+#: \x0B-bearing text differently in Spark vs the DuckDB oracle. The
+#: explicit class below is identical in Java, RE2, and Python's
+#: re/regex; \x0B (and Unicode whitespace — GPT-2's own \s is
+#: Python-Unicode, a documented divergence of this family) therefore
+#: lands in the "punctuation run" class CONSISTENTLY in every engine.
+_WS_CLS = r" \t\n\f\r"
+
 #: Production pre-tokenizer for byte-level BPE: GPT-2's split regex,
 #: minus its trailing-whitespace negative lookahead — RE2 (DuckDB's
 #: engine, and the oracle twin's) supports no lookaround, and Java
-#: (Spark's engine) agrees with RE2 on everything else here
-#: (leftmost-first alternation, \p{L}/\p{N} classes). Divergence from
-#: true GPT-2: in a run of 2+ spaces before a word, GPT-2 attaches the
-#: LAST space to the word and emits the rest as a whitespace token;
-#: this variant emits the whole run as one whitespace token. Single
-#: spaces between words attach to the following word exactly like
-#: GPT-2 (' ?\p{L}+' is tried before '\s+'). Cross-engine agreement
-#: is pinned in tests and by the q94 oracle gate.
+#: (Spark's engine) agrees with RE2 on everything here
+#: (leftmost-first alternation, \p{L}/\p{N} classes, the explicit
+#: whitespace class above). Divergence from true GPT-2: in a run of
+#: 2+ spaces before a word, GPT-2 attaches the LAST space to the word
+#: and emits the rest as a whitespace token; this variant emits the
+#: whole run as one whitespace token (``GPT2_EXACT`` below restores
+#: the GPT-2 behavior). Single spaces between words attach to the
+#: following word exactly like GPT-2 (' ?\p{L}+' is tried before the
+#: whitespace-run alternative). Cross-engine agreement is pinned in
+#: tests and by the q94 oracle gate.
 GPT2ISH_SPLIT_PATTERN = (
-    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    "'(?:[sdmt]|ll|ve|re)"
+    "| ?\\p{L}+| ?\\p{N}+"
+    "| ?[^" + _WS_CLS + "\\p{L}\\p{N}]+"
+    "|[" + _WS_CLS + "]+"
 )
+
+#: ``token_pattern`` sentinel value selecting the EXACT GPT-2 split
+#: semantics (trailing-whitespace lookahead included) for the
+#: byte-level BPE operators. GPT-2's pattern ends
+#: ``...|\s+(?!\S)|\s+``: a whitespace run directly before a
+#: non-whitespace char gives up its LAST character, which then
+#: attaches to the following token (' x') or stands alone ('\t').
+#: RE2 has no lookaround, so the implementation emulates the
+#: lookahead LOOKAHEAD-FREE: insert ``GPT2_SENTINEL`` (U+001E) at
+#: every whitespace->non-whitespace boundary (one regexp_replace),
+#: then tokenize with the safe pattern. Equivalence: every GPT-2
+#: match crosses at most one ws->non-ws boundary, and only via the
+#: single optional leading ' ' of the word/number/punct alternatives
+#: — exactly the character the boundary split leaves attached — while
+#: whitespace-run matches never cross one; so segmenting at the
+#: boundary changes no match. Pinned differentially against the true
+#: lookahead pattern (Python `regex`) in tests. The one reserved
+#: character: U+001E itself (the ASCII record separator) is excluded
+#: from the punctuation class so inserted markers never merge into
+#: tokens — an (unheard-of-in-text) input U+001E is skipped as if
+#: absent, where the safe variant would emit it in a punctuation run.
+GPT2_EXACT = "gpt2-exact"
+
+GPT2_SENTINEL = "\x1e"
+
+#: ws char directly before non-ws — the boundary the lookahead keys on
+_GPT2_BOUNDARY_PATTERN = "([" + _WS_CLS + "])([^" + _WS_CLS + "])"
+
+#: the safe pattern with U+001E additionally excluded from the
+#: punctuation class (inserted markers must match NOTHING)
+_GPT2_EXACT_TOKEN_PATTERN = (
+    "'(?:[sdmt]|ll|ve|re)"
+    "| ?\\p{L}+| ?\\p{N}+"
+    "| ?[^" + _WS_CLS + "\\x1e\\p{L}\\p{N}]+"
+    "|[" + _WS_CLS + "]+"
+)
+
+#: the true lookahead form of GPT2_EXACT — NOT runnable in Java/RE2;
+#: kept as the differential-test twin (Python `regex` module)
+GPT2_EXACT_LOOKAHEAD_PATTERN = (
+    "'(?:[sdmt]|ll|ve|re)"
+    "| ?\\p{L}+| ?\\p{N}+"
+    "| ?[^" + _WS_CLS + "\\p{L}\\p{N}]+"
+    "|[" + _WS_CLS + "]+(?![^" + _WS_CLS + "])"
+    "|[" + _WS_CLS + "]+"
+)
+
+
+def gpt2_exact_words_col(text_col: str):
+    """Word-array Column implementing ``GPT2_EXACT`` (see the constant
+    for the equivalence argument): one JVM-side regexp_replace inserts
+    the boundary sentinel, one regexp_extract_all tokenizes — a pure
+    projection, streamable, no Python in the corpus path."""
+    marked = F.regexp_replace(
+        F.col(text_col),
+        F.lit(_GPT2_BOUNDARY_PATTERN),
+        F.lit(GPT2_SENTINEL + "$1$2"),
+    )
+    return F.regexp_extract_all(
+        marked, F.lit(_GPT2_EXACT_TOKEN_PATTERN), F.lit(0)
+    )
+
+
+def _bpe_words_col(text_col: str, token_pattern: str, byte_level: bool):
+    """Shared pre-tokenization Column for the BPE operators: byte mode
+    passes the pattern as a Column literal (arbitrary UTF-8 safe, no
+    lowercasing); char mode lowercases with the pattern embedded in
+    SQL text (callers validate literal-safety); ``GPT2_EXACT`` selects
+    the sentinel-emulated exact GPT-2 split (byte mode only)."""
+    if token_pattern == GPT2_EXACT:
+        if not byte_level:
+            raise ValueError(
+                "token_pattern='gpt2-exact' requires byte_level=True"
+            )
+        return gpt2_exact_words_col(text_col)
+    if byte_level:
+        return F.regexp_extract_all(
+            F.col(text_col), F.lit(token_pattern), F.lit(0)
+        )
+    return F.expr(
+        f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
+    )
 
 
 def byte_syms(word: str) -> list:
@@ -1040,7 +1136,7 @@ def learn_bpe_merges(
     n_merges: int = 8,
     token_pattern: str = "[a-z]+",
     byte_level: bool = False,
-    collect_cap: int = 5_000_000,
+    collect_cap: int = 25_000_000,
 ) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
     ``n_merges`` byte-pair merges from corpus word frequencies. Returns
@@ -1079,38 +1175,36 @@ def learn_bpe_merges(
     Driver-local fast path: a production tokenizer learns 32k-64k
     merges, and the distributed loop costs ~3 Spark jobs per merge —
     driver-bound regardless of cluster size. When the word-frequency
-    dictionary fits ``collect_cap`` types (default 5M — a few hundred
-    MB of driver memory; the corpus itself is never collected), the
+    dictionary's SUMMED SYMBOL COUNT (total chars across distinct
+    words in char mode, total UTF-8 bytes in byte mode — the quantity
+    that actually sizes the collected sym lists) fits ``collect_cap``
+    (default 25M symbols; the corpus itself is never collected), the
     merge table is learned with the classic in-memory loop over the
     collected dictionary, in exactly the distributed semantics
-    (equality pinned in tests/test_pipeline_ops.py). Pass
+    (equality pinned in tests/test_pipeline_ops.py). Driver memory at
+    the cap: each collected symbol is a 1-char Python string — chars
+    >= U+0100 (every byte-mode symbol) are NOT interned, ~80 B each
+    plus the list slot — so 25M symbols cost ~2-2.5 GB, a bounded
+    fraction of any production driver; a per-TYPE cap would let a
+    vocabulary of long words blow far past its nominal budget. Pass
     ``collect_cap=0`` to force the distributed loop for unbounded
     vocabularies.
     """
     import re as _re
 
     if byte_level:
-        doc_words = df.select(
-            F.explode(
-                F.regexp_extract_all(
-                    F.col(text_col), F.lit(token_pattern), F.lit(0)
-                )
-            ).alias("word")
-        )
         sym_col = F.expr(_byte_sym_sql("word"))
     else:
         if _re.search(r"['\\]", token_pattern):
             raise ValueError(
                 f"token_pattern unsafe for a SQL literal: {token_pattern!r}"
             )
-        doc_words = df.select(
-            F.explode(
-                F.expr(
-                    f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
-                )
-            ).alias("word")
-        )
         sym_col = F.split("word", "")
+    doc_words = df.select(
+        F.explode(
+            _bpe_words_col(text_col, token_pattern, byte_level)
+        ).alias("word")
+    )
     vocab = (
         doc_words.groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
@@ -1119,8 +1213,13 @@ def learn_bpe_merges(
     spark = df.sparkSession
     merges: list = []
     cached = vocab.persist()
-    n_types = cached.count()
-    if collect_cap and n_types <= collect_cap:
+    # one job sizes the dictionary both ways: row count (loop
+    # bookkeeping) and summed symbol count (the fast-path budget)
+    sized = cached.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("sym")).alias("syms")
+    ).collect()[0]
+    n_syms = sized["syms"] or 0
+    if collect_cap and n_syms <= collect_cap:
         try:
             local = [(r["sym"], r["freq"]) for r in cached.select("sym", "freq").collect()]
         finally:
@@ -1278,14 +1377,7 @@ def bpe_tokenize(
             out.append(syms)
         return pd.Series(out)
 
-    if byte_level:
-        words_col = F.regexp_extract_all(
-            F.col(text_col), F.lit(token_pattern), F.lit(0)
-        )
-    else:
-        words_col = F.expr(
-            f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
-        )
+    words_col = _bpe_words_col(text_col, token_pattern, byte_level)
     vocab_tok = (
         df.select(F.explode(words_col).alias("word"))
         .distinct()
@@ -1424,6 +1516,20 @@ def bpe_tokenize_map_side(
         raise ValueError(f"token_pattern unsafe for a SQL literal: {token_pattern!r}")
     if emit_ids and not byte_level:
         raise ValueError("emit_ids requires byte_level=True (bpe_vocab layout)")
+    # being a projection this APPENDS its output columns; an input that
+    # already carries them (a re-run pipeline stage) would otherwise
+    # produce duplicate names that only fail later as ambiguous
+    # references deep inside a downstream select
+    taken = {"tokens", "n_tokens"} | ({"token_ids"} if emit_ids else set())
+    clash = sorted(taken.intersection(df.columns))
+    if clash:
+        raise ValueError(
+            f"bpe_tokenize_map_side output column(s) {clash} already exist "
+            f"on the input frame — drop or rename them before tokenizing "
+            f"(this stage appends tokens/n_tokens"
+            + ("/token_ids" if emit_ids else "")
+            + ")"
+        )
     merges = [
         (r["lhs"], r["rhs"])
         for r in merges_df.orderBy("merge_rank").collect()
@@ -1462,14 +1568,7 @@ def bpe_tokenize_map_side(
             ]
         )
 
-    if byte_level:
-        words_col = F.regexp_extract_all(
-            F.col(text_col), F.lit(token_pattern), F.lit(0)
-        )
-    else:
-        words_col = F.expr(
-            f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
-        )
+    words_col = _bpe_words_col(text_col, token_pattern, byte_level)
     toks = tokenize_words(words_col)
     out = df.select(
         "*",
