@@ -1111,3 +1111,128 @@ def test_prepare_corpus_tokenize_stage(spark):
     w = {r["doc_id"]: (r["token_ids"], r["n_tokens"], r["shard"])
          for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_gpt2_exact_split_equals_lookahead_twin(spark):
+    """The lookahead-free sentinel emulation (Java regex, the q96 gate
+    machinery) must split EXACTLY like GPT-2's true trailing-whitespace
+    lookahead pattern (Python `regex`, where lookaround is legal) — on
+    the documented divergence fixtures AND under fuzz over ws-heavy
+    strings."""
+    import random
+
+    import regex
+
+    from vinum_spark.operators.text import (
+        GPT2_EXACT_LOOKAHEAD_PATTERN,
+        GPT2ISH_SPLIT_PATTERN,
+        gpt2_exact_words_col,
+    )
+
+    fixed = [
+        "a  b", "a   b", "a \tb", "a\t b", "a\t\tb", " x", "x  ",
+        "It's 2026: naïve café—δίκτυο 数据!!  trailing  spaces ",
+        "don't we'll  I've", "a \t\t b", "", "   ", "\t", "a\x0bb",
+        "num 42  43", "multi   space\ttab\nnewline",
+    ]
+    rng = random.Random(14)
+    alphabet = list("ab '\t\n.!9数ï") + [" "] * 6
+    fuzz = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(200)
+    ]
+    texts = fixed + fuzz
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(gpt2_exact_words_col("text")).collect()]
+    want = [regex.findall(GPT2_EXACT_LOOKAHEAD_PATTERN, t) for t in texts]
+    assert got == want
+    # and the exact variant genuinely differs from the safe one where
+    # the lookahead bites (double space before a word)
+    safe = regex.findall(GPT2ISH_SPLIT_PATTERN, "a  b")
+    assert safe == ["a", "  ", "b"] and want[0] == ["a", " ", " b"]
+
+
+def test_gpt2_exact_merge_table_differs_from_safe(spark):
+    """The q96 gate fixture must actually exercise the lookahead
+    semantics: training on the ws-run-augmented corpus under
+    'gpt2-exact' vs the safe pattern yields DIFFERENT merge tables
+    (if they matched, the gate would be a silent re-run of q94)."""
+    from vinum_spark.operators.text import (
+        GPT2_EXACT,
+        GPT2ISH_SPLIT_PATTERN,
+        learn_bpe_merges,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" it's  doubled   \t mix\t"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("  "),
+        ),
+    )
+    exact = learn_bpe_merges(
+        docs, n_merges=8, byte_level=True, token_pattern=GPT2_EXACT
+    ).collect()
+    safe = learn_bpe_merges(
+        docs, n_merges=8, byte_level=True,
+        token_pattern=GPT2ISH_SPLIT_PATTERN,
+    ).collect()
+    assert [(r["lhs"], r["rhs"], r["pair_count"]) for r in exact] != [
+        (r["lhs"], r["rhs"], r["pair_count"]) for r in safe
+    ]
+
+
+def test_gpt2_exact_requires_byte_level(spark):
+    from vinum_spark.operators.text import GPT2_EXACT, learn_bpe_merges
+
+    docs = spark.createDataFrame([(1, "a  b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="byte_level"):
+        learn_bpe_merges(docs, n_merges=1, token_pattern=GPT2_EXACT)
+
+
+def test_bpe_map_side_rejects_output_column_collision(spark):
+    """Re-running the tokenize stage on an already-tokenized frame must
+    fail loudly at call time, not as a downstream ambiguous-reference
+    error (ADVICE r13)."""
+    from vinum_spark.operators.text import (
+        bpe_tokenize_map_side,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab"), (2, "ab ab aa")], "doc_id long, text string"
+    )
+    kw = {"byte_level": True, "token_pattern": "[^ ]+"}
+    merges = learn_bpe_merges(docs, n_merges=2, **kw)
+    once = bpe_tokenize_map_side(docs, merges, **kw)
+    with pytest.raises(ValueError, match="tokens"):
+        bpe_tokenize_map_side(once, merges, **kw)
+
+
+def test_collect_cap_counts_symbols_not_types(spark, monkeypatch):
+    """The fast-path budget is the SUMMED SYMBOL COUNT (ADVICE r13): a
+    3-type vocabulary whose words are long must take the distributed
+    loop under a small cap (a per-type cap would collect it), and the
+    same corpus under the default cap must take the fast path."""
+    import vinum_spark.operators.text as T
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh ijklmnop qrstuvwx abcdefgh")],
+        "doc_id long, text string",
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("fast path taken despite symbol cap")
+
+    monkeypatch.setattr(T, "_learn_bpe_local", boom)
+    # 3 types x 8 chars = 24 symbols > cap 10 -> distributed loop
+    out = T.learn_bpe_merges(docs, n_merges=2, collect_cap=10).collect()
+    assert len(out) == 2
+    monkeypatch.undo()
+    want = T.learn_bpe_merges(docs, n_merges=2, collect_cap=0).collect()
+    got = T.learn_bpe_merges(docs, n_merges=2).collect()  # default cap
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

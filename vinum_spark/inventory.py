@@ -4641,6 +4641,66 @@ def q95(spark, sf_dir):
     )
 
 
+#: q96 fixture: whitespace-run + contraction augmentation — exactly
+#: the inputs where the exact GPT-2 split (trailing-whitespace
+#: lookahead) DIVERGES from the RE2-safe q94 variant (double spaces
+#: before words: exact attaches the last space, safe keeps the run
+#: whole; tab-space mixes; trailing runs). The in-suite test pins that
+#: the two merge tables actually differ on this corpus, so the gate
+#: exercises the lookahead semantics, not just a re-run of q94.
+_BPE_EXACT_AUG_SQL = (
+    "text || ' it''s  doubled   ' || chr(9) || ' mix' || chr(9)"
+    " || CAST(doc_id % 50 AS VARCHAR) || '  '"
+)
+
+#: DuckDB twin of the lookahead-free exact-GPT-2 split: the SAME
+#: sentinel insert (regexp_replace at every ws->non-ws boundary; RE2
+#: rewrite backrefs are \1) + the SAME token pattern, both derived
+#: from the Spark-side constants so the engines cannot drift.
+_GPT2_EXACT_WORDS_FROM = (
+    "SELECT unnest(regexp_extract_all(regexp_replace("
+    + _BPE_EXACT_AUG_SQL
+    + ", '" + X._GPT2_BOUNDARY_PATTERN + "', chr(30) || '\\1\\2', 'g'), '"
+    + X._GPT2_EXACT_TOKEN_PATTERN.replace("'", "''")
+    + "')) AS word FROM documents"
+)
+
+
+@_q(
+    "q96_bpe_gpt2_exact",
+    _q88_oracle(8, words_from=_GPT2_EXACT_WORDS_FROM, sym_expr=_DUCK_BYTE_SYM),
+    "Byte-level BPE training under the EXACT GPT-2 pre-tokenizer "
+    "(token_pattern='gpt2-exact'): GPT-2's trailing-whitespace "
+    "negative lookahead — in a 2+ whitespace run before a word the "
+    "LAST space attaches to the word ('a  b' -> 'a', ' ', ' b') — "
+    "emulated lookahead-free so it runs identically in Java and RE2: "
+    "one regexp_replace inserts U+001E at every ws->non-ws boundary, "
+    "then the safe split pattern tokenizes (every GPT-2 match crosses "
+    "at most one such boundary, via its single optional leading "
+    "space). The corpus is augmented with space runs, tab-space "
+    "mixes, and contractions — the exact inputs where this differs "
+    "from q94's RE2-safe variant (in-suite test pins the two merge "
+    "tables differ here). The oracle re-derives the identical "
+    "sentinel transform + 8-stage merge chain from the same shared "
+    "pattern constants.",
+)
+def q96(spark, sf_dir):
+    from vinum_spark.operators.text import GPT2_EXACT, learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" it's  doubled   \t mix\t"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("  "),
+        ),
+    )
+    return learn_bpe_merges(
+        docs, n_merges=8, byte_level=True, token_pattern=GPT2_EXACT
+    ).orderBy("merge_rank")
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 94 registered, forty-four fall
 #: outside it (q81 promoted into q62's slot in the r10 third wave,
