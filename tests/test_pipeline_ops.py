@@ -1236,3 +1236,106 @@ def test_collect_cap_counts_symbols_not_types(spark, monkeypatch):
     want = T.learn_bpe_merges(docs, n_merges=2, collect_cap=0).collect()
     got = T.learn_bpe_merges(docs, n_merges=2).collect()  # default cap
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_extend_bpe_merges_continuation_law(spark):
+    """extend_bpe_merges(df, learn(K), M) must equal learn(K+M) on the
+    same corpus EXACTLY — ranks, pairs, counts — in char and byte mode,
+    on both the driver-local fast path and the distributed loop."""
+    from vinum_spark.operators.text import extend_bpe_merges, learn_bpe_merges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def rows(df):
+        return [tuple(r) for r in df.orderBy("merge_rank").collect()]
+
+    for kw in ({}, {"byte_level": True, "token_pattern": "[^ ]+"}):
+        full = rows(learn_bpe_merges(docs, n_merges=8, **kw))
+        part = learn_bpe_merges(docs, n_merges=4, **kw)
+        assert rows(extend_bpe_merges(docs, part, 4, **kw)) == full
+    # distributed loop (collect_cap=0) end to end
+    fulld = rows(learn_bpe_merges(docs, n_merges=6, collect_cap=0))
+    partd = learn_bpe_merges(docs, n_merges=3, collect_cap=0)
+    assert rows(extend_bpe_merges(docs, partd, 3, collect_cap=0)) == fulld
+
+
+def test_extend_bpe_merges_refresh_semantics(spark):
+    """On a REFRESHED corpus the existing rows pass through verbatim
+    (frozen token ids) and the new merges reflect the new corpus's
+    frequencies — differentially pinned against the naive local
+    learner run from the prefix-applied vocabulary."""
+    from collections import Counter
+
+    from vinum_spark.operators.text import (
+        _apply_rank_loop,
+        extend_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "banana band bandana"), (2, "banana ban")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "banana band"), (2, "candied candy can can"), (3, "dana nab")],
+        "doc_id long, text string",
+    )
+    part = learn_bpe_merges(old, n_merges=3)
+    got = [
+        tuple(r)
+        for r in extend_bpe_merges(new, part, 3).orderBy("merge_rank").collect()
+    ]
+    prefix = [tuple(r) for r in part.orderBy("merge_rank").collect()]
+    assert got[:3] == prefix
+    # independent expectation: prefix-applied new-corpus vocab through
+    # the naive reference learner, ranks shifted
+    pairs = [(a, b) for _, a, b, _ in prefix]
+    ranks = {p: i for i, p in enumerate(pairs)}
+    words = Counter(
+        w
+        for r in new.collect()
+        for w in __import__("re").findall("[a-z]+", r["text"].lower())
+    )
+    vocab = [
+        (_apply_rank_loop(list(w), pairs, ranks), f)
+        for w, f in words.items()
+    ]
+    ref = _learn_bpe_local_ref_applied(vocab, 3)
+    assert [(k + 3, a, b, c) for k, a, b, c in ref] == got[3:]
+
+
+def _learn_bpe_local_ref_applied(vocab, n_merges):
+    """Naive learner over an ALREADY-SYMBOLIZED vocab list (the ref
+    twin takes (string, freq) and re-splits; here the prefix merges
+    already fused multi-char symbols)."""
+    from collections import Counter
+
+    from vinum_spark.operators.text import _greedy_merge
+
+    merges = []
+    words = [(list(s), int(f)) for s, f in vocab]
+    for k in range(1, n_merges + 1):
+        counts = Counter()
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((k, a, b, int(c)))
+        words = [
+            (_greedy_merge(s, a, b) if len(s) > 1 else s, f) for s, f in words
+        ]
+    return merges
+
+
+def test_extend_bpe_merges_validation(spark):
+    from vinum_spark.operators.text import extend_bpe_merges
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    gappy = spark.createDataFrame(
+        [(1, "a", "b", 5), (3, "ab", "a", 2)],
+        "merge_rank int, lhs string, rhs string, pair_count long",
+    )
+    with pytest.raises(ValueError, match="contiguous"):
+        extend_bpe_merges(docs, gappy, 1)

@@ -4701,6 +4701,31 @@ def q96(spark, sf_dir):
     ).orderBy("merge_rank")
 
 
+@_q(
+    "q97_bpe_extend_merges",
+    _q88_oracle(8, words_from=_BPE_BYTE_WORDS_FROM, sym_expr=_DUCK_BYTE_SYM),
+    "Merge-table UPKEEP under the oracle gate (extend_bpe_merges — "
+    "the dedup_against_store incremental pattern applied to "
+    "tokenizers): a 4-merge byte-level table is learned first, then "
+    "EXTENDED by 4 more merges on the same corpus; the result must "
+    "equal the oracle's full 8-stage chain EXACTLY (the continuation "
+    "law: applying the frozen prefix reproduces the learner's "
+    "intermediate state, so the continued loop is the full loop — "
+    "ranks, tie-breaks, pair counts and all). Existing rows pass "
+    "through verbatim (shipped token ids are frozen); new merges are "
+    "learned from the prefix-applied vocabulary, which pays the same "
+    "one-corpus-shuffle + vocab-sized-iterations shape as training "
+    "from scratch — a corpus refresh never retrains the whole table.",
+)
+def q97(spark, sf_dir):
+    from vinum_spark.operators.text import extend_bpe_merges, learn_bpe_merges
+
+    docs = _bpe_aug(_t(spark, sf_dir, "documents"))
+    kw = {"byte_level": True, "token_pattern": "[^ ]+"}
+    part = learn_bpe_merges(docs, n_merges=4, **kw)
+    return extend_bpe_merges(docs, part, 4, **kw).orderBy("merge_rank")
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 94 registered, forty-four fall
 #: outside it (q81 promoted into q62's slot in the r10 third wave,

@@ -1051,7 +1051,7 @@ def _learn_bpe_local_ref(vocab: list, n_merges: int) -> list:
     return merges
 
 
-def _learn_bpe_local(vocab: list, n_merges: int) -> list:
+def _learn_bpe_local(vocab: list, n_merges: int, start_rank: int = 1) -> list:
     """Classic in-memory BPE training loop over a collected
     word-frequency dictionary (the production shape for bounded
     vocabularies), in the INDEXED incremental formulation every real
@@ -1090,7 +1090,7 @@ def _learn_bpe_local(vocab: list, n_merges: int) -> list:
     heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
     heapq.heapify(heap)
     merges = []
-    for k in range(1, n_merges + 1):
+    for k in range(start_rank, start_rank + n_merges):
         while heap:  # discard stale entries (count changed since push)
             negc, a, b = heap[0]
             if pair_counts.get((a, b), 0) == -negc:
@@ -1228,8 +1228,25 @@ def learn_bpe_merges(
         return spark.createDataFrame(
             merges, "merge_rank int, lhs string, rhs string, pair_count long"
         )
+    merges = _distributed_bpe_loop(cached, 1, n_merges)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+def _distributed_bpe_loop(cached: DataFrame, start_rank: int, n_merges: int) -> list:
+    """The distributed merge-learning loop shared by
+    :func:`learn_bpe_merges` and :func:`extend_bpe_merges`: per merge,
+    one vocab-sized pair-count shuffle + a one-row arg-max collect +
+    a shuffle-free greedy ``aggregate``-HOF application. ``cached``
+    must be a materialized (word, freq, sym) frame; it is unpersisted
+    on exit. Returns [(rank, lhs, rhs, pair_count)] with ranks
+    numbered from ``start_rank``."""
+    import re as _re
+
+    merges: list = []
     try:
-        for k in range(1, n_merges + 1):
+        for k in range(start_rank, start_rank + n_merges):
             best = (
                 cached.select(
                     "freq",
@@ -1294,9 +1311,134 @@ def learn_bpe_merges(
             cached = nxt
     finally:
         cached.unpersist()
-    return spark.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    return merges
+
+
+def _apply_rank_loop(syms: list, pairs: list, ranks: dict) -> list:
+    """Apply a merge table to one symbol list: repeatedly merge the
+    LOWEST-RANK adjacent pair present, each application left-to-right
+    greedy — reference BPE inference, byte-identical to in-learned-
+    order application for tables produced by the learners here (see
+    :func:`bpe_tokenize`'s precondition note)."""
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        syms = _greedy_merge(syms, *pairs[best])
+    return syms
+
+
+def extend_bpe_merges(
+    df: DataFrame,
+    merges_df: DataFrame,
+    n_more: int,
+    text_col: str = "text",
+    token_pattern: str = "[a-z]+",
+    byte_level: bool = False,
+    collect_cap: int = 25_000_000,
+) -> DataFrame:
+    """CONTINUE BPE training from an existing merge table instead of
+    retraining from scratch — the merge-table upkeep operator (the
+    ``dedup_against_store`` incremental pattern applied to tokenizers:
+    a corpus refresh should extend the shipped vocabulary, not mint a
+    new one). Returns the existing rows VERBATIM (ranks, pair counts
+    and all — a shipped tokenizer's token ids are frozen; rank k still
+    mints :func:`bpe_vocab` id 255 + k) followed by ``n_more`` newly
+    learned merges, ranks continuing where the table ends.
+
+    Semantics: build ``df``'s word-frequency dictionary exactly as
+    :func:`learn_bpe_merges` would (same pre-tokenization, same
+    alphabet — pass the SAME ``token_pattern``/``byte_level`` the
+    table was trained with), apply the existing merges to every word
+    (the vocab-sized rank loop — the :func:`bpe_tokenize` inference
+    carve-out, never corpus-sized), then run the standard learning
+    loop for ``n_more`` merges from that state. New pair counts are
+    frequencies in ``df`` — the corpus being extended on.
+
+    Continuation law (pinned in tests and by the q97 oracle gate):
+    on the SAME corpus, ``extend_bpe_merges(df, learn_bpe_merges(df,
+    K), M)`` equals ``learn_bpe_merges(df, K + M)`` EXACTLY — applying
+    the first K merges reproduces the learner's intermediate state,
+    so the continued loop is the full loop. On a refreshed corpus the
+    prefix stays frozen and the new merges reflect the new
+    frequencies (the point of the operator).
+
+    100 TB shape: identical to :func:`learn_bpe_merges` — one corpus
+    shuffle for the word dictionary, vocab-sized everything after;
+    the same summed-symbol ``collect_cap`` picks the driver-local
+    fast path vs the distributed loop.
+    """
+    import re as _re
+
+    if not byte_level and _re.search(r"['\\]", token_pattern):
+        raise ValueError(
+            f"token_pattern unsafe for a SQL literal: {token_pattern!r}"
+        )
+    existing = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    if [m[0] for m in existing] != list(range(1, len(existing) + 1)):
+        raise ValueError(
+            "merge table ranks must be contiguous from 1 "
+            f"(got {[m[0] for m in existing][:5]}...)"
+        )
+    start = len(existing) + 1
+    pairs = [(a, b) for _, a, b, _ in existing]
+    ranks = {p: i for i, p in enumerate(pairs)}
+    schema = "merge_rank int, lhs string, rhs string, pair_count long"
+    spark = df.sparkSession
+    if n_more <= 0:
+        return spark.createDataFrame(existing, schema)
+
+    if byte_level:
+        sym_col = F.expr(_byte_sym_sql("word"))
+    else:
+        sym_col = F.split("word", "")
+    vocab = (
+        df.select(
+            F.explode(
+                _bpe_words_col(text_col, token_pattern, byte_level)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn("sym", sym_col)
     )
+    cached = vocab.persist()
+    # size on the RAW symbols — merging only shrinks them, so the
+    # budget check is conservative for the post-prefix state
+    n_syms = (
+        cached.agg(F.sum(F.size("sym")).alias("syms")).collect()[0]["syms"]
+        or 0
+    )
+    if collect_cap and n_syms <= collect_cap:
+        try:
+            local = [
+                (_apply_rank_loop(list(r["sym"]), pairs, ranks), r["freq"])
+                for r in cached.select("sym", "freq").collect()
+            ]
+        finally:
+            cached.unpersist()
+        new = _learn_bpe_local(local, n_more, start_rank=start)
+        return spark.createDataFrame(existing + new, schema)
+
+    @F.pandas_udf("array<string>")
+    def apply_prefix(col: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_apply_rank_loop(list(s), pairs, ranks) for s in col]
+        )
+
+    applied = cached.withColumn("sym", apply_prefix("sym")).localCheckpoint(
+        eager=True
+    )
+    cached.unpersist()
+    new = _distributed_bpe_loop(applied, start, n_more)
+    return spark.createDataFrame(existing + new, schema)
 
 
 def bpe_tokenize(
@@ -1349,33 +1491,14 @@ def bpe_tokenize(
 
     @F.pandas_udf("array<string>")
     def apply_bpe(col: pd.Series) -> pd.Series:
-        out = []
-        for w in col:
-            syms = byte_syms(w) if byte_level else list(w)
-            while len(syms) > 1:
-                best = None
-                for i in range(len(syms) - 1):
-                    r = ranks.get((syms[i], syms[i + 1]))
-                    if r is not None and (best is None or r < best):
-                        best = r
-                if best is None:
-                    break
-                a, b = merges[best]
-                res, i = [], 0
-                while i < len(syms):
-                    if (
-                        i < len(syms) - 1
-                        and syms[i] == a
-                        and syms[i + 1] == b
-                    ):
-                        res.append(a + b)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                syms = res
-            out.append(syms)
-        return pd.Series(out)
+        return pd.Series(
+            [
+                _apply_rank_loop(
+                    byte_syms(w) if byte_level else list(w), merges, ranks
+                )
+                for w in col
+            ]
+        )
 
     words_col = _bpe_words_col(text_col, token_pattern, byte_level)
     vocab_tok = (
@@ -1545,16 +1668,9 @@ def bpe_tokenize_map_side(
         hit = cache.get(w)
         if hit is not None:
             return hit
-        syms = byte_syms(w) if byte_level else list(w)
-        while len(syms) > 1:
-            best = None
-            for i in range(len(syms) - 1):
-                r = ranks.get((syms[i], syms[i + 1]))
-                if r is not None and (best is None or r < best):
-                    best = r
-            if best is None:
-                break
-            syms = _greedy_merge(syms, *merges[best])
+        syms = _apply_rank_loop(
+            byte_syms(w) if byte_level else list(w), merges, ranks
+        )
         if len(cache) < 1_000_000:  # bound executor memory
             cache[w] = syms
         return syms
