@@ -425,3 +425,129 @@ def test_rocksdb_interval_join_parity(spark, events_dir):
     want = run("ij_default", None)
     assert len(got) == len(want) > 0
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_prepare_corpus_stream_matches_batch_semantics(spark):
+    """The streaming pipeline (readStream -> quality -> watermark dedup
+    -> map-side tokenize) must produce EXACTLY the batch semantics on
+    the surviving-text level: planted junk filtered, planted same-text
+    copies collapsed, every surviving text tokenized identically —
+    keyed by fingerprint so arrival order can't leak in. Default
+    fingerprint key path (no dedup_cols)."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.pipeline import (
+        CorpusConfig,
+        prepare_corpus_stream,
+    )
+    from vinum_spark.operators.text import (
+        bpe_tokenize_map_side,
+        learn_bpe_merges,
+        with_fingerprint,
+        with_quality_rules,
+    )
+    from vinum_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_table,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    batch = spark.read.parquet(path)
+    merges = learn_bpe_merges(
+        batch, n_merges=4, byte_level=True, token_pattern="[^ ]+"
+    )
+    s1 = stream_table(spark, path).select("doc_id", "text")
+    s2 = stream_table(spark, path).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    s3 = stream_table(spark, path).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.lit("#### # ## #").alias("text"),
+    )
+    stream = (
+        s1.unionByName(s2)
+        .unionByName(s3)
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+        )
+    )
+    cfg = CorpusConfig(
+        quality_filter=True,
+        dedup=True,
+        tokenize_with=merges,
+        tokenize_byte_level=True,
+        tokenize_pattern="[^ ]+",
+        tokenize_emit_ids=True,
+    )
+    out = prepare_corpus_stream(stream, cfg, watermark="365 days").select(
+        "fingerprint",
+        "n_tokens",
+        F.md5(F.concat_ws(" ", "tokens")).alias("tok_md5"),
+    )
+    run_stream_to_memory(out, "pcs_out", mode="append", state_partitions=4)
+    got = {tuple(r) for r in spark.table("pcs_out").collect()}
+
+    # batch expectation: the junk doc fails quality; the shifted copy
+    # dedups away; one row per distinct fingerprint
+    passed = with_quality_rules(batch, col="text").filter("quality_pass")
+    dd = (
+        with_fingerprint(passed, "text")
+        .dropDuplicates(["fingerprint"])
+        .select("fingerprint", "text", "doc_id")
+    )
+    tok = bpe_tokenize_map_side(
+        dd, merges, byte_level=True, token_pattern="[^ ]+"
+    )
+    want = {
+        tuple(r)
+        for r in tok.select(
+            "fingerprint",
+            "n_tokens",
+            F.md5(F.concat_ws(" ", "tokens")).alias("tok_md5"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_prepare_corpus_stream_rejects_cross_doc_stages(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.pipeline import (
+        CorpusConfig,
+        prepare_corpus_stream,
+    )
+    from vinum_spark.streaming.windows import stream_table
+
+    s = stream_table(
+        spark, "/root/testdata/sf0.001/documents.parquet"
+    ).withColumn("ts", F.current_timestamp())
+    for cfg in (
+        CorpusConfig(boilerplate_width=4),
+        CorpusConfig(mixture_weights={"a": 1.0}),
+        CorpusConfig(
+            decontaminate_against=spark.read.parquet(
+                "/root/testdata/sf0.001/documents.parquet"
+            )
+        ),
+    ):
+        with pytest.raises(ValueError, match="batch refinement"):
+            prepare_corpus_stream(s, cfg)
+
+
+def test_prepare_corpus_batch_dedup_cols(spark):
+    """CorpusConfig.dedup_cols must key the BATCH dedup stage too —
+    raw-text key keeps case-distinct docs the fingerprint key folds."""
+    from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
+
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello world"), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    by_fp = prepare_corpus(df, CorpusConfig(quality_filter=False, dedup=True))
+    assert by_fp.count() == 1  # fingerprint lowercases -> all collapse
+    by_raw = prepare_corpus(
+        df,
+        CorpusConfig(quality_filter=False, dedup=True, dedup_cols=("text",)),
+    )
+    assert sorted(r["doc_id"] for r in by_raw.collect()) == [1, 2]

@@ -4726,6 +4726,216 @@ def q97(spark, sf_dir):
     return extend_bpe_merges(docs, part, 4, **kw).orderBy("merge_rank")
 
 
+def _q98_oracle() -> str:
+    """Batch twin of the STREAMING prepare_corpus gate, as one DuckDB
+    program: the planted corpus (every document + a same-text copy
+    under a different id + a quality-failing junk doc per row) through
+    q75's quality-rule chain, exact dedup as DISTINCT text (the stream
+    keys on md5(text), so the surviving TEXT set is identical however
+    arrival order picks representatives), then the q88 byte-level
+    merge chain (trained on the UNPLANTED documents table, matching
+    the Spark side) and the q93 GPT-2-layout id mapping, keyed by the
+    text fingerprint. A drift in any stage — the stream wiring, the
+    watermark dedup, quality semantics, tokenization, or id
+    assignment — mismatches per-row."""
+    base88 = _q88_oracle(
+        8,
+        words_from=(
+            "SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS word"
+            " FROM documents"
+        ),
+        sym_expr=_DUCK_BYTE_SYM,
+    )
+    ctes88 = base88.split("\nSELECT 1 AS merge_rank")[0]
+    assert ctes88.startswith("WITH ")
+    ctes88 = ctes88[len("WITH "):]
+    ids_union = "".join(
+        f"  UNION ALL SELECT a || b, CAST({255 + k} AS INT) FROM best{k}\n"
+        for k in range(1, 9)
+    )
+    return (
+        r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents
+      UNION ALL SELECT doc_id + 2000000, '#### # ## #' FROM documents
+    ), qbase AS (
+      SELECT doc_id, text,
+        list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0)
+          AS lines,
+        regexp_extract_all(text, '[A-Za-z]+') AS words,
+        length(regexp_replace(text, '[^#…]', '', 'g')) AS n_symbols
+      FROM corpus
+    ), qsig AS (
+      SELECT doc_id, text,
+        len(lines) AS n_lines,
+        greatest(len(lines), 1) AS safe_lines,
+        len(list_distinct(list_transform(lines, x -> trim(x)))) AS n_distinct,
+        len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+          AS n_bullet,
+        greatest(len(words), 1) AS safe_words,
+        coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+          AS word_chars,
+        n_symbols
+      FROM qbase
+    ), passed AS (
+      SELECT doc_id, text FROM qsig
+      WHERE round((n_lines - n_distinct) / CAST(safe_lines AS DOUBLE), 6) <= 0.30
+        AND round(n_symbols / CAST(safe_words AS DOUBLE), 6) <= 0.10
+        AND round(n_bullet / CAST(safe_lines AS DOUBLE), 6) <= 0.90
+        AND round(word_chars / CAST(safe_words AS DOUBLE), 6) >= 2.0
+        AND round(word_chars / CAST(safe_words AS DOUBLE), 6) <= 12.0
+    ), dd AS MATERIALIZED (
+      SELECT DISTINCT text FROM passed
+    ),
+"""
+        + ctes88
+        + f""",
+docw AS MATERIALIZED (
+  SELECT md5(text) AS fp,
+         unnest(range(1, len(ws) + 1)) AS wi,
+         unnest(ws) AS word
+  FROM (SELECT text, regexp_extract_all(text, '[^ ]+') AS ws FROM dd)),
+vtok AS MATERIALIZED (
+  SELECT word, unnest(range(1, len(sym) + 1)) AS si, unnest(sym) AS tok
+  FROM vocab8),
+ids AS MATERIALIZED (
+  SELECT chr(CAST(256 + r AS INT)) AS tok, CAST(r AS INT) AS tid
+  FROM range(256) t(r)
+{ids_union}),
+vids AS MATERIALIZED (
+  SELECT v.word,
+         string_agg(CAST(i.tid AS VARCHAR), ' ' ORDER BY v.si) AS idstr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM vtok v JOIN ids i ON i.tok = v.tok
+  GROUP BY v.word),
+tokf AS MATERIALIZED (
+  SELECT d.fp, CAST(sum(vids.n) AS BIGINT) AS n_tokens,
+         md5(string_agg(vids.idstr, ' ' ORDER BY d.wi)) AS ids_md5
+  FROM docw d JOIN vids ON vids.word = d.word
+  GROUP BY d.fp)
+SELECT d.fp,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(t.ids_md5, md5('')) AS ids_md5
+FROM (SELECT md5(text) AS fp FROM dd) d
+LEFT JOIN tokf t ON t.fp = d.fp
+ORDER BY d.fp"""
+    )
+
+
+def _stream_pipeline_result(spark, sf_dir, table, state_store=None):
+    """Shared q98/q99 body: a REAL readStream drain of
+    prepare_corpus_stream over the planted corpus. Three streams of
+    the documents source build the fixture map-side: the table itself,
+    a same-text copy under shifted ids (the watermark dedup must
+    collapse it — different ids, different synthetic event times), and
+    a per-row junk doc the quality rules must reject. The output keys
+    on the text fingerprint so the stream's arrival-order survivor
+    choice cannot leak into the hash."""
+    from vinum_spark.operators.pipeline import (
+        CorpusConfig,
+        prepare_corpus_stream,
+    )
+    from vinum_spark.operators.text import learn_bpe_merges
+    from vinum_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_table,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/documents.parquet"
+    merges = learn_bpe_merges(
+        _t(spark, sf_dir, "documents"),
+        n_merges=8,
+        byte_level=True,
+        token_pattern="[^ ]+",
+    )
+    s1 = stream_table(spark, path).select("doc_id", "text")
+    s2 = stream_table(spark, path).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    s3 = stream_table(spark, path).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.lit("#### # ## #").alias("text"),
+    )
+    stream = (
+        s1.unionByName(s2)
+        .unionByName(s3)
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+        )
+        .withColumn("fp", F.md5("text"))
+    )
+    cfg = CorpusConfig(
+        quality_filter=True,
+        dedup=True,
+        dedup_cols=("fp",),
+        tokenize_with=merges,
+        tokenize_byte_level=True,
+        tokenize_pattern="[^ ]+",
+        tokenize_emit_ids=True,
+    )
+    out = prepare_corpus_stream(
+        stream, cfg, ts_col="ts", watermark="3650 days"
+    ).select(
+        "fp",
+        F.col("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.expr("transform(token_ids, i -> CAST(i AS STRING))")
+            )
+        ).alias("ids_md5"),
+    )
+    run_stream_to_memory(
+        out, table, mode="append", state_partitions=8,
+        state_store=state_store,
+    )
+    return spark.table(table).orderBy("fp")
+
+
+@_q(
+    "q98_pipeline_stream",
+    _q98_oracle(),
+    "STREAMING prepare_corpus under the oracle gate — corpus "
+    "preparation as ingestion: a real readStream of the documents "
+    "source (plus a planted same-text copy under different ids and a "
+    "planted quality-failing junk doc per row, built map-side from "
+    "two more streams of the same source) through "
+    "prepare_corpus_stream: quality rules -> "
+    "dropDuplicatesWithinWatermark on the text fingerprint -> "
+    "map-side byte-level BPE tokenization with model-ready token_ids "
+    "— every stage the EXACT batch operator (shared code). The "
+    "drained memory sink must hash-match the batch semantics "
+    "recomputed entirely in DuckDB (quality chain + DISTINCT text + "
+    "the 8-stage merge chain + GPT-2-layout ids), keyed by text "
+    "fingerprint so arrival-order survivor choice cannot leak in: "
+    "the junk rows must be filtered, the planted copies collapsed, "
+    "and every surviving text tokenized identically to batch.",
+)
+def q98(spark, sf_dir):
+    return _stream_pipeline_result(spark, sf_dir, "q98_out")
+
+
+@_q(
+    "q99_pipeline_stream_rocksdb",
+    _q98_oracle(),
+    "q98's streaming prepare_corpus pipeline on the RocksDB state "
+    "store (spark.sql.streaming.stateStore.providerClass = "
+    "RocksDBStateStoreProvider) — the production knob once dedup "
+    "state outgrows executor heap (state off-heap in RocksDB, "
+    "changelog/snapshot files in the checkpoint; spills instead of "
+    "OOMing). Results must be provider-independent: the identical "
+    "DuckDB oracle gates both rows, so a provider-induced divergence "
+    "in the watermark dedup (the only stateful stage) hash-"
+    "mismatches.",
+)
+def q99(spark, sf_dir):
+    return _stream_pipeline_result(
+        spark, sf_dir, "q99_out", state_store="rocksdb"
+    )
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``; with 94 registered, forty-four fall
 #: outside it (q81 promoted into q62's slot in the r10 third wave,

@@ -40,6 +40,10 @@ class CorpusConfig:
     boilerplate_width: Optional[int] = None       # e.g. 4 to enable
     boilerplate_max_doc_frac: float = 0.05
     dedup: bool = True
+    #: exact-dedup key columns; None keeps the default normalized-text
+    #: md5 fingerprint. A stream favors a PRE-HASHED key column here
+    #: (state stores the key verbatim — hash beats full text at scale).
+    dedup_cols: Optional[tuple] = None
     decontaminate_against: Optional[DataFrame] = None
     decontaminate_ngram: int = 8
     mixture_weights: Optional[Dict[str, float]] = None
@@ -75,14 +79,7 @@ def prepare_corpus(df: DataFrame, config: Optional[CorpusConfig] = None) -> Data
     """
     c = config if config is not None else CorpusConfig()
     text_col = c.text_col
-    if c.strip_html:
-        df = X.strip_html(df, col=text_col, out="__clean")
-        df = df.drop(text_col).withColumnRenamed("__clean", text_col)
-    if c.normalize:
-        df = X.normalize_text(df, col=text_col, out="__norm")
-        df = df.drop(text_col).withColumnRenamed("__norm", text_col)
-    if c.quality_filter:
-        df = X.with_quality_rules(df, col=text_col).filter(F.col("quality_pass"))
+    df = _map_prefix(df, c)
     if c.boilerplate_width:
         cleaned = X.remove_boilerplate(
             df,
@@ -97,7 +94,9 @@ def prepare_corpus(df: DataFrame, config: Optional[CorpusConfig] = None) -> Data
             .withColumnRenamed("clean_text", text_col)
         )
     if c.dedup:
-        df = D.dedup_exact(df, id_col=c.id_col, text_col=text_col)
+        df = D.dedup_exact(
+            df, cols=c.dedup_cols, id_col=c.id_col, text_col=text_col
+        )
     if c.decontaminate_against is not None:
         # the eval set must see the SAME text transforms as the corpus —
         # normalizing one side only would break the exact n-gram match
@@ -152,21 +151,122 @@ def prepare_corpus(df: DataFrame, config: Optional[CorpusConfig] = None) -> Data
         )
     if c.n_shards:
         df = S.with_shard(df, c.id_col, c.n_shards, seed=c.shard_seed)
-    if c.tokenize_with is not None:
-        pattern = c.tokenize_pattern
-        if pattern is None:
-            pattern = (
-                X.GPT2ISH_SPLIT_PATTERN if c.tokenize_byte_level else "[a-z]+"
-            )
-        # a pure projection that keeps every pipeline column — no
-        # join-back, no shuffle; the chain stays streamable map-side
-        df = X.bpe_tokenize_map_side(
-            df,
-            c.tokenize_with,
-            text_col=text_col,
-            id_col=c.id_col,
-            token_pattern=pattern,
-            byte_level=c.tokenize_byte_level,
-            emit_ids=c.tokenize_emit_ids and c.tokenize_byte_level,
+    return _tokenize_stage(df, c)
+
+
+def _map_prefix(df: DataFrame, c: CorpusConfig) -> DataFrame:
+    """The pipeline's leading PURE-PROJECTION stages (extract ->
+    normalize -> per-doc quality) — shared verbatim between the batch
+    and streaming pipelines; Catalyst fuses them into the scan."""
+    text_col = c.text_col
+    if c.strip_html:
+        df = X.strip_html(df, col=text_col, out="__clean")
+        df = df.drop(text_col).withColumnRenamed("__clean", text_col)
+    if c.normalize:
+        df = X.normalize_text(df, col=text_col, out="__norm")
+        df = df.drop(text_col).withColumnRenamed("__norm", text_col)
+    if c.quality_filter:
+        df = X.with_quality_rules(df, col=text_col).filter(
+            F.col("quality_pass")
         )
     return df
+
+
+def _tokenize_stage(df: DataFrame, c: CorpusConfig) -> DataFrame:
+    """The pipeline's trailing tokenize stage (shared batch/stream): a
+    pure projection that keeps every pipeline column — no join-back,
+    no shuffle; the chain stays streamable map-side."""
+    if c.tokenize_with is None:
+        return df
+    pattern = c.tokenize_pattern
+    if pattern is None:
+        pattern = (
+            X.GPT2ISH_SPLIT_PATTERN if c.tokenize_byte_level else "[a-z]+"
+        )
+    return X.bpe_tokenize_map_side(
+        df,
+        c.tokenize_with,
+        text_col=c.text_col,
+        id_col=c.id_col,
+        token_pattern=pattern,
+        byte_level=c.tokenize_byte_level,
+        emit_ids=c.tokenize_emit_ids and c.tokenize_byte_level,
+    )
+
+
+def prepare_corpus_stream(
+    df: DataFrame,
+    config: Optional[CorpusConfig] = None,
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """:func:`prepare_corpus` over a ``readStream`` frame — corpus
+    preparation AS INGESTION: documents are cleaned, quality-gated,
+    deduplicated, sharded, and tokenized into model-ready id sequences
+    as micro-batches land, instead of in a nightly batch pass.
+
+    Every supported stage is the EXACT operator the batch pipeline
+    runs (the projection stages are shared code, not streaming
+    variants), so batch and stream agree row-for-row on the surviving
+    set — pinned by the q98/q99 oracle gates, which hash-match a real
+    drained stream against the batch semantics recomputed in DuckDB.
+
+    Stage mapping:
+
+    - strip_html / normalize / quality_filter — pure projections,
+      verbatim (``_map_prefix``).
+    - dedup — Spark's ``dropDuplicatesWithinWatermark`` keyed on
+      ``config.dedup_cols`` (or the normalized-text fingerprint, added
+      here exactly as batch ``dedup_exact`` derives it). Two
+      divergences from the batch operator, both inherent to streams:
+      the survivor is the FIRST ARRIVAL, not the smallest id (the
+      surviving KEY SET is identical; the representative row may
+      differ — key the downstream on the dedup key, or pre-normalize
+      the text, when representatives must match), and state is evicted
+      once the watermark passes a key's event time (a duplicate
+      arriving within ``watermark`` of its first occurrence is ALWAYS
+      removed; a later one may be re-admitted — the bounded-state
+      trade any 100 TB/day stream must make; ``stream_distinct`` in
+      streaming/stateful.py offers the processing-time variant).
+    - n_shards — deterministic md5 projection, verbatim.
+    - tokenize — ``bpe_tokenize_map_side``, the map-side operator
+      built for exactly this (``_tokenize_stage``, shared).
+
+    Stages that need cross-document joins or windows (boilerplate
+    removal, decontamination, mixture sampling) cannot run map-side
+    on an unbounded stream — they raise here and belong in the batch
+    refinement pass over the landed shards.
+
+    ``ts_col`` must be an event-time column of ``df`` (synthesize a
+    deterministic one upstream if the source has none); ``watermark``
+    bounds dedup state.
+    """
+    c = config if config is not None else CorpusConfig()
+    unsupported = [
+        name
+        for name, on in (
+            ("boilerplate_width", c.boilerplate_width),
+            ("decontaminate_against", c.decontaminate_against is not None),
+            ("mixture_weights", c.mixture_weights),
+        )
+        if on
+    ]
+    if unsupported:
+        raise ValueError(
+            f"prepare_corpus_stream: stage(s) {unsupported} need "
+            "cross-document joins/windows and cannot run on an unbounded "
+            "stream — run them in the batch refinement pass"
+        )
+    df = _map_prefix(df, c)
+    if c.dedup:
+        if c.dedup_cols:
+            key_cols = list(c.dedup_cols)
+        else:
+            df = X.with_fingerprint(df, c.text_col)
+            key_cols = ["fingerprint"]
+        df = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    if c.n_shards:
+        df = S.with_shard(df, c.id_col, c.n_shards, seed=c.shard_seed)
+    return _tokenize_stage(df, c)

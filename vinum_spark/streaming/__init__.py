@@ -1,5 +1,6 @@
 from vinum_spark.streaming.windows import (
     stream_events,
+    stream_table,
     tumbling_counts,
     sliding_aggregate,
     session_aggregate,
@@ -8,6 +9,7 @@ from vinum_spark.streaming.joins import stream_interval_join
 
 __all__ = [
     "stream_events",
+    "stream_table",
     "tumbling_counts",
     "sliding_aggregate",
     "session_aggregate",

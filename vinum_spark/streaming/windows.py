@@ -154,6 +154,37 @@ def stream_events(
     return reader.load(path)
 
 
+def stream_table(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Generic parquet ``readStream`` over any testdata table (the
+    documents/embeddings analogue of :func:`stream_events`): streaming
+    sources require a user-supplied schema, so the batch reader probes
+    the footer once, and the single-file layout gets the same
+    basePath + globify treatment ``stream_events`` documents (a direct
+    single-file path otherwise fails FileStreamSource's basePath
+    override). No rewritten copy of the source is ever made."""
+    import os
+
+    single_file = os.path.isfile(path)
+    if single_file and any(c in "*?[]{}" for c in path):
+        raise ValueError(
+            "single-file streaming requires a path free of glob "
+            f"metacharacters; move {path!r} into its own directory "
+            "and stream the directory instead"
+        )
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if single_file:
+        reader = reader.option("basePath", os.path.dirname(path))
+        path = f"{path[:-1]}[{path[-1]}]"
+    return reader.load(path)
+
+
 def tumbling_counts(
     events: DataFrame,
     window: str = "1 hour",
