@@ -9,6 +9,17 @@ one untimed warm-up then median of 5 timed runs (raised from 3 in round
 3 — the round-2 run showed ±30% single-query wobble on q14/q18 with no
 code change on those paths); ``value`` = sum of per-query medians.
 
+Round pooling (round 14, VERDICT r13 item 7): the committed BENCH_rN is
+whichever invocation the driver captures, and round 13 showed the
+invocations of one round spanning ±45% on single queries with no code
+change — the committed file was simply the slowest of six, so round-
+over-round deltas encoded run-selection noise. ``queries``/``value``
+now report the per-query median over ALL of this round's raw timed runs
+at the same (round, mode, sf) — pooled from tools/bench_history.jsonl
+plus the current invocation — so re-running bench.py converges the
+committed number instead of re-rolling it. ``queries_this_run`` keeps
+the unpooled view; ``pooled_invocations`` counts the contributors.
+
 ``python bench.py --all`` benches EVERY ``queries()`` entry (median of
 3 — 80 queries would make 5 runs a >10-minute pass) so the tail
 operators (q44-q80) get per-round numbers, not just the one-off
@@ -67,6 +78,41 @@ def _current_round() -> str | None:
         if m:
             rounds.append(int(m.group(1)))
     return f"r{max(rounds) + 1}" if rounds else None
+
+
+def _pooled_medians(
+    round_label: str | None, mode: str, sf_val, raw_runs: dict
+) -> tuple[dict, int]:
+    """Per-query median over every raw timed run this round has
+    recorded at the same (round, mode, sf) — the current invocation's
+    runs plus earlier ones from bench_history.jsonl. Entries without
+    ``runs`` (pre-round-14 history) are skipped. Returns (medians,
+    number of contributing invocations)."""
+    pools: dict[str, list[float]] = {q: list(r) for q, r in raw_runs.items()}
+    invocations = 1
+    try:
+        with open(HISTORY_PATH) as f:
+            lines = f.readlines()
+    except OSError:
+        lines = []
+    for line in lines:
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if (
+            rec.get("round") == round_label
+            and rec.get("mode") == mode
+            and rec.get("sf") == sf_val
+            and isinstance(rec.get("runs"), dict)
+        ):
+            invocations += 1
+            for q, runs in rec["runs"].items():
+                pools.setdefault(q, []).extend(runs)
+    return (
+        {q: round(statistics.median(r), 3) for q, r in pools.items() if r},
+        invocations,
+    )
 
 
 def _append_history(record: dict) -> None:
@@ -131,8 +177,11 @@ def main() -> None:
         if bench_all:
             print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    mode = "all" if bench_all else "headline"
+    round_label = _current_round()
+    pooled, invocations = _pooled_medians(round_label, mode, sf_val, raw_runs)
+    total = round(sum(pooled.values()), 3)
     print(
         json.dumps(
             {
@@ -143,8 +192,10 @@ def main() -> None:
                 ),
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": pooled,
+                "queries_this_run": timings,
                 "runs": raw_runs,
+                "pooled_invocations": invocations,
                 "sf": sf_val,
                 **({"errors": errors} if errors else {}),
             }
@@ -155,11 +206,12 @@ def main() -> None:
             "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
                 timespec="seconds"
             ),
-            "round": _current_round(),
-            "mode": "all" if bench_all else "headline",
+            "round": round_label,
+            "mode": mode,
             "sf": sf_val,
-            "total": total,
+            "total": round(sum(timings.values()), 3),
             "queries": timings,
+            "runs": raw_runs,
             **({"errors": errors} if errors else {}),
         }
     )

@@ -93,9 +93,10 @@ _GATED_RAW = [
     # round-13 fourth wave: the tokenizing prepare_corpus chain (q75's
     # survivor pipeline + byte merge chain + id mapping) as one gate
     "q95_pipeline_tokenized",
-    # the demoted tail (inventory._DEMOTED_TO_TAIL): outside the round
-    # driver's 50-row record, so their EXACT driver oracles run here —
-    # no query is ever both driver-invisible and suite-invisible
+    # the demoted tail (every query outside inventory._GATE_HEAD):
+    # outside the round driver's 50-row record, so their EXACT driver
+    # oracles run here — no query is ever both driver-invisible and
+    # suite-invisible
     "q20_set_ops",
     "q44_dedup_exact_survivors",
     "q45_table_sql_pipeline",
@@ -144,6 +145,19 @@ _GATED_RAW = [
     # mapping by gated q93/q67); exact driver oracles run here instead
     "q64_repetition_signals",
     "q76_encode_tokens",
+    # round-14 rotation: stepped out of the driver head (see
+    # inventory._GATE_HEAD) so the core-SQL family + q96-q99 step in;
+    # exact driver oracles run here instead
+    "q22_count_distinct",
+    "q27_dedup_exact",
+    "q50_streaming_session",
+    # round-14 gap-fill: these four tail members relied on OTHER tests
+    # covering their machinery but never ran their exact driver oracle
+    # in this suite — found by the structural invariant test below
+    "q25_text_stats",
+    "q28_ngram_jaccard",
+    "q40_vectorized_udf",
+    "q43_token_explode",
 ]
 
 # entries may appear under several rationale comments (engine-designed
@@ -186,3 +200,15 @@ def test_every_query_has_an_oracle():
     """Round-3 contract: zero rows-only checks left in the inventory."""
     missing = [n for n in QUERIES if n not in oracle_sql()]
     assert missing == []
+
+
+def test_every_non_gate_query_runs_its_oracle_in_suite():
+    """Structural invariant behind the gate rotation: the round driver
+    records only inventory._GATE_HEAD, so EVERY other query's exact
+    driver oracle must run here (GATED) — no query is ever both
+    driver-invisible and suite-invisible."""
+    from vinum_spark.inventory import _GATE_HEAD
+
+    outside = set(QUERIES) - set(_GATE_HEAD)
+    uncovered = sorted(outside - set(GATED))
+    assert uncovered == []

@@ -4937,234 +4937,110 @@ def q99(spark, sf_dir):
 
 
 #: The round driver's correctness gate records only the FIRST 50
-#: entries of ``queries()``; with 94 registered, forty-four fall
-#: outside it (q81 promoted into q62's slot in the r10 third wave,
-#: q83 into q43's in r11; q86-q89 into q34/q24/q17/q49's in r13).
-#: Order the export so the operator classes with the least
-#: other coverage sit inside the gate: the streaming/multimodal/pipeline
-#: additions (q51-q78) take the slots of queries each subsumed by
-#: other green gates — q20/q44/q45 (set-ops by the golden suite,
-#: exact-dedup survivors by q27, the table-SQL pipeline by q40's API
-#: tests), the q02-q10 basics (filter/agg/distinct/having/sort/
-#: math/string/datetime — each exercised dozens of times by the
-#: 169-case reference golden suite in tests/test_query_results.py,
-#: which hash-pins the identical semantics), and five family siblings
-#: whose operator class keeps another gated member (anti-join ↔
-#: q13/q14/q16 joins; running-window ↔ q18; cube + grouping-sets ↔
-#: q21 rollup; approx-distinct ↔ q22 exact count-distinct + its own
-#: in-suite agreement gate). EVERY demoted entry still runs its exact
-#: driver oracle in-suite (tests/test_oracle_gates) and on demand via
-#: ``tools/check_oracle.py``; README documents the tail.
-_DEMOTED_TO_TAIL = (
-    "q20_set_ops",
-    "q44_dedup_exact_survivors",
-    "q45_table_sql_pipeline",
+#: entries of ``queries()``. Through round 13 the gate order was
+#: maintained as an accumulated demote/promote swap chain (see git
+#: history for the per-rotation rationale); by round-13 close EVERY
+#: inventory query had earned at least one driver-recorded green, so
+#: round 14 replaces the chain with this EXPLICIT head. Selection
+#: rule, unchanged: the operator classes with the least other
+#: coverage sit inside the gate; every member outside it still runs
+#: its exact driver oracle in-suite (tests/test_oracle_gates.py or
+#: the golden suite in tests/test_query_results.py) and on demand via
+#: ``tools/check_oracle.py`` — no query is ever both driver-invisible
+#: and suite-invisible.
+#:
+#: Round-14 rotation (VERDICT r13 item 6): the core-SQL family
+#: q02-q12 — the longest-ungated family, tail-resident since rounds
+#: 3-7 — returns to the gate, alongside the four round-14 additions
+#: (q96-q99). Fourteen family-redundant members step out, each with
+#: an in-gate sibling pinning its machinery: q22 count-distinct (the
+#: golden suite + the q38 approx/exact agreement gate), q27 exact
+#: dedup (runs INSIDE the gated q75/q95 chains; cluster/incremental
+#: siblings q63/q72 stay), q50 streaming session (watermark/state
+#: machinery kept by q53 stateful + q55 interval join + the new
+#: q98/q99 streaming pipeline; the q24 session twin's oracle runs
+#: in-suite), q65 pipeline compose (subsumed by the gated full
+#: chains q75/q95/q98), q66 group-top-n (sampling family keeps q59
+#: stratified + q71 packing), q67 vocab top-k (the q92 tokenizer
+#: chain builds the same frequency vocab), q70 LM score (q58 quality
+#: rules keep the signal family), q77 PQ (its probe/ADC machinery is
+#: inside the gated q79 IVF-PQ), q80 media probe (the decode gates
+#: q81/q84 walk the same headers), q83 image near-dup (q87 pHash +
+#: q85 audio keep the media near-dup family), and four BPE members —
+#: q88 char training (byte q90 + continuation q97 stay), q89 char
+#: tokenize (byte q91 stays), q93 token ids (the id mapping is
+#: hash-pinned inside the gated q95/q98/q99 chains), q94 RE2-safe
+#: pre-tokenizer (the q96 exact-GPT-2 gate exercises a superset of
+#: the split machinery).
+_GATE_HEAD = (
+    # flagship + core SQL (filter/project, aggregates, distinct,
+    # having, sort/limit, math/string/datetime, CASE, conditional agg)
+    "q01_pricing_summary",
     "q02_filter_project",
     "q03_global_agg",
+    "q04_group_single_key",
     "q05_distinct",
     "q06_having",
     "q07_orderby_limit_offset",
     "q08_math_functions",
     "q09_string_functions",
     "q10_datetime",
-    "q15_anti_join",
-    "q19_window_running",
-    "q36_cube",
-    "q38_approx_distinct",
-    "q47_grouping_sets",
-    # round-7 continuation: seven more slots for q67-q73, each demoted
-    # entry's semantics exercised by an in-gate sibling AND its exact
-    # driver oracle still run in-suite — CASE cascades (q11) power the
-    # gated q26/q58; conditional agg (q12) recurs in q58/q60; the join
-    # family keeps q13/q14/q17 (q16 semi joins out with q15 anti);
-    # percentile disagreement (q35) has its own in-suite approx-vs-exact
-    # agreement gate; null semantics (q41) are hash-pinned by the golden
-    # NULLS block; regex (q42) is the machinery of gated q58/q61; the
-    # UDF family rotates in r11: q40 vectorized steps out so q48
-    # grouped-agg (stale since r6) gets a driver check — one
-    # Arrow-batched UDF stays gated either way.
     "q11_case_when",
     "q12_conditional_agg",
-    "q16_semi_join",
-    "q35_percentiles",
-    "q41_null_semantics",
-    "q42_regex_strings",
-    "q40_vectorized_udf",
-    # q74's slot: pivot lowers to the same conditional-aggregation shape
-    # q12 pins (and q12's exact oracle, like this one's, runs in-suite)
-    "q37_pivot",
-    # Round-11 rotation (VERDICT r10 item 2): q24/q26/q32/q30/q48 last
-    # saw a driver check in r6 — rotate them back in by demoting five
-    # family-redundant gate members in their slots (every demoted
-    # query's exact oracle keeps running in-suite via check_oracle and
-    # the pytest gates).
-    # q75's slot: sliding windows are tumbling windows with overlap —
-    # the gated streaming q49 (tumbling) + q50 (session) keep the
-    # watermark/window machinery in-gate; q51's oracle stays in-suite.
-    # (This re-promotes q24 batch sessionization, stale since r6.)
-    "q51_streaming_sliding",
-    # q76's slot: q25's single-projection text stats are the same
-    # signal machinery the gated q58 quality rules, q60 length buckets
-    # and q64 repetition compute. (Re-promotes q26 lang-ID.)
-    "q25_text_stats",
-    # q77's slot: plain IVF's cell-probe machinery is contained in the
-    # gated q79 IVF-PQ (probe + ADC + re-rank) and q77 PQ; q46's oracle
-    # stays in-suite. (Re-promotes q32 sign-LSH ANN with its recall
-    # gate.)
-    "q46_ann_ivf",
-    # q78's slot: the near-dup family keeps q29 minhash-LSH, q63
-    # clusters and q72 incremental in the gate; n-gram Jaccard's exact
-    # oracle stays in-suite. (Re-promotes q30 SimHash.)
-    "q28_ngram_jaccard",
-    # round-10 rotation (VERDICT r9 item 1): q79/q80 get driver-recorded
-    # greens. q79's slot: brute-force cosine top-k is subsumed in-gate by
-    # the exact q78 knn-join plus the ANN members q46/q56/q77 (and now
-    # q79 itself, whose re-rank IS brute-force cosine on the probed
-    # cells); q31's exact oracle moves in-suite.
-    "q31_cosine_topk",
-    # q80's slot: the batch tumbling-window twin — the gated streaming
-    # q49 hash-matches the SAME tumbling semantics against the oracle
-    # (the q24↔q50 session precedent); q23's exact oracle moves in-suite.
-    "q23_events_tumbling_window",
-    # q81's slot (round-10 third wave): the real sample-decode family
-    # gets a driver-recorded green. q62's md5-shard assignment is the
-    # same md5-threshold machinery the gate keeps via q59 (stratified
-    # sample), q66 (group top-n) and q71 (packing shards); its exact
-    # oracle moves in-suite.
-    "q62_deterministic_shard",
-    # q83's slot (round 11): the image near-dup chain gets a
-    # driver-recorded green. q43's explode+count token machinery is
-    # exactly the first stage of the gated q67 vocab top-k and q76
-    # token encoding; its exact oracle moves in-suite.
-    "q43_token_explode",
-    # q84's slot (round 11): the Vorbis sample-decode gate. q52's
-    # magic-ladder metadata projection is the same header-walk family
-    # the gate keeps via q80 (probe) and the decode gates q81/q83/q84;
-    # its exact oracle moves in-suite.
-    "q52_multimodal_metadata",
-    # q85's slot (round 12): the audio near-dup chain gets its
-    # first-ever driver-recorded green (judge-r11 verified at sf0.01
-    # but added after the r11 window was captured). q30's SimHash
-    # candidate machinery is redundantly pinned in-window by the
-    # near-dup family q29 (minhash-LSH), q63 (clusters), q72
-    # (incremental) and q83 (image chain); its recall-gate oracle
-    # moves in-suite.
-    "q30_simhash",
-    # Round-13 rotation (VERDICT r12 item 1): q86-q89 were added after
-    # the r12 window was captured and are the only gated queries with
-    # no driver CORRECTNESS row ever. Four family-redundant members
-    # step out (exact oracles keep running in-suite via
-    # tests/test_oracle_gates + tools/check_oracle.py):
-    # q86's slot: q34 JSON extraction is the projection machinery of
-    # the gated q58/q61-class regex/text projections.
-    # q87's slot: q24 batch sessionization hash-matches the same
-    # session semantics the gated streaming q50 pins (q23<->q49
-    # precedent for the tumbling twin).
-    # q88's slot: q17 scalar subquery keeps its join family in-gate
-    # via q13 (broadcast), q14 (multiway) and q33 (as-of).
-    # q89's slot: q49 tumbling steps out; q50 session + q53 stateful
-    # dedup + q55 interval join keep streaming watermark/window
-    # machinery in-gate (sliding q51 already runs its oracle in-suite).
-    "q34_json_extract",
-    "q24_events_sessionize",
-    "q17_scalar_subquery",
-    "q49_streaming_tumbling",
-    # Round-13 second rotation (same round, ahead of the verdict): the
-    # round-13 additions q90-q93 get driver rows THIS round instead of
-    # waiting a cycle (the q85/q86-q89 pattern, applied eagerly — all
-    # four verified green at sf0.01 by the full in-session sweep).
-    # q90's slot: q26 lang-ID is the CASE-cascade machinery of the
-    # gated q58 quality rules (the exact rationale of its r7-r10
-    # tail stint; it has held a driver row since r11).
-    # q91's slot: q32 sign-LSH ANN steps back out — the ANN family
-    # keeps FOUR gated members (q56 LSH candidates+verify, q77 PQ,
-    # q78 exact knn, q79 IVF-PQ); its recall gate stays in-suite.
-    # q92's slot: q39 exact all-pairs runs the same block-grid BLAS
-    # applyInPandas path as the gated q78 knn_join.
-    # q93's slot: q74 quality-weighted mixing is the md5-threshold
-    # sampling machinery the gate keeps via q59 (stratified), q60
-    # (buckets), q66 (group top-n) and q71 (packing shards).
-    "q26_lang_id",
-    "q32_ann_lsh",
-    "q39_embedding_neardup_pairs",
-    "q74_mixture_sample",
-    # Round-13 third rotation: q94 (production pre-tokenizer) and q95
-    # (tokenizing prepare_corpus chain) complete the goal that NO
-    # gated query lacks a driver row — both green in the in-session
-    # 94-query sweep at sf0.01.
-    # q94's slot: q64 repetition signals are the same per-doc
-    # text-signal machinery the gate keeps via q58 (quality rules)
-    # and q70 (LM score); its exact oracle stays in-suite.
-    # q95's slot: q76 encode_tokens' frequency-vocab id mapping is
-    # pinned in-gate by q93 (BPE token-id encoding, the same
-    # posexplode+vocab-join+reassembly shape) and q67 (vocab top-k,
-    # the same frequency ranking); its exact oracle stays in-suite.
-    "q64_repetition_signals",
-    "q76_encode_tokens",
-)
-_PROMOTED = (
-    "q51_streaming_sliding",
-    "q52_multimodal_metadata",
+    # joins / windows / grouping extensions
+    "q13_join_broadcast",
+    "q14_join_multiway",
+    "q18_window_topk_per_group",
+    "q21_rollup",
+    "q29_minhash_lsh_dedup",
+    "q33_asof_join",
+    "q48_grouped_agg_udf",
+    # streaming
     "q53_streaming_stateful_dedup",
     "q54_winnowing_pairs",
     "q55_stream_interval_join",
+    # text / dedup / sampling pipeline operators
     "q56_embedding_lsh_verify",
     "q57_skew_salted_agg",
     "q58_quality_rules",
     "q59_stratified_sample",
     "q60_length_buckets",
     "q61_pii_redaction",
-    "q62_deterministic_shard",
     "q63_dedup_clusters",
-    "q64_repetition_signals",
-    "q65_pipeline_compose",
-    "q66_group_topn_sample",
-    "q67_vocab_topk",
     "q68_decontamination",
     "q69_boilerplate_removal",
-    "q70_lm_quality_score",
     "q71_pack_sequences",
     "q72_incremental_dedup",
     "q73_bm25_search",
-    "q74_mixture_sample",
     "q75_prepare_corpus",
-    "q76_encode_tokens",
-    "q77_ann_pq",
+    # ANN / media
     "q78_knn_join",
     "q79_ann_ivfpq",
-    "q80_media_probe",
     "q81_audio_decode",
-    "q83_image_neardup",
     "q84_vorbis_decode",
     "q85_audio_neardup",
     "q86_skew_join_aqe",
     "q87_image_phash_neardup",
-    "q88_bpe_merges",
-    "q89_bpe_tokenize",
+    # BPE tokenizer family
     "q90_bpe_byte_merges",
     "q91_bpe_byte_tokenize",
     "q92_tokenizer_pipeline",
-    "q93_bpe_token_ids",
-    "q94_bpe_gpt2_pretokenize",
     "q95_pipeline_tokenized",
+    # round-14 additions
+    "q96_bpe_gpt2_exact",
+    "q97_bpe_extend_merges",
+    "q98_pipeline_stream",
+    "q99_pipeline_stream_rocksdb",
 )
 
 
 def _gate_order() -> List[str]:
-    swap = dict(zip(_DEMOTED_TO_TAIL, _PROMOTED))
-
-    def resolve(n: str) -> str:
-        # follow swap chains: demoting a PREVIOUSLY-PROMOTED query
-        # (q62 -> q81 in the round-10 third wave) re-targets the slot
-        # its own promotion occupied
-        seen = set()
-        while n in swap and n not in seen:
-            seen.add(n)
-            n = swap[n]
-        return n
-
-    out = [resolve(n) for n in QUERIES if n not in _PROMOTED]
-    out.extend(_DEMOTED_TO_TAIL)
+    head = set(_GATE_HEAD)
+    missing = head.difference(QUERIES)
+    if missing:  # a rename must fail loudly, not silently shrink the gate
+        raise KeyError(f"_GATE_HEAD names not in QUERIES: {sorted(missing)}")
+    out = list(_GATE_HEAD)
+    out.extend(n for n in QUERIES if n not in head)
     return out
 
 
