@@ -21,7 +21,7 @@ committed number instead of re-rolling it. ``queries_this_run`` keeps
 the unpooled view; ``pooled_invocations`` counts the contributors.
 
 ``python bench.py --all`` benches EVERY ``queries()`` entry (median of
-3 — 80 queries would make 5 runs a >10-minute pass) so the tail
+3 — ~100 queries would make 5 runs a >10-minute pass) so the tail
 operators (q44-q80) get per-round numbers, not just the one-off
 BASELINE.md anchors. Both modes append their record to
 ``tools/bench_history.jsonl``; ``python tools/bench_diff.py --gate``

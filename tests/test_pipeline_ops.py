@@ -1339,3 +1339,53 @@ def test_extend_bpe_merges_validation(spark):
     )
     with pytest.raises(ValueError, match="contiguous"):
         extend_bpe_merges(docs, gappy, 1)
+
+
+def test_bpe_decode_ids_roundtrip_and_errors(spark):
+    """decode(encode(text)) == text under the tiling GPT2ISH pattern
+    (any merge table); out-of-vocab ids raise with the vocab bound;
+    null id sequences stay null; a sequence splitting a multibyte
+    char substitutes U+FFFD instead of failing the batch."""
+    from pyspark.sql import Row
+    from pyspark.sql.utils import PythonException
+
+    from vinum_spark.operators.text import (
+        GPT2ISH_SPLIT_PATTERN,
+        bpe_decode_ids,
+        bpe_tokenize_map_side,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "It's  2026: naïve café—δίκτυο 数据!!  tr\tailing  "),
+            (2, ""),
+            (3, "a  b don't\tx"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = {"byte_level": True, "token_pattern": GPT2ISH_SPLIT_PATTERN}
+    merges = learn_bpe_merges(docs, n_merges=6, **kw)
+    enc = bpe_tokenize_map_side(docs, merges, emit_ids=True, **kw)
+    got = {
+        r["doc_id"]: r["text"] for r in bpe_decode_ids(enc, merges).collect()
+    }
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert got == want
+
+    # out-of-vocab id -> clear error naming the bound
+    bad = spark.createDataFrame(
+        [Row(doc_id=1, token_ids=[0, 99999])],
+        "doc_id long, token_ids array<int>",
+    )
+    with pytest.raises(PythonException, match="outside the vocabulary"):
+        bpe_decode_ids(bad, merges).collect()
+
+    # null sequence passes through as null; a lone continuation byte
+    # (0x80 = id 128) is not valid UTF-8 -> U+FFFD, not a crash
+    odd = spark.createDataFrame(
+        [Row(doc_id=1, token_ids=None), Row(doc_id=2, token_ids=[128])],
+        "doc_id long, token_ids array<int>",
+    )
+    out = {r["doc_id"]: r["text"] for r in bpe_decode_ids(odd, merges).collect()}
+    assert out[1] is None and out[2] == "�"

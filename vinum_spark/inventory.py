@@ -4936,6 +4936,37 @@ def q99(spark, sf_dir):
     )
 
 
+@_q(
+    "q100_bpe_roundtrip",
+    f"SELECT doc_id, {_BPE_AUG_SQL} AS text FROM documents ORDER BY doc_id",
+    "Tokenizer ROUND-TRIP gate — the brutal identity: "
+    "decode(encode(text)) must reproduce the original text "
+    "byte-for-byte for every document. GPT2ISH_SPLIT_PATTERN's "
+    "alternatives tile the input (every character is consumed by "
+    "exactly one token: letters, digits, punctuation runs, "
+    "whitespace runs), so the full chain — pre-tokenize -> byte "
+    "symbols -> greedy merges -> GPT-2-layout ids -> bpe_decode_ids "
+    "(ids -> merge symbols -> bytes -> UTF-8) — is the identity "
+    "regardless of the learned table. The oracle is just the "
+    "augmented source text: any defect anywhere in the encode or "
+    "decode path (a dropped character class, a wrong id, a bad "
+    "byte mapping, a merge that corrupts symbols) breaks equality.",
+)
+def q100(spark, sf_dir):
+    from vinum_spark.operators.text import (
+        GPT2ISH_SPLIT_PATTERN,
+        bpe_decode_ids,
+        bpe_tokenize_map_side,
+        learn_bpe_merges,
+    )
+
+    docs = _bpe_aug(_t(spark, sf_dir, "documents"))
+    kw = {"byte_level": True, "token_pattern": GPT2ISH_SPLIT_PATTERN}
+    merges = learn_bpe_merges(docs, n_merges=8, **kw)
+    enc = bpe_tokenize_map_side(docs, merges, emit_ids=True, **kw)
+    return bpe_decode_ids(enc, merges).orderBy("doc_id")
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``. Through round 13 the gate order was
 #: maintained as an accumulated demote/promote swap chain (see git

@@ -1213,12 +1213,12 @@ def learn_bpe_merges(
     spark = df.sparkSession
     merges: list = []
     cached = vocab.persist()
-    # one job sizes the dictionary both ways: row count (loop
-    # bookkeeping) and summed symbol count (the fast-path budget)
-    sized = cached.agg(
-        F.count(F.lit(1)).alias("n"), F.sum(F.size("sym")).alias("syms")
-    ).collect()[0]
-    n_syms = sized["syms"] or 0
+    # one job materializes the persist AND sizes the dictionary for
+    # the fast-path budget (summed symbols, not types — see docstring)
+    n_syms = (
+        cached.agg(F.sum(F.size("sym")).alias("syms")).collect()[0]["syms"]
+        or 0
+    )
     if collect_cap and n_syms <= collect_cap:
         try:
             local = [(r["sym"], r["freq"]) for r in cached.select("sym", "freq").collect()]
@@ -1599,6 +1599,63 @@ def bpe_encode_ids(
             F.size(ids).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def bpe_decode_ids(
+    df: DataFrame,
+    merges_df: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    out: str = "text",
+) -> DataFrame:
+    """Inverse of :func:`bpe_encode_ids` / the map-side ``emit_ids``
+    projection: token-ID sequences back to text — the inspection half
+    of a production tokenizer (sample what the model actually sees
+    from landed id shards; verify a pipeline end to end). Byte-level
+    tables only (the :func:`bpe_vocab` id layout).
+
+    Round-trip law (pinned by the q100 gate): the GPT-2-style split
+    patterns TILE their input — every character is consumed by exactly
+    one token — so ``decode(encode(text)) == text`` EXACTLY under
+    ``GPT2ISH_SPLIT_PATTERN``, for any merge table. (A lossy
+    pre-tokenizer like ``'[^ ]+'`` reconstructs the words without the
+    separators; ``GPT2_EXACT`` additionally drops the reserved U+001E.)
+
+    Pure projection, join-free, streams: the id->token table is the
+    GPT-2 layout derived from the collected merge table (bounded by
+    construction) applied in one Arrow-batched pandas UDF; token
+    symbols map back through ``chr(0x100 + b)`` to UTF-8 bytes. An
+    id outside [0, 255 + n_merges] raises; an id sequence that does
+    not decode as UTF-8 (possible only for sequences a tokenizer
+    never produced, e.g. hand-edited ids splitting a multibyte
+    character) substitutes U+FFFD rather than failing the batch.
+    """
+    merges = [
+        (r["lhs"], r["rhs"]) for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    id_tok = {b: chr(_BYTE_SYM_BASE + b) for b in range(256)}
+    id_tok.update({256 + k: a + b for k, (a, b) in enumerate(merges)})
+    n_vocab = len(id_tok)
+
+    @F.pandas_udf("string")
+    def decode(col: pd.Series) -> pd.Series:
+        out_rows = []
+        for ids in col:
+            if ids is None:
+                out_rows.append(None)
+                continue
+            try:
+                syms = "".join(id_tok[i] for i in ids)
+            except KeyError as exc:
+                raise ValueError(
+                    f"token id {exc.args[0]} outside the vocabulary "
+                    f"[0, {n_vocab - 1}] of the supplied merge table"
+                ) from None
+            raw = bytes(ord(c) - _BYTE_SYM_BASE for c in syms)
+            out_rows.append(raw.decode("utf-8", errors="replace"))
+        return pd.Series(out_rows)
+
+    return df.select(id_col, decode(ids_col).alias(out))
 
 
 def bpe_tokenize_map_side(
