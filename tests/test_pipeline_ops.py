@@ -1389,3 +1389,50 @@ def test_bpe_decode_ids_roundtrip_and_errors(spark):
     )
     out = {r["doc_id"]: r["text"] for r in bpe_decode_ids(odd, merges).collect()}
     assert out[1] is None and out[2] == "�"
+
+
+def test_special_tokens_eos_roundtrip(spark):
+    """append_eos closes every doc with <|endoftext|> at id
+    256+n_merges (GPT-2's last-vocab-id convention); bpe_vocab's
+    special_tokens layout matches; decode with the same special set
+    round-trips text + the literal marker; char mode rejected."""
+    from vinum_spark.operators.text import (
+        GPT2ISH_SPLIT_PATTERN,
+        bpe_decode_ids,
+        bpe_tokenize_map_side,
+        bpe_vocab,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello  world"), (2, "")], "doc_id long, text string"
+    )
+    kw = {"byte_level": True, "token_pattern": GPT2ISH_SPLIT_PATTERN}
+    merges = learn_bpe_merges(docs, n_merges=4, **kw)
+    n_merges = merges.count()
+
+    voc = {r["token"]: r["token_id"]
+           for r in bpe_vocab(merges, special_tokens=("<|endoftext|>",)).collect()}
+    assert voc["<|endoftext|>"] == 256 + n_merges
+    assert len(voc) == 256 + n_merges + 1
+
+    enc = bpe_tokenize_map_side(
+        docs, merges, emit_ids=True, append_eos=True, **kw
+    )
+    rows = {r["doc_id"]: r for r in enc.collect()}
+    assert rows[1]["tokens"][-1] == "<|endoftext|>"
+    assert rows[1]["token_ids"][-1] == 256 + n_merges
+    assert rows[2]["tokens"] == ["<|endoftext|>"]  # empty doc still closed
+    assert rows[1]["n_tokens"] == len(rows[1]["tokens"])
+
+    dec = {
+        r["doc_id"]: r["text"]
+        for r in bpe_decode_ids(
+            enc, merges, special_tokens=("<|endoftext|>",)
+        ).collect()
+    }
+    assert dec[1] == "hello  world<|endoftext|>"
+    assert dec[2] == "<|endoftext|>"
+
+    with pytest.raises(ValueError, match="append_eos requires"):
+        bpe_tokenize_map_side(docs, merges, append_eos=True)

@@ -1532,7 +1532,7 @@ def bpe_tokenize(
     )
 
 
-def bpe_vocab(merges_df: DataFrame) -> DataFrame:
+def bpe_vocab(merges_df: DataFrame, special_tokens: tuple = ()) -> DataFrame:
     """Token-id vocabulary from a BYTE-LEVEL learned merge table, in
     the GPT-2 layout every production tokenizer ships: ids 0-255 are
     the 256 base byte symbols (``chr(0x100 + b)`` maps byte b to id
@@ -1540,8 +1540,12 @@ def bpe_vocab(merges_df: DataFrame) -> DataFrame:
     vocab size is exactly 256 + n_merges, no unknown token needed
     (any UTF-8 input decomposes into base bytes). Byte mode only:
     char-mode tables have no fixed base alphabet to assign stable ids
-    over. Returns (token string, token_id int), one row per vocab
-    entry — 256 + n_merges rows, always broadcastable.
+    over. ``special_tokens`` mints ids AFTER the merges (GPT-2's own
+    convention — ``<|endoftext|>`` is its last vocab id), so special
+    token i gets id 256 + n_merges + i; they never collide with text
+    tokens (text tokens are built from chars >= U+0100). Returns
+    (token string, token_id int), one row per vocab entry —
+    256 + n_merges + n_special rows, always broadcastable.
     """
     spark = merges_df.sparkSession
     base = spark.range(256).select(
@@ -1556,7 +1560,18 @@ def bpe_vocab(merges_df: DataFrame) -> DataFrame:
         F.concat("lhs", "rhs").alias("token"),
         (F.col("merge_rank") + 255).cast("int").alias("token_id"),
     )
-    return base.unionByName(merged)
+    out = base.unionByName(merged)
+    if special_tokens:
+        n_merges = merges_df.count()
+        specials = spark.createDataFrame(
+            [
+                (tok, 256 + n_merges + i)
+                for i, tok in enumerate(special_tokens)
+            ],
+            "token string, token_id int",
+        )
+        out = out.unionByName(specials)
+    return out
 
 
 def bpe_encode_ids(
@@ -1607,6 +1622,7 @@ def bpe_decode_ids(
     id_col: str = "doc_id",
     ids_col: str = "token_ids",
     out: str = "text",
+    special_tokens: tuple = (),
 ) -> DataFrame:
     """Inverse of :func:`bpe_encode_ids` / the map-side ``emit_ids``
     projection: token-ID sequences back to text — the inspection half
@@ -1635,7 +1651,13 @@ def bpe_decode_ids(
     ]
     id_tok = {b: chr(_BYTE_SYM_BASE + b) for b in range(256)}
     id_tok.update({256 + k: a + b for k, (a, b) in enumerate(merges)})
-    n_vocab = len(id_tok)
+    # special tokens (the bpe_vocab special_tokens layout: ids after
+    # the merges) decode to their LITERAL string — they carry no byte
+    # symbols, so they bypass the byte mapping below
+    special = {
+        256 + len(merges) + i: tok for i, tok in enumerate(special_tokens)
+    }
+    n_vocab = len(id_tok) + len(special)
 
     @F.pandas_udf("string")
     def decode(col: pd.Series) -> pd.Series:
@@ -1644,15 +1666,27 @@ def bpe_decode_ids(
             if ids is None:
                 out_rows.append(None)
                 continue
-            try:
-                syms = "".join(id_tok[i] for i in ids)
-            except KeyError as exc:
-                raise ValueError(
-                    f"token id {exc.args[0]} outside the vocabulary "
-                    f"[0, {n_vocab - 1}] of the supplied merge table"
-                ) from None
-            raw = bytes(ord(c) - _BYTE_SYM_BASE for c in syms)
-            out_rows.append(raw.decode("utf-8", errors="replace"))
+            parts, run = [], []
+            for i in ids:
+                sp = special.get(i)
+                if sp is not None:
+                    if run:
+                        raw = bytes(ord(c) - _BYTE_SYM_BASE for c in run)
+                        parts.append(raw.decode("utf-8", errors="replace"))
+                        run = []
+                    parts.append(sp)
+                    continue
+                tok = id_tok.get(i)
+                if tok is None:
+                    raise ValueError(
+                        f"token id {i} outside the vocabulary "
+                        f"[0, {n_vocab - 1}] of the supplied merge table"
+                    )
+                run.extend(tok)
+            if run:
+                raw = bytes(ord(c) - _BYTE_SYM_BASE for c in run)
+                parts.append(raw.decode("utf-8", errors="replace"))
+            out_rows.append("".join(parts))
         return pd.Series(out_rows)
 
     return df.select(id_col, decode(ids_col).alias(out))
@@ -1666,11 +1700,23 @@ def bpe_tokenize_map_side(
     token_pattern: str = "[a-z]+",
     byte_level: bool = False,
     emit_ids: bool = False,
+    append_eos: bool = False,
+    eos_token: str = "<|endoftext|>",
 ) -> DataFrame:
     """:func:`bpe_tokenize` as a PURE PROJECTION — no distinct, no
     join, no shuffle — so it runs on ``readStream`` (streaming corpus
     ingestion: tokenize micro-batches as they land) and composes with
     the other map-side stages ``prepare_corpus`` already streams.
+
+    ``append_eos=True`` (byte mode) closes every document with
+    ``eos_token`` — the document-boundary marker a packed training
+    stream needs (GPT-2's ``<|endoftext|>`` convention: the special
+    token takes the first id AFTER the merges, 256 + n_merges, the
+    :func:`bpe_vocab` ``special_tokens`` layout). The marker is
+    appended to ``tokens``, counted in ``n_tokens``, and (with
+    ``emit_ids``) its id appended to ``token_ids``; pass the same
+    ``special_tokens=(eos_token,)`` to :func:`bpe_decode_ids` to
+    round-trip it.
 
     Trade vs :func:`bpe_tokenize`: the batch operator's rank loop runs
     once per DISTINCT word corpus-wide; here it runs once per distinct
@@ -1696,6 +1742,11 @@ def bpe_tokenize_map_side(
         raise ValueError(f"token_pattern unsafe for a SQL literal: {token_pattern!r}")
     if emit_ids and not byte_level:
         raise ValueError("emit_ids requires byte_level=True (bpe_vocab layout)")
+    if append_eos and not byte_level:
+        raise ValueError(
+            "append_eos requires byte_level=True (the special-token id "
+            "layout is bpe_vocab's)"
+        )
     # being a projection this APPENDS its output columns; an input that
     # already carries them (a re-run pipeline stage) would otherwise
     # produce duplicate names that only fail later as ambiguous
@@ -1718,6 +1769,8 @@ def bpe_tokenize_map_side(
         **{chr(_BYTE_SYM_BASE + b): b for b in range(256)},
         **{a + b: 256 + k for k, (a, b) in enumerate(merges)},
     }
+    if append_eos:
+        tok_id[eos_token] = 256 + len(merges)
     ranks = {pair: i for i, pair in enumerate(merges)}
     cache: dict = {}
 
@@ -1743,6 +1796,8 @@ def bpe_tokenize_map_side(
 
     words_col = _bpe_words_col(text_col, token_pattern, byte_level)
     toks = tokenize_words(words_col)
+    if append_eos:
+        toks = F.concat(toks, F.array(F.lit(eos_token)))
     out = df.select(
         "*",
         toks.alias("tokens"),
