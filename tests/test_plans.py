@@ -396,3 +396,35 @@ def test_bpe_tokenize_python_is_vocab_sized_and_broadcast(spark, name):
             "Python output must broadcast into the corpus join"
         )
     assert "BroadcastHashJoin" in tree
+
+
+def test_prepare_corpus_projection_stages_shuffle_free(spark):
+    """The pipeline's map prefix (quality rules) + tokenize stage are
+    PURE PROJECTIONS: with dedup/shard off, the whole prepare_corpus
+    plan must contain no Exchange — the property that makes the
+    identical stages streamable (prepare_corpus_stream) and lets
+    Catalyst fuse them into the scan at 100 TB. The rank-loop pandas
+    UDF must also appear exactly ONCE per output column set (Spark
+    dedups equal PythonUDF expressions in one projection), not once
+    per referencing expression."""
+    from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
+    from vinum_spark.operators.text import learn_bpe_merges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = learn_bpe_merges(
+        docs, n_merges=4, byte_level=True, token_pattern="[^ ]+"
+    )
+    out = prepare_corpus(
+        docs,
+        CorpusConfig(
+            quality_filter=True,
+            dedup=False,
+            tokenize_with=merges,
+            tokenize_byte_level=True,
+            tokenize_pattern="[^ ]+",
+            tokenize_emit_ids=True,
+        ),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert plan.count("tokenize_words") <= 2  # tokens + n_tokens refs share one eval
