@@ -151,10 +151,12 @@ _GATED_RAW = [
     "q22_count_distinct",
     "q27_dedup_exact",
     "q50_streaming_session",
-    # round-14 addition outside the 50-head: the tokenizer round-trip
+    # round-14 additions outside the 50-head: the tokenizer round-trip
     # identity (decode(encode(text)) == text under the tiling GPT-2
-    # pattern) runs here until a future rotation
+    # pattern) and context-window chunking run here until a future
+    # rotation
     "q100_bpe_roundtrip",
+    "q101_chunk_token_ids",
     # round-14 gap-fill: these four tail members relied on OTHER tests
     # covering their machinery but never ran their exact driver oracle
     # in this suite — found by the structural invariant test below

@@ -1436,3 +1436,47 @@ def test_special_tokens_eos_roundtrip(spark):
 
     with pytest.raises(ValueError, match="append_eos requires"):
         bpe_tokenize_map_side(docs, merges, append_eos=True)
+
+
+def test_chunk_token_ids_semantics(spark):
+    """Chunk c covers [c*stride, c*stride+max_len); tail fragments kept
+    iff >= min_len; empty/null sequences produce no rows; chunk_id is
+    dense from 0; validation raises on bad knobs."""
+    from vinum_spark.operators.text import chunk_token_ids
+
+    df = spark.createDataFrame(
+        [(1, list(range(10))), (2, [7]), (3, []), (4, None)],
+        "doc_id long, token_ids array<int>",
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], tuple(r["token_ids"]), r["n_tokens"])
+        for r in chunk_token_ids(df, max_len=4).collect()
+    )
+    assert got == [
+        (1, 0, (0, 1, 2, 3), 4),
+        (1, 1, (4, 5, 6, 7), 4),
+        (1, 2, (8, 9), 2),
+        (2, 0, (7,), 1),
+    ]
+    # overlap: stride < max_len
+    ov = sorted(
+        (r["chunk_id"], tuple(r["token_ids"]))
+        for r in chunk_token_ids(
+            df.filter("doc_id = 1"), 4, stride=2
+        ).collect()
+    )
+    assert ov == [
+        (0, (0, 1, 2, 3)),
+        (1, (2, 3, 4, 5)),
+        (2, (4, 5, 6, 7)),
+        (3, (6, 7, 8, 9)),
+        (4, (8, 9)),
+    ]
+    assert (
+        chunk_token_ids(df.filter("doc_id = 1"), 4, stride=2, min_len=4).count()
+        == 4
+    )
+    for kw in ({"max_len": 0}, {"max_len": 4, "stride": 0},
+               {"max_len": 4, "min_len": 5}):
+        with pytest.raises(ValueError):
+            chunk_token_ids(df, **kw)

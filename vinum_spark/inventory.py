@@ -4967,6 +4967,102 @@ def q100(spark, sf_dir):
     return bpe_decode_ids(enc, merges).orderBy("doc_id")
 
 
+#: q101: chunking params (model context 16, stride 12 -> 4-id overlap,
+#: tail fragments under 4 ids dropped) — small enough that the sf0.01
+#: docs produce multi-chunk outputs with both overlap and dropped
+#: tails exercised.
+_Q101_FINAL_SQL = (
+    """vtok AS MATERIALIZED (
+  SELECT word, unnest(range(1, len(sym) + 1)) AS si, unnest(sym) AS tok
+  FROM vocab8),
+ids AS MATERIALIZED (
+  SELECT chr(CAST(256 + r AS INT)) AS tok, CAST(r AS INT) AS tid
+  FROM range(256) t(r)
+"""
+    + "".join(
+        f"  UNION ALL SELECT a || b, CAST({255 + k} AS INT) FROM best{k}\n"
+        for k in range(1, 9)
+    )
+    + """),
+vids AS MATERIALIZED (
+  SELECT v.word, list(i.tid ORDER BY v.si) AS tids
+  FROM vtok v JOIN ids i ON i.tok = v.tok
+  GROUP BY v.word),
+docids AS MATERIALIZED (
+  SELECT d.doc_id, flatten(list(vids.tids ORDER BY d.wi)) AS tids
+  FROM docw d JOIN vids ON vids.word = d.word
+  GROUP BY d.doc_id),
+chunks AS (
+  SELECT doc_id,
+         CAST(c AS INT) AS chunk_id,
+         tids[CAST(c * 12 + 1 AS INT) : CAST(c * 12 + 16 AS INT)] AS chunk
+  FROM docids, unnest(range(0, CAST(floor((len(tids) - 1) / 12) AS BIGINT) + 1)) t(c)
+  WHERE len(tids) > 0)
+SELECT doc_id, chunk_id,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_transform(chunk, i -> CAST(i AS VARCHAR)), ' '))
+         AS ids_md5
+FROM chunks
+WHERE len(chunk) >= 4
+ORDER BY doc_id, chunk_id"""
+)
+
+
+@_q(
+    "q101_chunk_token_ids",
+    _q89_oracle(
+        base=_q88_oracle(
+            8, words_from=_BPE_BYTE_WORDS_FROM, sym_expr=_DUCK_BYTE_SYM
+        ),
+        doc_ws_sql=(
+            f"SELECT doc_id, regexp_extract_all({_BPE_AUG_SQL}, '[^ ]+') AS ws"
+            " FROM documents"
+        ),
+        final_sql=_Q101_FINAL_SQL,
+    ).replace(
+        # final_sql opens with another CTE (same patch as q92/q93)
+        "GROUP BY d.doc_id)\nvtok AS",
+        "GROUP BY d.doc_id),\nvtok AS",
+    ),
+    "Context-window chunking under the oracle gate (chunk_token_ids — "
+    "the training-prep step between tokenization and packing): the "
+    "byte-level BPE id corpus split into context-16 sequences at "
+    "stride 12 (4-id overlap between consecutive chunks, the HF "
+    "return_overflowing_tokens convention), tail fragments under 4 "
+    "ids dropped. Pure built-in array expressions — one posexplode, "
+    "no UDF, no shuffle (a projection: composes with the streaming "
+    "pipeline). The oracle re-derives the id sequences from the merge "
+    "chain and chunks them with DuckDB list slicing, so a drift in "
+    "start offsets, overlap, tail handling, or chunk numbering "
+    "hash-mismatches per chunk.",
+)
+def q101(spark, sf_dir):
+    from vinum_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_tokenize,
+        chunk_token_ids,
+        learn_bpe_merges,
+    )
+
+    docs = _bpe_aug(_t(spark, sf_dir, "documents"))
+    kw = {"byte_level": True, "token_pattern": "[^ ]+"}
+    merges = learn_bpe_merges(docs, n_merges=8, **kw)
+    enc = bpe_encode_ids(
+        bpe_tokenize(docs, merges, id_col="doc_id", **kw), merges
+    )
+    out = chunk_token_ids(enc, max_len=16, stride=12, min_len=4)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.col("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.expr("transform(token_ids, i -> CAST(i AS STRING))")
+            )
+        ).alias("ids_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``. Through round 13 the gate order was
 #: maintained as an accumulated demote/promote swap chain (see git

@@ -1692,6 +1692,70 @@ def bpe_decode_ids(
     return df.select(id_col, decode(ids_col).alias(out))
 
 
+def chunk_token_ids(
+    df: DataFrame,
+    max_len: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    min_len: int = 1,
+) -> DataFrame:
+    """Context-window chunking — the training-prep step between
+    tokenization and sequence packing: split each document's id
+    sequence into model-context-sized training sequences, optionally
+    overlapping (the HF ``return_overflowing_tokens``/``stride``
+    convention). Chunk c covers ids ``[c*stride, c*stride + max_len)``
+    for c = 0, 1, ... while ``c*stride < n``; the final chunk may be
+    short and is kept when it has at least ``min_len`` ids (raise
+    ``min_len`` to drop tail fragments; documents with no qualifying
+    chunk — including empty ones — produce no rows). ``stride``
+    defaults to ``max_len`` (non-overlapping); ``stride < max_len``
+    overlaps consecutive chunks by ``max_len - stride`` ids.
+
+    Returns (id_col, chunk_id int, token_ids array, n_tokens long),
+    ``chunk_id`` counting from 0 in document order. Pure built-in
+    array expressions — one explode, no UDF, no shuffle (a projection:
+    composes with the streaming pipeline and Catalyst fuses it into
+    the scan); at 100 TB the output is bounded by
+    corpus_tokens/stride rows, each ``max_len`` ids.
+    """
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    stride = max_len if stride is None else stride
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if not 1 <= min_len <= max_len:
+        raise ValueError(
+            f"min_len must be in [1, max_len], got {min_len}"
+        )
+    n = F.size(ids_col)
+    # chunk starts: 0, stride, 2*stride, ... strictly below n
+    starts = F.when(
+        n > 0,
+        F.expr(
+            f"sequence(0, CAST(floor((size({ids_col}) - 1) / {stride}) "
+            f"AS INT) * {stride}, {stride})"
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    chunk = F.slice(ids_col, F.col("__start") + 1, max_len)
+    return (
+        df.select(id_col, ids_col)
+        .withColumn("__starts", starts)
+        .select(
+            id_col,
+            ids_col,
+            F.posexplode("__starts").alias("chunk_id", "__start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            chunk.alias("token_ids"),
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= min_len)
+    )
+
+
 def bpe_tokenize_map_side(
     df: DataFrame,
     merges_df: DataFrame,
