@@ -939,3 +939,40 @@ def test_multi_table_sql_differential_vs_duckdb(_diff_join_engines, sql_pair):
             assert ok.all(), (vin_sql, duck_sql, c)
         else:
             assert (g[c] == w[c]).all(), (vin_sql, duck_sql, c)
+
+
+# ---------------------------------------------------------------------------
+# gpt2-exact sentinel emulation (round 14): the lookahead-free transform
+# must equal GPT-2's true trailing-whitespace lookahead on ARBITRARY text
+# ---------------------------------------------------------------------------
+
+_GPT2_FUZZ_ALPHABET = st.sampled_from(
+    list("ab '\t\n\f\r.!?9数ïΩ\x0b\x00") + [" "] * 8
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet=_GPT2_FUZZ_ALPHABET, max_size=60))
+def test_gpt2_exact_sentinel_transform_equals_lookahead(text):
+    """Pure-Python twin of the q96 machinery (no Spark in the loop, so
+    hypothesis can shrink): sentinel-insert + safe pattern must
+    tokenize EXACTLY like the true lookahead pattern, including on
+    vertical tabs (outside the explicit ws class by design), NULs, and
+    long mixed whitespace runs. U+001E itself is the one reserved
+    character and is excluded from generation (documented on
+    GPT2_EXACT: inputs containing it tokenize as if it were absent)."""
+    import regex
+
+    from vinum_spark.operators.text import (
+        _GPT2_BOUNDARY_PATTERN,
+        _GPT2_EXACT_TOKEN_PATTERN,
+        GPT2_EXACT_LOOKAHEAD_PATTERN,
+        GPT2_SENTINEL,
+    )
+
+    want = regex.findall(GPT2_EXACT_LOOKAHEAD_PATTERN, text)
+    marked = regex.sub(_GPT2_BOUNDARY_PATTERN, GPT2_SENTINEL + r"\1\2", text)
+    got = regex.findall(_GPT2_EXACT_TOKEN_PATTERN, marked)
+    assert got == want
+    # tiling: exact-GPT-2 consumes every character
+    assert "".join(want) == text
