@@ -81,13 +81,21 @@ def _current_round() -> str | None:
 
 
 def _pooled_medians(
-    round_label: str | None, mode: str, sf_val, raw_runs: dict
+    round_label: str | None,
+    mode: str,
+    sf_val,
+    raw_runs: dict,
+    allowed: set,
 ) -> tuple[dict, int]:
     """Per-query median over every raw timed run this round has
     recorded at the same (round, mode, sf) — the current invocation's
     runs plus earlier ones from bench_history.jsonl. Entries without
-    ``runs`` (pre-round-14 history) are skipped. Returns (medians,
-    number of contributing invocations)."""
+    ``runs`` (pre-round-14 history) are skipped, and history is
+    restricted to ``allowed`` (the queries this invocation targets):
+    a query renamed or removed mid-round must not re-enter the
+    committed record through stale history (round-14 review
+    finding). Returns (medians, number of contributing
+    invocations)."""
     pools: dict[str, list[float]] = {q: list(r) for q, r in raw_runs.items()}
     invocations = 1
     try:
@@ -108,7 +116,8 @@ def _pooled_medians(
         ):
             invocations += 1
             for q, runs in rec["runs"].items():
-                pools.setdefault(q, []).extend(runs)
+                if q in allowed:
+                    pools.setdefault(q, []).extend(runs)
     return (
         {q: round(statistics.median(r), 3) for q, r in pools.items() if r},
         invocations,
@@ -180,7 +189,9 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     mode = "all" if bench_all else "headline"
     round_label = _current_round()
-    pooled, invocations = _pooled_medians(round_label, mode, sf_val, raw_runs)
+    pooled, invocations = _pooled_medians(
+        round_label, mode, sf_val, raw_runs, allowed=set(names)
+    )
     total = round(sum(pooled.values()), 3)
     print(
         json.dumps(

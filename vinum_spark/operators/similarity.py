@@ -925,8 +925,13 @@ def phash_candidate_pairs(
     Python stage) does not run twice; checkpoint blocks are
     reference-tracked and evicted when the frame is garbage-collected,
     so repeated auto-mode calls do not accumulate cached blocks for
-    the application lifetime. Pass an explicit 1 or 2 to skip the
-    count (the call stays fully lazy, nothing is materialized).
+    the application lifetime. The localCheckpoint trade: blocks live
+    only on the executors that computed them and are NOT recomputable
+    after an executor loss (Spark aborts the downstream job) — safe
+    in local mode and on static executors, but on a cluster with
+    dynamic allocation or preemption pass an explicit 1 or 2 instead
+    (the call then stays fully lazy, nothing is materialized, and
+    everything recomputes from the scan).
     """
     if 64 % n_bands:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
