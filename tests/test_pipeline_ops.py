@@ -1480,3 +1480,54 @@ def test_chunk_token_ids_semantics(spark):
                {"max_len": 4, "min_len": 5}):
         with pytest.raises(ValueError):
             chunk_token_ids(df, **kw)
+
+
+def test_prepare_corpus_chunking_stage(spark):
+    """chunk_max_len adds chunking as the pipeline's final stage:
+    per-chunk rows carry every pipeline column (shard survives), the
+    chunks equal applying the standalone operator to the unchunked
+    pipeline, and the stage stays a projection (no extra shuffle
+    beyond the stages that declare one)."""
+    from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
+    from vinum_spark.operators.text import chunk_token_ids, learn_bpe_merges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = {"byte_level": True, "token_pattern": "[^ ]+"}
+    merges = learn_bpe_merges(docs, n_merges=8, **kw)
+    base_cfg = CorpusConfig(
+        quality_filter=True, dedup=True, n_shards=4,
+        tokenize_with=merges, tokenize_byte_level=True,
+        tokenize_pattern="[^ ]+",
+    )
+    chunk_cfg = CorpusConfig(
+        quality_filter=True, dedup=True, n_shards=4,
+        tokenize_with=merges, tokenize_byte_level=True,
+        tokenize_pattern="[^ ]+",
+        chunk_max_len=16, chunk_stride=12, chunk_min_len=4,
+    )
+    got = prepare_corpus(docs, chunk_cfg)
+    assert {"shard", "chunk_id", "token_ids", "n_tokens"} <= set(got.columns)
+    assert "tokens" not in got.columns
+    want = chunk_token_ids(
+        prepare_corpus(docs, base_cfg).drop("tokens", "n_tokens"),
+        16, stride=12, min_len=4, preserve=True,
+    )
+    g = {(r["doc_id"], r["chunk_id"]): (r["token_ids"], r["shard"])
+         for r in got.collect()}
+    w = {(r["doc_id"], r["chunk_id"]): (r["token_ids"], r["shard"])
+         for r in want.collect()}
+    assert g == w and len(g) > 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="tokenize_emit_ids"):
+        prepare_corpus(
+            docs,
+            CorpusConfig(
+                tokenize_with=merges, tokenize_byte_level=True,
+                tokenize_pattern="[^ ]+", tokenize_emit_ids=False,
+                chunk_max_len=16,
+            ),
+        )
+    with _pt.raises(ValueError, match="tokenize_with"):
+        prepare_corpus(docs, CorpusConfig(chunk_max_len=16))

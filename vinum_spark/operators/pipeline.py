@@ -62,6 +62,15 @@ class CorpusConfig:
     tokenize_byte_level: bool = True
     tokenize_pattern: Optional[str] = None  # default: GPT2ISH (byte mode)
     tokenize_emit_ids: bool = True
+    #: context-window chunking as the stage after tokenization (needs
+    #: tokenize_emit_ids): each document's token_ids become 1+ rows of
+    #: (original columns minus tokens/token_ids, chunk_id, token_ids,
+    #: n_tokens) — model-context-sized training sequences (HF stride
+    #: convention; operators/text.py chunk_token_ids). A projection +
+    #: posexplode: still zero shuffles, still streamable.
+    chunk_max_len: Optional[int] = None
+    chunk_stride: Optional[int] = None  # default: chunk_max_len
+    chunk_min_len: int = 1
 
 
 def prepare_corpus(df: DataFrame, config: Optional[CorpusConfig] = None) -> DataFrame:
@@ -177,21 +186,44 @@ def _tokenize_stage(df: DataFrame, c: CorpusConfig) -> DataFrame:
     pure projection that keeps every pipeline column — no join-back,
     no shuffle; the chain stays streamable map-side."""
     if c.tokenize_with is None:
+        if c.chunk_max_len:
+            raise ValueError(
+                "prepare_corpus: chunk_max_len needs the tokenize stage "
+                "(set tokenize_with)"
+            )
         return df
     pattern = c.tokenize_pattern
     if pattern is None:
         pattern = (
             X.GPT2ISH_SPLIT_PATTERN if c.tokenize_byte_level else "[a-z]+"
         )
-    return X.bpe_tokenize_map_side(
+    emit_ids = c.tokenize_emit_ids and c.tokenize_byte_level
+    df = X.bpe_tokenize_map_side(
         df,
         c.tokenize_with,
         text_col=c.text_col,
         id_col=c.id_col,
         token_pattern=pattern,
         byte_level=c.tokenize_byte_level,
-        emit_ids=c.tokenize_emit_ids and c.tokenize_byte_level,
+        emit_ids=emit_ids,
     )
+    if c.chunk_max_len:
+        if not emit_ids:
+            raise ValueError(
+                "prepare_corpus: chunk_max_len chunks token_ids — it "
+                "needs tokenize_emit_ids=True and byte-level tokenization"
+            )
+        # doc-level token columns give way to per-chunk rows; every
+        # other pipeline column (shard, signals, the text) is carried
+        df = X.chunk_token_ids(
+            df.drop("tokens", "n_tokens"),
+            c.chunk_max_len,
+            stride=c.chunk_stride,
+            id_col=c.id_col,
+            min_len=c.chunk_min_len,
+            preserve=True,
+        )
+    return df
 
 
 def prepare_corpus_stream(

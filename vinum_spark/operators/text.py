@@ -1699,6 +1699,7 @@ def chunk_token_ids(
     id_col: str = "doc_id",
     ids_col: str = "token_ids",
     min_len: int = 1,
+    preserve: bool = False,
 ) -> DataFrame:
     """Context-window chunking — the training-prep step between
     tokenization and sequence packing: split each document's id
@@ -1713,8 +1714,12 @@ def chunk_token_ids(
     overlaps consecutive chunks by ``max_len - stride`` ids.
 
     Returns (id_col, chunk_id int, token_ids array, n_tokens long),
-    ``chunk_id`` counting from 0 in document order. Pure built-in
-    array expressions — one explode, no UDF, no shuffle (a projection:
+    ``chunk_id`` counting from 0 in document order; ``preserve=True``
+    carries EVERY other input column onto each chunk row instead of
+    just ``id_col`` (pipeline composition — quality signals, shard,
+    source survive chunking; the input must not already have
+    ``chunk_id``/``n_tokens`` columns). Pure built-in array
+    expressions — one explode, no UDF, no shuffle (a projection:
     composes with the streaming pipeline and Catalyst fuses it into
     the scan); at 100 TB the output is bounded by
     corpus_tokens/stride rows, each ``max_len`` ids.
@@ -1728,6 +1733,14 @@ def chunk_token_ids(
         raise ValueError(
             f"min_len must be in [1, max_len], got {min_len}"
         )
+    if preserve:
+        clash = sorted({"chunk_id", "n_tokens"}.intersection(df.columns))
+        if clash:
+            raise ValueError(
+                f"chunk_token_ids(preserve=True) output column(s) {clash} "
+                "already exist on the input frame — drop or rename them "
+                "before chunking"
+            )
     n = F.size(ids_col)
     # chunk starts: 0, stride, 2*stride, ... strictly below n
     starts = F.when(
@@ -1738,16 +1751,19 @@ def chunk_token_ids(
         ),
     ).otherwise(F.array().cast("array<int>"))
     chunk = F.slice(ids_col, F.col("__start") + 1, max_len)
+    carried = (
+        [c for c in df.columns if c != ids_col] if preserve else [id_col]
+    )
     return (
-        df.select(id_col, ids_col)
+        (df if preserve else df.select(id_col, ids_col))
         .withColumn("__starts", starts)
         .select(
-            id_col,
+            *carried,
             ids_col,
             F.posexplode("__starts").alias("chunk_id", "__start"),
         )
         .select(
-            id_col,
+            *carried,
             F.col("chunk_id").cast("int").alias("chunk_id"),
             chunk.alias("token_ids"),
             F.size(chunk).cast("bigint").alias("n_tokens"),
