@@ -43,6 +43,7 @@ _ENGINE_DESIGNED = [
     "q95_pipeline_tokenized",   # full tokenizing pipeline chain
     "q98_pipeline_stream",      # streaming pipeline drains, both
     "q99_pipeline_stream_rocksdb",  # state-store providers
+    "q102_pack_token_blocks",   # md5-stream block arithmetic
 ]
 
 # every query outside the driver's head runs its exact oracle here —

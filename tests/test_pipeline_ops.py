@@ -1531,3 +1531,57 @@ def test_prepare_corpus_chunking_stage(spark):
         )
     with _pt.raises(ValueError, match="tokenize_with"):
         prepare_corpus(docs, CorpusConfig(chunk_max_len=16))
+
+
+def test_pack_token_blocks_semantics(spark):
+    """Independent-expectation pin: blocks equal concatenating each
+    shard's docs in (md5 rank, key) order and slicing into
+    block_size pieces — recomputed in plain Python with hashlib;
+    partition-invariant; drop_last=False keeps tails; empty id
+    sequences shift nothing."""
+    import hashlib
+
+    from vinum_spark.operators.sampling import pack_token_blocks
+
+    df = spark.createDataFrame(
+        [(i, list(range(i * 100, i * 100 + 7))) for i in range(20)]
+        + [(99, [])],
+        "doc_id long, token_ids array<int>",
+    )
+
+    def rk(k):
+        return hashlib.md5(f"{k}\x1f0".encode()).hexdigest()
+
+    streams = {0: [], 1: []}
+    for k in sorted(range(20), key=lambda k: (rk(k), k)):
+        streams[int(rk(k)[:8], 16) % 2].extend(range(k * 100, k * 100 + 7))
+    want_full = sorted(
+        (s, b, tuple(toks[b * 10 : (b + 1) * 10]))
+        for s, toks in streams.items()
+        for b in range(len(toks) // 10)
+    )
+    got = sorted(
+        (r["shard"], r["block_id"], tuple(r["token_ids"]))
+        for r in pack_token_blocks(df, 10, n_shards=2).collect()
+    )
+    assert got == want_full
+    again = sorted(
+        (r["shard"], r["block_id"], tuple(r["token_ids"]))
+        for r in pack_token_blocks(df.repartition(13), 10, n_shards=2).collect()
+    )
+    assert again == got
+    tails = sorted(
+        (r["shard"], r["block_id"], tuple(r["token_ids"]), r["n_tokens"])
+        for r in pack_token_blocks(
+            df, 10, n_shards=2, drop_last=False
+        ).collect()
+    )
+    want_tails = sorted(
+        (s, b, tuple(toks[b * 10 : (b + 1) * 10]),
+         len(toks[b * 10 : (b + 1) * 10]))
+        for s, toks in streams.items()
+        for b in range(-(-len(toks) // 10))
+    )
+    assert tails == want_tails
+    with pytest.raises(ValueError, match="block_size"):
+        pack_token_blocks(df, 0)

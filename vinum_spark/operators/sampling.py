@@ -268,6 +268,72 @@ def pack_sequences(
     )
 
 
+def pack_token_blocks(
+    df: DataFrame,
+    block_size: int,
+    key_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    n_shards: int = 32,
+    seed: str = "0",
+    drop_last: bool = True,
+) -> DataFrame:
+    """Assemble the FINAL pre-training artifact: fixed-size contiguous
+    blocks of token ids, documents concatenated back-to-back in the
+    deterministic md5-shard stream order (the GPT-2 data recipe —
+    close each document with ``append_eos`` upstream if the model
+    wants boundary markers; the separator is the caller's token
+    choice, not this operator's).
+
+    Fully distributed, no sequential assembly loop anywhere:
+    :func:`pack_sequences` (budget = ``block_size``) gives every
+    document its absolute token offset within its shard's stream (one
+    hash shuffle + one in-shard sort over doc-COUNT-sized rows); each
+    token's global position is then ``seq_pos + index``, so
+    ``block_id = pos div block_size`` and the position within the
+    block is ``pos mod block_size`` — one ``posexplode`` and one
+    ``groupBy (shard, block_id)`` reassembly. The explode + shuffle is
+    corpus-TOKEN-sized: the honest, unavoidable cost of re-chunking a
+    corpus into contiguous blocks, and it partitions perfectly (every
+    (shard, block) group is exactly ``block_size`` rows — no skew by
+    construction). The assignment is a total function of (key, seed,
+    block_size): any engine, any partitioning, any cluster size packs
+    identically.
+
+    ``drop_last=True`` (the trainer convention) drops each shard's
+    final partial block. Returns (shard, block_id, token_ids,
+    n_tokens) with ``block_id`` dense from 0 per shard.
+    """
+    if block_size < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
+    packed = pack_sequences(
+        df.withColumn("__len", F.size(ids_col)),
+        "__len",
+        key_col,
+        budget=block_size,
+        n_shards=n_shards,
+        seed=seed,
+    )
+    pos = F.col("seq_pos") + F.col("__i")
+    tok = packed.select(
+        "shard", "seq_pos", F.posexplode(ids_col).alias("__i", "__tid")
+    ).select(
+        "shard",
+        F.floor(pos / block_size).cast("bigint").alias("block_id"),
+        (pos % block_size).cast("int").alias("__p"),
+        "__tid",
+    )
+    blocks = tok.groupBy("shard", "block_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(__p, __tid))),"
+            " s -> s.__tid)"
+        ).alias("token_ids"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    )
+    if drop_last:
+        blocks = blocks.filter(F.col("n_tokens") == block_size)
+    return blocks
+
+
 def mixture_sample(
     df: DataFrame,
     strata_col: str,
