@@ -5188,7 +5188,11 @@ def q102(spark, sf_dir):
 #: Round-14 rotation (VERDICT r13 item 6): the core-SQL family
 #: q02-q12 — the longest-ungated family, tail-resident since rounds
 #: 3-7 — returns to the gate, alongside the four round-14 additions
-#: (q96-q99). Fourteen family-redundant members step out, each with
+#: (q96-q99). The late-round additions q100 (decode round-trip),
+#: q101 (context chunking) and q102 (token-block packing) sit in the
+#: derived suite complement with in-session sf0.01 verification —
+#: they are the round-15 promotion candidates. Fourteen
+#: family-redundant members step out, each with
 #: an in-gate sibling pinning its machinery: q22 count-distinct (the
 #: golden suite + the q38 approx/exact agreement gate), q27 exact
 #: dedup (runs INSIDE the gated q75/q95 chains; cluster/incremental
