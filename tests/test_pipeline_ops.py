@@ -1585,3 +1585,51 @@ def test_pack_token_blocks_semantics(spark):
     assert tails == want_tails
     with pytest.raises(ValueError, match="block_size"):
         pack_token_blocks(df, 0)
+
+
+def test_save_load_tokenizer_roundtrip(spark, tmp_path):
+    """The JSON artifact round-trips exactly: the reloaded table
+    tokenizes byte-for-byte identically (incl. non-ASCII merges),
+    config keys survive, bad formats and gappy ranks fail loudly."""
+    from vinum_spark.operators.text import (
+        GPT2ISH_SPLIT_PATTERN,
+        bpe_tokenize_map_side,
+        learn_bpe_merges,
+        load_tokenizer,
+        save_tokenizer,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "naïve café 数据 naïve café"), (2, "a  b don't")],
+        "doc_id long, text string",
+    )
+    kw = {"byte_level": True, "token_pattern": GPT2ISH_SPLIT_PATTERN}
+    merges = learn_bpe_merges(docs, n_merges=6, **kw)
+    path = str(tmp_path / "tok.json")
+    save_tokenizer(
+        merges, path, byte_level=True,
+        token_pattern=GPT2ISH_SPLIT_PATTERN,
+        special_tokens=("<|endoftext|>",),
+    )
+    loaded = load_tokenizer(spark, path)
+    assert loaded["byte_level"] is True
+    assert loaded["token_pattern"] == GPT2ISH_SPLIT_PATTERN
+    assert loaded["special_tokens"] == ("<|endoftext|>",)
+    assert [tuple(r) for r in loaded["merges"].orderBy("merge_rank").collect()] == [
+        tuple(r) for r in merges.orderBy("merge_rank").collect()
+    ]
+    a = bpe_tokenize_map_side(docs, merges, emit_ids=True, **kw)
+    b = bpe_tokenize_map_side(docs, loaded["merges"], emit_ids=True, **kw)
+    assert {tuple(map(str, r)) for r in a.collect()} == {
+        tuple(map(str, r)) for r in b.collect()
+    }
+
+    (tmp_path / "bad.json").write_text('{"format": "other"}')
+    with pytest.raises(ValueError, match="not a vinum_spark-bpe-v1"):
+        load_tokenizer(spark, str(tmp_path / "bad.json"))
+    gappy = spark.createDataFrame(
+        [(1, "a", "b", 3), (3, "ab", "c", 1)],
+        "merge_rank int, lhs string, rhs string, pair_count long",
+    )
+    with pytest.raises(ValueError, match="contiguous"):
+        save_tokenizer(gappy, str(tmp_path / "g.json"))

@@ -551,3 +551,53 @@ def test_prepare_corpus_batch_dedup_cols(spark):
         CorpusConfig(quality_filter=False, dedup=True, dedup_cols=("text",)),
     )
     assert sorted(r["doc_id"] for r in by_raw.collect()) == [1, 2]
+
+
+def test_prepare_corpus_stream_with_chunking(spark):
+    """chunk_max_len composes with the STREAMING pipeline (chunking is
+    a posexplode projection — legal after watermarked dedup): the
+    drained chunk rows equal the batch pipeline's on the same data."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.pipeline import (
+        CorpusConfig,
+        prepare_corpus,
+        prepare_corpus_stream,
+    )
+    from vinum_spark.operators.text import learn_bpe_merges
+    from vinum_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_table,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    batch = spark.read.parquet(path)
+    merges = learn_bpe_merges(
+        batch, n_merges=4, byte_level=True, token_pattern="[^ ]+"
+    )
+    cfg = CorpusConfig(
+        quality_filter=True,
+        dedup=True,
+        tokenize_with=merges,
+        tokenize_byte_level=True,
+        tokenize_pattern="[^ ]+",
+        chunk_max_len=16,
+        chunk_stride=12,
+        chunk_min_len=4,
+    )
+    stream = stream_table(spark, path).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+    )
+    out = prepare_corpus_stream(stream, cfg, watermark="365 days").select(
+        "doc_id", "chunk_id", "token_ids"
+    )
+    run_stream_to_memory(out, "pcs_chunks", mode="append", state_partitions=4)
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["token_ids"]
+        for r in spark.table("pcs_chunks").collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"]): r["token_ids"]
+        for r in prepare_corpus(batch, cfg).collect()
+    }
+    assert got == want and len(got) > 0

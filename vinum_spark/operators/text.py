@@ -1772,6 +1772,79 @@ def chunk_token_ids(
     )
 
 
+#: on-disk format tag for :func:`save_tokenizer` artifacts
+_TOKENIZER_FORMAT = "vinum_spark-bpe-v1"
+
+
+def save_tokenizer(
+    merges_df: DataFrame,
+    path: str,
+    byte_level: bool = True,
+    token_pattern: str | None = None,
+    special_tokens: tuple = (),
+) -> None:
+    """Ship the learned tokenizer as ONE portable JSON artifact — the
+    merge table plus everything needed to reproduce tokenization
+    (alphabet mode, pre-tokenizer pattern, special tokens), the
+    tokenizer.json idea: training happens once on the cluster, the
+    artifact travels to every consumer. The merge table is
+    vocab-bounded by contract (8-64k rows), so a driver-side JSON
+    write is the right shape; ranks are positional (row i is rank
+    i+1) and pair counts ride along as provenance. Round-trip is
+    exact: ``load_tokenizer`` rebuilds a merge frame that tokenizes
+    byte-for-byte identically (pinned in tests)."""
+    import json
+
+    rows = merges_df.orderBy("merge_rank").collect()
+    ranks = [r["merge_rank"] for r in rows]
+    if ranks != list(range(1, len(rows) + 1)):
+        raise ValueError(
+            "merge table ranks must be contiguous from 1 to save "
+            f"positionally (got {ranks[:5]}...)"
+        )
+    artifact = {
+        "format": _TOKENIZER_FORMAT,
+        "byte_level": byte_level,
+        "token_pattern": token_pattern,
+        "special_tokens": list(special_tokens),
+        "merges": [[r["lhs"], r["rhs"], int(r["pair_count"])] for r in rows],
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(artifact, f, ensure_ascii=True)
+
+
+def load_tokenizer(spark, path: str) -> dict:
+    """Load a :func:`save_tokenizer` artifact. Returns a dict with
+    ``merges`` (the rebuilt merge-table DataFrame, ranks restored
+    positionally) plus the ``byte_level`` / ``token_pattern`` /
+    ``special_tokens`` configuration — pass them straight to
+    :func:`bpe_tokenize` / :func:`bpe_tokenize_map_side` /
+    :func:`extend_bpe_merges` / :func:`bpe_decode_ids`. Rejects
+    unknown formats loudly rather than mis-tokenizing quietly."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        artifact = json.load(f)
+    fmt = artifact.get("format")
+    if fmt != _TOKENIZER_FORMAT:
+        raise ValueError(
+            f"not a {_TOKENIZER_FORMAT} artifact (format={fmt!r}): {path}"
+        )
+    merges = spark.createDataFrame(
+        [
+            (i + 1, lhs, rhs, int(cnt))
+            for i, (lhs, rhs, cnt) in enumerate(artifact["merges"])
+        ],
+        "merge_rank int, lhs string, rhs string, pair_count long",
+    )
+    return {
+        "merges": merges,
+        "byte_level": artifact["byte_level"],
+        "token_pattern": artifact["token_pattern"],
+        "special_tokens": tuple(artifact["special_tokens"]),
+    }
+
+
 def bpe_tokenize_map_side(
     df: DataFrame,
     merges_df: DataFrame,
