@@ -44,6 +44,7 @@ _ENGINE_DESIGNED = [
     "q98_pipeline_stream",      # streaming pipeline drains, both
     "q99_pipeline_stream_rocksdb",  # state-store providers
     "q102_pack_token_blocks",   # md5-stream block arithmetic
+    "q103_stream_store_dedup",  # foreachBatch persistent-store dedup
 ]
 
 # every query outside the driver's head runs its exact oracle here —

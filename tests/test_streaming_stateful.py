@@ -79,3 +79,50 @@ def test_dedup_within_watermark_stream_matches_batch(spark, dup_events_dir):
     )
     assert got.count() == n_unique == 500
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_dedup_against_store_batches_see_earlier_acceptances(spark, tmp_path):
+    """The store append is what links micro-batches: with one file per
+    trigger, a text accepted in batch k must be rejected in batch k+1
+    even though no in-memory state exists — and pre-seeded
+    fingerprints are rejected from batch 0."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.text import with_fingerprint
+    from vinum_spark.streaming.stateful import run_stream_dedup_against_store
+    from vinum_spark.streaming.windows import stream_table
+
+    src = str(tmp_path / "src")
+    docs = spark.createDataFrame(
+        [(i, f"text number {i % 5}") for i in range(20)],
+        "doc_id long, text string",
+    )  # 5 distinct texts, repeated across the id range
+    docs.repartitionByRange(4, "doc_id").write.parquet(src)
+    seed = with_fingerprint(
+        docs.filter("doc_id % 5 = 0"), "text"  # seeds text 0
+    ).select("fingerprint").distinct()
+    store, out, ckpt = (
+        str(tmp_path / "store"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    seed.write.parquet(store)
+    stream = stream_table(spark, src, max_files_per_trigger=1)
+    run_stream_dedup_against_store(
+        stream, store, out, ckpt, state_partitions=2
+    )
+    got = sorted(
+        r["fingerprint"]
+        for r in spark.read.parquet(out).select("fingerprint").collect()
+    )
+    want = sorted(
+        r["fingerprint"]
+        for r in with_fingerprint(
+            docs.filter("doc_id % 5 != 0"), "text"
+        ).select("fingerprint").distinct().collect()
+    )
+    # exactly one survivor per non-seeded distinct text, across 4
+    # micro-batches with no in-memory state
+    assert got == want and len(got) == 4
+    n_store = spark.read.parquet(store).distinct().count()
+    assert n_store == 5

@@ -93,6 +93,76 @@ def stream_distinct(
     )
 
 
+def run_stream_dedup_against_store(
+    stream_df: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idle_timeout: float = 600.0,
+    state_partitions: "int | None" = None,
+) -> None:
+    """Continuous ingestion against a PERSISTENT fingerprint store —
+    the third point in the streaming-dedup design space: state lives
+    in shared STORAGE (a parquet directory of 16-byte digests), not in
+    executor memory (``stream_distinct``) or the state store
+    (``dropDuplicatesWithinWatermark``), so it survives restarts,
+    is shared across pipelines, and never needs a watermark/timeout
+    eviction policy — ~2 TB per trillion documents, the
+    ``dedup_against_store`` contract, now fed by a stream.
+
+    ``foreachBatch`` is the carrier: each micro-batch runs the EXACT
+    batch operator against the store-so-far (batch↔stream semantics
+    shared by construction), appends the survivors to ``out_path``
+    and their fingerprints to ``store_path`` — so later batches (and
+    later pipelines) see every earlier acceptance.
+
+    Failure semantics, stated honestly: ``foreachBatch`` is
+    at-least-once. A batch REPLAYED after a crash re-runs the
+    anti-join against a store that already holds its fingerprints, so
+    the replay admits zero new fingerprints — the store append makes
+    retries idempotent for dedup state — but the survivor rows
+    appended to ``out_path`` before the crash may appear twice. A
+    production sink dedups on (fingerprint) downstream or uses a
+    transactional table format; the drain here is single-process
+    ``availableNow``, where no replay occurs.
+    """
+    from vinum_spark.operators.dedup import dedup_against_store
+    from vinum_spark.streaming.windows import (
+        _drain,
+        _start_with_state_partitions,
+    )
+
+    spark = stream_df.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            store = spark.read.parquet(store_path).select("fingerprint")
+        except Exception:
+            # first batch, empty store
+            store = spark.createDataFrame([], "fingerprint string")
+        out = dedup_against_store(
+            batch_df, store, text_col=text_col, id_col=id_col
+        )
+        out = out.persist()
+        try:
+            out.write.mode("append").parquet(out_path)
+            out.select("fingerprint").write.mode("append").parquet(
+                store_path
+            )
+        finally:
+            out.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+    q = _start_with_state_partitions(spark, writer, state_partitions)
+    _drain(q, "dedup_against_store", idle_timeout)
+
+
 def stream_dedup_within_watermark(
     df: DataFrame,
     key_cols: Sequence[str] = ("event_id",),
