@@ -1543,9 +1543,12 @@ def test_pack_token_blocks_semantics(spark):
 
     from vinum_spark.operators.sampling import pack_token_blocks
 
+    # doc 98 has a NULL id sequence: size(NULL) is -1 under non-ANSI
+    # mode, which (pre round-14 review fix) silently shifted every
+    # later offset in its shard — it must contribute exactly nothing
     df = spark.createDataFrame(
         [(i, list(range(i * 100, i * 100 + 7))) for i in range(20)]
-        + [(99, [])],
+        + [(99, []), (98, None)],
         "doc_id long, token_ids array<int>",
     )
 
@@ -1585,6 +1588,16 @@ def test_pack_token_blocks_semantics(spark):
     assert tails == want_tails
     with pytest.raises(ValueError, match="block_size"):
         pack_token_blocks(df, 0)
+
+
+def test_chunk_preserve_rejects_output_name_collision(spark):
+    from vinum_spark.operators.text import chunk_token_ids
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3], [9])], "doc_id long, ids array<int>, token_ids array<int>"
+    )
+    with pytest.raises(ValueError, match="token_ids"):
+        chunk_token_ids(df, 2, ids_col="ids", preserve=True)
 
 
 def test_save_load_tokenizer_roundtrip(spark, tmp_path):

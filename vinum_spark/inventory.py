@@ -5202,6 +5202,8 @@ def q102(spark, sf_dir):
     "computes.",
 )
 def q103(spark, sf_dir):
+    import hashlib
+    import shutil
     import tempfile
 
     from vinum_spark.operators.text import with_fingerprint
@@ -5210,7 +5212,12 @@ def q103(spark, sf_dir):
     )
     from vinum_spark.streaming.windows import stream_table
 
-    base = tempfile.mkdtemp(prefix="q103_store_")
+    # one FIXED working tree per (process, sf_dir), wiped at call
+    # start — repeated gate/bench invocations reuse the slot instead
+    # of leaking a mkdtemp tree per run
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = f"{tempfile.gettempdir()}/q103_store_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
     store, out, ckpt = f"{base}/store", f"{base}/out", f"{base}/ckpt"
     d = _t(spark, sf_dir, "documents")
     with_fingerprint(d.filter(F.col("doc_id") % 3 == 0), "text").select(

@@ -186,7 +186,7 @@ def _tokenize_stage(df: DataFrame, c: CorpusConfig) -> DataFrame:
     pure projection that keeps every pipeline column — no join-back,
     no shuffle; the chain stays streamable map-side."""
     if c.tokenize_with is None:
-        if c.chunk_max_len:
+        if c.chunk_max_len is not None:
             raise ValueError(
                 "prepare_corpus: chunk_max_len needs the tokenize stage "
                 "(set tokenize_with)"
@@ -207,7 +207,7 @@ def _tokenize_stage(df: DataFrame, c: CorpusConfig) -> DataFrame:
         byte_level=c.tokenize_byte_level,
         emit_ids=emit_ids,
     )
-    if c.chunk_max_len:
+    if c.chunk_max_len is not None:
         if not emit_ids:
             raise ValueError(
                 "prepare_corpus: chunk_max_len chunks token_ids — it "

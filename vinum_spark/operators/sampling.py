@@ -305,8 +305,11 @@ def pack_token_blocks(
     """
     if block_size < 1:
         raise ValueError(f"block_size must be >= 1, got {block_size}")
+    # size(NULL) is -1 under non-ANSI mode (and NULL under ANSI):
+    # either would corrupt every later document's running offset in
+    # the shard — a NULL id sequence must contribute exactly 0
     packed = pack_sequences(
-        df.withColumn("__len", F.size(ids_col)),
+        df.withColumn("__len", F.greatest(F.size(ids_col), F.lit(0))),
         "__len",
         key_col,
         budget=block_size,

@@ -877,8 +877,12 @@ _PHASH_SINGLE_BAND_MAX = 50_000
 
 
 #: the single cached (id, hash) projection auto-mode may hold (see
-#: phash_candidate_pairs: each auto call frees its predecessor)
+#: phash_candidate_pairs: a call over a DIFFERENT input frees the
+#: predecessor; same-input calls share the cache). The lock makes the
+#: check-then-act atomic — concurrent auto-mode calls from parallel
+#: job-submission threads must not leak un-slotted persisted frames.
 _AUTO_CACHE_SLOT: list = []
+_AUTO_CACHE_LOCK = __import__("threading").Lock()
 
 
 def phash_bands_per_key(n_rows: int) -> int:
@@ -924,18 +928,21 @@ def phash_candidate_pairs(
     is EAGER: picking the knob needs the count, so this call runs a
     Spark job at call time instead of deferring all work to the first
     action on the returned frame. The (id, hash) projection
-    (~16 B/row — 8 MB per 500k assets) is materialized ONCE via
-    ``localCheckpoint`` and the banded self-join reads the
-    cached copy, so an upstream decode (``phash_images`` is a Python
-    stage) does not run twice. Cache lifetime is a ONE-SLOT registry:
-    each auto-mode call unpersists the PREVIOUS auto-mode projection,
-    so repeated calls hold at most one cached projection (~16 B/row)
-    instead of accumulating blocks for the application lifetime (the
-    r13 ADVICE leak) — while the live call's self-join still reads
-    the fast deserialized cache (an eager localCheckpoint was tried
-    and cost 1.8x on the q87 gate: the join's two branches re-read
-    serialized checkpoint blocks). Pass an explicit 1 or 2 to skip
-    the count entirely (fully lazy, nothing cached).
+    (~16 B/row — 8 MB per 500k assets) is ``persist()``-ed and
+    materialized once for the count + the banded self-join, so an
+    upstream decode (``phash_images`` is a Python stage) does not run
+    twice. Cache lifetime is a ONE-SLOT registry: an auto-mode call
+    whose input PLAN DIFFERS from the previous call's unpersists that
+    predecessor, so repeated calls hold at most one cached projection
+    (the r13 ADVICE leak), while calls over the SAME input keep the
+    cache and Spark's cache manager serves the plan-identical frame —
+    the decode is memoized across calls. The final projection stays
+    pinned until the process exits or a different input replaces it —
+    an 8 MB-per-500k-assets ceiling, the documented trade (an eager
+    localCheckpoint was tried and cost 1.8x on the q87 gate: the
+    join's two branches re-read serialized blocks, and unconditional
+    unpersist cost 1.3x by re-decoding every call). Pass an explicit
+    1 or 2 to skip the count entirely (fully lazy, nothing cached).
     """
     if 64 % n_bands:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
@@ -959,26 +966,27 @@ def phash_candidate_pairs(
         # memoized across calls exactly as it was across this call's
         # count + self-join (unconditionally unpersisting cost a
         # measured 1.3x on the q87 gate by re-decoding every call).
-        prev = _AUTO_CACHE_SLOT[0] if _AUTO_CACHE_SLOT else None
-        same = False
-        if prev is not None:
-            try:
-                same = (
-                    prev._jdf.queryExecution()
-                    .analyzed()
-                    .sameResult(base._jdf.queryExecution().analyzed())
-                )
-            except Exception:
-                same = False
-        if prev is not None and not same:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass  # its SparkContext may already be gone
-            _AUTO_CACHE_SLOT.clear()
-        base = base.persist()
-        if not _AUTO_CACHE_SLOT:
-            _AUTO_CACHE_SLOT.append(base)
+        with _AUTO_CACHE_LOCK:
+            prev = _AUTO_CACHE_SLOT[0] if _AUTO_CACHE_SLOT else None
+            same = False
+            if prev is not None:
+                try:
+                    same = (
+                        prev._jdf.queryExecution()
+                        .analyzed()
+                        .sameResult(base._jdf.queryExecution().analyzed())
+                    )
+                except Exception:
+                    same = False
+            if prev is not None and not same:
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass  # its SparkContext may already be gone
+                _AUTO_CACHE_SLOT.clear()
+            base = base.persist()
+            if not _AUTO_CACHE_SLOT:
+                _AUTO_CACHE_SLOT.append(base)
         bands_per_key = phash_bands_per_key(base.count())
 
     def band_key(b):

@@ -1734,7 +1734,10 @@ def chunk_token_ids(
             f"min_len must be in [1, max_len], got {min_len}"
         )
     if preserve:
-        clash = sorted({"chunk_id", "n_tokens"}.intersection(df.columns))
+        taken = {"chunk_id", "n_tokens"}
+        if ids_col != "token_ids":
+            taken.add("token_ids")  # the output chunk column's name
+        clash = sorted(taken.intersection(df.columns))
         if clash:
             raise ValueError(
                 f"chunk_token_ids(preserve=True) output column(s) {clash} "

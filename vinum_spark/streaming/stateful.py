@@ -137,10 +137,19 @@ def run_stream_dedup_against_store(
     spark = stream_df.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         try:
             store = spark.read.parquet(store_path).select("fingerprint")
-        except Exception:
-            # first batch, empty store
+        except AnalysisException as exc:
+            # ONLY a missing store means "first batch": any other read
+            # failure (permissions, corruption, listing blips) must
+            # fail the batch — an empty-store fallback would silently
+            # admit every already-seen fingerprint
+            if "PATH_NOT_FOUND" not in str(exc) and (
+                "Path does not exist" not in str(exc)
+            ):
+                raise
             store = spark.createDataFrame([], "fingerprint string")
         out = dedup_against_store(
             batch_df, store, text_col=text_col, id_col=id_col
