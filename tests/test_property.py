@@ -947,8 +947,76 @@ def test_multi_table_sql_differential_vs_duckdb(_diff_join_engines, sql_pair):
 # ---------------------------------------------------------------------------
 
 _GPT2_FUZZ_ALPHABET = st.sampled_from(
-    list("ab '\t\n\f\r.!?9数ïΩ\x0b\x00") + [" "] * 8
+    # incl. Unicode whitespace (NBSP, NEL, thin/ideographic space,
+    # line separator) — INSIDE the explicit class since round 15 —
+    # and near-misses outside it (\x00, \x1c: `re`-only whitespace)
+    list("ab '\t\n\f\r.!?9数ïΩ\x0b\x00\x1c\xa0\x85  　")
+    + [" "] * 8
 )
+
+
+def test_ws_cls_equals_regex_whitespace_exactly():
+    """_WS_CLS must enumerate EXACTLY the whitespace set of the
+    `regex` module — the engine upstream GPT-2 tokenizes with (the
+    Unicode White_Space property). A Unicode-database drift or a
+    class typo shows up as a set difference here. Python `re`'s four
+    extra members \\x1c-\\x1f must stay OUT (GPT-2 does not use
+    `re`)."""
+    import regex
+
+    from vinum_spark.operators.text import _WS_CLS
+
+    members = set()
+    body = (
+        _WS_CLS.replace("\\t", "\t").replace("\\n", "\n")
+        .replace("\\x0B", "\x0b").replace("\\f", "\f").replace("\\r", "\r")
+    )
+    i = 0
+    while i < len(body):
+        if i + 2 < len(body) and body[i + 1] == "-":
+            members.update(range(ord(body[i]), ord(body[i + 2]) + 1))
+            i += 3
+        else:
+            members.add(ord(body[i]))
+            i += 1
+    want = {i for i in range(0x11000) if regex.match(r"\s", chr(i))}
+    assert members == want
+    assert not any(0x1C <= m <= 0x1F for m in members)
+
+
+def test_gpt2_exact_matches_true_gpt2_on_unicode_whitespace():
+    """GPT2_EXACT (sentinel emulation, explicit class) must tokenize
+    IDENTICALLY to the true upstream GPT-2 pattern — `regex`-engine
+    ``\\s``, trailing-whitespace lookahead and all — on text bearing
+    every Unicode whitespace codepoint (the r14 ADVICE divergence:
+    'A\\xa0!B' must split '\\xa0' and '!' apart, not emit one
+    punctuation run)."""
+    import regex
+
+    from vinum_spark.operators.text import (
+        _GPT2_BOUNDARY_PATTERN,
+        _GPT2_EXACT_TOKEN_PATTERN,
+        GPT2_SENTINEL,
+    )
+
+    true_pat = (
+        r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+"
+        r"| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+    )
+    ws = [chr(i) for i in range(0x11000) if regex.match(r"\s", chr(i))]
+    texts = (
+        ["A\xa0!B", "x　　数", "a\x0bb", " \xa0 w", "t\x85n ls"]
+        + [f"l{c}r{c}{c}end {c}" for c in ws]
+        + ["".join(ws), "w" + "".join(ws) + "w"]
+    )
+    for t in texts:
+        want = regex.findall(true_pat, t)
+        marked = regex.sub(
+            _GPT2_BOUNDARY_PATTERN, GPT2_SENTINEL + r"\1\2", t
+        )
+        got = regex.findall(_GPT2_EXACT_TOKEN_PATTERN, marked)
+        assert got == want, (repr(t), got, want)
+        assert "".join(got) == t
 
 
 @settings(max_examples=400, deadline=None)

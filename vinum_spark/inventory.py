@@ -5027,9 +5027,11 @@ ORDER BY doc_id, chunk_id"""
     "Context-window chunking under the oracle gate (chunk_token_ids — "
     "the training-prep step between tokenization and packing): the "
     "byte-level BPE id corpus split into context-16 sequences at "
-    "stride 12 (4-id overlap between consecutive chunks, the HF "
-    "return_overflowing_tokens convention), tail fragments under 4 "
-    "ids dropped. Pure built-in array expressions — one posexplode, "
+    "step-12 starts (stride here is the window STEP, so consecutive "
+    "chunks overlap by max_len - stride = 4 ids; HF's `stride` is "
+    "the overlap — the docstring states the conversion), tail "
+    "fragments under 4 ids dropped. Pure built-in array expressions "
+    "— one posexplode, "
     "no UDF, no shuffle (a projection: composes with the streaming "
     "pipeline). The oracle re-derives the id sequences from the merge "
     "chain and chunks them with DuckDB list slicing, so a drift in "
@@ -5212,10 +5214,13 @@ def q103(spark, sf_dir):
     )
     from vinum_spark.streaming.windows import stream_table
 
-    # one FIXED working tree per (process, sf_dir), wiped at call
-    # start — repeated gate/bench invocations reuse the slot instead
-    # of leaking a mkdtemp tree per run
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # one FIXED working tree per (Spark application, sf_dir), wiped at
+    # call start — repeated gate/bench invocations inside one app reuse
+    # the slot instead of leaking a mkdtemp tree per run, while the
+    # applicationId in the tag keeps two CONCURRENT processes on one
+    # host from wiping each other's store/checkpoint mid-drain
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{app}\x1f{sf_dir}".encode()).hexdigest()[:10]
     base = f"{tempfile.gettempdir()}/q103_store_{tag}"
     shutil.rmtree(base, ignore_errors=True)
     store, out, ckpt = f"{base}/store", f"{base}/out", f"{base}/ckpt"

@@ -65,9 +65,12 @@ class CorpusConfig:
     #: context-window chunking as the stage after tokenization (needs
     #: tokenize_emit_ids): each document's token_ids become 1+ rows of
     #: (original columns minus tokens/token_ids, chunk_id, token_ids,
-    #: n_tokens) — model-context-sized training sequences (HF stride
-    #: convention; operators/text.py chunk_token_ids). A projection +
-    #: posexplode: still zero shuffles, still streamable.
+    #: n_tokens) — model-context-sized training sequences
+    #: (operators/text.py chunk_token_ids). A projection + posexplode:
+    #: still zero shuffles, still streamable. chunk_stride is the
+    #: window STEP (overlap = chunk_max_len - chunk_stride) — HF's
+    #: `stride` is the OVERLAP; convert with
+    #: chunk_stride = chunk_max_len - hf_stride (see chunk_token_ids).
     chunk_max_len: Optional[int] = None
     chunk_stride: Optional[int] = None  # default: chunk_max_len
     chunk_min_len: int = 1

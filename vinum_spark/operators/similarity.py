@@ -881,8 +881,40 @@ _PHASH_SINGLE_BAND_MAX = 50_000
 #: predecessor; same-input calls share the cache). The lock makes the
 #: check-then-act atomic — concurrent auto-mode calls from parallel
 #: job-submission threads must not leak un-slotted persisted frames.
-_AUTO_CACHE_SLOT: list = []
+_AUTO_CACHE_SLOT: list = []  # [(df, session, semantic_key)] — at most one
 _AUTO_CACHE_LOCK = __import__("threading").Lock()
+
+
+def _semantic_key(df):
+    """Best-effort plan identity for the one-slot cache. Prefers the
+    public-ish ``DataFrame.semanticHash()`` (works under Spark Connect,
+    where ``_jdf`` does not exist); falls back to the classic JVM
+    handle. ``None`` means "identity unavailable" — the caller treats
+    it as never-equal, degrading to re-persist-per-call (correct,
+    just unmemoized) instead of raising."""
+    try:
+        return ("h", int(df.semanticHash()))
+    except Exception:
+        pass
+    try:
+        return ("j", df._jdf.queryExecution().analyzed())
+    except Exception:
+        return None
+
+
+def _semantic_same(key_a, key_b) -> bool:
+    if key_a is None or key_b is None:
+        return False
+    tag_a, val_a = key_a
+    tag_b, val_b = key_b
+    if tag_a != tag_b:
+        return False
+    if tag_a == "h":
+        return val_a == val_b
+    try:
+        return bool(val_a.sameResult(val_b))
+    except Exception:
+        return False
 
 
 def phash_bands_per_key(n_rows: int) -> int:
@@ -933,7 +965,11 @@ def phash_candidate_pairs(
     upstream decode (``phash_images`` is a Python stage) does not run
     twice. Cache lifetime is a ONE-SLOT registry: an auto-mode call
     whose input PLAN DIFFERS from the previous call's unpersists that
-    predecessor, so repeated calls hold at most one cached projection
+    predecessor (plan identity via ``DataFrame.semanticHash()`` —
+    Spark Connect-safe — with a classic-JVM ``sameResult`` fallback;
+    a slot whose SESSION is stopped or replaced is always evicted,
+    and an unavailable identity degrades to re-persist-per-call, not
+    an error), so repeated calls hold at most one cached projection
     (the r13 ADVICE leak), while calls over the SAME input keep the
     cache and Spark's cache manager serves the plan-identical frame —
     the decode is memoized across calls. The final projection stays
@@ -967,26 +1003,26 @@ def phash_candidate_pairs(
         # count + self-join (unconditionally unpersisting cost a
         # measured 1.3x on the q87 gate by re-decoding every call).
         with _AUTO_CACHE_LOCK:
-            prev = _AUTO_CACHE_SLOT[0] if _AUTO_CACHE_SLOT else None
+            slot = _AUTO_CACHE_SLOT[0] if _AUTO_CACHE_SLOT else None
             same = False
-            if prev is not None:
+            if slot is not None:
+                prev_df, prev_session, prev_key = slot
+                # a slot whose session is gone (stopped, or a new
+                # session replaced it) is dead weight — never "same",
+                # always evicted, unpersist best-effort
+                if prev_session is base.sparkSession:
+                    same = _semantic_same(prev_key, _semantic_key(base))
+            if slot is not None and not same:
                 try:
-                    same = (
-                        prev._jdf.queryExecution()
-                        .analyzed()
-                        .sameResult(base._jdf.queryExecution().analyzed())
-                    )
-                except Exception:
-                    same = False
-            if prev is not None and not same:
-                try:
-                    prev.unpersist()
+                    slot[0].unpersist()
                 except Exception:
                     pass  # its SparkContext may already be gone
                 _AUTO_CACHE_SLOT.clear()
             base = base.persist()
             if not _AUTO_CACHE_SLOT:
-                _AUTO_CACHE_SLOT.append(base)
+                _AUTO_CACHE_SLOT.append(
+                    (base, base.sparkSession, _semantic_key(base))
+                )
         bands_per_key = phash_bands_per_key(base.count())
 
     def band_key(b):

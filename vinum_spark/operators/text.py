@@ -875,14 +875,29 @@ def encode_tokens(
 #: DuckDB oracle recompute it exactly.
 _BYTE_SYM_BASE = 0x100
 
-#: Whitespace, spelled out: Java's \s includes U+000B (vertical tab)
-#: while RE2's does not, so any \s-based split pattern tokenizes
-#: \x0B-bearing text differently in Spark vs the DuckDB oracle. The
-#: explicit class below is identical in Java, RE2, and Python's
-#: re/regex; \x0B (and Unicode whitespace — GPT-2's own \s is
-#: Python-Unicode, a documented divergence of this family) therefore
-#: lands in the "punctuation run" class CONSISTENTLY in every engine.
-_WS_CLS = r" \t\n\f\r"
+#: Whitespace, spelled out: Java's \s, RE2's \s, and Python's \s all
+#: disagree at the edges (Java adds \x0B, Python's `re` adds
+#: \x1C-\x1F, RE2 has neither), so any \s-based split pattern
+#: tokenizes differently in Spark vs the DuckDB oracle vs the Python
+#: differential twin. The explicit class below is the EXACT whitespace
+#: set of Python's `regex` module — the engine real GPT-2 runs its
+#: pattern on — i.e. the Unicode White_Space property (empirically
+#: pinned against regex's \s over the BMP in tests): the ASCII
+#: controls \t\n\x0B\f\r + space, NEL U+0085, NBSP U+00A0, OGHAM
+#: U+1680, the U+2000-200A space family, LINE/PARA separators
+#: U+2028/29, NNBSP U+202F, MMSP U+205F, and IDEOGRAPHIC SPACE
+#: U+3000. ASCII members use escape forms every engine parses
+#: (\t \n \x0B \f \r); the supra-ASCII members are embedded as
+#: LITERAL codepoints because no escape syntax is shared (RE2 lacks
+#: \uXXXX, Python re lacks \x{...}) — literals parse identically in
+#: Java, RE2, and Python. Python `re`'s four extra separators
+#: \x1C-\x1F are deliberately NOT included: GPT-2 tokenizes with the
+#: `regex` module, where they are punctuation — matching `re` here
+#: would be matching the wrong engine.
+_WS_CLS = (
+    r" \t\n\x0B\f\r"
+    "\u0085\u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000"
+)
 
 #: Production pre-tokenizer for byte-level BPE: GPT-2's split regex,
 #: minus its trailing-whitespace negative lookahead — RE2 (DuckDB's
@@ -919,11 +934,18 @@ GPT2ISH_SPLIT_PATTERN = (
 #: — exactly the character the boundary split leaves attached — while
 #: whitespace-run matches never cross one; so segmenting at the
 #: boundary changes no match. Pinned differentially against the true
-#: lookahead pattern (Python `regex`) in tests. The one reserved
-#: character: U+001E itself (the ASCII record separator) is excluded
-#: from the punctuation class so inserted markers never merge into
-#: tokens — an (unheard-of-in-text) input U+001E is skipped as if
-#: absent, where the safe variant would emit it in a punctuation run.
+#: lookahead pattern (Python `regex`) in tests. Whitespace parity
+#: with upstream is EXACT: ``_WS_CLS`` enumerates the full whitespace
+#: set of the `regex` module GPT-2 actually tokenizes with (the
+#: Unicode White_Space property — \x0B, NBSP, the U+2000 family,
+#: U+3000, …), so Unicode-whitespace-bearing text splits identically
+#: to GPT-2/tiktoken (differentially pinned vs the true ``\s``
+#: pattern). The ONE reserved character: U+001E itself (the ASCII
+#: record separator — NOT whitespace to `regex`, so reserving it
+#: costs no whitespace case) is excluded from the punctuation class
+#: so inserted markers never merge into tokens — an
+#: (unheard-of-in-text) input U+001E is skipped as if absent, where
+#: upstream GPT-2 would emit it inside a punctuation run.
 GPT2_EXACT = "gpt2-exact"
 
 GPT2_SENTINEL = "\x1e"
@@ -1704,14 +1726,23 @@ def chunk_token_ids(
     """Context-window chunking — the training-prep step between
     tokenization and sequence packing: split each document's id
     sequence into model-context-sized training sequences, optionally
-    overlapping (the HF ``return_overflowing_tokens``/``stride``
-    convention). Chunk c covers ids ``[c*stride, c*stride + max_len)``
+    overlapping. Chunk c covers ids ``[c*stride, c*stride + max_len)``
     for c = 0, 1, ... while ``c*stride < n``; the final chunk may be
     short and is kept when it has at least ``min_len`` ids (raise
     ``min_len`` to drop tail fragments; documents with no qualifying
     chunk — including empty ones — produce no rows). ``stride``
     defaults to ``max_len`` (non-overlapping); ``stride < max_len``
     overlaps consecutive chunks by ``max_len - stride`` ids.
+
+    NAMING CAUTION — ``stride`` here is the window STEP (the distance
+    between consecutive chunk STARTS), the numpy/torch
+    sliding-window sense. HuggingFace's ``return_overflowing_tokens``
+    ``stride`` is the opposite convention: the OVERLAP between
+    consecutive chunks. Porting HF settings, convert explicitly:
+    ``stride_here = max_len - hf_stride`` (e.g. HF ``max_length=1024,
+    stride=128`` — 128-token overlap — is ``max_len=1024, stride=896``
+    here; passing 128 unconverted would step by 128 and duplicate
+    ~8x of the corpus into the training set).
 
     Returns (id_col, chunk_id int, token_ids array, n_tokens long),
     ``chunk_id`` counting from 0 in document order; ``preserve=True``

@@ -28,6 +28,16 @@ def _digest(parts: Iterable[Any]) -> int:
     return int.from_bytes(hashlib.sha1(raw.encode()).digest()[:8], "big", signed=True)
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Scheme-aware existence probe through the JVM Hadoop FileSystem —
+    the store path may be s3a://, hdfs://, or local; the filesystem
+    that will serve the read answers the probe."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 #: default processing-time eviction (1 h). State is bounded BY DEFAULT:
 #: at 100 TB/day an unbounded seen-set is a slow OOM, so unbounded
 #: retention is the explicit opt-in (``timeout_ms=0``), not the default.
@@ -137,19 +147,16 @@ def run_stream_dedup_against_store(
     spark = stream_df.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        try:
+        # ONLY a missing store means "first batch": probe existence
+        # directly through the Hadoop FileSystem (scheme-aware, no
+        # dependence on AnalysisException message text, which drifts
+        # across Spark versions/locales) — any READ failure after a
+        # positive probe (permissions, corruption, listing blips)
+        # fails the batch, because an empty-store fallback would
+        # silently admit every already-seen fingerprint
+        if _hadoop_path_exists(spark, store_path):
             store = spark.read.parquet(store_path).select("fingerprint")
-        except AnalysisException as exc:
-            # ONLY a missing store means "first batch": any other read
-            # failure (permissions, corruption, listing blips) must
-            # fail the batch — an empty-store fallback would silently
-            # admit every already-seen fingerprint
-            if "PATH_NOT_FOUND" not in str(exc) and (
-                "Path does not exist" not in str(exc)
-            ):
-                raise
+        else:
             store = spark.createDataFrame([], "fingerprint string")
         out = dedup_against_store(
             batch_df, store, text_col=text_col, id_col=id_col
