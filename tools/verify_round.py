@@ -39,6 +39,7 @@ def main() -> None:
     if "--sf-dir" in args:
         sf_dir = args[args.index("--sf-dir") + 1]
     run("tests", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
+    run("gate rotation hygiene", [sys.executable, "tools/check_gate_coverage.py"])
     run("oracles (full inventory)", [sys.executable, "tools/check_oracle.py", sf_dir])
     if "--bench" in args:
         run("bench --all", [sys.executable, "bench.py", "--all"])

@@ -5258,14 +5258,43 @@ def q103(spark, sf_dir):
 #: ``tools/check_oracle.py`` — no query is ever both driver-invisible
 #: and suite-invisible.
 #:
+#: Round-15 rotation (VERDICT r14 items 1+8). Rotation staleness is
+#: now checked MECHANICALLY: tools/check_gate_coverage.py (a
+#: verify_round stage) fails when any registered query has neither a
+#: driver row in the last K=6 recorded rounds nor a seat in the
+#: current head — with 102 queries, 50 seats, and a 6-round window
+#: (300 slots) the invariant is self-sustaining under rotation.
+#: Seventeen seats turn over this round:
+#:
+#: IN — the four round-14 additions that had no driver CORRECTNESS
+#: row yet (q100 decode round-trip, q101 context chunking, q102
+#: token-block packing, q103 streaming dedup vs the persistent
+#: store), plus the 13 queries the new staleness check flagged on
+#: its first run — the SQL-extension family, whose last driver rows
+#: predate r9 (q15/q16 anti+semi joins, q19 running windows, q20 set
+#: ops, q35 percentiles, q36 cube, q37 pivot, q38 approx-distinct,
+#: q41 null semantics, q42 regex strings, q44 dedup survivors, q45
+#: Table.sql pipeline, q47 grouping sets).
+#:
+#: OUT — seventeen members that ALL earned driver rows in r14 (fresh
+#: for six more rounds) and whose machinery keeps in-gate or
+#: in-suite siblings: the core-SQL family q02-q06/q08-q12 (the
+#: single most-covered family: golden suite + differential fuzz +
+#: in-suite oracles; q01 pricing flagship and q07 sort/limit stay
+#: seated), q13/q14 joins (join family now seated via q15/q16),
+#: q18 window top-k (q19 running windows seats the family;
+#: WindowGroupLimit stays plan-pinned in tests), q60 length-buckets
+#: (q58 quality rules + q59 stratified sampling keep text signals),
+#: q85 audio near-dup (q87 keeps the banded-hamming LSH + verify
+#: chain; q81/q84 keep audio decode), q91 byte tokenize (runs INSIDE
+#: the gated q92/q95/q96/q98/q99 chains), q97 extend-merges (merge
+#: machinery kept by q90; the continuation law is pinned in-suite).
+#:
 #: Round-14 rotation (VERDICT r13 item 6): the core-SQL family
 #: q02-q12 — the longest-ungated family, tail-resident since rounds
-#: 3-7 — returns to the gate, alongside the four round-14 additions
-#: (q96-q99). The late-round additions q100 (decode round-trip),
-#: q101 (context chunking) and q102 (token-block packing) sit in the
-#: derived suite complement with in-session sf0.01 verification —
-#: they are the round-15 promotion candidates. Fourteen
-#: family-redundant members step out, each with
+#: 3-7 — returned to the gate, alongside the four round-14 additions
+#: (q96-q99). Fourteen
+#: family-redundant members stepped out, each with
 #: an in-gate sibling pinning its machinery: q22 count-distinct (the
 #: golden suite + the q38 approx/exact agreement gate), q27 exact
 #: dedup (runs INSIDE the gated q75/q95 chains; cluster/incremental
@@ -5289,22 +5318,24 @@ _GATE_HEAD = (
     # flagship + core SQL (filter/project, aggregates, distinct,
     # having, sort/limit, math/string/datetime, CASE, conditional agg)
     "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_global_agg",
-    "q04_group_single_key",
-    "q05_distinct",
-    "q06_having",
     "q07_orderby_limit_offset",
-    "q08_math_functions",
-    "q09_string_functions",
-    "q10_datetime",
-    "q11_case_when",
-    "q12_conditional_agg",
     # joins / windows / grouping extensions
-    "q13_join_broadcast",
-    "q14_join_multiway",
-    "q18_window_topk_per_group",
     "q21_rollup",
+    # SQL-extension family: the stalest driver records (last rows <= r8),
+    # re-seated by the mechanical staleness check
+    "q15_anti_join",
+    "q16_semi_join",
+    "q19_window_running",
+    "q20_set_ops",
+    "q35_percentiles",
+    "q36_cube",
+    "q37_pivot",
+    "q38_approx_distinct",
+    "q41_null_semantics",
+    "q42_regex_strings",
+    "q44_dedup_exact_survivors",
+    "q45_table_sql_pipeline",
+    "q47_grouping_sets",
     "q29_minhash_lsh_dedup",
     "q33_asof_join",
     "q48_grouped_agg_udf",
@@ -5317,7 +5348,6 @@ _GATE_HEAD = (
     "q57_skew_salted_agg",
     "q58_quality_rules",
     "q59_stratified_sample",
-    "q60_length_buckets",
     "q61_pii_redaction",
     "q63_dedup_clusters",
     "q68_decontamination",
@@ -5331,19 +5361,22 @@ _GATE_HEAD = (
     "q79_ann_ivfpq",
     "q81_audio_decode",
     "q84_vorbis_decode",
-    "q85_audio_neardup",
     "q86_skew_join_aqe",
     "q87_image_phash_neardup",
     # BPE tokenizer family
     "q90_bpe_byte_merges",
-    "q91_bpe_byte_tokenize",
     "q92_tokenizer_pipeline",
     "q95_pipeline_tokenized",
-    # round-14 additions
+    # round-14/15 additions: exact GPT-2, streaming pipelines, and the
+    # four round-15 promotions (decode round-trip, chunking, packing,
+    # stream-store dedup)
     "q96_bpe_gpt2_exact",
-    "q97_bpe_extend_merges",
     "q98_pipeline_stream",
     "q99_pipeline_stream_rocksdb",
+    "q100_bpe_roundtrip",
+    "q101_chunk_token_ids",
+    "q102_pack_token_blocks",
+    "q103_stream_store_dedup",
 )
 
 
