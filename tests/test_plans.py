@@ -428,3 +428,50 @@ def test_prepare_corpus_projection_stages_shuffle_free(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert plan.count("tokenize_words") <= 2  # tokens + n_tokens refs share one eval
+
+
+def test_bucketed_store_anti_join_shuffles_only_the_batch(spark, tmp_path):
+    """The store-side scale contract of run_stream_dedup_against_store
+    with store_buckets (and of any dedup_against_store over a bucketed
+    store): the anti-join plan contains EXACTLY ONE Exchange — the
+    batch side hashing into the store's bucket layout — and the store
+    scan is bucketed. Broadcast is disabled so the pin exercises the
+    100 TB shape (a 2 TB store never broadcasts); at real scale this
+    is the O(batch)-vs-O(store) difference per micro-batch."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.io.bucketing import (
+        append_fingerprints,
+        ensure_fingerprint_store,
+    )
+    from vinum_spark.operators.dedup import dedup_against_store
+
+    root = str(tmp_path / "store")
+    tbl = ensure_fingerprint_store(spark, root, buckets=4)
+    append_fingerprints(
+        spark.range(200).select(
+            F.md5(F.col("id").cast("string")).alias("fingerprint")
+        ),
+        tbl,
+        buckets=4,
+    )
+    batch = spark.range(100, 400).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("text")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = dedup_against_store(batch, spark.table(tbl))
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # one Exchange node: the batch side. (The survivor-choice window
+    # after the join reuses the join's fingerprint partitioning.)
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+    assert "Bucketed: true" in plan, plan
+    assert "SelectedBucketsCount: 4 out of 4" in plan, plan

@@ -126,3 +126,146 @@ def test_stream_dedup_against_store_batches_see_earlier_acceptances(spark, tmp_p
     assert got == want and len(got) == 4
     n_store = spark.read.parquet(store).distinct().count()
     assert n_store == 5
+
+
+# ---------------------------------------------------------------------------
+# Bucketed persistent fingerprint store (io/bucketing)
+# ---------------------------------------------------------------------------
+
+
+def test_fingerprint_store_lifecycle(spark, tmp_path):
+    """ensure -> append -> compact -> restart-reopen: the versioned
+    bucketed store keeps the fingerprint SET intact through every
+    transition, appends add exactly `buckets` files, compaction lands
+    one file per bucket in the next version and deletes the old one."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.io.bucketing import (
+        append_fingerprints,
+        compact_fingerprint_store,
+        current_store_version,
+        ensure_fingerprint_store,
+        store_data_file_count,
+        store_table_name,
+    )
+
+    root = str(tmp_path / "store")
+    tbl = ensure_fingerprint_store(spark, root, buckets=4)
+    assert current_store_version(spark, root) == 0
+    assert spark.table(tbl).count() == 0
+
+    def fps(a, b):
+        return spark.range(a, b).select(
+            F.md5(F.col("id").cast("string")).alias("fingerprint")
+        )
+
+    base_files = store_data_file_count(spark, root)
+    append_fingerprints(fps(0, 100), tbl, buckets=4)
+    assert store_data_file_count(spark, root) == base_files + 4
+    append_fingerprints(fps(100, 150), tbl, buckets=4)
+    assert store_data_file_count(spark, root) == base_files + 8
+    want = sorted(r["fingerprint"] for r in fps(0, 150).collect())
+    assert sorted(r["fingerprint"] for r in spark.table(tbl).collect()) == want
+
+    compact_fingerprint_store(spark, root, buckets=4)
+    assert current_store_version(spark, root) == 1
+    assert store_data_file_count(spark, root) == 4  # one file per bucket
+    import os
+
+    assert not os.path.exists(f"{root}/v0")  # old version deleted
+    assert sorted(r["fingerprint"] for r in spark.table(tbl).collect()) == want
+
+    # restart: catalog gone (new session in production; dropped here),
+    # re-ensure must re-register over the current version
+    spark.sql(f"DROP TABLE {store_table_name(root)}")
+    tbl2 = ensure_fingerprint_store(spark, root, buckets=4)
+    assert sorted(r["fingerprint"] for r in spark.table(tbl2).collect()) == want
+
+
+def test_fingerprint_store_ignores_incomplete_versions(spark, tmp_path):
+    """Crash-safety invariant: a version directory without _SUCCESS (a
+    compaction that died mid-write) is INVISIBLE — discovery keeps the
+    last complete version, so the store never shrinks or vanishes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vinum_spark.io.bucketing import (
+        append_fingerprints,
+        current_store_version,
+        ensure_fingerprint_store,
+    )
+
+    root = str(tmp_path / "store")
+    tbl = ensure_fingerprint_store(spark, root, buckets=2)
+    append_fingerprints(
+        spark.range(10).select(
+            F.md5(F.col("id").cast("string")).alias("fingerprint")
+        ),
+        tbl,
+        buckets=2,
+    )
+    # simulate a mid-write compaction crash: partial v1, no _SUCCESS
+    os.makedirs(f"{root}/v1")
+    with open(f"{root}/v1/part-00000.parquet", "wb") as f:
+        f.write(b"partial")
+    assert current_store_version(spark, root) == 0
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    tbl2 = ensure_fingerprint_store(spark, root, buckets=2)
+    assert spark.table(tbl2).count() == 10
+
+
+def test_stream_dedup_bucketed_store_matches_plain(spark, tmp_path):
+    """store_buckets mode must produce the identical survivor set as
+    the plain-parquet store under the same multi-batch stream — with a
+    forced mid-drain compaction and the pre-seed routed through the
+    store API."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.io.bucketing import (
+        append_fingerprints,
+        current_store_version,
+        ensure_fingerprint_store,
+    )
+    from vinum_spark.operators.text import with_fingerprint
+    from vinum_spark.streaming.stateful import (
+        run_stream_dedup_against_store,
+    )
+    from vinum_spark.streaming.windows import stream_table
+
+    src = str(tmp_path / "src")
+    docs = spark.createDataFrame(
+        [(i, f"text number {i % 7}") for i in range(28)],
+        "doc_id long, text string",
+    )
+    docs.repartitionByRange(4, "doc_id").write.parquet(src)
+    seed = with_fingerprint(docs.filter("doc_id % 7 = 0"), "text").select(
+        "fingerprint"
+    ).distinct()
+
+    got = {}
+    for mode in ("plain", "bucketed"):
+        store = str(tmp_path / mode / "store")
+        out = str(tmp_path / mode / "out")
+        ckpt = str(tmp_path / mode / "ckpt")
+        kw = {}
+        if mode == "bucketed":
+            tbl = ensure_fingerprint_store(spark, store, buckets=2)
+            append_fingerprints(seed, tbl, buckets=2)
+            # seed lands 1 file (one distinct fingerprint), batch 0's
+            # survivors land <=2 more: threshold 3 forces a compaction
+            # while later (all-duplicate, zero-file) batches still run
+            kw = {"store_buckets": 2, "compact_at_files": 3}
+        else:
+            seed.write.parquet(store)
+        stream = stream_table(spark, src, max_files_per_trigger=1)
+        run_stream_dedup_against_store(
+            stream, store, out, ckpt, state_partitions=2, **kw
+        )
+        got[mode] = sorted(
+            r["fingerprint"]
+            for r in spark.read.parquet(out).select("fingerprint").collect()
+        )
+    assert got["plain"] == got["bucketed"] and len(got["plain"]) == 6
+    # the compaction really fired mid-drain
+    assert current_store_version(spark, str(tmp_path / "bucketed" / "store")) >= 1

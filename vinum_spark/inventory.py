@@ -5201,13 +5201,22 @@ def q102(spark, sf_dir):
     "the planted copies must collapse across batches through the "
     "store, and the surviving fingerprint SET (arrival-order-free by "
     "construction) hash-matches the batch anti-join the oracle "
-    "computes.",
+    "computes. Since round 15 the store runs in its BUCKETED layout "
+    "(io/bucketing ensure_fingerprint_store: versioned dirs, catalog "
+    "table, store-side exchange elided so each micro-batch shuffles "
+    "only itself — O(batch), not O(store)), with compact_at_files "
+    "low enough that the crash-safe versioned compaction fires "
+    "mid-drain under the gate.",
 )
 def q103(spark, sf_dir):
     import hashlib
     import shutil
     import tempfile
 
+    from vinum_spark.io.bucketing import (
+        append_fingerprints,
+        ensure_fingerprint_store,
+    )
     from vinum_spark.operators.text import with_fingerprint
     from vinum_spark.streaming.stateful import (
         run_stream_dedup_against_store,
@@ -5225,9 +5234,17 @@ def q103(spark, sf_dir):
     shutil.rmtree(base, ignore_errors=True)
     store, out, ckpt = f"{base}/store", f"{base}/out", f"{base}/ckpt"
     d = _t(spark, sf_dir, "documents")
-    with_fingerprint(d.filter(F.col("doc_id") % 3 == 0), "text").select(
-        "fingerprint"
-    ).write.parquet(store)
+    # the store runs in its BUCKETED layout (round 15): the pre-seed
+    # goes through the store API, each micro-batch's anti-join elides
+    # the store-side exchange (plan-pinned in tests/test_plans.py),
+    # and the low compact_at_files forces a mid-drain compaction so
+    # the versioned rewrite is exercised under the gate too
+    tbl = ensure_fingerprint_store(spark, store, buckets=8)
+    append_fingerprints(
+        with_fingerprint(d.filter(F.col("doc_id") % 3 == 0), "text"),
+        tbl,
+        buckets=8,
+    )
     s1 = stream_table(
         spark, f"{sf_dir}/documents.parquet", max_files_per_trigger=1
     ).select("doc_id", "text")
@@ -5235,7 +5252,13 @@ def q103(spark, sf_dir):
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     run_stream_dedup_against_store(
-        s1.unionByName(s2), store, out, ckpt, state_partitions=8
+        s1.unionByName(s2),
+        store,
+        out,
+        ckpt,
+        state_partitions=8,
+        store_buckets=8,
+        compact_at_files=24,
     )
     return (
         spark.read.parquet(out)

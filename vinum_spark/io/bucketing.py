@@ -18,10 +18,13 @@ the bucketed key):
 
 from __future__ import annotations
 
+import hashlib
 import os
+import re
 from typing import Optional, Sequence, Union
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -94,14 +97,14 @@ def compact_parquet(
             "compaction would drop the lazily-read source before the rewrite "
             "runs. Write to a sibling path and rename."
         )
-    from pyspark.sql import functions as F
-
     df = spark.read.parquet(src)
     total = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     n_files = max(1, -(-total // target_file_bytes))
     if partition_cols:
         cols = (
-            [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+            [partition_cols]
+            if isinstance(partition_cols, str)
+            else list(partition_cols)
         )
         # Hashing on the partition columns alone would write ONE file per
         # hive partition regardless of size (a 20 GB skewed partition ->
@@ -160,3 +163,210 @@ def compact_parquet(
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(dst)
     return n_files
+
+
+# ---------------------------------------------------------------------------
+# Persistent bucketed fingerprint store
+# ---------------------------------------------------------------------------
+#
+# The storage side of incremental/streaming dedup
+# (operators/dedup.dedup_against_store, streaming/stateful.
+# run_stream_dedup_against_store): a growing SET of 16-byte digests
+# that every new batch anti-joins against. Kept as a plain parquet
+# directory, the store side of that anti-join re-shuffles IN FULL on
+# every micro-batch — O(store) work per batch, the difference between
+# O(batch) and O(store) at a 2 TB store. Kept as a BUCKETED table on
+# the fingerprint, the store side's exchange is elided by Catalyst:
+# each batch shuffles only ITSELF into the store's bucket layout
+# (plan-pinned in tests/test_plans.py).
+#
+# Layout — versioned directories under one root:
+#
+#     <store_path>/v0/   bucketed parquet files + _SUCCESS
+#     <store_path>/v1/   (written whole by a compaction, then current)
+#
+# The catalog table (in-memory catalog; name derived from the path)
+# points at the CURRENT version. Appends land in the current version's
+# directory (one file per bucket per append — the batch is
+# repartitioned onto the bucket layout first). Compaction writes the
+# next version COMPLETELY (including its _SUCCESS), re-points the
+# table (a metadata-only swap), then deletes the old directory — so a
+# crash at any step leaves a complete, discoverable store: version
+# discovery takes the HIGHEST version bearing _SUCCESS, and a partial
+# write without _SUCCESS is invisible. No rename window where the
+# store doesn't exist (the failure mode that would silently re-admit
+# every already-seen fingerprint). On object stores, deleting the old
+# version is the only non-atomic step, and losing that race merely
+# leaks a directory.
+
+
+def _store_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def store_table_name(store_path: str) -> str:
+    """Catalog table name for a fingerprint store root (path-derived:
+    one store directory == one table, re-derivable after restart)."""
+    tag = hashlib.md5(store_path.encode()).hexdigest()[:12]
+    return f"fpstore_{tag}"
+
+
+def current_store_version(spark, store_path: str) -> Optional[int]:
+    """Highest complete version under ``store_path`` (a ``v<k>`` child
+    directory bearing ``_SUCCESS``), or None when no complete version
+    exists. Partial writes (no ``_SUCCESS``) are invisible by design."""
+    fs, root, jvm = _store_fs(spark, store_path)
+    if not fs.exists(root):
+        return None
+    best = None
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        m = re.fullmatch(r"v(\d+)", name)
+        if not m or not status.isDirectory():
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+        if fs.exists(marker):
+            k = int(m.group(1))
+            best = k if best is None or k > best else best
+    return best
+
+
+def _table_location(spark, table: str) -> Optional[str]:
+    if not spark.catalog.tableExists(table):
+        return None
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r["col_name"] == "Location":
+            return r["data_type"]
+    return None
+
+
+def _register_store_table(
+    spark, table: str, version_dir: str, buckets: int
+) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} (fingerprint STRING) USING PARQUET "
+        f"CLUSTERED BY (fingerprint) SORTED BY (fingerprint) "
+        f"INTO {buckets} BUCKETS LOCATION '{version_dir}'"
+    )
+
+
+def ensure_fingerprint_store(spark, store_path: str, buckets: int) -> str:
+    """Open (or create) the bucketed fingerprint store rooted at
+    ``store_path`` and return its catalog table name, ready for
+    ``spark.table(name)`` reads and :func:`append_fingerprints`.
+
+    Restart-safe: the catalog is in-memory, so a fresh session
+    re-registers the external table over the current complete version.
+    A brand-new store writes an EMPTY bucketed v0 first (the bucketed
+    write is what stamps ``_SUCCESS`` — an empty directory would be an
+    incomplete version) and registers over it.
+
+    ``buckets`` must match across every open of one store (it is the
+    physical file layout); size it like any bucket count — fingerprint
+    volume / ~256 MB per bucket file after compaction.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    table = store_table_name(store_path)
+    cur = current_store_version(spark, store_path)
+    if cur is None:
+        v0 = f"{store_path}/v0"
+        (
+            spark.createDataFrame([], "fingerprint string")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, "fingerprint")
+            .sortBy("fingerprint")
+            .option("path", v0)
+            .saveAsTable(table)
+        )
+        return table
+    want = f"{store_path}/v{cur}"
+    loc = _table_location(spark, table)
+    if loc is None or loc.rstrip("/").split("://")[-1] != want.rstrip(
+        "/"
+    ).split("://")[-1]:
+        # fresh session, or the table survived a compaction crash still
+        # pointing at the previous (now-deleted or stale) version
+        _register_store_table(spark, table, want, buckets)
+    return table
+
+
+def append_fingerprints(df: DataFrame, table: str, buckets: int) -> None:
+    """Append a fingerprint batch to the store table. The batch is
+    repartitioned onto the bucket layout first — ``repartition(n, col)``
+    and ``bucketBy(n, col)`` share the same Murmur3-pmod placement, so
+    each task holds exactly one bucket and every append adds exactly
+    ``buckets`` files (not tasks x buckets); file growth per batch is
+    constant and :func:`compact_fingerprint_store` bounds the total."""
+    (
+        df.select("fingerprint")
+        .repartition(buckets, F.col("fingerprint"))
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(buckets, "fingerprint")
+        .sortBy("fingerprint")
+        .saveAsTable(table)
+    )
+
+
+def store_data_file_count(spark, store_path: str) -> int:
+    """Data-file count of the store's current version (the compaction
+    trigger signal; a driver-side listing, no job)."""
+    cur = current_store_version(spark, store_path)
+    if cur is None:
+        return 0
+    fs, _, jvm = _store_fs(spark, store_path)
+    vdir = jvm.org.apache.hadoop.fs.Path(f"{store_path}/v{cur}")
+    n = 0
+    for status in fs.listStatus(vdir):
+        if not status.getPath().getName().startswith("_"):
+            n += 1
+    return n
+
+
+def compact_fingerprint_store(spark, store_path: str, buckets: int) -> str:
+    """Rewrite the store's current version as the next version with one
+    file per bucket, re-point the catalog table, then delete the old
+    directory. Returns the table name.
+
+    Crash-safe by construction: the new version is complete (its
+    ``_SUCCESS`` exists) before the table re-points, and version
+    discovery ignores incomplete directories — a crash mid-write redoes
+    the compaction; a crash between re-point and delete leaks one
+    directory that the NEXT compaction's version numbering skips past
+    (versions only grow). The store is a set, and appends are
+    anti-joined before landing, so the rewrite is a pure repartition —
+    no distinct needed."""
+    table = store_table_name(store_path)
+    cur = current_store_version(spark, store_path)
+    if cur is None:
+        raise ValueError(f"no complete store version under {store_path!r}")
+    nxt = f"{store_path}/v{cur + 1}"
+    tmp_table = f"{table}_compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    # read the RAW files, not spark.table(): a bucketed-table read
+    # reports HashPartitioning and lets Catalyst elide the repartition
+    # below — while the physical scan may still use plain file splits
+    # that straddle buckets (autoBucketedScan), which would fan each
+    # writer task across several buckets and DOUBLE the file count the
+    # compaction exists to shrink
+    (
+        spark.read.schema("fingerprint string")
+        .parquet(f"{store_path}/v{cur}")
+        .repartition(buckets, F.col("fingerprint"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "fingerprint")
+        .sortBy("fingerprint")
+        .option("path", nxt)
+        .saveAsTable(tmp_table)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    _register_store_table(spark, table, nxt, buckets)
+    fs, _, jvm = _store_fs(spark, store_path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_path}/v{cur}"), True)
+    return table

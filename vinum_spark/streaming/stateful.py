@@ -112,11 +112,13 @@ def run_stream_dedup_against_store(
     id_col: str = "doc_id",
     idle_timeout: float = 600.0,
     state_partitions: "int | None" = None,
+    store_buckets: "int | None" = None,
+    compact_at_files: int = 512,
 ) -> None:
     """Continuous ingestion against a PERSISTENT fingerprint store —
     the third point in the streaming-dedup design space: state lives
-    in shared STORAGE (a parquet directory of 16-byte digests), not in
-    executor memory (``stream_distinct``) or the state store
+    in shared STORAGE (16-byte digests on disk), not in executor
+    memory (``stream_distinct``) or the state store
     (``dropDuplicatesWithinWatermark``), so it survives restarts,
     is shared across pipelines, and never needs a watermark/timeout
     eviction policy — ~2 TB per trillion documents, the
@@ -125,8 +127,27 @@ def run_stream_dedup_against_store(
     ``foreachBatch`` is the carrier: each micro-batch runs the EXACT
     batch operator against the store-so-far (batch↔stream semantics
     shared by construction), appends the survivors to ``out_path``
-    and their fingerprints to ``store_path`` — so later batches (and
+    and their fingerprints to the store — so later batches (and
     later pipelines) see every earlier acceptance.
+
+    ``store_buckets`` picks the store layout, and the pick is the
+    whole scale story. ``None`` keeps a plain parquet directory at
+    ``store_path``: simplest, but the store side of each batch's
+    anti-join re-shuffles IN FULL every micro-batch (O(store) per
+    batch) and file count grows without bound. An int keeps the store
+    as a fingerprint-BUCKETED table (io/bucketing
+    ``ensure_fingerprint_store``: versioned directories, catalog
+    re-registration across restarts): Catalyst elides the store-side
+    exchange, so each micro-batch shuffles ONLY ITSELF into the
+    store's bucket layout — O(batch) per batch, plan-pinned in
+    tests/test_plans.py — each append adds exactly ``store_buckets``
+    files, and whenever the current version's data-file count reaches
+    ``compact_at_files`` the store is compacted back to one file per
+    bucket (``compact_fingerprint_store``: crash-safe versioned
+    rewrite, never a window without a complete store). Size
+    ``store_buckets`` by total fingerprint volume (~256 MB per bucket
+    file after compaction); both knobs are per-pipeline safe because
+    the store stays a pure set under replay.
 
     Failure semantics, stated honestly: ``foreachBatch`` is
     at-least-once. A batch REPLAYED after a crash re-runs the
@@ -138,6 +159,12 @@ def run_stream_dedup_against_store(
     transactional table format; the drain here is single-process
     ``availableNow``, where no replay occurs.
     """
+    from vinum_spark.io.bucketing import (
+        append_fingerprints,
+        compact_fingerprint_store,
+        ensure_fingerprint_store,
+        store_data_file_count,
+    )
     from vinum_spark.operators.dedup import dedup_against_store
     from vinum_spark.streaming.windows import (
         _drain,
@@ -145,16 +172,26 @@ def run_stream_dedup_against_store(
     )
 
     spark = stream_df.sparkSession
+    if store_buckets is not None:
+        # registers (or creates empty) BEFORE the stream starts, so
+        # every batch — including a replayed first batch — reads
+        # through the catalog table; pre-seeded PLAIN-parquet stores
+        # are a layout mismatch, rejected by the versioned discovery
+        store_table = ensure_fingerprint_store(
+            spark, store_path, store_buckets
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # ONLY a missing store means "first batch": probe existence
-        # directly through the Hadoop FileSystem (scheme-aware, no
-        # dependence on AnalysisException message text, which drifts
-        # across Spark versions/locales) — any READ failure after a
-        # positive probe (permissions, corruption, listing blips)
-        # fails the batch, because an empty-store fallback would
-        # silently admit every already-seen fingerprint
-        if _hadoop_path_exists(spark, store_path):
+        if store_buckets is not None:
+            store = spark.table(store_table).select("fingerprint")
+        elif _hadoop_path_exists(spark, store_path):
+            # ONLY a missing store means "first batch": probe existence
+            # directly through the Hadoop FileSystem (scheme-aware, no
+            # dependence on AnalysisException message text, which
+            # drifts across Spark versions/locales) — any READ failure
+            # after a positive probe (permissions, corruption, listing
+            # blips) fails the batch, because an empty-store fallback
+            # would silently admit every already-seen fingerprint
             store = spark.read.parquet(store_path).select("fingerprint")
         else:
             store = spark.createDataFrame([], "fingerprint string")
@@ -164,9 +201,19 @@ def run_stream_dedup_against_store(
         out = out.persist()
         try:
             out.write.mode("append").parquet(out_path)
-            out.select("fingerprint").write.mode("append").parquet(
-                store_path
-            )
+            if store_buckets is not None:
+                append_fingerprints(out, store_table, store_buckets)
+                if (
+                    store_data_file_count(spark, store_path)
+                    >= compact_at_files
+                ):
+                    compact_fingerprint_store(
+                        spark, store_path, store_buckets
+                    )
+            else:
+                out.select("fingerprint").write.mode("append").parquet(
+                    store_path
+                )
         finally:
             out.unpersist()
 
