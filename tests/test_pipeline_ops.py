@@ -1646,3 +1646,142 @@ def test_save_load_tokenizer_roundtrip(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="contiguous"):
         save_tokenizer(gappy, str(tmp_path / "g.json"))
+
+
+def test_gpt2_published_alphabet_layout():
+    """The published GPT-2 byte alphabet and base-id layout, pinned
+    against its publicly-known facts: 188 printable bytes map to
+    themselves (ids 0-187 in byte order), the 68 others remap to
+    consecutive codepoints from U+0100 (ids 188-255 in byte order) —
+    so space is 'Ġ' with id 220, newline is 'Ċ', '!' is id 0."""
+    from vinum_spark.operators.text import (
+        _gpt2_byte_alphabet,
+        _gpt2_published_byte_ids,
+    )
+
+    b2u, u2b = _gpt2_byte_alphabet()
+    ids = _gpt2_published_byte_ids()
+    assert b2u[0x20] == "Ġ" and ids[0x20] == 220  # Ġ
+    assert b2u[0x0A] == "Ċ"  # Ċ
+    assert b2u[0x21] == "!" and ids[0x21] == 0
+    assert b2u[0x00] == "Ā" and ids[0x00] == 188
+    assert ids[0x7E] == 93 and ids[0xA1] == 94
+    assert sorted(ids.values()) == list(range(256))
+    assert len(set(b2u.values())) == 256
+    assert {u2b[c] for c in b2u.values()} == set(range(256))
+
+
+def test_save_load_tokenizer_gpt2_published_pair(spark, tmp_path):
+    """The published vocab.json/merges.txt pair round-trips: reloaded
+    merges are identical, '<|endoftext|>' is classified special (it is
+    alphabet-composed, so classification must be by base/product
+    membership, not characters), encode under the loaded PUBLISHED ids
+    remaps exactly the base bytes, and decode round-trips the text."""
+    from vinum_spark.operators.text import (
+        GPT2ISH_SPLIT_PATTERN,
+        _gpt2_published_byte_ids,
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_tokenize,
+        learn_bpe_merges,
+        load_tokenizer_gpt2,
+        save_tokenizer_gpt2,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "naïve café 数据 naïve café"), (2, "a  b don't don't")],
+        "doc_id long, text string",
+    )
+    kw = {"byte_level": True, "token_pattern": GPT2ISH_SPLIT_PATTERN}
+    merges = learn_bpe_merges(docs, n_merges=6, **kw)
+    mp, vp = str(tmp_path / "merges.txt"), str(tmp_path / "vocab.json")
+    save_tokenizer_gpt2(merges, mp, vp)
+    assert open(mp).readline() == "#version: 0.2\n"
+    loaded = load_tokenizer_gpt2(spark, mp, vp)
+    assert loaded["byte_level"] is True and loaded["token_pattern"] is None
+    assert loaded["special_tokens"] == ("<|endoftext|>",)
+    assert [
+        (r["merge_rank"], r["lhs"], r["rhs"])
+        for r in loaded["merges"].orderBy("merge_rank").collect()
+    ] == [
+        (r["merge_rank"], r["lhs"], r["rhs"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+
+    toks = bpe_tokenize(docs, merges, id_col="doc_id", **kw)
+    pub = {
+        r["doc_id"]: r["token_ids"]
+        for r in bpe_encode_ids(
+            toks, loaded["merges"], vocab_df=loaded["vocab"]
+        ).collect()
+    }
+    internal = {
+        r["doc_id"]: r["token_ids"]
+        for r in bpe_encode_ids(toks, merges).collect()
+    }
+    bid = _gpt2_published_byte_ids()
+    for k, seq in internal.items():
+        assert pub[k] == [bid[i] if i < 256 else i for i in seq]
+    dec = bpe_decode_ids(
+        bpe_encode_ids(toks, loaded["merges"], vocab_df=loaded["vocab"]),
+        loaded["merges"],
+        vocab_df=loaded["vocab"],
+    )
+    assert {r["doc_id"]: r["text"] for r in dec.collect()} == {
+        r["doc_id"]: r["text"] for r in docs.collect()
+    }
+
+
+def test_load_tokenizer_gpt2_rejects_malformed_inputs(spark, tmp_path):
+    """Every quiet-mis-tokenization path fails loudly: a merge line
+    with the wrong field count, a character outside the published
+    alphabet, a vocab missing a single-byte token, a vocab that does
+    not id a merge product, and a vocab_df that under-covers the merge
+    table at encode time."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.text import (
+        bpe_encode_ids,
+        load_tokenizer_gpt2,
+        save_tokenizer_gpt2,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ab aa")], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(
+        docs, n_merges=2, byte_level=True, token_pattern="[^ ]+"
+    )
+    mp, vp = str(tmp_path / "m.txt"), str(tmp_path / "v.json")
+    save_tokenizer_gpt2(merges, mp, vp)
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text("#version: 0.2\na b c\n")
+    with pytest.raises(ValueError, match="expected 'lhs rhs'"):
+        load_tokenizer_gpt2(spark, str(bad))
+    bad.write_text("#version: 0.2\na 　\n")  # U+3000 not in alphabet
+    with pytest.raises(ValueError, match="outside the published"):
+        load_tokenizer_gpt2(spark, str(bad))
+
+    vocab = json.load(open(vp))
+    gone_base = {k: v for k, v in vocab.items() if k != "!"}
+    (tmp_path / "nb.json").write_text(json.dumps(gone_base))
+    with pytest.raises(ValueError, match="missing the single-byte"):
+        load_tokenizer_gpt2(spark, mp, str(tmp_path / "nb.json"))
+    gone_merge = {k: v for k, v in vocab.items() if k != "aa"}
+    (tmp_path / "nm.json").write_text(json.dumps(gone_merge))
+    with pytest.raises(ValueError, match="does not id the merge"):
+        load_tokenizer_gpt2(spark, mp, str(tmp_path / "nm.json"))
+
+    # encode-time coverage guard: a vocab_df missing a merge product
+    loaded = load_tokenizer_gpt2(spark, mp, vp)
+    toks = spark.createDataFrame(
+        [(1, ["šš"])], "doc_id long, tokens array<string>"
+    )
+    undercover = loaded["vocab"].filter(F.length("token") < 2)
+    with pytest.raises(ValueError, match="does not cover"):
+        bpe_encode_ids(toks, loaded["merges"], vocab_df=undercover)

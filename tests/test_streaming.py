@@ -601,3 +601,70 @@ def test_prepare_corpus_stream_with_chunking(spark):
         for r in prepare_corpus(batch, cfg).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_pack_blocks_over_landed_stream_chunks_match_batch(spark):
+    """The 'pack in the batch refinement pass' contract: block packing
+    needs the shard-stream TOTAL order, so it cannot run inside the
+    stream — but running pack_token_blocks over the LANDED stream
+    chunks must equal running it over the batch pipeline's chunks,
+    because the packing is a total function of (key, seed, block_size)
+    and the chunk sets are equal (pinned above). This is the q104
+    gate's composed second half: stream -> chunks land -> batch pack
+    == batch -> chunks -> pack."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.pipeline import (
+        CorpusConfig,
+        prepare_corpus,
+        prepare_corpus_stream,
+    )
+    from vinum_spark.operators.sampling import pack_token_blocks
+    from vinum_spark.operators.text import learn_bpe_merges
+    from vinum_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_table,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    batch = spark.read.parquet(path)
+    merges = learn_bpe_merges(
+        batch, n_merges=4, byte_level=True, token_pattern="[^ ]+"
+    )
+    cfg = CorpusConfig(
+        quality_filter=True,
+        dedup=True,
+        tokenize_with=merges,
+        tokenize_byte_level=True,
+        tokenize_pattern="[^ ]+",
+        chunk_max_len=16,
+        chunk_stride=12,
+        chunk_min_len=4,
+    )
+    stream = stream_table(spark, path).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+    )
+    out = prepare_corpus_stream(stream, cfg, watermark="365 days").select(
+        "doc_id", "chunk_id", "token_ids"
+    )
+    run_stream_to_memory(out, "pcs_pack_src", mode="append", state_partitions=4)
+
+    def blocks_of(chunks):
+        # the deterministic pack key is (doc, chunk) — the md5 stream
+        # order then depends only on values, never on arrival order
+        keyed = chunks.withColumn(
+            "__key",
+            F.concat_ws(":", F.col("doc_id"), F.col("chunk_id")),
+        )
+        return {
+            (r["shard"], r["block_id"]): r["token_ids"]
+            for r in pack_token_blocks(
+                keyed, block_size=32, key_col="__key", n_shards=4
+            ).collect()
+        }
+
+    got = blocks_of(spark.table("pcs_pack_src"))
+    want = blocks_of(
+        prepare_corpus(batch, cfg).select("doc_id", "chunk_id", "token_ids")
+    )
+    assert got == want and len(got) > 0

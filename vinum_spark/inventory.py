@@ -4823,15 +4823,18 @@ ORDER BY d.fp"""
     )
 
 
-def _stream_pipeline_result(spark, sf_dir, table, state_store=None):
-    """Shared q98/q99 body: a REAL readStream drain of
+def _stream_pipeline_result(spark, sf_dir, table, state_store=None, chunk=False):
+    """Shared q98/q99/q104 body: a REAL readStream drain of
     prepare_corpus_stream over the planted corpus. Three streams of
     the documents source build the fixture map-side: the table itself,
     a same-text copy under shifted ids (the watermark dedup must
     collapse it — different ids, different synthetic event times), and
     a per-row junk doc the quality rules must reject. The output keys
     on the text fingerprint so the stream's arrival-order survivor
-    choice cannot leak into the hash."""
+    choice cannot leak into the hash. ``chunk=True`` (q104) appends
+    the context-window chunking stage via CorpusConfig.chunk_* — the
+    stream then lands (fp, chunk_id)-keyed context windows instead of
+    per-document sequences."""
     from vinum_spark.operators.pipeline import (
         CorpusConfig,
         prepare_corpus_stream,
@@ -4875,11 +4878,15 @@ def _stream_pipeline_result(spark, sf_dir, table, state_store=None):
         tokenize_byte_level=True,
         tokenize_pattern="[^ ]+",
         tokenize_emit_ids=True,
+        chunk_max_len=16 if chunk else None,
+        chunk_stride=12 if chunk else None,
+        chunk_min_len=4 if chunk else 1,
     )
+    keys = ["fp", "chunk_id"] if chunk else ["fp"]
     out = prepare_corpus_stream(
         stream, cfg, ts_col="ts", watermark="3650 days"
     ).select(
-        "fp",
+        *keys,
         F.col("n_tokens"),
         F.md5(
             F.concat_ws(
@@ -4891,7 +4898,7 @@ def _stream_pipeline_result(spark, sf_dir, table, state_store=None):
         out, table, mode="append", state_partitions=8,
         state_store=state_store,
     )
-    return spark.table(table).orderBy("fp")
+    return spark.table(table).orderBy(*keys)
 
 
 @_q(
@@ -5268,6 +5275,186 @@ def q103(spark, sf_dir):
     )
 
 
+#: q104: the streaming pipeline's chunking closure — q98's oracle
+#: program extended with q101's context-window chunking (context 16,
+#: step 12, min 4), keyed by (text fingerprint, chunk_id) so stream
+#: arrival order cannot leak into the hash.
+def _q104_oracle() -> str:
+    base98 = _q98_oracle()
+    head, tail = base98.split("tokf AS MATERIALIZED", 1)
+    assert tail is not None
+    return (
+        head
+        + """docids AS MATERIALIZED (
+  SELECT d.fp, flatten(list(vids.tids ORDER BY d.wi)) AS tids
+  FROM docw d JOIN vids ON vids.word = d.word
+  GROUP BY d.fp),
+chunks AS (
+  SELECT fp,
+         CAST(c AS INT) AS chunk_id,
+         tids[CAST(c * 12 + 1 AS INT) : CAST(c * 12 + 16 AS INT)] AS chunk
+  FROM docids,
+       unnest(range(0, CAST(floor((len(tids) - 1) / 12) AS BIGINT) + 1)) t(c)
+  WHERE len(tids) > 0)
+SELECT fp, chunk_id,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_transform(chunk, i -> CAST(i AS VARCHAR)), ' '))
+         AS ids_md5
+FROM chunks
+WHERE len(chunk) >= 4
+ORDER BY fp, chunk_id"""
+    ).replace(
+        # q98's vids emits id STRINGS for its hash; chunking needs the
+        # id LIST to slice, so swap the aggregate (same join, same
+        # ordering column)
+        "string_agg(CAST(i.tid AS VARCHAR), ' ' ORDER BY v.si) AS idstr,\n"
+        "         CAST(count(*) AS BIGINT) AS n",
+        "list(i.tid ORDER BY v.si) AS tids",
+    )
+
+
+@_q(
+    "q104_pipeline_stream_chunks",
+    _q104_oracle(),
+    "STREAMING training-prep closure under the oracle gate: q98's "
+    "prepare_corpus_stream pipeline (quality rules -> watermark dedup "
+    "on the text fingerprint -> map-side byte-BPE with token_ids) "
+    "extended with CorpusConfig.chunk_* — context-window chunking as "
+    "the stage after tokenization, INSIDE the drained stream (a pure "
+    "projection, so the chain stays streamable; chunk_max_len=16, "
+    "stride=12 as the window step, tails under 4 ids dropped). Each "
+    "surviving document must emit the identical (chunk_id, ids) rows "
+    "the batch semantics produce — the oracle recomputes quality + "
+    "DISTINCT text + the merge chain + ids + DuckDB list-slice "
+    "chunking, keyed by (fp, chunk_id). Packing is NOT in the stream: "
+    "pack_token_blocks needs the shard-stream total order, so blocks "
+    "are built in the batch refinement pass over landed chunks — that "
+    "composed contract (landed stream chunks -> pack_token_blocks == "
+    "batch pipeline -> pack_token_blocks) is pinned in "
+    "tests/test_streaming.py.",
+)
+def q104(spark, sf_dir):
+    return _stream_pipeline_result(
+        spark, sf_dir, "q104_out", chunk=True
+    )
+
+
+#: q105: the PUBLISHED GPT-2 id layout — base-byte ids differ from the
+#: internal bpe_vocab layout (printable bytes 0-187, remapped bytes
+#: 188-255), merge products keep 255+k. The mapping is inlined as a
+#: 256-row VALUES list derived from the same function the operator
+#: uses; a drift in either side breaks the hash.
+_PUB_IDS_VALUES = ",".join(
+    f"({b},{p})"
+    for b, p in sorted(X._gpt2_published_byte_ids().items())
+)
+_Q105_FINAL_SQL = (
+    """vtok AS MATERIALIZED (
+  SELECT word, unnest(range(1, len(sym) + 1)) AS si, unnest(sym) AS tok
+  FROM vocab8),
+ids AS MATERIALIZED (
+  SELECT chr(CAST(256 + b AS INT)) AS tok, CAST(p AS INT) AS tid
+  FROM (VALUES """
+    + _PUB_IDS_VALUES
+    + """) t(b, p)
+"""
+    + "".join(
+        f"  UNION ALL SELECT a || b, CAST({255 + k} AS INT) FROM best{k}\n"
+        for k in range(1, 9)
+    )
+    + """),
+vids AS MATERIALIZED (
+  SELECT v.word,
+         string_agg(CAST(i.tid AS VARCHAR), ' ' ORDER BY v.si) AS idstr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM vtok v JOIN ids i ON i.tok = v.tok
+  GROUP BY v.word),
+tokid AS MATERIALIZED (
+  SELECT d.doc_id, CAST(sum(vids.n) AS BIGINT) AS n_tokens,
+         md5(string_agg(vids.idstr, ' ' ORDER BY d.wi)) AS ids_md5
+  FROM docw d JOIN vids ON vids.word = d.word
+  GROUP BY d.doc_id)
+SELECT doc.doc_id,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(t.ids_md5, md5('')) AS ids_md5
+FROM documents doc LEFT JOIN tokid t ON t.doc_id = doc.doc_id
+ORDER BY doc.doc_id"""
+)
+
+
+@_q(
+    "q105_gpt2_published_ids",
+    _q89_oracle(
+        base=_q88_oracle(
+            8, words_from=_BPE_BYTE_WORDS_FROM, sym_expr=_DUCK_BYTE_SYM
+        ),
+        doc_ws_sql=(
+            f"SELECT doc_id, regexp_extract_all({_BPE_AUG_SQL}, '[^ ]+') AS ws"
+            " FROM documents"
+        ),
+        final_sql=_Q105_FINAL_SQL,
+    ).replace(
+        # final_sql opens with another CTE (same patch as q92/q93)
+        "GROUP BY d.doc_id)\nvtok AS",
+        "GROUP BY d.doc_id),\nvtok AS",
+    ),
+    "The PUBLISHED GPT-2 tokenizer artifact format under the oracle "
+    "gate (save_tokenizer_gpt2 / load_tokenizer_gpt2 — the "
+    "vocab.json + merges.txt pair real users arrive with): the "
+    "learned merge table is written to disk in the published format "
+    "(byte alphabet transliterated — space is 'Ġ' — ids in the "
+    "published layout: printable bytes 0-187, remapped bytes "
+    "188-255, merges 256+rank-1, <|endoftext|> last), loaded back, "
+    "and the corpus is encoded UNDER THE LOADED PUBLISHED IDS "
+    "(bpe_encode_ids vocab_df override). The oracle re-derives every "
+    "id from the merge chain plus the published base-byte mapping "
+    "inlined as a 256-row VALUES table — a drift in the alphabet, "
+    "the transliteration, the id layout, the artifact round-trip, or "
+    "the override join hash-mismatches per document.",
+)
+def q105(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from vinum_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_tokenize,
+        learn_bpe_merges,
+        load_tokenizer_gpt2,
+        save_tokenizer_gpt2,
+    )
+
+    docs = _bpe_aug(_t(spark, sf_dir, "documents"))
+    merges = learn_bpe_merges(
+        docs, n_merges=8, byte_level=True, token_pattern="[^ ]+"
+    )
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{app}\x1f{sf_dir}".encode()).hexdigest()[:10]
+    base = f"{tempfile.gettempdir()}/q105_gpt2_{tag}"
+    os.makedirs(base, exist_ok=True)
+    mp, vp = f"{base}/merges.txt", f"{base}/vocab.json"
+    save_tokenizer_gpt2(merges, mp, vp)
+    loaded = load_tokenizer_gpt2(spark, mp, vp)
+    toks = bpe_tokenize(
+        docs,
+        loaded["merges"],
+        id_col="doc_id",
+        byte_level=True,
+        token_pattern="[^ ]+",
+    )
+    enc = bpe_encode_ids(toks, loaded["merges"], vocab_df=loaded["vocab"])
+    return enc.select(
+        "doc_id",
+        F.col("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.expr("transform(token_ids, i -> CAST(i AS STRING))")
+            )
+        ).alias("ids_md5"),
+    ).orderBy("doc_id")
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``. Through round 13 the gate order was
 #: maintained as an accumulated demote/promote swap chain (see git
@@ -5388,18 +5575,25 @@ _GATE_HEAD = (
     "q87_image_phash_neardup",
     # BPE tokenizer family
     "q90_bpe_byte_merges",
-    "q92_tokenizer_pipeline",
     "q95_pipeline_tokenized",
-    # round-14/15 additions: exact GPT-2, streaming pipelines, and the
+    # round-14/15 additions: exact GPT-2, streaming pipelines, the
     # four round-15 promotions (decode round-trip, chunking, packing,
-    # stream-store dedup)
+    # stream-store dedup), and the two round-15 NEW queries (q104
+    # streaming chunk closure, q105 published GPT-2 artifact). The
+    # r15 mid-round swap: q104/q105 seat (registered this round, no
+    # driver row possible yet); q98 steps out (fresh r14 row; q99
+    # keeps the identical chain on the RocksDB provider and q104 IS
+    # that chain + chunking) and q92 steps out (fresh r14 row; the
+    # tokenizer family keeps q90/q95/q96/q100-q102/q105 seats, and
+    # q92's pack_sequences machinery is kept by q71 + q102).
     "q96_bpe_gpt2_exact",
-    "q98_pipeline_stream",
     "q99_pipeline_stream_rocksdb",
     "q100_bpe_roundtrip",
     "q101_chunk_token_ids",
     "q102_pack_token_blocks",
     "q103_stream_store_dedup",
+    "q104_pipeline_stream_chunks",
+    "q105_gpt2_published_ids",
 )
 
 

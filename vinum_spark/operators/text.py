@@ -1600,6 +1600,7 @@ def bpe_encode_ids(
     tokens_df: DataFrame,
     merges_df: DataFrame,
     id_col: str = "doc_id",
+    vocab_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """Map a tokenized corpus (``bpe_tokenize`` byte-mode output:
     id, tokens array<string>) to token-ID sequences with the
@@ -1611,8 +1612,35 @@ def bpe_encode_ids(
     construction (byte-level has no OOV), so the inner join is
     lossless; empty docs keep empty sequences. Returns (id,
     token_ids array<int>, n_tokens long).
+
+    ``vocab_df`` overrides the id layout: a (token, token_id) frame —
+    e.g. the PUBLISHED ids of a loaded GPT-2 ``vocab.json``
+    (:func:`load_tokenizer_gpt2`), whose base-byte ids differ from
+    the :func:`bpe_vocab` layout — joins in place of the derived
+    vocabulary. Because the join is inner, a coverage gap would
+    SILENTLY shorten id sequences (corrupted training data, no
+    error), so coverage of every token ``merges_df`` can emit is
+    checked eagerly here — one anti-join between two vocab-bounded
+    frames, nothing corpus-sized.
     """
-    vocab = bpe_vocab(merges_df)
+    if vocab_df is None:
+        vocab = bpe_vocab(merges_df)
+    else:
+        vocab = vocab_df
+        missing = [
+            r["token"]
+            for r in bpe_vocab(merges_df)
+            .select("token")
+            .join(vocab_df, "token", "left_anti")
+            .limit(5)
+            .collect()
+        ]
+        if missing:
+            raise ValueError(
+                "bpe_encode_ids: vocab_df does not cover every token the "
+                f"merge table can emit — missing {missing!r}{'...' if len(missing) == 5 else ''}; "
+                "an inner join would silently shorten id sequences"
+            )
     exploded = tokens_df.select(
         F.col(id_col), F.posexplode("tokens").alias("__ti", "token")
     )
@@ -1645,12 +1673,20 @@ def bpe_decode_ids(
     ids_col: str = "token_ids",
     out: str = "text",
     special_tokens: tuple = (),
+    vocab_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """Inverse of :func:`bpe_encode_ids` / the map-side ``emit_ids``
     projection: token-ID sequences back to text — the inspection half
     of a production tokenizer (sample what the model actually sees
     from landed id shards; verify a pipeline end to end). Byte-level
-    tables only (the :func:`bpe_vocab` id layout).
+    tables only (the :func:`bpe_vocab` id layout — or, with
+    ``vocab_df``, the layout of that (token, token_id) frame, e.g.
+    the PUBLISHED ids of a loaded GPT-2 ``vocab.json``: the id->token
+    map is collected from it (vocab-bounded) instead of being derived
+    positionally from the merge table, and entries that are not
+    byte-symbol-composed — special tokens like ``<|endoftext|>`` —
+    decode to their literal string; ``special_tokens`` is ignored in
+    that mode since the frame already carries them).
 
     Round-trip law (pinned by the q100 gate): the GPT-2-style split
     patterns TILE their input — every character is consumed by exactly
@@ -1668,17 +1704,28 @@ def bpe_decode_ids(
     never produced, e.g. hand-edited ids splitting a multibyte
     character) substitutes U+FFFD rather than failing the batch.
     """
-    merges = [
-        (r["lhs"], r["rhs"]) for r in merges_df.orderBy("merge_rank").collect()
-    ]
-    id_tok = {b: chr(_BYTE_SYM_BASE + b) for b in range(256)}
-    id_tok.update({256 + k: a + b for k, (a, b) in enumerate(merges)})
-    # special tokens (the bpe_vocab special_tokens layout: ids after
-    # the merges) decode to their LITERAL string — they carry no byte
-    # symbols, so they bypass the byte mapping below
-    special = {
-        256 + len(merges) + i: tok for i, tok in enumerate(special_tokens)
-    }
+    if vocab_df is not None:
+        id_tok, special = {}, {}
+        byte_syms_set = {chr(_BYTE_SYM_BASE + b) for b in range(256)}
+        for r in vocab_df.select("token", "token_id").collect():
+            tok, tid = r["token"], int(r["token_id"])
+            if set(tok) <= byte_syms_set:
+                id_tok[tid] = tok
+            else:
+                special[tid] = tok
+    else:
+        merges = [
+            (r["lhs"], r["rhs"])
+            for r in merges_df.orderBy("merge_rank").collect()
+        ]
+        id_tok = {b: chr(_BYTE_SYM_BASE + b) for b in range(256)}
+        id_tok.update({256 + k: a + b for k, (a, b) in enumerate(merges)})
+        # special tokens (the bpe_vocab special_tokens layout: ids
+        # after the merges) decode to their LITERAL string — they
+        # carry no byte symbols, so they bypass the byte mapping below
+        special = {
+            256 + len(merges) + i: tok for i, tok in enumerate(special_tokens)
+        }
     n_vocab = len(id_tok) + len(special)
 
     @F.pandas_udf("string")
@@ -1877,6 +1924,226 @@ def load_tokenizer(spark, path: str) -> dict:
         "token_pattern": artifact["token_pattern"],
         "special_tokens": tuple(artifact["special_tokens"]),
     }
+
+
+def _gpt2_byte_alphabet() -> "tuple[dict, dict]":
+    """The byte<->character alphabet of the PUBLISHED GPT-2 BPE
+    artifact pair (``vocab.json`` / ``merges.txt``), as documented in
+    the GPT-2 release: the 188 bytes with printable, non-space
+    single-character representations (0x21-0x7E, 0xA1-0xAC,
+    0xAE-0xFF) map to their own characters; the remaining 68 bytes
+    map, in byte order, to consecutive codepoints from U+0100 —
+    every vocab entry stays printable and space-free, which is what
+    makes the whitespace-delimited ``merges.txt`` format parseable.
+    (This differs from this repo's INTERNAL symbol alphabet, which
+    maps every byte b to chr(0x100 + b).) Returns
+    (byte -> char, char -> byte)."""
+    printable = (
+        list(range(0x21, 0x7F))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    b2u, n = {}, 0
+    for b in range(256):
+        if b in printable:
+            b2u[b] = chr(b)
+        else:
+            b2u[b] = chr(0x100 + n)
+            n += 1
+    return b2u, {c: b for b, c in b2u.items()}
+
+
+def _gpt2_published_byte_ids() -> dict:
+    """byte -> id for the 256 single-byte tokens in the published
+    GPT-2 vocab layout: the printable bytes in byte order take ids
+    0-187, then the remapped bytes in byte order take 188-255 (so
+    byte 0x20, the 33rd remapped byte, is id 220 — GPT-2's 'Ġ')."""
+    b2u, _ = _gpt2_byte_alphabet()
+    printable = [b for b in range(256) if b2u[b] == chr(b)]
+    remapped = [b for b in range(256) if b2u[b] != chr(b)]
+    return {b: i for i, b in enumerate(printable + remapped)}
+
+
+def _internal_to_published(tok: str, b2u: dict) -> str:
+    bad = [c for c in tok if not 0x100 <= ord(c) < 0x200]
+    if bad:
+        raise ValueError(
+            f"token {tok!r} is not in the byte-level internal alphabet "
+            "(chr(0x100+b)) — the published GPT-2 format is byte-level "
+            "only"
+        )
+    return "".join(b2u[ord(c) - _BYTE_SYM_BASE] for c in tok)
+
+
+def save_tokenizer_gpt2(
+    merges_df: DataFrame,
+    merges_path: str,
+    vocab_path: "str | None" = None,
+    special_tokens: tuple = ("<|endoftext|>",),
+) -> None:
+    """Ship a byte-level merge table in the PUBLISHED GPT-2 artifact
+    format — the ``merges.txt`` (+ optional ``vocab.json``) pair every
+    byte-level-BPE consumer already reads — so a table trained here
+    drops into any external tokenizer stack unchanged. Internal byte
+    symbols (chr(0x100+b)) are transliterated to the published
+    alphabet; ``vocab.json`` uses the published id layout exactly
+    (printable bytes 0-187, remapped bytes 188-255 — byte 0x20 = 'Ġ'
+    = id 220 — merges 256+rank-1, special tokens last, GPT-2's own
+    ``<|endoftext|>``-is-the-final-id convention). Merge ranks must
+    be contiguous from 1 (positional, like :func:`save_tokenizer`);
+    pair counts do not survive — the published format has no field
+    for them (``load_tokenizer_gpt2`` restores them as 0)."""
+    import json
+
+    rows = merges_df.orderBy("merge_rank").collect()
+    ranks = [r["merge_rank"] for r in rows]
+    if ranks != list(range(1, len(rows) + 1)):
+        raise ValueError(
+            "merge table ranks must be contiguous from 1 to save "
+            f"positionally (got {ranks[:5]}...)"
+        )
+    b2u, _ = _gpt2_byte_alphabet()
+    pairs = [
+        (
+            _internal_to_published(r["lhs"], b2u),
+            _internal_to_published(r["rhs"], b2u),
+        )
+        for r in rows
+    ]
+    with open(merges_path, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for lhs, rhs in pairs:
+            f.write(f"{lhs} {rhs}\n")
+    if vocab_path is None:
+        return
+    vocab = {}
+    byte_ids = _gpt2_published_byte_ids()
+    for b, i in sorted(byte_ids.items(), key=lambda kv: kv[1]):
+        vocab[b2u[b]] = i
+    for k, (lhs, rhs) in enumerate(pairs):
+        vocab[lhs + rhs] = 256 + k
+    for i, tok in enumerate(special_tokens):
+        vocab[tok] = 256 + len(pairs) + i
+    with open(vocab_path, "w", encoding="utf-8") as f:
+        json.dump(vocab, f, ensure_ascii=False)
+
+
+def load_tokenizer_gpt2(
+    spark, merges_path: str, vocab_path: "str | None" = None
+) -> dict:
+    """Load the PUBLISHED GPT-2 artifact pair — the one tokenizer
+    format users actually arrive with (the released GPT-2 vocabulary
+    ships exactly as ``vocab.json`` + ``merges.txt``) — into this
+    repo's byte-level merge-table layout. Returns the
+    :func:`load_tokenizer` dict shape (``merges`` frame with ranks
+    positional from the merge order and ``pair_count`` 0 — the
+    published format carries no counts; ``byte_level`` True;
+    ``token_pattern`` None — pass ``GPT2ISH_SPLIT_PATTERN`` /
+    ``GPT2_EXACT`` explicitly) plus, when ``vocab_path`` is given,
+    ``vocab``: the (token, token_id) frame of PUBLISHED ids with
+    tokens transliterated to internal symbols — feed it to
+    ``bpe_encode_ids(..., vocab_df=...)`` /
+    ``bpe_decode_ids(..., vocab_df=...)`` to encode/decode under the
+    ids external consumers expect — and ``special_tokens``: the vocab
+    entries that are not byte-composed (e.g. ``<|endoftext|>``),
+    ordered by id.
+
+    Validation is loud, not lenient: a merge line without exactly two
+    fields, a character outside the published alphabet in a merge
+    token, a vocab missing one of the 256 single-byte tokens, or a
+    merge whose concatenation the vocab does not id — each raises
+    with the offending entry, because every one of them would
+    otherwise mis-tokenize quietly downstream."""
+    import json
+
+    b2u, u2b = _gpt2_byte_alphabet()
+
+    def to_internal(pub: str, where: str) -> str:
+        out = []
+        for c in pub:
+            b = u2b.get(c)
+            if b is None:
+                raise ValueError(
+                    f"character {c!r} in {where} is outside the published "
+                    f"GPT-2 byte alphabet: {merges_path}"
+                )
+            out.append(chr(_BYTE_SYM_BASE + b))
+        return "".join(out)
+
+    pairs = []
+    with open(merges_path, encoding="utf-8") as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.rstrip("\n")
+            if not line or line.startswith("#version"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"{merges_path}:{lineno}: expected 'lhs rhs', got "
+                    f"{line!r}"
+                )
+            pairs.append(
+                (
+                    to_internal(parts[0], f"line {lineno}"),
+                    to_internal(parts[1], f"line {lineno}"),
+                )
+            )
+    merges = spark.createDataFrame(
+        [(i + 1, lhs, rhs, 0) for i, (lhs, rhs) in enumerate(pairs)],
+        "merge_rank int, lhs string, rhs string, pair_count long",
+    )
+    out = {
+        "merges": merges,
+        "byte_level": True,
+        "token_pattern": None,
+        "special_tokens": (),
+        "vocab": None,
+    }
+    if vocab_path is None:
+        return out
+    with open(vocab_path, encoding="utf-8") as f:
+        raw = json.load(f)
+    # classification: a vocab entry is a BASE token (one alphabet
+    # char), a MERGE PRODUCT (lhs||rhs of some merge line), or a
+    # SPECIAL token. Character tests alone cannot tell specials apart
+    # — '<|endoftext|>' is composed entirely of printable alphabet
+    # chars — so membership in {base} ∪ {products} is the rule: it is
+    # exact for the published artifacts (50257 = 256 + 50000 + 1).
+    products = {lhs + rhs for lhs, rhs in pairs}
+    entries, specials = [], []
+    for tok, tid in raw.items():
+        internal = (
+            to_internal(tok, "vocab.json")
+            if all(c in u2b for c in tok)
+            else None
+        )
+        if internal is not None and (
+            len(internal) == 1 or internal in products
+        ):
+            entries.append((internal, int(tid)))
+        else:
+            specials.append((tok, int(tid)))
+            entries.append((tok, int(tid)))
+    have = {t for t, _ in entries}
+    for b in range(256):
+        if chr(_BYTE_SYM_BASE + b) not in have:
+            raise ValueError(
+                f"vocab.json is missing the single-byte token for byte "
+                f"{b} ({b2u[b]!r}): {vocab_path}"
+            )
+    for lhs, rhs in pairs:
+        if lhs + rhs not in have:
+            raise ValueError(
+                "vocab.json does not id the merge product "
+                f"{_internal_to_published(lhs + rhs, b2u)!r}: {vocab_path}"
+            )
+    out["vocab"] = spark.createDataFrame(
+        entries, "token string, token_id int"
+    )
+    out["special_tokens"] = tuple(
+        tok for tok, _ in sorted(specials, key=lambda kv: kv[1])
+    )
+    return out
 
 
 def bpe_tokenize_map_side(
