@@ -1785,3 +1785,76 @@ def test_load_tokenizer_gpt2_rejects_malformed_inputs(spark, tmp_path):
     undercover = loaded["vocab"].filter(F.length("token") < 2)
     with pytest.raises(ValueError, match="does not cover"):
         bpe_encode_ids(toks, loaded["merges"], vocab_df=undercover)
+
+
+def test_map_side_published_ids_match_encode_ids(spark, tmp_path):
+    """bpe_tokenize_map_side(vocab_df=...) — the streaming path to
+    PUBLISHED ids — must emit exactly bpe_encode_ids' sequences under
+    the same loaded vocab, and the whole pipeline (batch and stream
+    twins share _tokenize_stage) lands published ids through
+    CorpusConfig.tokenize_vocab. Under-coverage fails loudly."""
+    import pytest
+
+    from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
+    from vinum_spark.operators.text import (
+        GPT2ISH_SPLIT_PATTERN,
+        bpe_encode_ids,
+        bpe_tokenize,
+        bpe_tokenize_map_side,
+        learn_bpe_merges,
+        load_tokenizer_gpt2,
+        save_tokenizer_gpt2,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "pack my box pack my box"), (2, "naïve café 数据")],
+        "doc_id long, text string",
+    )
+    kw = {"byte_level": True, "token_pattern": GPT2ISH_SPLIT_PATTERN}
+    merges = learn_bpe_merges(docs, n_merges=5, **kw)
+    mp, vp = str(tmp_path / "m.txt"), str(tmp_path / "v.json")
+    save_tokenizer_gpt2(merges, mp, vp)
+    loaded = load_tokenizer_gpt2(spark, mp, vp)
+
+    ms = bpe_tokenize_map_side(
+        docs, loaded["merges"], emit_ids=True, vocab_df=loaded["vocab"], **kw
+    )
+    enc = bpe_encode_ids(
+        bpe_tokenize(docs, loaded["merges"], id_col="doc_id", **kw),
+        loaded["merges"],
+        vocab_df=loaded["vocab"],
+    )
+    assert {r["doc_id"]: r["token_ids"] for r in ms.collect()} == {
+        r["doc_id"]: r["token_ids"] for r in enc.collect()
+    }
+
+    piped = prepare_corpus(
+        docs,
+        CorpusConfig(
+            quality_filter=False,
+            dedup=False,
+            tokenize_with=loaded["merges"],
+            tokenize_byte_level=True,
+            tokenize_pattern=GPT2ISH_SPLIT_PATTERN,
+            tokenize_emit_ids=True,
+            tokenize_vocab=loaded["vocab"],
+        ),
+    )
+    assert {r["doc_id"]: r["token_ids"] for r in piped.collect()} == {
+        r["doc_id"]: r["token_ids"] for r in enc.collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="does not cover"):
+        bpe_tokenize_map_side(
+            docs,
+            loaded["merges"],
+            emit_ids=True,
+            vocab_df=loaded["vocab"].filter(F.length("token") < 2),
+            **kw,
+        )
+    with pytest.raises(ValueError, match="emit_ids"):
+        bpe_tokenize_map_side(
+            docs, loaded["merges"], vocab_df=loaded["vocab"], **kw
+        )

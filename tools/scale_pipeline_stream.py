@@ -25,7 +25,20 @@ The drained sink keeps only (fingerprint, n_tokens) — the token_ids
 are computed (the UDF runs) but not retained, so the measurement is
 pipeline cost, not memory-sink cost.
 
+``--blocks`` measures the FULL docs->blocks training-prep chain
+instead: the streaming pipeline additionally chunks each document into
+512-id context windows (chunk_max_len=512, stride=512 — a pure
+projection, still inside the stream) and lands (fp, chunk_id,
+token_ids) as a parquet sink (the production shape — a memory sink
+retaining every id array would measure driver memory, not the
+pipeline); then the batch refinement pass packs the landed chunks into
+contiguous 512-id blocks (pack_token_blocks, noop-written so the
+number is compute, not sink). Both walls are reported — the stream
+drain and the pack pass — plus end-to-end docs/s and tokens/s over
+their sum.
+
 Usage: python tools/scale_pipeline_stream.py [--quick] [--rocksdb]
+                                             [--blocks]
 Writes corpora under /tmp/pcstream/ and prints one JSON line per M.
 """
 
@@ -97,6 +110,7 @@ def main() -> None:
 
     ms = (1, 10) if "--quick" in sys.argv[1:] else (1, 10, 100)
     state_store = "rocksdb" if "--rocksdb" in sys.argv[1:] else None
+    blocks = "--blocks" in sys.argv[1:]
 
     spark = get_spark("pcstream")
     spark.sparkContext.setLogLevel("ERROR")
@@ -118,6 +132,8 @@ def main() -> None:
         tokenize_byte_level=True,
         tokenize_pattern="[^ ]+",
         tokenize_emit_ids=True,
+        chunk_max_len=512 if blocks else None,
+        chunk_stride=512 if blocks else None,
     )
 
     for m in ms:
@@ -136,9 +152,73 @@ def main() -> None:
             )
             .withColumn("fp", F.md5("text"))
         )
-        out = prepare_corpus_stream(
+        piped = prepare_corpus_stream(
             stream, cfg, ts_col="ts", watermark="30 days"
-        ).select("fp", "n_tokens")
+        )
+        if blocks:
+            import shutil
+
+            from vinum_spark.operators.sampling import pack_token_blocks
+            from vinum_spark.streaming.windows import (
+                _drain,
+                _start_with_state_partitions,
+            )
+
+            land = os.path.join(OUT_DIR, f"chunks_m{m}")
+            ckpt = os.path.join(OUT_DIR, f"ckpt_m{m}")
+            shutil.rmtree(land, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+            out = piped.select("fp", "chunk_id", "token_ids", "n_tokens")
+            t0 = time.perf_counter()
+            writer = (
+                out.writeStream.format("parquet")
+                .option("path", land)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+            )
+            if state_store == "rocksdb":
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass",
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider",
+                )
+            q = _start_with_state_partitions(spark, writer, 8)
+            _drain(q, f"pcs_blocks_m{m}", 1800.0)
+            wall_stream = time.perf_counter() - t0
+            landed = spark.read.parquet(land)
+            t1 = time.perf_counter()
+            keyed = landed.withColumn(
+                "__key", F.concat_ws(":", F.col("fp"), F.col("chunk_id"))
+            )
+            pack_token_blocks(
+                keyed, block_size=512, key_col="__key", n_shards=32
+            ).write.format("noop").mode("overwrite").save()
+            wall_pack = time.perf_counter() - t1
+            n_chunks, n_tokens = (
+                landed.count(),
+                landed.agg(F.sum("n_tokens")).collect()[0][0],
+            )
+            wall = wall_stream + wall_pack
+            print(
+                json.dumps(
+                    {
+                        "m": m,
+                        "input_docs": 5000 * m,
+                        "chunks": int(n_chunks),
+                        "tokens": int(n_tokens),
+                        "wall_stream_s": round(wall_stream, 1),
+                        "wall_pack_s": round(wall_pack, 1),
+                        "wall_s": round(wall, 1),
+                        "docs_per_s": int(5000 * m / wall),
+                        "tokens_per_s": int(n_tokens / wall),
+                        "state_store": state_store or "hdfs-default",
+                    }
+                ),
+                flush=True,
+            )
+            continue
+        out = piped.select("fp", "n_tokens")
         t0 = time.perf_counter()
         run_stream_to_memory(
             out,

@@ -1,0 +1,140 @@
+"""Per-micro-batch cost vs STORE SIZE for streaming dedup against a
+persistent fingerprint store — the measurement behind the bucketed
+layout (io/bucketing, run_stream_dedup_against_store store_buckets):
+
+A micro-batch's work is (read store -> anti-join -> land survivors ->
+append fingerprints). With a PLAIN parquet store the anti-join
+re-shuffles the whole store every batch — O(store) per batch. With the
+BUCKETED store the store-side exchange is elided (plan-pinned in
+tests/test_plans.py) and only the batch shuffles into the bucket
+layout — O(batch). This tool holds the batch FIXED (100k docs, half
+already stored, half fresh) and grows the store 1x/10x/100x
+(100k/1M/10M fingerprints), timing one full micro-batch body per
+(layout, size): the bucketed per-batch wall should stay ~flat while
+the plain wall grows with the store.
+
+The store side still pays a per-batch SCAN (unavoidable: membership
+needs the data) and an in-partition SORT for the merge join; what the
+bucketed layout removes is the store-side EXCHANGE — the network/spill
+cost that dominates at a 2 TB store on a real cluster. On local[32]
+the shuffle is memory-speed, so treat the measured gap as a lower
+bound on the cluster gap.
+
+Usage: python tools/scale_store_dedup.py [--quick]   (--quick: 1x/10x)
+Writes under /tmp/storescale/ and prints one JSON line per run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT_DIR = "/tmp/storescale"
+BATCH = 100_000
+BUCKETS = 32
+
+
+def texts(spark, lo: int, hi: int):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("document body "), F.md5(F.col("id").cast("string"))).alias(
+                "text"
+            ),
+        )
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from vinum_spark.io.bucketing import (
+        append_fingerprints,
+        ensure_fingerprint_store,
+    )
+    from vinum_spark.operators.dedup import dedup_against_store
+    from vinum_spark.operators.text import with_fingerprint
+    from vinum_spark.session import get_spark
+
+    sizes = (
+        (100_000, 1_000_000)
+        if "--quick" in sys.argv[1:]
+        else (100_000, 1_000_000, 10_000_000)
+    )
+    spark = get_spark("storescale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # unrecorded warmup: the first anti-join of a session pays JIT +
+    # codegen + shuffle-service spin-up that would otherwise land
+    # entirely on the first recorded row (observed +2.5 s on it)
+    w = texts(spark, 0, 10_000)
+    dedup_against_store(
+        w, with_fingerprint(w, "text").select("fingerprint")
+    ).write.format("noop").mode("overwrite").save()
+
+    for size in sizes:
+        # the batch: half its texts are already in the store (ids
+        # [size-B/2, size)), half fresh — the steady-state mix
+        batch = texts(spark, size - BATCH // 2, size + BATCH // 2)
+        seeds = with_fingerprint(texts(spark, 0, size), "text").select(
+            "fingerprint"
+        )
+        for layout in ("plain", "bucketed"):
+            root = os.path.join(OUT_DIR, f"{layout}_{size}")
+            shutil.rmtree(root, ignore_errors=True)
+            out_path = os.path.join(OUT_DIR, f"out_{layout}_{size}")
+            shutil.rmtree(out_path, ignore_errors=True)
+            if layout == "bucketed":
+                tbl = ensure_fingerprint_store(spark, root, BUCKETS)
+                append_fingerprints(seeds, tbl, BUCKETS)
+            else:
+                seeds.write.parquet(root)
+
+            # one micro-batch body, exactly run_stream_dedup_against_
+            # store's process(): read store, anti-join, land survivors,
+            # append fingerprints
+            t0 = time.perf_counter()
+            store = (
+                spark.table(tbl)
+                if layout == "bucketed"
+                else spark.read.parquet(root)
+            ).select("fingerprint")
+            surv = dedup_against_store(batch, store).persist()
+            surv.write.mode("append").parquet(out_path)
+            if layout == "bucketed":
+                append_fingerprints(surv, tbl, BUCKETS)
+            else:
+                surv.select("fingerprint").write.mode("append").parquet(root)
+            surv.unpersist()
+            wall = time.perf_counter() - t0
+            # count from the LANDED output, never from `surv`: the
+            # store append triggers Spark's recache-by-path on the
+            # store, which RECOMPUTES the cached plan against the
+            # now-mutated store (every batch fingerprint present ->
+            # zero survivors). The production flow is ordered the same
+            # way and never reads the frame after the append.
+            n = spark.read.parquet(out_path).count()
+            print(
+                json.dumps(
+                    {
+                        "store_fingerprints": size,
+                        "layout": layout,
+                        "batch_docs": BATCH,
+                        "survivors": int(n),
+                        "batch_wall_s": round(wall, 2),
+                    }
+                ),
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -285,10 +285,14 @@ def ensure_fingerprint_store(spark, store_path: str, buckets: int) -> str:
         )
         return table
     want = f"{store_path}/v{cur}"
+
+    def norm(p: str) -> str:
+        # catalog locations print with a scheme and no authority
+        # ("file:/tmp/x"); compare scheme-stripped paths
+        return re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:(//)?", "", p).rstrip("/")
+
     loc = _table_location(spark, table)
-    if loc is None or loc.rstrip("/").split("://")[-1] != want.rstrip(
-        "/"
-    ).split("://")[-1]:
+    if loc is None or norm(loc) != norm(want):
         # fresh session, or the table survived a compaction crash still
         # pointing at the previous (now-deleted or stale) version
         _register_store_table(spark, table, want, buckets)

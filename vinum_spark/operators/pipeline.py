@@ -62,6 +62,11 @@ class CorpusConfig:
     tokenize_byte_level: bool = True
     tokenize_pattern: Optional[str] = None  # default: GPT2ISH (byte mode)
     tokenize_emit_ids: bool = True
+    #: optional (token, token_id) frame overriding the emitted id
+    #: layout — e.g. load_tokenizer_gpt2(...)["vocab"], so the
+    #: pipeline (batch AND streaming) lands ids under the PUBLISHED
+    #: GPT-2 layout external consumers read directly
+    tokenize_vocab: Optional[DataFrame] = None
     #: context-window chunking as the stage after tokenization (needs
     #: tokenize_emit_ids): each document's token_ids become 1+ rows of
     #: (original columns minus tokens/token_ids, chunk_id, token_ids,
@@ -209,6 +214,7 @@ def _tokenize_stage(df: DataFrame, c: CorpusConfig) -> DataFrame:
         token_pattern=pattern,
         byte_level=c.tokenize_byte_level,
         emit_ids=emit_ids,
+        vocab_df=c.tokenize_vocab,
     )
     if c.chunk_max_len is not None:
         if not emit_ids:

@@ -2073,7 +2073,7 @@ def load_tokenizer_gpt2(
     pairs = []
     with open(merges_path, encoding="utf-8") as f:
         for lineno, line in enumerate(f, 1):
-            line = line.rstrip("\n")
+            line = line.rstrip("\r\n")  # tolerate CRLF artifacts
             if not line or line.startswith("#version"):
                 continue
             parts = line.split(" ")
@@ -2156,11 +2156,23 @@ def bpe_tokenize_map_side(
     emit_ids: bool = False,
     append_eos: bool = False,
     eos_token: str = "<|endoftext|>",
+    vocab_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """:func:`bpe_tokenize` as a PURE PROJECTION — no distinct, no
     join, no shuffle — so it runs on ``readStream`` (streaming corpus
     ingestion: tokenize micro-batches as they land) and composes with
     the other map-side stages ``prepare_corpus`` already streams.
+
+    ``vocab_df`` (with ``emit_ids``) overrides the id layout the same
+    way as on :func:`bpe_encode_ids`: the (token, token_id) frame —
+    e.g. a loaded PUBLISHED GPT-2 ``vocab.json``
+    (:func:`load_tokenizer_gpt2`) — is collected (vocab-bounded, the
+    same contract as the merge table) into the projection's id map,
+    so a STREAMING ingestion pipeline lands ids external consumers
+    read directly. Coverage of every emittable token (merge products,
+    base bytes, and ``eos_token`` when ``append_eos``) is checked
+    eagerly here; ids equal :func:`bpe_encode_ids` with the same
+    ``vocab_df`` by construction (pinned in tests).
 
     ``append_eos=True`` (byte mode) closes every document with
     ``eos_token`` — the document-boundary marker a packed training
@@ -2219,12 +2231,35 @@ def bpe_tokenize_map_side(
         (r["lhs"], r["rhs"])
         for r in merges_df.orderBy("merge_rank").collect()
     ]
-    tok_id = {
-        **{chr(_BYTE_SYM_BASE + b): b for b in range(256)},
-        **{a + b: 256 + k for k, (a, b) in enumerate(merges)},
-    }
-    if append_eos:
-        tok_id[eos_token] = 256 + len(merges)
+    if vocab_df is not None:
+        if not emit_ids:
+            raise ValueError(
+                "bpe_tokenize_map_side: vocab_df only affects ids — pass "
+                "emit_ids=True (byte mode) with it"
+            )
+        tok_id = {
+            r["token"]: int(r["token_id"])
+            for r in vocab_df.select("token", "token_id").collect()
+        }
+        need = (
+            {chr(_BYTE_SYM_BASE + b) for b in range(256)}
+            | {a + b for a, b in merges}
+            | ({eos_token} if append_eos else set())
+        )
+        missing = sorted(need - set(tok_id))[:5]
+        if missing:
+            raise ValueError(
+                "bpe_tokenize_map_side: vocab_df does not cover every "
+                f"emittable token — missing {missing!r}"
+                f"{'...' if len(missing) == 5 else ''}"
+            )
+    else:
+        tok_id = {
+            **{chr(_BYTE_SYM_BASE + b): b for b in range(256)},
+            **{a + b: 256 + k for k, (a, b) in enumerate(merges)},
+        }
+        if append_eos:
+            tok_id[eos_token] = 256 + len(merges)
     ranks = {pair: i for i, pair in enumerate(merges)}
     cache: dict = {}
 
