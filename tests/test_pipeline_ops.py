@@ -1858,3 +1858,88 @@ def test_map_side_published_ids_match_encode_ids(spark, tmp_path):
         bpe_tokenize_map_side(
             docs, loaded["merges"], vocab_df=loaded["vocab"], **kw
         )
+
+
+def test_encode_ids_vocab_guard_and_special_decode_flag(spark, tmp_path):
+    """Two review regressions: (1) bpe_encode_ids' vocab_df coverage
+    check only sees merge-emittable tokens, so a token outside that
+    range (an appended eos the vocab lacks) must fail at RUNTIME, not
+    silently shorten the sequence; (2) bpe_decode_ids must classify
+    specials by the loader's explicit is_special flag — a special
+    whose literal name is byte-symbol-composed would fool a character
+    heuristic into decoding it as raw bytes."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from vinum_spark.operators.text import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        learn_bpe_merges,
+        load_tokenizer_gpt2,
+        save_tokenizer_gpt2,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ab aa")], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(
+        docs, n_merges=2, byte_level=True, token_pattern="[^ ]+"
+    )
+    mp, vp = str(tmp_path / "m.txt"), str(tmp_path / "v.json")
+    save_tokenizer_gpt2(merges, mp, vp, special_tokens=())  # NO eos in vocab
+    loaded = load_tokenizer_gpt2(spark, mp, vp)
+
+    # (1) tokens carry an eos the vocab does not id: the eager check
+    # passes (eos is not merge-emittable), the runtime guard must fire
+    # — the text token is in-vocab, so the special alone trips it
+    aa = chr(0x100 + ord("a")) * 2
+    toks = spark.createDataFrame(
+        [(1, [aa, "<|endoftext|>"])], "doc_id long, tokens array<string>"
+    )
+    bad = bpe_encode_ids(toks, loaded["merges"], vocab_df=loaded["vocab"])
+    with pytest.raises(SparkRuntimeException, match="does not id every token"):
+        bad.collect()
+
+    # (2) a special literally named with byte-symbol chars (U+0101 =
+    # internal symbol of byte 1) must decode to its LITERAL name
+    import json
+
+    vocab = json.load(open(vp))
+    weird = "āā"
+    vocab[weird] = max(vocab.values()) + 1
+    (tmp_path / "w.json").write_text(json.dumps(vocab, ensure_ascii=False))
+    loaded2 = load_tokenizer_gpt2(spark, mp, str(tmp_path / "w.json"))
+    assert weird in loaded2["special_tokens"]
+    seq = spark.createDataFrame(
+        [(1, [int(vocab[weird])])], "doc_id long, token_ids array<int>"
+    )
+    dec = bpe_decode_ids(seq, loaded2["merges"], vocab_df=loaded2["vocab"])
+    assert dec.collect()[0]["text"] == weird  # literal, not raw bytes
+
+
+def test_encode_ids_special_tokens_default_layout(spark):
+    """The DEFAULT bpe_vocab path has the same silent-shortening trap
+    as vocab_df: an appended eos not passed via special_tokens must
+    fail at runtime, and passing it must encode at id 256+n_merges."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from vinum_spark.operators.text import bpe_encode_ids, learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ab aa")], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(
+        docs, n_merges=2, byte_level=True, token_pattern="[^ ]+"
+    )
+    aa = chr(0x100 + ord("a")) * 2  # 'aa' in the internal byte alphabet
+    toks = spark.createDataFrame(
+        [(1, [aa, "<|endoftext|>"])], "doc_id long, tokens array<string>"
+    )
+    with pytest.raises(SparkRuntimeException, match="does not id every"):
+        bpe_encode_ids(toks, merges).collect()
+    good = bpe_encode_ids(
+        toks, merges, special_tokens=("<|endoftext|>",)
+    ).collect()[0]
+    assert good["token_ids"][-1] == 258  # 256 + 2 merges
+    assert good["n_tokens"] == len(good["token_ids"]) == 2

@@ -172,14 +172,34 @@ def test_fingerprint_store_lifecycle(spark, tmp_path):
     assert store_data_file_count(spark, root) == 4  # one file per bucket
     import os
 
-    assert not os.path.exists(f"{root}/v0")  # old version deleted
+    # v0 is KEPT as the grace version for concurrent readers; the NEXT
+    # compaction deletes it (and only then)
+    assert os.path.exists(f"{root}/v0")
     assert sorted(r["fingerprint"] for r in spark.table(tbl).collect()) == want
+    compact_fingerprint_store(spark, root, buckets=4)
+    assert current_store_version(spark, root) == 2
+    assert not os.path.exists(f"{root}/v0")
+    assert os.path.exists(f"{root}/v1")  # the new grace version
 
     # restart: catalog gone (new session in production; dropped here),
     # re-ensure must re-register over the current version
     spark.sql(f"DROP TABLE {store_table_name(root)}")
     tbl2 = ensure_fingerprint_store(spark, root, buckets=4)
     assert sorted(r["fingerprint"] for r in spark.table(tbl2).collect()) == want
+
+    # bucket-count drift is refused (the count IS the file layout)
+    import pytest
+
+    with pytest.raises(ValueError, match="buckets=4"):
+        ensure_fingerprint_store(spark, root, buckets=8)
+
+    # a plain parquet directory is refused with the migration recipe
+    plain = str(tmp_path / "plain")
+    spark.range(5).selectExpr("md5(string(id)) AS fingerprint").write.parquet(
+        plain
+    )
+    with pytest.raises(ValueError, match="PLAIN parquet"):
+        ensure_fingerprint_store(spark, plain, buckets=4)
 
 
 def test_fingerprint_store_ignores_incomplete_versions(spark, tmp_path):

@@ -5281,8 +5281,11 @@ def q103(spark, sf_dir):
 #: arrival order cannot leak into the hash.
 def _q104_oracle() -> str:
     base98 = _q98_oracle()
-    head, tail = base98.split("tokf AS MATERIALIZED", 1)
-    assert tail is not None
+    # the unpack itself is the drift check: a missing separator raises
+    # ValueError here; the vids .replace below is likewise self-checking
+    # (an unapplied replace leaves `vids.tids` unresolved -> DuckDB
+    # errors loudly in the gate)
+    head, _tail = base98.split("tokf AS MATERIALIZED", 1)
     return (
         head
         + """docids AS MATERIALIZED (

@@ -190,14 +190,17 @@ def compact_parquet(
 # directory (one file per bucket per append — the batch is
 # repartitioned onto the bucket layout first). Compaction writes the
 # next version COMPLETELY (including its _SUCCESS), re-points the
-# table (a metadata-only swap), then deletes the old directory — so a
-# crash at any step leaves a complete, discoverable store: version
+# table (a metadata-only swap), keeps the just-superseded version as a
+# GRACE copy for concurrent readers, and deletes everything older — so
+# a crash at any step leaves a complete, discoverable store: version
 # discovery takes the HIGHEST version bearing _SUCCESS, and a partial
 # write without _SUCCESS is invisible. No rename window where the
 # store doesn't exist (the failure mode that would silently re-admit
-# every already-seen fingerprint). On object stores, deleting the old
-# version is the only non-atomic step, and losing that race merely
-# leaks a directory.
+# every already-seen fingerprint). The bucket count is persisted in
+# _store_meta.json and validated on every open (a drifted count would
+# probe the wrong bucket — silent re-admission); a root holding plain
+# parquet files instead of v<k> versions is refused with a migration
+# recipe rather than shadowed by an empty store.
 
 
 def _store_fs(spark, path: str):
@@ -216,21 +219,96 @@ def store_table_name(store_path: str) -> str:
 def current_store_version(spark, store_path: str) -> Optional[int]:
     """Highest complete version under ``store_path`` (a ``v<k>`` child
     directory bearing ``_SUCCESS``), or None when no complete version
-    exists. Partial writes (no ``_SUCCESS``) are invisible by design."""
+    exists. Partial writes (no ``_SUCCESS``) are invisible by design.
+
+    A root that exists, holds NO version directory, and is not empty
+    is NOT a store — it is almost certainly a pre-existing PLAIN
+    parquet fingerprint directory. Treating it as "no store yet" would
+    create an empty v0 beside the old files and silently re-admit
+    every already-seen fingerprint, so that shape raises with the
+    migration recipe instead."""
     fs, root, jvm = _store_fs(spark, store_path)
     if not fs.exists(root):
         return None
     best = None
+    stray = []
     for status in fs.listStatus(root):
         name = status.getPath().getName()
         m = re.fullmatch(r"v(\d+)", name)
         if not m or not status.isDirectory():
+            if not name.startswith(("_", ".")):
+                stray.append(name)
             continue
         marker = jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
         if fs.exists(marker):
             k = int(m.group(1))
             best = k if best is None or k > best else best
+    if best is None and stray:
+        raise ValueError(
+            f"{store_path!r} contains non-store entries "
+            f"({stray[:3]}{'...' if len(stray) > 3 else ''}) and no "
+            "complete v<k> version — refusing to create a fresh store "
+            "over what looks like an existing PLAIN parquet fingerprint "
+            "directory (an empty store beside it would silently re-admit "
+            "every already-seen fingerprint). Migrate explicitly: "
+            "fps = spark.read.parquet(old_path); "
+            "t = ensure_fingerprint_store(spark, new_path, buckets); "
+            "append_fingerprints(fps, t, buckets)."
+        )
     return best
+
+
+def _store_meta_path(jvm, store_path: str):
+    return jvm.org.apache.hadoop.fs.Path(f"{store_path}/_store_meta.json")
+
+
+def _write_store_meta(spark, store_path: str, buckets: int) -> None:
+    import json as _json
+
+    fs, _, jvm = _store_fs(spark, store_path)
+    out = fs.create(_store_meta_path(jvm, store_path), True)
+    try:
+        out.write(bytearray(_json.dumps({"buckets": buckets}), "utf-8"))
+    finally:
+        out.close()
+
+
+def _read_store_meta(spark, store_path: str) -> Optional[dict]:
+    import json as _json
+
+    fs, _, jvm = _store_fs(spark, store_path)
+    p = _store_meta_path(jvm, store_path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return _json.loads(raw)
+
+
+def _check_store_buckets(spark, store_path: str, buckets: int) -> None:
+    """The bucket count IS the physical file layout: reopening a
+    16-bucket store as 32 buckets makes the anti-join look for each
+    fingerprint in the wrong bucket — silent re-admission, no error.
+    The count is therefore persisted at create time and validated on
+    every open/compact; config drift raises instead of corrupting."""
+    meta = _read_store_meta(spark, store_path)
+    if meta is None:
+        raise ValueError(
+            f"{store_path!r} has a store version but no _store_meta.json "
+            "— refusing to guess its bucket count (a wrong count makes "
+            "the anti-join miss stored fingerprints silently). Restore "
+            "the metadata file with the count the store was created with."
+        )
+    if int(meta["buckets"]) != buckets:
+        raise ValueError(
+            f"fingerprint store {store_path!r} was created with "
+            f"buckets={meta['buckets']} but was opened with "
+            f"buckets={buckets}; the count is the physical file layout "
+            "and must match across every open"
+        )
 
 
 def _table_location(spark, table: str) -> Optional[str]:
@@ -283,7 +361,9 @@ def ensure_fingerprint_store(spark, store_path: str, buckets: int) -> str:
             .option("path", v0)
             .saveAsTable(table)
         )
+        _write_store_meta(spark, store_path, buckets)
         return table
+    _check_store_buckets(spark, store_path, buckets)
     want = f"{store_path}/v{cur}"
 
     def norm(p: str) -> str:
@@ -334,21 +414,32 @@ def store_data_file_count(spark, store_path: str) -> int:
 
 def compact_fingerprint_store(spark, store_path: str, buckets: int) -> str:
     """Rewrite the store's current version as the next version with one
-    file per bucket, re-point the catalog table, then delete the old
-    directory. Returns the table name.
+    file per bucket, re-point the catalog table, then delete every
+    version OLDER than the one just superseded. Returns the table name.
 
     Crash-safe by construction: the new version is complete (its
     ``_SUCCESS`` exists) before the table re-points, and version
     discovery ignores incomplete directories — a crash mid-write redoes
-    the compaction; a crash between re-point and delete leaks one
-    directory that the NEXT compaction's version numbering skips past
-    (versions only grow). The store is a set, and appends are
-    anti-joined before landing, so the rewrite is a pure repartition —
-    no distinct needed."""
+    the compaction; a crash between re-point and delete leaks
+    directories that later compactions clean up (versions only grow).
+    The store is a set, and appends are anti-joined before landing, so
+    the rewrite is a pure repartition — no distinct needed.
+
+    Concurrency contract, stated honestly: the version JUST superseded
+    is kept as a GRACE version — a concurrent READER session whose
+    catalog table still points at it keeps reading correct (one-cycle
+    stale) data for a full compaction cycle, and its next
+    ``ensure_fingerprint_store`` re-points it forward. Concurrent
+    WRITERS are NOT safe with compaction: an append landing in the old
+    version during the rewrite is absent from the new one and silently
+    lost when that version ages out — a multi-writer store must either
+    disable compaction (``compact_at_files`` high) or coordinate it
+    externally (one maintenance owner, writers quiesced)."""
     table = store_table_name(store_path)
     cur = current_store_version(spark, store_path)
     if cur is None:
         raise ValueError(f"no complete store version under {store_path!r}")
+    _check_store_buckets(spark, store_path, buckets)
     nxt = f"{store_path}/v{cur + 1}"
     tmp_table = f"{table}_compacting"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
@@ -371,6 +462,11 @@ def compact_fingerprint_store(spark, store_path: str, buckets: int) -> str:
     )
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
     _register_store_table(spark, table, nxt, buckets)
-    fs, _, jvm = _store_fs(spark, store_path)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_path}/v{cur}"), True)
+    # keep v{cur} as the grace version for concurrent readers; delete
+    # everything older (incl. directories leaked by earlier crashes)
+    fs, root, jvm = _store_fs(spark, store_path)
+    for status in fs.listStatus(root):
+        m = re.fullmatch(r"v(\d+)", status.getPath().getName())
+        if m and int(m.group(1)) < cur:
+            fs.delete(status.getPath(), True)
     return table

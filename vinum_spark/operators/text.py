@@ -1601,6 +1601,7 @@ def bpe_encode_ids(
     merges_df: DataFrame,
     id_col: str = "doc_id",
     vocab_df: "DataFrame | None" = None,
+    special_tokens: tuple = (),
 ) -> DataFrame:
     """Map a tokenized corpus (``bpe_tokenize`` byte-mode output:
     id, tokens array<string>) to token-ID sequences with the
@@ -1608,10 +1609,15 @@ def bpe_encode_ids(
     pipeline feeds the model. The join side is the vocabulary
     (256 + n_merges rows, broadcast by AQE); the corpus pays one
     posexplode + equi-join + ordered reassembly, the same 100 TB
-    shape as ``bpe_tokenize`` itself. Every token is in-vocab by
+    shape as ``bpe_tokenize`` itself. Every TEXT token is in-vocab by
     construction (byte-level has no OOV), so the inner join is
     lossless; empty docs keep empty sequences. Returns (id,
-    token_ids array<int>, n_tokens long).
+    token_ids array<int>, n_tokens long). Pass ``special_tokens``
+    when ``tokens_df`` carries literal specials (an upstream
+    ``append_eos``) — they join through the :func:`bpe_vocab`
+    ``special_tokens`` layout; a special the vocabulary does NOT id
+    fails the job at runtime (the guard below) instead of silently
+    shortening the sequence.
 
     ``vocab_df`` overrides the id layout: a (token, token_id) frame —
     e.g. the PUBLISHED ids of a loaded GPT-2 ``vocab.json``
@@ -1624,7 +1630,7 @@ def bpe_encode_ids(
     frames, nothing corpus-sized.
     """
     if vocab_df is None:
-        vocab = bpe_vocab(merges_df)
+        vocab = bpe_vocab(merges_df, special_tokens=special_tokens)
     else:
         vocab = vocab_df
         missing = [
@@ -1645,7 +1651,7 @@ def bpe_encode_ids(
         F.col(id_col), F.posexplode("tokens").alias("__ti", "token")
     )
     per_doc = (
-        exploded.join(F.broadcast(vocab), "token")
+        exploded.join(F.broadcast(vocab.select("token", "token_id")), "token")
         .groupBy(id_col)
         .agg(
             F.expr(
@@ -1655,8 +1661,34 @@ def bpe_encode_ids(
         )
     )
     ids = F.coalesce("token_ids", F.array().cast("array<int>"))
+    # RUNTIME guard, both modes: the vocabulary join is INNER, so any
+    # token the vocabulary does not id (an appended special missing
+    # from special_tokens/vocab_df — eager checks cannot see what
+    # tokens_df carries) would silently shorten the sequence.
+    # assert_true rides inside the id expression so Catalyst cannot
+    # prune it; the text-token path never pays a failure (byte-level
+    # has no OOV), so this is one integer comparison per row.
+    want = F.greatest(F.size("tokens"), F.lit(0))
+    ids = F.when(
+        F.assert_true(
+            F.size(ids) == want,
+            F.concat(
+                F.lit(
+                    "bpe_encode_ids: the vocabulary does not id every "
+                    "token of doc "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    " (a token outside the merge table's range, e.g. "
+                    "an appended special not passed via special_tokens/"
+                    "vocab_df)"
+                ),
+            ),
+        ).isNull(),
+        ids,
+    )
     return (
-        tokens_df.select(id_col)
+        tokens_df.select(id_col, "tokens")
         .join(per_doc, id_col, "left")
         .select(
             id_col,
@@ -1707,12 +1739,22 @@ def bpe_decode_ids(
     if vocab_df is not None:
         id_tok, special = {}, {}
         byte_syms_set = {chr(_BYTE_SYM_BASE + b) for b in range(256)}
-        for r in vocab_df.select("token", "token_id").collect():
+        has_flag = "is_special" in vocab_df.columns
+        for r in vocab_df.collect():
             tok, tid = r["token"], int(r["token_id"])
-            if set(tok) <= byte_syms_set:
-                id_tok[tid] = tok
-            else:
+            # prefer the loader's explicit flag: a special token's
+            # literal name can be byte-symbol-composed, so a character
+            # heuristic (the fallback for hand-built frames) would
+            # decode it as raw bytes
+            is_sp = (
+                bool(r["is_special"])
+                if has_flag
+                else not set(tok) <= byte_syms_set
+            )
+            if is_sp:
                 special[tid] = tok
+            else:
+                id_tok[tid] = tok
     else:
         merges = [
             (r["lhs"], r["rhs"])
@@ -2074,7 +2116,12 @@ def load_tokenizer_gpt2(
     with open(merges_path, encoding="utf-8") as f:
         for lineno, line in enumerate(f, 1):
             line = line.rstrip("\r\n")  # tolerate CRLF artifacts
-            if not line or line.startswith("#version"):
+            # the header is LINE 1 ONLY: '#' is in the published
+            # alphabet, so a corpus that merges '#version'-ish tokens
+            # (code: '#version 330') writes legitimate merge lines
+            # starting with it mid-file — skipping those would shift
+            # every later rank silently
+            if not line or (lineno == 1 and line.startswith("#")):
                 continue
             parts = line.split(" ")
             if len(parts) != 2 or not parts[0] or not parts[1]:
@@ -2120,11 +2167,11 @@ def load_tokenizer_gpt2(
         if internal is not None and (
             len(internal) == 1 or internal in products
         ):
-            entries.append((internal, int(tid)))
+            entries.append((internal, int(tid), False))
         else:
             specials.append((tok, int(tid)))
-            entries.append((tok, int(tid)))
-    have = {t for t, _ in entries}
+            entries.append((tok, int(tid), True))
+    have = {t for t, _, _ in entries}
     for b in range(256):
         if chr(_BYTE_SYM_BASE + b) not in have:
             raise ValueError(
@@ -2137,8 +2184,12 @@ def load_tokenizer_gpt2(
                 "vocab.json does not id the merge product "
                 f"{_internal_to_published(lhs + rhs, b2u)!r}: {vocab_path}"
             )
+    # is_special is EXPLICIT, not re-derivable from characters: a
+    # custom special token can be spelled entirely in alphabet chars
+    # (or even in U+01xx byte-symbol space) — consumers (bpe_decode_ids)
+    # must classify by this flag, never by character set
     out["vocab"] = spark.createDataFrame(
-        entries, "token string, token_id int"
+        entries, "token string, token_id int, is_special boolean"
     )
     out["special_tokens"] = tuple(
         tok for tok, _ in sorted(specials, key=lambda kv: kv[1])

@@ -144,10 +144,15 @@ def run_stream_dedup_against_store(
     files, and whenever the current version's data-file count reaches
     ``compact_at_files`` the store is compacted back to one file per
     bucket (``compact_fingerprint_store``: crash-safe versioned
-    rewrite, never a window without a complete store). Size
+    rewrite, never a window without a complete store; the superseded
+    version stays as a grace copy for concurrent READER sessions —
+    concurrent WRITER pipelines on one store must keep compaction off
+    or coordinate it externally, see the compaction docstring). Size
     ``store_buckets`` by total fingerprint volume (~256 MB per bucket
-    file after compaction); both knobs are per-pipeline safe because
-    the store stays a pure set under replay.
+    file after compaction). The bucket count is persisted with the
+    store and validated on every open; an existing plain-parquet
+    directory at ``store_path`` is refused with a migration recipe —
+    both would otherwise re-admit seen fingerprints silently.
 
     Failure semantics, stated honestly: ``foreachBatch`` is
     at-least-once. A batch REPLAYED after a crash re-runs the
