@@ -1044,3 +1044,88 @@ def test_gpt2_exact_sentinel_transform_equals_lookahead(text):
     assert got == want
     # tiling: exact-GPT-2 consumes every character
     assert "".join(want) == text
+
+
+# ---------------------------------------------------------------------------
+# Published GPT-2 artifact pair: alphabet + round-trip properties
+# ---------------------------------------------------------------------------
+
+
+def test_gpt2_alphabet_is_a_bijection_with_published_id_laws():
+    """Structural laws of the published byte alphabet, independent of
+    the enumerated facts pinned elsewhere: the byte->char map is a
+    bijection onto printable, non-whitespace chars; ids are a
+    permutation of 0..255; printable bytes keep byte order among ids
+    0..187 and remapped bytes keep byte order among 188..255."""
+    from vinum_spark.operators.text import (
+        _gpt2_byte_alphabet,
+        _gpt2_published_byte_ids,
+    )
+
+    b2u, u2b = _gpt2_byte_alphabet()
+    ids = _gpt2_published_byte_ids()
+    assert len(b2u) == 256 and len(set(b2u.values())) == 256
+    assert all(u2b[c] == b for b, c in b2u.items())
+    assert not any(c.isspace() for c in b2u.values())
+    printable = sorted(b for b in range(256) if b2u[b] == chr(b))
+    remapped = sorted(b for b in range(256) if b2u[b] != chr(b))
+    assert [ids[b] for b in printable] == list(range(len(printable)))
+    assert [ids[b] for b in remapped] == list(
+        range(len(printable), 256)
+    )
+
+
+@st.composite
+def _random_merge_tables(draw):
+    """Random byte-level merge tables: each merge joins two existing
+    symbols (base byte symbols or earlier products) — the closure
+    property real training guarantees."""
+    n = draw(st.integers(min_value=1, max_value=12))
+    base = [chr(0x100 + b) for b in draw(
+        st.lists(st.integers(0, 255), min_size=4, max_size=10, unique=True)
+    )]
+    pool = list(base)
+    pairs = []
+    for _ in range(n):
+        lhs = draw(st.sampled_from(pool))
+        rhs = draw(st.sampled_from(pool))
+        pairs.append((lhs, rhs))
+        pool.append(lhs + rhs)
+    return pairs
+
+
+@settings(max_examples=30, deadline=None)
+@given(_random_merge_tables())
+def test_published_merges_txt_roundtrip_pure(pairs):
+    """save->load of merges.txt is the identity on ANY closed
+    byte-level merge table (pure-python half: transliteration out and
+    back, line format, header). Exercises every byte class — space
+    ('Ġ'), newline ('Ċ'), printables, high bytes."""
+    import io
+
+    from vinum_spark.operators.text import (
+        _gpt2_byte_alphabet,
+        _internal_to_published,
+    )
+
+    b2u, u2b = _gpt2_byte_alphabet()
+    lines = ["#version: 0.2"]
+    for lhs, rhs in pairs:
+        lines.append(
+            _internal_to_published(lhs, b2u)
+            + " "
+            + _internal_to_published(rhs, b2u)
+        )
+    back = []
+    for ln in lines[1:]:
+        a, b = ln.split(" ")
+        back.append(
+            (
+                "".join(chr(0x100 + u2b[c]) for c in a),
+                "".join(chr(0x100 + u2b[c]) for c in b),
+            )
+        )
+    assert back == pairs
+    # no merge part may contain the separators the format relies on
+    for ln in lines[1:]:
+        assert ln.count(" ") == 1 and "\n" not in ln
