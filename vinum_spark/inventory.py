@@ -5475,7 +5475,7 @@ def q105(spark, sf_dir):
 #: now checked MECHANICALLY: tools/check_gate_coverage.py (a
 #: verify_round stage) fails when any registered query has neither a
 #: driver row in the last K=6 recorded rounds nor a seat in the
-#: current head — with 102 queries, 50 seats, and a 6-round window
+#: current head — with 104 queries, 50 seats, and a 6-round window
 #: (300 slots) the invariant is self-sustaining under rotation.
 #: Seventeen seats turn over this round:
 #:

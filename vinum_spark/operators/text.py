@@ -1666,9 +1666,10 @@ def bpe_encode_ids(
     # from special_tokens/vocab_df — eager checks cannot see what
     # tokens_df carries) would silently shorten the sequence.
     # assert_true rides inside the id expression so Catalyst cannot
-    # prune it; the text-token path never pays a failure (byte-level
-    # has no OOV), so this is one integer comparison per row.
-    want = F.greatest(F.size("tokens"), F.lit(0))
+    # prune it; only the pre-computed LENGTH rides through the
+    # reassembly join (carrying the tokens array itself would double
+    # that join's shuffled bytes), so the cost is one int per row.
+    want = F.greatest(F.col("__n_in"), F.lit(0))
     ids = F.when(
         F.assert_true(
             F.size(ids) == want,
@@ -1688,7 +1689,7 @@ def bpe_encode_ids(
         ids,
     )
     return (
-        tokens_df.select(id_col, "tokens")
+        tokens_df.select(id_col, F.size("tokens").alias("__n_in"))
         .join(per_doc, id_col, "left")
         .select(
             id_col,
