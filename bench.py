@@ -134,10 +134,35 @@ def _append_history(record: dict) -> None:
         pass
 
 
+def _cal_burn(_):
+    s = 0
+    for i in range(20_000_000):
+        s += i * i
+    return s
+
+
+def calibrate_host() -> float:
+    """Effective parallel throughput of the host RIGHT NOW: wall of a
+    fixed 32-way CPU-bound loop (~2 s on an uncontended host). Round
+    15 measured the bench host swinging 2.0->3.1 s on this loop across
+    minutes-scale windows, with queries landing in slow windows
+    reading as 2-10x 'regressions' (BASELINE.md round-15 adjudication)
+    — so every bench record carries a start and end calibration, and
+    the drift gate scales its threshold by the measured host factor
+    instead of flagging window artifacts."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(32) as pool:
+        pool.map(_cal_burn, range(32))
+    return round(time.perf_counter() - t0, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     bench_all = "--all" in sys.argv[1:]
+    cal_start = calibrate_host()
 
     from vinum_spark.session import get_spark
     from vinum_spark.inventory import QUERIES
@@ -186,6 +211,7 @@ def main() -> None:
         if bench_all:
             print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    cal_end = calibrate_host()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     mode = "all" if bench_all else "headline"
     round_label = _current_round()
@@ -208,6 +234,8 @@ def main() -> None:
                 "runs": raw_runs,
                 "pooled_invocations": invocations,
                 "sf": sf_val,
+                "cal_start_s": cal_start,
+                "cal_end_s": cal_end,
                 **({"errors": errors} if errors else {}),
             }
         )
@@ -223,6 +251,8 @@ def main() -> None:
             "total": round(sum(timings.values()), 3),
             "queries": timings,
             "runs": raw_runs,
+            "cal_start_s": cal_start,
+            "cal_end_s": cal_end,
             **({"errors": errors} if errors else {}),
         }
     )
