@@ -192,7 +192,14 @@ def main() -> None:
     timings = {}
     raw_runs = {}
     errors = {}
-    for name in names:
+    cal_mids = []
+    for qi, name in enumerate(names):
+        if qi and qi % 25 == 0:
+            # mid-run calibration: host windows collapse and RECOVER
+            # within one --all pass (observed: start/end stamps both
+            # fast while mid-run queries sat in a 4-6x window), so the
+            # end stamp alone understates the worst window traversed
+            cal_mids.append(calibrate_host())
         fn = QUERIES[name].fn
         try:
             # warm-up (codegen, file listing, broadcast build)
@@ -236,6 +243,7 @@ def main() -> None:
                 "sf": sf_val,
                 "cal_start_s": cal_start,
                 "cal_end_s": cal_end,
+                **({"cal_mids_s": cal_mids} if cal_mids else {}),
                 **({"errors": errors} if errors else {}),
             }
         )
@@ -253,6 +261,7 @@ def main() -> None:
             "runs": raw_runs,
             "cal_start_s": cal_start,
             "cal_end_s": cal_end,
+            **({"cal_mids_s": cal_mids} if cal_mids else {}),
             **({"errors": errors} if errors else {}),
         }
     )

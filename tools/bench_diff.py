@@ -87,8 +87,11 @@ def gate(threshold: float = 1.5, floor: float = 0.25,
     # history record has seen). Records without calibration stamps
     # (pre-round-15) scale by 1 — the historical behavior.
     cal_run = max(
-        float(latest.get("cal_start_s") or 0),
-        float(latest.get("cal_end_s") or 0),
+        [
+            float(latest.get("cal_start_s") or 0),
+            float(latest.get("cal_end_s") or 0),
+        ]
+        + [float(c) for c in latest.get("cal_mids_s", [])]
     )
     # 2.03 s = the best calibration measured in round 15 (BASELINE.md),
     # the proxy for the fast-window hosts the pre-calibration anchors
