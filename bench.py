@@ -194,11 +194,14 @@ def main() -> None:
     errors = {}
     cal_mids = []
     for qi, name in enumerate(names):
-        if qi and qi % 25 == 0:
+        if qi and qi % 10 == 0:
             # mid-run calibration: host windows collapse and RECOVER
             # within one --all pass (observed: start/end stamps both
             # fast while mid-run queries sat in a 4-6x window), so the
-            # end stamp alone understates the worst window traversed
+            # end stamp alone understates the worst window traversed.
+            # Every-10-queries sampling (~25 s total overhead on a
+            # 15-minute --all pass) catches the sub-minute spikes the
+            # first every-25 sampling missed.
             cal_mids.append(calibrate_host())
         fn = QUERIES[name].fn
         try:

@@ -289,3 +289,43 @@ def test_stream_dedup_bucketed_store_matches_plain(spark, tmp_path):
     assert got["plain"] == got["bucketed"] and len(got["plain"]) == 6
     # the compaction really fired mid-drain
     assert current_store_version(spark, str(tmp_path / "bucketed" / "store")) >= 1
+
+
+def test_compaction_lease_and_grace_optout(spark, tmp_path):
+    """The single-compactor contract is mechanical: a held lease makes
+    a second compactor fail loudly naming the holder, and removing the
+    lease recovers. keep_grace=False reclaims the superseded version
+    immediately (single-reader deployments)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vinum_spark.io.bucketing import (
+        append_fingerprints,
+        compact_fingerprint_store,
+        current_store_version,
+        ensure_fingerprint_store,
+    )
+
+    root = str(tmp_path / "store")
+    tbl = ensure_fingerprint_store(spark, root, buckets=2)
+    append_fingerprints(
+        spark.range(20).select(
+            F.md5(F.col("id").cast("string")).alias("fingerprint")
+        ),
+        tbl,
+        buckets=2,
+    )
+    # simulate a crashed compactor's leftover lease
+    with open(f"{root}/_compaction_lease", "w") as f:
+        f.write("dead-app-123")
+    with pytest.raises(RuntimeError, match="dead-app-123"):
+        compact_fingerprint_store(spark, root, buckets=2)
+    os.remove(f"{root}/_compaction_lease")
+
+    compact_fingerprint_store(spark, root, buckets=2, keep_grace=False)
+    assert current_store_version(spark, root) == 1
+    assert not os.path.exists(f"{root}/v0")  # no grace copy kept
+    assert not os.path.exists(f"{root}/_compaction_lease")  # released
+    assert spark.table(tbl).count() == 20

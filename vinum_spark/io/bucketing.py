@@ -412,10 +412,17 @@ def store_data_file_count(spark, store_path: str) -> int:
     return n
 
 
-def compact_fingerprint_store(spark, store_path: str, buckets: int) -> str:
+def compact_fingerprint_store(
+    spark, store_path: str, buckets: int, keep_grace: bool = True
+) -> str:
     """Rewrite the store's current version as the next version with one
     file per bucket, re-point the catalog table, then delete every
     version OLDER than the one just superseded. Returns the table name.
+
+    ``keep_grace=False`` deletes the superseded version too — a
+    known-single-reader deployment reclaims the between-compactions 2x
+    disk footprint at the cost of the concurrent-reader grace window
+    described below.
 
     Crash-safe by construction: the new version is complete (its
     ``_SUCCESS`` exists) before the table re-points, and version
@@ -434,12 +441,62 @@ def compact_fingerprint_store(spark, store_path: str, buckets: int) -> str:
     version during the rewrite is absent from the new one and silently
     lost when that version ages out — a multi-writer store must either
     disable compaction (``compact_at_files`` high) or coordinate it
-    externally (one maintenance owner, writers quiesced)."""
+    externally (one maintenance owner, writers quiesced). The
+    single-compactor half of that contract is enforced MECHANICALLY by
+    a lease file (``_compaction_lease``, atomic create-if-absent):
+    a second concurrent compactor fails loudly instead of racing the
+    version swap. A compactor that CRASHES mid-run leaves its lease
+    behind, and later compactions fail with its contents until the
+    lease is removed by hand — deliberate: auto-expiring the lease
+    would re-open the two-compactors race, and a loud stop that names
+    the dead owner beats a silent double-rewrite."""
     table = store_table_name(store_path)
     cur = current_store_version(spark, store_path)
     if cur is None:
         raise ValueError(f"no complete store version under {store_path!r}")
     _check_store_buckets(spark, store_path, buckets)
+    fs, root, jvm = _store_fs(spark, store_path)
+    lease = jvm.org.apache.hadoop.fs.Path(
+        f"{store_path}/_compaction_lease"
+    )
+    try:
+        # overwrite=False -> atomic create-if-absent on HDFS/local
+        # (object stores without atomic create lose only this guard,
+        # not correctness for the documented single-compactor flow)
+        out = fs.create(lease, False)
+    except Exception:
+        try:
+            stream = fs.open(lease)
+            holder = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+            stream.close()
+        except Exception:
+            holder = "<unreadable>"
+        raise RuntimeError(
+            f"fingerprint store {store_path!r} is already being "
+            f"compacted (lease holder: {holder}). If that compactor "
+            "crashed, verify no compaction job is running and delete "
+            f"{store_path}/_compaction_lease to recover."
+        )
+    try:
+        out.write(
+            bytearray(
+                f"{spark.sparkContext.applicationId}", "utf-8"
+            )
+        )
+    finally:
+        out.close()
+    try:
+        return _compact_locked(spark, store_path, buckets, keep_grace, cur)
+    finally:
+        fs.delete(lease, False)
+
+
+def _compact_locked(
+    spark, store_path: str, buckets: int, keep_grace: bool, cur: int
+) -> str:
+    table = store_table_name(store_path)
     nxt = f"{store_path}/v{cur + 1}"
     tmp_table = f"{table}_compacting"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
@@ -462,11 +519,13 @@ def compact_fingerprint_store(spark, store_path: str, buckets: int) -> str:
     )
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
     _register_store_table(spark, table, nxt, buckets)
-    # keep v{cur} as the grace version for concurrent readers; delete
-    # everything older (incl. directories leaked by earlier crashes)
+    # keep v{cur} as the grace version for concurrent readers (unless
+    # keep_grace=False); delete everything older (incl. directories
+    # leaked by earlier crashes)
+    keep_from = cur if keep_grace else cur + 1
     fs, root, jvm = _store_fs(spark, store_path)
     for status in fs.listStatus(root):
         m = re.fullmatch(r"v(\d+)", status.getPath().getName())
-        if m and int(m.group(1)) < cur:
+        if m and int(m.group(1)) < keep_from:
             fs.delete(status.getPath(), True)
     return table
