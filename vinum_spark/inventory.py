@@ -5527,6 +5527,27 @@ def q105(spark, sf_dir):
 #: hash-pinned inside the gated q95/q98/q99 chains), q94 RE2-safe
 #: pre-tokenizer (the q96 exact-GPT-2 gate exercises a superset of
 #: the split machinery).
+#: Round-16 rotation (VERDICT r15 item 1 + forward-looking staleness):
+#: the three flagged queries (q23 tumbling window, q31 cosine top-k,
+#: q62 deterministic shard — last rows r9, outside the [r10..r15]
+#: window) PLUS the seven whose last row is r10 and would trip the
+#: same check the moment CORRECTNESS_r16 slides the window to
+#: [r11..r16] (q25 text stats, q28 n-gram Jaccard, q40 vectorized
+#: UDF, q43 token explode, q46 ANN-IVF, q51 streaming sliding, q52
+#: multimodal metadata). Ten family-redundant members with fresh r15
+#: rows step out, each with an in-gate sibling pinning its machinery:
+#: q16 semi-join (q15 anti-join keeps Catalyst existence joins), q36
+#: cube + q37 pivot (q21 rollup + q47 grouping sets keep the
+#: multi-grouping family), q38 approx-distinct (exact-vs-approx
+#: agreement pinned in-suite; q35 keeps approx percentiles), q42
+#: regex strings (q61 PII redaction drives the same regexp machinery),
+#: q44 exact-dedup survivors (q63 clusters + q72 incremental stay;
+#: exact dedup also runs INSIDE the gated q75/q95 chains), q99
+#: RocksDB stream pipeline (q104 IS that chain + chunking on the
+#: default provider; the RocksDB provider oracle runs in-suite), q100
+#: decode round-trip + q101 chunking (q105 published encode/decode +
+#: q104 in-stream chunking exercise supersets), q102 pack-token-blocks
+#: (q71 pack_sequences keeps the packing family).
 _GATE_HEAD = (
     # flagship + core SQL (filter/project, aggregates, distinct,
     # having, sort/limit, math/string/datetime, CASE, conditional agg)
@@ -5534,34 +5555,34 @@ _GATE_HEAD = (
     "q07_orderby_limit_offset",
     # joins / windows / grouping extensions
     "q21_rollup",
-    # SQL-extension family: the stalest driver records (last rows <= r8),
-    # re-seated by the mechanical staleness check
     "q15_anti_join",
-    "q16_semi_join",
     "q19_window_running",
     "q20_set_ops",
+    "q23_events_tumbling_window",
     "q35_percentiles",
-    "q36_cube",
-    "q37_pivot",
-    "q38_approx_distinct",
     "q41_null_semantics",
-    "q42_regex_strings",
-    "q44_dedup_exact_survivors",
     "q45_table_sql_pipeline",
     "q47_grouping_sets",
     "q29_minhash_lsh_dedup",
+    "q31_cosine_topk",
     "q33_asof_join",
+    "q40_vectorized_udf",
+    "q43_token_explode",
     "q48_grouped_agg_udf",
     # streaming
+    "q51_streaming_sliding",
     "q53_streaming_stateful_dedup",
     "q54_winnowing_pairs",
     "q55_stream_interval_join",
     # text / dedup / sampling pipeline operators
+    "q25_text_stats",
+    "q28_ngram_jaccard",
     "q56_embedding_lsh_verify",
     "q57_skew_salted_agg",
     "q58_quality_rules",
     "q59_stratified_sample",
     "q61_pii_redaction",
+    "q62_deterministic_shard",
     "q63_dedup_clusters",
     "q68_decontamination",
     "q69_boilerplate_removal",
@@ -5570,6 +5591,8 @@ _GATE_HEAD = (
     "q73_bm25_search",
     "q75_prepare_corpus",
     # ANN / media
+    "q46_ann_ivf",
+    "q52_multimodal_metadata",
     "q78_knn_join",
     "q79_ann_ivfpq",
     "q81_audio_decode",
@@ -5590,10 +5613,6 @@ _GATE_HEAD = (
     # tokenizer family keeps q90/q95/q96/q100-q102/q105 seats, and
     # q92's pack_sequences machinery is kept by q71 + q102).
     "q96_bpe_gpt2_exact",
-    "q99_pipeline_stream_rocksdb",
-    "q100_bpe_roundtrip",
-    "q101_chunk_token_ids",
-    "q102_pack_token_blocks",
     "q103_stream_store_dedup",
     "q104_pipeline_stream_chunks",
     "q105_gpt2_published_ids",
