@@ -433,16 +433,25 @@ def test_prepare_corpus_projection_stages_shuffle_free(spark):
 def test_bucketed_store_anti_join_shuffles_only_the_batch(spark, tmp_path):
     """The store-side scale contract of run_stream_dedup_against_store
     with store_buckets (and of any dedup_against_store over a bucketed
-    store): the anti-join plan contains EXACTLY ONE Exchange — the
-    batch side hashing into the store's bucket layout — and the store
-    scan is bucketed. Broadcast is disabled so the pin exercises the
-    100 TB shape (a 2 TB store never broadcasts); at real scale this
-    is the O(batch)-vs-O(store) difference per micro-batch."""
+    store): post-compaction, the anti-join plan against the BASE
+    contains EXACTLY ONE Exchange — the batch side hashing into the
+    store's bucket layout — and EXACTLY ONE Sort below the join (the
+    batch side again): the base is one fingerprint-SORTED file per
+    bucket, so its scan reports the sort order and the merge join
+    reads it in place. Broadcast is disabled so the pin exercises the
+    100 TB shape (a 2 TB store never broadcasts); at real scale the
+    elided exchange is the O(batch)-vs-O(store) shuffle difference
+    per micro-batch and the elided sort is the O(store log store)
+    per-batch CPU the round-16 base/delta split removes."""
+    import re
+
     from pyspark.sql import functions as F
 
     from vinum_spark.io.bucketing import (
         append_fingerprints,
+        compact_fingerprint_store,
         ensure_fingerprint_store,
+        store_delta_frame,
     )
     from vinum_spark.operators.dedup import dedup_against_store
 
@@ -452,9 +461,11 @@ def test_bucketed_store_anti_join_shuffles_only_the_batch(spark, tmp_path):
         spark.range(200).select(
             F.md5(F.col("id").cast("string")).alias("fingerprint")
         ),
-        tbl,
+        root,
         buckets=4,
     )
+    compact_fingerprint_store(spark, root, buckets=4)
+    assert store_delta_frame(spark, root) is None  # all merged into base
     batch = spark.range(100, 400).select(
         F.col("id").alias("doc_id"), F.col("id").cast("string").alias("text")
     )
@@ -469,9 +480,70 @@ def test_bucketed_store_anti_join_shuffles_only_the_batch(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     # one Exchange node: the batch side. (The survivor-choice window
     # after the join reuses the join's fingerprint partitioning.)
-    import re
-
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, plan
     assert "Bucketed: true" in plan, plan
     assert "SelectedBucketsCount: 4 out of 4" in plan, plan
+    # sort census: batch side of the SMJ + the survivor window's sort —
+    # and NO store-side sort (three Sorts would mean the base scan
+    # stopped reporting its order, i.e. a bucket grew a second file)
+    sorts = re.findall(r"\(\d+\) Sort\b", plan)
+    assert len(sorts) == 2, plan
+
+
+def test_bucketed_store_delta_join_is_delta_sized(spark, tmp_path):
+    """With appends pending in the delta, the batch anti-joins base
+    THEN delta: the base side still has no Exchange and no Sort, and
+    the only added shuffle work is the delta itself (one Exchange +
+    one Sort on a delta-sized input) — O(delta), never O(store)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vinum_spark.io.bucketing import (
+        append_fingerprints,
+        compact_fingerprint_store,
+        ensure_fingerprint_store,
+        store_delta_frame,
+    )
+    from vinum_spark.operators.dedup import dedup_against_store
+
+    root = str(tmp_path / "store")
+    tbl = ensure_fingerprint_store(spark, root, buckets=4)
+    append_fingerprints(
+        spark.range(200).select(
+            F.md5(F.col("id").cast("string")).alias("fingerprint")
+        ),
+        root,
+        buckets=4,
+    )
+    compact_fingerprint_store(spark, root, buckets=4)
+    append_fingerprints(  # post-compaction append -> lands in delta
+        spark.range(200, 250).select(
+            F.md5(F.col("id").cast("string")).alias("fingerprint")
+        ),
+        root,
+        buckets=4,
+    )
+    delta = store_delta_frame(spark, root)
+    assert delta is not None
+    batch = spark.range(100, 400).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("text")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = dedup_against_store(
+            batch, spark.table(tbl), extra_stores=[delta]
+        )
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # exchanges: batch -> bucket layout, delta -> batch's layout.
+    # sorts: batch side, delta side, survivor window. The base
+    # contributes NEITHER.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 3, plan
+    assert "Bucketed: true" in plan, plan

@@ -134,10 +134,15 @@ def test_stream_dedup_against_store_batches_see_earlier_acceptances(spark, tmp_p
 
 
 def test_fingerprint_store_lifecycle(spark, tmp_path):
-    """ensure -> append -> compact -> restart-reopen: the versioned
+    """ensure -> append -> compact -> restart-reopen: the base+delta
     bucketed store keeps the fingerprint SET intact through every
-    transition, appends add exactly `buckets` files, compaction lands
-    one file per bucket in the next version and deletes the old one."""
+    transition, appends land in the delta (the base version stays
+    immutable at one sorted file per bucket), compaction merges
+    base ∪ delta into the next version, empties the delta, and deletes
+    the old version after its grace cycle."""
+    import glob as _glob
+    import os
+
     from pyspark.sql import functions as F
 
     from vinum_spark.io.bucketing import (
@@ -145,7 +150,8 @@ def test_fingerprint_store_lifecycle(spark, tmp_path):
         compact_fingerprint_store,
         current_store_version,
         ensure_fingerprint_store,
-        store_data_file_count,
+        read_store_fingerprints,
+        store_delta_file_count,
         store_table_name,
     )
 
@@ -159,23 +165,33 @@ def test_fingerprint_store_lifecycle(spark, tmp_path):
             F.md5(F.col("id").cast("string")).alias("fingerprint")
         )
 
-    base_files = store_data_file_count(spark, root)
-    append_fingerprints(fps(0, 100), tbl, buckets=4)
-    assert store_data_file_count(spark, root) == base_files + 4
-    append_fingerprints(fps(100, 150), tbl, buckets=4)
-    assert store_data_file_count(spark, root) == base_files + 8
+    def full_set():
+        return sorted(
+            r["fingerprint"]
+            for r in read_store_fingerprints(spark, root, 4).collect()
+        )
+
+    assert store_delta_file_count(spark, root) == 0
+    append_fingerprints(fps(0, 100), root, buckets=4)
+    n1 = store_delta_file_count(spark, root)
+    assert 1 <= n1 <= 4  # round-robin: at most _DELTA_FILES_PER_APPEND
+    append_fingerprints(fps(100, 150), root, buckets=4)
+    assert n1 < store_delta_file_count(spark, root) <= n1 + 4
     want = sorted(r["fingerprint"] for r in fps(0, 150).collect())
-    assert sorted(r["fingerprint"] for r in spark.table(tbl).collect()) == want
+    # the TABLE is only the base (still empty); membership is base∪delta
+    assert spark.table(tbl).count() == 0
+    assert full_set() == want
 
     compact_fingerprint_store(spark, root, buckets=4)
     assert current_store_version(spark, root) == 1
-    assert store_data_file_count(spark, root) == 4  # one file per bucket
-    import os
+    assert store_delta_file_count(spark, root) == 0  # merged into base
+    # base: exactly one file per bucket — the sort-elision invariant
+    assert len(_glob.glob(f"{root}/v1/part-*")) == 4
+    assert sorted(r["fingerprint"] for r in spark.table(tbl).collect()) == want
 
     # v0 is KEPT as the grace version for concurrent readers; the NEXT
     # compaction deletes it (and only then)
     assert os.path.exists(f"{root}/v0")
-    assert sorted(r["fingerprint"] for r in spark.table(tbl).collect()) == want
     compact_fingerprint_store(spark, root, buckets=4)
     assert current_store_version(spark, root) == 2
     assert not os.path.exists(f"{root}/v0")
@@ -202,6 +218,78 @@ def test_fingerprint_store_lifecycle(spark, tmp_path):
         ensure_fingerprint_store(spark, plain, buckets=4)
 
 
+def test_fingerprint_store_append_racing_compaction_not_lost(
+    spark, tmp_path
+):
+    """The multi-writer append race, closed mechanically: the compactor
+    merges (and deletes) only the delta files it LISTED at start, so an
+    append landing mid-compaction stays in the delta and the membership
+    set never loses it. Simulated deterministically by appending
+    between the compactor's snapshot and its delta delete — the
+    worst-case interleaving — via a pre-written delta file the snapshot
+    sees and a fresh append it cannot."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.io.bucketing import (
+        append_fingerprints,
+        compact_fingerprint_store,
+        current_store_version,
+        ensure_fingerprint_store,
+        read_store_fingerprints,
+        store_delta_file_count,
+    )
+
+    def fps(a, b):
+        return spark.range(a, b).select(
+            F.md5(F.col("id").cast("string")).alias("fingerprint")
+        )
+
+    root = str(tmp_path / "store")
+    ensure_fingerprint_store(spark, root, buckets=2)
+    append_fingerprints(fps(0, 50), root, buckets=2)
+
+    # interleave: snapshot the compactor's merge input, then land a
+    # racing append BEFORE the compaction runs — the snapshot-based
+    # merge must neither include it in the rewrite nor delete it
+    import vinum_spark.io.bucketing as B
+
+    orig = B._delta_files
+    raced = {"done": False}
+
+    def snapshot_then_race(spark_, path_):
+        files = orig(spark_, path_)
+        if not raced["done"]:
+            raced["done"] = True
+            append_fingerprints(fps(50, 80), root, buckets=2)
+            return files  # the pre-race snapshot: racing files unseen
+        return files
+
+    B._delta_files = snapshot_then_race
+    try:
+        compact_fingerprint_store(spark, root, buckets=2)
+    finally:
+        B._delta_files = orig
+    assert raced["done"]
+    assert current_store_version(spark, root) == 1
+    # the racing append survived in the delta...
+    assert store_delta_file_count(spark, root) > 0
+    # ...and the membership set holds EVERY fingerprint from both
+    want = sorted(r["fingerprint"] for r in fps(0, 80).collect())
+    got = sorted(
+        r["fingerprint"]
+        for r in read_store_fingerprints(spark, root, 2).collect()
+    )
+    assert got == want
+    # the next (quiet) compaction folds the racing delta into the base
+    compact_fingerprint_store(spark, root, buckets=2)
+    assert store_delta_file_count(spark, root) == 0
+    got2 = sorted(
+        r["fingerprint"]
+        for r in read_store_fingerprints(spark, root, 2).collect()
+    )
+    assert got2 == want
+
+
 def test_fingerprint_store_ignores_incomplete_versions(spark, tmp_path):
     """Crash-safety invariant: a version directory without _SUCCESS (a
     compaction that died mid-write) is INVISIBLE — discovery keeps the
@@ -212,8 +300,10 @@ def test_fingerprint_store_ignores_incomplete_versions(spark, tmp_path):
 
     from vinum_spark.io.bucketing import (
         append_fingerprints,
+        compact_fingerprint_store,
         current_store_version,
         ensure_fingerprint_store,
+        read_store_fingerprints,
     )
 
     root = str(tmp_path / "store")
@@ -222,17 +312,18 @@ def test_fingerprint_store_ignores_incomplete_versions(spark, tmp_path):
         spark.range(10).select(
             F.md5(F.col("id").cast("string")).alias("fingerprint")
         ),
-        tbl,
+        root,
         buckets=2,
     )
-    # simulate a mid-write compaction crash: partial v1, no _SUCCESS
-    os.makedirs(f"{root}/v1")
-    with open(f"{root}/v1/part-00000.parquet", "wb") as f:
+    compact_fingerprint_store(spark, root, buckets=2)  # -> base v1
+    # simulate a mid-write compaction crash: partial v2, no _SUCCESS
+    os.makedirs(f"{root}/v2")
+    with open(f"{root}/v2/part-00000.parquet", "wb") as f:
         f.write(b"partial")
-    assert current_store_version(spark, root) == 0
+    assert current_store_version(spark, root) == 1
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    tbl2 = ensure_fingerprint_store(spark, root, buckets=2)
-    assert spark.table(tbl2).count() == 10
+    ensure_fingerprint_store(spark, root, buckets=2)
+    assert read_store_fingerprints(spark, root, 2).count() == 10
 
 
 def test_stream_dedup_bucketed_store_matches_plain(spark, tmp_path):
@@ -270,11 +361,12 @@ def test_stream_dedup_bucketed_store_matches_plain(spark, tmp_path):
         ckpt = str(tmp_path / mode / "ckpt")
         kw = {}
         if mode == "bucketed":
-            tbl = ensure_fingerprint_store(spark, store, buckets=2)
-            append_fingerprints(seed, tbl, buckets=2)
-            # seed lands 1 file (one distinct fingerprint), batch 0's
-            # survivors land <=2 more: threshold 3 forces a compaction
-            # while later (all-duplicate, zero-file) batches still run
+            ensure_fingerprint_store(spark, store, buckets=2)
+            append_fingerprints(seed, store, buckets=2)
+            # seed lands 1 delta file (one distinct fingerprint), batch
+            # 0's survivors land a few more: threshold 3 forces a
+            # compaction while later (all-duplicate, zero-file) batches
+            # still run
             kw = {"store_buckets": 2, "compact_at_files": 3}
         else:
             seed.write.parquet(store)
@@ -314,7 +406,7 @@ def test_compaction_lease_and_grace_optout(spark, tmp_path):
         spark.range(20).select(
             F.md5(F.col("id").cast("string")).alias("fingerprint")
         ),
-        tbl,
+        root,
         buckets=2,
     )
     # simulate a crashed compactor's leftover lease

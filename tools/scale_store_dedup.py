@@ -13,12 +13,15 @@ already stored, half fresh) and grows the store 1x/10x/100x
 (layout, size): the bucketed per-batch wall should stay ~flat while
 the plain wall grows with the store.
 
-The store side still pays a per-batch SCAN (unavoidable: membership
-needs the data) and an in-partition SORT for the merge join; what the
-bucketed layout removes is the store-side EXCHANGE — the network/spill
-cost that dominates at a 2 TB store on a real cluster. On local[32]
-the shuffle is memory-speed, so treat the measured gap as a lower
-bound on the cluster gap.
+Since round 16 the bucketed store is base+delta: the seed is COMPACTED
+into an immutable base (one fingerprint-SORTED file per bucket) before
+measuring, so the merge join reads the base in file order — no
+store-side SORT either (plan-pinned). The store side still pays a
+per-batch SCAN (unavoidable: membership needs the data); what the
+layout removes is the store-side EXCHANGE and the O(store log store)
+per-batch sort — the costs that dominate at a 2 TB store on a real
+cluster. On local[32] the shuffle is memory-speed, so treat the
+measured gap as a lower bound on the cluster gap.
 
 Usage: python tools/scale_store_dedup.py [--quick]   (--quick: 1x/10x)
 Writes under /tmp/storescale/ and prints one JSON line per run.
@@ -58,7 +61,9 @@ def main() -> None:
 
     from vinum_spark.io.bucketing import (
         append_fingerprints,
+        compact_fingerprint_store,
         ensure_fingerprint_store,
+        store_delta_frame,
     )
     from vinum_spark.operators.dedup import dedup_against_store
     from vinum_spark.operators.text import with_fingerprint
@@ -94,23 +99,29 @@ def main() -> None:
             shutil.rmtree(out_path, ignore_errors=True)
             if layout == "bucketed":
                 tbl = ensure_fingerprint_store(spark, root, BUCKETS)
-                append_fingerprints(seeds, tbl, BUCKETS)
+                append_fingerprints(seeds, root, BUCKETS)
+                # the steady-state shape: the backfill sits in the
+                # COMPACTED base (one sorted file per bucket -> the
+                # merge join needs no store-side sort), delta empty
+                compact_fingerprint_store(spark, root, BUCKETS)
             else:
                 seeds.write.parquet(root)
 
             # one micro-batch body, exactly run_stream_dedup_against_
-            # store's process(): read store, anti-join, land survivors,
-            # append fingerprints
+            # store's process(): read store (base + delta), anti-join,
+            # land survivors, append fingerprints
             t0 = time.perf_counter()
-            store = (
-                spark.table(tbl)
-                if layout == "bucketed"
-                else spark.read.parquet(root)
-            ).select("fingerprint")
-            surv = dedup_against_store(batch, store).persist()
+            if layout == "bucketed":
+                store = spark.table(tbl).select("fingerprint")
+                delta = store_delta_frame(spark, root)
+                extra = [delta] if delta is not None else []
+            else:
+                store = spark.read.parquet(root).select("fingerprint")
+                extra = []
+            surv = dedup_against_store(batch, store, extra_stores=extra).persist()
             surv.write.mode("append").parquet(out_path)
             if layout == "bucketed":
-                append_fingerprints(surv, tbl, BUCKETS)
+                append_fingerprints(surv, root, BUCKETS)
             else:
                 surv.select("fingerprint").write.mode("append").parquet(root)
             surv.unpersist()

@@ -5211,9 +5211,10 @@ def q102(spark, sf_dir):
     "computes. Since round 15 the store runs in its BUCKETED layout "
     "(io/bucketing ensure_fingerprint_store: versioned dirs, catalog "
     "table, store-side exchange elided so each micro-batch shuffles "
-    "only itself — O(batch), not O(store)), with compact_at_files "
-    "low enough that the crash-safe versioned compaction fires "
-    "mid-drain under the gate.",
+    "only itself — O(batch), not O(store); since round 16 the "
+    "base+delta split also elides the base-side per-batch SORT), "
+    "with compact_at_files low enough that the crash-safe versioned "
+    "compaction fires mid-drain under the gate.",
 )
 def q103(spark, sf_dir):
     import hashlib
@@ -5246,10 +5247,10 @@ def q103(spark, sf_dir):
     # the store-side exchange (plan-pinned in tests/test_plans.py),
     # and the low compact_at_files forces a mid-drain compaction so
     # the versioned rewrite is exercised under the gate too
-    tbl = ensure_fingerprint_store(spark, store, buckets=8)
+    ensure_fingerprint_store(spark, store, buckets=8)
     append_fingerprints(
         with_fingerprint(d.filter(F.col("doc_id") % 3 == 0), "text"),
-        tbl,
+        store,
         buckets=8,
     )
     s1 = stream_table(
@@ -5265,7 +5266,9 @@ def q103(spark, sf_dir):
         ckpt,
         state_partitions=8,
         store_buckets=8,
-        compact_at_files=24,
+        # appends now land ~4 delta files each (seed + per-batch
+        # survivors): 12 keeps the mid-drain compaction firing
+        compact_at_files=12,
     )
     return (
         spark.read.parquet(out)

@@ -180,27 +180,50 @@ def compact_parquet(
 # each batch shuffles only ITSELF into the store's bucket layout
 # (plan-pinned in tests/test_plans.py).
 #
-# Layout — versioned directories under one root:
+# Layout — an LSM-style BASE + DELTA under one root:
 #
-#     <store_path>/v0/   bucketed parquet files + _SUCCESS
-#     <store_path>/v1/   (written whole by a compaction, then current)
+#     <store_path>/v0/     base: bucketed SORTED parquet + _SUCCESS,
+#                          exactly one file per bucket (immutable)
+#     <store_path>/v1/     (written whole by a compaction, then current)
+#     <store_path>/delta/  append staging: plain parquet part files
 #
 # The catalog table (in-memory catalog; name derived from the path)
-# points at the CURRENT version. Appends land in the current version's
-# directory (one file per bucket per append — the batch is
-# repartitioned onto the bucket layout first). Compaction writes the
-# next version COMPLETELY (including its _SUCCESS), re-points the
-# table (a metadata-only swap), keeps the just-superseded version as a
-# GRACE copy for concurrent readers, and deletes everything older — so
-# a crash at any step leaves a complete, discoverable store: version
-# discovery takes the HIGHEST version bearing _SUCCESS, and a partial
-# write without _SUCCESS is invisible. No rename window where the
-# store doesn't exist (the failure mode that would silently re-admit
-# every already-seen fingerprint). The bucket count is persisted in
-# _store_meta.json and validated on every open (a drifted count would
-# probe the wrong bucket — silent re-admission); a root holding plain
-# parquet files instead of v<k> versions is refused with a migration
-# recipe rather than shadowed by an empty store.
+# points at the CURRENT base version. Appends land as plain files in
+# ``delta/`` — the base version is IMMUTABLE after its compaction, so
+# every bucket stays exactly one fingerprint-sorted file and the scan
+# reports its sort order (``spark.sql.legacy.bucketedTableScan.
+# outputOrdering``, set by ensure_fingerprint_store): the merge join
+# against the base needs NO store-side Sort, ever — the per-batch
+# store cost drops from scan + O(store log store) sort to scan alone.
+# Membership = base ∪ delta; the delta side is bounded by
+# ``compact_at_files`` appends, so its per-batch join is O(delta),
+# not O(store).
+#
+# Compaction snapshot-lists the delta files, writes base ∪ snapshot as
+# the next version COMPLETELY (including its _SUCCESS), re-points the
+# table (a metadata-only swap), deletes EXACTLY the snapshot files —
+# an append racing the compaction lands a file the snapshot missed,
+# which simply stays in delta for the next cycle: concurrent appends
+# are never lost — keeps the just-superseded version as a GRACE copy
+# for concurrent readers, and deletes everything older. A crash at any
+# step leaves a complete, discoverable store: version discovery takes
+# the HIGHEST version bearing _SUCCESS, a partial write without
+# _SUCCESS is invisible, and a crash between the swap and the delta
+# delete only leaves fingerprints duplicated between base and delta —
+# a SUPERSET of the true set, which can only suppress duplicates it
+# should suppress anyway; the next compaction's dropDuplicates folds
+# them. No rename window where the store doesn't exist (the failure
+# mode that would silently re-admit every already-seen fingerprint).
+# The bucket count is persisted in _store_meta.json and validated on
+# every open (a drifted count would probe the wrong bucket — silent
+# re-admission); a root holding plain parquet files instead of v<k>
+# versions is refused with a migration recipe rather than shadowed by
+# an empty store.
+
+#: files per delta append — round-robin, so the (batch-sized) append
+#: keeps its upstream parallelism while delta file count grows by a
+#: small constant per batch; compact_at_files bounds the total
+_DELTA_FILES_PER_APPEND = 4
 
 
 def _store_fs(spark, path: str):
@@ -236,7 +259,7 @@ def current_store_version(spark, store_path: str) -> Optional[int]:
         name = status.getPath().getName()
         m = re.fullmatch(r"v(\d+)", name)
         if not m or not status.isDirectory():
-            if not name.startswith(("_", ".")):
+            if name != "delta" and not name.startswith(("_", ".")):
                 stray.append(name)
             continue
         marker = jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
@@ -334,7 +357,10 @@ def _register_store_table(
 def ensure_fingerprint_store(spark, store_path: str, buckets: int) -> str:
     """Open (or create) the bucketed fingerprint store rooted at
     ``store_path`` and return its catalog table name, ready for
-    ``spark.table(name)`` reads and :func:`append_fingerprints`.
+    ``spark.table(name)`` reads of the BASE and
+    :func:`append_fingerprints` delta writes (full membership is
+    base ∪ delta — :func:`store_delta_frame` /
+    :func:`read_store_fingerprints`).
 
     Restart-safe: the catalog is in-memory, so a fresh session
     re-registers the external table over the current complete version.
@@ -342,12 +368,23 @@ def ensure_fingerprint_store(spark, store_path: str, buckets: int) -> str:
     write is what stamps ``_SUCCESS`` — an empty directory would be an
     incomplete version) and registers over it.
 
+    Also enables ``spark.sql.legacy.bucketedTableScan.outputOrdering``
+    for the session: with it, a bucketed-sorted scan whose buckets each
+    hold EXACTLY ONE file reports its sort order, and the merge join
+    against the base needs no store-side Sort — the property the
+    immutable base exists for. The config's documented cost (planning
+    lists files to verify one-file-per-bucket) is ~``buckets`` names
+    per store version here.
+
     ``buckets`` must match across every open of one store (it is the
     physical file layout); size it like any bucket count — fingerprint
     volume / ~256 MB per bucket file after compaction.
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
     table = store_table_name(store_path)
     cur = current_store_version(spark, store_path)
     if cur is None:
@@ -379,45 +416,83 @@ def ensure_fingerprint_store(spark, store_path: str, buckets: int) -> str:
     return table
 
 
-def append_fingerprints(df: DataFrame, table: str, buckets: int) -> None:
-    """Append a fingerprint batch to the store table. The batch is
-    repartitioned onto the bucket layout first — ``repartition(n, col)``
-    and ``bucketBy(n, col)`` share the same Murmur3-pmod placement, so
-    each task holds exactly one bucket and every append adds exactly
-    ``buckets`` files (not tasks x buckets); file growth per batch is
-    constant and :func:`compact_fingerprint_store` bounds the total."""
+def append_fingerprints(df: DataFrame, store_path: str, buckets: int) -> None:
+    """Append a fingerprint batch to the store's DELTA staging dir.
+
+    The base version is immutable (one sorted file per bucket — the
+    sort-elision property), so appends land as plain parquet files
+    under ``<store_path>/delta/``: a constant
+    ``_DELTA_FILES_PER_APPEND`` files per batch (round-robin, keeping
+    the append's upstream parallelism), merged into the next base by
+    :func:`compact_fingerprint_store`. Concurrent appenders are safe —
+    each lands its own files, and the compactor only ever deletes the
+    snapshot it merged. ``buckets`` is validated against the store's
+    persisted layout (the same open-contract as every other entry
+    point)."""
+    spark = df.sparkSession
+    _check_store_buckets(spark, store_path, buckets)
     (
         df.select("fingerprint")
-        .repartition(buckets, F.col("fingerprint"))
+        .repartition(_DELTA_FILES_PER_APPEND)
         .write.mode("append")
-        .format("parquet")
-        .bucketBy(buckets, "fingerprint")
-        .sortBy("fingerprint")
-        .saveAsTable(table)
+        .parquet(f"{store_path}/delta")
     )
 
 
-def store_data_file_count(spark, store_path: str) -> int:
-    """Data-file count of the store's current version (the compaction
-    trigger signal; a driver-side listing, no job)."""
-    cur = current_store_version(spark, store_path)
-    if cur is None:
-        return 0
+def _delta_files(spark, store_path: str) -> list:
+    """Paths of the delta data files (driver-side listing, no job)."""
     fs, _, jvm = _store_fs(spark, store_path)
-    vdir = jvm.org.apache.hadoop.fs.Path(f"{store_path}/v{cur}")
-    n = 0
-    for status in fs.listStatus(vdir):
-        if not status.getPath().getName().startswith("_"):
-            n += 1
-    return n
+    ddir = jvm.org.apache.hadoop.fs.Path(f"{store_path}/delta")
+    if not fs.exists(ddir):
+        return []
+    out = []
+    for status in fs.listStatus(ddir):
+        name = status.getPath().getName()
+        if status.isFile() and not name.startswith(("_", ".")):
+            out.append(str(status.getPath().toString()))
+    return out
+
+
+def store_delta_frame(spark, store_path: str) -> Optional[DataFrame]:
+    """DataFrame over the store's current delta files, or None when the
+    delta is empty. Reads an explicit SNAPSHOT of file paths, so a
+    concurrent append landing mid-read cannot fail the scan."""
+    files = _delta_files(spark, store_path)
+    if not files:
+        return None
+    return spark.read.schema("fingerprint string").parquet(*files)
+
+
+def read_store_fingerprints(spark, store_path: str, buckets: int) -> DataFrame:
+    """Full membership view (base ∪ delta) as one DataFrame — for
+    consumers that want the SET, not the join shape. Hot-path
+    anti-joins should keep the two sides separate instead (base via
+    ``spark.table``: exchange- and sort-elided; delta via
+    :func:`store_delta_frame`: O(delta)) — a union collapses both into
+    one unpartitioned, unsorted input."""
+    table = ensure_fingerprint_store(spark, store_path, buckets)
+    base = spark.table(table).select("fingerprint")
+    delta = store_delta_frame(spark, store_path)
+    return base if delta is None else base.unionByName(delta)
+
+
+def store_delta_file_count(spark, store_path: str) -> int:
+    """Delta data-file count (the compaction trigger signal; a
+    driver-side listing, no job). The base's file count is constant
+    (one per bucket) between compactions, so delta growth IS the
+    store's file growth."""
+    return len(_delta_files(spark, store_path))
 
 
 def compact_fingerprint_store(
     spark, store_path: str, buckets: int, keep_grace: bool = True
 ) -> str:
-    """Rewrite the store's current version as the next version with one
-    file per bucket, re-point the catalog table, then delete every
-    version OLDER than the one just superseded. Returns the table name.
+    """Merge the current base version with a SNAPSHOT of the delta
+    files into the next version (one sorted file per bucket — the
+    layout the sort-elided merge join needs), re-point the catalog
+    table, delete exactly the snapshot's delta files, then delete
+    every version OLDER than the one just superseded. Returns the
+    table name.
 
     ``keep_grace=False`` deletes the superseded version too — a
     known-single-reader deployment reclaims the between-compactions 2x
@@ -427,29 +502,30 @@ def compact_fingerprint_store(
     Crash-safe by construction: the new version is complete (its
     ``_SUCCESS`` exists) before the table re-points, and version
     discovery ignores incomplete directories — a crash mid-write redoes
-    the compaction; a crash between re-point and delete leaks
+    the compaction; a crash between re-point and the delta delete
+    leaves the merged fingerprints duplicated between base and delta —
+    a SUPERSET of the true set, which only suppresses what it should
+    suppress anyway, and the ``dropDuplicates`` below folds the copies
+    on the next cycle; a crash before the version delete leaks
     directories that later compactions clean up (versions only grow).
-    The store is a set, and appends are anti-joined before landing, so
-    the rewrite is a pure repartition — no distinct needed.
 
-    Concurrency contract, stated honestly: the version JUST superseded
-    is kept as a GRACE version — a concurrent READER session whose
-    catalog table still points at it keeps reading correct (one-cycle
-    stale) data for a full compaction cycle, and its next
+    Concurrency contract: the version JUST superseded is kept as a
+    GRACE version — a concurrent READER session whose catalog table
+    still points at it keeps reading correct (one-cycle stale) data
+    for a full compaction cycle, and its next
     ``ensure_fingerprint_store`` re-points it forward. Concurrent
-    WRITERS are NOT safe with compaction: an append landing in the old
-    version during the rewrite is absent from the new one and silently
-    lost when that version ages out — a multi-writer store must either
-    disable compaction (``compact_at_files`` high) or coordinate it
-    externally (one maintenance owner, writers quiesced). The
-    single-compactor half of that contract is enforced MECHANICALLY by
-    a lease file (``_compaction_lease``, atomic create-if-absent):
-    a second concurrent compactor fails loudly instead of racing the
-    version swap. A compactor that CRASHES mid-run leaves its lease
-    behind, and later compactions fail with its contents until the
-    lease is removed by hand — deliberate: auto-expiring the lease
-    would re-open the two-compactors race, and a loud stop that names
-    the dead owner beats a silent double-rewrite."""
+    APPENDS are safe against compaction: the compactor merges and
+    deletes only the delta files it LISTED at start, so an append
+    racing the rewrite stays in delta for the next cycle — never lost
+    (lifecycle-tested). Two concurrent COMPACTORS are excluded
+    mechanically by a lease file (``_compaction_lease``, atomic
+    create-if-absent): the second fails loudly naming the holder. A
+    compactor that CRASHES mid-run leaves its lease behind, and later
+    compactions fail with its contents until the lease is removed —
+    by hand, or by ``tools/store_admin.py --break-lease`` after it
+    verifies the holder is dead. Auto-expiring the lease would re-open
+    the two-compactors race; a loud stop that names the dead owner
+    beats a silent double-rewrite."""
     table = store_table_name(store_path)
     cur = current_store_version(spark, store_path)
     if cur is None:
@@ -464,7 +540,12 @@ def compact_fingerprint_store(
         # (object stores without atomic create lose only this guard,
         # not correctness for the documented single-compactor flow)
         out = fs.create(lease, False)
-    except Exception:
+    except Exception as create_err:
+        # only report "already being compacted" when the lease actually
+        # exists — a permission error, missing parent, or transient IO
+        # failure must surface as ITSELF, not masquerade as a held lease
+        if not fs.exists(lease):
+            raise
         try:
             stream = fs.open(lease)
             holder = jvm.org.apache.commons.io.IOUtils.toString(
@@ -477,17 +558,22 @@ def compact_fingerprint_store(
             f"fingerprint store {store_path!r} is already being "
             f"compacted (lease holder: {holder}). If that compactor "
             "crashed, verify no compaction job is running and delete "
-            f"{store_path}/_compaction_lease to recover."
-        )
+            f"{store_path}/_compaction_lease to recover "
+            "(tools/store_admin.py --break-lease checks the holder "
+            "is dead first)."
+        ) from create_err
+    # from here the lease exists and MUST be released on any failure —
+    # including a failed holder-id write, which would otherwise leak an
+    # empty lease that wedges every later compaction
     try:
-        out.write(
-            bytearray(
-                f"{spark.sparkContext.applicationId}", "utf-8"
+        try:
+            out.write(
+                bytearray(
+                    f"{spark.sparkContext.applicationId}", "utf-8"
+                )
             )
-        )
-    finally:
-        out.close()
-    try:
+        finally:
+            out.close()
         return _compact_locked(spark, store_path, buckets, keep_grace, cur)
     finally:
         fs.delete(lease, False)
@@ -500,16 +586,25 @@ def _compact_locked(
     nxt = f"{store_path}/v{cur + 1}"
     tmp_table = f"{table}_compacting"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-    # read the RAW files, not spark.table(): a bucketed-table read
+    # snapshot the delta BEFORE reading: these exact files are merged
+    # and (after the swap) deleted; files appended during the rewrite
+    # are untouched and survive into the next cycle
+    delta_snapshot = _delta_files(spark, store_path)
+    # read the RAW base files, not spark.table(): a bucketed-table read
     # reports HashPartitioning and lets Catalyst elide the repartition
     # below — while the physical scan may still use plain file splits
     # that straddle buckets (autoBucketedScan), which would fan each
     # writer task across several buckets and DOUBLE the file count the
     # compaction exists to shrink
+    merged = spark.read.schema("fingerprint string").parquet(
+        f"{store_path}/v{cur}", *delta_snapshot
+    )
+    # dropDuplicates AFTER the repartition reuses its HashPartitioning
+    # (no second exchange) and folds the base∪delta overlap a crash
+    # between an earlier swap and delta delete would have left behind
     (
-        spark.read.schema("fingerprint string")
-        .parquet(f"{store_path}/v{cur}")
-        .repartition(buckets, F.col("fingerprint"))
+        merged.repartition(buckets, F.col("fingerprint"))
+        .dropDuplicates(["fingerprint"])
         .write.mode("overwrite")
         .format("parquet")
         .bucketBy(buckets, "fingerprint")
@@ -519,11 +614,15 @@ def _compact_locked(
     )
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
     _register_store_table(spark, table, nxt, buckets)
+    fs, root, jvm = _store_fs(spark, store_path)
+    # the merged delta files are now IN the current base: delete
+    # exactly the snapshot (a racing append's unmerged file stays)
+    for f in delta_snapshot:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
     # keep v{cur} as the grace version for concurrent readers (unless
     # keep_grace=False); delete everything older (incl. directories
     # leaked by earlier crashes)
     keep_from = cur if keep_grace else cur + 1
-    fs, root, jvm = _store_fs(spark, store_path)
     for status in fs.listStatus(root):
         m = re.fullmatch(r"v(\d+)", status.getPath().getName())
         if m and int(m.group(1)) < keep_from:

@@ -923,6 +923,7 @@ def dedup_against_store(
     text_col: str = "text",
     id_col: str = "doc_id",
     store_col: str = "fingerprint",
+    extra_stores: Sequence[DataFrame] = (),
 ) -> DataFrame:
     """Incremental exact dedup: drop batch documents whose normalized-md5
     fingerprint already exists in a historical fingerprint ``store``
@@ -933,13 +934,23 @@ def dedup_against_store(
 
     Returns the surviving batch rows plus their ``fingerprint``.
 
+    ``extra_stores``: additional fingerprint frames the batch is
+    anti-joined against IN SEQUENCE (set subtraction composes). Keeping
+    them separate instead of unioning into ``store`` preserves each
+    side's physical properties — the base/delta split of the bucketed
+    persistent store (io/bucketing) passes the immutable sorted base as
+    ``store`` (exchange- AND sort-elided) and the small append delta
+    here (its join is O(delta)); a union would collapse both into one
+    unpartitioned, unsorted input and resurrect the O(store) sort.
+
     Scale shape: the store carries 16-byte digests, not text — ~2 TB of
     state per trillion documents, fully shuffle-joinable. The anti-join
     shuffles on the fingerprint key; persisting the store bucketed by
-    fingerprint (io/bucketing.write_bucketed) makes subsequent
+    fingerprint (io/bucketing.ensure_fingerprint_store) makes
     incremental runs shuffle ONLY the new batch — the store side is
-    co-located by construction. In-batch survivor choice is the same
-    single hash shuffle as :func:`dedup_exact`.
+    co-located by construction, and its sorted one-file-per-bucket base
+    needs no per-batch sort either. In-batch survivor choice is the
+    same single hash shuffle as :func:`dedup_exact`.
     """
     keyed = with_fingerprint(batch, text_col)
     fresh = keyed.join(
@@ -947,6 +958,12 @@ def dedup_against_store(
         "fingerprint",
         "left_anti",
     )
+    for s in extra_stores:
+        fresh = fresh.join(
+            s.select(F.col(store_col).alias("fingerprint")),
+            "fingerprint",
+            "left_anti",
+        )
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
     return (
         fresh.withColumn("__rn", F.row_number().over(w))

@@ -135,24 +135,27 @@ def run_stream_dedup_against_store(
     ``store_path``: simplest, but the store side of each batch's
     anti-join re-shuffles IN FULL every micro-batch (O(store) per
     batch) and file count grows without bound. An int keeps the store
-    as a fingerprint-BUCKETED table (io/bucketing
-    ``ensure_fingerprint_store``: versioned directories, catalog
-    re-registration across restarts): Catalyst elides the store-side
-    exchange, so each micro-batch shuffles ONLY ITSELF into the
-    store's bucket layout — O(batch) per batch, plan-pinned in
-    tests/test_plans.py — each append adds exactly ``store_buckets``
-    files, and whenever the current version's data-file count reaches
-    ``compact_at_files`` the store is compacted back to one file per
-    bucket (``compact_fingerprint_store``: crash-safe versioned
-    rewrite, never a window without a complete store; the superseded
-    version stays as a grace copy for concurrent READER sessions —
-    concurrent WRITER pipelines on one store must keep compaction off
-    or coordinate it externally, see the compaction docstring). Size
-    ``store_buckets`` by total fingerprint volume (~256 MB per bucket
-    file after compaction). The bucket count is persisted with the
-    store and validated on every open; an existing plain-parquet
-    directory at ``store_path`` is refused with a migration recipe —
-    both would otherwise re-admit seen fingerprints silently.
+    in the base+delta BUCKETED layout (io/bucketing
+    ``ensure_fingerprint_store``: versioned immutable base, delta
+    staging dir, catalog re-registration across restarts): the batch
+    anti-joins the base — whose exchange AND per-batch sort are both
+    elided (the base is one fingerprint-sorted file per bucket, so the
+    merge join reads it in order; plan-pinned in tests/test_plans.py)
+    — then the delta, whose join is O(delta). Each micro-batch
+    shuffles ONLY ITSELF plus the bounded delta; appends land as a
+    constant few files in the delta dir, and whenever the delta
+    data-file count reaches ``compact_at_files`` the store is
+    compacted back to one file per bucket
+    (``compact_fingerprint_store``: crash-safe versioned rewrite,
+    never a window without a complete store; the superseded version
+    stays as a grace copy for concurrent READER sessions; appends
+    racing a compaction stay in delta for the next cycle — never
+    lost). Size ``store_buckets`` by total fingerprint volume
+    (~256 MB per bucket file after compaction). The bucket count is
+    persisted with the store and validated on every open; an existing
+    plain-parquet directory at ``store_path`` is refused with a
+    migration recipe — both would otherwise re-admit seen
+    fingerprints silently.
 
     Failure semantics, stated honestly: ``foreachBatch`` is
     at-least-once. A batch REPLAYED after a crash re-runs the
@@ -168,7 +171,8 @@ def run_stream_dedup_against_store(
         append_fingerprints,
         compact_fingerprint_store,
         ensure_fingerprint_store,
-        store_data_file_count,
+        store_delta_file_count,
+        store_delta_frame,
     )
     from vinum_spark.operators.dedup import dedup_against_store
     from vinum_spark.streaming.windows import (
@@ -187,8 +191,13 @@ def run_stream_dedup_against_store(
         )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        extra = []
         if store_buckets is not None:
+            # base: exchange- and sort-elided; delta: O(delta) side join
             store = spark.table(store_table).select("fingerprint")
+            delta = store_delta_frame(spark, store_path)
+            if delta is not None:
+                extra.append(delta)
         elif _hadoop_path_exists(spark, store_path):
             # ONLY a missing store means "first batch": probe existence
             # directly through the Hadoop FileSystem (scheme-aware, no
@@ -201,15 +210,16 @@ def run_stream_dedup_against_store(
         else:
             store = spark.createDataFrame([], "fingerprint string")
         out = dedup_against_store(
-            batch_df, store, text_col=text_col, id_col=id_col
+            batch_df, store, text_col=text_col, id_col=id_col,
+            extra_stores=extra,
         )
         out = out.persist()
         try:
             out.write.mode("append").parquet(out_path)
             if store_buckets is not None:
-                append_fingerprints(out, store_table, store_buckets)
+                append_fingerprints(out, store_path, store_buckets)
                 if (
-                    store_data_file_count(spark, store_path)
+                    store_delta_file_count(spark, store_path)
                     >= compact_at_files
                 ):
                     compact_fingerprint_store(
