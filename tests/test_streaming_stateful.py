@@ -421,3 +421,84 @@ def test_compaction_lease_and_grace_optout(spark, tmp_path):
     assert not os.path.exists(f"{root}/v0")  # no grace copy kept
     assert not os.path.exists(f"{root}/_compaction_lease")  # released
     assert spark.table(tbl).count() == 20
+
+
+def test_break_compaction_lease_liveness_check(spark, tmp_path):
+    """Stale-lease recovery is tooling, not docs: break_compaction_lease
+    removes a dead same-host holder's lease, REFUSES a live same-host
+    pid (the compactor is still running), refuses an unverifiable
+    holder without force, and force_break_lease threads the same check
+    through compact_fingerprint_store."""
+    import os
+    import socket
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vinum_spark.io.bucketing import (
+        append_fingerprints,
+        break_compaction_lease,
+        compact_fingerprint_store,
+        current_store_version,
+        ensure_fingerprint_store,
+    )
+
+    root = str(tmp_path / "store")
+    ensure_fingerprint_store(spark, root, buckets=2)
+    append_fingerprints(
+        spark.range(10).select(
+            F.md5(F.col("id").cast("string")).alias("fingerprint")
+        ),
+        root,
+        buckets=2,
+    )
+    lease = f"{root}/_compaction_lease"
+    host = socket.gethostname()
+
+    # no lease -> loud, not a silent no-op
+    with pytest.raises(ValueError, match="nothing to break"):
+        break_compaction_lease(spark, root)
+
+    # a LIVE same-host holder refuses the break (this very process)
+    with open(lease, "w") as f:
+        f.write(f"app-live\x1f{host}\x1f{os.getpid()}")
+    with pytest.raises(RuntimeError, match="STILL RUNNING"):
+        break_compaction_lease(spark, root)
+    # force does NOT override a verified-alive holder either
+    with pytest.raises(RuntimeError, match="STILL RUNNING"):
+        break_compaction_lease(spark, root, force=True)
+    os.remove(lease)
+
+    # a DEAD same-host holder breaks cleanly (pid from a spawned,
+    # already-exited child: guaranteed recycled-slot-free long enough)
+    import subprocess
+
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    with open(lease, "w") as f:
+        f.write(f"app-dead\x1f{host}\x1f{dead.pid}")
+    evicted = break_compaction_lease(spark, root)
+    assert "app-dead" in evicted
+    assert not os.path.exists(lease)
+
+    # an UNVERIFIABLE holder (other host / bare appId) needs force
+    with open(lease, "w") as f:
+        f.write("app-elsewhere\x1fother-host-0\x1f12345")
+    with pytest.raises(RuntimeError, match="force"):
+        break_compaction_lease(spark, root)
+    assert "app-elsewhere" in break_compaction_lease(spark, root, force=True)
+    with open(lease, "w") as f:
+        f.write("bare-app-id")  # pre-r16 / hand-written format
+    with pytest.raises(RuntimeError, match="force"):
+        break_compaction_lease(spark, root)
+    os.remove(lease)
+
+    # the escape hatch: compact(force_break_lease=True) breaks a dead
+    # holder's lease and proceeds to a successful compaction
+    with open(lease, "w") as f:
+        f.write(f"app-dead2\x1f{host}\x1f{dead.pid}")
+    compact_fingerprint_store(
+        spark, root, buckets=2, force_break_lease=True
+    )
+    assert current_store_version(spark, root) == 1
+    assert not os.path.exists(lease)

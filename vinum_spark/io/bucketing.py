@@ -484,8 +484,87 @@ def store_delta_file_count(spark, store_path: str) -> int:
     return len(_delta_files(spark, store_path))
 
 
+def _read_lease(fs, jvm, lease) -> dict:
+    """Parse a lease file into {holder, host, pid} — tolerant of the
+    bare-appId format (hand-written or pre-r16 leases): missing fields
+    come back None, and liveness then cannot be verified."""
+    try:
+        stream = fs.open(lease)
+        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        stream.close()
+    except Exception:
+        return {"holder": "<unreadable>", "host": None, "pid": None}
+    parts = raw.split("\x1f")
+    out = {"holder": parts[0] or "<empty>", "host": None, "pid": None}
+    if len(parts) >= 3:
+        out["host"] = parts[1]
+        try:
+            out["pid"] = int(parts[2])
+        except ValueError:
+            pass
+    return out
+
+
+def break_compaction_lease(spark, store_path: str, force: bool = False) -> str:
+    """Remove a crashed compactor's leftover ``_compaction_lease``
+    AFTER verifying the holder is dead — the recovery path the
+    compaction error message names (also ``tools/store_admin.py
+    --break-lease``). Returns the evicted holder's description.
+
+    The liveness check is mechanical where it can be: the lease
+    records the compactor's host and pid, and when the holder ran on
+    THIS host, a live pid refuses the break (the compactor is still
+    running — breaking would re-open the two-compactors race the lease
+    exists to close). A holder on another host, or a lease without
+    host/pid (hand-written, or pre-base/delta format), cannot be
+    verified from here: the break is refused unless ``force=True``,
+    which the caller passes only after confirming out-of-band that no
+    compaction job is running."""
+    fs, _, jvm = _store_fs(spark, store_path)
+    lease = jvm.org.apache.hadoop.fs.Path(f"{store_path}/_compaction_lease")
+    if not fs.exists(lease):
+        raise ValueError(
+            f"no _compaction_lease under {store_path!r} — nothing to break"
+        )
+    info = _read_lease(fs, jvm, lease)
+    import socket
+
+    desc = (
+        f"{info['holder']} (host={info['host']}, pid={info['pid']})"
+    )
+    if info["host"] == socket.gethostname() and info["pid"] is not None:
+        import os as _os
+
+        try:
+            _os.kill(info["pid"], 0)
+            alive = True
+        except ProcessLookupError:
+            alive = False
+        except PermissionError:
+            alive = True  # exists, owned by someone else
+        if alive:
+            raise RuntimeError(
+                f"refusing to break the lease on {store_path!r}: holder "
+                f"{desc} is STILL RUNNING on this host. If that pid is "
+                "not actually a compactor, stop it first."
+            )
+    elif not force:
+        raise RuntimeError(
+            f"cannot verify liveness of lease holder {desc} on "
+            f"{store_path!r} from this host — confirm no compaction "
+            "job is running, then pass force=True "
+            "(store_admin.py: --force)."
+        )
+    fs.delete(lease, False)
+    return desc
+
+
 def compact_fingerprint_store(
-    spark, store_path: str, buckets: int, keep_grace: bool = True
+    spark,
+    store_path: str,
+    buckets: int,
+    keep_grace: bool = True,
+    force_break_lease: bool = False,
 ) -> str:
     """Merge the current base version with a SNAPSHOT of the delta
     files into the next version (one sorted file per bucket — the
@@ -522,10 +601,12 @@ def compact_fingerprint_store(
     create-if-absent): the second fails loudly naming the holder. A
     compactor that CRASHES mid-run leaves its lease behind, and later
     compactions fail with its contents until the lease is removed —
-    by hand, or by ``tools/store_admin.py --break-lease`` after it
-    verifies the holder is dead. Auto-expiring the lease would re-open
-    the two-compactors race; a loud stop that names the dead owner
-    beats a silent double-rewrite."""
+    by hand, by ``tools/store_admin.py --break-lease``, or by passing
+    ``force_break_lease=True`` here; all three run
+    :func:`break_compaction_lease`'s liveness check first (a holder
+    still alive on this host refuses the break). Auto-expiring the
+    lease would re-open the two-compactors race; a loud stop that
+    names the dead owner beats a silent double-rewrite."""
     table = store_table_name(store_path)
     cur = current_store_version(spark, store_path)
     if cur is None:
@@ -535,6 +616,8 @@ def compact_fingerprint_store(
     lease = jvm.org.apache.hadoop.fs.Path(
         f"{store_path}/_compaction_lease"
     )
+    if force_break_lease and fs.exists(lease):
+        break_compaction_lease(spark, store_path)
     try:
         # overwrite=False -> atomic create-if-absent on HDFS/local
         # (object stores without atomic create lose only this guard,
@@ -546,30 +629,32 @@ def compact_fingerprint_store(
         # failure must surface as ITSELF, not masquerade as a held lease
         if not fs.exists(lease):
             raise
-        try:
-            stream = fs.open(lease)
-            holder = jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-            stream.close()
-        except Exception:
-            holder = "<unreadable>"
+        info = _read_lease(fs, jvm, lease)
+        holder = (
+            f"{info['holder']} (host={info['host']}, pid={info['pid']})"
+        )
         raise RuntimeError(
             f"fingerprint store {store_path!r} is already being "
             f"compacted (lease holder: {holder}). If that compactor "
-            "crashed, verify no compaction job is running and delete "
-            f"{store_path}/_compaction_lease to recover "
-            "(tools/store_admin.py --break-lease checks the holder "
-            "is dead first)."
+            "crashed, recover with tools/store_admin.py --break-lease "
+            f"{store_path} (it verifies the holder is dead first) or "
+            "compact_fingerprint_store(force_break_lease=True)."
         ) from create_err
     # from here the lease exists and MUST be released on any failure —
     # including a failed holder-id write, which would otherwise leak an
     # empty lease that wedges every later compaction
     try:
         try:
+            import os as _os
+            import socket as _socket
+
             out.write(
                 bytearray(
-                    f"{spark.sparkContext.applicationId}", "utf-8"
+                    # appId + host + pid: what break_compaction_lease
+                    # needs to verify the holder's liveness mechanically
+                    f"{spark.sparkContext.applicationId}\x1f"
+                    f"{_socket.gethostname()}\x1f{_os.getpid()}",
+                    "utf-8",
                 )
             )
         finally:
