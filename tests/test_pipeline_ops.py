@@ -1943,3 +1943,218 @@ def test_encode_ids_special_tokens_default_layout(spark):
     ).collect()[0]
     assert good["token_ids"][-1] == 258  # 256 + 2 merges
     assert good["n_tokens"] == len(good["token_ids"]) == 2
+
+
+def test_save_load_tokenizer_hf_single_file(spark, tmp_path):
+    """The single-file HuggingFace tokenizer.json round-trips with
+    CROSS-FORMAT id agreement: the same merge table saved as
+    tokenizer.json and as the vocab.json/merges.txt pair loads to
+    identical merges, identical published ids on a real encode, and
+    the same special classification ('<|endoftext|>' listed in
+    added_tokens AND idd in model.vocab, like the published GPT-2
+    file)."""
+    import json
+
+    from vinum_spark.operators.text import (
+        GPT2ISH_SPLIT_PATTERN,
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_tokenize,
+        learn_bpe_merges,
+        load_tokenizer_gpt2,
+        load_tokenizer_hf,
+        save_tokenizer_gpt2,
+        save_tokenizer_hf,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "naïve café 数据 naïve café"), (2, "a  b don't don't")],
+        "doc_id long, text string",
+    )
+    kw = {"byte_level": True, "token_pattern": GPT2ISH_SPLIT_PATTERN}
+    merges = learn_bpe_merges(docs, n_merges=6, **kw)
+    tj = str(tmp_path / "tokenizer.json")
+    mp, vp = str(tmp_path / "merges.txt"), str(tmp_path / "vocab.json")
+    save_tokenizer_hf(merges, tj)
+    save_tokenizer_gpt2(merges, mp, vp)
+
+    doc = json.load(open(tj, encoding="utf-8"))
+    assert doc["model"]["type"] == "BPE"
+    assert doc["pre_tokenizer"]["type"] == "ByteLevel"
+    assert [t["content"] for t in doc["added_tokens"]] == ["<|endoftext|>"]
+    assert doc["added_tokens"][0]["special"] is True
+    assert "<|endoftext|>" in doc["model"]["vocab"]
+
+    hf = load_tokenizer_hf(spark, tj)
+    pair = load_tokenizer_gpt2(spark, mp, vp)
+    assert hf["byte_level"] is True and hf["token_pattern"] is None
+    assert hf["special_tokens"] == ("<|endoftext|>",)
+    key = lambda df: [  # noqa: E731
+        (r["merge_rank"], r["lhs"], r["rhs"])
+        for r in df.orderBy("merge_rank").collect()
+    ]
+    assert key(hf["merges"]) == key(pair["merges"]) == key(merges)
+    vkey = lambda df: sorted(  # noqa: E731
+        (r["token"], r["token_id"], r["is_special"]) for r in df.collect()
+    )
+    assert vkey(hf["vocab"]) == vkey(pair["vocab"])
+
+    toks = bpe_tokenize(docs, merges, id_col="doc_id", **kw)
+    ids_hf = {
+        r["doc_id"]: r["token_ids"]
+        for r in bpe_encode_ids(
+            toks, hf["merges"], vocab_df=hf["vocab"]
+        ).collect()
+    }
+    ids_pair = {
+        r["doc_id"]: r["token_ids"]
+        for r in bpe_encode_ids(
+            toks, pair["merges"], vocab_df=pair["vocab"]
+        ).collect()
+    }
+    assert ids_hf == ids_pair
+    dec = bpe_decode_ids(
+        bpe_encode_ids(toks, hf["merges"], vocab_df=hf["vocab"]),
+        hf["merges"],
+        vocab_df=hf["vocab"],
+    )
+    assert {r["doc_id"]: r["text"] for r in dec.collect()} == {
+        r["doc_id"]: r["text"] for r in docs.collect()
+    }
+
+
+def test_load_tokenizer_hf_accepts_published_shapes(spark, tmp_path):
+    """The two byte-level shapes real files ship: merges as
+    ["lhs", "rhs"] pairs (tokenizers >=0.20 exports) load identically
+    to "lhs rhs" strings, and a Sequence[Split, ByteLevel]
+    pre-tokenizer (Llama-3-class) is accepted with its split regex
+    surfaced; added special tokens OUTSIDE model.vocab are included
+    at their declared ids."""
+    import json
+
+    from vinum_spark.operators.text import (
+        learn_bpe_merges,
+        load_tokenizer_hf,
+        save_tokenizer_hf,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ab aa")], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(
+        docs, n_merges=2, byte_level=True, token_pattern="[^ ]+"
+    )
+    tj = str(tmp_path / "tokenizer.json")
+    save_tokenizer_hf(merges, tj)
+    doc = json.load(open(tj, encoding="utf-8"))
+
+    base = load_tokenizer_hf(spark, tj)
+    doc2 = json.loads(json.dumps(doc))
+    doc2["model"]["merges"] = [
+        m.split(" ") for m in doc2["model"]["merges"]
+    ]
+    doc2["pre_tokenizer"] = {
+        "type": "Sequence",
+        "pretokenizers": [
+            {"type": "Split", "pattern": {"Regex": "[^ ]+"},
+             "behavior": "Isolated", "invert": False},
+            {"type": "ByteLevel", "add_prefix_space": False,
+             "trim_offsets": True, "use_regex": False},
+        ],
+    }
+    doc2["added_tokens"].append(
+        {"id": 999, "content": "<|pad|>", "single_word": False,
+         "lstrip": False, "rstrip": False, "normalized": False,
+         "special": True}
+    )
+    tj2 = str(tmp_path / "tokenizer2.json")
+    json.dump(doc2, open(tj2, "w", encoding="utf-8"), ensure_ascii=False)
+    alt = load_tokenizer_hf(spark, tj2)
+    key = lambda df: [  # noqa: E731
+        (r["merge_rank"], r["lhs"], r["rhs"])
+        for r in df.orderBy("merge_rank").collect()
+    ]
+    assert key(alt["merges"]) == key(base["merges"])
+    assert alt["split_regex"] == "[^ ]+"
+    assert alt["special_tokens"] == ("<|endoftext|>", "<|pad|>")
+    pad = [r for r in alt["vocab"].collect() if r["token"] == "<|pad|>"]
+    assert pad and pad[0]["token_id"] == 999 and pad[0]["is_special"]
+
+
+def test_load_tokenizer_hf_rejects_unsupported_semantics(spark, tmp_path):
+    """Every semantics-changing field fails loudly naming itself:
+    non-BPE model, BPE-dropout, subword prefix/suffix, byte_fallback,
+    and a non-byte-level pre-tokenizer."""
+    import json
+
+    import pytest
+
+    from vinum_spark.operators.text import (
+        learn_bpe_merges,
+        load_tokenizer_hf,
+        save_tokenizer_hf,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ab aa")], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(
+        docs, n_merges=2, byte_level=True, token_pattern="[^ ]+"
+    )
+    tj = str(tmp_path / "tokenizer.json")
+    save_tokenizer_hf(merges, tj)
+    doc = json.load(open(tj, encoding="utf-8"))
+
+    def variant(**patch):
+        d = json.loads(json.dumps(doc))
+        for k, v in patch.items():
+            if k == "pre_tokenizer":
+                d["pre_tokenizer"] = v
+            else:
+                d["model"][k] = v
+        p = str(tmp_path / "bad.json")
+        json.dump(d, open(p, "w", encoding="utf-8"), ensure_ascii=False)
+        return p
+
+    for patch, msg in (
+        ({"type": "WordPiece"}, "model.type"),
+        ({"dropout": 0.1}, "dropout"),
+        ({"continuing_subword_prefix": "##"}, "continuing_subword_prefix"),
+        ({"end_of_word_suffix": "</w>"}, "end_of_word_suffix"),
+        ({"byte_fallback": True}, "byte_fallback"),
+        ({"pre_tokenizer": {"type": "Whitespace"}}, "byte-level"),
+        ({"pre_tokenizer": None}, "byte-level"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            load_tokenizer_hf(spark, variant(**patch))
+
+
+def test_published_savers_reject_colliding_merge_products(spark, tmp_path):
+    """Two merges concatenating to one string (('a','bc') and
+    ('ab','c') both yield 'abc') cannot share a flat published vocab:
+    BOTH published savers raise at save time instead of silently
+    overwriting the earlier id (which the loaders' product check would
+    not catch — the string IS idd, just once)."""
+    import pytest
+
+    from vinum_spark.operators.text import (
+        save_tokenizer_gpt2,
+        save_tokenizer_hf,
+    )
+
+    def sym(s):
+        return "".join(chr(0x100 + ord(c)) for c in s)
+
+    merges = spark.createDataFrame(
+        [
+            (1, sym("a"), sym("b"), 9),
+            (2, sym("ab"), sym("c"), 8),
+            (3, sym("b"), sym("c"), 7),
+            (4, sym("a"), sym("bc"), 6),  # 'abc' again
+        ],
+        "merge_rank int, lhs string, rhs string, pair_count long",
+    )
+    with pytest.raises(ValueError, match="concatenates to"):
+        save_tokenizer_gpt2(merges, str(tmp_path / "m.txt"))
+    with pytest.raises(ValueError, match="concatenates to"):
+        save_tokenizer_hf(merges, str(tmp_path / "t.json"))

@@ -59,6 +59,14 @@ HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 #: the best-5).
 ANCHOR_BEST_N = 5
 
+#: ceiling on host-window threshold scaling: beyond ~1.75x the window
+#: is too contended to adjudicate and the gate reports INCONCLUSIVE
+#: (exit 3) instead of loosening itself into meaninglessness (the
+#: round-15 microVM's worst measured factor was 2.26/2.03 ~ 1.11 run-
+#: over-ref with per-window swings to ~1.5x; 1.75 covers real windows
+#: with margin while a 3x-contended host still refuses to pass)
+HOST_FACTOR_CAP = 1.75
+
 
 def gate(threshold: float = 1.5, floor: float = 0.25,
          history_path: str = HISTORY_PATH) -> int:
@@ -104,6 +112,21 @@ def gate(threshold: float = 1.5, floor: float = 0.25,
     host_factor = 1.0
     if cal_run:
         host_factor = max(1.0, cal_run / min(cal_refs))
+        # CAP the scaling (round 16): an uncapped factor on a heavily
+        # contended host (3x+) would stretch the effective threshold
+        # past 4.5x and wave real regressions through as "clean". Past
+        # the cap the host is too noisy to adjudicate EITHER way — the
+        # gate returns a distinct INCONCLUSIVE code instead of a loose
+        # pass, and the caller reruns in a quieter window.
+        if host_factor > HOST_FACTOR_CAP:
+            print(
+                f"gate: INCONCLUSIVE — host calibration {cal_run:.2f}s is "
+                f"x{host_factor:.2f} the best recorded "
+                f"{min(cal_refs):.2f}s (cap {HOST_FACTOR_CAP}); this window "
+                "is too contended to distinguish drift from host noise. "
+                "Rerun bench.py on a quieter host window."
+            )
+            return 3
         if host_factor > 1.02:
             print(
                 f"gate: host calibration {cal_run:.2f}s vs best recorded "

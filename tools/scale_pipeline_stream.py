@@ -94,6 +94,57 @@ def build_corpus(spark, m: int) -> str:
     return path
 
 
+def _attribute(progress_list) -> dict:
+    """Per-stage wall attribution summed over a drained stream's
+    recentProgress: where each micro-batch's triggerExecution went
+    (addBatch = plan + run + SINK write; walCommit/commitOffsets =
+    checkpoint log writes, the pair that grows with the sink metadata
+    log; state commit/update from the stateOperators metrics). All
+    seconds, plus batch count and final state rows — the decomposition
+    behind the decade-scaling claim."""
+    keys = (
+        "addBatch",
+        "walCommit",
+        "commitOffsets",
+        "getBatch",
+        "latestOffset",
+        "queryPlanning",
+        "triggerExecution",
+    )
+    sums = {k: 0.0 for k in keys}
+    state_commit = state_update = 0.0
+    state_rows = 0
+    n = 0
+    for p in progress_list:
+        d = p.get("durationMs") or {}
+        if not d:
+            continue
+        n += 1
+        for k in keys:
+            sums[k] += float(d.get(k, 0)) / 1000.0
+        for so in p.get("stateOperators") or []:
+            state_commit += float(so.get("commitTimeMs", 0)) / 1000.0
+            state_update += float(so.get("allUpdatesTimeMs", 0)) / 1000.0
+            state_rows = max(state_rows, int(so.get("numRowsTotal", 0)))
+    out = {f"{k}_s": round(v, 1) for k, v in sums.items()}
+    out["state_commit_s"] = round(state_commit, 1)
+    out["state_update_s"] = round(state_update, 1)
+    out["state_rows"] = state_rows
+    out["batches"] = n
+    # the flat-per-batch claim, directly: if late batches cost what
+    # early ones did, nothing (state size, metadata log, sink) grows
+    # per-batch work over the run
+    per_batch = [
+        float((p.get("durationMs") or {}).get("triggerExecution", 0)) / 1000.0
+        for p in progress_list
+        if p.get("durationMs")
+    ]
+    k = min(10, max(1, len(per_batch) // 2))
+    out["first_batches_avg_s"] = round(sum(per_batch[:k]) / k, 2)
+    out["last_batches_avg_s"] = round(sum(per_batch[-k:]) / k, 2)
+    return out
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -115,6 +166,8 @@ def main() -> None:
     spark = get_spark("pcstream")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # keep every micro-batch's progress for the attribution pass
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "256")
 
     # one production-shaped table, trained once on the base corpus
     merges = learn_bpe_merges(
@@ -186,6 +239,7 @@ def main() -> None:
             q = _start_with_state_partitions(spark, writer, 8)
             _drain(q, f"pcs_blocks_m{m}", 1800.0)
             wall_stream = time.perf_counter() - t0
+            attr = _attribute(q.recentProgress)
             landed = spark.read.parquet(land)
             t1 = time.perf_counter()
             keyed = landed.withColumn(
@@ -213,6 +267,7 @@ def main() -> None:
                         "docs_per_s": int(5000 * m / wall),
                         "tokens_per_s": int(n_tokens / wall),
                         "state_store": state_store or "hdfs-default",
+                        **attr,
                     }
                 ),
                 flush=True,

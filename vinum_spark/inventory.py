@@ -5461,6 +5461,77 @@ def q105(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_q(
+    "q106_hf_tokenizer_json",
+    _q89_oracle(
+        base=_q88_oracle(
+            8, words_from=_BPE_BYTE_WORDS_FROM, sym_expr=_DUCK_BYTE_SYM
+        ),
+        doc_ws_sql=(
+            f"SELECT doc_id, regexp_extract_all({_BPE_AUG_SQL}, '[^ ]+') AS ws"
+            " FROM documents"
+        ),
+        final_sql=_Q105_FINAL_SQL,
+    ).replace(
+        "GROUP BY d.doc_id)\nvtok AS",
+        "GROUP BY d.doc_id),\nvtok AS",
+    ),
+    "The single-file HuggingFace tokenizer.json format under the "
+    "oracle gate (save_tokenizer_hf / load_tokenizer_hf — the format "
+    "modern tokenizers actually ship, completing q105's published-"
+    "artifact story): the learned merge table is written as one "
+    "tokenizer.json (model.type=BPE, ByteLevel pre-tokenizer, "
+    "added_tokens carrying <|endoftext|> as special, vocab in the "
+    "published id layout), loaded back, and the corpus is encoded "
+    "UNDER THE LOADED PUBLISHED IDS. The oracle is q105's — the id "
+    "layout is format-independent by design — so a drift between the "
+    "two formats' vocab construction, the HF merge parsing, the "
+    "added_tokens classification, or the byte alphabet "
+    "hash-mismatches per document.",
+)
+def q106(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from vinum_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_tokenize,
+        learn_bpe_merges,
+        load_tokenizer_hf,
+        save_tokenizer_hf,
+    )
+
+    docs = _bpe_aug(_t(spark, sf_dir, "documents"))
+    merges = learn_bpe_merges(
+        docs, n_merges=8, byte_level=True, token_pattern="[^ ]+"
+    )
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{app}\x1f{sf_dir}".encode()).hexdigest()[:10]
+    base = f"{tempfile.gettempdir()}/q106_hf_{tag}"
+    os.makedirs(base, exist_ok=True)
+    tj = f"{base}/tokenizer.json"
+    save_tokenizer_hf(merges, tj)
+    loaded = load_tokenizer_hf(spark, tj)
+    toks = bpe_tokenize(
+        docs,
+        loaded["merges"],
+        id_col="doc_id",
+        byte_level=True,
+        token_pattern="[^ ]+",
+    )
+    enc = bpe_encode_ids(toks, loaded["merges"], vocab_df=loaded["vocab"])
+    return enc.select(
+        "doc_id",
+        F.col("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.expr("transform(token_ids, i -> CAST(i AS STRING))")
+            )
+        ).alias("ids_md5"),
+    ).orderBy("doc_id")
+
+
 #: The round driver's correctness gate records only the FIRST 50
 #: entries of ``queries()``. Through round 13 the gate order was
 #: maintained as an accumulated demote/promote swap chain (see git
@@ -5602,8 +5673,11 @@ _GATE_HEAD = (
     "q84_vorbis_decode",
     "q86_skew_join_aqe",
     "q87_image_phash_neardup",
-    # BPE tokenizer family
-    "q90_bpe_byte_merges",
+    # BPE tokenizer family. q106 (registered this round — no driver
+    # row possible yet) seats per the q104/q105 precedent; q90 steps
+    # out (fresh r15 row; learn_bpe_merges runs INSIDE the gated
+    # q95/q96/q104/q105/q106 chains, so the training machinery keeps
+    # five driver-gated executions per round)
     "q95_pipeline_tokenized",
     # round-14/15 additions: exact GPT-2, streaming pipelines, the
     # four round-15 promotions (decode round-trip, chunking, packing,
@@ -5619,6 +5693,7 @@ _GATE_HEAD = (
     "q103_stream_store_dedup",
     "q104_pipeline_stream_chunks",
     "q105_gpt2_published_ids",
+    "q106_hf_tokenizer_json",
 )
 
 

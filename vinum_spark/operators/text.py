@@ -2018,6 +2018,61 @@ def _internal_to_published(tok: str, b2u: dict) -> str:
     return "".join(b2u[ord(c) - _BYTE_SYM_BASE] for c in tok)
 
 
+def _collect_published_pairs(merges_df: DataFrame) -> list:
+    """Collect a byte-level merge table (rank order, contiguity
+    validated) and transliterate it to the published alphabet —
+    the shared front half of every published-format saver."""
+    rows = merges_df.orderBy("merge_rank").collect()
+    ranks = [r["merge_rank"] for r in rows]
+    if ranks != list(range(1, len(rows) + 1)):
+        raise ValueError(
+            "merge table ranks must be contiguous from 1 to save "
+            f"positionally (got {ranks[:5]}...)"
+        )
+    b2u, _ = _gpt2_byte_alphabet()
+    return [
+        (
+            _internal_to_published(r["lhs"], b2u),
+            _internal_to_published(r["rhs"], b2u),
+        )
+        for r in rows
+    ]
+
+
+def _published_vocab(pairs: list, special_tokens: tuple) -> dict:
+    """token -> id in the published GPT-2 layout (single bytes 0-255,
+    merge products 256+rank-1, specials last). Raises on two merges
+    whose concatenations collide (e.g. ('a','bc') and ('ab','c') both
+    yield 'abc') and on a special token shadowing a product — the
+    published vocab is one flat dict, so a collision silently drops
+    the earlier id and every consumer's ids drift; the formats cannot
+    represent it, so saving it is an error, not a best effort."""
+    b2u, _ = _gpt2_byte_alphabet()
+    vocab = {}
+    byte_ids = _gpt2_published_byte_ids()
+    for b, i in sorted(byte_ids.items(), key=lambda kv: kv[1]):
+        vocab[b2u[b]] = i
+    for k, (lhs, rhs) in enumerate(pairs):
+        prod = lhs + rhs
+        if prod in vocab:
+            raise ValueError(
+                f"merge rank {k + 1} ({lhs!r}+{rhs!r}) concatenates to "
+                f"{prod!r}, already id {vocab[prod]} from an earlier "
+                "merge — the published vocab.json cannot represent two "
+                "ids for one string; retrain without the colliding "
+                "merge or ship the internal format (save_tokenizer)"
+            )
+        vocab[prod] = 256 + k
+    for i, tok in enumerate(special_tokens):
+        if tok in vocab:
+            raise ValueError(
+                f"special token {tok!r} collides with vocab id "
+                f"{vocab[tok]} — pick a spelling no merge product uses"
+            )
+        vocab[tok] = 256 + len(pairs) + i
+    return vocab
+
+
 def save_tokenizer_gpt2(
     merges_df: DataFrame,
     merges_path: str,
@@ -2035,38 +2090,22 @@ def save_tokenizer_gpt2(
     ``<|endoftext|>``-is-the-final-id convention). Merge ranks must
     be contiguous from 1 (positional, like :func:`save_tokenizer`);
     pair counts do not survive — the published format has no field
-    for them (``load_tokenizer_gpt2`` restores them as 0)."""
+    for them (``load_tokenizer_gpt2`` restores them as 0). Two merges
+    whose concatenations collide raise (see :func:`_published_vocab`)
+    — the flat vocab dict cannot hold both ids."""
     import json
 
-    rows = merges_df.orderBy("merge_rank").collect()
-    ranks = [r["merge_rank"] for r in rows]
-    if ranks != list(range(1, len(rows) + 1)):
-        raise ValueError(
-            "merge table ranks must be contiguous from 1 to save "
-            f"positionally (got {ranks[:5]}...)"
-        )
-    b2u, _ = _gpt2_byte_alphabet()
-    pairs = [
-        (
-            _internal_to_published(r["lhs"], b2u),
-            _internal_to_published(r["rhs"], b2u),
-        )
-        for r in rows
-    ]
+    pairs = _collect_published_pairs(merges_df)
+    # build (and thereby collision-check) the vocab BEFORE any file is
+    # written, even when vocab_path is None: a merges.txt whose ids a
+    # later vocab.json cannot represent should never land on disk
+    vocab = _published_vocab(pairs, special_tokens)
     with open(merges_path, "w", encoding="utf-8") as f:
         f.write("#version: 0.2\n")
         for lhs, rhs in pairs:
             f.write(f"{lhs} {rhs}\n")
     if vocab_path is None:
         return
-    vocab = {}
-    byte_ids = _gpt2_published_byte_ids()
-    for b, i in sorted(byte_ids.items(), key=lambda kv: kv[1]):
-        vocab[b2u[b]] = i
-    for k, (lhs, rhs) in enumerate(pairs):
-        vocab[lhs + rhs] = 256 + k
-    for i, tok in enumerate(special_tokens):
-        vocab[tok] = 256 + len(pairs) + i
     with open(vocab_path, "w", encoding="utf-8") as f:
         json.dump(vocab, f, ensure_ascii=False)
 
@@ -2151,40 +2190,9 @@ def load_tokenizer_gpt2(
         return out
     with open(vocab_path, encoding="utf-8") as f:
         raw = json.load(f)
-    # classification: a vocab entry is a BASE token (one alphabet
-    # char), a MERGE PRODUCT (lhs||rhs of some merge line), or a
-    # SPECIAL token. Character tests alone cannot tell specials apart
-    # — '<|endoftext|>' is composed entirely of printable alphabet
-    # chars — so membership in {base} ∪ {products} is the rule: it is
-    # exact for the published artifacts (50257 = 256 + 50000 + 1).
-    products = {lhs + rhs for lhs, rhs in pairs}
-    entries, specials = [], []
-    for tok, tid in raw.items():
-        internal = (
-            to_internal(tok, "vocab.json")
-            if all(c in u2b for c in tok)
-            else None
-        )
-        if internal is not None and (
-            len(internal) == 1 or internal in products
-        ):
-            entries.append((internal, int(tid), False))
-        else:
-            specials.append((tok, int(tid)))
-            entries.append((tok, int(tid), True))
-    have = {t for t, _, _ in entries}
-    for b in range(256):
-        if chr(_BYTE_SYM_BASE + b) not in have:
-            raise ValueError(
-                f"vocab.json is missing the single-byte token for byte "
-                f"{b} ({b2u[b]!r}): {vocab_path}"
-            )
-    for lhs, rhs in pairs:
-        if lhs + rhs not in have:
-            raise ValueError(
-                "vocab.json does not id the merge product "
-                f"{_internal_to_published(lhs + rhs, b2u)!r}: {vocab_path}"
-            )
+    entries, specials = _classify_published_vocab(
+        raw, pairs, vocab_path
+    )
     # is_special is EXPLICIT, not re-derivable from characters: a
     # custom special token can be spelled entirely in alphabet chars
     # (or even in U+01xx byte-symbol space) — consumers (bpe_decode_ids)
@@ -2196,6 +2204,282 @@ def load_tokenizer_gpt2(
         tok for tok, _ in sorted(specials, key=lambda kv: kv[1])
     )
     return out
+
+
+def _classify_published_vocab(
+    raw: dict, pairs: list, src: str, forced_specials: frozenset = frozenset()
+) -> "tuple[list, list]":
+    """Classify a published token->id dict against a merge table
+    (internal-alphabet pairs) and validate completeness — the shared
+    back half of every published-format loader.
+
+    A vocab entry is a BASE token (one alphabet char), a MERGE PRODUCT
+    (lhs||rhs of some merge line), or a SPECIAL token. Character tests
+    alone cannot tell specials apart — '<|endoftext|>' is composed
+    entirely of printable alphabet chars — so membership in
+    {base} ∪ {products} is the rule: exact for the published artifacts
+    (50257 = 256 + 50000 + 1). ``forced_specials`` (HF added_tokens
+    with special=true) override the membership rule — HF extracts them
+    before BPE regardless of spelling. Raises on a missing single-byte
+    token or an un-idd merge product (each would mis-tokenize quietly
+    downstream). Returns (entries=(token, id, is_special) with base/
+    product tokens in the INTERNAL alphabet, specials=(published_token,
+    id))."""
+    b2u, u2b = _gpt2_byte_alphabet()
+
+    def to_internal(pub: str) -> str:
+        return "".join(chr(_BYTE_SYM_BASE + u2b[c]) for c in pub)
+
+    products = {lhs + rhs for lhs, rhs in pairs}
+    entries, specials = [], []
+    for tok, tid in raw.items():
+        internal = (
+            to_internal(tok) if all(c in u2b for c in tok) else None
+        )
+        if (
+            tok not in forced_specials
+            and internal is not None
+            and (len(internal) == 1 or internal in products)
+        ):
+            entries.append((internal, int(tid), False))
+        else:
+            specials.append((tok, int(tid)))
+            entries.append((tok, int(tid), True))
+    have = {t for t, _, _ in entries}
+    for b in range(256):
+        if chr(_BYTE_SYM_BASE + b) not in have:
+            raise ValueError(
+                f"vocab is missing the single-byte token for byte "
+                f"{b} ({b2u[b]!r}): {src}"
+            )
+    for lhs, rhs in pairs:
+        if lhs + rhs not in have:
+            raise ValueError(
+                "vocab does not id the merge product "
+                f"{_internal_to_published(lhs + rhs, b2u)!r}: {src}"
+            )
+    return entries, specials
+
+
+def save_tokenizer_hf(
+    merges_df: DataFrame,
+    path: str,
+    special_tokens: tuple = ("<|endoftext|>",),
+) -> None:
+    """Ship a byte-level merge table as a single-file HuggingFace
+    ``tokenizer.json`` (model.type=BPE, ByteLevel pre-tokenizer) — the
+    format modern tokenizers actually ship in, superseding the
+    two-file ``vocab.json``/``merges.txt`` pair of
+    :func:`save_tokenizer_gpt2` (same published byte alphabet, same id
+    layout: bytes 0-255, merge products 256+rank-1, specials last;
+    cross-format id agreement is pinned in tests). Specials are listed
+    in ``added_tokens`` with ``special: true`` AND idd in the model
+    vocab, matching how the published GPT-2 ``tokenizer.json`` ships
+    ``<|endoftext|>``. Colliding merge products raise (see
+    :func:`_published_vocab`)."""
+    import json
+
+    pairs = _collect_published_pairs(merges_df)
+    vocab = _published_vocab(pairs, special_tokens)
+    doc = {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": [
+            {
+                "id": vocab[tok],
+                "content": tok,
+                "single_word": False,
+                "lstrip": False,
+                "rstrip": False,
+                "normalized": False,
+                "special": True,
+            }
+            for tok in special_tokens
+        ],
+        "normalizer": None,
+        "pre_tokenizer": {
+            "type": "ByteLevel",
+            "add_prefix_space": False,
+            "trim_offsets": True,
+            "use_regex": True,
+        },
+        "post_processor": None,
+        "decoder": {
+            "type": "ByteLevel",
+            "add_prefix_space": True,
+            "trim_offsets": True,
+            "use_regex": True,
+        },
+        "model": {
+            "type": "BPE",
+            "dropout": None,
+            "unk_token": None,
+            "continuing_subword_prefix": None,
+            "end_of_word_suffix": None,
+            "fuse_unk": False,
+            "byte_fallback": False,
+            "vocab": vocab,
+            "merges": [f"{lhs} {rhs}" for lhs, rhs in pairs],
+        },
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(doc, f, ensure_ascii=False)
+
+
+def _hf_pre_tokenizer_shape(pre) -> "tuple[bool, str | None]":
+    """(byte_level, split_regex) from an HF pre_tokenizer config —
+    accepts the two published byte-level shapes: a bare ``ByteLevel``
+    (GPT-2/RoBERTa exports; the GPT-2 split regex lives inside it as
+    ``use_regex``) and a ``Sequence`` of ``Split`` + ``ByteLevel``
+    (Llama-3-class exports, where the split regex is explicit).
+    Anything else is not byte-level BPE and the loader refuses."""
+    if pre is None:
+        return False, None
+    t = pre.get("type")
+    if t == "ByteLevel":
+        return True, None
+    if t == "Sequence":
+        byte_level, split_regex = False, None
+        for sub in pre.get("pretokenizers", []):
+            st = sub.get("type")
+            if st == "ByteLevel":
+                byte_level = True
+            elif st == "Split":
+                pat = sub.get("pattern")
+                if isinstance(pat, dict):
+                    pat = pat.get("Regex") or pat.get("String")
+                split_regex = pat
+            else:
+                raise ValueError(
+                    f"unsupported pre_tokenizer {st!r} inside Sequence "
+                    "— only Split + ByteLevel byte-level chains are "
+                    "implemented"
+                )
+        return byte_level, split_regex
+    return False, None
+
+
+def load_tokenizer_hf(spark, path: str) -> dict:
+    """Load a single-file HuggingFace ``tokenizer.json``
+    (model.type=BPE, byte-level) into this repo's merge-table layout —
+    the :func:`load_tokenizer` dict shape plus ``vocab`` (the
+    (token, token_id, is_special) frame of PUBLISHED ids for
+    ``bpe_encode_ids(..., vocab_df=...)`` / ``bpe_decode_ids``),
+    ``special_tokens`` (added_tokens with ``special: true`` plus
+    non-byte-composed vocab entries, ordered by id), and
+    ``split_regex`` (the explicit Split pre-tokenizer pattern when the
+    file carries one — pass it, or ``GPT2ISH_SPLIT_PATTERN`` /
+    ``GPT2_EXACT``, as ``token_pattern`` yourself; ``token_pattern``
+    in the returned dict stays None because a bare ByteLevel
+    pre-tokenizer keeps its regex choice internal).
+
+    Validation is loud, not lenient, like :func:`load_tokenizer_gpt2`:
+    a non-BPE model, BPE-dropout, subword prefixes/suffixes,
+    byte_fallback, a non-byte-level pre-tokenizer, a malformed merge
+    entry, a missing single-byte token, or an un-idd merge product —
+    each raises naming the offending field, because every one would
+    otherwise mis-tokenize quietly downstream."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        doc = json.load(f)
+    model = doc.get("model") or {}
+    if model.get("type") != "BPE":
+        raise ValueError(
+            f"tokenizer.json model.type={model.get('type')!r} — only "
+            f"BPE is implemented: {path}"
+        )
+    for field, ok in (
+        ("dropout", (None, 0, 0.0)),
+        ("continuing_subword_prefix", (None, "")),
+        ("end_of_word_suffix", (None, "")),
+    ):
+        if model.get(field) not in ok:
+            raise ValueError(
+                f"tokenizer.json model.{field}={model.get(field)!r} "
+                f"changes BPE semantics this loader does not "
+                f"implement: {path}"
+            )
+    if model.get("byte_fallback"):
+        raise ValueError(
+            "tokenizer.json model.byte_fallback=true is the "
+            "SentencePiece-style <0xNN> fallback, not byte-level BPE "
+            f"— not implemented: {path}"
+        )
+    byte_level, split_regex = _hf_pre_tokenizer_shape(
+        doc.get("pre_tokenizer")
+    )
+    if not byte_level:
+        raise ValueError(
+            "tokenizer.json pre_tokenizer is not ByteLevel "
+            f"({(doc.get('pre_tokenizer') or {}).get('type')!r}) — "
+            f"only byte-level BPE is implemented: {path}"
+        )
+    _, u2b = _gpt2_byte_alphabet()
+
+    def to_internal(pub: str, where: str) -> str:
+        out = []
+        for c in pub:
+            b = u2b.get(c)
+            if b is None:
+                raise ValueError(
+                    f"character {c!r} in {where} is outside the "
+                    f"published GPT-2 byte alphabet: {path}"
+                )
+            out.append(chr(_BYTE_SYM_BASE + b))
+        return "".join(out)
+
+    pairs = []
+    for i, entry in enumerate(model.get("merges") or []):
+        # both published shapes: "lhs rhs" strings (tokenizers <0.20
+        # exports) and ["lhs", "rhs"] pairs (newer exports)
+        if isinstance(entry, str):
+            parts = entry.split(" ")
+        else:
+            parts = list(entry)
+        if len(parts) != 2 or not parts[0] or not parts[1]:
+            raise ValueError(
+                f"model.merges[{i}]: expected two fields, got "
+                f"{entry!r}: {path}"
+            )
+        pairs.append(
+            (
+                to_internal(parts[0], f"merges[{i}]"),
+                to_internal(parts[1], f"merges[{i}]"),
+            )
+        )
+    merges = spark.createDataFrame(
+        [(i + 1, lhs, rhs, 0) for i, (lhs, rhs) in enumerate(pairs)],
+        "merge_rank int, lhs string, rhs string, pair_count long",
+    )
+    forced = frozenset(
+        t["content"]
+        for t in doc.get("added_tokens") or []
+        if t.get("special")
+    )
+    entries, specials = _classify_published_vocab(
+        model.get("vocab") or {}, pairs, path, forced_specials=forced
+    )
+    # an added special token may live OUTSIDE model.vocab (HF allows
+    # post-training additions with ids past the vocab) — include it
+    have = {t for t, _, _ in entries}
+    for t in doc.get("added_tokens") or []:
+        if t.get("special") and t["content"] not in have:
+            entries.append((t["content"], int(t["id"]), True))
+            specials.append((t["content"], int(t["id"])))
+    return {
+        "merges": merges,
+        "byte_level": True,
+        "token_pattern": None,
+        "split_regex": split_regex,
+        "special_tokens": tuple(
+            tok for tok, _ in sorted(specials, key=lambda kv: kv[1])
+        ),
+        "vocab": spark.createDataFrame(
+            entries, "token string, token_id int, is_special boolean"
+        ),
+    }
 
 
 def bpe_tokenize_map_side(
