@@ -5462,6 +5462,76 @@ def q105(spark, sf_dir):
 
 
 @_q(
+    "q107_store_base_delta_dedup",
+    r"""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    seed AS (
+      SELECT DISTINCT fp FROM fps WHERE doc_id % 3 = 0 OR doc_id % 5 = 0
+    ),
+    fresh AS (SELECT DISTINCT fp FROM fps)
+    SELECT f.fp AS fingerprint
+    FROM fresh f ANTI JOIN seed s ON f.fp = s.fp
+    ORDER BY fingerprint
+    """,
+    "BATCH incremental dedup against the base+delta persistent store "
+    "(round 16) under the oracle gate — the explicit twin of q103's "
+    "streaming carrier: one fingerprint seed (doc_id%3==0) is "
+    "appended and COMPACTED into the immutable base (one sorted file "
+    "per bucket — the anti-join reads it exchange- AND sort-free, "
+    "plan-pinned in tests/test_plans.py), a second seed (doc_id%5==0) "
+    "is appended AFTER the compaction so it sits in the delta staging "
+    "dir, and the batch is deduped against BOTH sides "
+    "(dedup_against_store extra_stores). The surviving fingerprint "
+    "set must equal the oracle's anti-join against the UNION of both "
+    "seeds — a store that loses the delta, double-merges it, or "
+    "mis-buckets the base hash-mismatches.",
+)
+def q107(spark, sf_dir):
+    import hashlib
+    import shutil
+    import tempfile
+
+    from vinum_spark.io.bucketing import (
+        append_fingerprints,
+        compact_fingerprint_store,
+        ensure_fingerprint_store,
+        store_delta_frame,
+    )
+    from vinum_spark.operators.dedup import dedup_against_store
+    from vinum_spark.operators.text import with_fingerprint
+
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{app}\x1f{sf_dir}".encode()).hexdigest()[:10]
+    store = f"{tempfile.gettempdir()}/q107_store_{tag}"
+    shutil.rmtree(store, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    tbl = ensure_fingerprint_store(spark, store, buckets=8)
+    append_fingerprints(
+        with_fingerprint(d.filter(F.col("doc_id") % 3 == 0), "text"),
+        store,
+        buckets=8,
+    )
+    compact_fingerprint_store(spark, store, buckets=8)  # -> base
+    append_fingerprints(  # post-compaction -> stays in the delta
+        with_fingerprint(d.filter(F.col("doc_id") % 5 == 0), "text"),
+        store,
+        buckets=8,
+    )
+    base = spark.table(tbl).select("fingerprint")
+    delta = store_delta_frame(spark, store)
+    out = dedup_against_store(
+        d, base, extra_stores=[delta] if delta is not None else []
+    )
+    return (
+        out.select("fingerprint").distinct().orderBy("fingerprint")
+    )
+
+
+@_q(
     "q106_hf_tokenizer_json",
     _q89_oracle(
         base=_q88_oracle(
@@ -5673,12 +5743,15 @@ _GATE_HEAD = (
     "q84_vorbis_decode",
     "q86_skew_join_aqe",
     "q87_image_phash_neardup",
-    # BPE tokenizer family. q106 (registered this round — no driver
-    # row possible yet) seats per the q104/q105 precedent; q90 steps
-    # out (fresh r15 row; learn_bpe_merges runs INSIDE the gated
-    # q95/q96/q104/q105/q106 chains, so the training machinery keeps
-    # five driver-gated executions per round)
-    "q95_pipeline_tokenized",
+    # BPE tokenizer family. q106 + q107 (registered this round — no
+    # driver rows possible yet) seat per the q104/q105 precedent; q90
+    # steps out (fresh r15 row; learn_bpe_merges runs INSIDE the gated
+    # q96/q104/q105/q106 chains, so the training machinery keeps four
+    # driver-gated executions per round) and q95 steps out (fresh r15
+    # row; its stage composition is gated by q75 batch prepare_corpus
+    # + q104, whose oracle IS the q95/q98 program extended with
+    # chunking)
+    "q107_store_base_delta_dedup",
     # round-14/15 additions: exact GPT-2, streaming pipelines, the
     # four round-15 promotions (decode round-trip, chunking, packing,
     # stream-store dedup), and the two round-15 NEW queries (q104
