@@ -464,6 +464,9 @@ def test_bucketed_store_anti_join_shuffles_only_the_batch(spark, tmp_path):
         root,
         buckets=4,
     )
+    # twice: the first compaction keeps its snapshot in the delta for
+    # a grace cycle (concurrent-reader safety); the second ages it out
+    compact_fingerprint_store(spark, root, buckets=4)
     compact_fingerprint_store(spark, root, buckets=4)
     assert store_delta_frame(spark, root) is None  # all merged into base
     batch = spark.range(100, 400).select(
@@ -517,7 +520,7 @@ def test_bucketed_store_delta_join_is_delta_sized(spark, tmp_path):
         root,
         buckets=4,
     )
-    compact_fingerprint_store(spark, root, buckets=4)
+    compact_fingerprint_store(spark, root, buckets=4, keep_grace=False)
     append_fingerprints(  # post-compaction append -> lands in delta
         spark.range(200, 250).select(
             F.md5(F.col("id").cast("string")).alias("fingerprint")

@@ -290,6 +290,52 @@ def test_fingerprint_store_append_racing_compaction_not_lost(
     assert got2 == want
 
 
+def test_delta_files_get_a_grace_cycle(spark, tmp_path):
+    """A compaction must NOT delete the delta files it just merged —
+    a concurrent reader's in-flight delta scan (file paths listed
+    before the compaction) would race the delete (FileNotFound, or
+    silent fingerprint loss under ignoreMissingFiles). The snapshot is
+    recorded in the new version's manifest and deleted one full cycle
+    later, exactly the grace the superseded base gets; the trigger
+    count discounts the lingering (already-merged) files."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.io.bucketing import (
+        _delta_files,
+        append_fingerprints,
+        compact_fingerprint_store,
+        ensure_fingerprint_store,
+        read_store_fingerprints,
+        store_delta_file_count,
+    )
+
+    root = str(tmp_path / "store")
+    ensure_fingerprint_store(spark, root, buckets=2)
+    fps = spark.range(30).select(
+        F.md5(F.col("id").cast("string")).alias("fingerprint")
+    )
+    append_fingerprints(fps, root, buckets=2)
+    # another session's in-flight view: paths listed pre-compaction
+    inflight = _delta_files(spark, root)
+    assert inflight
+    pre = spark.read.schema("fingerprint string").parquet(*inflight)
+
+    compact_fingerprint_store(spark, root, buckets=2)
+    # the merged files survive their grace cycle...
+    import os
+
+    assert all(os.path.exists(p.replace("file:", "")) for p in inflight)
+    assert pre.count() == 30  # the in-flight frame still reads
+    # ...are discounted from the trigger (no immediate re-trigger)...
+    assert store_delta_file_count(spark, root) == 0
+    # ...and the SET view dedups the base∪delta overlap
+    assert read_store_fingerprints(spark, root, 2).count() == 30
+    # the NEXT compaction ages them out
+    compact_fingerprint_store(spark, root, buckets=2)
+    assert not any(os.path.exists(p.replace("file:", "")) for p in inflight)
+    assert read_store_fingerprints(spark, root, 2).count() == 30
+
+
 def test_fingerprint_store_ignores_incomplete_versions(spark, tmp_path):
     """Crash-safety invariant: a version directory without _SUCCESS (a
     compaction that died mid-write) is INVISIBLE — discovery keeps the
@@ -424,11 +470,14 @@ def test_compaction_lease_and_grace_optout(spark, tmp_path):
 
 
 def test_break_compaction_lease_liveness_check(spark, tmp_path):
-    """Stale-lease recovery is tooling, not docs: break_compaction_lease
-    removes a dead same-host holder's lease, REFUSES a live same-host
-    pid (the compactor is still running), refuses an unverifiable
-    holder without force, and force_break_lease threads the same check
-    through compact_fingerprint_store."""
+    """Stale-lease recovery is tooling, not docs — and the dead-pid
+    conclusion is only trusted where it TRANSFERS: break_compaction_
+    lease removes a same-pid-namespace dead holder's lease (absent pid
+    or recycled pid detected by start-time mismatch), REFUSES a
+    verified-live holder even with force, requires force for every
+    unverifiable holder (other namespace — e.g. a sibling container
+    sharing the hostname — bare pre-r16 leases), and force_break_lease
+    threads the same check through compact_fingerprint_store."""
     import os
     import socket
 
@@ -436,6 +485,8 @@ def test_break_compaction_lease_liveness_check(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from vinum_spark.io.bucketing import (
+        _pid_ns,
+        _pid_start_ticks,
         append_fingerprints,
         break_compaction_lease,
         compact_fingerprint_store,
@@ -454,14 +505,19 @@ def test_break_compaction_lease_liveness_check(spark, tmp_path):
     )
     lease = f"{root}/_compaction_lease"
     host = socket.gethostname()
+    ns = _pid_ns()
+    assert ns is not None  # Linux CI — the identity the lease records
+
+    def write_lease(app, pid, pidns, ticks):
+        with open(lease, "w") as f:
+            f.write(f"{app}\x1f{host}\x1f{pid}\x1f{pidns}\x1f{ticks}")
 
     # no lease -> loud, not a silent no-op
     with pytest.raises(ValueError, match="nothing to break"):
         break_compaction_lease(spark, root)
 
-    # a LIVE same-host holder refuses the break (this very process)
-    with open(lease, "w") as f:
-        f.write(f"app-live\x1f{host}\x1f{os.getpid()}")
+    # a LIVE same-namespace holder refuses the break (this process)
+    write_lease("app-live", os.getpid(), ns, _pid_start_ticks(os.getpid()))
     with pytest.raises(RuntimeError, match="STILL RUNNING"):
         break_compaction_lease(spark, root)
     # force does NOT override a verified-alive holder either
@@ -469,36 +525,49 @@ def test_break_compaction_lease_liveness_check(spark, tmp_path):
         break_compaction_lease(spark, root, force=True)
     os.remove(lease)
 
-    # a DEAD same-host holder breaks cleanly (pid from a spawned,
+    # a DEAD same-namespace holder breaks cleanly (pid from a spawned,
     # already-exited child: guaranteed recycled-slot-free long enough)
     import subprocess
 
     dead = subprocess.Popen(["true"])
     dead.wait()
-    with open(lease, "w") as f:
-        f.write(f"app-dead\x1f{host}\x1f{dead.pid}")
+    write_lease("app-dead", dead.pid, ns, 123456)
     evicted = break_compaction_lease(spark, root)
     assert "app-dead" in evicted
     assert not os.path.exists(lease)
 
-    # an UNVERIFIABLE holder (other host / bare appId) needs force
-    with open(lease, "w") as f:
-        f.write("app-elsewhere\x1fother-host-0\x1f12345")
+    # a RECYCLED pid (same number, wrong start time) is also dead
+    write_lease("app-recycled", os.getpid(), ns, 1)
+    assert "app-recycled" in break_compaction_lease(spark, root)
+
+    # same hostname but ANOTHER pid namespace (the sibling-container
+    # case a hostname check would get wrong): unverifiable -> force
+    write_lease("app-container", dead.pid, "pid:[999999]", 123456)
     with pytest.raises(RuntimeError, match="force"):
         break_compaction_lease(spark, root)
-    assert "app-elsewhere" in break_compaction_lease(spark, root, force=True)
+    assert "app-container" in break_compaction_lease(
+        spark, root, force=True
+    )
+    # pre-r16 / hand-written lease (no namespace): unverifiable
     with open(lease, "w") as f:
-        f.write("bare-app-id")  # pre-r16 / hand-written format
+        f.write("bare-app-id")
     with pytest.raises(RuntimeError, match="force"):
         break_compaction_lease(spark, root)
     os.remove(lease)
 
     # the escape hatch: compact(force_break_lease=True) breaks a dead
-    # holder's lease and proceeds to a successful compaction
-    with open(lease, "w") as f:
-        f.write(f"app-dead2\x1f{host}\x1f{dead.pid}")
+    # holder's lease and proceeds; it also clears UNVERIFIABLE leases
+    # (the pre-r16 upgrade case the error message points at)
+    write_lease("app-dead2", dead.pid, ns, 123456)
     compact_fingerprint_store(
         spark, root, buckets=2, force_break_lease=True
     )
     assert current_store_version(spark, root) == 1
+    assert not os.path.exists(lease)
+    with open(lease, "w") as f:
+        f.write("bare-legacy-holder")
+    compact_fingerprint_store(
+        spark, root, buckets=2, force_break_lease=True
+    )
+    assert current_store_version(spark, root) == 2
     assert not os.path.exists(lease)

@@ -70,7 +70,9 @@ HOST_FACTOR_CAP = 1.75
 
 def gate(threshold: float = 1.5, floor: float = 0.25,
          history_path: str = HISTORY_PATH) -> int:
-    """Return a process exit code: 0 clean, 1 drift found, 2 unusable."""
+    """Return a process exit code: 0 clean, 1 drift found, 2 unusable
+    history, 3 inconclusive (host window past HOST_FACTOR_CAP — rerun
+    on a quieter host rather than trusting a loosened threshold)."""
     try:
         with open(history_path) as f:
             records = [json.loads(l) for l in f if l.strip()]

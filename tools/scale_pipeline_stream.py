@@ -165,6 +165,10 @@ def main() -> None:
 
     spark = get_spark("pcstream")
     spark.sparkContext.setLogLevel("ERROR")
+    # host-window stamp (the bench.py calibration discipline) — the
+    # round-15 "super-linear decade" was entirely a window artifact;
+    # every record now carries its own evidence
+    from bench import calibrate_host
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # keep every micro-batch's progress for the attribution pass
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "256")
@@ -267,6 +271,7 @@ def main() -> None:
                         "docs_per_s": int(5000 * m / wall),
                         "tokens_per_s": int(n_tokens / wall),
                         "state_store": state_store or "hdfs-default",
+                        "cal_s": calibrate_host(),
                         **attr,
                     }
                 ),
@@ -297,6 +302,7 @@ def main() -> None:
                     "wall_s": round(wall, 1),
                     "docs_per_s": int(5000 * m / wall),
                     "state_store": state_store or "hdfs-default",
+                    "cal_s": calibrate_host(),
                 }
             ),
             flush=True,

@@ -76,6 +76,11 @@ def main() -> None:
     )
     spark = get_spark("storescale")
     spark.sparkContext.setLogLevel("ERROR")
+    # host-window stamp (the bench.py calibration discipline): a run
+    # recorded in a contended window carries the evidence with it —
+    # round-16 measured the SAME code reading 1.17 s and 12.0 s at the
+    # 100x point purely across windows (cal 2.1 vs 3.1)
+    from bench import calibrate_host
 
     # unrecorded warmup: the first anti-join of a session pays JIT +
     # codegen + shuffle-service spin-up that would otherwise land
@@ -102,8 +107,14 @@ def main() -> None:
                 append_fingerprints(seeds, root, BUCKETS)
                 # the steady-state shape: the backfill sits in the
                 # COMPACTED base (one sorted file per bucket -> the
-                # merge join needs no store-side sort), delta empty
-                compact_fingerprint_store(spark, root, BUCKETS)
+                # merge join needs no store-side sort), delta empty.
+                # keep_grace=False = the single-reader mode this
+                # single-process anchor is; the default grace mode
+                # would leave the seed lingering in the delta for one
+                # cycle and measure a base+full-delta join instead
+                compact_fingerprint_store(
+                    spark, root, BUCKETS, keep_grace=False
+                )
             else:
                 seeds.write.parquet(root)
 
@@ -141,6 +152,7 @@ def main() -> None:
                         "batch_docs": BATCH,
                         "survivors": int(n),
                         "batch_wall_s": round(wall, 2),
+                        "cal_s": calibrate_host(),
                     }
                 ),
                 flush=True,

@@ -275,8 +275,9 @@ def current_store_version(spark, store_path: str) -> Optional[int]:
             "directory (an empty store beside it would silently re-admit "
             "every already-seen fingerprint). Migrate explicitly: "
             "fps = spark.read.parquet(old_path); "
-            "t = ensure_fingerprint_store(spark, new_path, buckets); "
-            "append_fingerprints(fps, t, buckets)."
+            "ensure_fingerprint_store(spark, new_path, buckets); "
+            "append_fingerprints(fps, new_path, buckets); "
+            "compact_fingerprint_store(spark, new_path, buckets)."
         )
     return best
 
@@ -454,9 +455,17 @@ def _delta_files(spark, store_path: str) -> list:
 
 
 def store_delta_frame(spark, store_path: str) -> Optional[DataFrame]:
-    """DataFrame over the store's current delta files, or None when the
+    """DataFrame over ALL the store's delta files, or None when the
     delta is empty. Reads an explicit SNAPSHOT of file paths, so a
-    concurrent append landing mid-read cannot fail the scan."""
+    concurrent append landing mid-read cannot fail the scan.
+
+    Deliberately includes files already merged into the CURRENT base
+    (kept for one grace cycle, see :func:`compact_fingerprint_store`):
+    for a reader still on the GRACE base they are the difference
+    between complete and silently-missing membership, and for a
+    current-base reader they are a harmless superset (an anti-join can
+    only suppress what the base suppresses anyway) costing at most one
+    extra delta-cycle of join input."""
     files = _delta_files(spark, store_path)
     if not files:
         return None
@@ -464,24 +473,40 @@ def store_delta_frame(spark, store_path: str) -> Optional[DataFrame]:
 
 
 def read_store_fingerprints(spark, store_path: str, buckets: int) -> DataFrame:
-    """Full membership view (base ∪ delta) as one DataFrame — for
-    consumers that want the SET, not the join shape. Hot-path
-    anti-joins should keep the two sides separate instead (base via
+    """Full membership view (base ∪ delta) as one deduplicated
+    DataFrame — for consumers that want the SET, not the join shape
+    (base and delta legitimately overlap for a grace cycle after every
+    compaction, and after a swap-to-delete crash). Hot-path anti-joins
+    should keep the two sides separate instead (base via
     ``spark.table``: exchange- and sort-elided; delta via
     :func:`store_delta_frame`: O(delta)) — a union collapses both into
     one unpartitioned, unsorted input."""
     table = ensure_fingerprint_store(spark, store_path, buckets)
     base = spark.table(table).select("fingerprint")
     delta = store_delta_frame(spark, store_path)
-    return base if delta is None else base.unionByName(delta)
+    if delta is None:
+        return base
+    return base.unionByName(delta).dropDuplicates(["fingerprint"])
 
 
 def store_delta_file_count(spark, store_path: str) -> int:
-    """Delta data-file count (the compaction trigger signal; a
-    driver-side listing, no job). The base's file count is constant
-    (one per bucket) between compactions, so delta growth IS the
-    store's file growth."""
-    return len(_delta_files(spark, store_path))
+    """UNMERGED delta data-file count — the compaction trigger signal
+    (a driver-side listing, no job). Files already merged into the
+    current base (lingering for their grace cycle) are discounted via
+    the version's manifest: counting them would re-trigger a
+    compaction immediately after every compaction. The base's file
+    count is constant (one per bucket) between compactions, so
+    unmerged delta growth IS the store's file growth."""
+    import posixpath
+
+    files = _delta_files(spark, store_path)
+    if not files:
+        return 0
+    cur = current_store_version(spark, store_path)
+    merged = (
+        _merged_manifest(spark, store_path, cur) if cur is not None else set()
+    )
+    return sum(1 for f in files if posixpath.basename(f) not in merged)
 
 
 def _read_lease(fs, jvm, lease) -> dict:
@@ -495,14 +520,56 @@ def _read_lease(fs, jvm, lease) -> dict:
     except Exception:
         return {"holder": "<unreadable>", "host": None, "pid": None}
     parts = raw.split("\x1f")
-    out = {"holder": parts[0] or "<empty>", "host": None, "pid": None}
+    out = {
+        "holder": parts[0] or "<empty>",
+        "host": None,
+        "pid": None,
+        "pidns": None,
+        "ticks": None,
+    }
     if len(parts) >= 3:
         out["host"] = parts[1]
         try:
             out["pid"] = int(parts[2])
         except ValueError:
             pass
+    if len(parts) >= 5:
+        out["pidns"] = parts[3] or None
+        try:
+            out["ticks"] = int(parts[4])
+        except ValueError:
+            pass
     return out
+
+
+def _pid_ns() -> "str | None":
+    """This process's pid-namespace identity (``pid:[inode]``) — the
+    property that makes a dead-pid conclusion TRANSFERABLE: two
+    containers on one host share a hostname but never a pid namespace,
+    so 'pid absent' observed from another namespace proves nothing.
+    None where /proc is unavailable (non-Linux)."""
+    import os as _os
+
+    try:
+        return _os.readlink("/proc/self/ns/pid")
+    except OSError:
+        return None
+
+
+def _pid_start_ticks(pid: int) -> "int | None":
+    """Kernel start time (clock ticks since boot) of ``pid`` — field
+    22 of /proc/<pid>/stat, parsed after the last ')' so a comm with
+    spaces or parens cannot shift fields. Distinguishes the recorded
+    holder from a RECYCLED pid wearing the same number. None when the
+    pid is gone or /proc is unavailable."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            raw = f.read()
+        fields = raw[raw.rindex(b")") + 2:].split()
+        # fields[0] is stat field 3 (state); start time is field 22
+        return int(fields[19])
+    except (OSError, ValueError, IndexError):
+        return None
 
 
 def break_compaction_lease(spark, store_path: str, force: bool = False) -> str:
@@ -511,15 +578,20 @@ def break_compaction_lease(spark, store_path: str, force: bool = False) -> str:
     compaction error message names (also ``tools/store_admin.py
     --break-lease``). Returns the evicted holder's description.
 
-    The liveness check is mechanical where it can be: the lease
-    records the compactor's host and pid, and when the holder ran on
-    THIS host, a live pid refuses the break (the compactor is still
-    running — breaking would re-open the two-compactors race the lease
-    exists to close). A holder on another host, or a lease without
-    host/pid (hand-written, or pre-base/delta format), cannot be
-    verified from here: the break is refused unless ``force=True``,
-    which the caller passes only after confirming out-of-band that no
-    compaction job is running."""
+    The liveness check is mechanical where the conclusion is actually
+    TRANSFERABLE: the lease records the compactor's pid, pid-NAMESPACE
+    identity, and pid start time. Only when the breaker shares the
+    holder's pid namespace is "pid absent" proof of death (two
+    containers on one host share a hostname but never a pid namespace
+    — a hostname match alone would break a LIVE compactor's lease from
+    a sibling container); a present pid whose start time differs from
+    the recorded one is a RECYCLED pid, also proof of death. A pid
+    that is present with the recorded start time is the live holder —
+    refused even with ``force``. Everything else (another namespace,
+    another host, a hand-written or pre-r16 lease without
+    namespace/ticks) is UNVERIFIABLE from here: refused unless
+    ``force=True``, which the caller passes only after confirming
+    out-of-band that no compaction job is running."""
     fs, _, jvm = _store_fs(spark, store_path)
     lease = jvm.org.apache.hadoop.fs.Path(f"{store_path}/_compaction_lease")
     if not fs.exists(lease):
@@ -527,33 +599,36 @@ def break_compaction_lease(spark, store_path: str, force: bool = False) -> str:
             f"no _compaction_lease under {store_path!r} — nothing to break"
         )
     info = _read_lease(fs, jvm, lease)
-    import socket
-
     desc = (
-        f"{info['holder']} (host={info['host']}, pid={info['pid']})"
+        f"{info['holder']} (host={info['host']}, pid={info['pid']}, "
+        f"pidns={info['pidns']})"
     )
-    if info["host"] == socket.gethostname() and info["pid"] is not None:
-        import os as _os
-
-        try:
-            _os.kill(info["pid"], 0)
-            alive = True
-        except ProcessLookupError:
-            alive = False
-        except PermissionError:
-            alive = True  # exists, owned by someone else
-        if alive:
-            raise RuntimeError(
-                f"refusing to break the lease on {store_path!r}: holder "
-                f"{desc} is STILL RUNNING on this host. If that pid is "
-                "not actually a compactor, stop it first."
-            )
-    elif not force:
+    verdict = "unknown"
+    if (
+        info["pid"] is not None
+        and info["pidns"] is not None
+        and info["pidns"] == _pid_ns()
+    ):
+        ticks = _pid_start_ticks(info["pid"])
+        if ticks is None:
+            verdict = "dead"  # same namespace, pid gone — conclusive
+        elif info["ticks"] is not None and ticks != info["ticks"]:
+            verdict = "dead"  # same number, different process (recycled)
+        else:
+            verdict = "alive"
+    if verdict == "alive":
         raise RuntimeError(
-            f"cannot verify liveness of lease holder {desc} on "
-            f"{store_path!r} from this host — confirm no compaction "
-            "job is running, then pass force=True "
-            "(store_admin.py: --force)."
+            f"refusing to break the lease on {store_path!r}: holder "
+            f"{desc} is STILL RUNNING (same pid namespace, matching "
+            "start time). If that pid is not actually a compactor, "
+            "stop it first."
+        )
+    if verdict == "unknown" and not force:
+        raise RuntimeError(
+            f"cannot verify liveness of lease holder {desc} from this "
+            f"process (different or unrecorded pid namespace) — "
+            "confirm no compaction job is running, then pass "
+            "force=True (store_admin.py: --force)."
         )
     fs.delete(lease, False)
     return desc
@@ -569,8 +644,12 @@ def compact_fingerprint_store(
     """Merge the current base version with a SNAPSHOT of the delta
     files into the next version (one sorted file per bucket — the
     layout the sort-elided merge join needs), re-point the catalog
-    table, delete exactly the snapshot's delta files, then delete
-    every version OLDER than the one just superseded. Returns the
+    table, then apply the GRACE-deferred cleanup: delete the delta
+    files merged ONE CYCLE AGO (this version's snapshot is recorded in
+    its ``_merged_delta.json`` and deleted by the NEXT compaction — a
+    concurrent reader's in-flight delta scan therefore never races a
+    delete, the same one-full-cycle grace the superseded base gets)
+    and every version OLDER than the one just superseded. Returns the
     table name.
 
     ``keep_grace=False`` deletes the superseded version too — a
@@ -617,7 +696,10 @@ def compact_fingerprint_store(
         f"{store_path}/_compaction_lease"
     )
     if force_break_lease and fs.exists(lease):
-        break_compaction_lease(spark, store_path)
+        # force here means: break an UNVERIFIABLE lease too (the caller
+        # has confirmed out-of-band that no compactor runs); a holder
+        # verified alive still refuses inside break_compaction_lease
+        break_compaction_lease(spark, store_path, force=True)
     try:
         # overwrite=False -> atomic create-if-absent on HDFS/local
         # (object stores without atomic create lose only this guard,
@@ -650,10 +732,15 @@ def compact_fingerprint_store(
 
             out.write(
                 bytearray(
-                    # appId + host + pid: what break_compaction_lease
-                    # needs to verify the holder's liveness mechanically
+                    # appId + host + pid + pid-namespace + start ticks:
+                    # what break_compaction_lease needs to verify the
+                    # holder's liveness mechanically (the namespace is
+                    # what makes a dead-pid conclusion transferable;
+                    # the start ticks catch pid recycling)
                     f"{spark.sparkContext.applicationId}\x1f"
-                    f"{_socket.gethostname()}\x1f{_os.getpid()}",
+                    f"{_socket.gethostname()}\x1f{_os.getpid()}\x1f"
+                    f"{_pid_ns() or ''}\x1f"
+                    f"{_pid_start_ticks(_os.getpid()) or ''}",
                     "utf-8",
                 )
             )
@@ -664,16 +751,38 @@ def compact_fingerprint_store(
         fs.delete(lease, False)
 
 
+def _merged_manifest(spark, store_path: str, version: int) -> set:
+    """Delta file NAMES recorded as merged into ``v<version>`` (empty
+    when the version has no manifest — pre-deferral compactions)."""
+    import json as _json
+
+    fs, _, jvm = _store_fs(spark, store_path)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{store_path}/v{version}/_merged_delta.json"
+    )
+    if not fs.exists(p):
+        return set()
+    stream = fs.open(p)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return set(_json.loads(raw))
+
+
 def _compact_locked(
     spark, store_path: str, buckets: int, keep_grace: bool, cur: int
 ) -> str:
+    import json as _json
+    import posixpath
+
     table = store_table_name(store_path)
     nxt = f"{store_path}/v{cur + 1}"
     tmp_table = f"{table}_compacting"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-    # snapshot the delta BEFORE reading: these exact files are merged
-    # and (after the swap) deleted; files appended during the rewrite
-    # are untouched and survive into the next cycle
+    # snapshot the delta BEFORE reading: exactly these files are
+    # merged; files appended during the rewrite are untouched and
+    # survive into the next cycle
     delta_snapshot = _delta_files(spark, store_path)
     # read the RAW base files, not spark.table(): a bucketed-table read
     # reports HashPartitioning and lets Catalyst elide the repartition
@@ -698,12 +807,34 @@ def _compact_locked(
         .saveAsTable(tmp_table)
     )
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-    _register_store_table(spark, table, nxt, buckets)
     fs, root, jvm = _store_fs(spark, store_path)
-    # the merged delta files are now IN the current base: delete
-    # exactly the snapshot (a racing append's unmerged file stays)
-    for f in delta_snapshot:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    # record WHAT this version absorbed before anyone can read it as
+    # current: the snapshot files get the same one-full-cycle GRACE as
+    # the superseded base (deleted by the NEXT compaction, below) so a
+    # concurrent reader's in-flight delta scan never races a delete —
+    # until then they are a harmless base∪delta superset, and the
+    # trigger (store_delta_file_count) discounts them via this manifest
+    names = [posixpath.basename(f) for f in delta_snapshot]
+    man = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{nxt}/_merged_delta.json"), True
+    )
+    try:
+        man.write(bytearray(_json.dumps(names), "utf-8"))
+    finally:
+        man.close()
+    _register_store_table(spark, table, nxt, buckets)
+    # delete the delta files merged ONE CYCLE AGO (recorded in the
+    # superseded version's manifest — they have been in a live base
+    # for a full compaction cycle); a racing append's unmerged file is
+    # in neither manifest and always survives
+    aged = _merged_manifest(spark, store_path, cur)
+    if not keep_grace:
+        aged = aged | set(names)  # no grace anywhere in this mode
+    for name in aged:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{store_path}/delta/{name}"),
+            False,
+        )
     # keep v{cur} as the grace version for concurrent readers (unless
     # keep_grace=False); delete everything older (incl. directories
     # leaked by earlier crashes)
