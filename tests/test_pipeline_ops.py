@@ -1975,19 +1975,23 @@ def test_save_load_tokenizer_hf_single_file(spark, tmp_path):
     merges = learn_bpe_merges(docs, n_merges=6, **kw)
     tj = str(tmp_path / "tokenizer.json")
     mp, vp = str(tmp_path / "merges.txt"), str(tmp_path / "vocab.json")
-    save_tokenizer_hf(merges, tj)
+    # the artifact carries its pre-tokenizer: a custom training regex
+    # writes the Sequence[Split, ByteLevel] shape and loads back as
+    # the same token_pattern
+    save_tokenizer_hf(merges, tj, token_pattern=GPT2ISH_SPLIT_PATTERN)
     save_tokenizer_gpt2(merges, mp, vp)
 
     doc = json.load(open(tj, encoding="utf-8"))
     assert doc["model"]["type"] == "BPE"
-    assert doc["pre_tokenizer"]["type"] == "ByteLevel"
+    assert doc["pre_tokenizer"]["type"] == "Sequence"
     assert [t["content"] for t in doc["added_tokens"]] == ["<|endoftext|>"]
     assert doc["added_tokens"][0]["special"] is True
     assert "<|endoftext|>" in doc["model"]["vocab"]
 
     hf = load_tokenizer_hf(spark, tj)
     pair = load_tokenizer_gpt2(spark, mp, vp)
-    assert hf["byte_level"] is True and hf["token_pattern"] is None
+    assert hf["byte_level"] is True
+    assert hf["token_pattern"] == GPT2ISH_SPLIT_PATTERN
     assert hf["special_tokens"] == ("<|endoftext|>",)
     key = lambda df: [  # noqa: E731
         (r["merge_rank"], r["lhs"], r["rhs"])
@@ -2045,10 +2049,15 @@ def test_load_tokenizer_hf_accepts_published_shapes(spark, tmp_path):
         docs, n_merges=2, byte_level=True, token_pattern="[^ ]+"
     )
     tj = str(tmp_path / "tokenizer.json")
-    save_tokenizer_hf(merges, tj)
+    save_tokenizer_hf(merges, tj)  # no pattern -> bare ByteLevel
     doc = json.load(open(tj, encoding="utf-8"))
+    assert doc["pre_tokenizer"]["type"] == "ByteLevel"
 
     base = load_tokenizer_hf(spark, tj)
+    # bare ByteLevel(use_regex=true) IS the exact GPT-2 split
+    from vinum_spark.operators.text import GPT2_EXACT
+
+    assert base["token_pattern"] == GPT2_EXACT
     doc2 = json.loads(json.dumps(doc))
     doc2["model"]["merges"] = [
         m.split(" ") for m in doc2["model"]["merges"]
@@ -2075,7 +2084,7 @@ def test_load_tokenizer_hf_accepts_published_shapes(spark, tmp_path):
         for r in df.orderBy("merge_rank").collect()
     ]
     assert key(alt["merges"]) == key(base["merges"])
-    assert alt["split_regex"] == "[^ ]+"
+    assert alt["token_pattern"] == "[^ ]+"
     assert alt["special_tokens"] == ("<|endoftext|>", "<|pad|>")
     pad = [r for r in alt["vocab"].collect() if r["token"] == "<|pad|>"]
     assert pad and pad[0]["token_id"] == 999 and pad[0]["is_special"]

@@ -5581,14 +5581,18 @@ def q106(spark, sf_dir):
     base = f"{tempfile.gettempdir()}/q106_hf_{tag}"
     os.makedirs(base, exist_ok=True)
     tj = f"{base}/tokenizer.json"
-    save_tokenizer_hf(merges, tj)
+    # the artifact carries its pre-tokenizer (Sequence[Split,
+    # ByteLevel] for a custom regex): tokenize under the LOADED
+    # pattern, so a drift in the pre-tokenizer round-trip — not just
+    # the ids — hash-mismatches
+    save_tokenizer_hf(merges, tj, token_pattern="[^ ]+")
     loaded = load_tokenizer_hf(spark, tj)
     toks = bpe_tokenize(
         docs,
         loaded["merges"],
         id_col="doc_id",
         byte_level=True,
-        token_pattern="[^ ]+",
+        token_pattern=loaded["token_pattern"],
     )
     enc = bpe_encode_ids(toks, loaded["merges"], vocab_df=loaded["vocab"])
     return enc.select(

@@ -2265,6 +2265,7 @@ def save_tokenizer_hf(
     merges_df: DataFrame,
     path: str,
     special_tokens: tuple = ("<|endoftext|>",),
+    token_pattern: "str | None" = None,
 ) -> None:
     """Ship a byte-level merge table as a single-file HuggingFace
     ``tokenizer.json`` (model.type=BPE, ByteLevel pre-tokenizer) — the
@@ -2276,11 +2277,47 @@ def save_tokenizer_hf(
     in ``added_tokens`` with ``special: true`` AND idd in the model
     vocab, matching how the published GPT-2 ``tokenizer.json`` ships
     ``<|endoftext|>``. Colliding merge products raise (see
-    :func:`_published_vocab`)."""
+    :func:`_published_vocab`).
+
+    The artifact CARRIES its pre-tokenizer — pass the
+    ``token_pattern`` the table was trained with: ``GPT2_EXACT`` (or
+    None) writes the bare ``ByteLevel`` with ``use_regex: true``,
+    which IS the exact GPT-2 split in HF semantics; a custom regex
+    writes the ``Sequence[Split(Regex), ByteLevel]`` shape
+    (Llama-3-class exports; ``behavior: Isolated`` keeps the regex's
+    matches as the segments, matching this repo's
+    ``regexp_extract_all`` tiling for the tiling patterns BPE
+    training uses). :func:`load_tokenizer_hf` maps both shapes back,
+    so load→tokenize needs no out-of-band pattern knowledge."""
     import json
 
     pairs = _collect_published_pairs(merges_df)
     vocab = _published_vocab(pairs, special_tokens)
+    if token_pattern is None or token_pattern == GPT2_EXACT:
+        pre = {
+            "type": "ByteLevel",
+            "add_prefix_space": False,
+            "trim_offsets": True,
+            "use_regex": True,
+        }
+    else:
+        pre = {
+            "type": "Sequence",
+            "pretokenizers": [
+                {
+                    "type": "Split",
+                    "pattern": {"Regex": token_pattern},
+                    "behavior": "Isolated",
+                    "invert": False,
+                },
+                {
+                    "type": "ByteLevel",
+                    "add_prefix_space": False,
+                    "trim_offsets": True,
+                    "use_regex": False,
+                },
+            ],
+        }
     doc = {
         "version": "1.0",
         "truncation": None,
@@ -2298,12 +2335,7 @@ def save_tokenizer_hf(
             for tok in special_tokens
         ],
         "normalizer": None,
-        "pre_tokenizer": {
-            "type": "ByteLevel",
-            "add_prefix_space": False,
-            "trim_offsets": True,
-            "use_regex": True,
-        },
+        "pre_tokenizer": pre,
         "post_processor": None,
         "decoder": {
             "type": "ByteLevel",
@@ -2328,23 +2360,27 @@ def save_tokenizer_hf(
 
 
 def _hf_pre_tokenizer_shape(pre) -> "tuple[bool, str | None]":
-    """(byte_level, split_regex) from an HF pre_tokenizer config —
+    """(byte_level, token_pattern) from an HF pre_tokenizer config —
     accepts the two published byte-level shapes: a bare ``ByteLevel``
-    (GPT-2/RoBERTa exports; the GPT-2 split regex lives inside it as
-    ``use_regex``) and a ``Sequence`` of ``Split`` + ``ByteLevel``
-    (Llama-3-class exports, where the split regex is explicit).
-    Anything else is not byte-level BPE and the loader refuses."""
+    (GPT-2/RoBERTa exports), whose ``use_regex: true`` (the HF
+    default) IS the exact GPT-2 split and maps to this repo's
+    ``GPT2_EXACT`` sentinel, and a ``Sequence`` of ``Split`` +
+    ``ByteLevel`` (Llama-3-class exports), whose explicit Split regex
+    maps straight to ``token_pattern``. Anything else is not
+    byte-level BPE and the loader refuses."""
     if pre is None:
         return False, None
     t = pre.get("type")
     if t == "ByteLevel":
-        return True, None
+        return True, GPT2_EXACT if pre.get("use_regex", True) else None
     if t == "Sequence":
         byte_level, split_regex = False, None
         for sub in pre.get("pretokenizers", []):
             st = sub.get("type")
             if st == "ByteLevel":
                 byte_level = True
+                if sub.get("use_regex", True) and split_regex is None:
+                    split_regex = GPT2_EXACT
             elif st == "Split":
                 pat = sub.get("pattern")
                 if isinstance(pat, dict):
@@ -2365,14 +2401,15 @@ def load_tokenizer_hf(spark, path: str) -> dict:
     (model.type=BPE, byte-level) into this repo's merge-table layout —
     the :func:`load_tokenizer` dict shape plus ``vocab`` (the
     (token, token_id, is_special) frame of PUBLISHED ids for
-    ``bpe_encode_ids(..., vocab_df=...)`` / ``bpe_decode_ids``),
+    ``bpe_encode_ids(..., vocab_df=...)`` / ``bpe_decode_ids``) and
     ``special_tokens`` (added_tokens with ``special: true`` plus
-    non-byte-composed vocab entries, ordered by id), and
-    ``split_regex`` (the explicit Split pre-tokenizer pattern when the
-    file carries one — pass it, or ``GPT2ISH_SPLIT_PATTERN`` /
-    ``GPT2_EXACT``, as ``token_pattern`` yourself; ``token_pattern``
-    in the returned dict stays None because a bare ByteLevel
-    pre-tokenizer keeps its regex choice internal).
+    non-byte-composed vocab entries, ordered by id). The returned
+    ``token_pattern`` comes FROM the artifact: a bare ``ByteLevel``
+    with ``use_regex: true`` (the HF default — the exact GPT-2 split)
+    maps to ``GPT2_EXACT``; a ``Sequence[Split, ByteLevel]`` maps to
+    the Split regex — so ``bpe_tokenize(docs, loaded['merges'],
+    token_pattern=loaded['token_pattern'], byte_level=True)`` needs no
+    out-of-band pattern knowledge.
 
     Validation is loud, not lenient, like :func:`load_tokenizer_gpt2`:
     a non-BPE model, BPE-dropout, subword prefixes/suffixes,
@@ -2407,7 +2444,7 @@ def load_tokenizer_hf(spark, path: str) -> dict:
             "SentencePiece-style <0xNN> fallback, not byte-level BPE "
             f"— not implemented: {path}"
         )
-    byte_level, split_regex = _hf_pre_tokenizer_shape(
+    byte_level, token_pattern = _hf_pre_tokenizer_shape(
         doc.get("pre_tokenizer")
     )
     if not byte_level:
@@ -2471,8 +2508,10 @@ def load_tokenizer_hf(spark, path: str) -> dict:
     return {
         "merges": merges,
         "byte_level": True,
-        "token_pattern": None,
-        "split_regex": split_regex,
+        # the artifact CARRIES its pre-tokenizer: bare
+        # ByteLevel(use_regex=true) -> GPT2_EXACT, Sequence-Split ->
+        # the explicit regex — feed straight into bpe_tokenize
+        "token_pattern": token_pattern,
         "special_tokens": tuple(
             tok for tok, _ in sorted(specials, key=lambda kv: kv[1])
         ),
