@@ -773,3 +773,133 @@ def test_lsh_candidate_pairs_band_validation(spark):
         lsh_candidate_pairs(df, dim=16, n_planes=126, band_bits=64)
     with pytest.raises(ValueError, match="no full band fits"):
         lsh_candidate_pairs(df, dim=16, n_planes=8, band_bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication spans (Lee et al. 2022 ExactSubstr, relational)
+# ---------------------------------------------------------------------------
+
+
+def _py_duplicated_spans(texts, n, min_count=2, pattern=r"[a-z0-9]+"):
+    """Independent pure-python reference: window hash counts over the
+    whole corpus, then per-doc merge of overlapping duplicated windows."""
+    import re
+    from collections import Counter
+
+    toks = {i: re.findall(pattern, t.lower()) for i, t in texts}
+    counts = Counter()
+    for ws in toks.values():
+        for i in range(max(0, len(ws) - n + 1)):
+            counts[" ".join(ws[i : i + n])] += 1
+    spans = {}
+    for doc, ws in toks.items():
+        starts = [
+            i
+            for i in range(max(0, len(ws) - n + 1))
+            if counts[" ".join(ws[i : i + n])] >= min_count
+        ]
+        merged = []
+        for s in starts:
+            if merged and s <= merged[-1][1] - 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], s + n))
+            else:
+                merged.append((s, s + n))
+        if merged:
+            spans[doc] = [(s, e - s) for s, e in merged]
+    return spans, {d: len(ws) for d, ws in toks.items()}
+
+
+def test_duplicated_ngram_spans_matches_python_reference(spark):
+    """The relational ExactSubstr re-expression (window explode -> one
+    hash-count shuffle -> gaps-and-islands merge) must agree with an
+    independent imperative implementation on a corpus with planted
+    shared boilerplate, an intra-document repeat, and clean docs —
+    and remove_duplicated_spans must drop exactly the spanned tokens."""
+    from vinum_spark.operators.dedup import (
+        duplicated_ngram_spans,
+        remove_duplicated_spans,
+    )
+
+    boiler = "all rights reserved contact us for more information today"
+    rows = [
+        (1, f"unique alpha text one {boiler} tail words go here now"),
+        (2, f"{boiler} another unique body two follows the header"),
+        (3, "completely unique document three with no repeats at all"),
+        # intra-document repeat: the same 6-token run twice in ONE doc
+        (4, "intro words repeat run of six tokens exactly middle repeat "
+            "run of six tokens exactly outro"),
+        (5, f"prefix five {boiler} and once more {boiler} suffix five"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 4
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in duplicated_ngram_spans(docs, n=n).collect()
+    }
+    ref_spans, ref_lens = _py_duplicated_spans(rows, n)
+    want = {
+        (d, s, l) for d, spans in ref_spans.items() for s, l in spans
+    }
+    assert got == want
+
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=n).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # clean docs pass through
+    import re
+
+    for d, text in rows:
+        ws = re.findall(r"[a-z0-9]+", text.lower())
+        covered = set()
+        for s, l in ref_spans.get(d, []):
+            covered.update(range(s, s + l))
+        kept = " ".join(w for i, w in enumerate(ws) if i not in covered)
+        assert out[d]["kept_text"] == kept, d
+        assert out[d]["n_tokens"] == ref_lens[d]
+        assert out[d]["dup_tokens"] == sum(
+            l for _, l in ref_spans.get(d, [])
+        )
+        assert out[d]["n_spans"] == len(ref_spans.get(d, []))
+
+
+def test_duplicated_ngram_spans_properties(spark):
+    """Structural invariants on real data: spans are within bounds,
+    non-overlapping, at least n tokens long, and every span's windows
+    really are corpus-duplicated (round-trip through the corpus-wide
+    counts); min_count raises the bar monotonically."""
+    from vinum_spark.operators.dedup import duplicated_ngram_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = 8
+    spans = duplicated_ngram_spans(docs, n=n).collect()
+    assert spans  # the synthetic corpus plants duplicates
+    by_doc = {}
+    for r in spans:
+        assert r["span_len"] >= n
+        assert 0 <= r["span_start"]
+        assert r["span_start"] + r["span_len"] <= r["n_tokens"]
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_len"])
+        )
+    for d, ss in by_doc.items():
+        ss.sort()
+        for (s1, l1), (s2, _) in zip(ss, ss[1:]):
+            assert s1 + l1 < s2 + 1  # disjoint, maximal (gap >= 1... merged)
+    strict = duplicated_ngram_spans(docs, n=n, min_count=5).collect()
+    assert sum(r["span_len"] for r in strict) <= sum(
+        r["span_len"] for r in spans
+    )
+
+
+def test_duplicated_ngram_spans_plan_shape(spark):
+    """Scale pin: the expensive window/md5 explode appears EXACTLY ONCE
+    in the plan (count-over-window, not a groupBy self-join that would
+    recompute the subtree), and no Python appears anywhere."""
+    from vinum_spark.operators.dedup import duplicated_ngram_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = duplicated_ngram_spans(docs, n=8)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Generate posexplode") == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

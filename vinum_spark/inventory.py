@@ -5532,6 +5532,75 @@ def q107(spark, sf_dir):
 
 
 @_q(
+    "q108_duplicated_ngram_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, len(ws) AS n_tokens, ws,
+             unnest(generate_series(1, greatest(len(ws) - 8 + 1, 0))) AS i
+      FROM toks
+    ),
+    winh AS (
+      SELECT doc_id, n_tokens, i - 1 AS start,
+             md5(array_to_string(ws[i : i + 8 - 1], ' ')) AS h
+      FROM wins
+    ),
+    dup AS (SELECT h FROM winh GROUP BY h HAVING count(*) >= 2),
+    dw AS (SELECT w.doc_id, w.n_tokens, w.start FROM winh w JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, n_tokens, start,
+             CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start)
+                       IS NULL
+                   OR start > lag(start) OVER (
+                        PARTITION BY doc_id ORDER BY start) + 8 - 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM dw
+    ),
+    isl2 AS (
+      SELECT doc_id, n_tokens, start,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(min(start) AS BIGINT) AS span_start,
+           CAST(max(start) + 8 - min(start) AS BIGINT) AS span_len
+    FROM isl2 GROUP BY doc_id, n_tokens, island
+    ORDER BY doc_id, span_start
+    """,
+    "Exact-substring duplication spans — the ExactSubstr method of "
+    "Lee et al. 2022 re-expressed relationally (the reference method "
+    "is a single-machine suffix array; here the window explode is "
+    "bounded by tokens-per-doc, the only corpus-sized shuffle is the "
+    "partial-aggregated window-hash count, and the span merge is "
+    "per-document gaps-and-islands in one window function). Every "
+    "8-token window repeated >=2 times across the corpus marks its "
+    "span; overlapping windows merge into maximal (span_start, "
+    "span_len) rows per document. The oracle recomputes the whole "
+    "chain in DuckDB — window hashing, the duplicate threshold, and "
+    "the island merge — so a drift in tokenization, window indexing, "
+    "hashing, or the merge arithmetic hash-mismatches.",
+)
+def q108(spark, sf_dir):
+    from vinum_spark.operators.dedup import duplicated_ngram_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        duplicated_ngram_spans(d, n=8, min_count=2)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "span_start",
+            "span_len",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@_q(
     "q106_hf_tokenizer_json",
     _q89_oracle(
         base=_q88_oracle(
@@ -5699,10 +5768,11 @@ def q106(spark, sf_dir):
 _GATE_HEAD = (
     # flagship + core SQL (filter/project, aggregates, distinct,
     # having, sort/limit, math/string/datetime, CASE, conditional agg)
+    # (q108, registered this round, seats per the new-query rule; q21
+    # rollup steps out — fresh r15 row, and ROLLUP is GROUPING SETS
+    # sugar whose machinery the seated q47 drives)
     "q01_pricing_summary",
     "q07_orderby_limit_offset",
-    # joins / windows / grouping extensions
-    "q21_rollup",
     "q15_anti_join",
     "q19_window_running",
     "q20_set_ops",
@@ -5756,6 +5826,7 @@ _GATE_HEAD = (
     # + q104, whose oracle IS the q95/q98 program extended with
     # chunking)
     "q107_store_base_delta_dedup",
+    "q108_duplicated_ngram_spans",
     # round-14/15 additions: exact GPT-2, streaming pipelines, the
     # four round-15 promotions (decode round-trip, chunking, packing,
     # stream-store dedup), and the two round-15 NEW queries (q104

@@ -970,3 +970,171 @@ def dedup_against_store(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_pattern: str = "[a-z0-9]+",
+) -> DataFrame:
+    """Exact-substring duplication spans — the ExactSubstr method of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), re-expressed relationally: a token window of
+    length ``n`` that appears at least ``min_count`` times ACROSS THE
+    CORPUS (self-repeats within one document count — boilerplate
+    headers repeat inside crawls too) marks its span duplicated, and
+    overlapping duplicated windows merge into maximal spans.
+
+    Returns one row per (document, span): ``id_col``, ``span_start``
+    (0-based token index), ``span_len`` (tokens), plus the document's
+    ``n_tokens`` — the shape both :func:`remove_duplicated_spans` and
+    a coverage report consume. Documents with no duplicated window
+    produce no rows.
+
+    Scale shape (the reference method is a suffix array over the
+    concatenated corpus — inherently single-machine): here the window
+    explode is bounded by tokens-per-doc (the same cost class as
+    tokenization, embarrassingly parallel), the ONLY corpus-sized
+    shuffle is the window-hash count (partial-aggregated map-side),
+    the dup-hash join shuffles window rows on the hash key, and the
+    span merge is a per-document sort inside one window function —
+    gaps-and-islands, no driver loop, no all-pairs anywhere. Windows
+    are keyed by md5 of the window TEXT, not a rolling hash: no
+    collision step needed.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    # _spread: a single small parquet file scans as ONE partition and
+    # would serialize the per-document window/md5 HOFs on one core —
+    # the same fix every other interpreted map stage in this module
+    # carries (see _shingle_frame)
+    toks = _spread(docs, id_col).select(
+        F.col(id_col),
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
+        ).alias("__ws"),
+    )
+    wins = toks.select(
+        id_col,
+        F.size("__ws").alias("n_tokens"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(0, size(__ws) - {n} + 1)),"
+                f" i -> md5(concat_ws(' ', slice(__ws, i, {n}))))"
+            )
+        ).alias("__start", "__h"),
+    )
+    # count-over-window instead of groupBy+self-join: the expensive
+    # window/md5 explode is referenced ONCE (Spark recomputes a plan
+    # subtree per reference — a self-join would run it twice) and the
+    # corpus-sized work is a single Exchange on the window hash
+    w_h = Window.partitionBy("__h")
+    dup_wins = (
+        wins.withColumn("__cnt", F.count(F.lit(1)).over(w_h))
+        .filter(F.col("__cnt") >= min_count)
+        .select(id_col, "n_tokens", "__start")
+    )
+    # gaps-and-islands: consecutive duplicated windows whose starts are
+    # within n of each other overlap -> one span. __start is 0-based
+    # (posexplode index), window end token = start + n - 1.
+    w_ord = Window.partitionBy(id_col).orderBy("__start")
+    spans = (
+        dup_wins.withColumn("__prev", F.lag("__start").over(w_ord))
+        .withColumn(
+            "__new_island",
+            (F.col("__prev").isNull() | (F.col("__start") > F.col("__prev") + n - 1)).cast("int"),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new_island").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "n_tokens", "__island")
+        .agg(
+            F.min("__start").alias("span_start"),
+            (F.max("__start") + n - F.min("__start")).alias("span_len"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_len").cast("bigint").alias("span_len"),
+        )
+    )
+    return spans
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_pattern: str = "[a-z0-9]+",
+) -> DataFrame:
+    """Apply :func:`duplicated_ngram_spans`: every document comes back
+    with its duplicated spans dropped — ``kept_text`` (the surviving
+    tokens re-joined with single spaces; token-level surgery cannot
+    preserve the original inter-token whitespace, the same contract as
+    the reference method's token-stream output), ``n_tokens``,
+    ``dup_tokens`` (tokens removed), and ``n_spans``. Documents with
+    no duplicated window pass through whole. One extra shuffle over
+    the span op: the spans aggregate back onto their documents
+    (doc-keyed, partial-aggregated)."""
+    spans = duplicated_ngram_spans(
+        docs, n=n, min_count=min_count, text_col=text_col,
+        id_col=id_col, token_pattern=token_pattern,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+        # half-open [start, end) pairs, compact for the filter below
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                (F.col("span_start") + F.col("span_len")).alias("e"),
+            )
+        ).alias("__spans"),
+    )
+    toks = _spread(docs, id_col).select(
+        F.col(id_col),
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
+        ).alias("__ws"),
+    )
+    joined = toks.join(per_doc, id_col, "left")
+    # keep token i unless some span covers it; spans-per-doc is small
+    # (merged, disjoint), so the HOF scan is O(tokens x spans) with a
+    # tiny constant — still map-side, no extra shuffle
+    return joined.select(
+        id_col,
+        F.size("__ws").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.when(F.col("__spans").isNull(), F.concat_ws(" ", F.col("__ws")))
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.transform(
+                        F.col("__ws"),
+                        lambda t, i: F.when(
+                            F.exists(
+                                F.col("__spans"),
+                                lambda sp: (i >= sp["s"]) & (i < sp["e"]),
+                            ),
+                            F.lit(None).cast("string"),
+                        ).otherwise(t),
+                    ),
+                    lambda t: t.isNotNull(),
+                ),
+            )
+        )
+        .alias("kept_text"),
+    )
