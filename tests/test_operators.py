@@ -860,6 +860,46 @@ def test_duplicated_ngram_spans_matches_python_reference(spark):
         assert out[d]["n_spans"] == len(ref_spans.get(d, []))
 
 
+def test_duplicated_ngram_spans_short_docs(spark):
+    """Regression: a document with fewer than n tokens (or no tokens at
+    all) must not crash the window builder — sequence(1, 0) is the
+    DESCENDING [1, 0] in Spark, so the unguarded transform evaluated
+    slice(__ws, 0, n) and raised on any short doc. Short docs simply
+    contribute no windows; remove_duplicated_spans passes them through
+    whole."""
+    from vinum_spark.operators.dedup import (
+        duplicated_ngram_spans,
+        remove_duplicated_spans,
+    )
+
+    boiler = "shared boilerplate run of exactly six tokens here yes"
+    rows = [
+        (1, f"doc one {boiler} tail"),
+        (2, f"{boiler} doc two body"),
+        (3, "tiny"),              # 1 token < n
+        (4, ""),                  # no tokens at all
+        (5, "exactly four tokens here"),  # == n: one window, unique
+        (6, "!!! ... ---"),       # tokens regex matches nothing
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 4
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in duplicated_ngram_spans(docs, n=n).collect()
+    }
+    ref_spans, ref_lens = _py_duplicated_spans(rows, n)
+    want = {(d, s, l) for d, spans in ref_spans.items() for s, l in spans}
+    assert got == want
+    assert {r[0] for r in got} == {1, 2}  # only the boilerplate pair
+
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=n).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert out[3]["kept_text"] == "tiny" and out[3]["n_spans"] == 0
+    assert out[4]["kept_text"] == "" and out[4]["n_tokens"] == 0
+    assert out[5]["kept_text"] == "exactly four tokens here"
+    assert out[6]["kept_text"] == "" and out[6]["n_tokens"] == 0
+
+
 def test_duplicated_ngram_spans_properties(spark):
     """Structural invariants on real data: spans are within bounds,
     non-overlapping, at least n tokens long, and every span's windows

@@ -997,13 +997,20 @@ def duplicated_ngram_spans(
     Scale shape (the reference method is a suffix array over the
     concatenated corpus — inherently single-machine): here the window
     explode is bounded by tokens-per-doc (the same cost class as
-    tokenization, embarrassingly parallel), the ONLY corpus-sized
-    shuffle is the window-hash count (partial-aggregated map-side),
-    the dup-hash join shuffles window rows on the hash key, and the
-    span merge is a per-document sort inside one window function —
-    gaps-and-islands, no driver loop, no all-pairs anywhere. Windows
-    are keyed by md5 of the window TEXT, not a rolling hash: no
-    collision step needed.
+    tokenization, embarrassingly parallel), and the corpus-sized cost
+    is ONE Exchange on the window hash carrying the full exploded
+    window set (≈ corpus token count) into a count-over-window — NOT
+    map-side partial-aggregated; the trade, deliberately taken, is
+    that the expensive window/md5 explode appears exactly ONCE in the
+    plan (a groupBy+semi-join would partial-aggregate the count but
+    recompute the explode subtree on the join's probe side). The span
+    merge after the filter is a per-document sort inside one window
+    function — gaps-and-islands, no driver loop, no all-pairs
+    anywhere. Windows are keyed by md5 of the window TEXT, not a
+    rolling hash: no collision step needed. Skew note: a single
+    pathological window text repeated across the corpus lands its
+    copies in one ``__h`` partition; the 10×/100× salted-copy anchor
+    in BASELINE.md measures exactly that worst case.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -1022,10 +1029,17 @@ def duplicated_ngram_spans(
     wins = toks.select(
         id_col,
         F.size("__ws").alias("n_tokens"),
+        # short-doc guard: sequence(1, 0) is the DESCENDING [1, 0] in
+        # Spark (see text.py's note on the same trap), so a document
+        # with fewer than n tokens would evaluate slice(__ws, 0, n) and
+        # raise (SQL array indices start at 1). Explicit empty array ->
+        # posexplode drops the row, which is the correct semantics: a
+        # short doc has no length-n window.
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, greatest(0, size(__ws) - {n} + 1)),"
-                f" i -> md5(concat_ws(' ', slice(__ws, i, {n}))))"
+                f"if(size(__ws) < {n}, array(),"
+                f" transform(sequence(1, size(__ws) - {n} + 1),"
+                f" i -> md5(concat_ws(' ', slice(__ws, i, {n})))))"
             )
         ).alias("__start", "__h"),
     )
