@@ -5765,6 +5765,33 @@ def q106(spark, sf_dir):
 #: decode round-trip + q101 chunking (q105 published encode/decode +
 #: q104 in-stream chunking exercise supersets), q102 pack-token-blocks
 #: (q71 pack_sequences keeps the packing family).
+#:
+#: Round-17 rotation (VERDICT r16 item 2): q30 SimHash (last row r11,
+#: trips the staleness window the moment CORRECTNESS_r17 lands) PLUS
+#: the entire r12 cohort — the ten queries whose last driver row is
+#: r12 and would trip the same check at round 18 (q17 scalar subquery,
+#: q24 sessionize, q26 lang-id, q32 ANN-LSH, q34 JSON extract, q39
+#: embedding near-dup pairs, q49 streaming tumbling, q64 repetition
+#: signals, q74 mixture sample, q76 encode tokens). Eleven
+#: family-redundant members with fresh r16 rows step out, each with an
+#: in-gate sibling pinning its machinery: q20 set ops (golden suite +
+#: the differential fuzz's UNION/EXCEPT/INTERSECT shapes — the same
+#: coverage argument that retired q02-q12), q23 batch tumbling window
+#: (q49 streaming tumbling seats the identical time_bucket agg; q19
+#: keeps windows), q28 n-gram Jaccard (the exact-Jaccard verify runs
+#: INSIDE the gated q29 chain), q31 cosine top-k (q78 kNN join drives
+#: the same block-BLAS cosine; q32/q56 keep LSH+verify), q40
+#: vectorized UDF (q48 grouped-agg UDF keeps the Arrow UDF family;
+#: np.* routing is golden- and fuzz-pinned), q43 token explode
+#: (posexplode machinery inside the gated q108 + tokenizer chains),
+#: q45 Table.sql pipeline (the mechanism every golden-suite case runs
+#: through; q01/q07 stay), q53 stateful streaming dedup (q103
+#: store-backed + q104's dropDuplicatesWithinWatermark chain keep
+#: streaming dedup), q57 skew-salted agg (q86 keeps the AQE skew
+#: machinery; salting equality pinned in-suite), q59 stratified sample
+#: (q74 mixture sample seats the same md5-threshold machinery;
+#: q62/q71 stay), q68 decontamination (runs INSIDE the gated q75
+#: prepare_corpus chain with decontaminate_against set).
 _GATE_HEAD = (
     # flagship + core SQL (filter/project, aggregates, distinct,
     # having, sort/limit, math/string/datetime, CASE, conditional agg)
@@ -5774,41 +5801,41 @@ _GATE_HEAD = (
     "q01_pricing_summary",
     "q07_orderby_limit_offset",
     "q15_anti_join",
+    "q17_scalar_subquery",
     "q19_window_running",
-    "q20_set_ops",
-    "q23_events_tumbling_window",
+    "q34_json_extract",
     "q35_percentiles",
     "q41_null_semantics",
-    "q45_table_sql_pipeline",
     "q47_grouping_sets",
+    "q24_events_sessionize",
     "q29_minhash_lsh_dedup",
-    "q31_cosine_topk",
+    "q30_simhash",
     "q33_asof_join",
-    "q40_vectorized_udf",
-    "q43_token_explode",
+    "q39_embedding_neardup_pairs",
     "q48_grouped_agg_udf",
     # streaming
+    "q49_streaming_tumbling",
     "q51_streaming_sliding",
-    "q53_streaming_stateful_dedup",
     "q54_winnowing_pairs",
     "q55_stream_interval_join",
     # text / dedup / sampling pipeline operators
     "q25_text_stats",
-    "q28_ngram_jaccard",
+    "q26_lang_id",
     "q56_embedding_lsh_verify",
-    "q57_skew_salted_agg",
     "q58_quality_rules",
-    "q59_stratified_sample",
     "q61_pii_redaction",
     "q62_deterministic_shard",
     "q63_dedup_clusters",
-    "q68_decontamination",
+    "q64_repetition_signals",
     "q69_boilerplate_removal",
     "q71_pack_sequences",
     "q72_incremental_dedup",
     "q73_bm25_search",
+    "q74_mixture_sample",
     "q75_prepare_corpus",
+    "q76_encode_tokens",
     # ANN / media
+    "q32_ann_lsh",
     "q46_ann_ivf",
     "q52_multimodal_metadata",
     "q78_knn_join",
