@@ -336,6 +336,84 @@ def test_delta_files_get_a_grace_cycle(spark, tmp_path):
     assert read_store_fingerprints(spark, root, 2).count() == 30
 
 
+def test_store_delta_frame_base_version_closes_grace_double_read(
+    spark, tmp_path
+):
+    """The grace-cycle delta double-read is closed: a reader that pins
+    its delta scan to the version its base TABLE actually reads
+    (store_table_version) gets only the unmerged delta files — during
+    the grace cycle each fingerprint reaches the join from EXACTLY ONE
+    side — while a version-less reader still gets the documented
+    always-correct superset, and a reader on the grace base keeps the
+    merged files it genuinely needs."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.io.bucketing import (
+        append_fingerprints,
+        compact_fingerprint_store,
+        ensure_fingerprint_store,
+        store_delta_frame,
+        store_table_version,
+    )
+
+    root = str(tmp_path / "store")
+    tbl = ensure_fingerprint_store(spark, root, buckets=2)
+
+    def fps(lo, hi):
+        return spark.range(lo, hi).select(
+            F.md5(F.col("id").cast("string")).alias("fingerprint")
+        )
+
+    append_fingerprints(fps(0, 30), root, buckets=2)
+    compact_fingerprint_store(spark, root, buckets=2)  # -> v1, grace A
+    append_fingerprints(fps(30, 50), root, buckets=2)  # unmerged B
+
+    assert store_table_version(spark, tbl) == 1
+    # version-less: full superset (A grace files + B) — 50 rows
+    assert store_delta_frame(spark, root).count() == 50
+    # pinned to the base this session reads: only B — no double-read
+    pinned = store_delta_frame(spark, root, base_version=1)
+    assert pinned.count() == 20
+    base = spark.table(tbl).select("fingerprint")
+    both = base.unionByName(pinned)
+    # each fingerprint arrives from exactly one side, even WITHOUT a
+    # dropDuplicates: base(30 A) ∪ pinned-delta(20 B), all distinct
+    assert both.count() == 50
+    assert both.distinct().count() == 50
+    # a reader still on the GRACE base (v0 = the empty initial base)
+    # must keep the merged files: v0 has no manifest, superset returned
+    assert store_delta_frame(spark, root, base_version=0).count() == 50
+
+    # next cycle: v2 absorbs B (+ folds lingering A); B files now grace
+    compact_fingerprint_store(spark, root, buckets=2)
+    assert store_table_version(spark, tbl) == 2
+    assert spark.table(tbl).count() == 50
+    # pinned to v2: B's grace files excluded -> nothing unmerged left
+    assert store_delta_frame(spark, root, base_version=2) is None
+    # a reader whose catalog still points at v1 (another session that
+    # has not re-opened) pins to v1 and keeps B — its membership stays
+    # complete: base v1 (30) + delta (20)
+    v1_delta = store_delta_frame(spark, root, base_version=1)
+    assert v1_delta.count() == 20
+
+
+def test_append_fingerprints_skips_empty_batches(spark, tmp_path):
+    """An all-duplicate micro-batch (empty survivor frame) must not
+    land footer-only parquet files in delta/ — they would count toward
+    the compaction trigger and force merges of no data."""
+    from vinum_spark.io.bucketing import (
+        _delta_files,
+        append_fingerprints,
+        ensure_fingerprint_store,
+    )
+
+    root = str(tmp_path / "store")
+    ensure_fingerprint_store(spark, root, buckets=2)
+    empty = spark.createDataFrame([], "fingerprint string")
+    append_fingerprints(empty, root, buckets=2)
+    assert _delta_files(spark, root) == []
+
+
 def test_fingerprint_store_ignores_incomplete_versions(spark, tmp_path):
     """Crash-safety invariant: a version directory without _SUCCESS (a
     compaction that died mid-write) is INVISIBLE — discovery keeps the
@@ -554,6 +632,16 @@ def test_break_compaction_lease_liveness_check(spark, tmp_path):
     with pytest.raises(RuntimeError, match="force"):
         break_compaction_lease(spark, root)
     os.remove(lease)
+
+    # an UNREADABLE lease (here: a directory, which fs.open rejects)
+    # must land in the same documented unverifiable-pass-force branch —
+    # regression: the exception-path dict lacked pidns/ticks keys and
+    # the recovery tool died with a KeyError instead
+    os.makedirs(lease)
+    with pytest.raises(RuntimeError, match="force"):
+        break_compaction_lease(spark, root)
+    assert "<unreadable>" in break_compaction_lease(spark, root, force=True)
+    assert not os.path.exists(lease)
 
     # the escape hatch: compact(force_break_lease=True) breaks a dead
     # holder's lease and proceeds; it also clears UNVERIFIABLE leases

@@ -5500,6 +5500,7 @@ def q107(spark, sf_dir):
         compact_fingerprint_store,
         ensure_fingerprint_store,
         store_delta_frame,
+        store_table_version,
     )
     from vinum_spark.operators.dedup import dedup_against_store
     from vinum_spark.operators.text import with_fingerprint
@@ -5522,7 +5523,12 @@ def q107(spark, sf_dir):
         buckets=8,
     )
     base = spark.table(tbl).select("fingerprint")
-    delta = store_delta_frame(spark, store)
+    # base_version excludes grace files merged into THIS base from the
+    # delta read — here the v1 manifest names the first append's files,
+    # so the delta side is exactly the second (post-compaction) append
+    delta = store_delta_frame(
+        spark, store, base_version=store_table_version(spark, tbl)
+    )
     out = dedup_against_store(
         d, base, extra_stores=[delta] if delta is not None else []
     )

@@ -369,13 +369,25 @@ def ensure_fingerprint_store(spark, store_path: str, buckets: int) -> str:
     write is what stamps ``_SUCCESS`` — an empty directory would be an
     incomplete version) and registers over it.
 
-    Also enables ``spark.sql.legacy.bucketedTableScan.outputOrdering``
-    for the session: with it, a bucketed-sorted scan whose buckets each
-    hold EXACTLY ONE file reports its sort order, and the merge join
-    against the base needs no store-side Sort — the property the
-    immutable base exists for. The config's documented cost (planning
-    lists files to verify one-file-per-bucket) is ~``buckets`` names
-    per store version here.
+    .. warning:: SESSION-GLOBAL side effect. Opening a store sets
+       ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` for
+       the WHOLE session, which changes planning for every other
+       bucketed-table scan in it: with the flag on, planning any
+       bucketed scan lists its files to verify one-file-per-bucket
+       (~``buckets`` names per store version here — cheap — but paid
+       by unrelated bucketed tables too, and a many-files bucketed
+       table elsewhere in the session pays a real listing). The store
+       REQUIRES the flag: it is what lets the one-sorted-file-per-
+       bucket base report its sort order so the merge join against it
+       needs no store-side Sort — the property the immutable base
+       exists for. The open fails loudly if the flag cannot be read
+       back as ``true`` (an engine that drops this legacy knob would
+       otherwise silently resurrect the per-batch store Sort; the
+       executed-plan shape itself is pinned in
+       tests/test_plans.py::test_bucketed_store_anti_join_shuffles_
+       only_the_batch). If another workload in the session must run
+       with the flag off, use separate sessions
+       (``spark.newSession()`` shares the JVM but not the conf).
 
     ``buckets`` must match across every open of one store (it is the
     physical file layout); size it like any bucket count — fingerprint
@@ -383,9 +395,17 @@ def ensure_fingerprint_store(spark, store_path: str, buckets: int) -> str:
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
-    spark.conf.set(
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
-    )
+    _ORDER_FLAG = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(_ORDER_FLAG, "true")
+    if str(spark.conf.get(_ORDER_FLAG, "false")).lower() != "true":
+        # a future engine dropping/ignoring this legacy knob would
+        # silently resurrect the per-batch store-side Sort the
+        # base+delta design exists to elide — fail the open instead
+        raise RuntimeError(
+            f"{_ORDER_FLAG} could not be enabled on this session; the "
+            "fingerprint store's sort-elided merge join depends on it "
+            "(see ensure_fingerprint_store docstring)."
+        )
     table = store_table_name(store_path)
     cur = current_store_version(spark, store_path)
     if cur is None:
@@ -432,6 +452,14 @@ def append_fingerprints(df: DataFrame, store_path: str, buckets: int) -> None:
     point)."""
     spark = df.sparkSession
     _check_store_buckets(spark, store_path, buckets)
+    # An all-duplicate micro-batch survives as an EMPTY frame; writing
+    # it would land footer-only part files in delta/ that count toward
+    # store_delta_file_count and trigger compactions merging no data.
+    # The guard is a limit-1 probe — cheap in the streaming carrier,
+    # where the batch is persisted and already materialized by the
+    # output write that precedes the append.
+    if df.isEmpty():
+        return
     (
         df.select("fingerprint")
         .repartition(_DELTA_FILES_PER_APPEND)
@@ -454,19 +482,54 @@ def _delta_files(spark, store_path: str) -> list:
     return out
 
 
-def store_delta_frame(spark, store_path: str) -> Optional[DataFrame]:
-    """DataFrame over ALL the store's delta files, or None when the
-    delta is empty. Reads an explicit SNAPSHOT of file paths, so a
+def store_table_version(spark, table: str) -> Optional[int]:
+    """The store version a catalog ``table`` actually READS — parsed
+    from its registered location's trailing ``v<k>`` segment (None for
+    an unregistered table or a non-versioned location). This, not
+    :func:`current_store_version`, is what a reader must pass as
+    ``base_version`` to :func:`store_delta_frame`: a compaction by
+    ANOTHER process re-points only its own in-memory catalog, so this
+    session's table may legitimately still read the grace version
+    while the store root already holds a newer one."""
+    loc = _table_location(spark, table)
+    if loc is None:
+        return None
+    m = re.search(r"/v(\d+)/?$", loc)
+    return int(m.group(1)) if m else None
+
+
+def store_delta_frame(
+    spark, store_path: str, base_version: Optional[int] = None
+) -> Optional[DataFrame]:
+    """DataFrame over the store's delta files, or None when the delta
+    is empty. Reads an explicit SNAPSHOT of file paths, so a
     concurrent append landing mid-read cannot fail the scan.
 
-    Deliberately includes files already merged into the CURRENT base
-    (kept for one grace cycle, see :func:`compact_fingerprint_store`):
-    for a reader still on the GRACE base they are the difference
-    between complete and silently-missing membership, and for a
-    current-base reader they are a harmless superset (an anti-join can
-    only suppress what the base suppresses anyway) costing at most one
-    extra delta-cycle of join input."""
+    ``base_version`` — the version number the caller's BASE scan reads
+    (from :func:`store_table_version`; NOT a fresh
+    :func:`current_store_version` call, which can race one version
+    ahead of the registered table). When given, delta files recorded
+    as merged into THAT version (its ``_merged_delta.json``) are
+    excluded: their fingerprints are by construction contained in that
+    base, so base ∪ delta is unchanged while the delta-side join input
+    drops by the grace files — closing the one-cycle ≤2× delta read
+    the grace design otherwise costs after every compaction.
+
+    When ``base_version`` is None the full superset comes back —
+    correct for ANY base version: for a reader still on the GRACE base
+    the merged files are the difference between complete and
+    silently-missing membership, and for a current-base reader they
+    are a harmless superset (an anti-join can only suppress what the
+    base suppresses anyway)."""
     files = _delta_files(spark, store_path)
+    if base_version is not None and files:
+        merged = _merged_manifest(spark, store_path, base_version)
+        if merged:
+            import posixpath
+
+            files = [
+                f for f in files if posixpath.basename(f) not in merged
+            ]
     if not files:
         return None
     return spark.read.schema("fingerprint string").parquet(*files)
@@ -483,7 +546,9 @@ def read_store_fingerprints(spark, store_path: str, buckets: int) -> DataFrame:
     one unpartitioned, unsorted input."""
     table = ensure_fingerprint_store(spark, store_path, buckets)
     base = spark.table(table).select("fingerprint")
-    delta = store_delta_frame(spark, store_path)
+    delta = store_delta_frame(
+        spark, store_path, base_version=store_table_version(spark, table)
+    )
     if delta is None:
         return base
     return base.unionByName(delta).dropDuplicates(["fingerprint"])
@@ -518,7 +583,17 @@ def _read_lease(fs, jvm, lease) -> dict:
         raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
         stream.close()
     except Exception:
-        return {"holder": "<unreadable>", "host": None, "pid": None}
+        # same key set as the parsed form: break_compaction_lease reads
+        # info['pidns']/info['ticks'] unconditionally, and an unreadable
+        # lease must land in its documented 'unverifiable, pass force'
+        # branch — not a KeyError
+        return {
+            "holder": "<unreadable>",
+            "host": None,
+            "pid": None,
+            "pidns": None,
+            "ticks": None,
+        }
     parts = raw.split("\x1f")
     out = {
         "holder": parts[0] or "<empty>",

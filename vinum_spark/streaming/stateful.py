@@ -173,6 +173,7 @@ def run_stream_dedup_against_store(
         ensure_fingerprint_store,
         store_delta_file_count,
         store_delta_frame,
+        store_table_version,
     )
     from vinum_spark.operators.dedup import dedup_against_store
     from vinum_spark.streaming.windows import (
@@ -193,9 +194,19 @@ def run_stream_dedup_against_store(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         extra = []
         if store_buckets is not None:
-            # base: exchange- and sort-elided; delta: O(delta) side join
+            # base: exchange- and sort-elided; delta: O(delta) side
+            # join. base_version pins the delta read to the version
+            # THIS table scans, so delta files already merged into
+            # that base (grace files) are excluded — without it every
+            # post-compaction cycle joined the merged fingerprints
+            # twice (base AND delta) until the next compaction deleted
+            # them, doubling the delta-side input for one cycle.
             store = spark.table(store_table).select("fingerprint")
-            delta = store_delta_frame(spark, store_path)
+            delta = store_delta_frame(
+                spark,
+                store_path,
+                base_version=store_table_version(spark, store_table),
+            )
             if delta is not None:
                 extra.append(delta)
         elif _hadoop_path_exists(spark, store_path):
