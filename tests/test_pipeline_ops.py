@@ -1984,6 +1984,14 @@ def test_save_load_tokenizer_hf_single_file(spark, tmp_path):
     doc = json.load(open(tj, encoding="utf-8"))
     assert doc["model"]["type"] == "BPE"
     assert doc["pre_tokenizer"]["type"] == "Sequence"
+    # the Split stage must be the keep-matches-drop-gaps spelling
+    # (Removed + invert=true, the converted-GPT-4-class shape): under
+    # the real tokenizers library, Isolated+invert=false would keep
+    # non-matching gap text as extra segments and disagree with this
+    # repo's regexp_extract_all ids on any gap-bearing input
+    sp = doc["pre_tokenizer"]["pretokenizers"][0]
+    assert sp["type"] == "Split"
+    assert sp["behavior"] == "Removed" and sp["invert"] is True
     assert [t["content"] for t in doc["added_tokens"]] == ["<|endoftext|>"]
     assert doc["added_tokens"][0]["special"] is True
     assert "<|endoftext|>" in doc["model"]["vocab"]
@@ -2088,6 +2096,135 @@ def test_load_tokenizer_hf_accepts_published_shapes(spark, tmp_path):
     assert alt["special_tokens"] == ("<|endoftext|>", "<|pad|>")
     pad = [r for r in alt["vocab"].collect() if r["token"] == "<|pad|>"]
     assert pad and pad[0]["token_id"] == 999 and pad[0]["is_special"]
+
+
+def test_load_tokenizer_hf_split_semantics_and_whitespace(spark, tmp_path):
+    """Split behavior/invert fidelity matrix: Removed+invert=true (the
+    keep-matches shape save_tokenizer_hf writes, and converted GPT-4
+    artifacts ship) and Isolated+invert=false (Llama-3, tiling
+    patterns) both load with the regex surfaced; every other
+    combination raises naming itself — Removed+invert=false keeps ONLY
+    the gaps, MergedWith*/Contiguous re-attach delimiters, none of
+    which regexp_extract_all can reproduce. A Whitespace stage maps to
+    the documented Java translation of HF's fixed regex. added_tokens
+    with special: false (chat-template markers in real artifacts) are
+    honored: literal class, declared id."""
+    import json
+
+    import pytest
+
+    from vinum_spark.operators.text import (
+        HF_WHITESPACE_PATTERN,
+        learn_bpe_merges,
+        load_tokenizer_hf,
+        save_tokenizer_hf,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ab aa")], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(
+        docs, n_merges=2, byte_level=True, token_pattern="[^ ]+"
+    )
+    tj = str(tmp_path / "base.json")
+    # the save side writes the gap-dropping pattern faithfully even
+    # for the non-tiling '[^ ]+' (its gaps are the spaces)
+    save_tokenizer_hf(merges, tj, token_pattern="[^ ]+")
+    base_doc = json.load(open(tj, encoding="utf-8"))
+    sp = base_doc["pre_tokenizer"]["pretokenizers"][0]
+    assert (sp["behavior"], sp["invert"]) == ("Removed", True)
+    assert load_tokenizer_hf(spark, tj)["token_pattern"] == "[^ ]+"
+
+    def variant(name, **split_fields):
+        d = json.loads(json.dumps(base_doc))
+        d["pre_tokenizer"]["pretokenizers"][0].update(split_fields)
+        p = str(tmp_path / name)
+        json.dump(d, open(p, "w", encoding="utf-8"), ensure_ascii=False)
+        return p
+
+    # Isolated+invert=false (Llama-3 spelling): accepted, documented
+    # tiling assumption
+    ok = variant("isolated.json", behavior="Isolated", invert=False)
+    assert load_tokenizer_hf(spark, ok)["token_pattern"] == "[^ ]+"
+    # gap-keeping / delimiter-reattaching combos: loud refusal
+    for name, fields in [
+        ("gaps.json", {"behavior": "Removed", "invert": False}),
+        ("isoinv.json", {"behavior": "Isolated", "invert": True}),
+        ("mprev.json", {"behavior": "MergedWithPrevious", "invert": False}),
+        ("contig.json", {"behavior": "Contiguous", "invert": True}),
+    ]:
+        with pytest.raises(ValueError, match="no regexp_extract_all"):
+            load_tokenizer_hf(spark, variant(name, **fields))
+
+    # Whitespace stage inside the Sequence -> the documented mapping
+    d = json.loads(json.dumps(base_doc))
+    d["pre_tokenizer"]["pretokenizers"][0] = {"type": "Whitespace"}
+    pw = str(tmp_path / "ws.json")
+    json.dump(d, open(pw, "w", encoding="utf-8"), ensure_ascii=False)
+    assert (
+        load_tokenizer_hf(spark, pw)["token_pattern"]
+        == HF_WHITESPACE_PATTERN
+    )
+    # ...and standalone Whitespace (no ByteLevel) is still refused as
+    # non-byte-level, not crashed on
+    d2 = json.loads(json.dumps(base_doc))
+    d2["pre_tokenizer"] = {"type": "Whitespace"}
+    pw2 = str(tmp_path / "ws_only.json")
+    json.dump(d2, open(pw2, "w", encoding="utf-8"), ensure_ascii=False)
+    with pytest.raises(ValueError, match="not ByteLevel"):
+        load_tokenizer_hf(spark, pw2)
+
+    # a special: false added token (HF still extracts it before BPE
+    # and decodes it literally) lands in the literal class at its id
+    d3 = json.loads(json.dumps(base_doc))
+    d3["added_tokens"].append(
+        {"id": 777, "content": "<fim_middle>", "single_word": False,
+         "lstrip": False, "rstrip": False, "normalized": False,
+         "special": False}
+    )
+    p3 = str(tmp_path / "nonspecial.json")
+    json.dump(d3, open(p3, "w", encoding="utf-8"), ensure_ascii=False)
+    got = load_tokenizer_hf(spark, p3)
+    fim = [r for r in got["vocab"].collect() if r["token"] == "<fim_middle>"]
+    assert fim and fim[0]["token_id"] == 777 and fim[0]["is_special"]
+    assert "<fim_middle>" in got["special_tokens"]
+
+
+def test_hf_whitespace_pattern_matches_rust_semantics(spark):
+    """HF_WHITESPACE_PATTERN is the Java translation of the Rust regex
+    \\w+|[^\\w\\s]+ that HF's Whitespace pre-tokenizer hard-codes —
+    pin the translation against hand-derived expectations covering
+    each class: letters+marks+digits+connector (word branch),
+    punctuation runs (non-word branch), Unicode whitespace dropped,
+    ZWJ/ZWNJ in the word branch (Join_Control is in Rust \\w)."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.text import HF_WHITESPACE_PATTERN
+
+    cases = [
+        ("hello, wörld!", ["hello", ",", "wörld", "!"]),
+        ("a_b\tc\u00a0d", ["a_b", "c", "d"]),  # tab + NBSP both \\s
+        ("x1y2 ... 3", ["x1y2", "...", "3"]),
+        ("e\u200df g", ["e\u200df", "g"]),  # ZWJ joins the word branch
+        ("", []),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r["i"]: list(r["toks"])
+        for r in df.select(
+            "i",
+            # Column literal, never SQL text: a SQL string literal
+            # would eat the pattern's backslashes (the same rule the
+            # byte-level tokenizer operators follow)
+            F.regexp_extract_all(
+                "t", F.lit(HF_WHITESPACE_PATTERN), F.lit(0)
+            ).alias("toks"),
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
 
 
 def test_load_tokenizer_hf_rejects_unsupported_semantics(spark, tmp_path):

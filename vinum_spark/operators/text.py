@@ -972,6 +972,20 @@ GPT2_EXACT_LOOKAHEAD_PATTERN = (
     "|[" + _WS_CLS + "]+"
 )
 
+#: HF's ``Whitespace`` pre-tokenizer (``tokenizers::pre_tokenizers::
+#: whitespace::Whitespace``) is the Rust regex ``\w+|[^\w\s]+`` with
+#: matches kept and gaps (whitespace) dropped. This is its Java
+#: translation for ``regexp_extract_all``: Rust ``\w`` is Alphabetic +
+#: Mark + Decimal_Number + Connector_Punctuation + Join_Control
+#: (U+200C/U+200D), spelled with the matching Java properties; Rust
+#: ``\s`` is the Unicode White_Space property, which ``_WS_CLS``
+#: already enumerates. :func:`load_tokenizer_hf` maps a ``Whitespace``
+#: pre-tokenizer stage to this pattern.
+HF_WHITESPACE_PATTERN = (
+    "[\\p{IsAlphabetic}\\p{M}\\p{Nd}\\p{Pc}\u200c\u200d]+"
+    "|[^\\p{IsAlphabetic}\\p{M}\\p{Nd}\\p{Pc}\u200c\u200d" + _WS_CLS + "]+"
+)
+
 
 def gpt2_exact_words_col(text_col: str):
     """Word-array Column implementing ``GPT2_EXACT`` (see the constant
@@ -2218,9 +2232,10 @@ def _classify_published_vocab(
     alone cannot tell specials apart — '<|endoftext|>' is composed
     entirely of printable alphabet chars — so membership in
     {base} ∪ {products} is the rule: exact for the published artifacts
-    (50257 = 256 + 50000 + 1). ``forced_specials`` (HF added_tokens
-    with special=true) override the membership rule — HF extracts them
-    before BPE regardless of spelling. Raises on a missing single-byte
+    (50257 = 256 + 50000 + 1). ``forced_specials`` (HF added_tokens —
+    ALL of them, special flag or not) override the membership rule —
+    HF extracts every added token before BPE regardless of spelling
+    and decodes it literally. Raises on a missing single-byte
     token or an un-idd merge product (each would mis-tokenize quietly
     downstream). Returns (entries=(token, id, is_special) with base/
     product tokens in the INTERNAL alphabet, specials=(published_token,
@@ -2283,12 +2298,20 @@ def save_tokenizer_hf(
     ``token_pattern`` the table was trained with: ``GPT2_EXACT`` (or
     None) writes the bare ``ByteLevel`` with ``use_regex: true``,
     which IS the exact GPT-2 split in HF semantics; a custom regex
-    writes the ``Sequence[Split(Regex), ByteLevel]`` shape
-    (Llama-3-class exports; ``behavior: Isolated`` keeps the regex's
-    matches as the segments, matching this repo's
-    ``regexp_extract_all`` tiling for the tiling patterns BPE
-    training uses). :func:`load_tokenizer_hf` maps both shapes back,
-    so load→tokenize needs no out-of-band pattern knowledge."""
+    writes the ``Sequence[Split(Regex, behavior=Removed, invert=true),
+    ByteLevel]`` shape. ``Removed``+``invert: true`` is the HF
+    spelling of "keep exactly the regex's matches, drop the gaps" —
+    the shape converted GPT-4-class artifacts ship — and it is what
+    this repo's ``regexp_extract_all`` tiling computes, so the export
+    is faithful under the real ``tokenizers`` library even for
+    NON-tiling patterns like ``'[^ ]+'`` whose inter-match gaps carry
+    text. (``Isolated``+``invert: false``, the Llama-3 spelling, would
+    instead keep those gaps as extra segments and disagree with this
+    repo's ids on any gap-bearing input — an earlier round exported
+    that shape; the in-repo round-trip could not catch it because both
+    sides shared the gap-dropping semantics.)
+    :func:`load_tokenizer_hf` maps both shapes back, so load→tokenize
+    needs no out-of-band pattern knowledge."""
     import json
 
     pairs = _collect_published_pairs(merges_df)
@@ -2305,10 +2328,12 @@ def save_tokenizer_hf(
             "type": "Sequence",
             "pretokenizers": [
                 {
+                    # keep-matches-drop-gaps: the faithful HF spelling
+                    # of regexp_extract_all tiling (see docstring)
                     "type": "Split",
                     "pattern": {"Regex": token_pattern},
-                    "behavior": "Isolated",
-                    "invert": False,
+                    "behavior": "Removed",
+                    "invert": True,
                 },
                 {
                     "type": "ByteLevel",
@@ -2361,18 +2386,60 @@ def save_tokenizer_hf(
 
 def _hf_pre_tokenizer_shape(pre) -> "tuple[bool, str | None]":
     """(byte_level, token_pattern) from an HF pre_tokenizer config —
-    accepts the two published byte-level shapes: a bare ``ByteLevel``
-    (GPT-2/RoBERTa exports), whose ``use_regex: true`` (the HF
-    default) IS the exact GPT-2 split and maps to this repo's
-    ``GPT2_EXACT`` sentinel, and a ``Sequence`` of ``Split`` +
-    ``ByteLevel`` (Llama-3-class exports), whose explicit Split regex
-    maps straight to ``token_pattern``. Anything else is not
-    byte-level BPE and the loader refuses."""
+    accepts the published byte-level shapes:
+
+    - bare ``ByteLevel`` (GPT-2/RoBERTa exports), whose ``use_regex:
+      true`` (the HF default) IS the exact GPT-2 split — maps to this
+      repo's ``GPT2_EXACT`` sentinel;
+    - ``Sequence`` of ``Split`` + ``ByteLevel``, where the Split's
+      behavior/invert pair decides what the segments are.
+      ``Removed``+``invert: true`` (converted-GPT-4-class artifacts,
+      and what :func:`save_tokenizer_hf` writes) keeps exactly the
+      regex's matches — this repo's ``regexp_extract_all`` tiling,
+      faithful for ANY pattern. ``Isolated``+``invert: false``
+      (Llama-3-class) keeps matches AND the non-matching gap text as
+      extra segments; this repo reproduces it only when the pattern
+      TILES its input (published patterns are designed to — their
+      final ``\\s+``-style alternatives leave no gaps), so it is
+      accepted with that documented assumption. Every other
+      behavior/invert combination (``Removed``+``invert: false``
+      keeps ONLY the gaps; ``MergedWith*``/``Contiguous`` re-attach
+      delimiters) has no regexp_extract_all equivalent and raises.
+    - ``Whitespace`` (standalone or inside the Sequence) — the fixed
+      Rust regex ``\\w+|[^\\w\\s]+`` with gaps dropped — maps to
+      :data:`HF_WHITESPACE_PATTERN` (its Java translation).
+
+    Anything else is not byte-level BPE and the loader refuses."""
     if pre is None:
         return False, None
+
+    def split_pattern(sub) -> "str | None":
+        pat = sub.get("pattern")
+        if isinstance(pat, dict):
+            pat = pat.get("Regex") or pat.get("String")
+        behavior = sub.get("behavior", "Removed")
+        invert = bool(sub.get("invert", False))
+        if invert and behavior == "Removed":
+            return pat  # keep-matches: exactly regexp_extract_all
+        if not invert and behavior == "Isolated":
+            # matches become segments; gaps too — faithful here only
+            # for tiling patterns (see docstring)
+            return pat
+        raise ValueError(
+            f"Split(behavior={behavior!r}, invert={invert}) has no "
+            "regexp_extract_all equivalent — only "
+            "Removed+invert=true (keep matches) and "
+            "Isolated+invert=false (tiling patterns) are implemented"
+        )
+
     t = pre.get("type")
     if t == "ByteLevel":
         return True, GPT2_EXACT if pre.get("use_regex", True) else None
+    if t == "Whitespace":
+        # no ByteLevel stage: the vocab is not byte-alphabet-composed,
+        # so the byte-level loader refuses downstream — but surface
+        # the mapped pattern for the Sequence case below
+        return False, HF_WHITESPACE_PATTERN
     if t == "Sequence":
         byte_level, split_regex = False, None
         for sub in pre.get("pretokenizers", []):
@@ -2382,15 +2449,14 @@ def _hf_pre_tokenizer_shape(pre) -> "tuple[bool, str | None]":
                 if sub.get("use_regex", True) and split_regex is None:
                     split_regex = GPT2_EXACT
             elif st == "Split":
-                pat = sub.get("pattern")
-                if isinstance(pat, dict):
-                    pat = pat.get("Regex") or pat.get("String")
-                split_regex = pat
+                split_regex = split_pattern(sub)
+            elif st == "Whitespace":
+                split_regex = HF_WHITESPACE_PATTERN
             else:
                 raise ValueError(
                     f"unsupported pre_tokenizer {st!r} inside Sequence "
-                    "— only Split + ByteLevel byte-level chains are "
-                    "implemented"
+                    "— only Split/Whitespace + ByteLevel byte-level "
+                    "chains are implemented"
                 )
         return byte_level, split_regex
     return False, None
@@ -2490,19 +2556,24 @@ def load_tokenizer_hf(spark, path: str) -> dict:
         [(i + 1, lhs, rhs, 0) for i, (lhs, rhs) in enumerate(pairs)],
         "merge_rank int, lhs string, rhs string, pair_count long",
     )
+    # ALL added_tokens are forced into the literal class, not just
+    # special: true — HF extracts every added token before BPE runs
+    # and decodes it literally regardless of the flag (the flag only
+    # gates decode(skip_special_tokens=True)); is_special=True is this
+    # repo's literal-token class, so it is the faithful mapping for
+    # both. Real artifacts ship special: false added tokens (chat
+    # templates, fill-in-middle markers).
     forced = frozenset(
-        t["content"]
-        for t in doc.get("added_tokens") or []
-        if t.get("special")
+        t["content"] for t in doc.get("added_tokens") or []
     )
     entries, specials = _classify_published_vocab(
         model.get("vocab") or {}, pairs, path, forced_specials=forced
     )
-    # an added special token may live OUTSIDE model.vocab (HF allows
+    # an added token may live OUTSIDE model.vocab (HF allows
     # post-training additions with ids past the vocab) — include it
     have = {t for t, _, _ in entries}
     for t in doc.get("added_tokens") or []:
-        if t.get("special") and t["content"] not in have:
+        if t["content"] not in have:
             entries.append((t["content"], int(t["id"]), True))
             specials.append((t["content"], int(t["id"])))
     return {
