@@ -454,6 +454,79 @@ def test_prepare_corpus_equals_manual_chain(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, manual.collect()))
 
 
+def test_prepare_corpus_despan_equals_manual_chain(spark):
+    """The despan_ngram stage composes the standalone (q108-gated)
+    remove_duplicated_spans between dedup and decontamination — the
+    Lee et al. 2022 order — and must equal chaining the operators by
+    hand: same survivors, same span-stripped text, with the
+    decontamination grams probing the POST-surgery text (a gram
+    straddling a removed span must not match)."""
+    from vinum_spark.operators.dedup import (
+        contaminated_docs,
+        dedup_exact,
+        remove_duplicated_spans,
+    )
+    from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
+
+    boiler = "all rights reserved contact us for details"
+    rows = [
+        (1, f"unique alpha body one {boiler} trailing words"),
+        (2, f"{boiler} unique beta body two continues"),
+        (3, "wholly unique document three nothing shared"),
+        (3000, "wholly unique document three nothing shared"),  # exact dup
+        (4, "benchmark overlap four evaluation phrase here today"),
+        (5, "tiny"),  # < n tokens: despan must pass it through
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(9, "benchmark overlap four evaluation")], "doc_id long, text string"
+    )
+    n = 4
+    got = prepare_corpus(
+        df,
+        CorpusConfig(
+            quality_filter=False,
+            dedup=True,
+            despan_ngram=n,
+            decontaminate_against=eval_df,
+            decontaminate_ngram=4,
+        ),
+    ).select("doc_id", "text")
+
+    dd = dedup_exact(df, id_col="doc_id")
+    rm = remove_duplicated_spans(dd, n=n).select(
+        "doc_id", F.col("kept_text").alias("text")
+    )
+    hits = contaminated_docs(rm, eval_df, n=4).select("doc_id")
+    manual = rm.join(hits, "doc_id", "left_anti").select("doc_id", "text")
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == sorted(map(tuple, manual.collect()))
+    by_id = dict(got_rows)
+    assert 3000 not in by_id          # dedup dropped the exact copy
+    assert 4 not in by_id             # decontaminated
+    assert by_id[5] == "tiny"         # short doc passed through whole
+    assert boiler not in by_id[1] and boiler not in by_id[2]  # despanned
+
+
+def test_prepare_corpus_stream_rejects_despan(spark):
+    """despan needs corpus-wide window counts — the streaming twin must
+    refuse it toward the batch refinement pass, like the other
+    cross-document stages."""
+    import pytest
+
+    from vinum_spark.operators.pipeline import (
+        CorpusConfig,
+        prepare_corpus_stream,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS doc_id", "'x' AS text", "timestamp AS ts")
+    )
+    with pytest.raises(ValueError, match="despan_ngram"):
+        prepare_corpus_stream(stream, CorpusConfig(despan_ngram=8))
+
+
 def test_prepare_corpus_decontaminates(spark):
     from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
 

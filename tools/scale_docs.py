@@ -24,9 +24,23 @@ Measures, at M=10 (50k docs, the round-8 point) and M=100 (500k docs):
   with the training corpus, and a fixed eval keeps the broadcast side
   constant-size by construction, the operator's 100 TB contract).
   Hits and wall should both scale ~M.
+- q108-shaped duplicated_ngram_spans / remove_duplicated_spans (n=8,
+  min_count=2): the salted-copy corpus is the designed WORST CASE for
+  the operator's one corpus-sized shuffle — ~92% of each copy's
+  windows are unsalted and therefore cross-copy identical, so at
+  M=100 every such window hash carries ~100 rows into one partition
+  of the count-over-Window.partitionBy(__h) Exchange (dup-hash skew,
+  the untested axis the r16 verdict named). Wall should scale ~M
+  (the Exchange carries the exploded window set ≈ corpus tokens); a
+  super-linear wall means the skewed __h partitions dominate and the
+  checkpoint+groupBy+semi-join alternative (distinct-hash-sized,
+  partial-aggregated shuffle at the cost of a second explode) should
+  be re-evaluated.
 
-Usage:  python tools/scale_docs.py [--quick]
+Usage:  python tools/scale_docs.py [--quick] [--only stage,stage]
   --quick: M=2 and M=10 only (smoke; the full run is M=10/100).
+  --only:  comma-separated subset of winnowing,decontamination,bpe,
+           tokenize,exactsubstr (default: all).
 Writes corpora under /tmp/docscale/ and prints one JSON line per M.
 """
 
@@ -146,28 +160,62 @@ def main() -> None:
             toks = X.bpe_tokenize(corpus, merges, id_col="doc_id")
             return toks.agg(F.sum("n_tokens")).collect()[0][0]
 
-        n = 3 if m <= 10 else 1
-        wall_w, pairs = timed(winnow, n=n, warm=m <= 10)
-        wall_d, hits = timed(decon, n=n, warm=m <= 10)
-        wall_b, n_merges = timed(bpe, n=n, warm=m <= 10)
-        wall_t, n_tokens = timed(tokenize, n=n, warm=m <= 10)
-        print(
-            json.dumps(
-                {
-                    "m": m,
-                    "docs": 5000 * m,
-                    "winnowing_wall_s": wall_w,
-                    "winnowing_pairs": int(pairs),
-                    "decontamination_wall_s": wall_d,
-                    "contaminated_docs": int(hits),
-                    "bpe_wall_s": wall_b,
-                    "bpe_merges": int(n_merges),
-                    "tokenize_wall_s": wall_t,
-                    "tokens": int(n_tokens),
-                }
-            ),
-            flush=True,
+        def exactsubstr():
+            # round-17: the ExactSubstr pipeline — span detection plus
+            # removal (the removal re-runs the span op and adds the
+            # doc-keyed aggregate-back join). Returns (spans, tokens
+            # removed) so the collision regime is visible in the record.
+            spans = D.duplicated_ngram_spans(corpus, n=8).count()
+            removed = (
+                D.remove_duplicated_spans(corpus, n=8)
+                .agg(F.sum("dup_tokens"))
+                .collect()[0][0]
+            )
+            return (int(spans), int(removed))
+
+        stages = {
+            "winnowing": winnow,
+            "decontamination": decon,
+            "bpe": bpe,
+            "tokenize": tokenize,
+            "exactsubstr": exactsubstr,
+        }
+        args = sys.argv[1:]
+        only = (
+            set(args[args.index("--only") + 1].split(","))
+            if "--only" in args
+            else set(stages)
         )
+        unknown = only - set(stages)
+        if unknown:
+            raise SystemExit(f"--only: unknown stages {sorted(unknown)}")
+
+        n = 3 if m <= 10 else 1
+        rec = {"m": m, "docs": 5000 * m}
+        if "winnowing" in only:
+            wall_w, pairs = timed(winnow, n=n, warm=m <= 10)
+            rec["winnowing_wall_s"] = wall_w
+            rec["winnowing_pairs"] = int(pairs)
+        if "decontamination" in only:
+            wall_d, hits = timed(decon, n=n, warm=m <= 10)
+            rec["decontamination_wall_s"] = wall_d
+            rec["contaminated_docs"] = int(hits)
+        if "bpe" in only:
+            wall_b, n_merges = timed(bpe, n=n, warm=m <= 10)
+            rec["bpe_wall_s"] = wall_b
+            rec["bpe_merges"] = int(n_merges)
+        if "tokenize" in only:
+            wall_t, n_tokens = timed(tokenize, n=n, warm=m <= 10)
+            rec["tokenize_wall_s"] = wall_t
+            rec["tokens"] = int(n_tokens)
+        if "exactsubstr" in only:
+            wall_e, (n_spans, n_removed) = timed(
+                exactsubstr, n=n, warm=m <= 10
+            )
+            rec["exactsubstr_wall_s"] = wall_e
+            rec["dup_spans"] = n_spans
+            rec["dup_tokens_removed"] = n_removed
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -5580,8 +5580,10 @@ def q107(spark, sf_dir):
     "Exact-substring duplication spans — the ExactSubstr method of "
     "Lee et al. 2022 re-expressed relationally (the reference method "
     "is a single-machine suffix array; here the window explode is "
-    "bounded by tokens-per-doc, the only corpus-sized shuffle is the "
-    "partial-aggregated window-hash count, and the span merge is "
+    "bounded by tokens-per-doc, the corpus-sized cost is ONE Exchange "
+    "carrying the exploded window set into a count-over-window — not "
+    "map-side aggregated, the deliberate trade that keeps the explode "
+    "subtree single-occurrence in the plan — and the span merge is "
     "per-document gaps-and-islands in one window function). Every "
     "8-token window repeated >=2 times across the corpus marks its "
     "span; overlapping windows merge into maximal (span_start, "
@@ -5603,6 +5605,120 @@ def q108(spark, sf_dir):
             "span_len",
         )
         .orderBy("doc_id", "span_start")
+    )
+
+
+@_q(
+    "q109_pipeline_despan",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ), dd AS (
+      SELECT doc_id, text FROM (
+        SELECT corpus.*,
+               row_number() OVER (
+                 PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM corpus) WHERE rn = 1
+    ), toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM dd
+    ), wins AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 6 + 1, 0))) AS i
+      FROM toks
+    ), winh AS (
+      SELECT doc_id, i - 1 AS start,
+             md5(array_to_string(t[i : i + 6 - 1], ' ')) AS h
+      FROM wins
+    ), dup AS (SELECT h FROM winh GROUP BY h HAVING count(*) >= 2),
+    dw AS (SELECT w.doc_id, w.start FROM winh w JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, start,
+             CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start)
+                       IS NULL
+                   OR start > lag(start) OVER (
+                        PARTITION BY doc_id ORDER BY start) + 6 - 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM dw
+    ), isl2 AS (
+      SELECT doc_id, start,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, min(start) AS s, max(start) + 6 AS e
+      FROM isl2 GROUP BY doc_id, island
+    ), spanlist AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+      FROM spans GROUP BY doc_id
+    ), kept AS (
+      -- coalesce: DuckDB's array_to_string over an empty list is NULL
+      -- where Spark's concat_ws is '' (fully-stripped and zero-token
+      -- docs must agree on the empty string)
+      SELECT tk.doc_id,
+             coalesce(
+               CASE WHEN sl.sp IS NULL THEN array_to_string(tk.t, ' ')
+                    ELSE array_to_string(
+                      list_filter(
+                        list_transform(range(1, len(tk.t) + 1),
+                          i -> CASE WHEN len(list_filter(sl.sp,
+                                     x -> (i - 1) >= x.s AND (i - 1) < x.e)) > 0
+                               THEN NULL ELSE tk.t[i] END),
+                        v -> v IS NOT NULL), ' ')
+               END, '') AS kept_text
+      FROM toks tk LEFT JOIN spanlist sl USING (doc_id)
+    ), kw AS (
+      SELECT doc_id, kept_text,
+             string_split_regex(trim(kept_text), '\s+') AS w
+      FROM kept
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 3, 1) + 1),
+               i -> array_to_string(w[i:i+3], ' ')))) AS gram
+      FROM kw
+    ), ev AS (
+      SELECT DISTINCT gram FROM (
+        SELECT unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 3, 1) + 1),
+                 i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+3], ' '))))
+               AS gram
+        FROM documents WHERE doc_id % 10 = 0)
+    ), hits AS (
+      SELECT DISTINCT g.doc_id FROM grams g JOIN ev USING (gram)
+    )
+    SELECT k.doc_id, md5(k.kept_text) AS text_md5
+    FROM kw k ANTI JOIN hits h ON k.doc_id = h.doc_id
+    ORDER BY k.doc_id
+    """,
+    "ExactSubstr composed INTO prepare_corpus (VERDICT r16 item 4): "
+    "the pipeline runs exact dedup -> exact-substring span removal "
+    "(despan_ngram=6, the Lee et al. 2022 stage order) -> benchmark "
+    "decontamination (4-grams vs the doc_id%10=0 eval slice) through "
+    "the one-call API, and the oracle recomputes the WHOLE composition "
+    "in DuckDB — the dedup window, the window-hash counts, the island "
+    "merge, the index-aware token surgery, and the post-surgery "
+    "decontamination (grams straddling removed spans must NOT match, "
+    "exactly the Lee-et-al semantics). Per-doc md5 of the final text, "
+    "so any drift anywhere in the chain hash-mismatches.",
+)
+def q109(spark, sf_dir):
+    from vinum_spark.operators.pipeline import CorpusConfig, prepare_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    out = prepare_corpus(
+        d.filter(F.col("doc_id") % 10 != 0),
+        CorpusConfig(
+            quality_filter=False,
+            dedup=True,
+            despan_ngram=6,
+            decontaminate_against=d.filter(F.col("doc_id") % 10 == 0),
+            decontaminate_ngram=4,
+        ),
+    )
+    return (
+        out.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+        .orderBy("doc_id")
     )
 
 
@@ -5840,10 +5956,12 @@ _GATE_HEAD = (
     "q74_mixture_sample",
     "q75_prepare_corpus",
     "q76_encode_tokens",
-    # ANN / media
+    # ANN / media. q52 multimodal metadata steps out mid-r17 to seat
+    # the new q109 (fresh r16 row; the probe machinery runs inside the
+    # seated q81/q84 decode gates' header walks — the same argument
+    # that retired q80 media probe in r14)
     "q32_ann_lsh",
     "q46_ann_ivf",
-    "q52_multimodal_metadata",
     "q78_knn_join",
     "q79_ann_ivfpq",
     "q81_audio_decode",
@@ -5860,6 +5978,9 @@ _GATE_HEAD = (
     # chunking)
     "q107_store_base_delta_dedup",
     "q108_duplicated_ngram_spans",
+    # q109 (registered this round) seats per the new-query rule: the
+    # ExactSubstr-in-prepare_corpus composition gate
+    "q109_pipeline_despan",
     # round-14/15 additions: exact GPT-2, streaming pipelines, the
     # four round-15 promotions (decode round-trip, chunking, packing,
     # stream-store dedup), and the two round-15 NEW queries (q104

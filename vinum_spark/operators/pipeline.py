@@ -44,6 +44,21 @@ class CorpusConfig:
     #: md5 fingerprint. A stream favors a PRE-HASHED key column here
     #: (state stores the key verbatim — hash beats full text at scale).
     dedup_cols: Optional[tuple] = None
+    #: exact-substring span removal (operators/dedup.py
+    #: remove_duplicated_spans — the Lee et al. 2022 ExactSubstr
+    #: method) as the stage between exact dedup and decontamination,
+    #: the Lee-et-al pipeline order: whole-document dedup first (cheap,
+    #: drops exact copies), then substring surgery on the survivors.
+    #: Set to the window length n (e.g. 8) to enable. The stage
+    #: replaces ``text_col`` with the span-stripped token stream
+    #: (single-space-joined lowercase tokens — the operator's
+    #: documented contract), so downstream n-gram stages
+    #: (decontaminate) see the POST-surgery text, exactly as Lee et al.
+    #: compose it. Cross-document (corpus-wide window counts): batch
+    #: only, like boilerplate/decontaminate/mixture.
+    despan_ngram: Optional[int] = None
+    despan_min_count: int = 2
+    despan_token_pattern: str = "[a-z0-9]+"
     decontaminate_against: Optional[DataFrame] = None
     decontaminate_ngram: int = 8
     mixture_weights: Optional[Dict[str, float]] = None
@@ -88,11 +103,12 @@ def prepare_corpus(df: DataFrame, config: Optional[CorpusConfig] = None) -> Data
     ``shard``, …).
 
     Stage order is the canonical pipeline order (Dolma / DataTrove /
-    CCNet all agree on the shape): extract → normalize → per-doc
-    quality → cross-doc boilerplate → exact dedup → decontaminate →
-    mix → shard → tokenize. Each stage is exactly the standalone
-    operator — no pipeline-specific variants to drift from the gated
-    semantics.
+    CCNet all agree on the shape; the span-surgery slot follows Lee et
+    al. 2022): extract → normalize → per-doc quality → cross-doc
+    boilerplate → exact dedup → exact-substring span removal →
+    decontaminate → mix → shard → tokenize. Each stage is exactly the
+    standalone operator — no pipeline-specific variants to drift from
+    the gated semantics.
     """
     c = config if config is not None else CorpusConfig()
     text_col = c.text_col
@@ -113,6 +129,23 @@ def prepare_corpus(df: DataFrame, config: Optional[CorpusConfig] = None) -> Data
     if c.dedup:
         df = D.dedup_exact(
             df, cols=c.dedup_cols, id_col=c.id_col, text_col=text_col
+        )
+    if c.despan_ngram:
+        # same join-back shape as boilerplate: the operator returns a
+        # (id, kept_text) frame over the CURRENT survivors, and the
+        # surgery must see post-dedup text (Lee et al. stage order)
+        despanned = D.remove_duplicated_spans(
+            df,
+            n=c.despan_ngram,
+            min_count=c.despan_min_count,
+            text_col=text_col,
+            id_col=c.id_col,
+            token_pattern=c.despan_token_pattern,
+        ).select(c.id_col, "kept_text")
+        df = (
+            df.drop(text_col)
+            .join(despanned, c.id_col)
+            .withColumnRenamed("kept_text", text_col)
         )
     if c.decontaminate_against is not None:
         # the eval set must see the SAME text transforms as the corpus —
@@ -287,6 +320,7 @@ def prepare_corpus_stream(
         name
         for name, on in (
             ("boilerplate_width", c.boilerplate_width),
+            ("despan_ngram", c.despan_ngram),
             ("decontaminate_against", c.decontaminate_against is not None),
             ("mixture_weights", c.mixture_weights),
         )
