@@ -478,8 +478,14 @@ def test_prepare_corpus_despan_equals_manual_chain(spark):
         (5, "tiny"),  # < n tokens: despan must pass it through
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    # MIXED-CASE, punctuated eval text: the despan stage rewrote the
+    # corpus into lowercase token form, so the pipeline must
+    # canonicalize the eval side the same way or this contamination is
+    # silently missed (one-side-only normalization, the documented
+    # failure mode)
     eval_df = spark.createDataFrame(
-        [(9, "benchmark overlap four evaluation")], "doc_id long, text string"
+        [(9, "Benchmark OVERLAP four, Evaluation!")],
+        "doc_id long, text string",
     )
     n = 4
     got = prepare_corpus(
@@ -497,7 +503,15 @@ def test_prepare_corpus_despan_equals_manual_chain(spark):
     rm = remove_duplicated_spans(dd, n=n).select(
         "doc_id", F.col("kept_text").alias("text")
     )
-    hits = contaminated_docs(rm, eval_df, n=4).select("doc_id")
+    # the manual chain canonicalizes the eval text exactly as the
+    # pipeline does (token extraction + single-space rejoin)
+    eval_canon = eval_df.withColumn(
+        "text",
+        F.concat_ws(
+            " ", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ),
+    )
+    hits = contaminated_docs(rm, eval_canon, n=4).select("doc_id")
     manual = rm.join(hits, "doc_id", "left_anti").select("doc_id", "text")
     got_rows = sorted(map(tuple, got.collect()))
     assert got_rows == sorted(map(tuple, manual.collect()))
@@ -2228,6 +2242,32 @@ def test_load_tokenizer_hf_split_semantics_and_whitespace(spark, tmp_path):
     ]:
         with pytest.raises(ValueError, match="no regexp_extract_all"):
             load_tokenizer_hf(spark, variant(name, **fields))
+
+    # an HF LITERAL pattern ({"String": ...}) is regex-quoted: a '.'
+    # must match itself, not every character
+    lit = variant(
+        "literal.json",
+        pattern={"String": "."},
+        behavior="Removed",
+        invert=True,
+    )
+    assert load_tokenizer_hf(spark, lit)["token_pattern"] == "\\Q.\\E"
+
+    # TWO splitting stages (sequential composition) must refuse loudly,
+    # not silently keep the last one — including ByteLevel(use_regex=
+    # true) after a Split, which is itself a second GPT-2 split
+    d2s = json.loads(json.dumps(base_doc))
+    d2s["pre_tokenizer"]["pretokenizers"].insert(1, {"type": "Whitespace"})
+    p2s = str(tmp_path / "twosplit.json")
+    json.dump(d2s, open(p2s, "w", encoding="utf-8"), ensure_ascii=False)
+    with pytest.raises(ValueError, match="more than one splitting"):
+        load_tokenizer_hf(spark, p2s)
+    dbl = json.loads(json.dumps(base_doc))
+    dbl["pre_tokenizer"]["pretokenizers"][1]["use_regex"] = True
+    pbl = str(tmp_path / "bl_regex.json")
+    json.dump(dbl, open(pbl, "w", encoding="utf-8"), ensure_ascii=False)
+    with pytest.raises(ValueError, match="more than one splitting"):
+        load_tokenizer_hf(spark, pbl)
 
     # Whitespace stage inside the Sequence -> the documented mapping
     d = json.loads(json.dumps(base_doc))

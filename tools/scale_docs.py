@@ -115,7 +115,24 @@ def main() -> None:
 
     spark = get_spark("docscale")
     spark.sparkContext.setLogLevel("ERROR")
-    ms = (2, 10) if "--quick" in sys.argv[1:] else (10, 100)
+    args = sys.argv[1:]
+    ms = (2, 10) if "--quick" in args else (10, 100)
+    # parse/validate --only BEFORE any corpus build: a typo'd stage or
+    # a missing value must be a usage error, not an IndexError after
+    # minutes of executor work
+    all_stages = (
+        "winnowing", "decontamination", "bpe", "tokenize", "exactsubstr"
+    )
+    if "--only" in args:
+        try:
+            only = set(args[args.index("--only") + 1].split(","))
+        except IndexError:
+            raise SystemExit("--only needs a comma-separated stage list")
+    else:
+        only = set(all_stages)
+    unknown = only - set(all_stages)
+    if unknown:
+        raise SystemExit(f"--only: unknown stages {sorted(unknown)}")
 
     # fixed eval set: the BASE corpus' doc_id%10==0 slice (500 docs)
     eval_df = (
@@ -172,23 +189,6 @@ def main() -> None:
                 .collect()[0][0]
             )
             return (int(spans), int(removed))
-
-        stages = {
-            "winnowing": winnow,
-            "decontamination": decon,
-            "bpe": bpe,
-            "tokenize": tokenize,
-            "exactsubstr": exactsubstr,
-        }
-        args = sys.argv[1:]
-        only = (
-            set(args[args.index("--only") + 1].split(","))
-            if "--only" in args
-            else set(stages)
-        )
-        unknown = only - set(stages)
-        if unknown:
-            raise SystemExit(f"--only: unknown stages {sorted(unknown)}")
 
         n = 3 if m <= 10 else 1
         rec = {"m": m, "docs": 5000 * m}

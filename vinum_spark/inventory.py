@@ -5678,10 +5678,14 @@ def q108(spark, sf_dir):
                i -> array_to_string(w[i:i+3], ' ')))) AS gram
       FROM kw
     ), ev AS (
+      -- the pipeline canonicalizes the eval text the same way the
+      -- despan stage canonicalized the corpus (lowercase token
+      -- extraction, single-space rejoin) before gram matching;
+      -- coalesce mirrors Spark's '' gram for token-free eval docs
       SELECT DISTINCT gram FROM (
-        SELECT unnest(list_distinct(list_transform(
-                 range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 3, 1) + 1),
-                 i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+3], ' '))))
+        SELECT coalesce(unnest(list_distinct(list_transform(
+                 range(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3, 1) + 1),
+                 i -> array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[i:i+3], ' ')))), '')
                AS gram
         FROM documents WHERE doc_id % 10 = 0)
     ), hits AS (

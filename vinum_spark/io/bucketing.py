@@ -455,17 +455,31 @@ def append_fingerprints(df: DataFrame, store_path: str, buckets: int) -> None:
     # An all-duplicate micro-batch survives as an EMPTY frame; writing
     # it would land footer-only part files in delta/ that count toward
     # store_delta_file_count and trigger compactions merging no data.
-    # The guard is a limit-1 probe — cheap in the streaming carrier,
+    # The guard is a limit-1 probe — free in the streaming carrier,
     # where the batch is persisted and already materialized by the
-    # output write that precedes the append.
-    if df.isEmpty():
-        return
-    (
-        df.select("fingerprint")
-        .repartition(_DELTA_FILES_PER_APPEND)
-        .write.mode("append")
-        .parquet(f"{store_path}/delta")
-    )
+    # output write that precedes the append. For an UNPERSISTED caller
+    # frame (whose plan may hold anti-join shuffles), persist around
+    # probe+write so the upstream chain runs once, not once for the
+    # probe and again for the write; a caller's own persistence is
+    # never touched (unpersisting their cache is not this function's
+    # call).
+    from pyspark import StorageLevel
+
+    own_cache = df.storageLevel == StorageLevel.NONE
+    if own_cache:
+        df = df.persist()
+    try:
+        if df.isEmpty():
+            return
+        (
+            df.select("fingerprint")
+            .repartition(_DELTA_FILES_PER_APPEND)
+            .write.mode("append")
+            .parquet(f"{store_path}/delta")
+        )
+    finally:
+        if own_cache:
+            df.unpersist()
 
 
 def _delta_files(spark, store_path: str) -> list:

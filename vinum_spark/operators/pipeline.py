@@ -158,6 +158,24 @@ def prepare_corpus(df: DataFrame, config: Optional[CorpusConfig] = None) -> Data
         if c.normalize:
             eval_df = X.normalize_text(eval_df, col=text_col, out="__norm")
             eval_df = eval_df.drop(text_col).withColumnRenamed("__norm", text_col)
+        if c.despan_ngram:
+            # the despan stage rewrote corpus text into its token
+            # canonical form (lowercase despan_token_pattern matches,
+            # single-space-joined) — the eval text must be canonicalized
+            # the SAME way (not span-stripped: eval text is not part of
+            # the corpus surgery, but its REPRESENTATION must match) or
+            # a mixed-case/punctuated eval gram can never equal a
+            # despanned corpus gram and contamination is silently missed
+            eval_df = eval_df.withColumn(
+                text_col,
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        f"regexp_extract_all(lower({text_col}), "
+                        f"'{c.despan_token_pattern}', 0)"
+                    ),
+                ),
+            )
         hits = D.contaminated_docs(
             df,
             eval_df,

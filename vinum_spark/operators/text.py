@@ -2416,7 +2416,17 @@ def _hf_pre_tokenizer_shape(pre) -> "tuple[bool, str | None]":
     def split_pattern(sub) -> "str | None":
         pat = sub.get("pattern")
         if isinstance(pat, dict):
-            pat = pat.get("Regex") or pat.get("String")
+            if pat.get("Regex") is not None:
+                pat = pat.get("Regex")
+            elif pat.get("String") is not None:
+                # an HF LITERAL pattern — quote it (Pattern.quote
+                # form, with embedded \E sequences escaped) so a
+                # metacharacter like '.' matches itself, not
+                # everything
+                s = pat["String"]
+                pat = "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+            else:
+                pat = None
         behavior = sub.get("behavior", "Removed")
         invert = bool(sub.get("invert", False))
         if invert and behavior == "Removed":
@@ -2441,17 +2451,45 @@ def _hf_pre_tokenizer_shape(pre) -> "tuple[bool, str | None]":
         # the mapped pattern for the Sequence case below
         return False, HF_WHITESPACE_PATTERN
     if t == "Sequence":
-        byte_level, split_regex = False, None
+        byte_level, split_regex, n_splitters = False, None, 0
         for sub in pre.get("pretokenizers", []):
             st = sub.get("type")
             if st == "ByteLevel":
                 byte_level = True
-                if sub.get("use_regex", True) and split_regex is None:
+                if sub.get("use_regex", True):
+                    # use_regex=true makes ByteLevel itself a GPT-2
+                    # splitting stage — after an explicit Split that is
+                    # sequential double-splitting, same refusal as two
+                    # Splits (published Sequence exports ship
+                    # use_regex=false alongside their Split)
+                    n_splitters += 1
+                    if n_splitters > 1:
+                        raise ValueError(
+                            "Sequence contains more than one splitting "
+                            "pre-tokenizer (ByteLevel(use_regex=true) "
+                            "after a Split/Whitespace) — their "
+                            "sequential composition has no "
+                            "single-pattern equivalent; not implemented"
+                        )
                     split_regex = GPT2_EXACT
-            elif st == "Split":
-                split_regex = split_pattern(sub)
-            elif st == "Whitespace":
-                split_regex = HF_WHITESPACE_PATTERN
+            elif st in ("Split", "Whitespace"):
+                # HF composes splitting stages SEQUENTIALLY (re-split
+                # each segment); one regexp_extract_all pattern cannot
+                # express that composition — keeping only the last
+                # stage would silently mis-tokenize, so refuse loudly
+                n_splitters += 1
+                if n_splitters > 1:
+                    raise ValueError(
+                        "Sequence contains more than one splitting "
+                        "pre-tokenizer (Split/Whitespace) — their "
+                        "sequential composition has no single-pattern "
+                        "equivalent; not implemented"
+                    )
+                split_regex = (
+                    split_pattern(sub)
+                    if st == "Split"
+                    else HF_WHITESPACE_PATTERN
+                )
             else:
                 raise ValueError(
                     f"unsupported pre_tokenizer {st!r} inside Sequence "
