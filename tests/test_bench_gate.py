@@ -1,0 +1,137 @@
+"""Unit tests for the bench drift gate's host-window normalization
+(tools/bench_diff.py) — pure-python, no Spark session.
+
+The round-17 refinement under test: bench.py's mid-run calibration
+stamps BRACKET each 10-query block, so a transient host spike must
+only invalidate ITS block (those queries go INCONCLUSIVE, anchors
+stand) while the rest of the record still adjudicates — the round-16
+worst-stamp behavior let one 25-second collapse veto a 20-minute
+record with a whole-run INCONCLUSIVE.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from bench_diff import gate  # noqa: E402
+
+
+def _write_history(path, records):
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+def _anchors(n_queries, value=1.0, cal=2.0):
+    """A few clean same-sf anchor records."""
+    qs = {f"q{i:02d}": value for i in range(n_queries)}
+    return [
+        {"sf": "0.1", "queries": qs, "cal_start_s": cal, "cal_end_s": cal}
+        for _ in range(5)
+    ]
+
+
+def test_transient_spike_invalidates_only_its_block(tmp_path):
+    """45 queries -> 5 blocks; a spike in mids[1] brackets blocks 1
+    AND 2 (queries 10-29), making exactly those INCONCLUSIVE — a
+    minority, so the rest of the record still adjudicates, and a real
+    regression planted in block 4 is still caught despite the spike
+    elsewhere."""
+    n = 45
+    latest = {
+        "sf": "0.1",
+        # block 4 (q40..q44) regressed 3x; everything else at anchor
+        "queries": {
+            f"q{i:02d}": (3.0 if i >= 40 else 1.0) for i in range(n)
+        },
+        "cal_start_s": 2.0,
+        "cal_end_s": 2.0,
+        # mids at queries 10/20/30/40; the 9.0 brackets blocks 1 and 2
+        "cal_mids_s": [2.0, 9.0, 2.0, 2.0],
+    }
+    hist = str(tmp_path / "h.jsonl")
+    _write_history(hist, _anchors(n) + [latest])
+    # exit 1: the block-2 regression is adjudicated despite the spike
+    assert gate(history_path=hist) == 1
+
+    # same spike, NO regression -> clean exit, not INCONCLUSIVE
+    latest2 = dict(latest, queries={f"q{i:02d}": 1.0 for i in range(n)})
+    _write_history(hist, _anchors(n) + [latest2])
+    assert gate(history_path=hist) == 0
+
+
+def test_majority_contended_record_is_inconclusive(tmp_path):
+    """When most blocks sit past the cap the record adjudicates
+    nothing — distinct INCONCLUSIVE exit (3), the r16 semantics."""
+    n = 20
+    latest = {
+        "sf": "0.1",
+        "queries": {f"q{i:02d}": 1.0 for i in range(n)},
+        "cal_start_s": 9.0,
+        "cal_end_s": 9.0,
+        "cal_mids_s": [9.0],
+    }
+    hist = str(tmp_path / "h.jsonl")
+    _write_history(hist, _anchors(n) + [latest])
+    assert gate(history_path=hist) == 3
+
+
+def test_no_mids_falls_back_to_whole_run_worst_stamp(tmp_path):
+    """Headline runs carry no mids: per-block attribution is
+    impossible, so the old worst-stamp whole-run behavior applies —
+    a bad stamp means whole-run INCONCLUSIVE."""
+    n = 10
+    latest = {
+        "sf": "0.1",
+        "queries": {f"q{i:02d}": 1.0 for i in range(n)},
+        "cal_start_s": 2.0,
+        "cal_end_s": 9.0,
+    }
+    hist = str(tmp_path / "h.jsonl")
+    _write_history(hist, _anchors(n) + [latest])
+    assert gate(history_path=hist) == 3
+
+
+def test_errored_run_falls_back_to_whole_run(tmp_path):
+    """An errored query shifts every later query's bracket, so
+    per-block attribution is disabled: with a spike in the mids the
+    whole record is INCONCLUSIVE, never mis-bracketed."""
+    n = 25
+    latest = {
+        "sf": "0.1",
+        "queries": {f"q{i:02d}": 1.0 for i in range(n)},
+        "errors": {"qXX": "boom"},
+        "cal_start_s": 2.0,
+        "cal_end_s": 2.0,
+        "cal_mids_s": [9.0, 2.0],
+    }
+    hist = str(tmp_path / "h.jsonl")
+    _write_history(hist, _anchors(n) + [latest])
+    assert gate(history_path=hist) == 3
+
+
+def test_scaled_threshold_within_cap_passes_window_noise(tmp_path):
+    """A mildly degraded window (factor under the cap) scales the
+    threshold instead of flagging: 1.9x values at a x1.4 bracket pass
+    the 1.5x threshold (eff 2.1x), and the same values in a clean
+    bracket FAIL."""
+    n = 10
+    vals = {f"q{i:02d}": 1.9 for i in range(n)}
+    hist = str(tmp_path / "h.jsonl")
+    degraded = {
+        "sf": "0.1",
+        "queries": vals,
+        "cal_start_s": 2.8,
+        "cal_end_s": 2.8,
+        "cal_mids_s": [2.8],
+    }
+    _write_history(hist, _anchors(n) + [degraded])
+    assert gate(history_path=hist) == 0
+    clean_window = dict(degraded, cal_start_s=2.0, cal_end_s=2.0,
+                        cal_mids_s=[2.0])
+    _write_history(hist, _anchors(n) + [clean_window])
+    assert gate(history_path=hist) == 1

@@ -111,30 +111,66 @@ def gate(threshold: float = 1.5, floor: float = 0.25,
         for r in records
         if r.get("cal_start_s") and r.get("cal_end_s")
     ]
-    host_factor = 1.0
-    if cal_run:
-        host_factor = max(1.0, cal_run / min(cal_refs))
-        # CAP the scaling (round 16): an uncapped factor on a heavily
-        # contended host (3x+) would stretch the effective threshold
-        # past 4.5x and wave real regressions through as "clean". Past
-        # the cap the host is too noisy to adjudicate EITHER way — the
-        # gate returns a distinct INCONCLUSIVE code instead of a loose
-        # pass, and the caller reruns in a quieter window.
-        if host_factor > HOST_FACTOR_CAP:
-            print(
-                f"gate: INCONCLUSIVE — host calibration {cal_run:.2f}s is "
-                f"x{host_factor:.2f} the best recorded "
-                f"{min(cal_refs):.2f}s (cap {HOST_FACTOR_CAP}); this window "
-                "is too contended to distinguish drift from host noise. "
-                "Rerun bench.py on a quieter host window."
+    cal_ref = min(cal_refs)
+    # Per-BLOCK host factors (round 17): bench.py samples a mid-run
+    # calibration every 10 queries, so the stamps BRACKET each 10-query
+    # block — [start, mid0] covers queries 0-9, [mid0, mid1] covers
+    # 10-19, ..., [mid_last, end] the tail. A single transient spike
+    # (observed: one 6.89 s mid inside a run whose other eleven stamps
+    # read 2.28-3.35 s) therefore only degrades the queries timed in
+    # ITS bracket; scaling the whole run by the worst stamp — the
+    # round-16 behavior — let one 25-second collapse veto a 20-minute
+    # record. Each query's threshold now scales by the worse of its
+    # block's two bracketing stamps; a block past HOST_FACTOR_CAP is
+    # individually INCONCLUSIVE (its queries are not adjudicated this
+    # run, their anchors stand) while the rest of the record still
+    # adjudicates. The whole run degrades to the old worst-stamp
+    # behavior when per-block attribution is impossible: no mids
+    # (headline runs), or errored queries (their skipped slots shift
+    # every later query's bracket).
+    mids = [float(c) for c in latest.get("cal_mids_s", [])]
+    q_order = list(latest.get("queries", {}))
+    blockable = (
+        mids
+        and not latest.get("errors")
+        and latest.get("cal_start_s")
+        and latest.get("cal_end_s")
+    )
+    whole_run_factor = max(1.0, cal_run / cal_ref) if cal_run else 1.0
+
+    def query_factor(q: str) -> float:
+        if not blockable:
+            return whole_run_factor
+        stamps = (
+            [float(latest["cal_start_s"])] + mids + [float(latest["cal_end_s"])]
+        )
+        b = q_order.index(q) // 10
+        lo = stamps[min(b, len(stamps) - 1)]
+        hi = stamps[min(b + 1, len(stamps) - 1)]
+        return max(1.0, max(lo, hi) / cal_ref)
+
+    host_factor = whole_run_factor
+    if cal_run and not blockable and host_factor > HOST_FACTOR_CAP:
+        print(
+            f"gate: INCONCLUSIVE — host calibration {cal_run:.2f}s is "
+            f"x{host_factor:.2f} the best recorded "
+            f"{cal_ref:.2f}s (cap {HOST_FACTOR_CAP}); this window "
+            "is too contended to distinguish drift from host noise. "
+            "Rerun bench.py on a quieter host window."
+        )
+        return 3
+    if cal_run and host_factor > 1.02:
+        print(
+            f"gate: host calibration {cal_run:.2f}s vs best recorded "
+            f"{cal_ref:.2f}s -> worst-stamp factor x{host_factor:.2f}"
+            + (
+                " (per-block scaling active — each query scales by its "
+                "own bracket's stamps)"
+                if blockable
+                else " (whole-run scaling: per-block attribution "
+                "unavailable)"
             )
-            return 3
-        if host_factor > 1.02:
-            print(
-                f"gate: host calibration {cal_run:.2f}s vs best recorded "
-                f"{min(cal_refs):.2f}s -> threshold scaled x{host_factor:.2f} "
-                f"(see BASELINE.md round-15 host-window adjudication)"
-            )
+        )
     # per-query history: list of (value, provenance) over all prior
     # same-sf records; provenance is the record's round field when
     # bench.py stamped one, else its mode/ts
@@ -148,32 +184,54 @@ def gate(threshold: float = 1.5, floor: float = 0.25,
                 hist.setdefault(q, []).append((float(v), src))
     drifted = []
     fresh = []
+    inconclusive = []
     for q, v in latest.get("queries", {}).items():
         if q not in hist:
             fresh.append(q)
             continue
+        f_q = query_factor(q)
+        if f_q > HOST_FACTOR_CAP:
+            inconclusive.append((q, f_q))
+            continue
         anchor = statistics.median(
             sorted(x for x, _ in hist[q])[:ANCHOR_BEST_N]
         )
-        if v > anchor * threshold * host_factor and v - anchor > floor:
+        if v > anchor * threshold * f_q and v - anchor > floor:
             best_v, best_src = min(hist[q])
             drifted.append((q, anchor, len(hist[q]), best_v, best_src, v,
-                            v / anchor))
+                            v / anchor, threshold * f_q))
     for q in fresh:
         print(f"gate: {q}: first record at sf={sf} "
               f"({latest['queries'][q]:.3f}s) — now anchored")
-    eff = threshold * host_factor
+    n_q = len(latest.get("queries", {}))
+    if inconclusive:
+        qs = ", ".join(q for q, _ in inconclusive)
+        print(
+            f"gate: {len(inconclusive)} quer"
+            f"{'y' if len(inconclusive) == 1 else 'ies'} INCONCLUSIVE "
+            f"(their calibration bracket exceeded x{HOST_FACTOR_CAP}; "
+            f"anchors stand, re-adjudicated next run): {qs}"
+        )
+        if len(inconclusive) > n_q // 2:
+            print(
+                "gate: INCONCLUSIVE — more than half the record sat in "
+                "contended brackets; rerun bench.py on a quieter window."
+            )
+            return 3
     if drifted:
-        for q, a, n_rec, bv, bsrc, v, r in sorted(drifted, key=lambda t: -t[-1]):
+        for q, a, n_rec, bv, bsrc, v, r, eff in sorted(
+            drifted, key=lambda t: -t[6]
+        ):
             print(f"gate: DRIFT {q}: {v:.3f}s vs median anchor {a:.3f}s "
                   f"over {n_rec} record{'s' if n_rec != 1 else ''} "
                   f"({r:.2f}x > {eff:.2f}x; best {bv:.3f}s set by {bsrc})")
         print(f"gate: {len(drifted)} quer{'y' if len(drifted)==1 else 'ies'} "
-              f"regressed beyond {eff:.2f}x (+{floor}s floor)")
+              f"regressed beyond {threshold}x (host-scaled per block, "
+              f"+{floor}s floor)")
         return 1
-    n = len(latest.get("queries", {})) - len(fresh)
-    print(f"gate: clean — {n} queries within {eff:.2f}x of median-of-"
-          f"best-{ANCHOR_BEST_N} anchors at sf={sf}")
+    n = n_q - len(fresh) - len(inconclusive)
+    print(f"gate: clean — {n} queries within {threshold}x (host-scaled "
+          f"per block) of median-of-best-{ANCHOR_BEST_N} anchors at sf={sf}")
     return 0
 
 
