@@ -5918,6 +5918,17 @@ def q106(spark, sf_dir):
 #: (q74 mixture sample seats the same md5-threshold machinery;
 #: q62/q71 stay), q68 decontamination (runs INSIDE the gated q75
 #: prepare_corpus chain with decontaminate_against set).
+#:
+#: Round-17 second wave — early start on the r13 cohort (14 queries
+#: age out at round 19; a 14-seat single-round rotation is too big, so
+#: three direct family swaps land THIS round and the rest split across
+#: r18/r19): q50 streaming session IN / q51 streaming sliding OUT
+#: (same watermark-window family, q49/q55/q103/q104 keep streaming),
+#: q66 group-top-n sample IN / q62 deterministic shard OUT (same
+#: md5-threshold family, q71/q74 stay), q77 ANN-PQ IN / q56
+#: embedding-LSH-verify OUT (q32/q46/q78/q79 keep ANN; q56's
+#: candidates+exact-verify pattern also runs inside the gated q29
+#: chain). All three outgoing members carry fresh r16 rows.
 _GATE_HEAD = (
     # flagship + core SQL (filter/project, aggregates, distinct,
     # having, sort/limit, math/string/datetime, CASE, conditional agg)
@@ -5941,16 +5952,16 @@ _GATE_HEAD = (
     "q48_grouped_agg_udf",
     # streaming
     "q49_streaming_tumbling",
-    "q51_streaming_sliding",
+    "q50_streaming_session",
     "q54_winnowing_pairs",
     "q55_stream_interval_join",
     # text / dedup / sampling pipeline operators
     "q25_text_stats",
     "q26_lang_id",
-    "q56_embedding_lsh_verify",
+    "q77_ann_pq",
     "q58_quality_rules",
     "q61_pii_redaction",
-    "q62_deterministic_shard",
+    "q66_group_topn_sample",
     "q63_dedup_clusters",
     "q64_repetition_signals",
     "q69_boilerplate_removal",
