@@ -158,6 +158,23 @@ def calibrate_host() -> float:
     return round(time.perf_counter() - t0, 2)
 
 
+def spark_probe(spark) -> float:
+    """Wall of a FIXED tiny Spark job (32-partition range + codegen
+    aggregate, no shuffle, no IO) — the second calibration dimension
+    the round-17 adjudication showed is needed: the pure-Python CPU
+    loop understates bursty contention as the JVM experiences it
+    (measured: queries ran 1.8x their anchors inside a bracket whose
+    CPU stamps read 1.4x). Recorded per bracket alongside cal stamps;
+    instrumentation-first (bench_diff does not consume it yet — a
+    probe reference band needs a few rounds of records, exactly how
+    the cal stamps themselves were introduced in round 15)."""
+    t0 = time.perf_counter()
+    spark.range(0, 64_000_000, 1, 32).selectExpr(
+        "sum(id * 2654435761 % 1000003) AS s"
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -189,6 +206,14 @@ def main() -> None:
         except Exception:
             break  # the per-query loop will record the error
 
+    # probe reference taken after the JVM warm-up above, plus one
+    # untimed pass of the probe itself — its own range+sum codegen is
+    # not covered by the query warm-up (first measured stamp read
+    # 0.62 s vs 0.17-0.26 s steady without this)
+    spark_probe(spark)
+    probe_start = spark_probe(spark)
+    probe_mids = []
+
     timings = {}
     raw_runs = {}
     errors = {}
@@ -203,6 +228,7 @@ def main() -> None:
             # 15-minute --all pass) catches the sub-minute spikes the
             # first every-25 sampling missed.
             cal_mids.append(calibrate_host())
+            probe_mids.append(spark_probe(spark))
         fn = QUERIES[name].fn
         try:
             # warm-up (codegen, file listing, broadcast build)
@@ -221,6 +247,7 @@ def main() -> None:
         if bench_all:
             print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    probe_end = spark_probe(spark)
     cal_end = calibrate_host()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     mode = "all" if bench_all else "headline"
@@ -247,6 +274,9 @@ def main() -> None:
                 "cal_start_s": cal_start,
                 "cal_end_s": cal_end,
                 **({"cal_mids_s": cal_mids} if cal_mids else {}),
+                "probe_start_s": probe_start,
+                "probe_end_s": probe_end,
+                **({"probe_mids_s": probe_mids} if probe_mids else {}),
                 **({"errors": errors} if errors else {}),
             }
         )
@@ -265,6 +295,9 @@ def main() -> None:
             "cal_start_s": cal_start,
             "cal_end_s": cal_end,
             **({"cal_mids_s": cal_mids} if cal_mids else {}),
+            "probe_start_s": probe_start,
+            "probe_end_s": probe_end,
+            **({"probe_mids_s": probe_mids} if probe_mids else {}),
             **({"errors": errors} if errors else {}),
         }
     )
