@@ -550,3 +550,24 @@ def test_bucketed_store_delta_join_is_delta_sized(spark, tmp_path):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
     assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 3, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_semantic_dedup_edge_join_is_equi_join(spark):
+    """semantic_dedup's 100 TB contract: the within-cluster pair join
+    is an EQUI-join on the cluster id — never a BroadcastNestedLoopJoin
+    or cartesian product (all-pairs-by-accident). Broadcast-hash is
+    acceptable (AQE's call at test scale; at real scale the same plan
+    becomes a sort-merge on the cluster key), nested-loop is not."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(
+        emb.select("vec_id", "embedding"), dim=64, n_clusters=16
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -5726,6 +5726,95 @@ def q109(spark, sf_dir):
     )
 
 
+def _q110_oracle() -> str:
+    """SemDeDup oracle — the 16 fixed coarse centroids are INLINED as
+    literal DOUBLE[] rows (full-precision shortest-round-trip reprs, so
+    DuckDB parses the exact doubles numpy holds), the assignment is the
+    same first-index argmax, and the duplicate groups are the q63-style
+    recursive-CTE transitive closure over within-cluster cosine edges."""
+    import numpy as np
+
+    from vinum_spark.operators.similarity import _hyperplanes
+
+    c = _hyperplanes(64, 16, 42)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    rows = ",\n      ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c[i])}]::DOUBLE[])"
+        for i in range(len(c))
+    )
+    return f"""
+    WITH RECURSIVE emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), planted AS (
+      SELECT vec_id + 100000 AS vec_id,
+             v[1:60] || [0.0, 0.0, 0.0, 0.0] AS v
+      FROM emb
+    ), allv AS (
+      SELECT * FROM emb UNION ALL SELECT * FROM planted
+    ), cent(cell, c) AS (VALUES
+      {rows}
+    ), cells AS (
+      SELECT a.vec_id, a.v,
+             (SELECT c.cell FROM cent c
+              ORDER BY list_inner_product(a.v, c.c) DESC, c.cell
+              LIMIT 1) AS cell
+      FROM allv a
+    ), edges0 AS (
+      SELECT a.vec_id AS s, b.vec_id AS d
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    ), edges AS (
+      SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0
+    ), reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    ), labels AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    )
+    SELECT c.vec_id, CAST(c.cell AS INT) AS sem_cluster,
+           CAST(coalesce(l.component, c.vec_id) AS BIGINT) AS component,
+           coalesce(l.component, c.vec_id) = c.vec_id AS kept
+    FROM cells c LEFT JOIN labels l ON l.id = c.vec_id
+    ORDER BY c.vec_id
+    """
+
+
+@_q(
+    "q110_semantic_dedup",
+    _q110_oracle(),
+    "Semantic deduplication — SemDeDup (Abbas et al. 2023) "
+    "re-expressed relationally (operators/similarity.py "
+    "semantic_dedup): cluster-bounded embedding near-dup, the "
+    "100 TB-scale answer to all-pairs cosine. ivf_index's "
+    "deterministic coarse quantizer assigns clusters, within-cluster "
+    "pairs >= 0.95 cosine become edges (codegen'd JVM dot, no UDF), "
+    "connected components (q63 machinery) label duplicate groups, "
+    "min-id survives. Gate plants q56-style twins (last 4 of 64 "
+    "components zeroed, cosine ~0.97) — each twin must land in its "
+    "base's duplicate group WHEN clustering co-locates them (the "
+    "paper's own cross-cluster recall trade, replicated exactly by "
+    "the oracle's inlined-centroid assignment). The oracle recomputes "
+    "the WHOLE chain: literal centroid argmax, within-cluster cosine "
+    "edges, recursive-CTE transitive closure, survivor rule.",
+)
+def q110(spark, sf_dir):
+    from vinum_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(F.slice("embedding", 1, 60), F.array(*[F.lit(0.0)] * 4))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    allv = emb.select("vec_id", "embedding").unionByName(planted)
+    return semantic_dedup(
+        allv, dim=64, n_clusters=16, threshold=0.95
+    ).orderBy("vec_id")
+
+
 @_q(
     "q106_hf_tokenizer_json",
     _q89_oracle(
@@ -5928,7 +6017,12 @@ def q106(spark, sf_dir):
 #: md5-threshold family, q71/q74 stay), q77 ANN-PQ IN / q56
 #: embedding-LSH-verify OUT (q32/q46/q78/q79 keep ANN; q56's
 #: candidates+exact-verify pattern also runs inside the gated q29
-#: chain). All three outgoing members carry fresh r16 rows.
+#: chain). All three outgoing members carry fresh r16 rows. Late
+#: wave: q110 semantic dedup (registered this round) seats per the
+#: new-query rule; q63 dedup clusters steps out (fresh r16 row —
+#: its connected-components machinery is now ALSO driver-gated
+#: inside q110's duplicate-group labelling, and the q63 exact
+#: oracle keeps running in-suite).
 _GATE_HEAD = (
     # flagship + core SQL (filter/project, aggregates, distinct,
     # having, sort/limit, math/string/datetime, CASE, conditional agg)
@@ -5962,7 +6056,6 @@ _GATE_HEAD = (
     "q58_quality_rules",
     "q61_pii_redaction",
     "q66_group_topn_sample",
-    "q63_dedup_clusters",
     "q64_repetition_signals",
     "q69_boilerplate_removal",
     "q71_pack_sequences",
@@ -5996,6 +6089,7 @@ _GATE_HEAD = (
     # q109 (registered this round) seats per the new-query rule: the
     # ExactSubstr-in-prepare_corpus composition gate
     "q109_pipeline_despan",
+    "q110_semantic_dedup",
     # round-14/15 additions: exact GPT-2, streaming pipelines, the
     # four round-15 promotions (decode round-trip, chunking, packing,
     # stream-store dedup), and the two round-15 NEW queries (q104

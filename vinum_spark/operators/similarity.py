@@ -1090,3 +1090,100 @@ def hamming_verify(
         .filter(F.col("__d") <= max_dist)
         .select("id_a", "id_b", F.col("__d").cast("int").alias("hamming"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic deduplication — SemDeDup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication") re-expressed relationally: embedding-space
+    near-duplicates are found ONLY within coarse clusters, never
+    corpus-wide. That is the trick that makes semantic dedup tractable
+    at web scale — all-pairs cosine is O(n²·dim); cluster-bounded
+    pairs are Σ|cluster|², controlled by picking n_clusters ≈ √n — at
+    the documented recall trade that a near-dup pair straddling a
+    cluster boundary is missed (the paper's own property).
+
+    Stages, each machinery already gated elsewhere:
+
+    1. cluster assignment — :func:`ivf_index`'s deterministic
+       fixed-centroid argmax (the coarse quantizer the ANN gates
+       q46/q79 pin; a production run trains k-means centroids first —
+       the assignment path is identical);
+    2. within-cluster pairwise cosine via a self-join on the cluster
+       id — codegen'd JVM dot (:func:`_dot`), no UDF; for FAT
+       clusters swap the per-cluster kernel for
+       :func:`blocked_pair_cosine`'s BLAS grid;
+    3. pairs ≥ ``threshold`` are edges; connected components
+       (operators/dedup.py — the q63-gated min-label propagation)
+       label duplicate GROUPS, and the min-id member survives. (The
+       paper keeps the member farthest from the cluster centroid — a
+       different fixed exemplar rule with identical dedup power;
+       min-id keeps survivor choice consistent with every other dedup
+       operator in this package.)
+
+    Returns one row PER INPUT vector: ``(id_col, sem_cluster,
+    component, kept)`` — ``component`` is the duplicate-group label
+    (own id for singletons), ``kept`` marks the group's survivor.
+
+    100 TB shape: the self-join shuffles on the cluster id (one hash
+    Exchange per side), pair work is cluster-bounded, CC is
+    edges-proportional — the corpus never meets itself across
+    clusters. NULL or wrong-length vectors get a NULL cluster from
+    :func:`ivf_index`, join no pairs, and come back as kept
+    singletons — never silently dropped.
+    """
+    from vinum_spark.operators.dedup import connected_components
+
+    base = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+    )
+    # localCheckpoint: the frame is referenced three times (both join
+    # sides + the final output); Spark recomputes a plan subtree per
+    # reference, so the pandas_udf cell assignment would otherwise run
+    # three times over the corpus
+    cells = ivf_index(
+        base, dim, n_cells=n_clusters, vec_col=vec_col, out="sem_cluster",
+        seed=seed,
+    ).localCheckpoint(eager=True)
+    a = cells.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sem_cluster").alias("__c"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sem_cluster").alias("__c"),
+        F.col(vec_col).alias("__vb"),
+    )
+    cos = _dot(F.col("__va"), F.col("__vb"), dim) / (
+        _norm(F.col("__va"), dim) * _norm(F.col("__vb"), dim)
+    )
+    edges = (
+        a.join(b, "__c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= float(threshold))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges)
+    return (
+        cells.select(id_col, "sem_cluster")
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            id_col,
+            "sem_cluster",
+            F.coalesce("component", F.col(id_col))
+            .cast("long")
+            .alias("component"),
+            (
+                F.coalesce("component", F.col(id_col)) == F.col(id_col)
+            ).alias("kept"),
+        )
+    )
