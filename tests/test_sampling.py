@@ -275,3 +275,67 @@ def test_vocab_topk_counts_and_plan(spark):
     assert pdf.n_docs.tolist() == [2, 2, 2]
     plan = vocab_topk(df, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k fused, no global sort
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR's defining property: raw documents sharing the TARGET
+    corpus's vocabulary get higher importance weights than
+    out-of-domain junk, so the selected set is dominated by
+    target-like docs; selection is deterministic across calls; k
+    bounds the output; zero-token docs are candidates (weight 0),
+    never crashes."""
+    from vinum_spark.operators.sampling import dsir_select
+
+    target = spark.createDataFrame(
+        [(900 + i, "physics energy quantum field theory particle wave")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    likes = [(i, "quantum field energy particle physics wave theory state")
+             for i in range(20)]
+    junk = [(100 + i, "recipe butter flour sugar oven bake whisk dough")
+            for i in range(20)]
+    empties = [(200, ""), (201, "!!!")]
+    raw = spark.createDataFrame(
+        likes + junk + empties, "doc_id long, text string"
+    )
+    sel = dsir_select(raw, target, k=15, n_buckets=256, seed="t")
+    rows = sel.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == 15
+    # overwhelmingly the target-like docs: junk can sneak in only via
+    # Gumbel noise, which cannot beat a decisive log-weight gap often
+    n_like = sum(1 for i in ids if i < 100)
+    assert n_like >= 12, ids
+    # deterministic: same inputs -> same selection and scores
+    again = dsir_select(raw, target, k=15, n_buckets=256, seed="t").collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (r["doc_id"], r["score"]) for r in again
+    ]
+    # a different seed reshuffles the Gumbel noise (scores differ)
+    other = dsir_select(raw, target, k=15, n_buckets=256, seed="u").collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] != [
+        (r["doc_id"], r["score"]) for r in other
+    ]
+
+
+def test_dsir_select_plan_shape(spark):
+    """Scale pins: the 1024-row log-ratio table joins BROADCAST (the
+    corpus never shuffles for the lookup) and the final top-k is a
+    TakeOrderedAndProject, not a global sort."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.sampling import dsir_select
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dsir_select(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        k=50,
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -5816,6 +5816,94 @@ def q110(spark, sf_dir):
 
 
 @_q(
+    "q111_dsir_select",
+    r"""
+    WITH raw AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ), tgt AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ), rtok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM raw
+    ), ttok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM tgt
+    ), rgrams AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, unnest(w) AS g FROM rtok
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(
+                 range(1, greatest(len(w) - 1, 0) + 1),
+                 i -> w[i] || ' ' || w[i + 1])) AS g
+        FROM rtok)
+    ), tgrams AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, unnest(w) AS g FROM ttok
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(
+                 range(1, greatest(len(w) - 1, 0) + 1),
+                 i -> w[i] || ' ' || w[i + 1])) AS g
+        FROM ttok)
+    ), rgb AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(g), 1, 8))::UBIGINT % 1024 AS INT)
+               AS b
+      FROM rgrams
+    ), tgb AS (
+      SELECT CAST(('0x' || substring(md5(g), 1, 8))::UBIGINT % 1024 AS INT)
+               AS b
+      FROM tgrams
+    ), tcnt AS (SELECT b, count(*) AS ct FROM tgb GROUP BY b),
+    rcnt AS (SELECT b, count(*) AS cr FROM rgb GROUP BY b),
+    ratio AS (
+      SELECT b,
+             ln((coalesce(ct, 0) + 1.0)
+                / ((SELECT count(*) FROM tgb) + 1.0 * 1024))
+           - ln((coalesce(cr, 0) + 1.0)
+                / ((SELECT count(*) FROM rgb) + 1.0 * 1024)) AS r
+      FROM rcnt FULL OUTER JOIN tcnt USING (b)
+    ), w AS (
+      SELECT rgb.doc_id, sum(r) AS logw
+      FROM rgb JOIN ratio USING (b) GROUP BY rgb.doc_id
+    )
+    SELECT raw.doc_id,
+           round(coalesce(logw, 0)
+                 + -ln(-ln(
+                     (('0x' || substring(md5(
+                        raw.doc_id::VARCHAR || chr(31) || 'dsir'), 1, 8)
+                      )::UBIGINT + 0.5) / 4294967296.0)), 6) AS score
+    FROM raw LEFT JOIN w USING (doc_id)
+    ORDER BY score DESC, raw.doc_id ASC
+    LIMIT 50
+    """,
+    "Data selection via importance resampling — DSIR (Xie et al. "
+    "2023) re-expressed relationally (operators/sampling.py "
+    "dsir_select): hashed unigram+bigram bag-of-ngrams features "
+    "(md5-prefix buckets, the engine-portable hash the sampling "
+    "family gates), add-alpha-smoothed target/raw bucket language "
+    "models, per-document importance log-weight via a BROADCAST "
+    "1024-row log-ratio table (the corpus never shuffles for the "
+    "lookup), and deterministic Gumbel-top-k resampling (md5-derived "
+    "uniforms, scores rounded to 6dp in BOTH engines before ranking "
+    "so summation-order float noise cannot flip the selected set). "
+    "The oracle recomputes the entire program — features, buckets, "
+    "smoothing, weights, Gumbel noise, ranking — so any drift "
+    "hash-mismatches on the selected ids AND their scores.",
+)
+def q111(spark, sf_dir):
+    from vinum_spark.operators.sampling import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        k=50,
+        n_buckets=1024,
+        seed="dsir",
+    )
+
+
+@_q(
     "q106_hf_tokenizer_json",
     _q89_oracle(
         base=_q88_oracle(
@@ -6022,7 +6110,11 @@ def q106(spark, sf_dir):
 #: new-query rule; q63 dedup clusters steps out (fresh r16 row —
 #: its connected-components machinery is now ALSO driver-gated
 #: inside q110's duplicate-group labelling, and the q63 exact
-#: oracle keeps running in-suite).
+#: oracle keeps running in-suite). q111 DSIR selection (registered
+#: this round) also seats; q58 quality rules steps out (fresh r16
+#: row — the Gopher/C4 rule machinery is driver-gated INSIDE the
+#: seated q75 chain's quality_filter stage, and the text-signal
+#: family keeps q26/q61/q64/q69).
 _GATE_HEAD = (
     # flagship + core SQL (filter/project, aggregates, distinct,
     # having, sort/limit, math/string/datetime, CASE, conditional agg)
@@ -6053,7 +6145,6 @@ _GATE_HEAD = (
     "q25_text_stats",
     "q26_lang_id",
     "q77_ann_pq",
-    "q58_quality_rules",
     "q61_pii_redaction",
     "q66_group_topn_sample",
     "q64_repetition_signals",
@@ -6090,6 +6181,7 @@ _GATE_HEAD = (
     # ExactSubstr-in-prepare_corpus composition gate
     "q109_pipeline_despan",
     "q110_semantic_dedup",
+    "q111_dsir_select",
     # round-14/15 additions: exact GPT-2, streaming pipelines, the
     # four round-15 promotions (decode round-trip, chunking, packing,
     # stream-store dedup), and the two round-15 NEW queries (q104

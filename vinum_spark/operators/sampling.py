@@ -384,3 +384,134 @@ def mixture_sample(
         .filter(F.col("__before") < F.col("__alloc"))
         .drop("__alloc", "__before")
     )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "dsir",
+    alpha: float = 1.0,
+    token_pattern: str = "[a-z0-9]+",
+) -> DataFrame:
+    """Data Selection via Importance Resampling — DSIR (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling") re-expressed relationally: pick the ``k`` raw
+    documents whose hashed-n-gram distribution looks most like a
+    TARGET corpus, by importance weight under bag-of-hashed-ngrams
+    language models, resampled with deterministic Gumbel-top-k.
+
+    Stages, all JVM-side (no UDF anywhere):
+
+    1. features — unigrams + bigrams of the lowercased
+       ``token_pattern`` tokens, hashed into ``n_buckets`` buckets via
+       the md5-prefix integer (the same engine-portable hash the
+       q59/q62 sampling family gates);
+    2. per-bucket log-ratio ``r_b = ln(p_b) - ln(q_b)`` with add-alpha
+       smoothing, where p is the target and q the raw bucket
+       distribution — a ``n_buckets``-row table, BROADCAST (the corpus
+       never shuffles for the lookup; the only corpus-keyed shuffle is
+       the per-document weight sum, partial-aggregated);
+    3. per-document importance weight ``log w = Σ_grams r_bucket``
+       (documents with no tokens get weight 0 — candidates, never
+       dropped);
+    4. Gumbel-top-k resampling: ``score = log w + g_i`` with
+       ``g_i = -ln(-ln(u_i))`` and ``u_i`` a deterministic md5-derived
+       uniform in (0,1) keyed by (doc_id, seed) — exactly
+       without-replacement sampling proportional to ``w`` (Gumbel-max
+       trick), reproducible across engines and runs. Scores are
+       ROUNDED to 6 decimals before ranking (ties broken by id), so
+       float summation-order differences between engines cannot flip
+       the selected set at a razor-thin boundary.
+
+    Returns the selected rows: ``(id_col, score)``, ``score`` the
+    rounded Gumbel-perturbed log-weight, ordered by rank.
+
+    100 TB shape: the target is benchmark/domain-sized (MBs) and its
+    bucket table is O(n_buckets) regardless of corpus size; raw-side
+    work is one projection + one broadcast join + one partial-agg
+    groupBy + a top-k (TakeOrderedAndProject). Driver-side scalars:
+    exactly two counts (the total gram counts of each side), bounded.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+
+    import math
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col),
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), "
+                f"'{token_pattern}', 0)"
+            ).alias("__w"),
+        )
+        uni = toks.select(id_col, F.explode("__w").alias("__g"))
+        # short-doc guard: sequence(1, 0) is DESCENDING in Spark (the
+        # documented trap); a 0-or-1-token doc has no bigrams
+        bi = toks.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "if(size(__w) < 2, array(), "
+                    "transform(sequence(1, size(__w) - 1), "
+                    "i -> concat(__w[i-1], ' ', __w[i])))"
+                )
+            ).alias("__g"),
+        )
+        return uni.unionByName(bi).withColumn(
+            "__b",
+            (
+                F.conv(F.substring(F.md5("__g"), 1, 8), 16, 10)
+                .cast("long")
+                % n_buckets
+            ).cast("int"),
+        )
+
+    tg = grams(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    rg = grams(raw)
+    rb = rg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    # two bounded scalars (total gram counts) — the documented
+    # driver-side collect class (cf. q31's one-row query vector)
+    t_total = tg.agg(F.sum("__ct")).collect()[0][0] or 0
+    r_total = rb.agg(F.sum("__cr")).collect()[0][0] or 0
+    t_denom = float(t_total + alpha * n_buckets)
+    r_denom = float(r_total + alpha * n_buckets)
+    ratio = (
+        rb.join(tg, "__b", "full_outer")
+        .select(
+            "__b",
+            (
+                F.log((F.coalesce("__ct", F.lit(0)) + alpha) / t_denom)
+                - F.log((F.coalesce("__cr", F.lit(0)) + alpha) / r_denom)
+            ).alias("__r"),
+        )
+    )
+    weights = (
+        rg.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(F.sum("__r").alias("__logw"))
+    )
+    # deterministic Gumbel noise: u in (0,1) from the md5-prefix
+    # integer (+0.5 keeps u strictly inside the open interval)
+    u = (
+        F.conv(F.substring(_full_key(F.col(id_col), seed), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / float(16 ** 8)
+    g = -F.log(-F.log(u))
+    return (
+        raw.select(id_col)
+        .join(weights, id_col, "left")
+        .select(
+            id_col,
+            F.round(F.coalesce("__logw", F.lit(0.0)) + g, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
