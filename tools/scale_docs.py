@@ -40,7 +40,7 @@ Measures, at M=10 (50k docs, the round-8 point) and M=100 (500k docs):
 Usage:  python tools/scale_docs.py [--quick] [--only stage,stage]
   --quick: M=2 and M=10 only (smoke; the full run is M=10/100).
   --only:  comma-separated subset of winnowing,decontamination,bpe,
-           tokenize,exactsubstr (default: all).
+           tokenize,exactsubstr,dsir (default: all).
 Writes corpora under /tmp/docscale/ and prints one JSON line per M.
 """
 
@@ -121,7 +121,8 @@ def main() -> None:
     # a missing value must be a usage error, not an IndexError after
     # minutes of executor work
     all_stages = (
-        "winnowing", "decontamination", "bpe", "tokenize", "exactsubstr"
+        "winnowing", "decontamination", "bpe", "tokenize", "exactsubstr",
+        "dsir",
     )
     if "--only" in args:
         try:
@@ -208,6 +209,24 @@ def main() -> None:
             wall_t, n_tokens = timed(tokenize, n=n, warm=m <= 10)
             rec["tokenize_wall_s"] = wall_t
             rec["tokens"] = int(n_tokens)
+        if "dsir" in only:
+            # round-17: DSIR selection toward the FIXED eval slice as
+            # the target domain — one raw-corpus projection + broadcast
+            # 1024-row ratio join + partial-agg weight sum + top-k, so
+            # wall should scale ~M; the target side is constant-size by
+            # construction (the operator's 100 TB contract, same as
+            # decontamination's)
+            from vinum_spark.operators.sampling import dsir_select
+
+            def dsir():
+                c = corpus.filter(F.col("doc_id") % 10_000_000 % 10 != 0)
+                return dsir_select(c, eval_df, k=1000).count()
+
+            wall_ds, n_sel = timed(dsir, n=n, warm=m <= 10)
+            rec_extra_dsir = (wall_ds, int(n_sel))
+        else:
+            rec_extra_dsir = None
+
         if "exactsubstr" in only:
             wall_e, (n_spans, n_removed) = timed(
                 exactsubstr, n=n, warm=m <= 10
@@ -215,6 +234,9 @@ def main() -> None:
             rec["exactsubstr_wall_s"] = wall_e
             rec["dup_spans"] = n_spans
             rec["dup_tokens_removed"] = n_removed
+        if rec_extra_dsir is not None:
+            rec["dsir_wall_s"] = rec_extra_dsir[0]
+            rec["dsir_selected"] = rec_extra_dsir[1]
         print(json.dumps(rec), flush=True)
 
 

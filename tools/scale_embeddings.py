@@ -35,8 +35,20 @@ multi-signature support in lsh_candidate_pairs. The settings here
 ~12 rows at 200k corpus with planted recall ~1-(1-0.933^14)^9 ~ 0.99
 at cos 0.978.
 
-Usage:  python tools/scale_embeddings.py [--quick]
+- semantic_dedup (round 17, run with ``--only semantic``): the
+  SemDeDup chain over the same corpus — the perturbed copies
+  (cos ~0.978 > the 0.95 threshold) are planted duplicate GROUPS, so
+  the anchor reports how many rows were dropped vs the (M-1)*n_base
+  ideal. n_clusters follows the paper's √n guidance (128 at M=10,
+  512 at M=100) — within-cluster pair work is Σ|cluster|², so the
+  knob trades recall (copies of one base straddling more cluster
+  boundaries) against bounded pair enumeration; both effects are the
+  measurement.
+
+Usage:  python tools/scale_embeddings.py [--quick] [--only stage,..]
   --quick: M=2 and M=10 only (CI-sized smoke; full run is M=10/100).
+  --only:  comma-separated subset of neardup,knn,ivfpq,semantic
+           (default: neardup,knn,ivfpq — the pre-r17 behavior).
 Writes corpora under /tmp/embscale/ and prints one JSON line per M.
 """
 
@@ -57,6 +69,9 @@ BASE = "/root/testdata/sf0.1/embeddings.parquet"
 OUT_DIR = "/tmp/embscale"
 SIGMA_REL = 0.15
 THRESHOLD = 0.9
+#: semantic_dedup's duplicate threshold (the q110 gate value) — the
+#: perturbed copies' ~0.978 cosine clears it
+THRESHOLD_SEM = 0.95
 
 
 def build_corpus(m: int) -> tuple[str, np.ndarray, np.ndarray]:
@@ -129,8 +144,20 @@ def timed(fn, n=3):
 
 
 def main() -> None:
-    quick = "--quick" in sys.argv[1:]
+    args = sys.argv[1:]
+    quick = "--quick" in args
     ms = (2, 10) if quick else (10, 100)
+    all_stages = ("neardup", "knn", "ivfpq", "semantic")
+    if "--only" in args:
+        try:
+            only = set(args[args.index("--only") + 1].split(","))
+        except IndexError:
+            raise SystemExit("--only needs a comma-separated stage list")
+        unknown = only - set(all_stages)
+        if unknown:
+            raise SystemExit(f"--only: unknown stages {sorted(unknown)}")
+    else:
+        only = {"neardup", "knn", "ivfpq"}  # the pre-r17 default set
 
     from pyspark.sql import functions as F
 
@@ -145,55 +172,82 @@ def main() -> None:
         n_base = len(ids) // m
         emb = spark.read.parquet(path)
 
-        def neardup():
-            cands = S.lsh_candidate_pairs(emb, dim=64, n_planes=126, band_bits=14)
-            return S.cosine_verify(emb, cands, threshold=THRESHOLD, dim=64)
+        rec = {"m": m, "rows": int(len(ids))}
 
-        wall_nd = timed(
-            lambda: neardup().write.format("noop").mode("overwrite").save()
-        )
-        found = neardup().count()
-        planted = planted_true_pairs(ids, M, n_base)
-        cross = cross_base_true_pairs_blocked(M, n_base) if m <= 10 else None
+        if "neardup" in only:
+            def neardup():
+                cands = S.lsh_candidate_pairs(
+                    emb, dim=64, n_planes=126, band_bits=14
+                )
+                return S.cosine_verify(emb, cands, threshold=THRESHOLD, dim=64)
 
-        queries = emb.filter(F.col("vec_id") < 40)
-        wall_knn = timed(
-            lambda: S.knn_join(queries, emb.filter(F.col("vec_id") >= 40), k=5)
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-
-        qv = [float(x) for x in M[0]]
-        books = S.train_pq_codebooks(emb, 64, m=16, n_codes=64)
-        wall_ivfpq = timed(
-            lambda: S.ivfpq_topk(
-                emb, qv, k=10, n_cells=16, nprobe=4, m=16, n_codes=64,
-                rerank=100, codebooks=books,
+            rec["neardup_wall_s"] = timed(
+                lambda: neardup().write.format("noop").mode("overwrite").save()
             )
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
+            found = neardup().count()
+            planted = planted_true_pairs(ids, M, n_base)
+            cross = (
+                cross_base_true_pairs_blocked(M, n_base) if m <= 10 else None
+            )
+            rec["neardup_pairs_found"] = int(found)
+            rec["planted_true_pairs"] = int(planted)
+            rec["cross_base_true_pairs"] = cross
+            rec["recall_vs_planted"] = (
+                round(found / planted, 4) if planted else None
+            )
 
-        print(
-            json.dumps(
-                {
-                    "m": m,
-                    "rows": int(len(ids)),
-                    "neardup_wall_s": wall_nd,
-                    "neardup_pairs_found": int(found),
-                    "planted_true_pairs": int(planted),
-                    "cross_base_true_pairs": cross,
-                    "recall_vs_planted": round(found / planted, 4)
-                    if planted
-                    else None,
-                    "knn40_wall_s": wall_knn,
-                    "ivfpq_wall_s": wall_ivfpq,
-                }
-            ),
-            flush=True,
-        )
+        if "knn" in only:
+            queries = emb.filter(F.col("vec_id") < 40)
+            rec["knn40_wall_s"] = timed(
+                lambda: S.knn_join(
+                    queries, emb.filter(F.col("vec_id") >= 40), k=5
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+
+        if "ivfpq" in only:
+            qv = [float(x) for x in M[0]]
+            books = S.train_pq_codebooks(emb, 64, m=16, n_codes=64)
+            rec["ivfpq_wall_s"] = timed(
+                lambda: S.ivfpq_topk(
+                    emb, qv, k=10, n_cells=16, nprobe=4, m=16, n_codes=64,
+                    rerank=100, codebooks=books,
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+
+        if "semantic" in only:
+            # √n-guided cluster count (the SemDeDup knob): within-cluster
+            # pair work is Σ|cluster|², recall decays as one base's copies
+            # straddle more boundaries — both effects ARE the measurement
+            n_clusters = 128 if len(ids) <= 50_000 else 512
+            sem = S.semantic_dedup(
+                emb, dim=64, n_clusters=n_clusters, threshold=THRESHOLD_SEM
+            )
+            rec["semantic_wall_s"] = timed(
+                lambda: S.semantic_dedup(
+                    emb, dim=64, n_clusters=n_clusters,
+                    threshold=THRESHOLD_SEM,
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+                n=1,
+            )
+            dropped = sem.filter("NOT kept").count()
+            ideal = (m - 1) * n_base
+            rec["semantic_n_clusters"] = n_clusters
+            rec["semantic_dropped"] = int(dropped)
+            rec["semantic_ideal_dropped"] = int(ideal)
+            rec["semantic_dedup_recall"] = (
+                round(dropped / ideal, 4) if ideal else None
+            )
+
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
