@@ -135,3 +135,96 @@ def test_scaled_threshold_within_cap_passes_window_noise(tmp_path):
                         cal_mids_s=[2.0])
     _write_history(hist, _anchors(n) + [clean_window])
     assert gate(history_path=hist) == 1
+
+
+def _probe_anchors(n_queries, value=1.0, cal=2.0, probe=0.15):
+    """Clean anchors that also carry Spark probe stamps (post-r17)."""
+    qs = {f"q{i:02d}": value for i in range(n_queries)}
+    return [
+        {
+            "sf": "0.1",
+            "queries": qs,
+            "cal_start_s": cal,
+            "cal_end_s": cal,
+            "probe_start_s": probe,
+            "probe_end_s": probe,
+        }
+        for _ in range(5)
+    ]
+
+
+def test_probe_absorbs_jvm_stall_the_cpu_loop_missed(tmp_path):
+    """The round-17 finding under test: a bursty bracket where the
+    CPU-loop calibration reads CLEAN (the Python loop slept through
+    the contention) but the Spark probe stamped a multi-second stall.
+    Without the probe dimension the 3x values in that bracket read as
+    DRIFT (false positive); with it, the bracket is INCONCLUSIVE and
+    the rest of the record still adjudicates."""
+    n = 45
+    latest = {
+        "sf": "0.1",
+        # block 1 (q10..q19) at 3x — timed during the JVM stall
+        "queries": {
+            f"q{i:02d}": (3.0 if 10 <= i < 20 else 1.0) for i in range(n)
+        },
+        "cal_start_s": 2.0,
+        "cal_end_s": 2.0,
+        "cal_mids_s": [2.0, 2.0, 2.0, 2.0],  # CPU loop saw nothing
+        "probe_start_s": 0.15,
+        # mids at queries 10/20/30/40; the 6.9 brackets blocks 0-1
+        # (a minority of the record) — the JVM saw the stall
+        "probe_mids_s": [6.9, 0.15, 0.15, 0.15],
+        "probe_end_s": 0.15,
+    }
+    hist = str(tmp_path / "h.jsonl")
+    _write_history(hist, _probe_anchors(n) + [latest])
+    assert gate(history_path=hist) == 0
+
+    # the SAME record without probe stamps is the false positive
+    no_probe = {
+        k: v for k, v in latest.items() if not k.startswith("probe_")
+    }
+    _write_history(hist, _probe_anchors(n) + [no_probe])
+    assert gate(history_path=hist) == 1
+
+
+def test_probe_quiet_jitter_never_tightens_or_loosens(tmp_path):
+    """Probe stamps inside the quiet-window jitter band (< PROBE_FLOOR)
+    contribute factor 1 even when they are multiples of the reference
+    — a 0.4 s stamp against a 0.15 s reference is scheduler jitter,
+    not contention, and a real regression still trips the gate."""
+    n = 10
+    latest = {
+        "sf": "0.1",
+        "queries": {f"q{i:02d}": 3.0 for i in range(n)},
+        "cal_start_s": 2.0,
+        "cal_end_s": 2.0,
+        "cal_mids_s": [2.0],
+        "probe_start_s": 0.4,
+        "probe_mids_s": [0.4],
+        "probe_end_s": 0.4,
+    }
+    hist = str(tmp_path / "h.jsonl")
+    _write_history(hist, _probe_anchors(n) + [latest])
+    assert gate(history_path=hist) == 1
+
+
+def test_pooled_record_skips_per_block_scaling(tmp_path):
+    """A record pooled from >1 invocation holds medians spanning
+    several calibration windows, so the latest invocation's brackets
+    cannot be attributed per block (round-18 advice): the gate falls
+    back to whole-run worst-stamp scaling — a mid-run spike makes the
+    WHOLE record inconclusive instead of spike-bracket queries only."""
+    n = 20
+    latest = {
+        "sf": "0.1",
+        "queries": {f"q{i:02d}": 1.0 for i in range(n)},
+        "cal_start_s": 2.0,
+        "cal_end_s": 2.0,
+        "cal_mids_s": [9.0],
+        "pooled_invocations": 2,
+    }
+    hist = str(tmp_path / "h.jsonl")
+    _write_history(hist, _anchors(n) + [latest])
+    # whole-run factor = 9.0/2.0 past the cap -> inconclusive exit
+    assert gate(history_path=hist) == 3

@@ -67,6 +67,15 @@ ANCHOR_BEST_N = 5
 #: with margin while a 3x-contended host still refuses to pass)
 HOST_FACTOR_CAP = 1.75
 
+#: the Spark micro-probe's own wall on a QUIET window is 0.08-0.4 s
+#: (scheduler jitter dominates a ~0.1 s 32-task job — measured across
+#: the seven r17 probe-stamped records), so a stamp below this floor is
+#: treated as clean (factor 1). The probe dimension only speaks when
+#: the JVM measurably stalled — it can LOOSEN a block's threshold or
+#: mark it inconclusive, never tighten the gate, and never manufactures
+#: a factor out of its own jitter band.
+PROBE_FLOOR = 0.5
+
 
 def gate(threshold: float = 1.5, floor: float = 0.25,
          history_path: str = HISTORY_PATH) -> int:
@@ -135,6 +144,11 @@ def gate(threshold: float = 1.5, floor: float = 0.25,
         and not latest.get("errors")
         and latest.get("cal_start_s")
         and latest.get("cal_end_s")
+        # a record pooled from >1 invocation holds medians whose runs
+        # span SEVERAL calibration windows — the latest invocation's
+        # brackets cannot be attributed to them (round-18 advice);
+        # degrade to whole-run scaling by the worst stamp
+        and int(latest.get("pooled_invocations") or 1) <= 1
     )
     whole_run_factor = max(1.0, cal_run / cal_ref) if cal_run else 1.0
 
@@ -149,7 +163,81 @@ def gate(threshold: float = 1.5, floor: float = 0.25,
         hi = stamps[min(b + 1, len(stamps) - 1)]
         return max(1.0, max(lo, hi) / cal_ref)
 
+    # Spark micro-probe as a SECOND host dimension (round 18; bench.py
+    # has stamped probe_start/mids/end since r17): the CPU loop
+    # understates bursty JVM contention (measured r17: queries at 1.8x
+    # anchor inside a bracket whose CPU stamps read 1.4x, one 6.9 s
+    # probe transient on an otherwise-clean run). Reference = median of
+    # each probe-stamped record's BEST stamp (median, not min: the
+    # probe is a ~0.1 s job whose own scheduler jitter spans 0.08-0.4 s
+    # — a min reference would turn quiet-window jitter into phantom
+    # 3x factors). A stamp below PROBE_FLOOR is clean regardless.
+    # reference from PRIOR records only — a uniformly degraded latest
+    # run must not supply its own reference and self-normalize
+    probe_recs = [
+        r
+        for r in records[:-1]
+        if r.get("probe_start_s") and r.get("probe_end_s")
+    ]
+    probe_ref = (
+        statistics.median(
+            min(
+                [float(r["probe_start_s"]), float(r["probe_end_s"])]
+                + [float(p) for p in r.get("probe_mids_s", [])]
+            )
+            for r in probe_recs
+        )
+        if probe_recs
+        else None
+    )
+    p_mids = [float(p) for p in latest.get("probe_mids_s", [])]
+    have_probe = bool(
+        probe_ref and latest.get("probe_start_s") and latest.get("probe_end_s")
+    )
+    probe_stamps = (
+        [float(latest["probe_start_s"])]
+        + p_mids
+        + [float(latest["probe_end_s"])]
+        if have_probe
+        else []
+    )
+    # per-block probe attribution needs the probe mids to pair 1:1 with
+    # the cal mids (bench.py stamps them together every 10 queries)
+    probe_blockable = have_probe and blockable and len(p_mids) == len(mids)
+
+    def _probe_f(stamps) -> float:
+        worst = max(stamps)
+        if worst < PROBE_FLOOR:
+            return 1.0
+        return max(1.0, worst / probe_ref)
+
+    whole_probe_factor = _probe_f(probe_stamps) if have_probe else 1.0
+
+    def probe_factor(q: str) -> float:
+        if not have_probe:
+            return 1.0
+        if not probe_blockable:
+            return whole_probe_factor
+        b = q_order.index(q) // 10
+        lo = probe_stamps[min(b, len(probe_stamps) - 1)]
+        hi = probe_stamps[min(b + 1, len(probe_stamps) - 1)]
+        return _probe_f([lo, hi])
+
     host_factor = whole_run_factor
+    if (
+        have_probe
+        and not probe_blockable
+        and whole_probe_factor > HOST_FACTOR_CAP
+    ):
+        print(
+            f"gate: INCONCLUSIVE — Spark probe stamped "
+            f"{max(probe_stamps):.2f}s vs reference {probe_ref:.2f}s "
+            f"(x{whole_probe_factor:.2f} > cap {HOST_FACTOR_CAP}) and "
+            "per-block attribution is unavailable; the JVM saw "
+            "contention the CPU loop missed. Rerun bench.py on a "
+            "quieter host window."
+        )
+        return 3
     if cal_run and not blockable and host_factor > HOST_FACTOR_CAP:
         print(
             f"gate: INCONCLUSIVE — host calibration {cal_run:.2f}s is "
@@ -171,6 +259,17 @@ def gate(threshold: float = 1.5, floor: float = 0.25,
                 "unavailable)"
             )
         )
+    if have_probe and max(probe_stamps) >= PROBE_FLOOR:
+        print(
+            f"gate: Spark probe worst stamp {max(probe_stamps):.2f}s vs "
+            f"reference {probe_ref:.2f}s -> probe factor "
+            f"x{whole_probe_factor:.2f}"
+            + (
+                " (per-block)"
+                if probe_blockable
+                else " (whole-run)"
+            )
+        )
     # per-query history: list of (value, provenance) over all prior
     # same-sf records; provenance is the record's round field when
     # bench.py stamped one, else its mode/ts
@@ -189,7 +288,12 @@ def gate(threshold: float = 1.5, floor: float = 0.25,
         if q not in hist:
             fresh.append(q)
             continue
-        f_q = query_factor(q)
+        # each query's threshold scales by the WORSE of the two host
+        # dimensions in its bracket: CPU-loop calibration and the
+        # Spark micro-probe (the probe catches JVM-side stalls the
+        # Python loop sleeps through); a bracket past the cap in
+        # either dimension is inconclusive, not adjudicated
+        f_q = max(query_factor(q), probe_factor(q))
         if f_q > HOST_FACTOR_CAP:
             inconclusive.append((q, f_q))
             continue

@@ -6118,81 +6118,84 @@ def q106(spark, sf_dir):
 _GATE_HEAD = (
     # flagship + core SQL (filter/project, aggregates, distinct,
     # having, sort/limit, math/string/datetime, CASE, conditional agg)
-    # (q108, registered this round, seats per the new-query rule; q21
-    # rollup steps out — fresh r15 row, and ROLLUP is GROUPING SETS
-    # sugar whose machinery the seated q47 drives)
+    # Round-18 rotation: the ENTIRE remaining r13 cohort (11 queries —
+    # q22, q27, q65, q67, q70, q80, q83, q88, q89, q93, q94) seats
+    # this round, clearing the staleness debt in one pass instead of
+    # the planned 7/7 split (every outgoing member carries a fresh
+    # r17 row, valid through the 5-round window to r22). Outgoing,
+    # with per-member rationale at its old seat below.
     "q01_pricing_summary",
     "q07_orderby_limit_offset",
     "q15_anti_join",
     "q17_scalar_subquery",
     "q19_window_running",
+    "q22_count_distinct",
     "q34_json_extract",
     "q35_percentiles",
     "q41_null_semantics",
     "q47_grouping_sets",
     "q24_events_sessionize",
+    # q30 simhash OUT (fresh r17 row; banded-signature bucketing kept
+    # in-head by q29's minhash bands and q87's hamming bands; the
+    # simhash oracle keeps running in-suite)
     "q29_minhash_lsh_dedup",
-    "q30_simhash",
+    "q27_dedup_exact",
     "q33_asof_join",
     "q39_embedding_neardup_pairs",
     "q48_grouped_agg_udf",
-    # streaming
+    # streaming. q50 session OUT (fresh r17 row; watermark-window
+    # family keeps q49 tumbling + q55 interval join + q103/q104 chains)
     "q49_streaming_tumbling",
-    "q50_streaming_session",
     "q54_winnowing_pairs",
     "q55_stream_interval_join",
-    # text / dedup / sampling pipeline operators
+    # text / dedup / sampling pipeline operators. q61 PII OUT (fresh
+    # r17; text-signal family keeps q25/q26/q64/q69 + incoming
+    # q67/q70), q66 group-top-n OUT (fresh r17; md5-threshold sampling
+    # family kept by q71/q74), q72 incremental dedup OUT (fresh r17;
+    # fingerprint-store anti-join machinery driven by the seated q107
+    # base+delta and q103 stream-store gates), q73 BM25 OUT (fresh
+    # r17; its vocab/df aggregation path is driven by incoming q67
+    # vocab top-k and the oracle keeps running in-suite), q76
+    # encode_tokens OUT (fresh r17; tokenizer-apply machinery runs
+    # inside incoming q89/q93 and the seated q105/q106 chains)
     "q25_text_stats",
     "q26_lang_id",
-    "q77_ann_pq",
-    "q61_pii_redaction",
-    "q66_group_topn_sample",
     "q64_repetition_signals",
+    "q65_pipeline_compose",
+    "q67_vocab_topk",
     "q69_boilerplate_removal",
+    "q70_lm_quality_score",
     "q71_pack_sequences",
-    "q72_incremental_dedup",
-    "q73_bm25_search",
     "q74_mixture_sample",
     "q75_prepare_corpus",
-    "q76_encode_tokens",
-    # ANN / media. q52 multimodal metadata steps out mid-r17 to seat
-    # the new q109 (fresh r16 row; the probe machinery runs inside the
-    # seated q81/q84 decode gates' header walks — the same argument
-    # that retired q80 media probe in r14)
+    # ANN / media. q46 IVF OUT (fresh r17; ivf_index's coarse
+    # quantizer is driven in-head by q79 IVF-PQ and q110 semantic
+    # dedup), q77 PQ OUT (fresh r17; PQ codebook machinery kept by
+    # q79 IVF-PQ), q84 vorbis OUT (fresh r17; media-decode family
+    # keeps q81 audio decode + incoming q80 probe, and the vorbis
+    # golden corpus keeps running in-suite, tests/test_vorbis.py)
     "q32_ann_lsh",
-    "q46_ann_ivf",
     "q78_knn_join",
     "q79_ann_ivfpq",
+    "q80_media_probe",
     "q81_audio_decode",
-    "q84_vorbis_decode",
+    "q83_image_neardup",
     "q86_skew_join_aqe",
     "q87_image_phash_neardup",
-    # BPE tokenizer family. q106 + q107 (registered this round — no
-    # driver rows possible yet) seat per the q104/q105 precedent; q90
-    # steps out (fresh r15 row; learn_bpe_merges runs INSIDE the gated
-    # q96/q104/q105/q106 chains, so the training machinery keeps four
-    # driver-gated executions per round) and q95 steps out (fresh r15
-    # row; its stage composition is gated by q75 batch prepare_corpus
-    # + q104, whose oracle IS the q95/q98 program extended with
-    # chunking)
     "q107_store_base_delta_dedup",
     "q108_duplicated_ngram_spans",
-    # q109 (registered this round) seats per the new-query rule: the
-    # ExactSubstr-in-prepare_corpus composition gate
     "q109_pipeline_despan",
     "q110_semantic_dedup",
     "q111_dsir_select",
-    # round-14/15 additions: exact GPT-2, streaming pipelines, the
-    # four round-15 promotions (decode round-trip, chunking, packing,
-    # stream-store dedup), and the two round-15 NEW queries (q104
-    # streaming chunk closure, q105 published GPT-2 artifact). The
-    # r15 mid-round swap: q104/q105 seat (registered this round, no
-    # driver row possible yet); q98 steps out (fresh r14 row; q99
-    # keeps the identical chain on the RocksDB provider and q104 IS
-    # that chain + chunking) and q92 steps out (fresh r14 row; the
-    # tokenizer family keeps q90/q95/q96/q100-q102/q105 seats, and
-    # q92's pack_sequences machinery is kept by q71 + q102).
-    "q96_bpe_gpt2_exact",
+    # BPE tokenizer family. The r13 cohort's four (q88 merges, q89
+    # tokenize, q93 token ids, q94 gpt2 pretokenize) seat; q96 exact
+    # GPT-2 OUT (fresh r17 row; the byte-level exact-GPT-2 machinery
+    # is kept by the seated q105 published-ids gate + incoming q94's
+    # pretokenizer)
+    "q88_bpe_merges",
+    "q89_bpe_tokenize",
+    "q93_bpe_token_ids",
+    "q94_bpe_gpt2_pretokenize",
     "q103_stream_store_dedup",
     "q104_pipeline_stream_chunks",
     "q105_gpt2_published_ids",

@@ -1022,8 +1022,10 @@ def duplicated_ngram_spans(
     # carries (see _shingle_frame)
     toks = _spread(docs, id_col).select(
         F.col(id_col),
-        F.expr(
-            f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
+        # Column args (not an interpolated expr string) so a pattern
+        # containing a quote cannot alter the SQL
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(token_pattern), F.lit(0)
         ).alias("__ws"),
     )
     wins = toks.select(
@@ -1118,8 +1120,8 @@ def remove_duplicated_spans(
     )
     toks = _spread(docs, id_col).select(
         F.col(id_col),
-        F.expr(
-            f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(token_pattern), F.lit(0)
         ).alias("__ws"),
     )
     joined = toks.join(per_doc, id_col, "left")

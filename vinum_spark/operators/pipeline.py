@@ -170,9 +170,12 @@ def prepare_corpus(df: DataFrame, config: Optional[CorpusConfig] = None) -> Data
                 text_col,
                 F.concat_ws(
                     " ",
-                    F.expr(
-                        f"regexp_extract_all(lower({text_col}), "
-                        f"'{c.despan_token_pattern}', 0)"
+                    # Column args (not an interpolated expr string) so
+                    # a pattern containing a quote cannot alter the SQL
+                    F.regexp_extract_all(
+                        F.lower(F.col(text_col)),
+                        F.lit(c.despan_token_pattern),
+                        F.lit(0),
                     ),
                 ),
             )

@@ -386,6 +386,14 @@ def mixture_sample(
     )
 
 
+#: one-slot cache for dsir_select's per-(doc, bucket) gram counts (the
+#: phash_candidate_pairs policy via similarity.one_slot_persist): at
+#: most one cached frame process-wide; a call over a different raw
+#: corpus frees the predecessor, same-input calls share the cache.
+_DSIR_CACHE_SLOT: list = []
+_DSIR_CACHE_LOCK = __import__("threading").Lock()
+
+
 def dsir_select(
     raw: DataFrame,
     target: DataFrame,
@@ -432,9 +440,17 @@ def dsir_select(
 
     100 TB shape: the target is benchmark/domain-sized (MBs) and its
     bucket table is O(n_buckets) regardless of corpus size; raw-side
-    work is one projection + one broadcast join + one partial-agg
-    groupBy + a top-k (TakeOrderedAndProject). Driver-side scalars:
-    exactly two counts (the total gram counts of each side), bounded.
+    work is ONE gram explode, pre-aggregated per (document, bucket)
+    and cached under the one-slot registry
+    (:func:`~vinum_spark.operators.similarity.one_slot_persist` — at
+    most one cached frame process-wide, ≤ docs × n_buckets rows, a
+    plan-identical repeat call reuses it), feeding both the raw bucket
+    histogram and the broadcast-joined weight sum. The bucket-total
+    denominators are computed INSIDE the plan (a whole-table window
+    over the n_buckets-row tables) — no eager collect, the call is
+    fully lazy. The only other corpus touch is the final id join's
+    column-pruned scan of ``raw`` (needed to keep zero-token documents
+    as candidates; it reads one column).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -446,9 +462,10 @@ def dsir_select(
     def grams(df: DataFrame) -> DataFrame:
         toks = df.select(
             F.col(id_col),
-            F.expr(
-                f"regexp_extract_all(lower({text_col}), "
-                f"'{token_pattern}', 0)"
+            # Column args (not an interpolated expr string) so a
+            # pattern containing a quote cannot alter the SQL
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(token_pattern), F.lit(0)
             ).alias("__w"),
         )
         uni = toks.select(id_col, F.explode("__w").alias("__g"))
@@ -473,29 +490,42 @@ def dsir_select(
             ).cast("int"),
         )
 
+    from vinum_spark.operators.similarity import one_slot_persist
+
     tg = grams(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
-    rg = grams(raw)
-    rb = rg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
-    # two bounded scalars (total gram counts) — the documented
-    # driver-side collect class (cf. q31's one-row query vector)
-    t_total = tg.agg(F.sum("__ct")).collect()[0][0] or 0
-    r_total = rb.agg(F.sum("__cr")).collect()[0][0] or 0
-    t_denom = float(t_total + alpha * n_buckets)
-    r_denom = float(r_total + alpha * n_buckets)
-    ratio = (
-        rb.join(tg, "__b", "full_outer")
-        .select(
-            "__b",
-            (
-                F.log((F.coalesce("__ct", F.lit(0)) + alpha) / t_denom)
-                - F.log((F.coalesce("__cr", F.lit(0)) + alpha) / r_denom)
-            ).alias("__r"),
-        )
+    # pre-aggregate the raw grams per (document, bucket): the bucket
+    # histogram AND the per-document weight sum both derive from this
+    # frame, so the corpus-sized explode runs ONCE per action (it is
+    # one-slot-cached; unpersisted lineage would recompute it per
+    # consumer). Σ_grams r_bucket == Σ_buckets n_doc_bucket · r_bucket.
+    rgb = one_slot_persist(
+        grams(raw)
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__cn")),
+        _DSIR_CACHE_SLOT,
+        _DSIR_CACHE_LOCK,
+    )
+    rb = rgb.groupBy("__b").agg(F.sum("__cn").alias("__cr"))
+    # denominators as a broadcast 1-row aggregate over the
+    # n_buckets-row merged frame — stays lazy (no call-time collect)
+    ct = F.coalesce("__ct", F.lit(0)).cast("double")
+    cr = F.coalesce("__cr", F.lit(0)).cast("double")
+    merged = rb.join(tg, "__b", "full_outer")
+    totals = merged.agg(
+        (F.sum(ct) + float(alpha * n_buckets)).alias("__t_denom"),
+        (F.sum(cr) + float(alpha * n_buckets)).alias("__r_denom"),
+    )
+    ratio = merged.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log((ct + alpha) / F.col("__t_denom"))
+            - F.log((cr + alpha) / F.col("__r_denom"))
+        ).alias("__r"),
     )
     weights = (
-        rg.join(F.broadcast(ratio), "__b")
+        rgb.join(F.broadcast(ratio), "__b")
         .groupBy(id_col)
-        .agg(F.sum("__r").alias("__logw"))
+        .agg(F.sum(F.col("__cn") * F.col("__r")).alias("__logw"))
     )
     # deterministic Gumbel noise: u in (0,1) from the md5-prefix
     # integer (+0.5 keeps u strictly inside the open interval)

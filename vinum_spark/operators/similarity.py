@@ -14,6 +14,7 @@ matching partitions.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 import numpy as np
@@ -917,6 +918,35 @@ def _semantic_same(key_a, key_b) -> bool:
         return False
 
 
+def one_slot_persist(df: DataFrame, slot: list, lock) -> DataFrame:
+    """Persist ``df`` under a ONE-SLOT registry (the
+    :func:`phash_candidate_pairs` cache policy, factored out for any
+    operator that materializes a derived corpus projection): the slot's
+    previous occupant is unpersisted when this call's input PLAN
+    DIFFERS (identity via :func:`_semantic_key`) or its SESSION is
+    gone, so repeated calls hold at most one cached frame, while
+    calls over the SAME input keep the cache and Spark's cache manager
+    serves the plan-identical frame. An unavailable plan identity
+    degrades to re-persist-per-call, never an error."""
+    with lock:
+        prev = slot[0] if slot else None
+        same = False
+        if prev is not None:
+            prev_df, prev_session, prev_key = prev
+            if prev_session is df.sparkSession:
+                same = _semantic_same(prev_key, _semantic_key(df))
+        if prev is not None and not same:
+            try:
+                prev[0].unpersist()
+            except Exception:
+                pass  # its SparkContext may already be gone
+            slot.clear()
+        df = df.persist()
+        if not slot:
+            slot.append((df, df.sparkSession, _semantic_key(df)))
+    return df
+
+
 def phash_bands_per_key(n_rows: int) -> int:
     """The ``bands_per_key`` auto-selection rule: single bands up to
     ``_PHASH_SINGLE_BAND_MAX`` hashed assets, band PAIRS past it."""
@@ -1002,27 +1032,7 @@ def phash_candidate_pairs(
         # memoized across calls exactly as it was across this call's
         # count + self-join (unconditionally unpersisting cost a
         # measured 1.3x on the q87 gate by re-decoding every call).
-        with _AUTO_CACHE_LOCK:
-            slot = _AUTO_CACHE_SLOT[0] if _AUTO_CACHE_SLOT else None
-            same = False
-            if slot is not None:
-                prev_df, prev_session, prev_key = slot
-                # a slot whose session is gone (stopped, or a new
-                # session replaced it) is dead weight — never "same",
-                # always evicted, unpersist best-effort
-                if prev_session is base.sparkSession:
-                    same = _semantic_same(prev_key, _semantic_key(base))
-            if slot is not None and not same:
-                try:
-                    slot[0].unpersist()
-                except Exception:
-                    pass  # its SparkContext may already be gone
-                _AUTO_CACHE_SLOT.clear()
-            base = base.persist()
-            if not _AUTO_CACHE_SLOT:
-                _AUTO_CACHE_SLOT.append(
-                    (base, base.sparkSession, _semantic_key(base))
-                )
+        base = one_slot_persist(base, _AUTO_CACHE_SLOT, _AUTO_CACHE_LOCK)
         bands_per_key = phash_bands_per_key(base.count())
 
     def band_key(b):
@@ -1092,14 +1102,24 @@ def hamming_verify(
     )
 
 
+def semantic_n_clusters(n_rows: int) -> int:
+    """The ``n_clusters`` auto-selection rule: ~sqrt(corpus count),
+    floored at 1. With k = sqrt(n) clusters the expected within-cluster
+    pair work is Sigma |cluster|^2 ~ n^2/k = n^1.5 — the SemDeDup
+    paper's own scaling choice — so the knob tracks corpus growth
+    instead of going quadratic at a fixed k."""
+    return max(1, int(round(math.sqrt(max(0, n_rows)))))
+
+
 def semantic_dedup(
     df: DataFrame,
     dim: int,
-    n_clusters: int = 16,
+    n_clusters: Optional[int] = None,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Semantic deduplication — SemDeDup (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1139,20 +1159,45 @@ def semantic_dedup(
     clusters. NULL or wrong-length vectors get a NULL cluster from
     :func:`ivf_index`, join no pairs, and come back as kept
     singletons — never silently dropped.
+
+    ``n_clusters`` is the scale knob. DEFAULT (``None``) auto-selects
+    ~sqrt(corpus count) (:func:`semantic_n_clusters`), so within-cluster
+    pair work grows ~n^1.5 instead of quadratically at a fixed k —
+    the same foot-gun removal as ``phash_candidate_pairs``' auto
+    ``bands_per_key``. Auto mode is EAGER (one bounded ``count()`` at
+    call time picks the knob); pass an explicit k to stay fully lazy.
+
+    Materialization of the cell assignment (referenced three times:
+    both join sides + the final output; without it the pandas_udf
+    assignment recomputes per reference): DEFAULT is
+    ``localCheckpoint(eager=True)`` — the id+embedding frame lands in
+    EXECUTOR BLOCK STORAGE with lineage severed, so it must fit the
+    cluster's storage memory/disk and an executor loss mid-query is
+    unrecoverable (fine single-node and at gate scale; NOT the 100 TB
+    answer). For large corpora pass ``checkpoint_dir``: the assigned
+    frame is WRITTEN ONCE to parquet under that path and read back, so
+    each reference is a plain columnar scan, executor loss just
+    re-reads files, and — per the ivf_index docstring's advice —
+    partitioning the write by ``sem_cluster`` keeps the downstream
+    shuffle cheap. The write is this call's one corpus-sized pass.
     """
     from vinum_spark.operators.dedup import connected_components
 
     base = df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
     )
-    # localCheckpoint: the frame is referenced three times (both join
-    # sides + the final output); Spark recomputes a plan subtree per
-    # reference, so the pandas_udf cell assignment would otherwise run
-    # three times over the corpus
-    cells = ivf_index(
+    if n_clusters is None:
+        n_clusters = semantic_n_clusters(base.count())
+    assigned = ivf_index(
         base, dim, n_cells=n_clusters, vec_col=vec_col, out="sem_cluster",
         seed=seed,
-    ).localCheckpoint(eager=True)
+    )
+    if checkpoint_dir is not None:
+        path = f"{checkpoint_dir.rstrip('/')}/semantic_dedup_cells"
+        assigned.write.mode("overwrite").parquet(path)
+        cells = df.sparkSession.read.parquet(path)
+    else:
+        cells = assigned.localCheckpoint(eager=True)
     a = cells.select(
         F.col(id_col).alias("id_a"),
         F.col("sem_cluster").alias("__c"),

@@ -1018,8 +1018,11 @@ def _bpe_words_col(text_col: str, token_pattern: str, byte_level: bool):
         return F.regexp_extract_all(
             F.col(text_col), F.lit(token_pattern), F.lit(0)
         )
-    return F.expr(
-        f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
+    # Column args, not an interpolated expr string: a pattern holding a
+    # single quote (or a dotted/backtick column name) must not be able
+    # to change the SQL's meaning
+    return F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(token_pattern), F.lit(0)
     )
 
 
