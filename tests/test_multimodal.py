@@ -2614,6 +2614,22 @@ def test_decode_audio_float32_wav(spark):
 
     from vinum_spark.operators.multimodal import decode_audio
 
+    # nested defs, not module-level: cloudpickle ships them by VALUE to
+    # the workers (the test module is not importable there) — the same
+    # constraint a real user hook has, documented in the operator
+    def _fake_mp3_decoder(raw):
+        """Deterministic stand-in for an ffmpeg-class hook (the real
+        codec libraries are not in this container): 'decodes' any
+        MP3-synced input to a fixed ramp with closed-form stats."""
+        import numpy as np
+
+        if raw[:3] == b"ID3" or raw[:2] in (b"\xff\xfb", b"\xff\xf3"):
+            return np.linspace(0.0, 1.0, 5), 1, 44100
+        return None
+
+    def _raising_decoder(raw):
+        raise RuntimeError("decoder exploded")
+
     t = np.linspace(0, 0.5, 4000, endpoint=False)
     wave = (0.25 * np.sin(2 * np.pi * 440 * t)).astype("<f4")
     df = spark.createDataFrame(
@@ -2736,6 +2752,22 @@ def test_decode_audio_mulaw_stats(spark):
     import numpy as np
 
     from vinum_spark.operators.multimodal import decode_audio
+
+    # nested defs, not module-level: cloudpickle ships them by VALUE to
+    # the workers (the test module is not importable there) — the same
+    # constraint a real user hook has, documented in the operator
+    def _fake_mp3_decoder(raw):
+        """Deterministic stand-in for an ffmpeg-class hook (the real
+        codec libraries are not in this container): 'decodes' any
+        MP3-synced input to a fixed ramp with closed-form stats."""
+        import numpy as np
+
+        if raw[:3] == b"ID3" or raw[:2] in (b"\xff\xfb", b"\xff\xf3"):
+            return np.linspace(0.0, 1.0, 5), 1, 44100
+        return None
+
+    def _raising_decoder(raw):
+        raise RuntimeError("decoder exploded")
 
     t = np.linspace(0, 0.5, 4000, endpoint=False)
     lin = np.round(0.25 * np.sin(2 * np.pi * 440 * t) * 32767).astype(int)
@@ -3210,6 +3242,22 @@ def test_decode_audio_flac_pcm_stats(spark):
     import numpy as np
 
     from vinum_spark.operators.multimodal import decode_audio
+
+    # nested defs, not module-level: cloudpickle ships them by VALUE to
+    # the workers (the test module is not importable there) — the same
+    # constraint a real user hook has, documented in the operator
+    def _fake_mp3_decoder(raw):
+        """Deterministic stand-in for an ffmpeg-class hook (the real
+        codec libraries are not in this container): 'decodes' any
+        MP3-synced input to a fixed ramp with closed-form stats."""
+        import numpy as np
+
+        if raw[:3] == b"ID3" or raw[:2] in (b"\xff\xfb", b"\xff\xf3"):
+            return np.linspace(0.0, 1.0, 5), 1, 44100
+        return None
+
+    def _raising_decoder(raw):
+        raise RuntimeError("decoder exploded")
 
     n = 2000
     wave = np.round(
@@ -4406,3 +4454,115 @@ def test_float_wav_nan_payload_sanitized():
     assert samples.min() >= -1.0 and samples.max() <= 1.0
     assert samples[0] == np.float32(0.5) and samples[1] == 0.0
     assert samples[2] == 1.0 and samples[3] == -1.0
+
+
+# --------------------------------------------------------------------------
+# audio frame spans + external decoder hook (round 18)
+# --------------------------------------------------------------------------
+
+
+def test_audio_frame_spans_mp3_and_adts(spark):
+    """The audio byte-span contract: every frame's exact payload bytes
+    come back as a row with the stream's true rate and per-frame sample
+    count; ID3 tags are skipped, non-audio bytes yield no rows, and
+    every_n subsamples deterministically."""
+    from vinum_spark.operators.multimodal import audio_frame_spans
+
+    mp3 = _mp3_frames(12, id3v2=True, id3v1=True)
+    aac = _adts_frames(9)
+    df = spark.createDataFrame(
+        [(1, bytearray(mp3)), (2, bytearray(aac)), (3, bytearray(b"junk"))],
+        "asset_id long, content binary",
+    )
+    out = audio_frame_spans(df).toPandas()
+    by = {k: g.sort_values("frame_idx") for k, g in out.groupby("asset_id")}
+    assert set(by) == {1, 2}  # junk: honest empty, never invented spans
+
+    m = by[1]
+    assert m.codec.unique().tolist() == ["mpeg-frames"]
+    assert len(m) == 12
+    assert m.sample_rate.unique().tolist() == [44100]
+    assert m.samples.unique().tolist() == [1152]
+    flen = 144 * 128000 // 44100
+    assert [len(bytes(f)) for f in m.frame] == [flen] * 12
+    # each exported frame starts at a real sync word — the external
+    # decoder consumes rows without re-walking the container
+    assert all(bytes(f)[:2] == b"\xff\xfb" for f in m.frame)
+
+    a = by[2]
+    assert a.codec.unique().tolist() == ["adts-frames"]
+    assert len(a) == 9
+    assert a.sample_rate.unique().tolist() == [44100]
+    assert a.samples.unique().tolist() == [1024]
+    assert all(bytes(f)[:2] == b"\xff\xf1" for f in a.frame)
+
+    # subsampling: every 5th frame of the 12 -> indices 0,1,2
+    sub = audio_frame_spans(df, every_n=5).toPandas()
+    assert sub[sub.asset_id == 1].frame_idx.tolist() == [0, 1, 2]
+
+
+def test_decode_audio_external_hook(spark):
+    """The MP3/AAC escape hatch: the hook runs ONLY for inputs every
+    built-in decoder declined, a hook success carries real rms/peak
+    with decoder='external', a raising hook degrades that row to the
+    honest header stats, and built-in WAV decode never routes through
+    the hook."""
+    import numpy as np
+
+    from vinum_spark.operators.multimodal import decode_audio
+
+    # nested defs, not module-level: cloudpickle ships them by VALUE to
+    # the workers (the test module is not importable there) — the same
+    # constraint a real user hook has, documented in the operator
+    def _fake_mp3_decoder(raw):
+        """Deterministic stand-in for an ffmpeg-class hook (the real
+        codec libraries are not in this container): 'decodes' any
+        MP3-synced input to a fixed ramp with closed-form stats."""
+        import numpy as np
+
+        if raw[:3] == b"ID3" or raw[:2] in (b"\xff\xfb", b"\xff\xf3"):
+            return np.linspace(0.0, 1.0, 5), 1, 44100
+        return None
+
+    def _raising_decoder(raw):
+        raise RuntimeError("decoder exploded")
+
+    # tiny valid WAV (pcm16 mono, 4 samples) — must stay built-in
+    import struct
+
+    pcm = struct.pack("<4h", 0, 16384, -16384, 32767)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    mp3 = _mp3_frames(10)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(mp3))],
+        "asset_id long, content binary",
+    )
+    out = {
+        r["asset_id"]: r
+        for r in decode_audio(
+            df, external_decoder=_fake_mp3_decoder
+        ).collect()
+    }
+    assert out[1]["decoder"].startswith("pcm")  # hook never saw it
+    ext = out[2]
+    assert ext["decoder"] == "external"
+    ramp = np.linspace(0.0, 1.0, 5)
+    assert abs(ext["rms"] - float(np.sqrt(np.mean(ramp**2)))) < 1e-9
+    assert ext["peak"] == 1.0
+    assert ext["n_samples"] == 5 and ext["sample_rate"] == 44100
+
+    # a raising hook must not lose the row OR the batch: the MP3 falls
+    # back to the exact header walk, NULL rms (never invented)
+    out2 = {
+        r["asset_id"]: r
+        for r in decode_audio(
+            df, external_decoder=_raising_decoder
+        ).collect()
+    }
+    assert out2[2]["decoder"] == "mpeg-frames"
+    assert out2[2]["rms"] is None
+    assert out2[2]["n_samples"] == 10 * 1152

@@ -2417,3 +2417,68 @@ def test_published_savers_reject_colliding_merge_products(spark, tmp_path):
         save_tokenizer_gpt2(merges, str(tmp_path / "m.txt"))
     with pytest.raises(ValueError, match="concatenates to"):
         save_tokenizer_hf(merges, str(tmp_path / "t.json"))
+
+
+def test_hf_tokenizer_json_ids_match_real_tokenizers_lib(spark, tmp_path):
+    """Executable cross-check of the q106 artifact against the REAL
+    HuggingFace ``tokenizers`` library: save -> load with the real lib
+    -> encode -> ids must equal bpe_encode_ids on the same corpus, for
+    both the bare-ByteLevel (GPT-2 exact) artifact and the custom
+    Sequence[Split(Removed, invert=true), ByteLevel] shape. Skipped
+    with reason when the library is absent (it is not in this
+    container and installs are unavailable) — the test self-arms the
+    moment an environment provides it."""
+    import pytest
+
+    tokenizers = pytest.importorskip(
+        "tokenizers",
+        reason="HuggingFace 'tokenizers' not installed in this container "
+        "(no network installs); artifact fidelity is argued from the "
+        "format spec in save_tokenizer_hf and pinned structurally in "
+        "the neighboring tests",
+    )
+
+    from vinum_spark.operators.text import (
+        GPT2_EXACT,
+        GPT2ISH_SPLIT_PATTERN,
+        bpe_encode_ids,
+        bpe_tokenize,
+        learn_bpe_merges,
+        save_tokenizer_hf,
+    )
+
+    corpus = [
+        (1, "naïve café 数据 naïve café"),
+        (2, "a  b don't don't  trailing  "),
+        (3, "low lower lowest low low"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    for pattern, name in (
+        (GPT2_EXACT, "gpt2_exact"),
+        (GPT2ISH_SPLIT_PATTERN, "custom_split"),
+        ("[^ ]+", "gap_bearing"),
+    ):
+        merges = learn_bpe_merges(
+            docs, n_merges=8, byte_level=True, token_pattern=pattern
+        )
+        tj = str(tmp_path / f"tok_{name}.json")
+        save_tokenizer_hf(
+            merges, tj,
+            token_pattern=None if pattern == GPT2_EXACT else pattern,
+        )
+        real = tokenizers.Tokenizer.from_file(tj)
+        toks = bpe_tokenize(
+            docs, merges, id_col="doc_id", byte_level=True,
+            token_pattern=pattern,
+        )
+        ours = {
+            r["doc_id"]: list(r["token_ids"])
+            for r in bpe_encode_ids(toks, merges).collect()
+        }
+        for doc_id, text in corpus:
+            theirs = real.encode(text).ids
+            assert ours[doc_id] == theirs, (
+                f"{name}: id divergence on doc {doc_id}: "
+                f"{ours[doc_id]} vs {theirs}"
+            )

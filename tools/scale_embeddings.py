@@ -221,17 +221,19 @@ def main() -> None:
             )
 
         if "semantic" in only:
-            # √n-guided cluster count (the SemDeDup knob): within-cluster
-            # pair work is Σ|cluster|², recall decays as one base's copies
-            # straddle more boundaries — both effects ARE the measurement
-            n_clusters = 128 if len(ids) <= 50_000 else 512
+            # DEFAULT auto knob (round 18): n_clusters=None derives
+            # ~sqrt(corpus) via semantic_n_clusters — the anchor
+            # measures the path a knob-less user gets. Within-cluster
+            # pair work is Σ|cluster|², recall decays as one base's
+            # copies straddle more boundaries — both effects ARE the
+            # measurement
+            n_clusters = S.semantic_n_clusters(len(ids))
             sem = S.semantic_dedup(
-                emb, dim=64, n_clusters=n_clusters, threshold=THRESHOLD_SEM
+                emb, dim=64, threshold=THRESHOLD_SEM
             )
             rec["semantic_wall_s"] = timed(
                 lambda: S.semantic_dedup(
-                    emb, dim=64, n_clusters=n_clusters,
-                    threshold=THRESHOLD_SEM,
+                    emb, dim=64, threshold=THRESHOLD_SEM
                 )
                 .write.format("noop")
                 .mode("overwrite")
