@@ -943,3 +943,85 @@ def test_duplicated_ngram_spans_plan_shape(spark):
     assert plan.count("Generate posexplode") == 1, plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_remove_duplicated_spans_preserve_whitespace(spark):
+    """The character-offset surgery variant: (a) EQUAL to the
+    token-stream path on canonical (lowercase, single-space) input;
+    (b) on raw input, case / punctuation / whitespace OUTSIDE the
+    spans survive untouched while exactly the span characters (plus
+    the one joining gap) are cut — the divergence fixture the
+    token path cannot produce; stats columns identical either way."""
+    from vinum_spark.operators.dedup import remove_duplicated_spans
+
+    boiler = "all rights reserved contact us for more information today"
+    canonical = [
+        (1, f"unique alpha text one {boiler} tail words go here now"),
+        (2, f"{boiler} another unique body two follows the header"),
+        (3, "completely unique document three with no repeats at all"),
+    ]
+    docs = spark.createDataFrame(canonical, "doc_id long, text string")
+    tok = {
+        r["doc_id"]: tuple(r)
+        for r in remove_duplicated_spans(docs, n=4).collect()
+    }
+    chr_ = {
+        r["doc_id"]: tuple(r)
+        for r in remove_duplicated_spans(
+            docs, n=4, preserve_whitespace=True
+        ).collect()
+    }
+    assert tok == chr_  # canonical input: the two paths agree exactly
+
+    # divergence fixture: same boilerplate planted inside formatted
+    # text — the char path keeps the formatting the token path loses
+    raw = [
+        (10, f"Unique ALPHA text,  one!\n{boiler} tail words go here now"),
+        (11, f"{boiler} another unique body two follows the header"),
+    ]
+    rdocs = spark.createDataFrame(raw, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(
+            rdocs, n=4, preserve_whitespace=True
+        ).collect()
+    }
+    # doc 10: the boilerplate span is cut through the next surviving
+    # token's start; everything before/after keeps its original form
+    assert out[10]["kept_text"] == (
+        "Unique ALPHA text,  one!\ntail words go here now"
+    )
+    assert out[10]["n_spans"] == 1 and out[10]["dup_tokens"] == 9
+    # doc 11: span opens the document — cut runs from char 0 to the
+    # first surviving token
+    assert out[11]["kept_text"] == (
+        "another unique body two follows the header"
+    )
+    # doc-final span: consume the LEADING gap, keep the head verbatim
+    tail = [(20, f"Head KEEPS case: {boiler}"),
+            (21, f"{boiler} and some more text here")]
+    tdocs = spark.createDataFrame(tail, "doc_id long, text string")
+    tout = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(
+            tdocs, n=4, preserve_whitespace=True
+        ).collect()
+    }
+    # the ": " is the leading GAP of the final span and is consumed
+    # with it (the symmetric analogue of the forward cut consuming the
+    # trailing gap — required for canonical-input equality, where the
+    # token path leaves no trailing separator either)
+    assert tout[20]["kept_text"] == "Head KEEPS case"
+    # a spanless doc passes through BYTE-identical (no canonicalization)
+    solo = spark.createDataFrame(
+        [(30, "No  Repeats\there! at all"),
+         (31, "totally different words everywhere now")],
+        "doc_id long, text string",
+    )
+    sout = {
+        r["doc_id"]: r["kept_text"]
+        for r in remove_duplicated_spans(
+            solo, n=4, preserve_whitespace=True
+        ).collect()
+    }
+    assert sout[30] == "No  Repeats\there! at all"

@@ -1093,6 +1093,7 @@ def remove_duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_pattern: str = "[a-z0-9]+",
+    preserve_whitespace: bool = False,
 ) -> DataFrame:
     """Apply :func:`duplicated_ngram_spans`: every document comes back
     with its duplicated spans dropped — ``kept_text`` (the surviving
@@ -1102,7 +1103,27 @@ def remove_duplicated_spans(
     ``dup_tokens`` (tokens removed), and ``n_spans``. Documents with
     no duplicated window pass through whole. One extra shuffle over
     the span op: the spans aggregate back onto their documents
-    (doc-keyed, partial-aggregated)."""
+    (doc-keyed, partial-aggregated).
+
+    ``preserve_whitespace=True`` is the surgery-without-canonicalization
+    variant: token spans are mapped back through CHARACTER offsets
+    (``re.finditer`` of ``token_pattern`` over the lowercased text in
+    an Arrow-batched pandas UDF — regex match OFFSETS are not
+    expressible in Spark SQL, so this one stage is Python by
+    necessity), and ``kept_text`` is the ORIGINAL text minus exactly
+    the span characters: case, punctuation, and whitespace outside the
+    spans survive untouched. Each cut extends to the NEXT surviving
+    token's start (a doc-final span extends back to the previous
+    token's end), consuming the one inter-token gap the token-stream
+    path implicitly drops — so on already-canonical input (lowercase,
+    single-space-joined tokens) the two paths are EQUAL, pinned in
+    tests. Caveats, documented not hidden: ``token_pattern`` must
+    tokenize identically under Java and Python regex (true for
+    character-class patterns; span indices past the Python token list
+    are clamped), and a document whose ``lower()`` changes its length
+    (rare Unicode case mappings) gets the lowercased text as its
+    surgery base — offsets stay exact, case fidelity degrades for that
+    document only."""
     spans = duplicated_ngram_spans(
         docs, n=n, min_count=min_count, text_col=text_col,
         id_col=id_col, token_pattern=token_pattern,
@@ -1120,11 +1141,80 @@ def remove_duplicated_spans(
     )
     toks = _spread(docs, id_col).select(
         F.col(id_col),
+        *([F.col(text_col)] if preserve_whitespace else []),
         F.regexp_extract_all(
             F.lower(F.col(text_col)), F.lit(token_pattern), F.lit(0)
         ).alias("__ws"),
     )
     joined = toks.join(per_doc, id_col, "left")
+    if preserve_whitespace:
+        from pyspark.sql.functions import pandas_udf
+
+        pat = token_pattern
+
+        # no parameter annotations: `from __future__ import annotations`
+        # stringifies them and pandas_udf rejects the string form
+        @pandas_udf("string")
+        def _char_surgery(text_s, spans_s):
+            import re
+
+            import pandas as pd
+
+            rx = re.compile(pat)
+            out = []
+            for text, spans in zip(text_s, spans_s):
+                if text is None:
+                    out.append(None)
+                    continue
+                if spans is None or len(spans) == 0:
+                    out.append(text)
+                    continue
+                low = text.lower()
+                # a length-changing lower() (rare Unicode mappings)
+                # would misalign offsets against the original — degrade
+                # to the lowercased base for that document only
+                base = text if len(low) == len(text) else low
+                ms = list(rx.finditer(low))
+                cuts = []
+                for sp in sorted(
+                    (int(s["s"]), int(s["e"])) for s in spans
+                ):
+                    s_i, e_i = sp
+                    if s_i >= len(ms):
+                        continue  # Java/Python token-count drift: clamp
+                    e_i = min(e_i, len(ms))
+                    if e_i < len(ms):
+                        # cut through the next kept token's start —
+                        # consumes the one gap the token path drops
+                        c0, c1 = ms[s_i].start(), ms[e_i].start()
+                    else:
+                        # doc-final span: consume the LEADING gap back
+                        # to the previous token's end instead
+                        c0 = ms[s_i - 1].end() if s_i > 0 else 0
+                        c1 = len(base)
+                    cuts.append((c0, c1))
+                res, pos = [], 0
+                for c0, c1 in cuts:
+                    if c0 > pos:
+                        res.append(base[pos:c0])
+                    pos = max(pos, c1)
+                res.append(base[pos:])
+                out.append("".join(res))
+            return pd.Series(out)
+
+        return joined.select(
+            id_col,
+            F.size("__ws").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            _char_surgery(F.col(text_col), F.col("__spans")).alias(
+                "kept_text"
+            ),
+        )
     # keep token i unless some span covers it; spans-per-doc is small
     # (merged, disjoint), so the HOF scan is O(tokens x spans) with a
     # tiny constant — still map-side, no extra shuffle
