@@ -552,22 +552,45 @@ def test_bucketed_store_delta_join_is_delta_sized(spark, tmp_path):
     assert "Bucketed: true" in plan, plan
 
 
-def test_semantic_dedup_edge_join_is_equi_join(spark):
-    """semantic_dedup's 100 TB contract: the within-cluster pair join
-    is an EQUI-join on the cluster id — never a BroadcastNestedLoopJoin
-    or cartesian product (all-pairs-by-accident). Broadcast-hash is
-    acceptable (AQE's call at test scale; at real scale the same plan
-    becomes a sort-merge on the cluster key), nested-loop is not."""
+def test_semantic_dedup_edges_are_grouped_blas_kernel(spark):
+    """semantic_dedup's 100 TB contract: within-cluster pairs come
+    from the per-cluster Gram kernel — ONE FlatMapGroupsInPandas over
+    a single hash Exchange on the cluster id; never a
+    BroadcastNestedLoopJoin or cartesian product
+    (all-pairs-by-accident), and never the retired pair-expression
+    self-join (its per-pair Get/cast chain measured ~14 µs/pair and
+    sank the 100× anchor)."""
     from pyspark.sql import functions as F
 
     from vinum_spark.operators.similarity import semantic_dedup
 
+    from vinum_spark.operators.similarity import _semantic_edges, ivf_index
+
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    out = semantic_dedup(
-        emb.select("vec_id", "embedding"), dim=64, n_clusters=16
+    # the full operator's lazy plan hides the edge stage behind the
+    # connected-components checkpoint, so pin the edges frame itself
+    # (the exact construction semantic_dedup runs)
+    cells = ivf_index(
+        emb.select("vec_id", "embedding"), 64, n_cells=16,
+        out="sem_cluster",
     )
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "simple"
+    edges = _semantic_edges(cells, 0.95)
+    plan = edges._sc._jvm.PythonSQLUtils.explainString(
+        edges._jdf.queryExecution(), "simple"
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    import re as _re
+
+    # ONE Exchange: the groupBy's hash partitioning on the cluster id
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    # and the full operator still shows no accidental all-pairs join
+    out = semantic_dedup(
+        emb.select("vec_id", "embedding"), dim=64, n_clusters=16
+    )
+    full = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastNestedLoopJoin" not in full, full
+    assert "CartesianProduct" not in full, full
