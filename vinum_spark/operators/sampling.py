@@ -511,16 +511,21 @@ def dsir_select(
     ct = F.coalesce("__ct", F.lit(0)).cast("double")
     cr = F.coalesce("__cr", F.lit(0)).cast("double")
     merged = rb.join(tg, "__b", "full_outer")
-    totals = merged.agg(
-        (F.sum(ct) + float(alpha * n_buckets)).alias("__t_denom"),
-        (F.sum(cr) + float(alpha * n_buckets)).alias("__r_denom"),
+    # denominators as whole-table window sums over the ≤ n_buckets-row
+    # merged frame — stays lazy, no extra join. (A crossJoin — or an
+    # equi-join on a literal key, which Catalyst constant-folds back
+    # into one — plans as the BroadcastNestedLoopJoin the
+    # inventory-wide plan pin forbids; the single-partition WindowExec
+    # this emits instead touches at most n_buckets rows.)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    ratio = merged.crossJoin(F.broadcast(totals)).select(
+    t_denom = F.sum(ct).over(w_all) + float(alpha * n_buckets)
+    r_denom = F.sum(cr).over(w_all) + float(alpha * n_buckets)
+    ratio = merged.select(
         "__b",
-        (
-            F.log((ct + alpha) / F.col("__t_denom"))
-            - F.log((cr + alpha) / F.col("__r_denom"))
-        ).alias("__r"),
+        (F.log((ct + alpha) / t_denom) - F.log((cr + alpha) / r_denom))
+        .alias("__r"),
     )
     weights = (
         rgb.join(F.broadcast(ratio), "__b")
