@@ -1254,11 +1254,13 @@ def semantic_dedup(
     cluster's storage memory/disk and an executor loss mid-query is
     unrecoverable (fine single-node and at gate scale; NOT the 100 TB
     answer). For large corpora pass ``checkpoint_dir``: the assigned
-    frame is WRITTEN ONCE to parquet under that path and read back, so
-    each reference is a plain columnar scan, executor loss just
-    re-reads files, and — per the ivf_index docstring's advice —
-    partitioning the write by ``sem_cluster`` keeps the downstream
-    shuffle cheap. The write is this call's one corpus-sized pass.
+    frame is WRITTEN ONCE to parquet under that path (unpartitioned —
+    the grouped kernel shuffles on the cluster id regardless; a
+    pipeline that RE-probes the same corpus should instead write its
+    own layout ``.partitionBy`` cell per the ivf_index docstring) and
+    read back, so each reference is a plain columnar scan and executor
+    loss just re-reads files. The write is this call's one
+    corpus-sized pass.
     """
     from vinum_spark.operators.dedup import connected_components
 
