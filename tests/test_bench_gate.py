@@ -228,3 +228,31 @@ def test_pooled_record_skips_per_block_scaling(tmp_path):
     _write_history(hist, _anchors(n) + [latest])
     # whole-run factor = 9.0/2.0 past the cap -> inconclusive exit
     assert gate(history_path=hist) == 3
+
+
+def test_probe_graduated_loosening_band(tmp_path):
+    """The probe dimension is graduated, not binary: a stamp past
+    PROBE_FLOOR but short of a full stall loosens the threshold
+    (0.75s vs the 0.5s floor anchor -> x1.5) instead of vetoing the
+    block — 2.0x values pass at eff 1.5*1.5 = 2.25x, while the same
+    record without probe stamps is a plain DRIFT."""
+    n = 10
+    latest = {
+        "sf": "0.1",
+        "queries": {f"q{i:02d}": 2.0 for i in range(n)},
+        "cal_start_s": 2.0,
+        "cal_end_s": 2.0,
+        "cal_mids_s": [2.0],
+        "probe_start_s": 0.75,
+        "probe_mids_s": [0.75],
+        "probe_end_s": 0.75,
+    }
+    hist = str(tmp_path / "h.jsonl")
+    _write_history(hist, _probe_anchors(n) + [latest])
+    assert gate(history_path=hist) == 0
+
+    no_probe = {
+        k: v for k, v in latest.items() if not k.startswith("probe_")
+    }
+    _write_history(hist, _probe_anchors(n) + [no_probe])
+    assert gate(history_path=hist) == 1

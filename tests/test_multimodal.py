@@ -2614,22 +2614,6 @@ def test_decode_audio_float32_wav(spark):
 
     from vinum_spark.operators.multimodal import decode_audio
 
-    # nested defs, not module-level: cloudpickle ships them by VALUE to
-    # the workers (the test module is not importable there) — the same
-    # constraint a real user hook has, documented in the operator
-    def _fake_mp3_decoder(raw):
-        """Deterministic stand-in for an ffmpeg-class hook (the real
-        codec libraries are not in this container): 'decodes' any
-        MP3-synced input to a fixed ramp with closed-form stats."""
-        import numpy as np
-
-        if raw[:3] == b"ID3" or raw[:2] in (b"\xff\xfb", b"\xff\xf3"):
-            return np.linspace(0.0, 1.0, 5), 1, 44100
-        return None
-
-    def _raising_decoder(raw):
-        raise RuntimeError("decoder exploded")
-
     t = np.linspace(0, 0.5, 4000, endpoint=False)
     wave = (0.25 * np.sin(2 * np.pi * 440 * t)).astype("<f4")
     df = spark.createDataFrame(
@@ -2752,22 +2736,6 @@ def test_decode_audio_mulaw_stats(spark):
     import numpy as np
 
     from vinum_spark.operators.multimodal import decode_audio
-
-    # nested defs, not module-level: cloudpickle ships them by VALUE to
-    # the workers (the test module is not importable there) — the same
-    # constraint a real user hook has, documented in the operator
-    def _fake_mp3_decoder(raw):
-        """Deterministic stand-in for an ffmpeg-class hook (the real
-        codec libraries are not in this container): 'decodes' any
-        MP3-synced input to a fixed ramp with closed-form stats."""
-        import numpy as np
-
-        if raw[:3] == b"ID3" or raw[:2] in (b"\xff\xfb", b"\xff\xf3"):
-            return np.linspace(0.0, 1.0, 5), 1, 44100
-        return None
-
-    def _raising_decoder(raw):
-        raise RuntimeError("decoder exploded")
 
     t = np.linspace(0, 0.5, 4000, endpoint=False)
     lin = np.round(0.25 * np.sin(2 * np.pi * 440 * t) * 32767).astype(int)
@@ -3242,22 +3210,6 @@ def test_decode_audio_flac_pcm_stats(spark):
     import numpy as np
 
     from vinum_spark.operators.multimodal import decode_audio
-
-    # nested defs, not module-level: cloudpickle ships them by VALUE to
-    # the workers (the test module is not importable there) — the same
-    # constraint a real user hook has, documented in the operator
-    def _fake_mp3_decoder(raw):
-        """Deterministic stand-in for an ffmpeg-class hook (the real
-        codec libraries are not in this container): 'decodes' any
-        MP3-synced input to a fixed ramp with closed-form stats."""
-        import numpy as np
-
-        if raw[:3] == b"ID3" or raw[:2] in (b"\xff\xfb", b"\xff\xf3"):
-            return np.linspace(0.0, 1.0, 5), 1, 44100
-        return None
-
-    def _raising_decoder(raw):
-        raise RuntimeError("decoder exploded")
 
     n = 2000
     wave = np.round(

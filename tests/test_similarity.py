@@ -131,4 +131,4 @@ def test_semantic_n_clusters_auto_knob(spark, tmp_path):
     assert sorted(map(tuple, ck)) == sorted(map(tuple, auto))
     import glob as _glob
 
-    assert _glob.glob(str(tmp_path / "semantic_dedup_cells" / "*.parquet"))
+    assert _glob.glob(str(tmp_path / "semantic_dedup_cells_*" / "*.parquet"))

@@ -209,7 +209,15 @@ def gate(threshold: float = 1.5, floor: float = 0.25,
         worst = max(stamps)
         if worst < PROBE_FLOOR:
             return 1.0
-        return max(1.0, worst / probe_ref)
+        # divide by max(reference, floor), not the raw reference: with
+        # a quiet-band reference (~0.15 s) a raw ratio would jump
+        # discontinuously from 1.0 at 0.49 s to ~3.4x (past the cap)
+        # at 0.51 s — the graduated loosen-then-inconclusive behavior
+        # the comment above promises would be unreachable. Anchored at
+        # the floor, a 0.6 s stamp loosens thresholds x1.2 and only a
+        # genuine multi-second stall (e.g. the measured 6.9 s -> x13.8)
+        # crosses HOST_FACTOR_CAP into INCONCLUSIVE.
+        return max(1.0, worst / max(probe_ref, PROBE_FLOOR))
 
     whole_probe_factor = _probe_f(probe_stamps) if have_probe else 1.0
 

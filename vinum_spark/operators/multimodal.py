@@ -2588,46 +2588,25 @@ def _parse_mp3(data: bytes):
     only counts when the header chains — the next frame boundary also
     parses (or is end-of-data) — which rejects false 0xFF syncs in tag
     padding. Returns (channels, rate, samples, duration_s, avg_kbps)
-    or None; hostile/truncated bytes degrade to None, never raise."""
-    start = None
-    i = _skip_id3v2(data)
-    scan_end = min(len(data), i + 65536)
-    while i < scan_end:
-        j = data.find(b"\xff", i, scan_end)
-        if j < 0:
-            return None
-        h = _mp3_header(data, j)
-        if h is not None:
-            # the first frame must be fully present, and chain: either
-            # data ends exactly at its boundary or a second header
-            # parses there — rejects false syncs in junk/tag padding
-            nxt = j + h[0]
-            if nxt <= len(data) and (
-                nxt == len(data) or _mp3_header(data, nxt) is not None
-            ):
-                start = j
-                break
-        i = j + 1
-    if start is None:
+    or None; hostile/truncated bytes degrade to None, never raise.
+    Delegates the sync-discipline walk to :func:`_frame_span_walk`
+    (one shared loop with :func:`_parse_adts` and
+    :func:`audio_frame_spans` — a fix to false-sync rejection or the
+    truncated-final-frame rule lands everywhere at once)."""
+    return _stats_from_walk(
+        _frame_span_walk(data, _mp3_header, _skip_id3v2(data))
+    )
+
+
+def _stats_from_walk(walked):
+    """(channels, rate, total_samples, duration_s, avg_kbps) from a
+    :func:`_frame_span_walk` result — the shared tail of
+    :func:`_parse_mp3` / :func:`_parse_adts`."""
+    if walked is None:
         return None
-    n_frames = total_samples = total_bytes = 0
-    rate = channels = None
-    i = start
-    while True:
-        h = _mp3_header(data, i)
-        if h is None:  # ID3v1 tail / truncation / junk ends the walk
-            break
-        flen, samples, sr, _, ch = h
-        if i + flen > len(data):  # truncated final frame: don't count it
-            break
-        n_frames += 1
-        total_samples += samples
-        total_bytes += flen
-        if rate is None:
-            rate, channels = sr, ch
-        i += flen
-    if not n_frames or not rate:
-        return None
+    rate, channels, spans = walked
+    total_samples = sum(s for _, _, s in spans)
+    total_bytes = sum(hi - lo for lo, hi, _ in spans)
     duration = total_samples / rate
     avg_kbps = total_bytes * 8 / duration / 1000 if duration else 0.0
     return channels, rate, total_samples, duration, avg_kbps
@@ -3023,46 +3002,9 @@ def _adts_header(data: bytes, i: int):
 def _parse_adts(data: bytes):
     """TRUE AAC stats from an ADTS frame walk (same contract as
     :func:`_parse_mp3`): (channels|None, rate, samples, duration_s,
-    avg_kbps) or None; hostile bytes degrade to None."""
-    start = None
-    i = 0
-    scan_end = min(len(data), 65536)
-    while i < scan_end:
-        j = data.find(b"\xff", i, scan_end)
-        if j < 0:
-            return None
-        h = _adts_header(data, j)
-        if h is not None:
-            nxt = j + h[0]
-            if nxt <= len(data) and (
-                nxt == len(data) or _adts_header(data, nxt) is not None
-            ):
-                start = j
-                break
-        i = j + 1
-    if start is None:
-        return None
-    n_frames = total_samples = total_bytes = 0
-    rate = channels = None
-    i = start
-    while True:
-        h = _adts_header(data, i)
-        if h is None:
-            break
-        flen, samples, sr, ch = h
-        if i + flen > len(data):  # truncated final frame: don't count it
-            break
-        n_frames += 1
-        total_samples += samples
-        total_bytes += flen
-        if rate is None:
-            rate, channels = sr, ch
-        i += flen
-    if not n_frames or not rate:
-        return None
-    duration = total_samples / rate
-    avg_kbps = total_bytes * 8 / duration / 1000 if duration else 0.0
-    return channels, rate, total_samples, duration, avg_kbps
+    avg_kbps) or None; hostile bytes degrade to None. Shares
+    :func:`_frame_span_walk`'s sync discipline with the MP3 walker."""
+    return _stats_from_walk(_frame_span_walk(data, _adts_header, 0))
 
 
 def _frame_span_walk(data: bytes, header_fn, start_at: int):
@@ -3493,14 +3435,21 @@ def decode_audio(
             if parsed is None and raw[:4] == b"\x1a\x45\xdf\xa3":
                 parsed = _webm_vorbis_pcm(raw)
             if parsed is None and external_decoder is not None:
+                # the WHOLE hook interaction is guarded — call,
+                # unpacking, coercion, sanity checks: a hook returning
+                # a malformed tuple (wrong arity, channels=0, NaN rate)
+                # must degrade to the honest built-in row, not kill the
+                # task ('one hostile input must not lose the batch')
                 try:
                     ext = external_decoder(raw)
+                    if ext is not None:
+                        samples, channels, rate = ext
+                        samples = np.asarray(samples, dtype="float64")
+                        channels, rate = int(channels), int(rate)
+                        if channels > 0 and rate > 0:
+                            parsed = (samples, channels, rate, "external")
                 except Exception:
-                    ext = None  # hook failure -> honest built-in row
-                if ext is not None:
-                    samples, channels, rate = ext
-                    samples = np.asarray(samples, dtype="float64")
-                    parsed = (samples, int(channels), int(rate), "external")
+                    pass  # hook failure -> honest built-in row
             if parsed is None:
                 for walker, label in (
                     (_parse_mp3, "mpeg-frames"),

@@ -1274,8 +1274,19 @@ def semantic_dedup(
         seed=seed,
     )
     if checkpoint_dir is not None:
-        path = f"{checkpoint_dir.rstrip('/')}/semantic_dedup_cells"
-        assigned.write.mode("overwrite").parquet(path)
+        import uuid
+
+        # per-call uniquified subpath: two calls sharing a
+        # checkpoint_dir must not overwrite each other — the returned
+        # frame reads the path LAZILY, so a fixed subpath would let a
+        # later call silently swap the earlier call's data out from
+        # under its un-collected result. The caller owns cleanup of
+        # the directory.
+        path = (
+            f"{checkpoint_dir.rstrip('/')}/"
+            f"semantic_dedup_cells_{uuid.uuid4().hex[:12]}"
+        )
+        assigned.write.mode("error").parquet(path)
         cells = df.sparkSession.read.parquet(path)
     else:
         cells = assigned.localCheckpoint(eager=True)
