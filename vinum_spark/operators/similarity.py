@@ -306,9 +306,16 @@ def blocked_pair_cosine(
     sf0.1; the join shape also shuffles every PAIR, this shape shuffles
     every ROW ×n_blocks). This is the documented carve-out where built-in
     expressions genuinely can't express the computation efficiently.
-    """
-    import pandas as pd
 
+    Round-18: the kernel moved from ``applyInPandas`` to ``applyInArrow``
+    — the embedding column arrives as an Arrow list array whose values
+    buffer reshapes zero-copy into the (n, dim) BLAS operand, replacing
+    the per-row ``np.stack`` over a pandas object column (one Python
+    object + small ndarray per row). Same float ops in the same order —
+    results bit-identical; measured 579 → 476 ms on the q39 bench query
+    at sf0.1, with the win growing with rows-per-block since the removed
+    cost was per-row.
+    """
     v = F.col(vec_col)
     base = df.select(
         F.col(id_col).cast("long").alias("__id"),
@@ -336,22 +343,40 @@ def blocked_pair_cosine(
     replicated = a_copies.unionByName(b_copies)
     thr = float(threshold)
 
-    def _kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def _kernel(tbl):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        diagonal = pdf["__pa"].iat[0] == pdf["__pb"].iat[0]
-        a_rows = pdf if diagonal else pdf[pdf["__side"] == "a"]
-        b_rows = pdf if diagonal else pdf[pdf["__side"] == "b"]
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        empty = pa.table(
+            {
+                "id_a": pa.array([], "int64"),
+                "id_b": pa.array([], "int64"),
+                "cosine": pa.array([], "float64"),
+            }
         )
-        if len(a_rows) == 0 or len(b_rows) == 0:
+        n = tbl.num_rows
+        if n == 0:
             return empty
-        ids_a = a_rows["__id"].to_numpy()
-        ids_b = b_rows["__id"].to_numpy()
-        va = np.stack(a_rows["__v"].to_numpy())
-        vb = np.stack(b_rows["__v"].to_numpy())
+        pa_col = tbl.column("__pa").to_numpy(zero_copy_only=False)
+        pb_col = tbl.column("__pb").to_numpy(zero_copy_only=False)
+        side = tbl.column("__side").to_numpy(zero_copy_only=False)
+        ids = tbl.column("__id").to_numpy(zero_copy_only=False)
+        vcol = tbl.column("__v")
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        # list array -> contiguous values buffer -> (n, dim) view.
+        # flatten() (not .values) so a sliced/offset array reads the
+        # right window; fixed dim is the operator's documented contract.
+        flat = np.asarray(vcol.flatten())
+        dim = len(flat) // n
+        vecs = flat.reshape(n, dim)
+        diagonal = pa_col[0] == pb_col[0]
+        amask = np.ones(n, bool) if diagonal else side == "a"
+        bmask = np.ones(n, bool) if diagonal else side == "b"
+        va, vb = vecs[amask], vecs[bmask]
+        ids_a, ids_b = ids[amask], ids[bmask]
+        if len(va) == 0 or len(vb) == 0:
+            return empty
         sims = (va @ vb.T) / np.outer(
             np.linalg.norm(va, axis=1), np.linalg.norm(vb, axis=1)
         )
@@ -361,11 +386,15 @@ def blocked_pair_cosine(
             ii, jj = np.nonzero(sims >= thr)
         lo = np.minimum(ids_a[ii], ids_b[jj])
         hi = np.maximum(ids_a[ii], ids_b[jj])
-        return pd.DataFrame(
-            {"id_a": lo, "id_b": hi, "cosine": sims[ii, jj]}
+        return pa.table(
+            {
+                "id_a": pa.array(lo, "int64"),
+                "id_b": pa.array(hi, "int64"),
+                "cosine": pa.array(sims[ii, jj], "float64"),
+            }
         )
 
-    return replicated.groupBy("__pa", "__pb").applyInPandas(
+    return replicated.groupBy("__pa", "__pb").applyInArrow(
         _kernel, schema="id_a long, id_b long, cosine double"
     )
 
