@@ -80,12 +80,32 @@ def _current_round() -> str | None:
     return f"r{max(rounds) + 1}" if rounds else None
 
 
+def _code_fingerprint() -> str | None:
+    """Identity of the code being benched: ``git describe --always
+    --dirty`` (short commit hash, ``-dirty`` suffix for uncommitted
+    edits). None when git/repo is unavailable."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "describe", "--always", "--dirty"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        return out.stdout.strip() or None if out.returncode == 0 else None
+    except Exception:
+        return None
+
+
 def _pooled_medians(
     round_label: str | None,
     mode: str,
     sf_val,
     raw_runs: dict,
     allowed: set,
+    code: str | None,
 ) -> tuple[dict, int]:
     """Per-query median over every raw timed run this round has
     recorded at the same (round, mode, sf) — the current invocation's
@@ -94,8 +114,16 @@ def _pooled_medians(
     restricted to ``allowed`` (the queries this invocation targets):
     a query renamed or removed mid-round must not re-enter the
     committed record through stale history (round-14 review
-    finding). Returns (medians, number of contributing
-    invocations)."""
+    finding).
+
+    Round-18 measurement-bug fix: pooling additionally requires the
+    record's ``code`` fingerprint to MATCH the current one. An
+    optimization round changes query code mid-round, and the old rule
+    (same round+mode+sf) blended pre- and post-change runs into one
+    median — the committed number then described neither codebase.
+    History records predating the field (no ``code`` key) never pool
+    with fingerprinted invocations; their raw numbers stay in history
+    untouched. Returns (medians, number of contributing invocations)."""
     pools: dict[str, list[float]] = {q: list(r) for q, r in raw_runs.items()}
     invocations = 1
     try:
@@ -112,6 +140,7 @@ def _pooled_medians(
             rec.get("round") == round_label
             and rec.get("mode") == mode
             and rec.get("sf") == sf_val
+            and rec.get("code") == code
             and isinstance(rec.get("runs"), dict)
         ):
             invocations += 1
@@ -252,8 +281,9 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     mode = "all" if bench_all else "headline"
     round_label = _current_round()
+    code = _code_fingerprint()
     pooled, invocations = _pooled_medians(
-        round_label, mode, sf_val, raw_runs, allowed=set(names)
+        round_label, mode, sf_val, raw_runs, allowed=set(names), code=code
     )
     total = round(sum(pooled.values()), 3)
     print(
@@ -287,6 +317,7 @@ def main() -> None:
                 timespec="seconds"
             ),
             "round": round_label,
+            "code": code,
             "mode": mode,
             "sf": sf_val,
             "total": round(sum(timings.values()), 3),

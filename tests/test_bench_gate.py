@@ -256,3 +256,38 @@ def test_probe_graduated_loosening_band(tmp_path):
     }
     _write_history(hist, _probe_anchors(n) + [no_probe])
     assert gate(history_path=hist) == 1
+
+
+def test_pooling_requires_matching_code_fingerprint(tmp_path, monkeypatch):
+    """Round-18: pooled medians must not blend runs from different code
+    states — an optimization round changes query code mid-round, and a
+    median over pre- and post-change runs describes neither codebase.
+    Records with a different (or absent) ``code`` stamp stay in history
+    but never pool."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    hist = tmp_path / "hist.jsonl"
+    _write_history(
+        hist,
+        [
+            # same code: pools
+            {"round": "r18", "code": "abc1234", "mode": "headline", "sf": 0.1,
+             "runs": {"q01": [5.0, 5.0, 5.0]}},
+            # older code state: must NOT pool
+            {"round": "r18", "code": "def5678", "mode": "headline", "sf": 0.1,
+             "runs": {"q01": [50.0, 50.0, 50.0]}},
+            # pre-fingerprint record (no code key): must NOT pool
+            {"round": "r18", "mode": "headline", "sf": 0.1,
+             "runs": {"q01": [50.0, 50.0, 50.0]}},
+        ],
+    )
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(hist))
+    pooled, invocations = bench._pooled_medians(
+        "r18", "headline", 0.1, {"q01": [1.0, 1.0, 1.0]}, {"q01"}, code="abc1234"
+    )
+    assert invocations == 2
+    # median over [1,1,1,5,5,5] = 3.0; the 50s never contribute
+    assert pooled["q01"] == 3.0

@@ -991,10 +991,15 @@ def q27(spark, sf_dir):
 )
 def q28(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    cands = D.minhash_candidate_pairs(docs, n_hashes=64, bands=32)
-    return D.ngram_jaccard_verify(docs, cands, n=3, threshold=0.8).orderBy(
-        "id_a", "id_b"
-    )
+    # one shingle pass feeds both candidate generation and exact verify
+    # (round-18: previously the verify stage re-shingled candidate docs;
+    # the lazy checkpoint shares one persisted computation with no extra
+    # job barrier — same composition as minhash_verified_dedup)
+    sh = D._shingle_frame(docs, "text", "doc_id", 3).localCheckpoint(eager=False)
+    cands = D.minhash_candidate_pairs(docs, n_hashes=64, bands=32, shingles=sh)
+    return D.ngram_jaccard_verify(
+        docs, cands, n=3, threshold=0.8, shingles=sh
+    ).orderBy("id_a", "id_b")
 
 
 _JACCARD_PAIRS_CTE = r"""
@@ -1070,15 +1075,23 @@ def q29(spark, sf_dir):
 )
 def q30(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    cands = D.minhash_candidate_pairs(d, n_hashes=64, bands=32)
+    # ONE shingle pass (lazy-checkpointed, so it runs inside the final
+    # action) now feeds all three consumers — MinHash candidates, exact
+    # Jaccard verify, and the SimHash signatures — where each previously
+    # re-shingled the corpus from scratch (round-18; the word-3-gram
+    # features are identical across all three by construction)
+    sh = D._shingle_frame(d, "text", "doc_id", 3).localCheckpoint(eager=False)
+    cands = D.minhash_candidate_pairs(d, n_hashes=64, bands=32, shingles=sh)
     exact_dups = (
-        D.ngram_jaccard_verify(d, cands, n=3, threshold=0.8)
+        D.ngram_jaccard_verify(d, cands, n=3, threshold=0.8, shingles=sh)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
         .withColumn("__exact", F.lit(1))
     )
     sim_drops = (
-        D.simhash_candidate_pairs(d, hamming_threshold=12, band_bits=4)
+        D.simhash_candidate_pairs(
+            d, hamming_threshold=12, band_bits=4, shingles=sh
+        )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
         .withColumn("__sim", F.lit(1))

@@ -161,16 +161,19 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     ONCE, ``localCheckpoint``-s it, and passes it to both the candidate
     and verify stages via their ``shingles=`` parameters.
 
-    CALLER CONTRACT: materialize (``localCheckpoint(eager=True)``) this
-    frame before referencing it from more than one consumer. Two reasons:
-    Spark recomputes a plan subtree per reference, so an unmaterialized
-    frame re-shingles per consumer; and Catalyst's
-    infer-filters-from-generate rule turns a later ``explode(__sh)`` into
-    a ``size(__sh) > 0`` filter that alias-substitution expands to the
-    full shingling expression and pushes into the file scan — running the
-    most expensive map stage twice, once below the repartition (this
-    exact regression shipped in round 4 and cost 1.9× on q29; the
-    checkpoint's lineage cut makes both failure modes impossible).
+    CALLER CONTRACT: ``localCheckpoint`` this frame before referencing
+    it from more than one consumer (``eager=False`` suffices — round-18:
+    the lazy checkpoint persists the RDD and cuts lineage just like the
+    eager one, without a separate materialization job). Two reasons:
+    Spark recomputes a plan subtree per reference, and an UNCHECKPOINTED
+    frame re-shingles per consumer (persistence dedups the computation);
+    and Catalyst's infer-filters-from-generate rule turns a later
+    ``explode(__sh)`` into a ``size(__sh) > 0`` filter that
+    alias-substitution expands to the full shingling expression and
+    pushes into the file scan — running the most expensive map stage
+    twice, once below the repartition (this exact regression shipped in
+    round 4 and cost 1.9× on q29; the checkpoint's lineage cut makes
+    both failure modes impossible).
     """
     return _spread(df, id_col).select(
         F.col(id_col), _shingles(F.col(text_col), n).alias("__sh")
@@ -402,7 +405,14 @@ def minhash_verified_dedup(
     back to the caller, the standard localCheckpoint trade-off for
     not recomputing the most expensive map stage three times.
     """
-    sh = _shingle_frame(df, text_col, id_col, n).localCheckpoint(eager=True)
+    # eager=False (round-18): the lazy local checkpoint keeps BOTH
+    # protections of the eager one — the plan is cut at a LogicalRDD
+    # (so Catalyst cannot push the shingling HOF into the scan) and the
+    # RDD is persisted (so the three consumers below share ONE
+    # computation) — without the separate materialization job barrier:
+    # the shingle stage now runs inside the final action. Measured at
+    # sf0.1: ~1.5 s → ~1.33 s end-to-end with identical survivors.
+    sh = _shingle_frame(df, text_col, id_col, n).localCheckpoint(eager=False)
     cands = minhash_candidate_pairs(
         df, text_col, id_col, n_hashes, bands, shingle_size=n, shingles=sh
     )
@@ -446,15 +456,17 @@ def minhash_verified_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash(
+def _simhash_only(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     out: str = "simhash",
     bits: int = 64,
     shingle_size: int = 3,
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """64-bit SimHash per document, as one wide aggregation.
+    """``(id, simhash)`` frame: 64-bit SimHash per document, as one wide
+    aggregation (no join back onto the input — see :func:`simhash`).
 
     Features are distinct word ``shingle_size``-grams (NOT unigrams:
     unigram vocabularies overlap heavily between unrelated documents
@@ -469,23 +481,76 @@ def simhash(
     shared ``count(*)``; ``sum(±1) > 0  ⟺  2*sum(bit) > n`` including
     ties, and dropping the 64 conditional branches from the exploded
     hot path measured 33% faster at sf0.1 (2.94 s -> 1.96 s).
+
+    ``shingles``: a precomputed (persisted/checkpointed)
+    :func:`_shingle_frame` at the same ``shingle_size`` to reuse instead
+    of re-shingling — the round-18 sharing that lets one shingle pass
+    feed MinHash, verify AND SimHash in a composed pipeline (q30).
     """
-    toks = _spread(df, id_col).select(
-        id_col,
-        F.explode(_shingles(F.col(text_col), shingle_size)).alias("__tok"),
-    ).withColumn("__h", F.xxhash64("__tok"))
+    if shingles is not None:
+        toks = shingles.select(
+            F.col(id_col), F.explode("__sh").alias("__tok")
+        ).withColumn("__h", F.xxhash64("__tok"))
+    else:
+        toks = _spread(df, id_col).select(
+            id_col,
+            F.explode(_shingles(F.col(text_col), shingle_size)).alias("__tok"),
+        ).withColumn("__h", F.xxhash64("__tok"))
     aggs = [
         F.sum(F.shiftright("__h", j).bitwiseAND(F.lit(1))).alias(f"__b{j}")
         for j in range(bits)
     ]
     votes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *aggs)
-    acc = F.lit(0).cast("long")
-    for j in range(bits):
-        acc = acc + F.when(
-            F.col(f"__b{j}") * 2 > F.col("__n"),
-            F.shiftleft(F.lit(1).cast("long"), j),
-        ).otherwise(F.lit(0).cast("long"))
-    sim = votes.select(id_col, acc.alias(out))
+    # Bit-combine as ONE compact fold instead of a 64-term chained
+    # expression (round-18): the chain generated a ~60 KB codegen source
+    # whose per-plan-build subexpression analysis cost ~0.9 s of
+    # driver/codegen time on EVERY fresh plan of this operator,
+    # data-independent (measured: the same projection on a 5-row frame).
+    # zip_with pairs each vote count with its precomputed bit weight
+    # (weight[63] is Long.MIN_VALUE — identical to shiftleft(1, 63));
+    # aggregate folds left in index order, so the sum adds the same
+    # terms in the same order as the old chain: results bit-identical,
+    # pinned by the q30 oracle gate. ~64 interpreted lambda steps per
+    # doc row (docs, not tokens) is noise at any scale.
+    bits_arr = F.array(*[F.col(f"__b{j}") for j in range(bits)])
+    # weight[j] == jvm shiftleft(1L, j): only j=63 wraps to Long.MIN
+    weights = F.array(
+        *[
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+            for j in range(bits)
+        ]
+    )
+    acc = F.aggregate(
+        F.zip_with(
+            bits_arr,
+            weights,
+            lambda b, w: F.when(b * 2 > F.col("__n"), w).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return votes.select(id_col, acc.alias(out))
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "simhash",
+    bits: int = 64,
+    shingle_size: int = 3,
+    shingles: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Add a 64-bit SimHash column — :func:`_simhash_only` (see its
+    docstring for the algorithm and the ``shingles`` reuse contract)
+    joined back onto the input frame. Consumers that only need
+    ``(id, simhash)`` (:func:`simhash_candidate_pairs`) use the
+    signature frame directly and skip this join-back entirely
+    (round-18: the join previously shuffled the full document frame
+    just to be column-pruned away downstream)."""
+    sim = _simhash_only(df, text_col, id_col, out, bits, shingle_size, shingles)
     return df.join(sim, on=id_col, how="left")
 
 
@@ -496,6 +561,7 @@ def simhash_candidate_pairs(
     hamming_threshold: int = 3,
     band_bits: int = 16,
     shingle_size: int = 3,
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Pairs ``(id_a, id_b)`` (id_a < id_b) within ``hamming_threshold``
     of each other's 64-bit SimHash.
@@ -504,9 +570,18 @@ def simhash_candidate_pairs(
     distance 3 of a 64-bit hash must agree on ≥1 of 4 bands —
     pigeonhole, so this is COMPLETE for the threshold); verified with
     ``bit_count(xor)``. The band join is an equi-join; pair enumeration
-    is quadratic only within a band bucket.
+    is quadratic only within a band bucket. ``shingles``: a precomputed
+    :func:`_shingle_frame` to reuse (see :func:`_simhash_only`).
     """
-    h = simhash(df, text_col, id_col, shingle_size=shingle_size)
+    # Lazy-checkpoint the (id, simhash) frame: the band self-join below
+    # plans as a broadcast join whose build and stream sides are the
+    # SAME subtree, and without a lineage cut Spark computes the whole
+    # signature pipeline twice (no exchange to reuse under a broadcast).
+    # The persisted frame is one (long, long) row per doc — bounded at
+    # any scale; lazy, so no extra job barrier (round-18).
+    h = _simhash_only(
+        df, text_col, id_col, shingle_size=shingle_size, shingles=shingles
+    ).localCheckpoint(eager=False)
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     bucket = h.select(
@@ -641,12 +716,15 @@ def ngram_jaccard_verify(
     and Spark recomputes a subtree per reference — for LSH-generated
     candidates that would re-run the whole signature pipeline. Since the
     candidate set is bounded by construction, ``materialize_pairs``
-    (default) snapshots it once with an eager ``localCheckpoint``
-    (measured 2× end-to-end on the sf0.1 verified-dedup pipeline). Pass
+    (default) snapshots it once with a LAZY ``localCheckpoint``
+    (measured 2× end-to-end on the sf0.1 verified-dedup pipeline vs no
+    materialization; round-18 made it lazy — the persisted RDD still
+    computes once and the lineage cut still holds, but the
+    materialization job barrier disappears into the final action). Pass
     ``False`` to keep the plan fully lazy (e.g. for plan inspection).
     """
     if materialize_pairs:
-        pairs = pairs.localCheckpoint(eager=True)
+        pairs = pairs.localCheckpoint(eager=False)
     pair_ids = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias("__pid")
     ).distinct()
@@ -882,9 +960,9 @@ def dedup_clusters(
     bounded by the number of matched documents, not the corpus.
     """
     # shingle ONCE and share between candidate generation and verify —
-    # the same checkpoint pattern (and rationale) as
+    # the same lazy-checkpoint pattern (and rationale) as
     # :func:`minhash_verified_dedup`
-    sh = _shingle_frame(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sh = _shingle_frame(df, text_col, id_col, n).localCheckpoint(eager=False)
     cands = minhash_candidate_pairs(
         df, text_col, id_col, n_hashes=n_hashes, bands=bands,
         shingle_size=n, shingles=sh,
