@@ -3609,9 +3609,20 @@ def q83(spark, sf_dir):
     # id column so the build+decode parallelizes, never the payloads
     d = D._spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     assets = d.mapInPandas(build, schema="doc_id long, content binary")
-    feats = extract_features(assets, id_col="doc_id").select(
-        F.col("asset_id").alias("vec_id"),
-        F.col("feature").alias("embedding"),
+    # lazy-checkpoint the (id, 64-float) feature frame: it is referenced
+    # by the LSH band self-join AND cosine_verify's two id joins, and an
+    # uncheckpointed reference re-runs the whole Python build->decode
+    # chain per occurrence — the before-plan held FOUR MapInPandas
+    # build+extract pairs (plans/r18/q83_..._before.txt); the persisted
+    # frame is one id + 64 floats per asset, bounded at any scale
+    # (round-18; guide §4: pay the Python boundary once)
+    feats = (
+        extract_features(assets, id_col="doc_id")
+        .select(
+            F.col("asset_id").alias("vec_id"),
+            F.col("feature").alias("embedding"),
+        )
+        .localCheckpoint(eager=False)
     )
     pairs = lsh_candidate_pairs(
         feats, dim=64, n_planes=32, band_bits=4
@@ -3902,9 +3913,15 @@ def q85(spark, sf_dir):
     # spread-before-Python-kernel (the q81/q83 pattern)
     d = D._spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     assets = d.mapInPandas(build, schema="doc_id long, content binary")
-    feats = extract_features(assets, id_col="doc_id").select(
-        F.col("asset_id").alias("vec_id"),
-        F.col("feature").alias("embedding"),
+    # lazy-checkpoint: same 4x MapInPandas recomputation fix as q83
+    # (the WAV build + RMS-envelope decode ran once per plan reference)
+    feats = (
+        extract_features(assets, id_col="doc_id")
+        .select(
+            F.col("asset_id").alias("vec_id"),
+            F.col("feature").alias("embedding"),
+        )
+        .localCheckpoint(eager=False)
     )
     pairs = lsh_candidate_pairs(feats, dim=64, n_planes=32, band_bits=4)
     return (

@@ -55,17 +55,20 @@ def get_spark(app_name: str = "vinum_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", _DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Size post-shuffle partitions by BYTES (the advisory target),
-        # not by cluster parallelism: with the default
-        # parallelismFirst=true AQE stops coalescing at defaultParallelism
-        # partitions, producing KB-sized tasks on small inputs and
-        # advisory-ignoring splits on big ones. The Spark tuning guide
-        # recommends false for production (partitions in the 100MB-1GB
-        # band, optimization guide §2.2); measured 10-15% on the
-        # shuffle-heavy bench queries (q14 819→701ms, q22 579→508ms,
-        # q18 343→302ms at sf0.1) with the advisory target parameterised
-        # for cluster-specific tuning.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst stays at Spark's DEFAULT (true): AQE coalesces
+        # small shuffle partitions but never below cluster parallelism.
+        # Round-18 tried false (bytes-only advisory sizing, guide §2.2) —
+        # it won 10-15% on the small shuffle-heavy relational queries
+        # (q14 819→701ms, q22 579→508ms at sf0.1) but SERIALIZED every
+        # compute-heavy stage whose shuffle bytes are tiny: the LSH
+        # pair-enumeration and cosine-verify stages of q83/q85 coalesced
+        # to 2 partitions (millions of candidate pairs x a 64-term dot on
+        # 2 cores), measured 43s → 152s end-to-end. Byte-based sizing
+        # assumes bytes ∝ work; Python/expression-heavy operators break
+        # that assumption, and partitions ≥ cores is the right floor on a
+        # real cluster too. The advisory target below still governs skew
+        # splitting and the coalescing granularity above the parallelism
+        # floor, parameterised for cluster-specific tuning.
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_SIZE", "64m"),
