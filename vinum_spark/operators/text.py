@@ -1169,6 +1169,45 @@ def _learn_bpe_local(vocab: list, n_merges: int, start_rank: int = 1) -> list:
     return merges
 
 
+_MERGES_SCHEMA = "merge_rank int, lhs string, rhs string, pair_count long"
+
+
+def _merges_frame(spark, rows: list) -> DataFrame:
+    """``createDataFrame`` over a driver-local, rank-ordered merge list,
+    carrying the list on the frame (``_vinum_local_rows``) so
+    vocab-bounded consumers (:func:`_merge_rows`) skip the collect job.
+    Every merge frame this module mints (learn/extend/load_tokenizer*)
+    goes through here: a composed artifact query (q105/q106 shape) ran
+    4-5 separate one-job collects of the same table per run (round-18
+    measurement — each a ~0.2-0.7 s driver job at any scale, since the
+    table is bounded by construction)."""
+    df = spark.createDataFrame(rows, _MERGES_SCHEMA)
+    df._vinum_local_rows = [tuple(r) for r in rows]
+    return df
+
+
+def _merge_rows(merges_df: DataFrame) -> list:
+    """Rank-ordered ``(merge_rank, lhs, rhs, pair_count)`` tuples of a
+    merge table. Frames minted by :func:`_merges_frame` carry the rows
+    as driver metadata; a foreign frame is collected (merge tables are
+    vocab-bounded by contract — see :func:`bpe_tokenize`)."""
+    rows = getattr(merges_df, "_vinum_local_rows", None)
+    if rows is None:
+        rows = [
+            (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+            for r in merges_df.orderBy("merge_rank").collect()
+        ]
+    return list(rows)
+
+
+def _stash_vocab_rows(df: DataFrame, entries: list) -> DataFrame:
+    """Carry driver-local ``(token, token_id[, is_special])`` vocab
+    entries on the frame for bounded consumers (coverage checks,
+    decode tables) — same rationale as :func:`_merges_frame`."""
+    df._vinum_local_rows = [tuple(e) for e in entries]
+    return df
+
+
 def learn_bpe_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -1264,13 +1303,9 @@ def learn_bpe_merges(
         finally:
             cached.unpersist()
         merges = _learn_bpe_local(local, n_merges)
-        return spark.createDataFrame(
-            merges, "merge_rank int, lhs string, rhs string, pair_count long"
-        )
+        return _merges_frame(spark, merges)
     merges = _distributed_bpe_loop(cached, 1, n_merges)
-    return spark.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, pair_count long"
-    )
+    return _merges_frame(spark, merges)
 
 
 def _distributed_bpe_loop(cached: DataFrame, start_rank: int, n_merges: int) -> list:
@@ -1417,10 +1452,7 @@ def extend_bpe_merges(
         raise ValueError(
             f"token_pattern unsafe for a SQL literal: {token_pattern!r}"
         )
-    existing = [
-        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
-        for r in merges_df.orderBy("merge_rank").collect()
-    ]
+    existing = _merge_rows(merges_df)
     if [m[0] for m in existing] != list(range(1, len(existing) + 1)):
         raise ValueError(
             "merge table ranks must be contiguous from 1 "
@@ -1429,10 +1461,9 @@ def extend_bpe_merges(
     start = len(existing) + 1
     pairs = [(a, b) for _, a, b, _ in existing]
     ranks = {p: i for i, p in enumerate(pairs)}
-    schema = "merge_rank int, lhs string, rhs string, pair_count long"
     spark = df.sparkSession
     if n_more <= 0:
-        return spark.createDataFrame(existing, schema)
+        return _merges_frame(spark, existing)
 
     if byte_level:
         sym_col = F.expr(_byte_sym_sql("word"))
@@ -1464,7 +1495,7 @@ def extend_bpe_merges(
         finally:
             cached.unpersist()
         new = _learn_bpe_local(local, n_more, start_rank=start)
-        return spark.createDataFrame(existing + new, schema)
+        return _merges_frame(spark, existing + new)
 
     @F.pandas_udf("array<string>")
     def apply_prefix(col: pd.Series) -> pd.Series:
@@ -1477,7 +1508,7 @@ def extend_bpe_merges(
     )
     cached.unpersist()
     new = _distributed_bpe_loop(applied, start, n_more)
-    return spark.createDataFrame(existing + new, schema)
+    return _merges_frame(spark, existing + new)
 
 
 def bpe_tokenize(
@@ -1522,10 +1553,7 @@ def bpe_tokenize(
 
     if not byte_level and _re.search(r"['\\]", token_pattern):
         raise ValueError(f"token_pattern unsafe for a SQL literal: {token_pattern!r}")
-    merges = [
-        (r["lhs"], r["rhs"])
-        for r in merges_df.orderBy("merge_rank").collect()
-    ]
+    merges = [(lhs, rhs) for _, lhs, rhs, _ in _merge_rows(merges_df)]
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     @F.pandas_udf("array<string>")
@@ -1601,7 +1629,10 @@ def bpe_vocab(merges_df: DataFrame, special_tokens: tuple = ()) -> DataFrame:
     )
     out = base.unionByName(merged)
     if special_tokens:
-        n_merges = merges_df.count()
+        local_rows = getattr(merges_df, "_vinum_local_rows", None)
+        n_merges = (
+            len(local_rows) if local_rows is not None else merges_df.count()
+        )
         specials = spark.createDataFrame(
             [
                 (tok, 256 + n_merges + i)
@@ -1650,14 +1681,27 @@ def bpe_encode_ids(
         vocab = bpe_vocab(merges_df, special_tokens=special_tokens)
     else:
         vocab = vocab_df
-        missing = [
-            r["token"]
-            for r in bpe_vocab(merges_df)
-            .select("token")
-            .join(vocab_df, "token", "left_anti")
-            .limit(5)
-            .collect()
-        ]
+        vocab_rows = getattr(vocab_df, "_vinum_local_rows", None)
+        merge_rows = getattr(merges_df, "_vinum_local_rows", None)
+        if vocab_rows is not None and merge_rows is not None:
+            # both tables are driver-local (loader/learner-minted):
+            # run the coverage check as a set difference — same tokens
+            # as the anti-join below (bpe_vocab sans specials = 256
+            # base symbols + every merge product), zero Spark jobs
+            have = {e[0] for e in vocab_rows}
+            need = [chr(_BYTE_SYM_BASE + b) for b in range(256)] + [
+                lhs + rhs for _, lhs, rhs, _ in merge_rows
+            ]
+            missing = [t for t in need if t not in have][:5]
+        else:
+            missing = [
+                r["token"]
+                for r in bpe_vocab(merges_df)
+                .select("token")
+                .join(vocab_df, "token", "left_anti")
+                .limit(5)
+                .collect()
+            ]
         if missing:
             raise ValueError(
                 "bpe_encode_ids: vocab_df does not cover every token the "
@@ -1758,14 +1802,32 @@ def bpe_decode_ids(
         id_tok, special = {}, {}
         byte_syms_set = {chr(_BYTE_SYM_BASE + b) for b in range(256)}
         has_flag = "is_special" in vocab_df.columns
-        for r in vocab_df.collect():
-            tok, tid = r["token"], int(r["token_id"])
+        local_rows = getattr(vocab_df, "_vinum_local_rows", None)
+        vocab_rows = (
+            # loader-minted frames carry (token, token_id[, is_special])
+            # tuples as driver metadata — skip the collect job
+            [
+                (e[0], e[1], e[2] if len(e) > 2 else None)
+                for e in local_rows
+            ]
+            if local_rows is not None
+            else [
+                (
+                    r["token"],
+                    r["token_id"],
+                    r["is_special"] if has_flag else None,
+                )
+                for r in vocab_df.collect()
+            ]
+        )
+        for tok, tid, flag in vocab_rows:
+            tid = int(tid)
             # prefer the loader's explicit flag: a special token's
             # literal name can be byte-symbol-composed, so a character
             # heuristic (the fallback for hand-built frames) would
             # decode it as raw bytes
             is_sp = (
-                bool(r["is_special"])
+                bool(flag)
                 if has_flag
                 else not set(tok) <= byte_syms_set
             )
@@ -1774,10 +1836,7 @@ def bpe_decode_ids(
             else:
                 id_tok[tid] = tok
     else:
-        merges = [
-            (r["lhs"], r["rhs"])
-            for r in merges_df.orderBy("merge_rank").collect()
-        ]
+        merges = [(lhs, rhs) for _, lhs, rhs, _ in _merge_rows(merges_df)]
         id_tok = {b: chr(_BYTE_SYM_BASE + b) for b in range(256)}
         id_tok.update({256 + k: a + b for k, (a, b) in enumerate(merges)})
         # special tokens (the bpe_vocab special_tokens layout: ids
@@ -1936,8 +1995,8 @@ def save_tokenizer(
     byte-for-byte identically (pinned in tests)."""
     import json
 
-    rows = merges_df.orderBy("merge_rank").collect()
-    ranks = [r["merge_rank"] for r in rows]
+    rows = _merge_rows(merges_df)
+    ranks = [r[0] for r in rows]
     if ranks != list(range(1, len(rows) + 1)):
         raise ValueError(
             "merge table ranks must be contiguous from 1 to save "
@@ -1948,7 +2007,7 @@ def save_tokenizer(
         "byte_level": byte_level,
         "token_pattern": token_pattern,
         "special_tokens": list(special_tokens),
-        "merges": [[r["lhs"], r["rhs"], int(r["pair_count"])] for r in rows],
+        "merges": [[lhs, rhs, int(cnt)] for _, lhs, rhs, cnt in rows],
     }
     with open(path, "w", encoding="utf-8") as f:
         json.dump(artifact, f, ensure_ascii=True)
@@ -1971,12 +2030,12 @@ def load_tokenizer(spark, path: str) -> dict:
         raise ValueError(
             f"not a {_TOKENIZER_FORMAT} artifact (format={fmt!r}): {path}"
         )
-    merges = spark.createDataFrame(
+    merges = _merges_frame(
+        spark,
         [
             (i + 1, lhs, rhs, int(cnt))
             for i, (lhs, rhs, cnt) in enumerate(artifact["merges"])
         ],
-        "merge_rank int, lhs string, rhs string, pair_count long",
     )
     return {
         "merges": merges,
@@ -2039,8 +2098,8 @@ def _collect_published_pairs(merges_df: DataFrame) -> list:
     """Collect a byte-level merge table (rank order, contiguity
     validated) and transliterate it to the published alphabet —
     the shared front half of every published-format saver."""
-    rows = merges_df.orderBy("merge_rank").collect()
-    ranks = [r["merge_rank"] for r in rows]
+    rows = _merge_rows(merges_df)
+    ranks = [r[0] for r in rows]
     if ranks != list(range(1, len(rows) + 1)):
         raise ValueError(
             "merge table ranks must be contiguous from 1 to save "
@@ -2049,10 +2108,10 @@ def _collect_published_pairs(merges_df: DataFrame) -> list:
     b2u, _ = _gpt2_byte_alphabet()
     return [
         (
-            _internal_to_published(r["lhs"], b2u),
-            _internal_to_published(r["rhs"], b2u),
+            _internal_to_published(lhs, b2u),
+            _internal_to_published(rhs, b2u),
         )
-        for r in rows
+        for _, lhs, rhs, _ in rows
     ]
 
 
@@ -2192,9 +2251,8 @@ def load_tokenizer_gpt2(
                     to_internal(parts[1], f"line {lineno}"),
                 )
             )
-    merges = spark.createDataFrame(
-        [(i + 1, lhs, rhs, 0) for i, (lhs, rhs) in enumerate(pairs)],
-        "merge_rank int, lhs string, rhs string, pair_count long",
+    merges = _merges_frame(
+        spark, [(i + 1, lhs, rhs, 0) for i, (lhs, rhs) in enumerate(pairs)]
     )
     out = {
         "merges": merges,
@@ -2214,8 +2272,11 @@ def load_tokenizer_gpt2(
     # custom special token can be spelled entirely in alphabet chars
     # (or even in U+01xx byte-symbol space) — consumers (bpe_decode_ids)
     # must classify by this flag, never by character set
-    out["vocab"] = spark.createDataFrame(
-        entries, "token string, token_id int, is_special boolean"
+    out["vocab"] = _stash_vocab_rows(
+        spark.createDataFrame(
+            entries, "token string, token_id int, is_special boolean"
+        ),
+        entries,
     )
     out["special_tokens"] = tuple(
         tok for tok, _ in sorted(specials, key=lambda kv: kv[1])
@@ -2593,9 +2654,8 @@ def load_tokenizer_hf(spark, path: str) -> dict:
                 to_internal(parts[1], f"merges[{i}]"),
             )
         )
-    merges = spark.createDataFrame(
-        [(i + 1, lhs, rhs, 0) for i, (lhs, rhs) in enumerate(pairs)],
-        "merge_rank int, lhs string, rhs string, pair_count long",
+    merges = _merges_frame(
+        spark, [(i + 1, lhs, rhs, 0) for i, (lhs, rhs) in enumerate(pairs)]
     )
     # ALL added_tokens are forced into the literal class, not just
     # special: true — HF extracts every added token before BPE runs
@@ -2627,8 +2687,11 @@ def load_tokenizer_hf(spark, path: str) -> dict:
         "special_tokens": tuple(
             tok for tok, _ in sorted(specials, key=lambda kv: kv[1])
         ),
-        "vocab": spark.createDataFrame(
-            entries, "token string, token_id int, is_special boolean"
+        "vocab": _stash_vocab_rows(
+            spark.createDataFrame(
+                entries, "token string, token_id int, is_special boolean"
+            ),
+            entries,
         ),
     }
 
@@ -2714,20 +2777,22 @@ def bpe_tokenize_map_side(
             + ("/token_ids" if emit_ids else "")
             + ")"
         )
-    merges = [
-        (r["lhs"], r["rhs"])
-        for r in merges_df.orderBy("merge_rank").collect()
-    ]
+    merges = [(lhs, rhs) for _, lhs, rhs, _ in _merge_rows(merges_df)]
     if vocab_df is not None:
         if not emit_ids:
             raise ValueError(
                 "bpe_tokenize_map_side: vocab_df only affects ids — pass "
                 "emit_ids=True (byte mode) with it"
             )
-        tok_id = {
-            r["token"]: int(r["token_id"])
-            for r in vocab_df.select("token", "token_id").collect()
-        }
+        local_rows = getattr(vocab_df, "_vinum_local_rows", None)
+        tok_id = (
+            {e[0]: int(e[1]) for e in local_rows}
+            if local_rows is not None
+            else {
+                r["token"]: int(r["token_id"])
+                for r in vocab_df.select("token", "token_id").collect()
+            }
+        )
         need = (
             {chr(_BYTE_SYM_BASE + b) for b in range(256)}
             | {a + b for a, b in merges}
