@@ -2107,8 +2107,18 @@ def q56(spark, sf_dir):
         .cast("array<float>")
         .alias("embedding"),
     )
-    allv = emb.select("vec_id", "embedding").unionByName(planted)
-    cands = S.lsh_candidate_pairs(allv, dim=64, n_planes=126, band_bits=8)
+    # lazy-checkpoint the union: it is referenced by the LSH self-join
+    # AND cosine_verify's two id joins — uncheckpointed, the plan scans
+    # the parquet source 8x (round-18; bounded: one id + 64 floats per
+    # vector at any corpus size)
+    allv = (
+        emb.select("vec_id", "embedding")
+        .unionByName(planted)
+        .localCheckpoint(eager=False)
+    )
+    cands = S.lsh_candidate_pairs(
+        allv, dim=64, n_planes=126, band_bits=8, checkpoint_buckets=True
+    )
     verified = S.cosine_verify(allv, cands, threshold=0.9, dim=64)
     return verified.select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")

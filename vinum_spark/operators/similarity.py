@@ -407,6 +407,7 @@ def lsh_candidate_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    checkpoint_buckets: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs from hyperplane-LSH band co-membership —
     the embedding analogue of ``minhash_candidate_pairs``.
@@ -473,6 +474,26 @@ def lsh_candidate_pairs(
         F.col(id_col),
         F.explode(F.array(*band_structs)).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
+    if checkpoint_buckets:
+        # The self-join below usually plans as a broadcast join whose
+        # build and stream sides are the SAME subtree, and a broadcast
+        # has no exchange to reuse — the signature pipeline (n_planes
+        # dot products per row) computes twice. A lazy localCheckpoint
+        # of the (id, band, key) frame cuts that in half. Opt-in, not
+        # default: worthwhile only when the signatures are the
+        # expensive part (q56's 126 planes over a raw parquet scan:
+        # measured ~0.4 s of 4.0 s at sf0.1); when the input is
+        # already a checkpointed feature frame with few planes
+        # (q83/q85: 32 planes over a persisted id+64-float RDD) the
+        # persistence overhead measured LARGER than the saved
+        # recompute (+5-9% end-to-end). NOT a shuffle-join hint:
+        # ReuseExchange would also dedup the pipeline, but hashing on
+        # (band, key) concentrates each bucket's quadratic pair
+        # enumeration onto one task — with band_bits=4 (16 keys/band)
+        # that serialized q83/q85's verify stage (measured
+        # 6.2 s -> 15.3 s) — while the broadcast join streams
+        # enumeration evenly over the upstream partitioning.
+        bucket = bucket.localCheckpoint(eager=False)
     a, b = bucket.alias("a"), bucket.alias("b")
     return (
         a.join(

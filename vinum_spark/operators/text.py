@@ -359,7 +359,25 @@ def winnowing_fingerprints(
     """
     if k < 1 or window < 1:
         raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
-    s = F.lower(F.regexp_replace(F.trim(F.col(col)), _WS, " "))
+    # The gram hashing + windowing is CPU-bound interpreted-HOF work
+    # (~300 md5 + window-min evals per doc); a single-file scan would
+    # serialize it on one core (measured 17.3 s -> 1.7 s at sf0.1 with
+    # the spread). Same pattern as dedup's shingle stage.
+    from vinum_spark.operators.dedup import _spread
+
+    df = _spread(df, id_col)
+    # Materialize the normalized text in its OWN projection: inlined,
+    # the lower/regexp_replace/trim tree is embedded at every reference
+    # inside the gram-hash lambda and Catalyst's subexpression/codegen
+    # analysis chews on the product — measured ~0.9 s of DRIVER-side
+    # plan-compile per fresh plan at any data size (round-18; compile
+    # 2.0 s -> 1.1 s with the split). CollapseProject keeps the
+    # projection separate (non-cheap, multiply-referenced alias).
+    df = df.select(
+        F.col(id_col),
+        F.lower(F.regexp_replace(F.trim(F.col(col)), _WS, " ")).alias("__norm"),
+    )
+    s = F.col("__norm")
     n_grams = F.length(s) - F.lit(k - 1)
     empty = F.array().cast("array<string>")
     hashes = F.when(
@@ -369,13 +387,6 @@ def winnowing_fingerprints(
             lambda p: F.md5(F.substring(s, p, F.lit(k))),
         ),
     ).otherwise(empty)
-    # The gram hashing + windowing is CPU-bound interpreted-HOF work
-    # (~300 md5 + window-min evals per doc); a single-file scan would
-    # serialize it on one core (measured 17.3 s -> 1.7 s at sf0.1 with
-    # the spread). Same pattern as dedup's shingle stage.
-    from vinum_spark.operators.dedup import _spread
-
-    df = _spread(df, id_col)
     # Materialize the gram-hash array in its OWN projection before the
     # windowing pass references it (size + when-guard + per-window
     # slice). Inlined, the hash transform would re-execute per window
@@ -439,7 +450,7 @@ def winnowing_shared_pairs(
     """
     fps = winnowing_fingerprints(
         df, col=col, id_col=id_col, k=k, window=window, max_doc_freq=max_doc_freq
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a = fps.select(F.col(id_col).alias("id_a"), F.col("fingerprint"))
     b = fps.select(F.col(id_col).alias("id_b"), F.col("fingerprint"))
     return (
@@ -515,7 +526,7 @@ def remove_boilerplate(
         _spread(df, id_col)
         .select(F.col(id_col), F.explode(_segments(F.col(col), width)).alias("__s"))
         .select(id_col, F.col("__s.pos").alias("__pos"), F.col("__s.seg").alias("__seg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     boiler = (
         segs.groupBy("__seg")
@@ -594,7 +605,7 @@ def lm_quality_score(
     pairs = (
         _spread(df.filter(F.length(c) >= 2), id_col)
         .select(F.col(id_col), F.explode(bigrams).alias("__bg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     bg_counts = pairs.groupBy("__bg").agg(F.count(F.lit(1)).alias("__n_bg"))
     prefix_counts = (

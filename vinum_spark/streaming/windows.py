@@ -42,6 +42,11 @@ EVENTS_NTZ_DDL = (
 #: would be a per-call scan of the source footer.
 _TS_TYPE_CACHE: dict = {}
 
+#: stream_table's footer-probed schemas per (session id, path) — same
+#: rationale; schemas of the immutable testdata sources never change
+#: within a session.
+_TABLE_SCHEMA_CACHE: dict = {}
+
 
 def _probe_ts_type(spark: SparkSession, path: str) -> str:
     """Detect the physical type of ``ts`` from the parquet footer, once
@@ -175,7 +180,16 @@ def stream_table(
             f"metacharacters; move {path!r} into its own directory "
             "and stream the directory instead"
         )
-    schema = spark.read.parquet(path).schema
+    # footer-probe once per (session, path): the probe is a batch read
+    # whose driver-side file listing + footer parse costs ~90 ms, and
+    # the streaming pipeline queries build three streams of the same
+    # source per run (metadata memo only — every stream batch still
+    # reads the parquet source itself)
+    cache_key = (id(spark), path)
+    schema = _TABLE_SCHEMA_CACHE.get(cache_key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _TABLE_SCHEMA_CACHE[cache_key] = schema
     reader = spark.readStream.format("parquet").schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
