@@ -106,6 +106,7 @@ def _pooled_medians(
     raw_runs: dict,
     allowed: set,
     code: str | None,
+    cpus: int | None = None,
 ) -> tuple[dict, int]:
     """Per-query median over every raw timed run this round has
     recorded at the same (round, mode, sf) — the current invocation's
@@ -123,7 +124,14 @@ def _pooled_medians(
     median — the committed number then described neither codebase.
     History records predating the field (no ``code`` key) never pool
     with fingerprinted invocations; their raw numbers stay in history
-    untouched. Returns (medians, number of contributing invocations)."""
+    untouched.
+
+    Same-round addendum: pooling also requires a matching ``cpus``
+    stamp — the driver benches the same code at MULTIPLE core counts to
+    measure scaling, and a median blending local[32] and local[8] runs
+    of the same commit describes neither machine size. Records without
+    the stamp (pre-fix history) never pool with stamped invocations.
+    Returns (medians, number of contributing invocations)."""
     pools: dict[str, list[float]] = {q: list(r) for q, r in raw_runs.items()}
     invocations = 1
     try:
@@ -141,6 +149,7 @@ def _pooled_medians(
             and rec.get("mode") == mode
             and rec.get("sf") == sf_val
             and rec.get("code") == code
+            and rec.get("cpus") == cpus
             and isinstance(rec.get("runs"), dict)
         ):
             invocations += 1
@@ -282,8 +291,14 @@ def main() -> None:
     mode = "all" if bench_all else "headline"
     round_label = _current_round()
     code = _code_fingerprint()
+    # effective core count: the env contract when set, else the
+    # master's parallelism (local[*] / spark-submit) — part of the
+    # pooling key, since the driver benches at several core counts
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+    cpus = int(cpus_env) if cpus_env else spark.sparkContext.defaultParallelism
     pooled, invocations = _pooled_medians(
-        round_label, mode, sf_val, raw_runs, allowed=set(names), code=code
+        round_label, mode, sf_val, raw_runs, allowed=set(names), code=code,
+        cpus=cpus,
     )
     total = round(sum(pooled.values()), 3)
     print(
@@ -301,6 +316,7 @@ def main() -> None:
                 "runs": raw_runs,
                 "pooled_invocations": invocations,
                 "sf": sf_val,
+                "cpus": cpus,
                 "cal_start_s": cal_start,
                 "cal_end_s": cal_end,
                 **({"cal_mids_s": cal_mids} if cal_mids else {}),
@@ -320,6 +336,7 @@ def main() -> None:
             "code": code,
             "mode": mode,
             "sf": sf_val,
+            "cpus": cpus,
             "total": round(sum(timings.values()), 3),
             "queries": timings,
             "runs": raw_runs,

@@ -291,3 +291,38 @@ def test_pooling_requires_matching_code_fingerprint(tmp_path, monkeypatch):
     assert invocations == 2
     # median over [1,1,1,5,5,5] = 3.0; the 50s never contribute
     assert pooled["q01"] == 3.0
+
+
+def test_pooling_requires_matching_core_count(tmp_path, monkeypatch):
+    """Round-18: the driver benches the SAME code at multiple core
+    counts to measure scaling — a median blending local[32] and
+    local[8] runs describes neither machine size. Records with a
+    different (or absent) ``cpus`` stamp stay in history but never
+    pool."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    hist = tmp_path / "hist.jsonl"
+    _write_history(
+        hist,
+        [
+            # same code + same cpus: pools
+            {"round": "r18", "code": "abc1234", "cpus": 32, "mode": "headline",
+             "sf": 0.1, "runs": {"q01": [5.0, 5.0, 5.0]}},
+            # same code, LOWER core count: must NOT pool
+            {"round": "r18", "code": "abc1234", "cpus": 8, "mode": "headline",
+             "sf": 0.1, "runs": {"q01": [50.0, 50.0, 50.0]}},
+            # same code, pre-stamp record (no cpus key): must NOT pool
+            {"round": "r18", "code": "abc1234", "mode": "headline",
+             "sf": 0.1, "runs": {"q01": [50.0, 50.0, 50.0]}},
+        ],
+    )
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(hist))
+    pooled, invocations = bench._pooled_medians(
+        "r18", "headline", 0.1, {"q01": [1.0, 1.0, 1.0]}, {"q01"},
+        code="abc1234", cpus=32,
+    )
+    assert invocations == 2
+    assert pooled["q01"] == 3.0
