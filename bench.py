@@ -20,6 +20,13 @@ plus the current invocation — so re-running bench.py converges the
 committed number instead of re-rolling it. ``queries_this_run`` keeps
 the unpooled view; ``pooled_invocations`` counts the contributors.
 
+Round 19 (VERDICT r18 items 2/7): ``value_this_run`` reports the
+unpooled total top-level so the single-invocation number is always in
+the committed record; ``SPARK_GRAFT_NO_POOL=1`` disables pooling
+entirely (a driver measurement then cannot blend with builder-run
+history); ``default_parallelism`` and ``master`` expose the session's
+actual core count so the $SPARK_GRAFT_CPUS contract is self-evident.
+
 ``python bench.py --all`` benches EVERY ``queries()`` entry (median of
 3 — ~100 queries would make 5 runs a >10-minute pass) so the tail
 operators (q44-q80) get per-round numbers, not just the one-off
@@ -80,21 +87,35 @@ def _current_round() -> str | None:
     return f"r{max(rounds) + 1}" if rounds else None
 
 
-def _code_fingerprint() -> str | None:
-    """Identity of the code being benched: ``git describe --always
-    --dirty`` (short commit hash, ``-dirty`` suffix for uncommitted
-    edits). None when git/repo is unavailable."""
+def _code_fingerprint(cwd: str | None = None) -> str | None:
+    """Identity of the code being benched: short commit hash, and for a
+    dirty tree a content-hash suffix over the uncommitted tracked-file
+    diff (round-19 ADVICE fix: ``--dirty`` stamped every uncommitted
+    state at the same HEAD identically, so mid-round edits — the exact
+    scenario fingerprint pooling exists for — still pooled pre- and
+    post-change runs; hashing the diff gives each distinct uncommitted
+    state a distinct stamp). None when git/repo is unavailable."""
+    import hashlib
     import subprocess
 
-    try:
+    if cwd is None:
+        cwd = os.path.dirname(os.path.abspath(__file__))
+
+    def _git(*args):
         out = subprocess.run(
-            ["git", "describe", "--always", "--dirty"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True,
-            text=True,
-            timeout=10,
+            ["git", *args], cwd=cwd, capture_output=True, timeout=10
         )
-        return out.stdout.strip() or None if out.returncode == 0 else None
+        return out.stdout if out.returncode == 0 else None
+
+    try:
+        head = _git("rev-parse", "--short", "HEAD")
+        if head is None:
+            return None
+        head = head.decode().strip()
+        diff = _git("diff", "HEAD")
+        if diff:  # uncommitted tracked changes -> content-addressed stamp
+            return f"{head}-dirty.{hashlib.sha256(diff).hexdigest()[:8]}"
+        return head
     except Exception:
         return None
 
@@ -296,10 +317,19 @@ def main() -> None:
     # pooling key, since the driver benches at several core counts
     cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
     cpus = int(cpus_env) if cpus_env else spark.sparkContext.defaultParallelism
-    pooled, invocations = _pooled_medians(
-        round_label, mode, sf_val, raw_runs, allowed=set(names), code=code,
-        cpus=cpus,
-    )
+    # SPARK_GRAFT_NO_POOL=1 disables history pooling entirely (round-19,
+    # VERDICT r18 item 7): pooling reads builder-committed history, so a
+    # driver measurement could blend with builder-run timings whenever it
+    # benches an unmodified tree. The env makes the committed value a
+    # single-invocation number by construction; ``value_this_run`` below
+    # reports the unpooled total unconditionally either way.
+    if os.environ.get("SPARK_GRAFT_NO_POOL"):
+        pooled, invocations = dict(timings), 1
+    else:
+        pooled, invocations = _pooled_medians(
+            round_label, mode, sf_val, raw_runs, allowed=set(names), code=code,
+            cpus=cpus,
+        )
     total = round(sum(pooled.values()), 3)
     print(
         json.dumps(
@@ -312,11 +342,17 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": pooled,
+                "value_this_run": round(sum(timings.values()), 3),
                 "queries_this_run": timings,
                 "runs": raw_runs,
                 "pooled_invocations": invocations,
                 "sf": sf_val,
                 "cpus": cpus,
+                # scaling-contract evidence (round-19, VERDICT r18 item
+                # 2): the session's ACTUAL parallelism and master, so a
+                # reader can verify $SPARK_GRAFT_CPUS reached the JVM
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
                 "cal_start_s": cal_start,
                 "cal_end_s": cal_end,
                 **({"cal_mids_s": cal_mids} if cal_mids else {}),

@@ -326,3 +326,44 @@ def test_pooling_requires_matching_core_count(tmp_path, monkeypatch):
     )
     assert invocations == 2
     assert pooled["q01"] == 3.0
+
+
+def test_code_fingerprint_distinguishes_dirty_states(tmp_path):
+    """Round-19 ADVICE fix: two DIFFERENT uncommitted edits at the same
+    HEAD must get DIFFERENT fingerprints (``--dirty`` stamped them
+    identically, so mid-round pre/post-change runs still pooled), and a
+    clean tree keeps the bare short-hash stamp (compatible with
+    clean-tree history records)."""
+    import subprocess
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+
+    def git(*args):
+        subprocess.run(
+            ["git", *args], cwd=repo, check=True, capture_output=True,
+            env={**os.environ, "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                 "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t"},
+        )
+
+    git("init", "-q")
+    (repo / "f.py").write_text("x = 1\n")
+    git("add", "f.py")
+    git("commit", "-qm", "init")
+
+    clean = bench._code_fingerprint(cwd=str(repo))
+    assert clean is not None and "-dirty" not in clean
+
+    (repo / "f.py").write_text("x = 2\n")
+    dirty_a = bench._code_fingerprint(cwd=str(repo))
+    (repo / "f.py").write_text("x = 3\n")
+    dirty_b = bench._code_fingerprint(cwd=str(repo))
+
+    assert dirty_a is not None and dirty_a.startswith(clean + "-dirty.")
+    assert dirty_b is not None and dirty_b.startswith(clean + "-dirty.")
+    assert dirty_a != dirty_b  # distinct uncommitted states, distinct stamps

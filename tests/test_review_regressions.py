@@ -449,3 +449,46 @@ def test_prepare_corpus_missing_quality_col_raises(spark):
     )
     with pytest.raises(ValueError, match="no_such_score"):
         prepare_corpus(df, cfg)
+
+
+def test_no_cross_call_persist_retention(spark):
+    """Round-19 (VERDICT r18 item 3): no operator may keep a
+    process-global persisted frame across calls — a bench process would
+    warm it up once and every timed run after would skip the corpus
+    work it claims to measure. Structural check: the one-slot registry
+    machinery is gone from the package. Functional check: two
+    back-to-back runs of each query that used it (q87 phash auto mode,
+    q111 dsir) each materialize their OWN checkpoint — the second call
+    adds new persisted RDDs instead of being served by the first
+    call's, i.e. every invocation recomputes from the parquet inputs.
+    (Asserting the set drains to zero is not possible here: persisted
+    RDDs created through py4j stay strongly referenced JVM-side for the
+    process lifetime in this environment — verified with a plain
+    ``persist``/``del``/GC probe — so ContextCleaner never fires; the
+    per-call frames are small and bounded, the documented trade.)"""
+    from vinum_spark.operators import sampling, similarity
+    from vinum_spark.inventory import QUERIES
+
+    for mod in (similarity, sampling):
+        for attr in dir(mod):
+            assert "CACHE_SLOT" not in attr, f"{mod.__name__}.{attr}"
+    assert not hasattr(similarity, "one_slot_persist")
+
+    def persistent_ids():
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it, out = m.iterator(), set()
+        while it.hasNext():
+            out.add(it.next()._1())
+        return out
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name in ("q87_image_phash_neardup", "q111_dsir_select"):
+        fn = QUERIES[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        after_first = persistent_ids()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        newly_persisted = persistent_ids() - after_first
+        assert newly_persisted, (
+            f"{name}: second call materialized no new checkpoint — "
+            "its corpus pass was served by a cross-call cache"
+        )

@@ -386,14 +386,6 @@ def mixture_sample(
     )
 
 
-#: one-slot cache for dsir_select's per-(doc, bucket) gram counts (the
-#: phash_candidate_pairs policy via similarity.one_slot_persist): at
-#: most one cached frame process-wide; a call over a different raw
-#: corpus frees the predecessor, same-input calls share the cache.
-_DSIR_CACHE_SLOT: list = []
-_DSIR_CACHE_LOCK = __import__("threading").Lock()
-
-
 def dsir_select(
     raw: DataFrame,
     target: DataFrame,
@@ -441,11 +433,14 @@ def dsir_select(
     100 TB shape: the target is benchmark/domain-sized (MBs) and its
     bucket table is O(n_buckets) regardless of corpus size; raw-side
     work is ONE gram explode, pre-aggregated per (document, bucket)
-    and cached under the one-slot registry
-    (:func:`~vinum_spark.operators.similarity.one_slot_persist` — at
-    most one cached frame process-wide, ≤ docs × n_buckets rows, a
-    plan-identical repeat call reuses it), feeding both the raw bucket
-    histogram and the broadcast-joined weight sum. The bucket-total
+    into a lazily ``localCheckpoint``-ed frame (≤ docs × n_buckets
+    rows; materialized once by the first action and shared by both
+    consumers, reclaimed by ContextCleaner when the returned frame is
+    dropped — round 19: the previous process-global one-slot
+    ``persist()`` survived across calls, letting repeat invocations
+    skip the corpus explode they claim to measure), feeding both the
+    raw bucket histogram and the broadcast-joined weight sum. The
+    bucket-total
     denominators are computed INSIDE the plan (a whole-table window
     over the n_buckets-row tables) — no eager collect, the call is
     fully lazy. The only other corpus touch is the final id join's
@@ -490,20 +485,18 @@ def dsir_select(
             ).cast("int"),
         )
 
-    from vinum_spark.operators.similarity import one_slot_persist
-
     tg = grams(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
     # pre-aggregate the raw grams per (document, bucket): the bucket
     # histogram AND the per-document weight sum both derive from this
-    # frame, so the corpus-sized explode runs ONCE per action (it is
-    # one-slot-cached; unpersisted lineage would recompute it per
-    # consumer). Σ_grams r_bucket == Σ_buckets n_doc_bucket · r_bucket.
-    rgb = one_slot_persist(
+    # frame, so the corpus-sized explode runs ONCE per action (lazy
+    # localCheckpoint — unpersisted lineage would recompute it per
+    # consumer; per-call only, nothing survives the returned frame).
+    # Σ_grams r_bucket == Σ_buckets n_doc_bucket · r_bucket.
+    rgb = (
         grams(raw)
         .groupBy(id_col, "__b")
-        .agg(F.count(F.lit(1)).alias("__cn")),
-        _DSIR_CACHE_SLOT,
-        _DSIR_CACHE_LOCK,
+        .agg(F.count(F.lit(1)).alias("__cn"))
+        .localCheckpoint(eager=False)
     )
     rb = rgb.groupBy("__b").agg(F.sum("__cn").alias("__cr"))
     # denominators as a broadcast 1-row aggregate over the

@@ -927,76 +927,6 @@ def ivfpq_topk(
 _PHASH_SINGLE_BAND_MAX = 50_000
 
 
-#: the single cached (id, hash) projection auto-mode may hold (see
-#: phash_candidate_pairs: a call over a DIFFERENT input frees the
-#: predecessor; same-input calls share the cache). The lock makes the
-#: check-then-act atomic — concurrent auto-mode calls from parallel
-#: job-submission threads must not leak un-slotted persisted frames.
-_AUTO_CACHE_SLOT: list = []  # [(df, session, semantic_key)] — at most one
-_AUTO_CACHE_LOCK = __import__("threading").Lock()
-
-
-def _semantic_key(df):
-    """Best-effort plan identity for the one-slot cache. Prefers the
-    public-ish ``DataFrame.semanticHash()`` (works under Spark Connect,
-    where ``_jdf`` does not exist); falls back to the classic JVM
-    handle. ``None`` means "identity unavailable" — the caller treats
-    it as never-equal, degrading to re-persist-per-call (correct,
-    just unmemoized) instead of raising."""
-    try:
-        return ("h", int(df.semanticHash()))
-    except Exception:
-        pass
-    try:
-        return ("j", df._jdf.queryExecution().analyzed())
-    except Exception:
-        return None
-
-
-def _semantic_same(key_a, key_b) -> bool:
-    if key_a is None or key_b is None:
-        return False
-    tag_a, val_a = key_a
-    tag_b, val_b = key_b
-    if tag_a != tag_b:
-        return False
-    if tag_a == "h":
-        return val_a == val_b
-    try:
-        return bool(val_a.sameResult(val_b))
-    except Exception:
-        return False
-
-
-def one_slot_persist(df: DataFrame, slot: list, lock) -> DataFrame:
-    """Persist ``df`` under a ONE-SLOT registry (the
-    :func:`phash_candidate_pairs` cache policy, factored out for any
-    operator that materializes a derived corpus projection): the slot's
-    previous occupant is unpersisted when this call's input PLAN
-    DIFFERS (identity via :func:`_semantic_key`) or its SESSION is
-    gone, so repeated calls hold at most one cached frame, while
-    calls over the SAME input keep the cache and Spark's cache manager
-    serves the plan-identical frame. An unavailable plan identity
-    degrades to re-persist-per-call, never an error."""
-    with lock:
-        prev = slot[0] if slot else None
-        same = False
-        if prev is not None:
-            prev_df, prev_session, prev_key = prev
-            if prev_session is df.sparkSession:
-                same = _semantic_same(prev_key, _semantic_key(df))
-        if prev is not None and not same:
-            try:
-                prev[0].unpersist()
-            except Exception:
-                pass  # its SparkContext may already be gone
-            slot.clear()
-        df = df.persist()
-        if not slot:
-            slot.append((df, df.sparkSession, _semantic_key(df)))
-    return df
-
-
 def phash_bands_per_key(n_rows: int) -> int:
     """The ``bands_per_key`` auto-selection rule: single bands up to
     ``_PHASH_SINGLE_BAND_MAX`` hashed assets, band PAIRS past it."""
@@ -1040,25 +970,19 @@ def phash_candidate_pairs(
     is EAGER: picking the knob needs the count, so this call runs a
     Spark job at call time instead of deferring all work to the first
     action on the returned frame. The (id, hash) projection
-    (~16 B/row — 8 MB per 500k assets) is ``persist()``-ed and
-    materialized once for the count + the banded self-join, so an
-    upstream decode (``phash_images`` is a Python stage) does not run
-    twice. Cache lifetime is a ONE-SLOT registry: an auto-mode call
-    whose input PLAN DIFFERS from the previous call's unpersists that
-    predecessor (plan identity via ``DataFrame.semanticHash()`` —
-    Spark Connect-safe — with a classic-JVM ``sameResult`` fallback;
-    a slot whose SESSION is stopped or replaced is always evicted,
-    and an unavailable identity degrades to re-persist-per-call, not
-    an error), so repeated calls hold at most one cached projection
-    (the r13 ADVICE leak), while calls over the SAME input keep the
-    cache and Spark's cache manager serves the plan-identical frame —
-    the decode is memoized across calls. The final projection stays
-    pinned until the process exits or a different input replaces it —
-    an 8 MB-per-500k-assets ceiling, the documented trade (an eager
-    localCheckpoint was tried and cost 1.8x on the q87 gate: the
-    join's two branches re-read serialized blocks, and unconditional
-    unpersist cost 1.3x by re-decoding every call). Pass an explicit
-    1 or 2 to skip the count entirely (fully lazy, nothing cached).
+    (~16 B/row — 8 MB per 500k assets) is lazily
+    ``localCheckpoint``-ed and materialized once PER CALL, by the
+    count, so an upstream decode (``phash_images`` is a Python stage)
+    does not run twice within a call — the self-join's two branches
+    read the checkpointed blocks. Lifetime is the returned frame's:
+    when the caller drops it, Spark's ContextCleaner reclaims the
+    blocks — nothing survives the call graph (round 19: the previous
+    process-global one-slot ``persist()`` registry memoized the
+    decode ACROSS calls, which let repeated benchmark invocations of
+    the same corpus skip the decode they claim to measure; a per-call
+    checkpoint keeps the within-call sharing, which is the part that
+    is genuinely needed, and nothing else). Pass an explicit 1 or 2
+    to skip the count entirely (fully lazy, nothing cached).
     """
     if 64 % n_bands:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
@@ -1073,16 +997,13 @@ def phash_candidate_pairs(
         id_col,
     )
     if bands_per_key is None:
-        # one-slot cache: the previous auto-mode projection is freed
-        # ONLY when this call's input plan differs (no caller can
-        # unpersist a frame that exists only inside this call). When
-        # the plan is the same — repeated candidate generation over
-        # the same corpus — Spark's cache manager serves the persisted
-        # data to the new frame too, so the upstream decode is
-        # memoized across calls exactly as it was across this call's
-        # count + self-join (unconditionally unpersisting cost a
-        # measured 1.3x on the q87 gate by re-decoding every call).
-        base = one_slot_persist(base, _AUTO_CACHE_SLOT, _AUTO_CACHE_LOCK)
+        # per-call lazy localCheckpoint: the auto-mode count below
+        # materializes it, the banded self-join's two branches then
+        # read the checkpointed blocks instead of re-running the
+        # upstream decode; ContextCleaner reclaims the blocks when the
+        # returned frame is dropped. No process-global cache (see
+        # docstring).
+        base = base.localCheckpoint(eager=False)
         bands_per_key = phash_bands_per_key(base.count())
 
     def band_key(b):
