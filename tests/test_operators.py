@@ -258,6 +258,46 @@ def test_lsh_candidates_plus_verify_on_planted_neardups(spark):
     assert got == exact
 
 
+def test_lsh_blocked_cosine_pairs_matches_two_operator_pipeline(spark):
+    """The fused per-bucket-block kernel (round 19) must return exactly
+    the pairs the two-operator pipeline (lsh_candidate_pairs +
+    cosine_verify) returns — same candidate set by construction (shared
+    bucket-frame helper), same >= threshold decisions — at every
+    block_rows, including one small enough that the block grid splits
+    every bucket (the hot-bucket spread path)."""
+    from vinum_spark.operators import (
+        cosine_verify,
+        lsh_blocked_cosine_pairs,
+        lsh_candidate_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for base_i in range(30):
+        base = rng.standard_normal(16)
+        rows.append((vid, [float(x) for x in base])); vid += 1
+        if base_i < 8:
+            rows.append((vid, [float(x) for x in base + 0.04 * rng.standard_normal(16)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cands = lsh_candidate_pairs(df, dim=16, n_planes=16, band_bits=4)
+    want = {
+        (r.id_a, r.id_b): round(r.cosine, 6)
+        for r in cosine_verify(df, cands, 0.9).collect()
+    }
+    assert len(want) >= 6  # the planted pairs actually exercise the path
+    for block_rows in (1024, 3):  # 3 -> every bucket splits into blocks
+        got = {
+            (r.id_a, r.id_b): round(r.cosine, 6)
+            for r in lsh_blocked_cosine_pairs(
+                df, dim=16, threshold=0.9, n_planes=16, band_bits=4,
+                block_rows=block_rows,
+            ).collect()
+        }
+        assert got == want, f"block_rows={block_rows}"
+        assert all(a < b for a, b in got)
+
+
 def test_minhash_verified_dedup_matches_exact_rule(docs):
     """Survivors must equal the exact domination rule: b dropped iff
     some a<b has jaccard(a,b) >= threshold — computed brute-force."""

@@ -3573,10 +3573,7 @@ def q83(spark, sf_dir):
 
     from vinum_spark.operators.multimodal import _png_encode
     from vinum_spark.operators.multimodal import extract_features
-    from vinum_spark.operators.similarity import (
-        cosine_verify,
-        lsh_candidate_pairs,
-    )
+    from vinum_spark.operators.similarity import lsh_blocked_cosine_pairs
 
     def build(it):
         import numpy as np
@@ -3634,12 +3631,20 @@ def q83(spark, sf_dir):
         )
         .localCheckpoint(eager=False)
     )
-    pairs = lsh_candidate_pairs(
-        feats, dim=64, n_planes=32, band_bits=4
+    # fused candidates + verify (round 19): same LSH bucket membership,
+    # but the ~8.5M random 4-bit-key collisions at sf0.1 are evaluated
+    # inside per-bucket-block BLAS kernels instead of materializing as
+    # join rows through a distinct Exchange and two verify joins — only
+    # pairs >= 0.95 ever exist as rows, and the block grid bounds any
+    # task's work at block_rows^2 regardless of bucket skew. The
+    # declared output keeps only the pair ids (twins at cos~0.999,
+    # non-dups <= ~2/3), so the BLAS-vs-expression ulp difference
+    # cannot alter it.
+    pairs = lsh_blocked_cosine_pairs(
+        feats, dim=64, threshold=0.95, n_planes=32, band_bits=4
     )
     return (
-        cosine_verify(feats, pairs, threshold=0.95, dim=64)
-        .select(
+        pairs.select(
             F.col("id_a").cast("long").alias("id_a"),
             F.col("id_b").cast("long").alias("id_b"),
         )
@@ -3867,10 +3872,7 @@ def q85(spark, sf_dir):
     import pandas as pd
 
     from vinum_spark.operators.multimodal import extract_features
-    from vinum_spark.operators.similarity import (
-        cosine_verify,
-        lsh_candidate_pairs,
-    )
+    from vinum_spark.operators.similarity import lsh_blocked_cosine_pairs
 
     def build(it):
         import numpy as np
@@ -3933,10 +3935,13 @@ def q85(spark, sf_dir):
         )
         .localCheckpoint(eager=False)
     )
-    pairs = lsh_candidate_pairs(feats, dim=64, n_planes=32, band_bits=4)
+    # fused candidates + verify via per-bucket-block BLAS kernels —
+    # same rationale and same candidate set as q83 (round 19)
+    pairs = lsh_blocked_cosine_pairs(
+        feats, dim=64, threshold=0.95, n_planes=32, band_bits=4
+    )
     return (
-        cosine_verify(feats, pairs, threshold=0.95, dim=64)
-        .select(
+        pairs.select(
             F.col("id_a").cast("long").alias("id_a"),
             F.col("id_b").cast("long").alias("id_b"),
         )

@@ -341,6 +341,20 @@ def blocked_pair_cosine(
         F.lit("b").alias("__side"),
     )
     replicated = a_copies.unionByName(b_copies)
+    return replicated.groupBy("__pa", "__pb").applyInArrow(
+        _pair_cosine_kernel(threshold), schema="id_a long, id_b long, cosine double"
+    )
+
+
+def _pair_cosine_kernel(threshold: float):
+    """The block-pair cosine Arrow kernel shared by
+    :func:`blocked_pair_cosine` and :func:`lsh_blocked_cosine_pairs`:
+    one group = one block pair (side-``a`` rows × side-``b`` rows; a
+    diagonal block — ``__pa == __pb`` — holds each row once and
+    enumerates its upper triangle). One BLAS matmul per group replaces
+    per-pair expression evaluation; only pairs ≥ ``threshold`` ever
+    materialize as rows, as ``(id_a, id_b, cosine)`` with
+    ``id_a < id_b``."""
     thr = float(threshold)
 
     def _kernel(tbl):
@@ -366,8 +380,22 @@ def blocked_pair_cosine(
             vcol = vcol.combine_chunks()
         # list array -> contiguous values buffer -> (n, dim) view.
         # flatten() (not .values) so a sliced/offset array reads the
-        # right window; fixed dim is the operator's documented contract.
+        # right window; fixed dim is the operator's documented contract
+        # — and it is VALIDATED here (round-19 ADVICE): a null or
+        # ragged embedding shifts every subsequent row's window, and
+        # when the truncated length happens to divide evenly the
+        # reshape would silently misalign all downstream cosines.
+        if vcol.null_count:
+            raise ValueError(
+                "blocked pair cosine requires non-null fixed-dimension "
+                f"vectors; got {vcol.null_count} null(s) in a batch"
+            )
         flat = np.asarray(vcol.flatten())
+        if n and len(flat) % n:
+            raise ValueError(
+                "blocked pair cosine requires fixed-dimension vectors; "
+                f"got {len(flat)} values over {n} rows (ragged input)"
+            )
         dim = len(flat) // n
         vecs = flat.reshape(n, dim)
         diagonal = pa_col[0] == pb_col[0]
@@ -394,45 +422,25 @@ def blocked_pair_cosine(
             }
         )
 
-    return replicated.groupBy("__pa", "__pb").applyInArrow(
-        _kernel, schema="id_a long, id_b long, cosine double"
-    )
+    return _kernel
 
 
-def lsh_candidate_pairs(
+def _lsh_bucket_frame(
     df: DataFrame,
     dim: int,
-    n_planes: int = 16,
-    band_bits: int = 4,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    seed: int = 42,
-    checkpoint_buckets: bool = False,
+    n_planes: int,
+    band_bits: int,
+    vec_col: str,
+    id_col: str,
+    seed: int,
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Candidate near-dup pairs from hyperplane-LSH band co-membership —
-    the embedding analogue of ``minhash_candidate_pairs``.
-
-    Bands of ``band_bits`` bits over the ``n_planes``-bit signature;
-    candidates share ≥1 band (equi-join on (band, key), pair enumeration
-    quadratic only within a bucket). For a pair at angle θ each bit
-    agrees with probability 1−θ/π, so recall is high only for HIGH
-    cosine thresholds (small angles) — use with
-    :func:`cosine_verify` for near-dup detection (cos ≳ 0.7); for weak
-    thresholds use :func:`blocked_pair_cosine` (see its docstring).
-
-    ``n_planes`` may exceed one long's 63-bit capacity: the planes are
-    split across ``ceil(n_planes/63)`` independent signature columns
-    (seed offset per column) and bands never straddle columns. This is
-    the corpus-size knob: bucket occupancy is ~corpus/2^band_bits PER
-    BAND, so at fixed recall, growing the corpus 10x needs ~3.3 more
-    band bits AND more bands to hold the per-band match probability —
-    i.e. more total planes. A 200k-row measured example
-    (tools/scale_embeddings.py): 63 planes / 9-bit bands put ~390
-    random rows in every bucket (~270M candidate pairs — random
-    collisions, not near-dups); 126 planes / 14-bit bands keep buckets
-    ~12 rows at the same ~0.99 planted recall. ≤63 planes is
-    bit-identical to the single-signature form.
-    """
+    """The ``(id, band, key)`` band-bucket frame — the ONE construction
+    site shared by :func:`lsh_candidate_pairs` and
+    :func:`lsh_blocked_cosine_pairs`, so the two operators' candidate
+    sets (same planes, same seed offsets, same band packing) cannot
+    drift. ``extra_cols`` are carried through unchanged (the fused
+    verify carries the vector)."""
     if band_bits > 63:
         raise ValueError(f"band_bits must be <= 63, got {band_bits}")
     # split planes into <=63-bit signature columns; bands stay inside
@@ -470,10 +478,50 @@ def lsh_candidate_pairs(
         raise ValueError(
             f"no full band fits: n_planes={n_planes} band_bits={band_bits}"
         )
-    bucket = signed.select(
+    return signed.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.explode(F.array(*band_structs)).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    ).select(id_col, *extra_cols, "bk.band", "bk.key")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    checkpoint_buckets: bool = False,
+) -> DataFrame:
+    """Candidate near-dup pairs from hyperplane-LSH band co-membership —
+    the embedding analogue of ``minhash_candidate_pairs``.
+
+    Bands of ``band_bits`` bits over the ``n_planes``-bit signature;
+    candidates share ≥1 band (equi-join on (band, key), pair enumeration
+    quadratic only within a bucket). For a pair at angle θ each bit
+    agrees with probability 1−θ/π, so recall is high only for HIGH
+    cosine thresholds (small angles) — use with
+    :func:`cosine_verify` for near-dup detection (cos ≳ 0.7); for weak
+    thresholds use :func:`blocked_pair_cosine` (see its docstring).
+
+    ``n_planes`` may exceed one long's 63-bit capacity: the planes are
+    split across ``ceil(n_planes/63)`` independent signature columns
+    (seed offset per column) and bands never straddle columns. This is
+    the corpus-size knob: bucket occupancy is ~corpus/2^band_bits PER
+    BAND, so at fixed recall, growing the corpus 10x needs ~3.3 more
+    band bits AND more bands to hold the per-band match probability —
+    i.e. more total planes. A 200k-row measured example
+    (tools/scale_embeddings.py): 63 planes / 9-bit bands put ~390
+    random rows in every bucket (~270M candidate pairs — random
+    collisions, not near-dups); 126 planes / 14-bit bands keep buckets
+    ~12 rows at the same ~0.99 planted recall. ≤63 planes is
+    bit-identical to the single-signature form.
+    """
+    bucket = _lsh_bucket_frame(
+        df, dim, n_planes, band_bits, vec_col, id_col, seed
+    )
     if checkpoint_buckets:
         # The self-join below usually plans as a broadcast join whose
         # build and stream sides are the SAME subtree, and a broadcast
@@ -546,6 +594,126 @@ def cosine_verify(
         .filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.col("__cos").alias("cosine"))
     )
+
+
+def lsh_blocked_cosine_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Fused ``lsh_candidate_pairs`` + ``cosine_verify``: the same
+    LSH-bucket candidate set (the bucket frame comes from the SAME
+    construction helper — same planes, seeds, band packing), but the
+    quadratic within-bucket pair work never materializes as rows.
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b`` and
+    ``cosine ≥ threshold`` — the verified near-dup pairs.
+
+    Why (round 19, guide §2.3/§2.5/§4.2): the two-operator pipeline
+    enumerates every bucket-co-membership as a JOIN ROW — at sf0.1 the
+    q83 corpus makes 8.5M random 4-bit-key collisions for ~1250 true
+    pairs — then pays a ``distinct`` Exchange over all of them and two
+    more joins to re-attach vectors for the exact verify. Here each
+    ``(band, key)`` bucket is split into ``ceil(|bucket|/block_rows)``
+    deterministic sub-blocks (``pmod(xxhash64(id), nb)`` — the
+    :func:`blocked_pair_cosine` grid applied within buckets); every
+    unordered block pair becomes one task-sized group, and ONE BLAS
+    Gram kernel per group evaluates all its pairs, emitting only those
+    ≥ ``threshold``. Only verified pairs ever exist as rows; the one
+    wide Exchange is the groupBy on ``(band, key, block_a, block_b)``,
+    so no single task owns a hot bucket — work per task is bounded by
+    ``block_rows²`` pair evaluations regardless of bucket skew.
+
+    A pair sharing several bands is evaluated once per band; the final
+    per-pair ``max`` collapses the duplicates (BLAS accumulation order
+    may differ across blocks, so the copies can differ in the last ulp
+    — ``max`` is deterministic where ``distinct`` would not be).
+
+    Exactness note: the verify decision is the same float contract as
+    :func:`blocked_pair_cosine` (float64 BLAS dot / norm product).
+    Versus ``cosine_verify``'s JVM fold it can differ at the last ulp,
+    which matters only for pairs razor-thin at ``threshold``; callers
+    whose DECLARED output includes the cosine value itself (q56) keep
+    the expression path, callers that only keep the pair set (q83/q85,
+    twins at cos≈0.999 vs non-dups ≤0.73) use this one.
+
+    100 TB shape: signatures and banding are map-side; the groupBy
+    Exchange shuffles each row ``n_bands × nb`` times carrying
+    ``id + dim`` doubles; per-task memory is ``2 × block_rows × dim``
+    doubles for the matmul operands plus the hits. ``block_rows`` is
+    the granularity knob: smaller spreads hot buckets wider (more
+    replication), larger amortizes kernel overhead."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    bucket = _lsh_bucket_frame(
+        base, dim, n_planes, band_bits, "__v", "__id", seed,
+        extra_cols=("__v",),
+    )
+    # per-bucket occupancy -> number of sub-blocks; the size table is
+    # ≤ n_bands × 2^band_bits rows, always broadcastable
+    sizes = bucket.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
+    bucketed = (
+        bucket.join(F.broadcast(sizes), ["band", "key"])
+        .withColumn(
+            "__nb",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("__n") / F.lit(int(block_rows)))
+            ).cast("int"),
+        )
+        .withColumn(
+            "__blk",
+            F.pmod(F.xxhash64(F.col("__id")), F.col("__nb")).cast("int"),
+        )
+    )
+    # block-grid replication within each bucket (see blocked_pair_cosine:
+    # every unordered block pair meets in exactly one group, the diagonal
+    # group holds each row once). ONE explode emits both sides' copies —
+    # a union of two projections would compute the signature+join
+    # subtree twice per action (a broadcast branch has no exchange to
+    # reuse), measured as most of the fused stage's residual.
+    blk, nb = F.col("__blk"), F.col("__nb")
+    a_structs = F.transform(
+        F.sequence(blk, nb - 1),
+        lambda j: F.struct(
+            blk.alias("__pa"),
+            j.cast("int").alias("__pb"),
+            F.lit("a").alias("__side"),
+        ),
+    )
+    b_structs = F.when(
+        blk > 0,
+        F.transform(
+            F.sequence(F.lit(0), blk - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("__pa"),
+                blk.alias("__pb"),
+                F.lit("b").alias("__side"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<__pa:int,__pb:int,__side:string>>")
+    )
+    replicated = bucketed.select(
+        "__id",
+        "__v",
+        "band",
+        "key",
+        F.explode(F.concat(a_structs, b_structs)).alias("__bp"),
+    ).select(
+        "__id", "__v", "band", "key", "__bp.__pa", "__bp.__pb", "__bp.__side"
+    )
+    hits = replicated.groupBy("band", "key", "__pa", "__pb").applyInArrow(
+        _pair_cosine_kernel(threshold),
+        schema="id_a long, id_b long, cosine double",
+    )
+    return hits.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
 def lsh_bucket_topk(
