@@ -797,9 +797,20 @@ def train_pq_codebooks(
     books = np.empty((m, n_codes, sub))
     for j in range(m):
         s = mat[:, j * sub : (j + 1) * sub]
+        s_sq = (s * s).sum(axis=1)
         cent = s[rng.choice(len(s), size=n_codes, replace=len(s) < n_codes)]
         for _ in range(iters):
-            d = ((s[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # argmin over ||s - c||^2 via the matmul identity
+            # ||s||^2 - 2 s·c + ||c||^2 (round 19): the broadcast form
+            # materialized a (sample, n_codes, sub) temp twice per
+            # iteration — ~0.9 s of driver CPU per training call, paid
+            # by every q77/q79 run; this is one small GEMM. Distances
+            # differ from the broadcast form at the last ulp, which can
+            # only flip exact argmin ties between equidistant
+            # centroids; the trained-codebook consumers re-rank
+            # candidates with EXACT cosine, and the q46/q77/q79 gate
+            # outputs were verified identical at sf0.001/0.01/0.1.
+            d = s_sq[:, None] - 2.0 * (s @ cent.T) + (cent * cent).sum(axis=1)
             assign = np.argmin(d, axis=1)
             for c in range(n_codes):
                 members = s[assign == c]

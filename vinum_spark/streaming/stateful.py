@@ -15,17 +15,11 @@ Arrow-batched stateful pandas operator.
 
 from __future__ import annotations
 
-import hashlib
-from typing import Any, Iterable, Iterator, List, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-
-def _digest(parts: Iterable[Any]) -> int:
-    raw = "\x1f".join("" if p is None else str(p) for p in parts)
-    return int.from_bytes(hashlib.sha1(raw.encode()).digest()[:8], "big", signed=True)
 
 
 def _hadoop_path_exists(spark, path: str) -> bool:
@@ -65,27 +59,40 @@ def stream_distinct(
     def dedup_group(
         key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if state.hasTimedOut:
             # eviction: drop the group's seen-set; a later duplicate of a
             # pre-eviction row would be re-admitted (documented trade-off)
             state.remove()
             return
-        seen = set(state.get[0]) if state.exists else set()
+        # Vectorized digests (round 19, guide §4.2): the previous
+        # per-row Python loop (str() + sha1 per row) dominated the
+        # batch — allUpdatesTimeMs 23.7 s summed over 8 partitions for
+        # 200k rows at sf0.1. hash_pandas_object hashes the whole key
+        # frame in C; membership against the seen-set is one np.isin.
+        # Digest VALUES never leave the query (state is per-run), so
+        # the hash family is an implementation detail; first-occurrence
+        # semantics are unchanged (pinned by tests + the q53 oracle).
+        seen = (
+            np.asarray(state.get[0], dtype="int64")
+            if state.exists
+            else np.empty(0, dtype="int64")
+        )
         for pdf in pdfs:
-            digests = [
-                _digest(vals) for vals in zip(*(pdf[c] for c in key_list))
-            ]
-            fresh_mask = []
-            for d in digests:
-                if d in seen:
-                    fresh_mask.append(False)
-                else:
-                    seen.add(d)
-                    fresh_mask.append(True)
-            out = pdf[pd.Series(fresh_mask, index=pdf.index)]
+            dig = (
+                pd.util.hash_pandas_object(pdf[key_list], index=False)
+                .to_numpy()
+                .view("int64")
+            )
+            fresh_mask = ~pd.Series(dig).duplicated().to_numpy() & ~np.isin(
+                dig, seen
+            )
+            out = pdf[fresh_mask]
             if len(out):
                 yield out[out_cols]
-        state.update((list(seen),))
+            seen = np.union1d(seen, dig)
+        state.update((seen.tolist(),))
         if timeout_ms > 0:
             state.setTimeoutDuration(timeout_ms)
 
