@@ -22,7 +22,6 @@ LIMIT paired with a unique-key ORDER BY; session timezone forced to UTC.
 
 from __future__ import annotations
 
-import weakref
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
@@ -58,17 +57,22 @@ def _q(name: str, oracle: Optional[str], desc: str):
     return deco
 
 
-# (id(session), applicationId, sf_dir, table) -> (weakref(session), DataFrame).
-# Plan/metadata memoization ONLY: a DataFrame is a lazy plan — every
-# action still scans the parquet files; no rows are ever cached here.
-# Rationale: ``spark.read.parquet`` costs ~87 ms of driver work per call
-# (DataSource resolution + footer schema read), and the bench/driver call
-# each query's builder fresh per timed run — for a 5-table query that is
-# ~440 ms of pure per-run driver overhead re-deriving metadata that
-# cannot change within a session (guide §5: the driver should do almost
-# no data work; §6: file listing is cached per session for the same
-# reason). The weakref guards id() reuse after a session is GC'd.
-_TABLE_CACHE: dict = {}
+# Per-session table-plan memo, stored AS AN ATTRIBUTE ON the session
+# object so it dies with the session (round-19 ADVICE fix: the previous
+# module-level dict keyed on id(session) with a weakref guard was inert
+# — a DataFrame strongly references its SparkSession, so the weakref
+# could never die while the entry existed, pinning stopped sessions and
+# their JVM-side plans until the wholesale clear). Plan/metadata
+# memoization ONLY: a DataFrame is a lazy plan — every action still
+# scans the parquet files; no rows are ever cached here. Rationale:
+# ``spark.read.parquet`` costs ~87 ms of driver work per call
+# (DataSource resolution + footer schema read), and the bench/driver
+# call each query's builder fresh per timed run — for a 5-table query
+# that is ~440 ms of pure per-run driver overhead re-deriving metadata
+# that cannot change within a session (guide §5: the driver should do
+# almost no data work; §6: file listing is cached per session for the
+# same reason).
+_TABLE_CACHE_ATTR = "_vinum_table_plan_cache"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -79,10 +83,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # save/restore here would silently flip semantics at collect time.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    key = (id(spark), spark.sparkContext.applicationId, sf_dir, name)
-    hit = _TABLE_CACHE.get(key)
-    if hit is not None and hit[0]() is spark:
-        return hit[1]
+    cache = getattr(spark, _TABLE_CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _TABLE_CACHE_ATTR, cache)
+    key = (sf_dir, name)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         # nanosAsLong is a no-op for non-nanos files but lets us read
         # either generation of the events table (see _normalize_events_ts).
@@ -90,9 +98,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = _normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if len(_TABLE_CACHE) >= 256:  # bound driver memory across many sf_dirs
-        _TABLE_CACHE.clear()
-    _TABLE_CACHE[key] = (weakref.ref(spark), df)
+    if len(cache) >= 256:  # bound driver memory across many sf_dirs
+        cache.clear()
+    cache[key] = df
     return df
 
 

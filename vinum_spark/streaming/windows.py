@@ -37,15 +37,29 @@ EVENTS_NTZ_DDL = (
     "value double, props string"
 )
 
-#: footer-probe results per (session id, path) — the probe is a batch
-#: parquet read, so re-probing on every stream_events call in a hot loop
-#: would be a per-call scan of the source footer.
-_TS_TYPE_CACHE: dict = {}
+#: footer-probe memo attribute names — caches live AS ATTRIBUTES ON the
+#: session object (round-19 ADVICE fix: the previous module-level dicts
+#: keyed on id(session) had no liveness guard — after a session is GC'd,
+#: CPython id() reuse could serve a stale entry to a new session — and
+#: grew unboundedly across paths; a per-session dict dies with its
+#: session and is bounded below). The probe is a batch parquet read, so
+#: re-probing on every call in a hot loop would be a per-call scan of
+#: the source footer. Memoizing assumes the SOURCE SCHEMA is immutable
+#: within a session (true of the testdata sources; documented on
+#: stream_table).
+_TS_TYPE_CACHE_ATTR = "_vinum_stream_ts_type_cache"
+_SCHEMA_CACHE_ATTR = "_vinum_stream_schema_cache"
+_PROBE_CACHE_MAX = 256
 
-#: stream_table's footer-probed schemas per (session id, path) — same
-#: rationale; schemas of the immutable testdata sources never change
-#: within a session.
-_TABLE_SCHEMA_CACHE: dict = {}
+
+def _session_cache(spark: SparkSession, attr: str) -> dict:
+    cache = getattr(spark, attr, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, attr, cache)
+    if len(cache) >= _PROBE_CACHE_MAX:  # bound across many paths
+        cache.clear()
+    return cache
 
 
 def _probe_ts_type(spark: SparkSession, path: str) -> str:
@@ -61,9 +75,9 @@ def _probe_ts_type(spark: SparkSession, path: str) -> str:
     raising at stream-definition time.
     """
     conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-    cache_key = (id(spark), path)
-    if cache_key in _TS_TYPE_CACHE:
-        ts_type = _TS_TYPE_CACHE[cache_key]
+    cache = _session_cache(spark, _TS_TYPE_CACHE_ATTR)
+    if path in cache:
+        ts_type = cache[path]
         if ts_type == "bigint":
             # a later probe of a non-nanos path may have restored the
             # conf; the nanos stream still needs it
@@ -94,7 +108,7 @@ def _probe_ts_type(spark: SparkSession, path: str) -> str:
             else:
                 spark.conf.set(conf_key, prior)
     if probed:
-        _TS_TYPE_CACHE[cache_key] = ts_type
+        cache[path] = ts_type
     return ts_type
 
 
@@ -170,7 +184,13 @@ def stream_table(
     the footer once, and the single-file layout gets the same
     basePath + globify treatment ``stream_events`` documents (a direct
     single-file path otherwise fails FileStreamSource's basePath
-    override). No rewritten copy of the source is ever made."""
+    override). No rewritten copy of the source is ever made.
+
+    The probed schema is memoized per (session, path): this assumes the
+    source's SCHEMA is immutable within a session (its FILE SET may
+    still grow — streaming batches list and read the source themselves).
+    A source whose schema genuinely changes between calls needs a new
+    session (or the cache attribute cleared)."""
     import os
 
     single_file = os.path.isfile(path)
@@ -185,11 +205,11 @@ def stream_table(
     # the streaming pipeline queries build three streams of the same
     # source per run (metadata memo only — every stream batch still
     # reads the parquet source itself)
-    cache_key = (id(spark), path)
-    schema = _TABLE_SCHEMA_CACHE.get(cache_key)
+    cache = _session_cache(spark, _SCHEMA_CACHE_ATTR)
+    schema = cache.get(path)
     if schema is None:
         schema = spark.read.parquet(path).schema
-        _TABLE_SCHEMA_CACHE[cache_key] = schema
+        cache[path] = schema
     reader = spark.readStream.format("parquet").schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
