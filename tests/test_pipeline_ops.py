@@ -2482,3 +2482,27 @@ def test_hf_tokenizer_json_ids_match_real_tokenizers_lib(spark, tmp_path):
                 f"{name}: id divergence on doc {doc_id}: "
                 f"{ours[doc_id]} vs {theirs}"
             )
+
+
+def test_driver_sym_list_matches_spark_expression(spark):
+    """The local BPE fast path now builds symbol lists driver-side
+    (round 19: the collect ships only (word, freq) via Arrow); the
+    driver construction must equal the Spark ``sym`` expression on both
+    alphabets, including multi-byte UTF-8 and uppercase."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.text import _byte_sym_sql, _driver_sym_list
+
+    words = ["hello", "héllo", "Ω→π", "a b".replace(" ", ""), "x", "日本語"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    byte_rows = {
+        r["word"]: list(r["sym"])
+        for r in df.withColumn("sym", F.expr(_byte_sym_sql("word"))).collect()
+    }
+    char_rows = {
+        r["word"]: list(r["sym"])
+        for r in df.withColumn("sym", F.split("word", "")).collect()
+    }
+    for w in words:
+        assert _driver_sym_list(w, byte_level=True) == byte_rows[w], w
+        assert _driver_sym_list(w, byte_level=False) == char_rows[w], w

@@ -1180,6 +1180,22 @@ def _learn_bpe_local(vocab: list, n_merges: int, start_rank: int = 1) -> list:
     return merges
 
 
+def _driver_sym_list(word: str, byte_level: bool) -> list:
+    """Driver-side twin of the Spark ``sym`` expression
+    (``_byte_sym_sql`` / ``split(word, '')``): byte mode maps each
+    UTF-8 byte through the fixed ``chr(0x100 + b)`` alphabet; char mode
+    splits per code point (Spark's ``split`` and ``length`` are
+    code-point-based, as is Python's ``list(str)``). Equality with the
+    Spark expression is verified differentially on both alphabets in
+    tests; it lets the local BPE fast path collect ONLY (word, freq)
+    through Arrow instead of shipping per-character symbol arrays
+    through the pickled row path (round 19 — measured ~3× on the
+    vocab collect)."""
+    if byte_level:
+        return [chr(0x100 + b) for b in word.encode("utf-8")]
+    return list(word)
+
+
 _MERGES_SCHEMA = "merge_rank int, lhs string, rhs string, pair_count long"
 
 
@@ -1294,28 +1310,43 @@ def learn_bpe_merges(
             _bpe_words_col(text_col, token_pattern, byte_level)
         ).alias("word")
     )
-    vocab = (
-        doc_words.groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .withColumn("sym", sym_col)
+    vocab = doc_words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
     )
     spark = df.sparkSession
     merges: list = []
     cached = vocab.persist()
-    # one job materializes the persist AND sizes the dictionary for
-    # the fast-path budget (summed symbols, not types — see docstring)
+    # one job materializes the persist AND sizes the dictionary for the
+    # fast-path budget (summed symbols, not types — see docstring). The
+    # symbol count is derivable from word lengths alone (one symbol per
+    # UTF-8 byte in byte mode, per code point in char mode), so the
+    # fast path never computes symbol ARRAYS on the cluster at all: it
+    # collects only (word, freq) via Arrow and splits driver-side
+    # (_driver_sym_list) — round 19; the previous shape shipped every
+    # word's per-character array through the pickled row path, ~3× the
+    # wall of the whole collect.
+    sym_len = F.octet_length("word") if byte_level else F.length("word")
     n_syms = (
-        cached.agg(F.sum(F.size("sym")).alias("syms")).collect()[0]["syms"]
-        or 0
+        cached.agg(F.sum(sym_len).alias("syms")).collect()[0]["syms"] or 0
     )
     if collect_cap and n_syms <= collect_cap:
         try:
-            local = [(r["sym"], r["freq"]) for r in cached.select("sym", "freq").collect()]
+            pdf = cached.select("word", "freq").toPandas()
         finally:
             cached.unpersist()
+        local = [
+            (_driver_sym_list(w, byte_level), int(f))
+            for w, f in zip(pdf["word"], pdf["freq"])
+        ]
         merges = _learn_bpe_local(local, n_merges)
         return _merges_frame(spark, merges)
-    merges = _distributed_bpe_loop(cached, 1, n_merges)
+    # distributed path: attach the symbol arrays and materialize THAT
+    # frame for the merge loop (the loop's contract), then release the
+    # bare-vocab persist
+    sym_cached = cached.withColumn("sym", sym_col).persist()
+    sym_cached.count()
+    cached.unpersist()
+    merges = _distributed_bpe_loop(sym_cached, 1, n_merges)
     return _merges_frame(spark, merges)
 
 
@@ -1488,23 +1519,30 @@ def extend_bpe_merges(
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .withColumn("sym", sym_col)
     )
     cached = vocab.persist()
     # size on the RAW symbols — merging only shrinks them, so the
-    # budget check is conservative for the post-prefix state
+    # budget check is conservative for the post-prefix state (word
+    # lengths alone: see learn_bpe_merges — no cluster-side symbol
+    # arrays on the fast path)
+    sym_len = F.octet_length("word") if byte_level else F.length("word")
     n_syms = (
-        cached.agg(F.sum(F.size("sym")).alias("syms")).collect()[0]["syms"]
-        or 0
+        cached.agg(F.sum(sym_len).alias("syms")).collect()[0]["syms"] or 0
     )
     if collect_cap and n_syms <= collect_cap:
         try:
-            local = [
-                (_apply_rank_loop(list(r["sym"]), pairs, ranks), r["freq"])
-                for r in cached.select("sym", "freq").collect()
-            ]
+            pdf = cached.select("word", "freq").toPandas()
         finally:
             cached.unpersist()
+        local = [
+            (
+                _apply_rank_loop(
+                    _driver_sym_list(w, byte_level), pairs, ranks
+                ),
+                int(f),
+            )
+            for w, f in zip(pdf["word"], pdf["freq"])
+        ]
         new = _learn_bpe_local(local, n_more, start_rank=start)
         return _merges_frame(spark, existing + new)
 
@@ -1514,8 +1552,10 @@ def extend_bpe_merges(
             [_apply_rank_loop(list(s), pairs, ranks) for s in col]
         )
 
-    applied = cached.withColumn("sym", apply_prefix("sym")).localCheckpoint(
-        eager=True
+    applied = (
+        cached.withColumn("sym", sym_col)
+        .withColumn("sym", apply_prefix("sym"))
+        .localCheckpoint(eager=True)
     )
     cached.unpersist()
     new = _distributed_bpe_loop(applied, start, n_more)
