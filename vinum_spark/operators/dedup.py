@@ -591,10 +591,21 @@ def simhash_candidate_pairs(
     # SAME subtree, and without a lineage cut Spark computes the whole
     # signature pipeline twice (no exchange to reuse under a broadcast).
     # The persisted frame is one (long, long) row per doc — bounded at
-    # any scale; lazy, so no extra job barrier (round-18).
-    h = _simhash_only(
-        df, text_col, id_col, shingle_size=shingle_size, shingles=shingles
-    ).localCheckpoint(eager=False)
+    # any scale; lazy, so no extra job barrier (round-18). THEN spread:
+    # the signature frame is a byte-tiny aggregate output that AQE
+    # coalesces to 1-2 partitions, and the broadcast self-join's
+    # quadratic within-bucket pair enumeration streams over THIS
+    # partitioning — at sf0.1 that serialized ~12.7M pair evaluations
+    # onto 2 cores (measured: the enumeration stage was 2.1 s of q30's
+    # 2.4 s; the same bytes-≠-work trap as r18's q83 coalescing
+    # revert). Repartitioning ~16 B/doc rows is noise at any scale.
+    h = _spread(
+        _simhash_only(
+            df, text_col, id_col, shingle_size=shingle_size,
+            shingles=shingles,
+        ).localCheckpoint(eager=False),
+        id_col,
+    )
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     bucket = h.select(
