@@ -290,7 +290,17 @@ def minhash_signatures(
 def _band_buckets(
     df: DataFrame, id_col: str, bands: int, rows_per_band: int, sig_col: str = "minhash"
 ) -> DataFrame:
-    """Explode a signature into (id, band, band_hash) bucket rows."""
+    """Explode a signature into (id, band, band_hash) bucket rows.
+
+    The input is spread first (round 19): a signature frame is a
+    byte-tiny aggregate output that AQE coalesces to 1-2 partitions,
+    and the band self-join every consumer builds on these buckets
+    streams its bucket-pair enumeration over THIS partitioning —
+    measured q29 1.0 s → 0.65 s at sf0.1 from this line alone (the
+    same bytes-≠-work coalescing trap as the r18 q83 revert and this
+    round's simhash fix). Repartitioning ~(8 B + signature) rows is
+    noise at any scale."""
+    df = _spread(df, id_col)
     band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     with_band = df.select(F.col(id_col), F.col(sig_col), band)
     band_slice = F.slice(
