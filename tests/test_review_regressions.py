@@ -492,3 +492,78 @@ def test_no_cross_call_persist_retention(spark):
             f"{name}: second call materialized no new checkpoint — "
             "its corpus pass was served by a cross-call cache"
         )
+
+
+def test_pair_cosine_kernel_validates_dim_and_element_nulls():
+    """Round-19 review: the Arrow pair kernel must reject (a) input
+    whose total element count happens to divide evenly by the row
+    count while rows are individually ragged (one short + one long —
+    invisible to a divisibility check, silently misaligning every
+    cosine in the block), enforced via the caller-declared dim, and
+    (b) element-LEVEL nulls, which pass the top-level null_count check
+    and would otherwise turn into NaN cosines that silently drop
+    pairs. Direct kernel-level tests — no Spark needed."""
+    import pyarrow as pa
+
+    from vinum_spark.operators.similarity import _pair_cosine_kernel
+
+    def tbl(vectors):
+        n = len(vectors)
+        return pa.table(
+            {
+                "__pa": pa.array([0] * n, "int32"),
+                "__pb": pa.array([0] * n, "int32"),
+                "__side": pa.array(["a"] * n),
+                "__id": pa.array(list(range(n)), "int64"),
+                "__v": pa.array(vectors, pa.list_(pa.float64())),
+            }
+        )
+
+    # happy path: declared dim, exact duplicate pair found
+    good = _pair_cosine_kernel(0.9, 2)(tbl([[1.0, 0.0], [1.0, 0.0]]))
+    assert good.num_rows == 1 and good.column("cosine")[0].as_py() == 1.0
+
+    # offsetting ragged rows: 1 + 3 elements over 2 rows divides evenly
+    # by n — only the dim check can catch it
+    with pytest.raises(ValueError, match="ragged|dim"):
+        _pair_cosine_kernel(0.9, 2)(tbl([[1.0], [0.0, 1.0, 2.0]]))
+
+    # element-level null inside a list: top-level null_count is 0
+    with pytest.raises(ValueError, match="null element"):
+        _pair_cosine_kernel(0.9, 2)(tbl([[1.0, None], [1.0, 0.0]]))
+
+
+def test_env_bool_normalizes_and_rejects(monkeypatch):
+    """Round-19 review: SPARK_GRAFT_PREFER_SORT_MERGE_JOIN=1 (the flag
+    style of SPARK_GRAFT_NO_POOL) must normalize to 'true' instead of
+    failing session creation deep inside Spark's boolean conf parse;
+    garbage must fail loudly BY NAME."""
+    from vinum_spark.session import _env_bool
+
+    for raw, want in (
+        ("1", "true"), ("true", "true"), ("YES", "true"), ("on", "true"),
+        ("0", "false"), ("False", "false"), ("no", "false"), ("off", "false"),
+    ):
+        monkeypatch.setenv("SPARK_GRAFT_PREFER_SORT_MERGE_JOIN", raw)
+        assert _env_bool("SPARK_GRAFT_PREFER_SORT_MERGE_JOIN", "false") == want
+    monkeypatch.setenv("SPARK_GRAFT_PREFER_SORT_MERGE_JOIN", "maybe")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_PREFER_SORT_MERGE_JOIN"):
+        _env_bool("SPARK_GRAFT_PREFER_SORT_MERGE_JOIN", "false")
+    monkeypatch.delenv("SPARK_GRAFT_PREFER_SORT_MERGE_JOIN")
+    assert _env_bool("SPARK_GRAFT_PREFER_SORT_MERGE_JOIN", "false") == "false"
+
+
+def test_spread_probe_cache_is_session_scoped(spark):
+    """Round-19 review: the _spread partition-probe memo must live on
+    the session object (dying with it), not in a module-level dict
+    keyed on id(session) that can serve a stale estimate to a new
+    session reusing the id."""
+    from vinum_spark.operators import dedup as D
+
+    assert not hasattr(D, "_SPREAD_PROBE_CACHE"), (
+        "module-level spread-probe cache is back"
+    )
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    D._spread(df, "doc_id").collect()
+    cache = getattr(spark, D._SPREAD_PROBE_CACHE_ATTR, None)
+    assert cache, "probe memo did not land on the session object"

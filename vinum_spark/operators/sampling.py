@@ -435,10 +435,12 @@ def dsir_select(
     work is ONE gram explode, pre-aggregated per (document, bucket)
     into a lazily ``localCheckpoint``-ed frame (≤ docs × n_buckets
     rows; materialized once by the first action and shared by both
-    consumers, reclaimed by ContextCleaner when the returned frame is
-    dropped — round 19: the previous process-global one-slot
-    ``persist()`` survived across calls, letting repeat invocations
-    skip the corpus explode they claim to measure), feeding both the
+    consumers; blocks are freed with the returned frame's references —
+    a long-lived process issuing many calls should budget one such
+    frame per in-flight call, the bounded per-call trade chosen in
+    round 19 over the previous process-global one-slot ``persist()``,
+    which survived across calls and let repeat invocations skip the
+    corpus explode they claim to measure), feeding both the
     raw bucket histogram and the broadcast-joined weight sum. The
     bucket-total
     denominators are computed INSIDE the plan (a whole-table window

@@ -346,7 +346,7 @@ def blocked_pair_cosine(
     )
 
 
-def _pair_cosine_kernel(threshold: float):
+def _pair_cosine_kernel(threshold: float, dim: int | None = None):
     """The block-pair cosine Arrow kernel shared by
     :func:`blocked_pair_cosine` and :func:`lsh_blocked_cosine_pairs`:
     one group = one block pair (side-``a`` rows × side-``b`` rows; a
@@ -354,8 +354,12 @@ def _pair_cosine_kernel(threshold: float):
     enumerates its upper triangle). One BLAS matmul per group replaces
     per-pair expression evaluation; only pairs ≥ ``threshold`` ever
     materialize as rows, as ``(id_a, id_b, cosine)`` with
-    ``id_a < id_b``."""
+    ``id_a < id_b``. When the caller knows ``dim`` it is enforced
+    exactly (``len(values) == n_rows × dim``); without it the kernel
+    can only check divisibility, which misses offsetting errors (one
+    row short + one row long)."""
     thr = float(threshold)
+    want_dim = int(dim) if dim else None
 
     def _kernel(tbl):
         import numpy as np
@@ -390,14 +394,32 @@ def _pair_cosine_kernel(threshold: float):
                 "blocked pair cosine requires non-null fixed-dimension "
                 f"vectors; got {vcol.null_count} null(s) in a batch"
             )
-        flat = np.asarray(vcol.flatten())
-        if n and len(flat) % n:
+        flat_arr = vcol.flatten()
+        # element-level nulls survive the top-level check and would
+        # otherwise convert to NaN silently, poisoning every cosine in
+        # the block with a NaN that drops pairs instead of raising
+        if flat_arr.null_count:
             raise ValueError(
-                "blocked pair cosine requires fixed-dimension vectors; "
-                f"got {len(flat)} values over {n} rows (ragged input)"
+                "blocked pair cosine requires non-null vector elements; "
+                f"got {flat_arr.null_count} null element(s) in a batch"
             )
-        dim = len(flat) // n
-        vecs = flat.reshape(n, dim)
+        flat = np.asarray(flat_arr)
+        # per-ROW length check (not just the total): offsetting ragged
+        # rows (one short + one long) keep the total divisible — and
+        # even equal to n*dim — while every row after the first bad one
+        # reads a shifted window
+        lens = pa.compute.list_value_length(vcol)
+        lo_hi = pa.compute.min_max(lens)
+        lo, hi = lo_hi["min"].as_py(), lo_hi["max"].as_py()
+        if lo != hi or (want_dim is not None and hi != want_dim):
+            raise ValueError(
+                "blocked pair cosine requires fixed "
+                f"{want_dim if want_dim is not None else 'same'}"
+                f"-dimension vectors; got row lengths in [{lo}, {hi}] "
+                f"over {n} rows (ragged or wrong-dim input)"
+            )
+        row_dim = want_dim if want_dim is not None else len(flat) // n
+        vecs = flat.reshape(n, row_dim)
         diagonal = pa_col[0] == pb_col[0]
         amask = np.ones(n, bool) if diagonal else side == "a"
         bmask = np.ones(n, bool) if diagonal else side == "b"
@@ -637,17 +659,31 @@ def lsh_blocked_cosine_pairs(
     Exactness note: the verify decision is the same float contract as
     :func:`blocked_pair_cosine` (float64 BLAS dot / norm product).
     Versus ``cosine_verify``'s JVM fold it can differ at the last ulp,
-    which matters only for pairs razor-thin at ``threshold``; callers
-    whose DECLARED output includes the cosine value itself (q56) keep
-    the expression path, callers that only keep the pair set (q83/q85,
-    twins at cos≈0.999 vs non-dups ≤0.73) use this one.
+    which matters only for pairs razor-thin at ``threshold`` or at a
+    rounding boundary of a rounded declared output. Callers that only
+    keep the pair set (q83/q85, twins at cos≈0.999 vs non-dups ≤0.73)
+    adopt this path unconditionally; a caller whose DECLARED output
+    includes the cosine value must gate the switch on measured
+    equality — q56 (declares ``round(cosine, 4)``) was switched only
+    after its round-4 output was verified EXACTLY equal to the
+    expression path's at sf0.001/0.01/0.1 (the fixed deterministic
+    harness corpora); a caller needing bit-identity to the JVM fold on
+    arbitrary data should stay on :func:`cosine_verify`.
 
     100 TB shape: signatures and banding are map-side; the groupBy
     Exchange shuffles each row ``n_bands × nb`` times carrying
     ``id + dim`` doubles; per-task memory is ``2 × block_rows × dim``
     doubles for the matmul operands plus the hits. ``block_rows`` is
     the granularity knob: smaller spreads hot buckets wider (more
-    replication), larger amortizes kernel overhead."""
+    replication), larger amortizes kernel overhead.
+
+    The broadcast ``sizes`` branch recomputes the signature+band
+    subtree (a broadcast has no exchange to reuse) — deliberate:
+    lazily checkpointing the bucket frame instead was measured WORSE
+    (1.74 → 1.89 s on the q56 gate at sf0.1: materializing + re-reading
+    corpus × n_bands rows carrying the vector costs more than the
+    map-side hash recompute, and at scale it would also pin
+    corpus × n_bands × dim doubles in executor storage)."""
     base = df.select(
         F.col(id_col).cast("long").alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
@@ -710,7 +746,7 @@ def lsh_blocked_cosine_pairs(
         "__id", "__v", "band", "key", "__bp.__pa", "__bp.__pb", "__bp.__side"
     )
     hits = replicated.groupBy("band", "key", "__pa", "__pb").applyInArrow(
-        _pair_cosine_kernel(threshold),
+        _pair_cosine_kernel(threshold, dim),
         schema="id_a long, id_b long, cosine double",
     )
     return hits.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
@@ -1154,14 +1190,19 @@ def phash_candidate_pairs(
     count, so an upstream decode (``phash_images`` is a Python stage)
     does not run twice within a call — the self-join's two branches
     read the checkpointed blocks. Lifetime is the returned frame's:
-    when the caller drops it, Spark's ContextCleaner reclaims the
-    blocks — nothing survives the call graph (round 19: the previous
+    blocks are eligible for ContextCleaner reclaim once the caller
+    drops every reference (in a classic py4j driver the JVM-side
+    reference can outlive the Python one, so a LONG-LIVED process
+    issuing many calls should budget one small checkpointed
+    projection per in-flight call — the bounded, per-call trade
+    chosen over the alternative: the previous
     process-global one-slot ``persist()`` registry memoized the
     decode ACROSS calls, which let repeated benchmark invocations of
-    the same corpus skip the decode they claim to measure; a per-call
-    checkpoint keeps the within-call sharing, which is the part that
-    is genuinely needed, and nothing else). Pass an explicit 1 or 2
-    to skip the count entirely (fully lazy, nothing cached).
+    the same corpus skip the decode they claim to measure — round
+    19). A per-call checkpoint keeps the within-call sharing, which
+    is the part that is genuinely needed, and nothing else. Pass an
+    explicit 1 or 2 to skip the count entirely (fully lazy, nothing
+    cached).
     """
     if 64 % n_bands:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
@@ -1179,9 +1220,9 @@ def phash_candidate_pairs(
         # per-call lazy localCheckpoint: the auto-mode count below
         # materializes it, the banded self-join's two branches then
         # read the checkpointed blocks instead of re-running the
-        # upstream decode; ContextCleaner reclaims the blocks when the
-        # returned frame is dropped. No process-global cache (see
-        # docstring).
+        # upstream decode; blocks are freed with the returned frame's
+        # references (see docstring for the long-lived-process note).
+        # No process-global cache.
         base = base.localCheckpoint(eager=False)
         bands_per_key = phash_bands_per_key(base.count())
 

@@ -19,6 +19,19 @@ from pyspark.sql import SparkSession
 _DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
 
 
+def _env_bool(name: str, default: str) -> str:
+    """Read a boolean env knob tolerantly: Spark's boolean confs accept
+    only 'true'/'false', so '1' (the flag style of SPARK_GRAFT_NO_POOL)
+    would fail session creation with an error that never names the
+    variable. Normalize the common spellings; reject the rest loudly."""
+    raw = os.environ.get(name, default).strip().lower()
+    if raw in ("true", "1", "yes", "on"):
+        return "true"
+    if raw in ("false", "0", "no", "off"):
+        return "false"
+    raise ValueError(f"{name} must be a boolean (got {raw!r})")
+
+
 def get_spark(app_name: str = "vinum_spark") -> SparkSession:
     """Return the shared SparkSession, creating it on first use.
 
@@ -83,9 +96,14 @@ def get_spark(app_name: str = "vinum_spark") -> SparkSession:
         # unreliable (post-filter/UDF cardinality misestimates at the
         # 100 TB point) can restore Spark's sort-merge preference —
         # which spills gracefully — without a code change.
+        # Normalized at the knob: Spark's boolean conf rejects values
+        # like "1"/"yes" with an IllegalArgumentException deep inside
+        # query execution that never mentions the env var — accept the
+        # common truthy/falsy spellings here and fail loudly, by name,
+        # on anything else.
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SORT_MERGE_JOIN", "false"),
+            _env_bool("SPARK_GRAFT_PREFER_SORT_MERGE_JOIN", "false"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

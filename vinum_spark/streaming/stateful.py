@@ -51,6 +51,16 @@ def stream_distinct(
     inactivity — memory stays bounded at the cost of re-admitting a
     duplicate that arrives after its group went quiet for the timeout.
     Pass ``timeout_ms=0`` to opt in to unbounded exact retention.
+
+    Restart constraint: seen-key digests come from
+    ``pd.util.hash_pandas_object`` (vectorized; stable across runs,
+    processes, and machines FOR A GIVEN pandas version, but not a
+    documented cross-version contract). Digests persist in the state
+    store, so a checkpointed query restarted under a DIFFERENT pandas
+    version could miss previously-seen keys (silently re-admitting
+    duplicates) — pin the pandas version for the life of a checkpoint,
+    or start a fresh checkpoint on upgrade. (The in-repo consumers use
+    a fresh per-run checkpoint, where the constraint is vacuous.)
     """
     schema = df.schema
     out_cols = [f.name for f in schema.fields]
