@@ -61,6 +61,49 @@ def test_stream_distinct_unbounded_opt_in(spark, dup_events_dir):
     assert got["event_id"].is_unique
 
 
+def test_stream_distinct_bucketed_matches_per_group(spark, dup_events_dir):
+    """group_buckets re-keys STATE only: across multi-batch input (one
+    file per trigger, duplicates split across batches — so the
+    bucketed state round-trips through the store between batches) the
+    emitted row set must equal the per-group layout's exactly."""
+    outs = {}
+    for label, kw in (("per_group", {}), ("bucketed", {"group_buckets": 16})):
+        stream = stream_events(spark, dup_events_dir, max_files_per_trigger=1)
+        deduped = stream_distinct(
+            stream, group_col="user_id", key_cols=["event_id"], **kw
+        )
+        run_stream_to_memory(deduped, f"bkt_{label}", mode="append")
+        pdf = spark.table(f"bkt_{label}").toPandas()
+        cols = sorted(pdf.columns)
+        outs[label] = pdf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(outs["bucketed"]) == 500
+    assert outs["bucketed"].equals(outs["per_group"])
+
+
+def test_stream_distinct_bucketed_validates_buckets(spark, dup_events_dir):
+    import pytest as _pytest
+
+    stream = stream_events(spark, dup_events_dir)
+    with _pytest.raises(ValueError, match="group_buckets"):
+        stream_distinct(stream, group_buckets=0)
+
+
+def test_single_data_batch_drain_emits_everything(spark, dup_events_dir):
+    """single_data_batch stops the drain at batch 0's commit; with no
+    maxFilesPerTrigger the availableNow plan puts every file in batch
+    0, so the sink must still hold the complete deduped output."""
+    stream = stream_events(spark, dup_events_dir)  # no files/trigger cap
+    deduped = stream_distinct(
+        stream, group_col="user_id", key_cols=["event_id"], group_buckets=8
+    )
+    run_stream_to_memory(
+        deduped, "sdb_out", mode="append", single_data_batch=True
+    )
+    got = spark.table("sdb_out").toPandas()
+    assert len(got) == 500
+    assert got["event_id"].is_unique
+
+
 def test_dedup_within_watermark_stream_matches_batch(spark, dup_events_dir):
     """Built-in dropDuplicatesWithinWatermark twin: the doubled source
     deduped on event_id must reproduce the single-copy counts (the

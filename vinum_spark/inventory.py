@@ -1955,11 +1955,21 @@ def q53(spark, sf_dir):
     s1 = stream_events(spark, f"{sf_dir}/events.parquet", nanos_ts=True)
     s2 = stream_events(spark, f"{sf_dir}/events.parquet", nanos_ts=True)
     doubled = s1.unionByName(s2)
+    # group_buckets: the per-GROUP applyInPandasWithState protocol cost
+    # dominated this query's batch (~1 500 user groups; round-19
+    # attribution) — bucketing shards state 8-per-state-partition while
+    # keeping (user_id, event_id) first-occurrence semantics exact.
+    # single_data_batch: static one-file source, no maxFilesPerTrigger
+    # -> availableNow plans everything into batch 0, and
+    # stream_distinct emits only on input, so the drain's empty
+    # timeout-machinery batch (~1.1 s of state-store fixed cost) is
+    # pure latency — stop at batch 0's commit.
     deduped = stream_distinct(
-        doubled, group_col="user_id", key_cols=["event_id"]
+        doubled, group_col="user_id", key_cols=["event_id"],
+        group_buckets=64,
     )
     run_stream_to_memory(deduped, "q53_out", mode="append",
-                         state_partitions=8)
+                         state_partitions=8, single_data_batch=True)
     return (
         spark.table("q53_out")
         .groupBy("event_type")

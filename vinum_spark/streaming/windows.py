@@ -308,15 +308,33 @@ def session_aggregate(
     )
 
 
-def _drain(q, name: str, idle_timeout: float) -> None:
+def _drain(
+    q, name: str, idle_timeout: float, single_data_batch: bool = False
+) -> None:
     """Bounded drain for an ``availableNow`` query (see
-    ``run_stream_to_memory`` for the termination contract)."""
+    ``run_stream_to_memory`` for the termination contract).
+
+    ``single_data_batch=True`` is the caller's assertion that batch 0
+    holds EVERY row the query will ever emit — a static source read
+    without ``maxFilesPerTrigger`` (availableNow then plans all files
+    into one batch) through operators that emit only in response to
+    input (no event-time watermark finalization, no timeout-driven
+    emission). The drain then stops at batch 0's commit instead of
+    waiting for an EMPTY batch to commit — under ProcessingTimeTimeout
+    an empty batch still pays the full per-partition state-store
+    machinery (measured ~1.1 s at 8 state partitions), which is pure
+    drain latency when nothing can be emitted. (``status.
+    isDataAvailable`` is NOT used as the signal: it blips false
+    transiently between DATA batches, so it cannot prove exhaustion.)
+    """
     import time
 
     try:
         deadline = time.monotonic() + idle_timeout
         while q.isActive:
             lp = q.lastProgress
+            if lp is not None and single_data_batch:
+                break  # batch 0 committed == everything committed
             if lp is not None and lp["numInputRows"] == 0 and lp["batchId"] > 0:
                 break
             if time.monotonic() > deadline:
@@ -339,8 +357,13 @@ def run_stream_to_memory(
     idle_timeout: float = 600.0,
     state_partitions: Optional[int] = None,
     state_store: Optional[str] = None,
+    single_data_batch: bool = False,
 ) -> None:
     """Drain all available input into an in-memory sink (testing helper).
+
+    ``single_data_batch``: see :func:`_drain` — opt-in early stop at
+    batch 0's commit for sources whose entire input lands in one batch
+    and operators that emit only on input.
 
     ``state_partitions``: number of shuffle/state-store partitions for
     THIS query (``spark.sql.shuffle.partitions`` is captured at query
@@ -384,7 +407,7 @@ def run_stream_to_memory(
     q = _start_with_state_partitions(
         stream_df.sparkSession, writer, state_partitions, state_store
     )
-    _drain(q, table_name, idle_timeout)
+    _drain(q, table_name, idle_timeout, single_data_batch)
 
 
 #: providerClass values for ``state_store`` (None = session default).
