@@ -1164,6 +1164,52 @@ def test_bpe_tokenize_map_side_emit_ids_equals_encode_ids(spark):
         bpe_tokenize_map_side(docs, merges, emit_ids=True)
 
 
+def test_bpe_tokenize_emit_ids_equals_encode_ids(spark):
+    """The batch operator's fused emit_ids path (tokens + ids in ONE
+    corpus explode + join + groupBy cycle) must produce exactly
+    bpe_encode_ids' id sequences — including empty and all-junk docs
+    whose id arrays are empty — and reject char mode."""
+    from pyspark.sql import functions as F
+
+    from vinum_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_tokenize,
+        learn_bpe_merges,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = base.select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(900001, ""), (900002, None)], "doc_id long, text string"
+        ).select("doc_id", F.col("text"))
+    )
+    kw = {"byte_level": True, "token_pattern": "[^ ]+"}
+    merges = learn_bpe_merges(base, n_merges=8, **kw)
+    want = {
+        r["doc_id"]: (r["token_ids"], r["n_tokens"])
+        for r in bpe_encode_ids(
+            bpe_tokenize(docs, merges, **kw), merges
+        ).collect()
+    }
+    fused = bpe_tokenize(docs, merges, emit_ids=True, **kw)
+    got = {
+        r["doc_id"]: (r["token_ids"], r["n_tokens"])
+        for r in fused.collect()
+    }
+    assert got == want and len(got) > 0
+    # the tokens column is unchanged by the fused path
+    plain = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_tokenize(docs, merges, **kw).collect()
+    }
+    assert {r["doc_id"]: r["tokens"] for r in fused.collect()} == plain
+
+    import pytest
+
+    with pytest.raises(ValueError, match="byte_level"):
+        bpe_tokenize(docs, merges, emit_ids=True)
+
+
 def test_prepare_corpus_tokenize_stage(spark):
     """tokenize_with adds the tokenizer as the pipeline's final stage —
     a pure projection (no extra shuffle, no join-back), byte-level

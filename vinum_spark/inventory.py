@@ -5160,7 +5160,6 @@ ORDER BY doc_id, chunk_id"""
 )
 def q101(spark, sf_dir):
     from vinum_spark.operators.text import (
-        bpe_encode_ids,
         bpe_tokenize,
         chunk_token_ids,
         learn_bpe_merges,
@@ -5169,9 +5168,13 @@ def q101(spark, sf_dir):
     docs = _bpe_aug(_t(spark, sf_dir, "documents"))
     kw = {"byte_level": True, "token_pattern": "[^ ]+"}
     merges = learn_bpe_merges(docs, n_merges=8, **kw)
-    enc = bpe_encode_ids(
-        bpe_tokenize(docs, merges, id_col="doc_id", **kw), merges
-    )
+    # emit_ids: ids in the same corpus pass as tokenization (equal to
+    # bpe_encode_ids by construction — q93/q105/q106 keep that
+    # operator's own gate); the explicit select drops the token
+    # strings before the chunking projection
+    enc = bpe_tokenize(
+        docs, merges, id_col="doc_id", emit_ids=True, **kw
+    ).select("doc_id", "token_ids", "n_tokens")
     out = chunk_token_ids(enc, max_len=16, stride=12, min_len=4)
     return out.select(
         "doc_id",
@@ -5271,7 +5274,6 @@ ORDER BY shard, block_id"""
 def q102(spark, sf_dir):
     from vinum_spark.operators.sampling import pack_token_blocks
     from vinum_spark.operators.text import (
-        bpe_encode_ids,
         bpe_tokenize,
         learn_bpe_merges,
     )
@@ -5279,9 +5281,13 @@ def q102(spark, sf_dir):
     docs = _bpe_aug(_t(spark, sf_dir, "documents"))
     kw = {"byte_level": True, "token_pattern": "[^ ]+"}
     merges = learn_bpe_merges(docs, n_merges=8, **kw)
-    enc = bpe_encode_ids(
-        bpe_tokenize(docs, merges, id_col="doc_id", **kw), merges
-    )
+    # emit_ids: ids in the same corpus pass as tokenization (equal to
+    # bpe_encode_ids by construction — q93/q105/q106 keep that
+    # operator's own gate); the explicit select keeps the token
+    # strings out of the pack shuffle, which carries every column
+    enc = bpe_tokenize(
+        docs, merges, id_col="doc_id", emit_ids=True, **kw
+    ).select("doc_id", "token_ids")
     blocks = pack_token_blocks(enc, block_size=32, n_shards=8)
     return blocks.select(
         "shard",

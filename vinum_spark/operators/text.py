@@ -1569,6 +1569,7 @@ def bpe_tokenize(
     id_col: str = "doc_id",
     token_pattern: str = "[a-z]+",
     byte_level: bool = False,
+    emit_ids: bool = False,
 ) -> DataFrame:
     """Tokenize a corpus with a learned BPE merge table
     (:func:`learn_bpe_merges`). Returns (id, tokens array<string>,
@@ -1599,11 +1600,26 @@ def bpe_tokenize(
     mode: no lowercasing, arbitrary ``token_pattern`` (passed as a
     Column literal), words seeded from the ``chr(0x100 + b)``
     byte-symbol alphabet — pair with a byte-level merge table.
+
+    ``emit_ids=True`` (byte mode only) additionally returns
+    ``token_ids array<int>`` in the :func:`bpe_vocab` GPT-2 layout —
+    equal to :func:`bpe_encode_ids` on this function's output (pinned
+    in tests) but computed in the SAME corpus pass: the id of base
+    symbol b is b and of merge k is 255 + k, so the id array is a
+    vocab-side dict lookup and the per-doc reassembly carries both
+    arrays through the one explode + join + groupBy cycle.
+    Composed consumers (tokenize → ids → chunk/pack) previously paid
+    ``bpe_encode_ids``'s second full corpus explode + join + groupBy
+    for information the vocabulary already determined (round 19,
+    guide §1.2/§2.4); use ``bpe_encode_ids`` itself when the id
+    layout must come from an external ``vocab_df``.
     """
     import re as _re
 
     if not byte_level and _re.search(r"['\\]", token_pattern):
         raise ValueError(f"token_pattern unsafe for a SQL literal: {token_pattern!r}")
+    if emit_ids and not byte_level:
+        raise ValueError("emit_ids requires byte_level=True (bpe_vocab layout)")
     merges = [(lhs, rhs) for _, lhs, rhs, _ in _merge_rows(merges_df)]
     ranks = {pair: i for i, pair in enumerate(merges)}
 
@@ -1628,12 +1644,55 @@ def bpe_tokenize(
         F.col(id_col),
         F.posexplode(words_col).alias("__wi", "word"),
     )
+    if emit_ids:
+        tok_id = {
+            **{chr(_BYTE_SYM_BASE + b): b for b in range(256)},
+            **{a + b: 256 + k for k, (a, b) in enumerate(merges)},
+        }
+
+        # vocab-sized work: one id array per DISTINCT word (every
+        # token is in-vocab by construction — byte-level has no OOV)
+        @F.pandas_udf("array<int>")
+        def ids_of(col: pd.Series) -> pd.Series:
+            return pd.Series([[tok_id[t] for t in ts] for ts in col])
+
+        per_doc = (
+            doc_words.join(vocab_tok.withColumn("__tids", ids_of("__toks")), "word")
+            .groupBy(id_col)
+            .agg(
+                F.expr(
+                    "array_sort(collect_list(struct(__wi, __toks, __tids)))"
+                ).alias("__srt")
+            )
+            .select(
+                id_col,
+                F.flatten(
+                    F.expr("transform(__srt, s -> s.__toks)")
+                ).alias("tokens"),
+                F.flatten(
+                    F.expr("transform(__srt, s -> s.__tids)")
+                ).alias("token_ids"),
+            )
+        )
+        toks = F.coalesce("tokens", F.array().cast("array<string>"))
+        return (
+            df.select(id_col)
+            .join(per_doc, id_col, "left")
+            .select(
+                id_col,
+                toks.alias("tokens"),
+                F.size(toks).cast("bigint").alias("n_tokens"),
+                F.coalesce("token_ids", F.array().cast("array<int>")).alias(
+                    "token_ids"
+                ),
+            )
+        )
     per_doc = (
         doc_words.join(vocab_tok, "word")
         .groupBy(id_col)
         .agg(
             F.flatten(
-                F.expr("transform(array_sort(collect_list(struct(__wi, __toks)))," 
+                F.expr("transform(array_sort(collect_list(struct(__wi, __toks))),"
                        " s -> s.__toks)")
             ).alias("tokens")
         )
