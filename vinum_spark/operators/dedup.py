@@ -99,7 +99,7 @@ def _estimated_scan_partitions(df: DataFrame) -> Optional[int]:
 _SPREAD_PROBE_CACHE_ATTR = "_vinum_spread_probe_cache"
 
 
-def _spread(df: DataFrame, key: str) -> DataFrame:
+def _spread(df: DataFrame, key: str, probe_key=None) -> DataFrame:
     """Ensure enough partitions for the CPU-heavy map stage that follows.
 
     A single small parquet file scans as one partition, serializing
@@ -113,10 +113,23 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     local file scan (no job planning); otherwise — in-memory frames
     (e.g. ``createDataFrame`` ingestion, which coalesces to 1 partition),
     remote stores we can't stat — fall back to an ``rdd.getNumPartitions``
-    probe, which plans (but does not run) the query on the driver. The
-    probe is memoized per (session, analyzed-plan semanticHash) so a
-    frame reused across operators (e.g. minhash candidates + verify on
-    the same documents) pays for one planning pass, not one per call.
+    probe, which plans the query on the driver (and under AQE can
+    execute upstream shuffle stages to finalize the plan — several
+    hundred ms of driver wall). The probe is memoized per (session,
+    analyzed-plan semanticHash) so a frame reused across operators
+    (e.g. minhash candidates + verify on the same documents) pays for
+    one planning pass, not one per call.
+
+    ``probe_key``: a hashable memo key to use INSTEAD of the frame's
+    own semanticHash (round 19). A frame derived from a
+    ``localCheckpoint`` embeds the checkpoint's fresh RDD id in its
+    plan, so its semanticHash never repeats across runs and the memo
+    misses every time — the probe (and the checkpoint materialization
+    it forces) lands on every run's driver wall. Callers that derive
+    the frame deterministically from a stable parent pass a key built
+    from the PARENT plan's semanticHash plus the derivation parameters;
+    the first run probes, every later run in the session reuses the
+    measured count.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     est = _estimated_scan_partitions(df)
@@ -127,7 +140,11 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
             if cache is None:
                 cache = {}
                 setattr(session, _SPREAD_PROBE_CACHE_ATTR, cache)
-            fp = df._jdf.queryExecution().analyzed().semanticHash()
+            fp = (
+                probe_key
+                if probe_key is not None
+                else df._jdf.queryExecution().analyzed().semanticHash()
+            )
             est = cache.get(fp)
             if est is None:
                 est = df.rdd.getNumPartitions()
@@ -159,6 +176,23 @@ def _shingles(col: Column, n: int) -> Column:
         lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
     )
     return F.array_distinct(grams)
+
+
+def _stable_probe_key(parent: DataFrame, *tag):
+    """Run-stable :func:`_spread` memo key: the PARENT plan's
+    semanticHash plus the derivation parameters. The parent is the
+    frame the probed one is deterministically derived from BEFORE any
+    ``localCheckpoint`` — a checkpoint embeds a fresh RDD id in the
+    plan, so the checkpointed frame's own semanticHash never repeats
+    across runs and the probe memo misses every time. The parent
+    (typically the memoized table scan) keeps one analyzed plan per
+    session, so this is one cheap JVM call. Returns None (caller falls
+    back to the probed frame's own hash) when the parent cannot be
+    analyzed."""
+    try:
+        return (parent._jdf.queryExecution().analyzed().semanticHash(), *tag)
+    except Exception:
+        return None
 
 
 def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -296,7 +330,12 @@ def minhash_signatures(
 
 
 def _band_buckets(
-    df: DataFrame, id_col: str, bands: int, rows_per_band: int, sig_col: str = "minhash"
+    df: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    sig_col: str = "minhash",
+    probe_key=None,
 ) -> DataFrame:
     """Explode a signature into (id, band, band_hash) bucket rows.
 
@@ -307,8 +346,12 @@ def _band_buckets(
     measured q29 1.0 s → 0.65 s at sf0.1 from this line alone (the
     same bytes-≠-work coalescing trap as the r18 q83 revert and this
     round's simhash fix). Repartitioning ~(8 B + signature) rows is
-    noise at any scale."""
-    df = _spread(df, id_col)
+    noise at any scale. ``probe_key``: see :func:`_spread` — callers
+    whose signature frame derives from a checkpointed shingle frame
+    pass a run-stable key so the partition probe (which executes the
+    upstream stages under AQE) runs once per session, not once per
+    plan construction."""
+    df = _spread(df, id_col, probe_key=probe_key)
     band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     with_band = df.select(F.col(id_col), F.col(sig_col), band)
     band_slice = F.slice(
@@ -342,7 +385,16 @@ def minhash_candidate_pairs(
     sigs = _signatures_only(
         df, text_col, id_col, n_hashes, shingle_size, shingles=shingles
     )
-    buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
+    # a provided shingle frame is checkpointed by contract, so the sig
+    # frame's own plan hash is run-unique — key the partition probe on
+    # the stable corpus frame instead (one probe per session)
+    probe_key = (
+        _stable_probe_key(df, "mh_band_spread", n_hashes, shingle_size)
+        if shingles is not None
+        else None
+    )
+    buckets = _band_buckets(sigs, id_col, bands, rows_per_band,
+                            probe_key=probe_key)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -623,6 +675,11 @@ def simhash_candidate_pairs(
             shingles=shingles,
         ).localCheckpoint(eager=False),
         id_col,
+        # the checkpoint makes this frame's plan hash run-unique; key
+        # the partition probe on the stable corpus frame instead
+        probe_key=_stable_probe_key(
+            df, "simhash_spread", shingle_size, band_bits
+        ),
     )
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
